@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * The `events` table carries `timestamp[ns]` which Spark's parquet reader
+  * rejects; we read nanos as long (`spark.sql.legacy.parquet.nanosAsLong`)
+  * and expose both a proper `ts` TimestampType column (microsecond
+  * precision, UTC) and the raw `ts_us` epoch-microsecond long used for
+  * engine-portable output.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      df.withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else df
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
