@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOf
+
+/** Analytics / query-engine surface (SURVEY.md §2.B) with DuckDB oracles.
+  *
+  * Plan-shape goals at scale: dims broadcast, fact-fact joins shuffle on
+  * the join key after filter pushdown, aggregates partial-agg map-side,
+  * money math in decimal (exact + order-independent).
+  */
+object Analytics {
+
+  private def dec182(c: String) = col(c).cast("decimal(18,2)")
+  private def dec42(c: String) = col(c).cast("decimal(4,2)")
+  private def one = lit(1).cast("decimal(4,2)")
+  private def ts(lit0: String) = lit(lit0).cast("timestamp")
+
+  /** l_extendedprice * (1 - l_discount), exact decimal, scale 4. */
+  private def discPrice: Column =
+    (dec182("l_extendedprice") * (one - dec42("l_discount"))).cast("decimal(18,4)")
+
+  private val discPriceSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B1: grouped aggregation, decimal-exact (TPC-H Q1 shape)
+    "q1_pricing_summary" -> ((s, dir) => {
+      val charge = (discPrice * (one + dec42("l_tax"))).cast("decimal(18,6)")
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") < ts("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec182("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+          sum(dec182("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+          sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
+          sum(charge).cast("decimal(38,6)").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // B2: filter + projection pushdown (TPC-H Q6 shape)
+    "q6_revenue_filter" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-01-01")
+          && col("l_shipdate") < ts("1997-01-01")
+          && col("l_discount") >= 0.03 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(
+          sum(dec182("l_extendedprice") * dec42("l_discount"))
+            .cast("decimal(38,4)").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // B3: 3-way join, broadcast dim, top-N (TPC-H Q3 shape)
+    "q3_top_shipping" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") < ts("1998-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > ts("1998-01-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          unix_micros(col("o_orderdate")).as("o_orderdate_us"))
+        .orderBy(desc("revenue"), col("o_orderdate_us"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // B4: 6-way star join through region/nation (TPC-H Q5 shape)
+    "q5_region_revenue" -> ((s, dir) => {
+      val rn = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= ts("1996-01-01")
+          && col("o_orderdate") < ts("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // B5: window rank — top-3 orders per customer
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // B6: top-k by aggregate
+    "q_topk_customers" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(dec182("o_totalprice")).cast("decimal(38,2)").as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(desc("total_spend"), col("o_custkey"))
+        .limit(25)
+    }),
+
+    // B7: semi-join (EXISTS)
+    "q_semi_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).where(col("o_orderstatus") === "O")
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey")
+    }),
+
+    // B8: anti-join (NOT EXISTS)
+    "q_anti_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // B9: distinct aggregation
+    "q_distinct_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // B10: as-of join — attribute each purchase to the latest prior click
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("seq"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("seq"))
+      AsOf.joinPrior(purchases, clicks,
+        key = "user_id", ts = "ts_us", seq = "seq",
+        rightPayload = Map("seq" -> "click_seq", "ts_us" -> "click_ts_us"))
+        .select(col("seq").as("purchase_seq"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"), col("value"),
+          col("click_seq"), col("click_ts_us"))
+        .orderBy("purchase_seq")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(sum(CAST($discPriceSql * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q6_revenue_filter" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q3_top_shipping" ->
+      s"""SELECT l_orderkey,
+        |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS revenue,
+        |  epoch_us(o_orderdate) AS o_orderdate_us
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate_us, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name,
+        |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q_topk_customers" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spend DESC, o_custkey LIMIT 25""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        |                    AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id AS purchase_seq, p.user_id,
+        |       epoch_us(p.ts) AS purchase_ts_us, p.value,
+        |       c.event_id AS click_seq, epoch_us(c.ts) AS click_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_seq""".stripMargin)
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cdc._
+import graft.operators.Sessionize
+
+/** CDC-surface queries (SURVEY.md §2.A) with DuckDB oracles. */
+object Cdc {
+
+  private def dec182(c: String) = col(c).cast("decimal(18,2)")
+
+  private def changelog(s: SparkSession, dir: String): DataFrame =
+    Changelog.fromEvents(Tables.events(s, dir))
+
+  /** The changelog derivation (SURVEY.md §3) as a DuckDB CTE. */
+  val logCte: String =
+    """WITH log AS (
+      |  SELECT user_id AS key, epoch_us(ts) AS commit_ts_us, event_id AS seq,
+      |         CASE event_type WHEN 'signup' THEN 'I'
+      |                         WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+      |         event_type, value, props
+      |  FROM events)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1+A2: changelog → latest-state snapshot, delete tombstones dropped
+    "cdc_snapshot" -> ((s, dir) => {
+      Materialize.snapshot(changelog(s, dir))
+        .select(
+          col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // A3: resolved-ts watermark
+    "cdc_resolved_ts" -> ((s, dir) => Materialize.resolvedTs(changelog(s, dir), 32)),
+
+    // A4: plugin chain — event-type + predicate filters
+    "cdc_event_filter" -> ((s, dir) => {
+      Changefeed(Seq(
+        EventTypeFilter(Set("purchase", "click")),
+        PredicateFilter("high-value", col("value") > 100.0)))
+        .run(changelog(s, dir))
+        .select(col("seq"), col("key").as("user_id"), col("event_type"),
+          col("value"), col("commit_ts_us"))
+        .orderBy("seq")
+    }),
+
+    // A5: sensitive-field masking plugin
+    "cdc_mask" -> ((s, dir) => {
+      Changefeed(Seq(
+        EventTypeFilter(Set("purchase")),
+        TransformPlugin("project", df => df.select(
+          col("seq"),
+          Mask(col("key"), Mask.Sha256).as("user_hash"),
+          Mask(col("props"), Mask.RedactKeepLast(2)).as("props_masked"),
+          col("event_type"), col("value")))))
+        .run(changelog(s, dir))
+        .orderBy("seq")
+    }),
+
+    // A6: partition routing plugin (key mod N) + per-route stats
+    "cdc_route" -> ((s, dir) => {
+      Changefeed(Seq(RoutePlugin(Route.KeyMod, 16)))
+        .run(changelog(s, dir))
+        .groupBy(col("__partition"), col("op"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec182("value")).cast("decimal(38,2)").as("sum_value"))
+        .orderBy("__partition", "op")
+    }),
+
+    // A14: exact replay-dedup (at-least-once delivery collapsed)
+    "cdc_dedup" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      Materialize.dedup(log.unionAll(log)) // simulate redelivery
+        .select("key", "commit_ts_us", "seq", "op", "event_type", "value", "props")
+        .orderBy("seq")
+    }),
+
+    // A12: tumbling-window event aggregation (batch form)
+    "cdc_tumbling" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          unix_micros(date_trunc("hour", col("ts"))).as("window_start_us"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec182("value")).cast("decimal(38,2)").as("sum_value"))
+        .orderBy("window_start_us", "event_type")
+    }),
+
+    // A13: gap-based sessionization (30-minute inactivity)
+    "cdc_sessionize" -> ((s, dir) => {
+      Sessionize.stats(
+        Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value"),
+        key = "user_id", tsUs = "ts_us", seq = "event_id",
+        gapUs = 30L * 60 * 1000000, valueCol = "value")
+        .orderBy("user_id", "session_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "cdc_snapshot" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
+
+    "cdc_resolved_ts" -> (logCte +
+      """
+        |SELECT min(max_ts_us) AS resolved_ts_us FROM (
+        |  SELECT key % 32 AS pipeline, max(commit_ts_us) AS max_ts_us
+        |  FROM log GROUP BY 1) t""".stripMargin),
+
+    "cdc_event_filter" -> (logCte +
+      """
+        |SELECT seq, key AS user_id, event_type, value, commit_ts_us
+        |FROM log
+        |WHERE event_type IN ('purchase','click') AND value > 100.0
+        |ORDER BY seq""".stripMargin),
+
+    "cdc_mask" -> (logCte +
+      """
+        |SELECT seq, sha256(CAST(key AS VARCHAR)) AS user_hash,
+        |       '****' || substr(props, -2, 2) AS props_masked,
+        |       event_type, value
+        |FROM log WHERE event_type = 'purchase'
+        |ORDER BY seq""".stripMargin),
+
+    "cdc_route" -> (logCte +
+      """
+        |SELECT key % 16 AS __partition, op,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM log GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+
+    "cdc_dedup" -> (logCte +
+      """
+        |SELECT key, commit_ts_us, seq, op, event_type, value, props
+        |FROM log ORDER BY seq""".stripMargin),
+
+    "cdc_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |d AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |            ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |            AS session_id
+        |  FROM d)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
