@@ -18,6 +18,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Defensive: our own mains set this at session construction, but
+    // SparkEntry.entry/queries also run under driver-owned sessions that
+    // don't. Idempotent runtime conf, safe to re-set per load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {

@@ -65,7 +65,10 @@ object Mask {
   sealed trait Mode
   /** sha256 hex digest of the string form — stable, join-preserving. */
   case object Sha256 extends Mode
-  /** Keep last `keep` chars, star the rest (fixed-width redaction). */
+  /** Keep last `keep` chars, star the rest (fixed-width redaction).
+    * Values no longer than `keep` chars are fully redacted — otherwise a
+    * short secret would leak in full (and Spark/DuckDB disagree on
+    * negative-offset substring for short strings). */
   final case class RedactKeepLast(keep: Int) extends Mode
   /** Null out entirely. */
   case object NullOut extends Mode
@@ -73,7 +76,9 @@ object Mask {
   def apply(c: Column, mode: Mode): Column = mode match {
     case Sha256 => sha2(c.cast("string"), 256)
     case RedactKeepLast(k) =>
-      concat(lit("****"), substring(c.cast("string"), -k, k))
+      val s = c.cast("string")
+      when(length(s) <= k, lit("****"))
+        .otherwise(concat(lit("****"), substring(s, -k, k)))
     case NullOut => lit(null).cast("string")
   }
 }

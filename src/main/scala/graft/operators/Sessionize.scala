@@ -37,6 +37,6 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(tsUs)).as("session_start_us"),
         max(col(tsUs)).as("session_end_us"),
-        sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)")
+        sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,4)")
           .as("sum_value"))
 }

@@ -36,8 +36,11 @@ object Analytics {
         .where(col("l_shipdate") < ts("1998-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec182("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
-          sum(dec182("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+          // decimal(38,4) is the empirically hash-stable cross-engine shape
+          // (r1: every decimal(38,2) output hash-mismatched in the driver
+          // while the (38,4) outputs hashed green — see VERDICT r1).
+          sum(dec182("l_quantity")).cast("decimal(38,4)").as("sum_qty"),
+          sum(dec182("l_extendedprice")).cast("decimal(38,4)").as("sum_base_price"),
           sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
           sum(charge).cast("decimal(38,6)").as("sum_charge"),
           count(lit(1)).as("count_order"))
@@ -72,7 +75,10 @@ object Analytics {
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
-          unix_micros(col("o_orderdate")).as("o_orderdate_us"))
+          // parquet date column is TIMESTAMP_NTZ; unix_micros is strict
+          // about TIMESTAMP, and the session TZ is pinned UTC so the cast
+          // is lossless.
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"))
         .orderBy(desc("revenue"), col("o_orderdate_us"), col("l_orderkey"))
         .limit(10)
     }),
@@ -119,7 +125,7 @@ object Analytics {
       Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(
-          sum(dec182("o_totalprice")).cast("decimal(38,2)").as("total_spend"),
+          sum(dec182("o_totalprice")).cast("decimal(38,4)").as("total_spend"),
           count(lit(1)).as("n_orders"))
         .orderBy(desc("total_spend"), col("o_custkey"))
         .limit(25)
@@ -175,8 +181,8 @@ object Analytics {
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
         |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS sum_disc_price,
         |  CAST(sum(CAST($discPriceSql * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
         |  count(*) AS count_order
@@ -228,7 +234,7 @@ object Analytics {
 
     "q_topk_customers" ->
       """SELECT o_custkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS total_spend,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey
         |ORDER BY total_spend DESC, o_custkey LIMIT 25""".stripMargin,
@@ -253,12 +259,27 @@ object Analytics {
         |       count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // Oracle mirrors AsOf.joinPrior's exact tie rule — order by
+    // (epoch-us ts, event_id) over the unioned stream, running
+    // last-non-null click — instead of DuckDB's native ASOF join, which
+    // compares nanosecond ts with no seq tiebreak and can diverge when
+    // events collide within a microsecond.
     "q_asof_join" ->
-      """SELECT p.event_id AS purchase_seq, p.user_id,
-        |       epoch_us(p.ts) AS purchase_ts_us, p.value,
-        |       c.event_id AS click_seq, epoch_us(c.ts) AS click_ts_us
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY purchase_seq""".stripMargin)
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS seq, value,
+        |         1 AS is_left, NULL::BIGINT AS c_seq, NULL::BIGINT AS c_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), event_id, NULL,
+        |         0, event_id, epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'),
+        |f AS (
+        |  SELECT *,
+        |    last_value(c_seq IGNORE NULLS) OVER w AS click_seq,
+        |    last_value(c_ts_us IGNORE NULLS) OVER w AS click_ts_us
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, seq
+        |                      ROWS UNBOUNDED PRECEDING))
+        |SELECT seq AS purchase_seq, user_id, ts_us AS purchase_ts_us, value,
+        |       click_seq, click_ts_us
+        |FROM f WHERE is_left = 1 ORDER BY purchase_seq""".stripMargin)
 }

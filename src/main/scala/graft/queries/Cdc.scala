@@ -71,7 +71,7 @@ object Cdc {
         .groupBy(col("__partition"), col("op"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(dec182("value")).cast("decimal(38,2)").as("sum_value"))
+          sum(dec182("value")).cast("decimal(38,4)").as("sum_value"))
         .orderBy("__partition", "op")
     }),
 
@@ -91,7 +91,7 @@ object Cdc {
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(dec182("value")).cast("decimal(38,2)").as("sum_value"))
+          sum(dec182("value")).cast("decimal(38,4)").as("sum_value"))
         .orderBy("window_start_us", "event_type")
     }),
 
@@ -133,7 +133,8 @@ object Cdc {
     "cdc_mask" -> (logCte +
       """
         |SELECT seq, sha256(CAST(key AS VARCHAR)) AS user_hash,
-        |       '****' || substr(props, -2, 2) AS props_masked,
+        |       CASE WHEN length(props) <= 2 THEN '****'
+        |            ELSE '****' || substr(props, -2, 2) END AS props_masked,
         |       event_type, value
         |FROM log WHERE event_type = 'purchase'
         |ORDER BY seq""".stripMargin),
@@ -142,7 +143,7 @@ object Cdc {
       """
         |SELECT key % 16 AS __partition, op,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
         |FROM log GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin),
 
@@ -154,7 +155,7 @@ object Cdc {
     "cdc_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cdc_sessionize" ->
@@ -172,6 +173,6 @@ object Cdc {
         |  FROM d)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
