@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Cdc}
+import graft.queries.{Analytics, Cdc, Docs}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -18,8 +18,8 @@ object SparkEntry {
     queries("cdc_snapshot")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Cdc.queries ++ Analytics.queries
+    Cdc.queries ++ Analytics.queries ++ Docs.queries
 
   def oracleSql: Map[String, String] =
-    Cdc.oracles ++ Analytics.oracles
+    Cdc.oracles ++ Analytics.oracles ++ Docs.oracles
 }

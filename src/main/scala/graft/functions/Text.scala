@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for training-data pipelines: tokenization,
+  * language-ID heuristic, quality scoring, token counting, fingerprinting.
+  * All pure Catalyst expressions (codegen'd, partition-local, no shuffle)
+  * — each runs in the scan's projection at 100 TB without adding a stage.
+  *
+  * Engine parity: every function here has an exact DuckDB-SQL mirror in
+  * [[graft.queries.Docs]]; integer outputs are cast to long, ratio outputs
+  * rounded to 4 decimals at the boundary.
+  */
+object Text {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish segmentation: letter runs, digit runs, single other chars. */
+  val bpeRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeRegex), lit(0))).cast("long")
+
+  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Stopword lists for the n-gram language-ID heuristic. Deliberately
+    * tiny — the point is the *operator* (per-language hit counting +
+    * deterministic argmax), not NLP accuracy. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"))
+
+  /** Occurrences of any word from `set` among the tokens. */
+  def stopwordHits(text: Column, set: Seq[String]): Column =
+    size(filter(tokens(lower(text)),
+      t => t.isin(set.map(lit(_)): _*))).cast("long")
+
+  /** Deterministic argmax over the per-language hit counts: highest count
+    * wins, ties go to the alphabetically-first language. Expects columns
+    * named hits_<lang> to exist (see Docs.doc_lang_id). */
+  def predictLang(hits: Map[String, Column]): Column = {
+    val langs = stopwords.map(_._1) // alphabetical
+    langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), rest) =>
+      val beatsAllLater = langs.drop(i + 1)
+        .map(m => hits(l) >= hits(m)).reduce(_ && _)
+      when(beatsAllLater, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Polynomial rolling hash over the characters: a compact, exactly
+    * reproducible document fingerprint (same recurrence in the DuckDB
+    * oracle). acc = (acc*131 + code) mod 1e9+7 — acc stays < 2^30, the
+    * multiply < 2^37, no overflow in long arithmetic. */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(131L) + ascii(ch), lit(1000000007L)))
+}

