@@ -25,6 +25,26 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Word n-gram Jaccard similarity on blocked candidate pairs: only
+    * pairs sharing `blockCol` are compared (classic blocking — an
+    * equi-join, so candidates ~ |block|² per block, never corpus²).
+    * Output: id_a, id_b, jaccard (round 4) where jaccard >= threshold. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        MinHash.shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = sets.select(col("doc_id").as("id_a"), col("blk"), col("sh").as("sa"))
+    val b = sets.select(col("doc_id").as("id_b"), col("blk").as("blk_b"), col("sh").as("sb"))
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+      .withColumn("jac", jac)
+      .where(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
   /** Input annotated with its content digest + a `is_duplicate` flag (true
     * for every row that is not the keeper) — the filter form pipelines use
     * to drop dupes while keeping lineage. */

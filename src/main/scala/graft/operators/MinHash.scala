@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection (SURVEY.md §2.C2).
+  *
+  * Pipeline: word n-gram shingles → 32-bit shingle hashes → k minhash
+  * permutations → band keys → band-bucket EQUI-join for candidates →
+  * exact Jaccard verification on the candidate pairs only.
+  *
+  * Scale shape (SURVEY.md §5): the only joins are (a) the band-bucket
+  * equi-join, whose output ~ true near-dups plus a skew-bounded number of
+  * hash collisions — never n² — and (b) two doc_id equi-joins to fetch
+  * shingle sets for verification. All hashing/minhashing is per-row
+  * projection work in the scan stage. At 100 TB, bucket skew (a viral
+  * band key) is absorbed by AQE skew-join splitting; the verify joins
+  * shuffle only candidate ids + shingle arrays.
+  *
+  * Engine parity: shingle hash = first 8 hex chars of md5 (exact in both
+  * engines); permutations are integer-only arithmetic below 2^52; the
+  * DuckDB oracle is GENERATED from the same constants (single source of
+  * truth) in [[minhashOracleSql]].
+  */
+object MinHash {
+
+  /** Modulus for the minhash permutations: prime just above 2^32. */
+  val P = 4294967311L
+  val numHashes = 16
+  val numBands = 4
+  val rowsPerBand = 4
+
+  /** Deterministic permutation coefficients (a odd, both < 2^20 so that
+    * a*h + b < 2^52 — exact in long AND double arithmetic in any engine). */
+  val coeffs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)(((rnd.nextInt(1 << 20) | 1).toLong, rnd.nextInt(1 << 20).toLong))
+  }
+
+  /** First 8 hex chars of md5 → long in [0, 2^32). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a single-space-tokenized text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = split(text, " ")
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*))))
+  }
+
+  /** doc_id, shingle set, and the k-element minhash signature. */
+  def signature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withSets = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0) // oracle's WHERE len(t) >= 3
+      .withColumn("hv", transform(col("sh"), s => hash32(s)))
+    val mhCols = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("hv"), h => (h * a + b) % P)).as(s"mh_$j")
+    }
+    withSets.select(col("doc_id") +: col("sh") +: mhCols: _*)
+  }
+
+  /** One row per (doc, band) with the band's concatenated key. */
+  def bandRows(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until numBands).map { b =>
+      val key = concat_ws("-",
+        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}").cast("string")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    sig.select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Near-dup pairs with exact Jaccard >= threshold, candidates generated
+    * by the band-bucket equi-join. Output: id_a, id_b, jaccard (round 4). */
+  def neardupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val sig = signature(docs, idCol, textCol)
+    val bands = bandRows(sig).select("doc_id", "band", "bkey")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sets = sig.select(col("doc_id"), col("sh"))
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("jac", jac)
+      .where(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** DuckDB oracle for [[neardupPairs]], generated from the SAME constants
+    * so the two engines can never drift. */
+  def minhashOracleSql(table: String, threshold: Double): String = {
+    val mhExprs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(h, v -> (v*$a+$b)%$P)) AS mh_$j"
+    }.mkString(",\n       ")
+    val bandSelects = (0 until numBands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"CAST(mh_${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $table),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [t[i]||' '||t[i+1]||' '||t[i+2] for i in generate_series(1, len(t)-2)]) AS s
+       |  FROM tk WHERE len(t) >= 3),
+       |hv AS (
+       |  SELECT doc_id, s,
+       |         list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS h
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |       $mhExprs
+       |  FROM hv),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |         len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS j
+       |  FROM cand
+       |  JOIN hv a ON cand.id_a = a.doc_id
+       |  JOIN hv b ON cand.id_b = b.doc_id)
+       |SELECT id_a, id_b, round(j, 4) AS jaccard
+       |FROM jac WHERE j >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+}

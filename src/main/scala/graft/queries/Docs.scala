@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{AnnLsh, Dedup, MinHash, SimHash, Similarity}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
   * oracles — dedup, similarity search, text analysis over the synthetic
@@ -101,6 +101,49 @@ object Docs {
         round(length(col("text")).cast("double")
           / size(Text.tokens(col("text"))), 4).as("chars_per_token"))
         .orderBy("doc_id")
+    }),
+
+    // C2: MinHash+LSH near-dup — band-bucket equi-join candidates, exact
+    // Jaccard verification. Never an all-pairs join.
+    "doc_minhash_lsh" -> ((s, dir) => {
+      MinHash.neardupPairs(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C3: SimHash 64-bit fingerprints + hamming pairs via the 16-bit
+    // chunk pigeonhole equi-join.
+    "doc_simhash" -> ((s, dir) => {
+      SimHash.hammingPairs(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", maxDist = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C4: word 2-gram Jaccard on same-source blocked candidate pairs.
+    "doc_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", blockCol = "source",
+        n = 2, threshold = 0.05)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C11: polynomial rolling-hash document fingerprint.
+    "doc_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // C7: LSH-bucketed ANN — the scale path; band equi-join, exact cosine
+    // on candidates only. Recall vs the exact C6 baseline is asserted in
+    // DocsOpsSpec.
+    "emb_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      AnnLsh.topK(
+        corpus = e.where(col("vec_id") >= 8),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+        .orderBy("probe_id", "rank")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -169,5 +212,34 @@ object Docs {
         |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens,
         |  round(length(text) / len(string_split(text, ' ')), 4) AS chars_per_token
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_minhash_lsh" -> MinHash.minhashOracleSql("documents", 0.5),
+
+    "doc_simhash" -> SimHash.simhashOracleSql("documents", 4),
+
+    "doc_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    [t[i]||' '||t[i+1] for i in generate_series(1, len(t)-1)]) AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+        |        FROM documents) tt
+        |  WHERE len(t) >= 2),
+        |j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.sh, b.sh))
+        |           / len(list_distinct(a.sh || b.sh)) AS jac
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.05 ORDER BY id_a, id_b""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "emb_ann_lsh" -> AnnLsh.oracleSql("embeddings", probeMaxId = 8, k = 5))
 }
