@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnLsh, Dedup, MinHash, Similarity}
+import graft.queries.Docs
+
+class DocsOpsSpec extends SparkSpec {
+
+  test("emb_ann_lsh recall@5 vs the exact baseline is >= 0.3") {
+    def pairs(name: String): Set[(Long, Long)] =
+      Docs.queries(name)(spark, sfDir)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("emb_ann_topk")
+    val approx = pairs("emb_ann_lsh")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 4 bands x 4 bits => P(candidate) ~= 0.5 for true neighbours here;
+    // the planes are fixed, so this is deterministic, not flaky.
+    assert(recall >= 0.3, s"recall@5 = $recall")
+  }
+
+  test("emb_ann_lsh only returns pairs the exact scorer agrees on") {
+    val lsh = Docs.queries("emb_ann_lsh")(spark, sfDir)
+      .select("probe_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exactCos = Similarity.annTopK(
+      Tables.embeddings(spark, sfDir).where(col("vec_id") >= 8),
+      Tables.embeddings(spark, sfDir).where(col("vec_id") < 8),
+      "vec_id", "embedding", k = 1000)
+      .select("probe_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (k, v) =>
+      assert(exactCos.get(k).contains(v), s"cos mismatch for $k")
+    }
+  }
+
+  test("minhash LSH finds only verified near-dups (jaccard >= threshold)") {
+    val rows = MinHash.neardupPairs(Tables.documents(spark, sfDir),
+      "doc_id", "text", threshold = 0.5).collect()
+    assert(rows.nonEmpty, "planted near-dups should be found")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
+  test("exact dedup collapses a duplicated corpus to one keeper per text") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val out = Dedup.exact(docs.unionAll(docs), "doc_id", "text")
+    assert(out.count() === docs.select("text").distinct().count())
+    assert(out.where(col("n_copies") < 2).count() === 0)
+  }
+
+  test("markDuplicates flags every non-keeper copy") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val doubled = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 1000000))
+    val marked = Dedup.markDuplicates(doubled, "doc_id", "text")
+    assert(marked.where(col("is_duplicate")).count() === 50)
+    assert(marked.where(!col("is_duplicate")).count() === 50)
+  }
+
+  test("simhash signature halves stay within 32 bits") {
+    val sig = graft.operators.SimHash.signature(
+      Tables.documents(spark, sfDir).limit(20), "doc_id", "text")
+    val bad = sig.where(
+      col("sim_hi") < 0 || col("sim_hi") > 4294967295L ||
+        col("sim_lo") < 0 || col("sim_lo") > 4294967295L).count()
+    assert(bad === 0)
+  }
+}
