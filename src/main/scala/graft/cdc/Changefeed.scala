@@ -103,4 +103,9 @@ object Route {
 final case class Changefeed(plugins: Seq[Plugin]) {
   def run(changelog: DataFrame): DataFrame =
     plugins.foldLeft(changelog)((df, p) => p(df))
+
+  /** Run the chain and deliver to a sink (the full reference pipeline:
+    * changefeed → plugins → sink, README.md:37-56). */
+  def runTo(changelog: DataFrame, sink: GraftSink): Unit =
+    sink.write(run(changelog))
 }

@@ -1,0 +1,77 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink targets for a changefeed (reference README.md:21-26 — the RFC's
+  * core motivation: custom sink targets, warehouse batch-write
+  * optimization, partition routing into the sink).
+  *
+  * Spark-first: a sink is a DataFrame writer configuration, not a per-row
+  * callback — the whole upstream plugin chain stays one Catalyst plan and
+  * the write is distributed. Kafka/Nats/Pulsar-style targets reduce to
+  * the same shape (a format string + options); the file formats double as
+  * the warehouse path (S3 parquet = the Doris/warehouse batch-write case).
+  *
+  * Idempotence contract (the RFC's batch-write optimization, README.md:24):
+  * [[Batched.write]] buckets rows by commit-time window into a `__batch`
+  * partition column and writes with dynamic partition overwrite — replaying
+  * a micro-batch after an at-least-once redelivery overwrites exactly the
+  * partitions it touches, so the sink converges instead of duplicating.
+  * File sizes are bounded with `maxRecordsPerFile`, the distributed
+  * equivalent of the reference's size-bounded sink batches.
+  */
+sealed trait GraftSink extends Serializable {
+  def write(df: DataFrame): Unit
+}
+
+object GraftSink {
+
+  /** File-format sink: parquet / json / csv (or any DataSource V2 format
+    * name), optional hive-style partitioning, size-bounded files,
+    * idempotent dynamic partition overwrite. */
+  final case class Files(
+      path: String,
+      format: String = "parquet",
+      partitionColumns: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L) extends GraftSink {
+    def write(df: DataFrame): Unit = {
+      var w = df.write.format(format).mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+      if (format == "csv") w = w.option("header", "true")
+      if (partitionColumns.nonEmpty) w = w.partitionBy(partitionColumns: _*)
+      if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+      w.save(path)
+    }
+  }
+
+  /** In-memory sink: materializes into a cached temp view (test /
+    * interactive target). */
+  final case class Memory(viewName: String) extends GraftSink {
+    def write(df: DataFrame): Unit = {
+      df.cache().count() // force materialization once
+      df.createOrReplaceTempView(viewName)
+    }
+  }
+
+  /** Console sink (debug target — row cap keeps it driver-safe). */
+  final case class Console(numRows: Int = 20) extends GraftSink {
+    def write(df: DataFrame): Unit = df.show(numRows, truncate = false)
+  }
+
+  /** Micro-batched idempotent writer: rows are bucketed into commit-time
+    * windows (`__batch` = commit_ts_us / batchDurationUs) and written as
+    * one hive partition per batch. Re-writing any batch — replay, late
+    * flush, crash recovery — replaces exactly that partition. */
+  final case class Batched(
+      inner: Files,
+      batchDurationUs: Long,
+      tsCol: String = "commit_ts_us") extends GraftSink {
+    def write(df: DataFrame): Unit = {
+      val batched = df.withColumn("__batch",
+        floor(col(tsCol) / batchDurationUs).cast("long"))
+      inner.copy(partitionColumns = "__batch" +: inner.partitionColumns)
+        .write(batched)
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cdc._
+
+class SinksSpec extends SparkSpec {
+
+  private def changelog: DataFrame =
+    Changelog.fromEvents(Tables.events(spark, sfDir))
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  for (format <- Seq("parquet", "json", "csv")) {
+    test(s"GraftSink.Files round-trips the changelog via $format") {
+      val in = changelog
+      val path = tmp(s"sink-$format")
+      GraftSink.Files(path, format, maxRecordsPerFile = 500).write(in)
+      val back = spark.read.format(format)
+        .schema(in.schema) // json/csv don't carry types
+        .option("header", "true")
+        .load(path)
+      assertSameRows(in, back)
+    }
+  }
+
+  test("GraftSink.Memory materializes a queryable view") {
+    GraftSink.Memory("mem_sink_test").write(changelog.limit(100))
+    assert(spark.table("mem_sink_test").count() === 100)
+  }
+
+  test("Batched sink writes one partition per commit-time window") {
+    val path = tmp("sink-batched")
+    val hourUs = 3600L * 1000000
+    GraftSink.Batched(GraftSink.Files(path), hourUs).write(changelog)
+    val back = spark.read.parquet(path)
+    // partition column survives and matches the bucketing rule
+    val bad = back.where(
+      col("__batch") =!= floor(col("commit_ts_us") / hourUs)).count()
+    assert(bad === 0)
+    assert(back.select("__batch").distinct().count() > 1)
+  }
+
+  test("Batched sink replay is idempotent (overwrite-by-partition)") {
+    val path = tmp("sink-idem")
+    val hourUs = 3600L * 1000000
+    val sink = GraftSink.Batched(GraftSink.Files(path), hourUs)
+    sink.write(changelog)
+    val n1 = spark.read.parquet(path).count()
+    // redeliver a slice (one batch window): must replace, not append
+    val firstBatch = changelog.where(
+      floor(col("commit_ts_us") / hourUs) ===
+        changelog.agg(min(floor(col("commit_ts_us") / hourUs))).first().getLong(0))
+    sink.write(firstBatch)
+    val n2 = spark.read.parquet(path).count()
+    assert(n1 === n2, "replaying one batch must not change total row count")
+  }
+
+  test("runTo delivers the plugin-chain output to the sink") {
+    val path = tmp("sink-chain")
+    Changefeed(Seq(
+      EventTypeFilter(Set("purchase")),
+      MaskPlugin(Seq("props"), Mask.RedactKeepLast(2))))
+      .runTo(changelog, GraftSink.Files(path))
+    val back = spark.read.parquet(path)
+    assert(back.where(col("event_type") =!= "purchase").count() === 0)
+    assert(back.where(!col("props").startsWith("****")).count() === 0)
+  }
+}
