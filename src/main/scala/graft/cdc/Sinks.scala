@@ -34,9 +34,10 @@ object GraftSink {
       path: String,
       format: String = "parquet",
       partitionColumns: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L) extends GraftSink {
+      maxRecordsPerFile: Long = 0L,
+      saveMode: SaveMode = SaveMode.Overwrite) extends GraftSink {
     def write(df: DataFrame): Unit = {
-      var w = df.write.format(format).mode(SaveMode.Overwrite)
+      var w = df.write.format(format).mode(saveMode)
         .option("partitionOverwriteMode", "dynamic")
       if (format == "csv") w = w.option("header", "true")
       if (partitionColumns.nonEmpty) w = w.partitionBy(partitionColumns: _*)
