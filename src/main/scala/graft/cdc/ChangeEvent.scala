@@ -28,6 +28,27 @@ object ChangeEvent {
 
 object Changelog {
 
+  /** Attach before-images (reference README.md:62 — TiCDC's
+    * RowChangedEvent carries before+after row images; update-diff and
+    * correction plugins, README.md:88, need the previous row state).
+    *
+    * The before-image of an event is the previous payload of the same
+    * key in commit order: ONE shuffle on `key`, a single window sort
+    * shared by every lag() — linear state, no self-join. Insert rows get
+    * null (there is no prior image).
+    *
+    * @param payloadCols columns whose prior values form the before image
+    * @return input plus a `before` struct column
+    */
+  def withBeforeImages(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("commit_ts_us"), col("seq"))
+    val prior = struct(payloadCols.map(c => col(c).as(c)): _*)
+    changelog.withColumn("before",
+      when(col("op") =!= ChangeEvent.Insert, lag(prior, 1).over(w)))
+  }
+
   /** Derive a CDC changelog from the synthetic `events` table (SURVEY.md §3):
     * signup→I, error→D (tombstone), click/view/purchase→U; key = user_id;
     * commit order = (ts, event_id). Declared mapping, deterministic, so every

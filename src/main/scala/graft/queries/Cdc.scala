@@ -102,6 +102,29 @@ object Cdc {
         key = "user_id", tsUs = "ts_us", seq = "event_id",
         gapUs = 30L * 60 * 1000000, valueCol = "value")
         .orderBy("user_id", "session_id")
+    }),
+
+    // A-before-images: update-diff view — each event with its prior
+    // payload for the same key (README.md:62,88)
+    "cdc_before_image" -> ((s, dir) => {
+      Changelog.withBeforeImages(changelog(s, dir), Seq("event_type", "value"))
+        .select(col("seq"), col("key").as("user_id"), col("op"),
+          col("before.value").as("before_value"),
+          col("value").as("after_value"), col("commit_ts_us"))
+        .orderBy("seq")
+    }),
+
+    // A9: DDL / schema evolution — rename + add-with-default + drop
+    // applied over the feed, then snapshot under the evolved schema
+    "cdc_schema_evolution" -> ((s, dir) => {
+      val evolved = SchemaEvolution.evolve(changelog(s, dir), Seq(
+        SchemaEvolution.RenameColumn("value", "amount"),
+        SchemaEvolution.AddColumn("region", lit("unassigned")),
+        SchemaEvolution.DropColumn("props")))
+      Materialize.snapshot(evolved)
+        .select(col("key").as("user_id"), col("event_type"),
+          col("amount"), col("region"), col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -157,6 +180,25 @@ object Cdc {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_before_image" -> (logCte +
+      """
+        |SELECT seq, key AS user_id, op,
+        |       CASE WHEN op <> 'I' THEN lag(value) OVER (
+        |         PARTITION BY key ORDER BY commit_ts_us, seq) END AS before_value,
+        |       value AS after_value, commit_ts_us
+        |FROM log ORDER BY seq""".stripMargin),
+
+    "cdc_schema_evolution" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id, event_type, value AS amount,
+        |       'unassigned' AS region, commit_ts_us AS last_ts_us
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
 
     "cdc_sessionize" ->
       """WITH e AS (
