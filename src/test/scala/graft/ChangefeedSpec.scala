@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc._
+
+class ChangefeedSpec extends SparkSpec {
+
+  private lazy val log = Changelog.fromEvents(Tables.events(spark, sfDir))
+
+  test("Mask.Sha256 is the hex sha256 of the string form") {
+    import spark.implicits._
+    val out = Seq(("42")).toDF("v")
+      .select(Mask(col("v"), Mask.Sha256).as("h")).first().getString(0)
+    assert(out === "73475cb40a568e8da8a045ced110137e159f890ac4da883b6b17dc651b3a8049")
+  }
+
+  test("Mask.RedactKeepLast keeps the tail only when strictly longer than it") {
+    import spark.implicits._
+    val out = Seq("secretvalue", "abcd", "ab", "").toDF("v")
+      .select(Mask(col("v"), Mask.RedactKeepLast(4)).as("m"))
+      .collect().map(_.getString(0))
+    assert(out === Array("****alue", "****", "****", "****"))
+  }
+
+  test("Mask.NullOut nulls the column") {
+    val masked = MaskPlugin(Seq("props"), Mask.NullOut)(log)
+    assert(masked.where(col("props").isNotNull).count() === 0)
+  }
+
+  test("OpFilter keeps only the allowed ops") {
+    val out = OpFilter(Set("I"))(log)
+    assert(out.count() > 0)
+    assert(out.where(col("op") =!= "I").count() === 0)
+  }
+
+  test("Route.KeyMod routes to key % n") {
+    val routed = RoutePlugin(Route.KeyMod, 16)(log)
+    assert(routed.where(col("__partition") =!= pmod(col("key"), lit(16L))).count() === 0)
+  }
+
+  test("Route.KeyHash is stable and in range") {
+    val routed = RoutePlugin(Route.KeyHash, 16)(log)
+    assert(routed.where(col("__partition") < 0 || col("__partition") >= 16).count() === 0)
+    // stable: every key maps to exactly one partition
+    assert(routed.groupBy("key").agg(countDistinct("__partition").as("n"))
+      .where(col("n") > 1).count() === 0)
+  }
+
+  test("Route.ByEventType sends one event type to one partition") {
+    val routed = RoutePlugin(Route.ByEventType, 8)(log)
+    assert(routed.groupBy("event_type")
+      .agg(countDistinct("__partition").as("n"))
+      .where(col("n") > 1).count() === 0)
+  }
+
+  test("RoutePlugin(physical=true) actually repartitions") {
+    val routed = RoutePlugin(Route.KeyMod, 8, physical = true)(log)
+    assert(routed.rdd.getNumPartitions === 8)
+    // co-location: every route value lands in exactly ONE physical
+    // partition (hash partitioning may map several routes to the same
+    // physical partition, but never splits one route across partitions)
+    val perRoute = routed
+      .withColumn("__pid", spark_partition_id())
+      .groupBy("__partition").agg(countDistinct("__pid").as("n"))
+    assert(perRoute.where(col("n") > 1).count() === 0)
+  }
+
+  test("Changefeed applies plugins in order") {
+    // filter first, then mask: masked output only contains purchases
+    val out = Changefeed(Seq(
+      EventTypeFilter(Set("purchase")),
+      MaskPlugin(Seq("event_type"), Mask.RedactKeepLast(2)))).run(log)
+    assert(out.count() > 0)
+    assert(out.where(col("event_type") =!= "****se").count() === 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Sessionize}
+
+class OperatorsSpec extends SparkSpec {
+
+  test("AsOf same-ts tie rule: a right row at the same ts counts as prior iff its seq is smaller") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 5L, "p1"), (1L, 40L, 2L, "p0"))
+      .toDF("key", "ts", "seq", "payload")
+    val right = Seq((1L, 100L, 3L), (1L, 100L, 7L), (1L, 50L, 4L))
+      .toDF("key", "ts", "seq")
+    val out = AsOf.joinPrior(left, right, "key", "ts", "seq",
+      Map("seq" -> "r_seq")).orderBy("seq").collect()
+    // left seq=2 at ts=40: no prior right row at all
+    assert(out(0).isNullAt(out(0).fieldIndex("r_seq")))
+    // left seq=5 at ts=100: right (100,3) is prior (smaller seq),
+    // right (100,7) is not
+    assert(out(1).getAs[Long]("r_seq") === 3L)
+  }
+
+  test("AsOf keys are isolated") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 11L)).toDF("key", "ts", "seq")
+    val right = Seq((1L, 90L, 1L)).toDF("key", "ts", "seq")
+    val out = AsOf.joinPrior(left, right, "key", "ts", "seq",
+      Map("seq" -> "r_seq")).orderBy("seq").collect()
+    assert(out(0).getAs[Long]("r_seq") === 1L)   // key 1 sees its click
+    assert(out(1).isNullAt(out(1).fieldIndex("r_seq"))) // key 2 sees nothing
+  }
+
+  test("Sessionize boundary: gap == gapUs stays in-session, gap > gapUs splits") {
+    import spark.implicits._
+    val gap = 1000L
+    val ev = Seq(
+      (1L, 0L, 1L), (1L, 1000L, 2L),          // gap == gapUs -> same session
+      (1L, 2001L, 3L),                          // gap 1001 > gapUs -> new
+      (2L, 0L, 4L))
+      .toDF("user", "ts", "seq")
+    val out = Sessionize.assign(ev, "user", "ts", "seq", gap)
+      .orderBy("seq").collect()
+    assert(out.map(_.getAs[Long]("session_id")).toSeq === Seq(1L, 1L, 2L, 1L))
+  }
+
+  test("Sessionize.stats aggregates per session") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L, 1L, 2.0), (1L, 10L, 2L, 3.0), (1L, 5000L, 3L, 4.0))
+      .toDF("user", "ts", "seq", "value")
+    val out = Sessionize.stats(ev, "user", "ts", "seq", gapUs = 1000L,
+      valueCol = "value").orderBy("session_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_events") === 2L)
+    assert(out(0).getAs[Long]("session_start_us") === 0L)
+    assert(out(0).getAs[Long]("session_end_us") === 10L)
+    assert(out(1).getAs[Long]("n_events") === 1L)
+  }
+}
