@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+
+/** Column-API wrappers for the native set/sketch expressions. */
+object SetOps {
+
+  /** Intersection size of two sorted distinct long arrays (codegen'd). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** k minhash values of a long array in one pass (codegen'd). */
+  def minhashArray(hv: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    GraftSqlBridge.column(MinHashArray(GraftSqlBridge.expression(hv), as, bs, p))
+
+  /** Sorted distinct hashed word n-gram shingles (one compiled pass). */
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(text), n))
+
+  /** One 32-bit simhash half over a token array (one compiled pass). */
+  def simHashHalf(tokens: Column, byteOffset: Int): Column =
+    GraftSqlBridge.column(SimHashHalf(GraftSqlBridge.expression(tokens), byteOffset))
+}

@@ -64,11 +64,14 @@ object AnnLsh {
     val c = banded(
       corpus.select(col(idCol).as("neighbor_id"),
         Vectors.toDouble(col(vecCol)).as("vc")), "neighbor_id", "vc")
+      .withColumn("nc", Vectors.norm(col("vc")))
     val p = banded(
       probes.select(col(idCol).as("probe_id"),
         Vectors.toDouble(col(vecCol)).as("vp")), "probe_id", "vp")
+      .withColumn("np", Vectors.norm(col("vp")))
     val cand = c.join(p, Seq("band", "bkey"))
-      .withColumn("cos_raw", Vectors.cosine(col("vp"), col("vc")))
+      .withColumn("cos_raw", Vectors.cosineWithNorms(
+        col("vp"), col("vc"), col("np"), col("nc")))
       // a pair can match in several bands: collapse with a partial-agg
       // groupBy (cos is identical for every copy)
       .groupBy(col("probe_id"), col("neighbor_id"))

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   *
   * Pipeline: word n-gram shingles → 32-bit shingle hashes → k minhash
   * permutations → band keys → band-bucket EQUI-join for candidates →
-  * exact Jaccard verification on the candidate pairs only.
+  * exact Jaccard verification (on the hashed shingle sets) of the
+  * candidate pairs only.
   *
-  * Scale shape (SURVEY.md §5): the only joins are (a) the band-bucket
-  * equi-join, whose output ~ true near-dups plus a skew-bounded number of
-  * hash collisions — never n² — and (b) two doc_id equi-joins to fetch
-  * shingle sets for verification. All hashing/minhashing is per-row
-  * projection work in the scan stage. At 100 TB, bucket skew (a viral
-  * band key) is absorbed by AQE skew-join splitting; the verify joins
-  * shuffle only candidate ids + shingle arrays.
+  * Scale shape (SURVEY.md §5): the only join is the band-bucket
+  * equi-join, whose output ~ true near-dups plus a skew-bounded number
+  * of hash collisions — never n². The hashed shingle sets (8-byte longs,
+  * not strings) ride through that one shuffle so verification needs no
+  * further join, and duplicate candidates (pairs matching in several
+  * bands) collapse in a partial-aggregation groupBy before Jaccard is
+  * computed once per pair. At 100 TB, bucket skew (a viral band key) is
+  * absorbed by AQE skew-join splitting.
   *
   * Engine parity: shingle hash = first 8 hex chars of md5 (exact in both
   * engines); permutations are integer-only arithmetic below 2^52; the
@@ -50,46 +52,60 @@ object MinHash {
         i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*))))
   }
 
-  /** doc_id, shingle set, and the k-element minhash signature. */
-  def signature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withSets = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
-      .where(size(col("sh")) > 0) // oracle's WHERE len(t) >= 3
-      .withColumn("hv", transform(col("sh"), s => hash32(s)))
-    val mhCols = coeffs.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(col("hv"), h => (h * a + b) % P)).as(s"mh_$j")
-    }
-    withSets.select(col("doc_id") +: col("sh") +: mhCols: _*)
-  }
+  /** Sorted distinct hashed shingles — the compact (8 B/shingle) set form
+    * used for banding, and for Jaccard verification via the codegen'd
+    * sorted-merge intersect ([[graft.functions.SortedIntersectCount]]).
+    * One compiled pass per row ([[graft.functions.ShingleHashes]]) — the
+    * HOF form re-ran interpreted md5 lambdas in every operator branch. */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    graft.functions.SetOps.shingleHashes(text, n)
 
-  /** One row per (doc, band) with the band's concatenated key. */
+  /** doc_id, hashed shingle set `hv`, minhash array `mh` (one codegen
+    * pass — [[graft.functions.MinHashArray]] — instead of k interpreted
+    * `transform`s). */
+  def signature(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), hashedShingles(col(textCol)).as("hv"))
+      .where(size(col("hv")) > 0) // oracle's WHERE len(t) >= 3
+      .withColumn("mh",
+        graft.functions.SetOps.minhashArray(col("hv"), coeffs.map(_._1), coeffs.map(_._2), P))
+
+  /** One row per (doc, band) with the band's concatenated key; the
+    * hashed shingle set rides along for join-free verification. */
   def bandRows(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until numBands).map { b =>
       val key = concat_ws("-",
-        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}").cast("string")): _*)
+        (0 until rowsPerBand).map(r =>
+          element_at(col("mh"), b * rowsPerBand + r + 1).cast("string")): _*)
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    sig.select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    sig.select(col("doc_id"), col("hv"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("hv"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
   /** Near-dup pairs with exact Jaccard >= threshold, candidates generated
-    * by the band-bucket equi-join. Output: id_a, id_b, jaccard (round 4). */
+    * by the band-bucket equi-join. Output: id_a, id_b, jaccard (round 4).
+    *
+    * Plan notes: the self-join keeps both sides as the SAME aliased
+    * subplan so the shuffle exchange is planned once and reused
+    * (ReusedExchange) — the shingle/minhash projection runs one time.
+    * Band-duplicate candidates collapse in a partial-agg groupBy before
+    * the (codegen'd merge-scan) Jaccard runs once per pair. */
   def neardupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    val sig = signature(docs, idCol, textCol)
-    val bands = bandRows(sig).select("doc_id", "band", "bkey")
-    val cand = bands.as("x").join(bands.as("y"),
+    val bands = bandRows(signature(docs, idCol, textCol))
+    val inter = graft.functions.SetOps
+      .sortedIntersectCount(col("ha"), col("hb")).cast("double")
+    val jac = inter / (size(col("ha")) + size(col("hb")) - inter)
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    val sets = sig.select(col("doc_id"), col("sh"))
-    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      size(array_union(col("sa"), col("sb")))
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.hv").as("ha"), col("y.hv").as("hb"))
+      // a pair can match in several bands — collapse before verifying
+      // (partial agg: map-side dedup, one Jaccard per pair)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("ha")).as("ha"), first(col("hb")).as("hb"))
       .withColumn("jac", jac)
       .where(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
@@ -114,8 +130,9 @@ object MinHash {
        |    [t[i]||' '||t[i+1]||' '||t[i+2] for i in generate_series(1, len(t)-2)]) AS s
        |  FROM tk WHERE len(t) >= 3),
        |hv AS (
-       |  SELECT doc_id, s,
-       |         list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS h
+       |  SELECT doc_id,
+       |         list_sort(list_distinct(
+       |           list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT))) AS h
        |  FROM sh),
        |mh AS (
        |  SELECT doc_id,
@@ -129,7 +146,7 @@ object MinHash {
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |jac AS (
        |  SELECT id_a, id_b,
-       |         len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS j
+       |         len(list_intersect(a.h, b.h)) / len(list_distinct(a.h || b.h)) AS j
        |  FROM cand
        |  JOIN hv a ON cand.id_a = a.doc_id
        |  JOIN hv b ON cand.id_b = b.doc_id)

@@ -20,33 +20,19 @@ object SimHash {
 
   val chunkMask = 0xFFFFL
 
-  private def hash32(c: Column, hexOffset: Int): Column =
-    conv(substring(md5(c), hexOffset, 8), 16, 10).cast("long")
-
-  /** Number of hash values in `hv` with bit `j` set. */
-  private def ones(hv: Column, j: Int): Column =
-    size(filter(hv, h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L)))
-
-  /** Majority vote over bits 0..31 of the hashes: bit j of the output is
-    * set iff at least half the token hashes have bit j set. */
-  private def majority(hv: Column, n: Column): Column =
-    (0 until 32).map { j =>
-      when(lit(2) * ones(hv, j) >= n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** doc_id, n_tokens, sim_hi, sim_lo (each a 32-bit non-negative long). */
+  /** doc_id, n_tokens, sim_hi, sim_lo (each a 32-bit non-negative long).
+    * Each half is one compiled pass over the distinct tokens
+    * ([[graft.functions.SimHashHalf]]) — the declarative form (64 ×
+    * interpreted `filter` HOFs per row) was the operator's entire cost. */
   def signature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = array_distinct(split(col(textCol), " "))
     docs
       .select(col(idCol).as("doc_id"), toks.as("tk"))
-      .withColumn("hv_hi", transform(col("tk"), t => hash32(t, 1)))
-      .withColumn("hv_lo", transform(col("tk"), t => hash32(t, 9)))
-      .withColumn("n", size(col("tk")))
       .select(
         col("doc_id"),
-        col("n").cast("long").as("n_tokens"),
-        majority(col("hv_hi"), col("n")).as("sim_hi"),
-        majority(col("hv_lo"), col("n")).as("sim_lo"))
+        size(col("tk")).cast("long").as("n_tokens"),
+        graft.functions.SetOps.simHashHalf(col("tk"), 0).as("sim_hi"),
+        graft.functions.SetOps.simHashHalf(col("tk"), 4).as("sim_lo"))
   }
 
   /** Pairs within `maxDist` hamming distance, candidates via the 16-bit

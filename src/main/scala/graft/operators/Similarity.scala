@@ -20,14 +20,18 @@ import graft.functions.Vectors
 object Similarity {
 
   /** All pairs (a < b) with cosine >= threshold. Exact baseline; the LSH
-    * path is the 100 TB shape. */
+    * path is the 100 TB shape. Norms are computed once per vector (not
+    * per pair), and the pairwise dot is the codegen'd [[Vectors.dot]] —
+    * same IEEE result, ~n× less work than the naive per-pair cosine. */
   def neardupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     val e = emb.select(col(idCol), Vectors.toDouble(col(vecCol)).as("__v"))
-    val a = e.select(col(idCol).as("id_a"), col("__v").as("__va"))
-    val b = e.select(col(idCol).as("id_b"), col("__v").as("__vb"))
+      .withColumn("__n", Vectors.norm(col("__v")))
+    val a = e.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = e.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_raw", Vectors.cosine(col("__va"), col("__vb")))
+      .withColumn("cos_raw", Vectors.cosineWithNorms(
+        col("__va"), col("__vb"), col("__na"), col("__nb")))
       .where(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
@@ -43,12 +47,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("neighbor_id"),
       Vectors.toDouble(col(vecCol)).as("__vc"))
+      .withColumn("__nc", Vectors.norm(col("__vc")))
     val p = probes.select(col(idCol).as("probe_id"),
       Vectors.toDouble(col(vecCol)).as("__vp"))
+      .withColumn("__np", Vectors.norm(col("__vp")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(round(col("cos_raw"), 9).desc, col("neighbor_id"))
     c.crossJoin(broadcast(p))
-      .withColumn("cos_raw", Vectors.cosine(col("__vp"), col("__vc")))
+      .withColumn("cos_raw", Vectors.cosineWithNorms(
+        col("__vp"), col("__vc"), col("__np"), col("__nc")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"),

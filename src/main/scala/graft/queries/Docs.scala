@@ -220,15 +220,16 @@ object Docs {
 
     "doc_ngram_jaccard" ->
       """WITH s AS (
-        |  SELECT doc_id, source, list_distinct(
-        |    [t[i]||' '||t[i+1] for i in generate_series(1, len(t)-1)]) AS sh
+        |  SELECT doc_id, source, list_distinct(list_transform(list_distinct(
+        |    [t[i]||' '||t[i+1] for i in generate_series(1, len(t)-1)]),
+        |    x -> ('0x'||substr(md5(x),1,8))::BIGINT)) AS hv
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t
         |        FROM documents) tt
         |  WHERE len(t) >= 2),
         |j AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         len(list_intersect(a.sh, b.sh))
-        |           / len(list_distinct(a.sh || b.sh)) AS jac
+        |         len(list_intersect(a.hv, b.hv))
+        |           / len(list_distinct(a.hv || b.hv)) AS jac
         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.05 ORDER BY id_a, id_b""".stripMargin,

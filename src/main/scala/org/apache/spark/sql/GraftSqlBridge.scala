@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the classic Column ↔ Expression converters, which are
+  * `private[sql]` in Spark 4 (Column is backend-agnostic there). Graft
+  * needs them to attach its native Catalyst expressions (e.g.
+  * [[graft.functions.DotProduct]]) to DataFrame columns without going
+  * through a per-session function registry.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
