@@ -161,6 +161,51 @@ object Analytics {
         .orderBy("o_orderpriority")
     }),
 
+    // B11: rollup / grouping sets with subtotal rows
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec182("l_quantity")).cast("decimal(38,4)").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // B12: part-profit star join (TPC-H Q9 shape) — part/supplier joins
+    // left unhinted so AQE picks broadcast when a side is small at
+    // runtime; at 100 TB both sides scale and shuffle-join on the key.
+    "q9_part_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir).where(col("p_size") <= 20)
+        .select("p_partkey", "p_brand")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(sum(discPrice).cast("decimal(38,4)").as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name", "p_brand")
+    }),
+
+    // B13: exact percentiles (linear interpolation, same rule as
+    // DuckDB's quantile_cont)
+    "q_percentile" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy("o_orderpriority")
+    }),
+
     // B10: as-of join — attribute each purchase to the latest prior click
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -258,6 +303,33 @@ object Analytics {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |       count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q9_part_profit" ->
+      s"""SELECT n_name, p_brand,
+        |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS profit,
+        |  count(*) AS n_items
+        |FROM lineitem, part, supplier, nation
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND p_size <= 20
+        |GROUP BY n_name, p_brand
+        |ORDER BY n_name, p_brand""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // Oracle mirrors AsOf.joinPrior's exact tie rule — order by
     // (epoch-us ts, event_id) over the unioned stream, running

@@ -70,4 +70,34 @@ object CdcStream {
     Option(query.lastProgress)
       .flatMap(p => Option(p.eventTime.get("watermark")))
       .map(ts => java.time.Instant.parse(ts).toEpochMilli * 1000L)
+
+  /** One changelog row in the canonical events-feed shape (SURVEY.md §3). */
+  case class ChangeRow(key: Long, commit_ts_us: Long, seq: Long, op: String,
+                       event_type: String, value: Double, props: String)
+
+  /** Continuous snapshot maintenance — the streaming form of
+    * `Materialize.snapshot` (A2): per-key state holds the latest-version
+    * row; every micro-batch emits the keys it updated (Update mode).
+    * State is partitioned by key across executors and is O(|keys|); a
+    * late or replayed event older than the stored version is ignored,
+    * so the sink converges under at-least-once upstream delivery. */
+  def snapshotUpdates(changelog: DataFrame): Dataset[ChangeRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    changelog
+      .selectExpr("key", "commit_ts_us", "seq", "op", "event_type", "value", "props")
+      .as[ChangeRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[ChangeRow], state: GroupState[ChangeRow]) =>
+          val latest = (state.getOption.iterator ++ events)
+            .maxBy(r => (r.commit_ts_us, r.seq))
+          if (state.getOption.forall(s =>
+            (latest.commit_ts_us, latest.seq) != (s.commit_ts_us, s.seq))) {
+            state.update(latest)
+            Iterator.single(latest)
+          } else Iterator.empty
+      }
+  }
 }

@@ -73,6 +73,24 @@ class CdcStreamSpec extends SparkSpec {
     assert(batchSnap.exceptAll(streamedSnap).count() === 0)
   }
 
+  test("stateful snapshot stream converges to the batch snapshot (A2 streaming form)") {
+    val (inDir, ev) = sliceIntoDir(3)
+    val stream = CdcStream.fromParquetDir(spark, inDir, ev.schema)
+    val updates = CdcStream.snapshotUpdates(
+      Changelog.fromEvents(stream))
+    val q = updates.toDF().writeStream
+      .format("memory").queryName("snap_updates").outputMode("update")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // final state per key = latest emitted update; drop tombstones
+    val streamedSnap = Materialize.snapshot(spark.table("snap_updates"))
+    val batchSnap = Materialize.snapshot(Changelog.fromEvents(ev))
+    assert(streamedSnap.exceptAll(batchSnap).count() === 0)
+    assert(batchSnap.exceptAll(streamedSnap).count() === 0)
+  }
+
   test("windowed counts with watermark: emitted windows match batch; resolved-ts advances") {
     val (inDir, ev) = sliceIntoDir(4)
     val counts = CdcStream.windowedCounts(
