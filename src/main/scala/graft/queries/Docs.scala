@@ -134,6 +134,19 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C13: per-label centroid sums — the IVF coarse-quantizer building
+    // block. Component sums are scale-1e6 fixed-point longs: exact,
+    // order-independent, hash-stable cross-engine (float sums are not).
+    "emb_centroid_sums" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label").cast("long").as("label"), col("dim").cast("long").as("dim"))
+        .agg(
+          sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sum_scaled"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    }),
+
     // C7: LSH-bucketed ANN — the scale path; band equi-join, exact cosine
     // on candidates only. Recall vs the exact C6 baseline is asserted in
     // DocsOpsSpec.
@@ -242,5 +255,14 @@ object Docs {
         |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "emb_ann_lsh" -> AnnLsh.oracleSql("embeddings", probeMaxId = 8, k = 5))
+    "emb_ann_lsh" -> AnnLsh.oracleSql("embeddings", probeMaxId = 8, k = 5),
+
+    "emb_centroid_sums" ->
+      """SELECT label::BIGINT AS label, (ord-1)::BIGINT AS dim,
+        |  sum(CAST(floor(x*1000000) AS BIGINT)) AS sum_scaled,
+        |  count(*) AS n
+        |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |             generate_subscripts(embedding, 1) AS ord
+        |      FROM embeddings) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
