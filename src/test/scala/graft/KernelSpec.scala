@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SetOps, Text, Vectors}
+import graft.operators.MinHash
+
+/** The native codegen kernels must compute EXACTLY what their
+  * declarative (HOF) forms compute — these specs pin that equivalence,
+  * so a kernel bug can never silently diverge from the oracle story. */
+class KernelSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).limit(100)
+  private lazy val docs = Tables.documents(spark, sfDir).limit(100)
+
+  test("DotProduct == aggregate(zip_with(...)) bit-for-bit") {
+    val pairs = emb.select(Vectors.toDouble(col("embedding")).as("a"))
+      .crossJoin(emb.limit(5).select(Vectors.toDouble(col("embedding")).as("b")))
+    val hof = aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _)
+    val diff = pairs.where(Vectors.dot(col("a"), col("b")) =!= hof).count()
+    assert(diff === 0)
+  }
+
+  test("ShingleHashes == sorted distinct conv(md5) of declarative shingles") {
+    val declarative = sort_array(array_distinct(
+      transform(MinHash.shingles(col("text"), 3),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))))
+    val diff = docs.where(
+      MinHash.hashedShingles(col("text"), 3) =!= declarative).count()
+    assert(diff === 0)
+  }
+
+  test("MinHashArray == per-permutation array_min(transform(...))") {
+    val hv = MinHash.hashedShingles(col("text"), 3)
+    val declarative = array(MinHash.coeffs.map { case (a, b) =>
+      array_min(transform(hv, h => (h * a + b) % MinHash.P))
+    }: _*)
+    val kernel = SetOps.minhashArray(hv,
+      MinHash.coeffs.map(_._1), MinHash.coeffs.map(_._2), MinHash.P)
+    assert(docs.where(kernel =!= declarative).count() === 0)
+  }
+
+  test("SortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    val a = MinHash.hashedShingles(col("t1"), 2)
+    val b = MinHash.hashedShingles(col("t2"), 2)
+    val pairs = docs.select(col("text").as("t1"))
+      .crossJoin(docs.limit(10).select(col("text").as("t2")))
+    val diff = pairs.where(
+      SetOps.sortedIntersectCount(a, b) =!=
+        size(array_intersect(a, b)).cast("long")).count()
+    assert(diff === 0)
+  }
+
+  test("SimHashHalf == declarative 64x bit-majority") {
+    val tk = array_distinct(split(col("text"), " "))
+    def hash32(c: org.apache.spark.sql.Column, hexOffset: Int) =
+      conv(substring(md5(c), hexOffset, 8), 16, 10).cast("long")
+    def declarativeHalf(hexOffset: Int) = {
+      val hv = transform(tk, t => hash32(t, hexOffset))
+      val n = size(tk)
+      (0 until 32).map { j =>
+        when(lit(2) * size(filter(hv,
+          h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L))) >= n,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val diffHi = docs.where(
+      SetOps.simHashHalf(tk, 0) =!= declarativeHalf(1)).count()
+    val diffLo = docs.where(
+      SetOps.simHashHalf(tk, 4) =!= declarativeHalf(9)).count()
+    assert(diffHi === 0)
+    assert(diffLo === 0)
+  }
+
+  test("Text.fingerprint matches a driver-side reimplementation") {
+    val rows = docs.select(col("text"),
+      Text.fingerprint(col("text")).as("fp")).collect()
+    rows.foreach { r =>
+      val expected = r.getString(0).foldLeft(0L)(
+        (acc, ch) => (acc * 131 + ch.toLong) % 1000000007L)
+      assert(r.getLong(1) === expected)
+    }
+  }
+}
