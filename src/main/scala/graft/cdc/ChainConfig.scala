@@ -1,0 +1,77 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+
+/** Config-driven plugin chains (reference README.md:37-56 — TiValue's
+  * whole point is that USERS configure the sink-side processing without
+  * forking the pipeline; in TiCDC that is config + WASM/Lua plugin refs).
+  *
+  * Spark-first, the "plugin config" is a compact pipe-separated DSL that
+  * compiles to the same [[Plugin]] combinators code uses — so a chain can
+  * live in a job config / table property and still fuse into one Catalyst
+  * plan:
+  *
+  * {{{
+  *   event-filter:purchase,click | where:value > 100
+  *     | mask:props=keep2,user=sha256 | route:keymod/16
+  * }}}
+  *
+  * Stages:
+  *  - `op-filter:I,U,D`         — keep listed ops
+  *  - `event-filter:a,b`        — keep listed event types
+  *  - `where:<sql expr>`        — arbitrary predicate (host_call-style
+  *                                correction, README.md:88)
+  *  - `mask:col=sha256|null|keepN[,col=...]`
+  *  - `route:keymod|keyhash|bytype/N[/physical]`
+  *  - `select:a,b,c`            — projection
+  */
+object ChainConfig {
+
+  def parse(config: String): Changefeed =
+    Changefeed(config.split('|').map(_.trim).filter(_.nonEmpty).map(parseStage).toSeq)
+
+  private val keepRe = "keep(\\d+)".r
+
+  private def parseStage(stage: String): Plugin = {
+    val (kind, arg) = stage.split(":", 2) match {
+      case Array(k, a) => (k.trim, a.trim)
+      case _ => throw new IllegalArgumentException(
+        s"chain stage needs '<kind>:<args>', got '$stage'")
+    }
+    kind match {
+      case "op-filter" => OpFilter(arg.split(',').map(_.trim).toSet)
+      case "event-filter" => EventTypeFilter(arg.split(',').map(_.trim).toSet)
+      case "where" => PredicateFilter(s"where[$arg]", expr(arg))
+      case "select" => TransformPlugin(s"select[$arg]",
+        df => df.select(arg.split(',').map(c => col(c.trim)).toSeq: _*))
+      case "mask" =>
+        val specs = arg.split(',').map(_.trim).map { s =>
+          s.split("=", 2) match {
+            case Array(c, m) => (c.trim, parseMaskMode(m.trim))
+            case _ => throw new IllegalArgumentException(s"bad mask spec '$s'")
+          }
+        }
+        TransformPlugin(s"mask[$arg]", df =>
+          specs.foldLeft(df) { case (d, (c, m)) => d.withColumn(c, Mask(col(c), m)) })
+      case "route" =>
+        val parts = arg.split('/')
+        require(parts.length >= 2, s"route needs '<strategy>/<n>', got '$arg'")
+        val strategy = parts(0) match {
+          case "keymod" => Route.KeyMod
+          case "keyhash" => Route.KeyHash
+          case "bytype" => Route.ByEventType
+          case other => throw new IllegalArgumentException(s"unknown route '$other'")
+        }
+        RoutePlugin(strategy, parts(1).toInt,
+          physical = parts.length > 2 && parts(2) == "physical")
+      case other => throw new IllegalArgumentException(s"unknown stage kind '$other'")
+    }
+  }
+
+  private def parseMaskMode(m: String): Mask.Mode = m match {
+    case "sha256" => Mask.Sha256
+    case "null" => Mask.NullOut
+    case keepRe(k) => Mask.RedactKeepLast(k.toInt)
+    case other => throw new IllegalArgumentException(s"unknown mask mode '$other'")
+  }
+}
