@@ -39,6 +39,56 @@ object Materialize {
       .agg(max(col("commit_ts_us")).as("max_ts_us"))
       .agg(min(col("max_ts_us")).as("resolved_ts_us"))
 
+  /** Net change per key between two resolved-ts points — what a
+    * warehouse sink applies per flush (reference README.md:24,64: batch
+    * writes advance from one ResolvedTs to the next). For every key with
+    * events in (fromTs, toTs]:
+    *   - `op` = 'D' if its latest state at toTs is a tombstone,
+    *     'I' if the key had no live state at fromTs, else 'U';
+    *   - payload = the latest state at toTs.
+    * Keys whose net effect is delete-of-nonexistent are dropped.
+    * Two bounded-state aggregations (latest ≤ fromTs, latest ≤ toTs)
+    * joined on key — no sorts, state ~ |touched keys|. */
+  def delta(changelog: DataFrame, fromTsUs: Long, toTsUs: Long): DataFrame = {
+    val payloadCols = changelog.columns.filterNot(_ == "key").toSeq
+    def latestUpTo(ts: Long) = changelog
+      .where(col("commit_ts_us") <= ts)
+      .groupBy(col("key"))
+      .agg(max_by(struct(payloadCols.map(col): _*), version).as("last"))
+    val touched = changelog
+      .where(col("commit_ts_us") > fromTsUs && col("commit_ts_us") <= toTsUs)
+      .select("key").distinct()
+    val before = latestUpTo(fromTsUs)
+      .select(col("key"),
+        (col("last.op") =!= ChangeEvent.Delete).as("existed_before"))
+    val after = latestUpTo(toTsUs)
+    touched
+      .join(after, "key")
+      .join(before, Seq("key"), "left")
+      .withColumn("net_op",
+        when(col("last.op") === ChangeEvent.Delete, ChangeEvent.Delete)
+          .when(coalesce(col("existed_before"), lit(false)), ChangeEvent.Update)
+          .otherwise(ChangeEvent.Insert))
+      .where(col("net_op") =!= ChangeEvent.Delete ||
+        coalesce(col("existed_before"), lit(false)))
+      .select(Seq(col("key"), col("net_op")) ++
+        payloadCols.filterNot(_ == "op").map(c => col(s"last.$c").as(c)): _*)
+  }
+
+  /** Log compaction: below the resolved-ts every key keeps only its
+    * latest version (tombstones included — downstream still needs the
+    * delete); above it the log is untouched (those events may still be
+    * reordered/replayed). One bounded-state aggregation + a union. */
+  def compact(changelog: DataFrame, resolvedTsUs: Long): DataFrame = {
+    val payloadCols = changelog.columns.filterNot(_ == "key").toSeq
+    val compacted = changelog
+      .where(col("commit_ts_us") <= resolvedTsUs)
+      .groupBy(col("key"))
+      .agg(max_by(struct(payloadCols.map(col): _*), version).as("last"))
+      .select(col("key") +: payloadCols.map(c => col(s"last.$c").as(c)): _*)
+    compacted.unionByName(changelog.where(col("commit_ts_us") > resolvedTsUs))
+  }
+
   /** Exact replay-dedup: at-least-once upstream delivery can duplicate
     * events; keep one row per (key, commit_ts_us, seq). Aggregation (not
     * dropDuplicates-then-sort) so partial agg collapses dupes map-side. */

@@ -104,6 +104,26 @@ object Cdc {
         .orderBy("user_id", "session_id")
     }),
 
+    // A18: net-change delta between two resolved-ts points — the batch a
+    // warehouse sink applies per flush window
+    "cdc_delta" -> ((s, dir) => {
+      Materialize.delta(changelog(s, dir),
+        fromTsUs = 1704844800000000L, // 2024-01-10
+        toTsUs = 1705708800000000L)   // 2024-01-20
+        .select(col("key").as("user_id"), col("net_op"),
+          col("commit_ts_us"), col("seq"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
+    // A19: log compaction below the resolved-ts (latest version per key
+    // kept incl. tombstones; the un-resolved tail untouched)
+    "cdc_compact" -> ((s, dir) => {
+      Materialize.compact(changelog(s, dir),
+        resolvedTsUs = 1705708800000000L) // 2024-01-20
+        .select("key", "commit_ts_us", "seq", "op", "event_type", "value", "props")
+        .orderBy("key", "commit_ts_us", "seq")
+    }),
+
     // A-before-images: update-diff view — each event with its prior
     // payload for the same key (README.md:62,88)
     "cdc_before_image" -> ((s, dir) => {
@@ -180,6 +200,43 @@ object Cdc {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_delta" -> (logCte +
+      """,
+        |touched AS (
+        |  SELECT DISTINCT key FROM log
+        |  WHERE commit_ts_us > 1704844800000000 AND commit_ts_us <= 1705708800000000),
+        |aft AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |              ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |    FROM log WHERE commit_ts_us <= 1705708800000000) x WHERE rn = 1),
+        |bef AS (
+        |  SELECT key, (op <> 'D') AS existed_before FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |              ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |    FROM log WHERE commit_ts_us <= 1704844800000000) x WHERE rn = 1)
+        |SELECT t.key AS user_id,
+        |       CASE WHEN a.op = 'D' THEN 'D'
+        |            WHEN coalesce(b.existed_before, false) THEN 'U'
+        |            ELSE 'I' END AS net_op,
+        |       a.commit_ts_us, a.seq, a.event_type, a.value
+        |FROM touched t
+        |JOIN aft a USING (key)
+        |LEFT JOIN bef b USING (key)
+        |WHERE NOT (a.op = 'D' AND NOT coalesce(b.existed_before, false))
+        |ORDER BY user_id""".stripMargin),
+
+    "cdc_compact" -> (logCte +
+      """
+        |SELECT key, commit_ts_us, seq, op, event_type, value, props FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log WHERE commit_ts_us <= 1705708800000000) x WHERE rn = 1
+        |UNION ALL
+        |SELECT key, commit_ts_us, seq, op, event_type, value, props
+        |FROM log WHERE commit_ts_us > 1705708800000000
+        |ORDER BY key, commit_ts_us, seq""".stripMargin),
 
     "cdc_before_image" -> (logCte +
       """
