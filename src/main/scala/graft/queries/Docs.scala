@@ -147,6 +147,19 @@ object Docs {
         .orderBy("label", "dim")
     }),
 
+    // C12 (expression side): binary-column ops — digest, byte length,
+    // header sniff — over the synthesized media table. The stubbed
+    // decode itself is covered by MediaSpec (mapPartitions, no SQL form).
+    "media_ops" -> ((s, dir) => {
+      val m = graft.multimodal.Media.fromDocuments(Tables.documents(s, dir))
+      m.select(
+        col("media_id"), col("kind"),
+        col("meta.n_bytes").as("n_bytes"),
+        graft.multimodal.Media.contentDigest(col("content")).as("digest"),
+        graft.multimodal.Media.headerHex(col("content")).as("header_hex"))
+        .orderBy("media_id")
+    }),
+
     // C7: LSH-bucketed ANN — the scale path; band equi-join, exact cosine
     // on candidates only. Recall vs the exact C6 baseline is asserted in
     // DocsOpsSpec.
@@ -256,6 +269,14 @@ object Docs {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "emb_ann_lsh" -> AnnLsh.oracleSql("embeddings", probeMaxId = 8, k = 5),
+
+    "media_ops" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |  length(text)::BIGINT AS n_bytes,
+        |  sha256(text) AS digest,
+        |  hex(substr(text, 1, 8)) AS header_hex
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "emb_centroid_sums" ->
       """SELECT label::BIGINT AS label, (ord-1)::BIGINT AS dim,
