@@ -134,6 +134,18 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C15: IVF-bucketed ANN — probe the nprobe nearest centroid lists
+    // only (equi-join on list id); centroids from exact fixed-point sums
+    "emb_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.AnnIvf.topK(
+        corpus = e.where(col("vec_id") >= 8),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+        k = 5, nprobe = 3)
+        .orderBy("probe_id", "rank")
+    }),
+
     // C13: per-label centroid sums — the IVF coarse-quantizer building
     // block. Component sums are scale-1e6 fixed-point longs: exact,
     // order-independent, hash-stable cross-engine (float sums are not).
@@ -269,6 +281,9 @@ object Docs {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "emb_ann_lsh" -> AnnLsh.oracleSql("embeddings", probeMaxId = 8, k = 5),
+
+    "emb_ann_ivf" -> graft.operators.AnnIvf.oracleSql(
+      "embeddings", probeMaxId = 8, k = 5, nprobe = 3),
 
     "media_ops" ->
       """SELECT doc_id AS media_id,

@@ -21,6 +21,18 @@ class DocsOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@5 = $recall")
   }
 
+  test("emb_ann_ivf recall@5 vs the exact baseline is >= 0.3") {
+    def pairs(name: String): Set[(Long, Long)] =
+      Docs.queries(name)(spark, sfDir)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("emb_ann_topk")
+    val ivf = pairs("emb_ann_ivf")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+  }
+
   test("emb_ann_lsh only returns pairs the exact scorer agrees on") {
     val lsh = Docs.queries("emb_ann_lsh")(spark, sfDir)
       .select("probe_id", "neighbor_id", "cos_sim").collect()
