@@ -39,4 +39,54 @@ object Sessionize {
         max(col(tsUs)).as("session_end_us"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,4)")
           .as("sum_value"))
+
+  /** Skew-resistant two-phase variant of [[stats]], same output.
+    *
+    * [[stats]] windows over (key) — a pathological hot key (one user
+    * with 10^8 events at 100 TB) sorts in a single task. Here:
+    *  - phase 1 windows over (key, time-bucket): the hot key's events
+    *    split across |buckets| tasks; local sessions are aggregated to
+    *    ONE summary row each (gap rule already correct inside a bucket);
+    *  - phase 2 merges adjacent local sessions whose boundary gap is
+    *    <= gapUs with a window over the per-key SUMMARIES — rows ~
+    *    |sessions|, orders of magnitude smaller than |events| — then
+    *    sums the partial aggregates per merged chain.
+    * Identical result to [[stats]] for any bucket size (spec-pinned):
+    * bucketing splits time, local sessionization respects the gap rule
+    * within buckets, and the merge re-joins exactly the sessions a
+    * global pass would not have split. */
+  def statsSkewAware(events: DataFrame, key: String, tsUs: String, seq: String,
+                     gapUs: Long, valueCol: String, bucketUs: Long): DataFrame = {
+    val bucketed = events.withColumn("__bucket", floor(col(tsUs) / bucketUs))
+    val wLocal = Window.partitionBy(col(key), col("__bucket"))
+      .orderBy(col(tsUs), col(seq))
+    val boundary = when(
+      col(tsUs) - lag(col(tsUs), 1).over(wLocal) > gapUs ||
+        lag(col(tsUs), 1).over(wLocal).isNull, 1).otherwise(0)
+    val locals = bucketed
+      .withColumn("__new", boundary)
+      .withColumn("__ls",
+        sum(col("__new")).over(wLocal.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("__bucket"), col("__ls"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsUs)).as("session_start_us"),
+        max(col(tsUs)).as("session_end_us"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_dec"))
+    val wKey = Window.partitionBy(col(key))
+      .orderBy(col("session_start_us"), col("session_end_us"))
+    val chained = locals
+      .withColumn("__newChain", when(
+        col("session_start_us") - lag(col("session_end_us"), 1).over(wKey) > gapUs ||
+          lag(col("session_end_us"), 1).over(wKey).isNull, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__newChain")).over(wKey.rowsBetween(Window.unboundedPreceding, 0)))
+    chained
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        min(col("session_start_us")).as("session_start_us"),
+        max(col("session_end_us")).as("session_end_us"),
+        sum(col("sum_dec")).cast("decimal(38,4)").as("sum_value"))
+  }
 }

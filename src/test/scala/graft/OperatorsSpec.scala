@@ -44,6 +44,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("session_id")).toSeq === Seq(1L, 1L, 2L, 1L))
   }
 
+  test("statsSkewAware equals stats for several bucket sizes") {
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value")
+    val base = Sessionize.stats(ev, "user_id", "ts_us", "event_id",
+      gapUs = 30L * 60 * 1000000, valueCol = "value")
+    for (bucketUs <- Seq(3600L * 1000000, 6L * 3600 * 1000000, 86400L * 1000000)) {
+      val skew = Sessionize.statsSkewAware(ev, "user_id", "ts_us", "event_id",
+        gapUs = 30L * 60 * 1000000, valueCol = "value", bucketUs = bucketUs)
+      assert(skew.exceptAll(base).count() === 0, s"bucket=$bucketUs extra rows")
+      assert(base.exceptAll(skew).count() === 0, s"bucket=$bucketUs missing rows")
+    }
+  }
+
   test("Sessionize.stats aggregates per session") {
     import spark.implicits._
     val ev = Seq((1L, 0L, 1L, 2.0), (1L, 10L, 2L, 3.0), (1L, 5000L, 3L, 4.0))
