@@ -39,7 +39,15 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
         MinHash.hashedShingles(col(textCol), n).as("hv"))
       .where(size(col("hv")) > 0)
-    val a = sets.select(col("doc_id").as("id_a"), col("blk"), col("hv").as("ha"))
+    // Small-input guard: a sub-split-size corpus file scans as ONE
+    // partition, serializing every pairwise evaluation of the broadcast
+    // join's stream side. Round-robin it across the cluster when the
+    // scan is narrower than the available slots; with a real (many-
+    // partition) corpus this is a no-op, so no extra shuffle at scale.
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (sets.rdd.getNumPartitions < cores) sets.repartition(cores) else sets
+    val a = spread.select(col("doc_id").as("id_a"), col("blk"), col("hv").as("ha"))
     val b = sets.select(col("doc_id").as("id_b"), col("blk").as("blk_b"), col("hv").as("hb"))
     val inter = graft.functions.SetOps
       .sortedIntersectCount(col("ha"), col("hb")).cast("double")
