@@ -124,6 +124,20 @@ object Cdc {
         .orderBy("key", "commit_ts_us", "seq")
     }),
 
+    // A21: semi-structured payload extraction — JSON props parsed in the
+    // scan projection (codegen'd get_json_object; no UDF)
+    "cdc_json_extract" -> ((s, dir) => {
+      changelog(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // A-before-images: update-diff view — each event with its prior
     // payload for the same key (README.md:62,88)
     "cdc_before_image" -> ((s, dir) => {
@@ -200,6 +214,14 @@ object Cdc {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_json_extract" -> (logCte +
+      """
+        |SELECT event_type, count(*) AS n_events,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM log GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "cdc_delta" -> (logCte +
       """,

@@ -134,6 +134,30 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C16: end-to-end corpus cleaning — the composition a training-data
+    // pipeline actually runs: exact-dedup a re-crawl, keep predicted-
+    // English docs above a quality floor. One fused Catalyst plan.
+    "doc_clean_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val crawl = docs.unionAll(docs) // simulated re-crawl
+      val keepers = Dedup.exact(crawl, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val toks = Text.tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val uniqRatio = size(array_distinct(toks)).cast("double") / nTokens
+      val quality = least(lit(1.0), nTokens.cast("double") / 100.0) *
+        (lit(0.5) + lit(0.5) * uniqRatio)
+      val hits = Text.stopwords.map { case (l, words) =>
+        l -> Text.stopwordHits(col("text"), words)
+      }.toMap
+      docs.join(keepers, "doc_id")
+        .withColumn("pred_lang", Text.predictLang(hits))
+        .withColumn("quality_score", round(quality, 4))
+        .where(col("pred_lang") === "en" && col("quality_score") >= 0.55)
+        .select("doc_id", "pred_lang", "quality_score", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // C15: IVF-bucketed ANN — probe the nprobe nearest centroid lists
     // only (equi-join on list id); centroids from exact fixed-point sums
     "emb_ann_ivf" -> ((s, dir) => {
@@ -292,6 +316,29 @@ object Docs {
         |  sha256(text) AS digest,
         |  hex(substr(text, 1, 8)) AS header_hex
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "doc_clean_corpus" ->
+      s"""WITH crawl AS (
+        |  SELECT * FROM documents UNION ALL SELECT * FROM documents),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM crawl GROUP BY sha256(text)),
+        |h AS (
+        |  SELECT d.doc_id, d.text, d.n_chars,
+        |       $langHitsSql
+        |  FROM documents d JOIN keepers USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |         WHEN hits_es >= hits_fr THEN 'es'
+        |         ELSE 'fr' END AS pred_lang,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (0.5 + 0.5 * (len(list_distinct(string_split(text, ' ')))
+        |                       / len(string_split(text, ' ')))), 4) AS quality_score
+        |  FROM h)
+        |SELECT doc_id, pred_lang, quality_score, n_chars FROM q
+        |WHERE pred_lang = 'en' AND quality_score >= 0.55
+        |ORDER BY doc_id""".stripMargin,
 
     "emb_centroid_sums" ->
       """SELECT label::BIGINT AS label, (ord-1)::BIGINT AS dim,
