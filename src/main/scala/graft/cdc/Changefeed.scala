@@ -61,6 +61,21 @@ final case class TransformPlugin(name: String, fn: DataFrame => DataFrame) exten
   def apply(df: DataFrame): DataFrame = fn(df)
 }
 
+/** Update-diff plugin (reference README.md:62,88 — correction/diff
+  * plugins need the before image): attaches before-images for the given
+  * payload columns and emits per-event deltas for the numeric ones.
+  * Inserts (no prior image) get null deltas. */
+final case class UpdateDiffPlugin(payloadCols: Seq[String],
+                                  numericCols: Seq[String]) extends Plugin {
+  val name = s"update-diff[${numericCols.mkString(",")}]"
+  def apply(df: DataFrame): DataFrame = {
+    val withBefore = Changelog.withBeforeImages(df, payloadCols)
+    numericCols.foldLeft(withBefore) { (d, c) =>
+      d.withColumn(s"${c}_delta", col(c) - col(s"before.$c"))
+    }
+  }
+}
+
 object Mask {
   sealed trait Mode
   /** sha256 hex digest of the string form — stable, join-preserving. */

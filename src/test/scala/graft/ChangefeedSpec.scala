@@ -66,6 +66,23 @@ class ChangefeedSpec extends SparkSpec {
     assert(perRoute.where(col("n") > 1).count() === 0)
   }
 
+  test("UpdateDiffPlugin emits per-event deltas from the before-image") {
+    val out = Changefeed(Seq(
+      UpdateDiffPlugin(payloadCols = Seq("event_type", "value"),
+        numericCols = Seq("value")))).run(log)
+    // inserts have no prior image -> null delta
+    assert(out.where(col("op") === "I" && col("value_delta").isNotNull)
+      .count() === 0)
+    // deltas reproduce value - lag(value) per key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("commit_ts_us", "seq")
+    val bad = out
+      .withColumn("expected", col("value") - lag(col("value"), 1).over(w))
+      .where(col("op") =!= "I" && col("value_delta").isNotNull
+        && col("value_delta") =!= col("expected"))
+    assert(bad.count() === 0)
+  }
+
   test("Changefeed applies plugins in order") {
     // filter first, then mask: masked output only contains purchases
     val out = Changefeed(Seq(
