@@ -206,6 +206,23 @@ object Analytics {
         .orderBy("o_orderpriority")
     }),
 
+    // B15: bucketed range join — clicks within the hour before each
+    // purchase, as a (key, bucket) equi-join + exact filter (never a
+    // theta/nested-loop product)
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("seq"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("seq"))
+      graft.operators.RangeJoin.countPriorWithin(
+        purchases, clicks, key = "user_id", tsUs = "ts_us", seq = "seq",
+        windowUs = 3600L * 1000000)
+        .select(col("seq").as("purchase_seq"), col("user_id"),
+          col("ts_us"), col("n_matches"))
+        .orderBy("purchase_seq")
+    }),
+
     // B10: as-of join — attribute each purchase to the latest prior click
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -330,6 +347,18 @@ object Analytics {
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_seq, p.user_id,
+        |       epoch_us(p.ts) AS ts_us,
+        |       (SELECT count(*) FROM events c
+        |        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |          AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+        |          AND (epoch_us(c.ts) < epoch_us(p.ts)
+        |               OR (epoch_us(c.ts) = epoch_us(p.ts)
+        |                   AND c.event_id < p.event_id))) AS n_matches
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_seq""".stripMargin,
 
     // Oracle mirrors AsOf.joinPrior's exact tie rule — order by
     // (epoch-us ts, event_id) over the unioned stream, running
