@@ -206,6 +206,22 @@ object Analytics {
         .orderBy("o_orderpriority")
     }),
 
+    // B16: extended window functions — lead/lag, ntile, cume_dist over
+    // one shared (key, order) sort
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_ts_us"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(cume_dist().over(w), 4).as("cdist"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // B15: bucketed range join — clicks within the hour before each
     // purchase, as a (key, bucket) equi-join + exact filter (never a
     // theta/nested-loop product)
@@ -347,6 +363,17 @@ object Analytics {
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) AS order_ts_us,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(cume_dist() OVER w, 4) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_range_join" ->
       """SELECT p.event_id AS purchase_seq, p.user_id,
