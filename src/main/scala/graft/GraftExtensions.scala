@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+import graft.operators.MinHash
+
+/** SQL-surface packaging of graft's native Catalyst kernels.
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the SparkSessionExtensions route);
+  *  - `GraftExtensions.register(spark)` on an existing session.
+  *
+  * After either, the kernels are callable from SQL:
+  * {{{
+  *   SELECT graft_dot(a, b), graft_shingle_hashes(text, 3) FROM t
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" ->
+      ((args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    "graft_sorted_intersect_count" ->
+      ((args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    "graft_shingle_hashes" ->
+      ((args: Seq[Expression]) =>
+        ShingleHashes(args(0), litInt(args(1), "shingle width"))),
+    "graft_simhash_half" ->
+      ((args: Seq[Expression]) =>
+        SimHashHalf(args(0), litInt(args(1), "byte offset"))),
+    "graft_minhash" ->
+      ((args: Seq[Expression]) => MinHashArray(args(0),
+        MinHash.coeffs.map(_._1), MinHash.coeffs.map(_._2), MinHash.P)))
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftSqlBridge.registerFunction(spark, name, b)
+    }
+}
