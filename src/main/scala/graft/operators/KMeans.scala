@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** DataFrame-native Lloyd k-means over an embedding column — the
+  * quantizer-refinement step for IVF ANN ([[AnnIvf]] seeds from existing
+  * cluster labels; this improves them).
+  *
+  * Everything is deterministic and declarative:
+  *  - init = per-label centroids (exact fixed-point sums, [[AnnIvf.centroids]]);
+  *  - assignment: corpus × broadcast(k centroids) — a tiny nested-loop
+  *    over k rows per vector; argmin via `min_by` with a (dist, cluster)
+  *    struct so ties break toward the smaller cluster id;
+  *  - update: exact scale-1e6 integer component sums (order-independent).
+  * Squared L2 uses |a|² − 2a·c + |c|² with the codegen'd dot kernel and
+  * per-vector norms computed once.
+  *
+  * Per iteration: one broadcast of k·d doubles, one shuffle of |corpus|
+  * (id, cluster) pairs, one component-sum shuffle of k·d groups — scales
+  * to any corpus size; iterations are a short driver loop over PLANS
+  * (no collect), so the whole fit stays one lazy lineage.
+  */
+object KMeans {
+
+  /** (id, cluster) assignment of each vector to its nearest centroid. */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame): DataFrame = {
+    val e = emb.select(col(idCol),
+      Vectors.toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n2", Vectors.dot(col("__v"), col("__v")))
+    val c = centroids.select(col("label").as("cluster"), col("centroid"))
+      .withColumn("__c2", Vectors.dot(col("centroid"), col("centroid")))
+    e.crossJoin(broadcast(c))
+      .withColumn("__dist",
+        col("__n2") - lit(2.0) * Vectors.dot(col("__v"), col("centroid"))
+          + col("__c2"))
+      .groupBy(col(idCol))
+      .agg(min_by(col("cluster"), struct(col("__dist"), col("cluster")))
+        .as("cluster"))
+  }
+
+  /** `iters` Lloyd iterations from the given initial centroids.
+    * Returns (assignments (id, cluster), centroids (label, centroid)). */
+  def fit(emb: DataFrame, idCol: String, vecCol: String,
+          init: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    var cent = init
+    var asg: DataFrame = null
+    for (_ <- 1 to iters) {
+      asg = assign(emb, idCol, vecCol, cent)
+      cent = AnnIvf.centroids(
+        emb.join(asg, idCol).withColumnRenamed("cluster", "__lbl"),
+        "__lbl", vecCol)
+    }
+    (asg, cent)
+  }
+
+  /** Total within-cluster squared-L2 cost of an assignment (test /
+    * convergence metric). */
+  def cost(emb: DataFrame, idCol: String, vecCol: String,
+           asg: DataFrame, centroids: DataFrame): Double = {
+    val e = emb.select(col(idCol), Vectors.toDouble(col(vecCol)).as("__v"))
+      .join(asg, idCol)
+      .join(centroids.select(col("label").as("cluster"), col("centroid")),
+        "cluster")
+    val dist = Vectors.dot(col("__v"), col("__v")) -
+      lit(2.0) * Vectors.dot(col("__v"), col("centroid")) +
+      Vectors.dot(col("centroid"), col("centroid"))
+    e.agg(sum(dist)).first().getDouble(0)
+  }
+}

@@ -134,6 +134,20 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C17: corpus vocabulary — token frequency table with rank (the
+    // tokenizer-training precursor): one explode + one partial-agg
+    // shuffle, rank by a global window over the (small) vocab
+    "doc_vocab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(desc("n_occurrences"), col("token"))
+      Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .orderBy("rank")
+    }),
+
     // C16: end-to-end corpus cleaning — the composition a training-data
     // pipeline actually runs: exact-dedup a re-crawl, keep predicted-
     // English docs above a quality floor. One fused Catalyst plan.
@@ -316,6 +330,13 @@ object Docs {
         |  sha256(text) AS digest,
         |  hex(substr(text, 1, 8)) AS header_hex
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "doc_vocab" ->
+      """SELECT token, count(*) AS n_occurrences,
+        |  row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents) t
+        |GROUP BY token ORDER BY rank""".stripMargin,
 
     "doc_clean_corpus" ->
       s"""WITH crawl AS (

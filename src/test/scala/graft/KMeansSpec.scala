@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIvf, KMeans}
+
+class KMeansSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val init = AnnIvf.centroids(emb, "label", "embedding")
+
+  test("Lloyd iterations never increase the within-cluster cost") {
+    var cent = init
+    var prevCost = Double.MaxValue
+    for (i <- 1 to 3) {
+      val asg = KMeans.assign(emb, "vec_id", "embedding", cent)
+      val c = KMeans.cost(emb, "vec_id", "embedding", asg, cent)
+      assert(c <= prevCost + 1e-9, s"iteration $i: cost $c > $prevCost")
+      prevCost = c
+      cent = AnnIvf.centroids(
+        emb.join(asg, "vec_id").withColumnRenamed("cluster", "__lbl"),
+        "__lbl", "embedding")
+    }
+  }
+
+  test("fit is deterministic and keeps every vector assigned") {
+    val (asg1, cent1) = KMeans.fit(emb, "vec_id", "embedding", init, iters = 2)
+    val (asg2, _) = KMeans.fit(emb, "vec_id", "embedding", init, iters = 2)
+    assert(asg1.count() === emb.count())
+    assert(asg1.exceptAll(asg2).count() === 0)
+    assert(asg2.exceptAll(asg1).count() === 0)
+    // clusters stay within the seeded label ids
+    val k = cent1.count()
+    assert(k > 0 && k <= init.count())
+  }
+
+  test("assignment picks the true argmin centroid (spot check)") {
+    val cent = init
+    val asg = KMeans.assign(emb.limit(20), "vec_id", "embedding", cent)
+    val cents = cent.collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray).toMap
+    val vecs = emb.limit(20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    asg.collect().foreach { r =>
+      val v = vecs(r.getLong(0))
+      val assigned = r.getLong(1)
+      val best = cents.minBy { case (cid, c) => (d2(v, c), cid) }._1
+      assert(assigned === best, s"vec ${r.getLong(0)}")
+    }
+  }
+}
