@@ -206,6 +206,32 @@ object Analytics {
         .orderBy("o_orderpriority")
     }),
 
+    // B17: pivot — per-day event-type counts as columns (explicit value
+    // list so the plan needs no discovery pass)
+    "q_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day_us")
+    }),
+
+    // B18: set operations — INTERSECT / EXCEPT segment counts
+    "q_setops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val h1 = o.where(col("o_orderdate") >= ts("1996-01-01")
+        && col("o_orderdate") < ts("1996-07-01")).select("o_custkey")
+      val h2 = o.where(col("o_orderdate") >= ts("1996-07-01")
+        && col("o_orderdate") < ts("1997-01-01")).select("o_custkey")
+      def seg(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_custs")).select(lit(name).as("segment"), col("n_custs"))
+      seg("both", h1.intersect(h2))
+        .unionAll(seg("h1_only", h1.except(h2)))
+        .unionAll(seg("h2_only", h2.except(h1)))
+        .orderBy("segment")
+    }),
+
     // B16: extended window functions — lead/lag, ntile, cume_dist over
     // one shared (key, order) sort
     "q_window_funcs" -> ((s, dir) => {
@@ -363,6 +389,34 @@ object Analytics {
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day_us""".stripMargin,
+
+    "q_setops" ->
+      """WITH h1 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01'),
+        |h2 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT 'both' AS segment,
+        |       (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2) t) AS n_custs
+        |UNION ALL
+        |SELECT 'h1_only',
+        |       (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2) t)
+        |UNION ALL
+        |SELECT 'h2_only',
+        |       (SELECT count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1) t)
+        |ORDER BY segment""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
