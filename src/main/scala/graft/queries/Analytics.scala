@@ -206,6 +206,30 @@ object Analytics {
         .orderBy("o_orderpriority")
     }),
 
+    // B19: statistical aggregates — stddev / correlation / covariance
+    // (rounded at the boundary; parallel float aggregation noise is
+    // ~1e-15 relative, far below round(4))
+    "q_stats_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 4).as("cov_disc_tax"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // B20: deterministic array aggregation — per-customer sorted order
+    // lists (sort_array makes collect_list order-insensitive)
+    "q_array_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .where(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .orderBy("o_custkey")
+    }),
+
     // B17: pivot — per-day event-type counts as columns (explicit value
     // list so the plan needs no discovery pass)
     "q_pivot" -> ((s, dir) => {
@@ -389,6 +413,19 @@ object Analytics {
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 4) AS cov_disc_tax,
+        |  round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+        |FROM orders WHERE o_totalprice > 400000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_pivot" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us,

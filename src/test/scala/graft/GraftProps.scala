@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Generator-driven invariants over the combinators (ScalaCheck runs
+  * these directly under sbt test). Sample counts are kept small — every
+  * sample spins Spark jobs. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const(' ')))
+      .map(_.mkString).map(_.take(60))
+
+  property("RedactKeepLast never reveals more than the keep window") =
+    forAll(asciiText, Gen.choose(1, 8)) { (s, k) =>
+      import spark.implicits._
+      val out = Seq(s).toDF("v")
+        .select(cdc.Mask(col("v"), cdc.Mask.RedactKeepLast(k)))
+        .first().getString(0)
+      val expected =
+        if (s.length <= k) "****" else "****" + s.substring(s.length - k)
+      out == expected
+    }
+
+  property("Route strategies stay in [0, n)") =
+    forAll(Gen.listOfN(20, Gen.choose(Long.MinValue + 1, Long.MaxValue)),
+      Gen.choose(1, 64)) { (keys, n) =>
+      import spark.implicits._
+      val df = keys.toDF("key").withColumn("event_type", lit("x"))
+      Seq(cdc.Route.KeyMod, cdc.Route.KeyHash, cdc.Route.ByEventType)
+        .forall { s =>
+          df.select(cdc.Route(s, n, df).as("p"))
+            .where(col("p") < 0 || col("p") >= n).count() == 0L
+        }
+    }
+
+  property("SortedIntersectCount == Set intersection size") =
+    forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L))) {
+      (a, b) =>
+        import spark.implicits._
+        val sa = a.toSet
+        val sb = b.toSet
+        val out = Seq((sa.toSeq.sorted, sb.toSeq.sorted)).toDF("a", "b")
+          .select(functions.SetOps.sortedIntersectCount(col("a"), col("b")))
+          .first().getLong(0)
+        out == (sa intersect sb).size.toLong
+    }
+
+  property("fingerprint matches the reference fold for any ascii text") =
+    forAll(asciiText) { s =>
+      import spark.implicits._
+      val out = Seq(s).toDF("t")
+        .select(functions.Text.fingerprint(col("t"))).first().getLong(0)
+      val expected = s.foldLeft(0L)((acc, ch) => (acc * 131 + ch.toLong) % 1000000007L)
+      out == expected
+    }
+
+  property("sessionize: intra-session gaps <= gapUs, inter-session gaps > gapUs") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 5000L)), Gen.choose(100L, 1500L)) {
+      (tss, gap) =>
+        import spark.implicits._
+        val events = tss.distinct.zipWithIndex
+          .map { case (ts, i) => (1L, ts, i.toLong) }
+        events.isEmpty || {
+          val out = operators.Sessionize.assign(
+            events.toDF("user", "ts", "seq"), "user", "ts", "seq", gap)
+            .orderBy("ts").collect()
+            .map(r => (r.getAs[Long]("ts"), r.getAs[Long]("session_id")))
+          out.sliding(2).forall {
+            case Array((t1, s1), (t2, s2)) =>
+              if (s1 == s2) t2 - t1 <= gap else t2 - t1 > gap
+            case _ => true
+          }
+        }
+    }
+}
