@@ -51,6 +51,20 @@ object Text {
     }
   }
 
+  /** PII scrubbing for training corpora: regex-redact emails, phone
+    * numbers and SSN-shaped ids. Pure regexp_replace chain — codegen'd,
+    * partition-local, ~zero cost in the scan projection. Patterns kept
+    * RE2/Java-portable (no lookarounds). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "(\\+?[0-9]{1,3}[- .])?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}" -> "<PHONE>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>")
+
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
   /** Polynomial rolling hash over the characters: a compact, exactly
     * reproducible document fingerprint (same recurrence in the DuckDB
     * oracle). acc = (acc*131 + code) mod 1e9+7 — acc stays < 2^30, the
