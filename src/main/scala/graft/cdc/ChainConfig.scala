@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object ChainConfig {
 
+  /** Note: stages are split on `|`, so a `where:` expression must use
+    * SQL `OR` / `concat(...)` rather than `||`. */
   def parse(config: String): Changefeed =
     Changefeed(config.split('|').map(_.trim).filter(_.nonEmpty).map(parseStage).toSeq)
 
