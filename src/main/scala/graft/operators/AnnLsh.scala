@@ -85,6 +85,59 @@ object AnnLsh {
         round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** LSH-accelerated near-dup pairs — the scale path for the exact
+    * all-pairs [[Similarity.neardupPairs]] baseline: candidates from the
+    * band equi-join (a pair is compared only if it shares a band key),
+    * exact cosine filter on candidates. Recall < 1 by design; asserted
+    * against the exact baseline in DocsOpsSpec. */
+  def neardupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val bands = banded(
+      emb.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v")),
+      "id", "v")
+      .withColumn("n", Vectors.norm(col("v")))
+    val cos = Vectors.cosineWithNorms(
+      col("va"), col("vb"), col("na"), col("nb"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("cos_raw", cos)
+      .where(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** DuckDB oracle for [[neardupPairs]] over the embeddings table. */
+  def neardupOracleSql(table: String, threshold: Double): String = {
+    def keySql(b: Int): String =
+      (0 until bitsPerBand).map { i =>
+        val plane = planes(b * bitsPerBand + i).mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(v, $plane) >= 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val bandSelects = (0 until numBands)
+      .map(b => s"SELECT vec_id, v, $b AS band, ${keySql(b)} AS bkey FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, round($cos, 4) AS cos_sim
+       |FROM cand JOIN e a ON cand.id_a = a.vec_id
+       |          JOIN e b ON cand.id_b = b.vec_id
+       |WHERE $cos >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB oracle for [[topK]], generated from the same plane literals. */
   def oracleSql(table: String, probeMaxId: Long, k: Int): String = {
     def keySql(b: Int): String =

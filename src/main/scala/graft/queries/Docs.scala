@@ -184,6 +184,14 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
+    // C5-scale: LSH-accelerated embedding near-dup — band equi-join
+    // candidates, exact cosine filter (the 100 TB form of emb_neardup)
+    "emb_neardup_lsh" -> ((s, dir) => {
+      AnnLsh.neardupPairs(Tables.embeddings(s, dir),
+        idCol = "vec_id", vecCol = "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // C13: per-label centroid sums — the IVF coarse-quantizer building
     // block. Component sums are scale-1e6 fixed-point longs: exact,
     // order-independent, hash-stable cross-engine (float sums are not).
@@ -322,6 +330,8 @@ object Docs {
 
     "emb_ann_ivf" -> graft.operators.AnnIvf.oracleSql(
       "embeddings", probeMaxId = 8, k = 5, nprobe = 3),
+
+    "emb_neardup_lsh" -> AnnLsh.neardupOracleSql("embeddings", threshold = 0.4),
 
     "media_ops" ->
       """SELECT doc_id AS media_id,

@@ -48,6 +48,20 @@ class DocsOpsSpec extends SparkSpec {
     }
   }
 
+  test("emb_neardup_lsh returns a verified subset of the exact pairs with recall >= 0.3") {
+    def pairs(name: String): Map[(Long, Long), Double] =
+      Docs.queries(name)(spark, sfDir)
+        .select("id_a", "id_b", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs("emb_neardup")
+    val lsh = pairs("emb_neardup_lsh")
+    assert(exact.nonEmpty)
+    // every LSH pair is an exact pair with the identical cosine
+    lsh.foreach { case (k, v) => assert(exact.get(k).contains(v), s"$k") }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall = $recall")
+  }
+
   test("minhash LSH finds only verified near-dups (jaccard >= threshold)") {
     val rows = MinHash.neardupPairs(Tables.documents(spark, sfDir),
       "doc_id", "text", threshold = 0.5).collect()
