@@ -96,19 +96,19 @@ object AnnLsh {
       emb.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("v")),
       "id", "v")
       .withColumn("n", Vectors.norm(col("v")))
-    val cos = Vectors.cosineWithNorms(
-      col("va"), col("vb"), col("na"), col("nb"))
+    // cosine + threshold BEFORE the pair-dedup shuffle: every band copy
+    // of a pair has the same cosine, so the filter drops non-dups while
+    // rows still carry vectors partition-locally; the groupBy then
+    // shuffles only (id_a, id_b, cos) for the few survivors.
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"),
-        col("x.n").as("na"), col("y.n").as("nb"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"),
-        first(col("na")).as("na"), first(col("nb")).as("nb"))
-      .withColumn("cos_raw", cos)
+        Vectors.cosineWithNorms(
+          col("x.v"), col("y.v"), col("x.n"), col("y.n")).as("cos_raw"))
       .where(col("cos_raw") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("cos_raw")).as("cos_raw"))
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
