@@ -28,6 +28,12 @@ object Sessionize {
       .drop("__new_session")
   }
 
+  /** Value quantized to cents and shifted to a LONG: exact and
+    * order-independent like a decimal sum, but hash-stable cross-engine
+    * (DecimalType outputs render trailing zeros — SURVEY.md §6). */
+  private def cents(valueCol: String) =
+    (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+
   /** Per-session rollup. */
   def stats(events: DataFrame, key: String, tsUs: String, seq: String,
             gapUs: Long, valueCol: String): DataFrame =
@@ -37,8 +43,7 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(tsUs)).as("session_start_us"),
         max(col(tsUs)).as("session_end_us"),
-        sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,4)")
-          .as("sum_value"))
+        sum(cents(valueCol)).as("sum_value_e2"))
 
   /** Skew-resistant two-phase variant of [[stats]], same output.
     *
@@ -72,7 +77,7 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(tsUs)).as("session_start_us"),
         max(col(tsUs)).as("session_end_us"),
-        sum(col(valueCol).cast("decimal(18,2)")).as("sum_dec"))
+        sum(cents(valueCol)).as("sum_cents"))
     val wKey = Window.partitionBy(col(key))
       .orderBy(col("session_start_us"), col("session_end_us"))
     val chained = locals
@@ -87,6 +92,6 @@ object Sessionize {
         sum(col("n_events")).as("n_events"),
         min(col("session_start_us")).as("session_start_us"),
         max(col("session_end_us")).as("session_end_us"),
-        sum(col("sum_dec")).cast("decimal(38,4)").as("sum_value"))
+        sum(col("sum_cents")).as("sum_value_e2"))
   }
 }

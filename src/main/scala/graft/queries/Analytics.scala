@@ -27,6 +27,21 @@ object Analytics {
   private val discPriceSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
 
+  /** Exact fixed-point money sum: quantize per row to a scale-`s` decimal,
+    * shift to integer units, sum as LONG. Exact and order-independent like
+    * a decimal sum, but hash-stable across engines: DecimalType outputs
+    * read back from parquet with trailing zeros (`6207673.9400`) while the
+    * DuckDB oracle renders `6207673.94`, breaking the driver's string-level
+    * hash (proven r2). Int64 columns always hash green — see SURVEY.md §6.
+    */
+  private def sumFixed(rowDec: Column, s: Int): Column =
+    sum((rowDec * math.pow(10, s).toLong).cast("long"))
+
+  /** DuckDB form of [[sumFixed]]; the outer CAST collapses DuckDB's
+    * sum(BIGINT) → HUGEINT, which the driver renders as a float. */
+  private def sumFixedSql(expr: String, s: Int): String =
+    s"CAST(sum(CAST(($expr) * ${math.pow(10, s).toLong} AS BIGINT)) AS BIGINT)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // B1: grouped aggregation, decimal-exact (TPC-H Q1 shape)
@@ -36,13 +51,10 @@ object Analytics {
         .where(col("l_shipdate") < ts("1998-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          // decimal(38,4) is the empirically hash-stable cross-engine shape
-          // (r1: every decimal(38,2) output hash-mismatched in the driver
-          // while the (38,4) outputs hashed green — see VERDICT r1).
-          sum(dec182("l_quantity")).cast("decimal(38,4)").as("sum_qty"),
-          sum(dec182("l_extendedprice")).cast("decimal(38,4)").as("sum_base_price"),
-          sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
-          sum(charge).cast("decimal(38,6)").as("sum_charge"),
+          sumFixed(dec182("l_quantity"), 2).as("sum_qty_e2"),
+          sumFixed(dec182("l_extendedprice"), 2).as("sum_base_price_e2"),
+          sumFixed(discPrice, 4).as("sum_disc_price_e4"),
+          sumFixed(charge, 6).as("sum_charge_e6"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -55,8 +67,8 @@ object Analytics {
           && col("l_discount") >= 0.03 && col("l_discount") <= 0.07
           && col("l_quantity") < 24)
         .agg(
-          sum(dec182("l_extendedprice") * dec42("l_discount"))
-            .cast("decimal(38,4)").as("revenue"),
+          sumFixed(dec182("l_extendedprice") * dec42("l_discount"), 4)
+            .as("revenue_e4"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -73,13 +85,13 @@ object Analytics {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
-        .select(col("l_orderkey"), col("revenue"),
+        .agg(sumFixed(discPrice, 4).as("revenue_e4"))
+        .select(col("l_orderkey"), col("revenue_e4"),
           // parquet date column is TIMESTAMP_NTZ; unix_micros is strict
           // about TIMESTAMP, and the session TZ is pinned UTC so the cast
           // is lossless.
           unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"))
-        .orderBy(desc("revenue"), col("o_orderdate_us"), col("l_orderkey"))
+        .orderBy(desc("revenue_e4"), col("o_orderdate_us"), col("l_orderkey"))
         .limit(10)
     }),
 
@@ -105,7 +117,7 @@ object Analytics {
           col("l_suppkey") === col("s_suppkey")
             && col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
+        .agg(sumFixed(discPrice, 4).as("revenue_e4"))
         .orderBy("n_name")
     }),
 
@@ -125,9 +137,9 @@ object Analytics {
       Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(
-          sum(dec182("o_totalprice")).cast("decimal(38,4)").as("total_spend"),
+          sumFixed(dec182("o_totalprice"), 2).as("total_spend_e2"),
           count(lit(1)).as("n_orders"))
-        .orderBy(desc("total_spend"), col("o_custkey"))
+        .orderBy(desc("total_spend_e2"), col("o_custkey"))
         .limit(25)
     }),
 
@@ -166,12 +178,12 @@ object Analytics {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec182("l_quantity")).cast("decimal(38,4)").as("sum_qty"),
+          sumFixed(dec182("l_quantity"), 2).as("sum_qty_e2"),
           count(lit(1)).as("n_rows"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-          col("sum_qty"), col("n_rows"))
+          col("sum_qty_e2"), col("n_rows"))
         .orderBy("returnflag", "linestatus")
     }),
 
@@ -189,7 +201,7 @@ object Analytics {
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("p_brand"))
-        .agg(sum(discPrice).cast("decimal(38,4)").as("profit"),
+        .agg(sumFixed(discPrice, 4).as("profit_e4"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name", "p_brand")
     }),
@@ -208,25 +220,31 @@ object Analytics {
 
     // B19: statistical aggregates — stddev / correlation / covariance
     // (rounded at the boundary; parallel float aggregation noise is
-    // ~1e-15 relative, far below round(4))
+    // ~1e-15 relative, far below round(4)). The `+ 0.0` normalizes IEEE
+    // negative zero: DuckDB covar can yield -0.0 where Spark gives 0.0 —
+    // equal under SQL `=` but distinct under the driver's string hash.
     "q_stats_agg" -> ((s, dir) => {
+      def r4(c: Column) = round(c, 4) + lit(0.0)
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 4).as("cov_disc_tax"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"))
+          r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+          r4(covar_samp(col("l_discount"), col("l_tax"))).as("cov_disc_tax"),
+          r4(avg(col("l_extendedprice"))).as("avg_price"))
         .orderBy("l_returnflag")
     }),
 
     // B20: deterministic array aggregation — per-customer sorted order
-    // lists (sort_array makes collect_list order-insensitive)
+    // lists (sort_array makes collect_list order-insensitive). Serialized
+    // to a csv string at the output boundary: array-typed columns crash
+    // the driver's pandas comparison (unhashable numpy.ndarray — r2).
     "q_array_agg" -> ((s, dir) => {
       Tables.orders(s, dir)
         .where(col("o_totalprice") > 400000)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+          .as("orderkeys"))
         .orderBy("o_custkey")
     }),
 
@@ -309,10 +327,10 @@ object Analytics {
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
-        |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(sum(CAST($discPriceSql * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+        |  ${sumFixedSql("CAST(l_quantity AS DECIMAL(18,2))", 2)} AS sum_qty_e2,
+        |  ${sumFixedSql("CAST(l_extendedprice AS DECIMAL(18,2))", 2)} AS sum_base_price_e2,
+        |  ${sumFixedSql(discPriceSql, 4)} AS sum_disc_price_e4,
+        |  ${sumFixedSql(s"CAST($discPriceSql * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))", 6)} AS sum_charge_e6,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -320,8 +338,8 @@ object Analytics {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q6_revenue_filter" ->
-      """SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+      s"""SELECT
+        |  ${sumFixedSql("CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))", 4)} AS revenue_e4,
         |  count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -329,7 +347,7 @@ object Analytics {
 
     "q3_top_shipping" ->
       s"""SELECT l_orderkey,
-        |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS revenue,
+        |  ${sumFixedSql(discPriceSql, 4)} AS revenue_e4,
         |  epoch_us(o_orderdate) AS o_orderdate_us
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -337,12 +355,12 @@ object Analytics {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, o_orderdate_us, l_orderkey
+        |ORDER BY revenue_e4 DESC, o_orderdate_us, l_orderkey
         |LIMIT 10""".stripMargin,
 
     "q5_region_revenue" ->
       s"""SELECT n_name,
-        |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS revenue
+        |  ${sumFixedSql(discPriceSql, 4)} AS revenue_e4
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -361,11 +379,11 @@ object Analytics {
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
 
     "q_topk_customers" ->
-      """SELECT o_custkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS total_spend,
+      s"""SELECT o_custkey,
+        |  ${sumFixedSql("CAST(o_totalprice AS DECIMAL(18,2))", 2)} AS total_spend_e2,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey
-        |ORDER BY total_spend DESC, o_custkey LIMIT 25""".stripMargin,
+        |ORDER BY total_spend_e2 DESC, o_custkey LIMIT 25""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_nationkey, count(*) AS n_customers
@@ -388,9 +406,9 @@ object Analytics {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
+        |       ${sumFixedSql("CAST(l_quantity AS DECIMAL(18,2))", 2)} AS sum_qty_e2,
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -398,7 +416,7 @@ object Analytics {
 
     "q9_part_profit" ->
       s"""SELECT n_name, p_brand,
-        |  CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS profit,
+        |  ${sumFixedSql(discPriceSql, 4)} AS profit_e4,
         |  count(*) AS n_items
         |FROM lineitem, part, supplier, nation
         |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
@@ -416,14 +434,15 @@ object Analytics {
 
     "q_stats_agg" ->
       """SELECT l_returnflag,
-        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(covar_samp(l_discount, l_tax), 4) AS cov_disc_tax,
-        |  round(avg(l_extendedprice), 4) AS avg_price
+        |  round(stddev_samp(l_quantity), 4) + 0.0 AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 4) + 0.0 AS cov_disc_tax,
+        |  round(avg(l_extendedprice), 4) + 0.0 AS avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_array_agg" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
         |FROM orders WHERE o_totalprice > 400000
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 

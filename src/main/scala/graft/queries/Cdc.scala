@@ -12,6 +12,16 @@ object Cdc {
 
   private def dec182(c: String) = col(c).cast("decimal(18,2)")
 
+  /** Exact cent-sum as LONG (hash-stable cross-engine — SURVEY.md §6;
+    * DecimalType outputs render trailing zeros and break the driver's
+    * string hash, r2 lesson). */
+  private def sumCents(c: String) =
+    sum((dec182(c) * 100).cast("long"))
+
+  /** DuckDB form of [[sumCents]]; outer CAST collapses HUGEINT. */
+  private val sumCentsSql =
+    "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)"
+
   private def changelog(s: SparkSession, dir: String): DataFrame =
     Changelog.fromEvents(Tables.events(s, dir))
 
@@ -71,7 +81,7 @@ object Cdc {
         .groupBy(col("__partition"), col("op"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(dec182("value")).cast("decimal(38,4)").as("sum_value"))
+          sumCents("value").as("sum_value_e2"))
         .orderBy("__partition", "op")
     }),
 
@@ -91,7 +101,7 @@ object Cdc {
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(dec182("value")).cast("decimal(38,4)").as("sum_value"))
+          sumCents("value").as("sum_value_e2"))
         .orderBy("window_start_us", "event_type")
     }),
 
@@ -197,10 +207,10 @@ object Cdc {
         |ORDER BY seq""".stripMargin),
 
     "cdc_route" -> (logCte +
-      """
+      s"""
         |SELECT key % 16 AS __partition, op,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
+        |       $sumCentsSql AS sum_value_e2
         |FROM log GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin),
 
@@ -210,15 +220,15 @@ object Cdc {
         |FROM log ORDER BY seq""".stripMargin),
 
     "cdc_tumbling" ->
-      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
+        |       $sumCentsSql AS sum_value_e2
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cdc_json_extract" -> (logCte +
       """
         |SELECT event_type, count(*) AS n_events,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM log GROUP BY event_type ORDER BY event_type""".stripMargin),
@@ -280,7 +290,7 @@ object Cdc {
         |ORDER BY user_id""".stripMargin),
 
     "cdc_sessionize" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
         |d AS (
         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
@@ -294,6 +304,6 @@ object Cdc {
         |  FROM d)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
+        |       $sumCentsSql AS sum_value_e2
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -373,7 +373,7 @@ object Docs {
 
     "emb_centroid_sums" ->
       """SELECT label::BIGINT AS label, (ord-1)::BIGINT AS dim,
-        |  sum(CAST(floor(x*1000000) AS BIGINT)) AS sum_scaled,
+        |  CAST(sum(CAST(floor(x*1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
         |  count(*) AS n
         |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
         |             generate_subscripts(embedding, 1) AS ord
