@@ -32,7 +32,16 @@ object Dedup {
     * rows and primitive-equality intersects instead of string hashing —
     * measured 102 s → seconds at sf0.1. The oracle hashes identically,
     * so the rare 32-bit collision affects both engines the same way.
-    * Output: id_a, id_b, jaccard (round 4) where jaccard >= threshold. */
+    * Output: id_a, id_b, jaccard (round 4) where jaccard >= threshold.
+    *
+    * Scale caveat: this is the declared BLOCKED BASELINE, not the 100 TB
+    * path. Pair count grows quadratically *per block* — if block sizes
+    * grow with the corpus (they do for a coarse key like `source`), a
+    * 100× corpus means ~10,000× pairs inside each block. At scale use
+    * [[MinHash.neardupPairs]] (C2): its band-bucket equi-join keeps
+    * candidates proportional to true near-dups regardless of corpus
+    * size. Use this form only when the blocking key is genuinely
+    * fine-grained (bounded block size independent of corpus growth). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
     val sets = docs

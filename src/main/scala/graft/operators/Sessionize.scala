@@ -28,11 +28,12 @@ object Sessionize {
       .drop("__new_session")
   }
 
-  /** Value quantized to cents and shifted to a LONG: exact and
-    * order-independent like a decimal sum, but hash-stable cross-engine
+  /** Value quantized to cents as a DECIMAL(38,0): summed in decimal (no
+    * silent int64 wrap at scale), with the final per-group aggregate cast
+    * to LONG — exact, order-independent, and hash-stable cross-engine
     * (DecimalType outputs render trailing zeros — SURVEY.md §6). */
   private def cents(valueCol: String) =
-    (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    (col(valueCol).cast("decimal(18,2)") * 100).cast("decimal(38,0)")
 
   /** Per-session rollup. */
   def stats(events: DataFrame, key: String, tsUs: String, seq: String,
@@ -43,7 +44,7 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(tsUs)).as("session_start_us"),
         max(col(tsUs)).as("session_end_us"),
-        sum(cents(valueCol)).as("sum_value_e2"))
+        sum(cents(valueCol)).cast("long").as("sum_value_e2"))
 
   /** Skew-resistant two-phase variant of [[stats]], same output.
     *
@@ -92,6 +93,6 @@ object Sessionize {
         sum(col("n_events")).as("n_events"),
         min(col("session_start_us")).as("session_start_us"),
         max(col("session_end_us")).as("session_end_us"),
-        sum(col("sum_cents")).as("sum_value_e2"))
+        sum(col("sum_cents")).cast("long").as("sum_value_e2"))
   }
 }

@@ -28,19 +28,31 @@ object Analytics {
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
 
   /** Exact fixed-point money sum: quantize per row to a scale-`s` decimal,
-    * shift to integer units, sum as LONG. Exact and order-independent like
-    * a decimal sum, but hash-stable across engines: DecimalType outputs
-    * read back from parquet with trailing zeros (`6207673.9400`) while the
-    * DuckDB oracle renders `6207673.94`, breaking the driver's string-level
-    * hash (proven r2). Int64 columns always hash green — see SURVEY.md §6.
+    * shift to integer units, sum in DECIMAL(38,0), cast the final aggregate
+    * to LONG. Exact and order-independent like a decimal sum, but
+    * hash-stable across engines: DecimalType outputs read back from parquet
+    * with trailing zeros (`6207673.9400`) while the DuckDB oracle renders
+    * `6207673.94`, breaking the driver's string-level hash (proven r2).
+    * Int64 columns always hash green — see SURVEY.md §6.
+    *
+    * Summing in decimal (not long) matters at scale: Spark's non-ANSI
+    * sum(long) wraps silently on overflow while DuckDB promotes to
+    * HUGEINT — at SF~100 a Q1 `sum_charge_e6` group reaches ~6e18 of
+    * Long's 9.2e18 range. Decimal(38,0) gives ~1e38 headroom and only the
+    * final (per-group) value must fit in int64, same contract as the
+    * oracle's BIGINT cast. The per-row decimal(38,0) cast also rounds
+    * half-away-from-zero exactly like DuckDB's CAST, so a caller passing
+    * `s` below the input's decimal scale gets identical rounding in both
+    * engines instead of Spark truncating where DuckDB rounds.
     */
   private def sumFixed(rowDec: Column, s: Int): Column =
-    sum((rowDec * math.pow(10, s).toLong).cast("long"))
+    sum((rowDec * math.pow(10, s).toLong).cast("decimal(38,0)")).cast("long")
 
-  /** DuckDB form of [[sumFixed]]; the outer CAST collapses DuckDB's
-    * sum(BIGINT) → HUGEINT, which the driver renders as a float. */
+  /** DuckDB form of [[sumFixed]]: same per-row decimal quantization, sum
+    * in DECIMAL(38,0), final CAST to BIGINT (DuckDB would otherwise render
+    * a HUGEINT/DECIMAL sum as a float). */
   private def sumFixedSql(expr: String, s: Int): String =
-    s"CAST(sum(CAST(($expr) * ${math.pow(10, s).toLong} AS BIGINT)) AS BIGINT)"
+    s"CAST(sum(CAST(($expr) * ${math.pow(10, s).toLong} AS DECIMAL(38,0))) AS BIGINT)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

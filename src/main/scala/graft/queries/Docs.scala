@@ -136,15 +136,33 @@ object Docs {
 
     // C17: corpus vocabulary — token frequency table with rank (the
     // tokenizer-training precursor): one explode + one partial-agg
-    // shuffle, rank by a global window over the (small) vocab
+    // shuffle. Rank = row_number over (n_occurrences DESC, token) but
+    // WITHOUT a global unpartitioned window (which would funnel the
+    // whole vocab through one task at 100 TB). Decomposition:
+    //   rank(t) = |tokens with higher frequency| + row_number of t
+    //             among its own frequency class (ordered by token).
+    // The within-class row_number is a PARTITIONED window (partition =
+    // n_occurrences); the higher-frequency count comes from the
+    // frequency-of-frequency table — |distinct counts| rows, O(sqrt
+    // |corpus|) by Zipf — via a broadcast theta-join on that tiny side.
     "doc_vocab" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(desc("n_occurrences"), col("token"))
-      Tables.documents(s, dir)
+      val freq = Tables.documents(s, dir)
         .select(explode(Text.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n_occurrences"))
-        .withColumn("rank", row_number().over(w).cast("long"))
+      val byN = freq.groupBy(col("n_occurrences").as("__n"))
+        .agg(count(lit(1)).as("__cnt"))
+      val higher = byN.as("a")
+        .join(broadcast(byN.as("b")), col("b.__n") > col("a.__n"), "left")
+        .groupBy(col("a.__n").as("n_occurrences"))
+        .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__n_higher"))
+      val wIn = Window.partitionBy(col("n_occurrences")).orderBy(col("token"))
+      freq
+        .withColumn("__in_rank", row_number().over(wIn))
+        .join(broadcast(higher), "n_occurrences")
+        .select(col("token"), col("n_occurrences"),
+          (col("__n_higher") + col("__in_rank")).cast("long").as("rank"))
         .orderBy("rank")
     }),
 
