@@ -50,7 +50,14 @@ object GraftExtensions {
         SimHashHalf(args(0), litInt(args(1), "byte offset"))),
     "graft_minhash" ->
       ((args: Seq[Expression]) => MinHashArray(args(0),
-        MinHash.coeffs.map(_._1), MinHash.coeffs.map(_._2), MinHash.P)))
+        MinHash.coeffs.map(_._1), MinHash.coeffs.map(_._2), MinHash.P)),
+    "graft_rolling_hash" ->
+      ((args: Seq[Expression]) => RollingHash(args(0))),
+    // hit counts for the built-in language wordlists, array<long> in
+    // Text.stopwords order
+    "graft_lang_hits" ->
+      ((args: Seq[Expression]) =>
+        StopwordHits(args(0), Text.stopwords.map(_._2))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

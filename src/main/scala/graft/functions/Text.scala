@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis functions for training-data pipelines: tokenization,
@@ -34,10 +34,25 @@ object Text {
     "es" -> Seq("el", "los", "las", "y", "es", "una"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une"))
 
-  /** Occurrences of any word from `set` among the tokens. */
+  /** Occurrences of any word from `set` among the tokens — one compiled
+    * pass ([[StopwordHits]]); the interpreted `size(filter(...))` HOF
+    * form it replaces is pinned equivalent in KernelSpec. */
   def stopwordHits(text: Column, set: Seq[String]): Column =
-    size(filter(tokens(lower(text)),
-      t => t.isin(set.map(lit(_)): _*))).cast("long")
+    element_at(GraftSqlBridge.column(
+      StopwordHits(GraftSqlBridge.expression(text), Seq(set))), 1)
+
+  /** Hit counts for ALL languages in ONE compiled tokenize pass —
+    * `array<long>` aligned with [[stopwords]] order. Per-language HOF
+    * counting re-tokenized the text once per language per row. */
+  def allLangHits(text: Column): Column =
+    GraftSqlBridge.column(
+      StopwordHits(GraftSqlBridge.expression(text), stopwords.map(_._2)))
+
+  /** `hits_<lang>` columns (from [[allLangHits]]'s array) keyed by lang. */
+  def langHitCols(hitsArray: Column): Map[String, Column] =
+    stopwords.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(hitsArray, i + 1)
+    }.toMap
 
   /** Deterministic argmax over the per-language hit counts: highest count
     * wins, ties go to the alphabetically-first language. Expects columns
@@ -67,9 +82,10 @@ object Text {
 
   /** Polynomial rolling hash over the characters: a compact, exactly
     * reproducible document fingerprint (same recurrence in the DuckDB
-    * oracle). acc = (acc*131 + code) mod 1e9+7 — acc stays < 2^30, the
-    * multiply < 2^37, no overflow in long arithmetic. */
+    * oracle). acc = (acc*131 + code) mod 1e9+7 — one compiled pass
+    * ([[RollingHash]]); the per-character interpreted `aggregate(split
+    * (text, ''), ...)` HOF it replaces is pinned equivalent in
+    * KernelSpec. */
   def fingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (acc, ch) => pmod(acc * lit(131L) + ascii(ch), lit(1000000007L)))
+    GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(text)))
 }

@@ -141,3 +141,124 @@ case class SimHashHalf(child: Expression, byteOffset: Int) extends UnaryExpressi
   override protected def withNewChildInternal(newChild: Expression): SimHashHalf =
     copy(child = newChild)
 }
+
+/** Polynomial rolling hash `acc = (acc*131 + codePoint) mod 1e9+7` over a
+  * string's characters, one compiled pass per row.
+  *
+  * Replaces the declarative `aggregate(split(text, ''), ...)` form: a
+  * per-CHARACTER interpreted lambda (split allocates one UTF8String per
+  * char, the fold re-enters the interpreter per step) — at 100 TB that
+  * burns ~an order of magnitude of CPU for a hash a tight loop computes
+  * for free. Bit-exact with the declarative form and the DuckDB oracle's
+  * `list_reduce(list_transform(string_split(text, ''), ascii), ...)`:
+  * both enumerate code points (Spark's `ascii` on a 1-char split element
+  * IS its code point), acc stays < 2^30 so `acc*131 + cp` < 2^38 — no
+  * overflow in long arithmetic. Equivalence pinned by KernelSpec. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  /** Public so generated code can call it. */
+  def roll(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 131L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    roll(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rollingHash", this, classOf[RollingHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.roll($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Per-wordlist hit counts over a text column — `array<bigint>`, one
+  * entry per list in `sets`, in one compiled tokenize pass per row.
+  *
+  * Semantics match the declarative
+  * `size(filter(split(lower(text), " "), t => t.isin(set)))` per list:
+  * lowercase the whole string, split on single spaces (empty tokens
+  * between/after spaces count toward nothing), count EVERY occurrence
+  * (not distinct). The interpreted-HOF form re-tokenizes once per
+  * language per row; this does one scan with a token→set-bitmask hash
+  * map lookup per token (≤64 lists). Equivalence pinned by KernelSpec. */
+case class StopwordHits(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  require(sets.nonEmpty && sets.length <= 64, "1..64 word lists")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_stopword_hits"
+
+  /** token → bitmask of the lists containing it. */
+  @transient private lazy val masks: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    sets.zipWithIndex.foreach { case (words, j) =>
+      words.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, (if (prev == null) 0L else prev.longValue()) | (1L << j))
+      }
+    }
+    m
+  }
+
+  /** Public so generated code can call it. */
+  def hits(s: UTF8String): ArrayData = {
+    val str = s.toLowerCase.toString
+    val counts = new Array[Long](sets.length)
+    var start = 0
+    var i = 0
+    val n = str.length
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        if (i > start) {
+          val mask = masks.get(str.substring(start, i))
+          if (mask != null) {
+            val mv = mask.longValue()
+            var j = 0
+            while (j < counts.length) {
+              if (((mv >>> j) & 1L) == 1L) counts(j) += 1
+              j += 1
+            }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("stopwordHits", this, classOf[StopwordHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.hits($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}

@@ -57,13 +57,15 @@ object Docs {
     }),
 
     // C8: language-ID heuristic — stopword hit counts + deterministic
-    // argmax (ties → alphabetically-first language).
+    // argmax (ties → alphabetically-first language). All four languages
+    // are counted in ONE compiled tokenize pass (StopwordHits kernel).
     "doc_lang_id" -> ((s, dir) => {
-      val withHits = Text.stopwords.foldLeft(Tables.documents(s, dir)) {
-        case (df, (lang, words)) =>
-          df.withColumn(s"hits_$lang", Text.stopwordHits(col("text"), words))
+      val hits = Text.langHitCols(col("__hits"))
+      val withHits = Text.stopwords.foldLeft(
+        Tables.documents(s, dir)
+          .withColumn("__hits", Text.allLangHits(col("text")))) {
+        case (df, (lang, _)) => df.withColumn(s"hits_$lang", hits(lang))
       }
-      val hits = Text.stopwords.map { case (l, _) => l -> col(s"hits_$l") }.toMap
       withHits
         .withColumn("pred_lang", Text.predictLang(hits))
         .select(Seq(col("doc_id")) ++
@@ -179,9 +181,7 @@ object Docs {
       val uniqRatio = size(array_distinct(toks)).cast("double") / nTokens
       val quality = least(lit(1.0), nTokens.cast("double") / 100.0) *
         (lit(0.5) + lit(0.5) * uniqRatio)
-      val hits = Text.stopwords.map { case (l, words) =>
-        l -> Text.stopwordHits(col("text"), words)
-      }.toMap
+      val hits = Text.langHitCols(Text.allLangHits(col("text")))
       docs.join(keepers, "doc_id")
         .withColumn("pred_lang", Text.predictLang(hits))
         .withColumn("quality_score", round(quality, 4))

@@ -81,4 +81,28 @@ class KernelSpec extends SparkSpec {
       assert(r.getLong(1) === expected)
     }
   }
+
+  test("RollingHash == declarative aggregate(split(text,''), ...) fold") {
+    val declarative = aggregate(split(col("text"), ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(131L) + ascii(ch), lit(1000000007L)))
+    val edge = { import spark.implicits._; Seq("", " ", "a", "ab c", "ümlaut ß").toDF("text") }
+    Seq(docs.select(col("text")), edge).foreach { df =>
+      val diff = df.where(Text.fingerprint(col("text")) =!= declarative).count()
+      assert(diff === 0)
+    }
+  }
+
+  test("StopwordHits == per-language size(filter(tokens(lower), isin)) HOFs") {
+    val declarative = Text.stopwords.map { case (_, words) =>
+      size(filter(split(lower(col("text")), " "),
+        t => t.isin(words.map(lit(_)): _*))).cast("long")
+    }
+    val kernel = Text.allLangHits(col("text"))
+    val edge = { import spark.implicits._
+      Seq("", "the the THE el le der", "  a  of ", "y es una the la").toDF("text") }
+    Seq(docs.select(col("text")), edge).foreach { df =>
+      val diff = df.where(kernel =!= array(declarative: _*)).count()
+      assert(diff === 0)
+    }
+  }
 }
