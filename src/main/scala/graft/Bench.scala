@@ -1,13 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Benchmark main: one warmup pass (JVM/codegen/parquet-footer warmup),
-  * then a timed pass per query. The action is a noop-format write so the
-  * full plan — including final projections after limit/orderBy, which a
-  * bare count() can skip — executes end-to-end. */
+  * then MIN of `SPARK_GRAFT_BENCH_ITERS` (default 2) timed passes per
+  * query — a single pass can't tell a plan regression from a busy box
+  * (r3 saw 6x swings on unchanged plans). The action is a noop-format
+  * write so the full plan — including final projections after
+  * limit/orderBy, which a bare count() can skip — executes end-to-end. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,9 +25,11 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => try run(n) catch { case _: Throwable => () }) // warmup
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

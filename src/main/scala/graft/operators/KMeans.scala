@@ -20,8 +20,12 @@ import graft.functions.Vectors
   *
   * Per iteration: one broadcast of k·d doubles, one shuffle of |corpus|
   * (id, cluster) pairs, one component-sum shuffle of k·d groups — scales
-  * to any corpus size; iterations are a short driver loop over PLANS
-  * (no collect), so the whole fit stays one lazy lineage.
+  * to any corpus size. The iteration loop `localCheckpoint`s the (tiny,
+  * k-row) centroid frame each pass: without it every iteration's plan
+  * nests the previous one, so analysis/optimization cost grows
+  * super-linearly and ~50 iterations blow up plan compilation long
+  * before the data is the problem. Checkpointing k·d doubles per
+  * iteration truncates lineage for ~zero storage cost.
   */
 object KMeans {
 
@@ -53,6 +57,7 @@ object KMeans {
       cent = AnnIvf.centroids(
         emb.join(asg, idCol).withColumnRenamed("cluster", "__lbl"),
         "__lbl", vecCol)
+        .localCheckpoint() // truncate per-iteration lineage (k rows)
     }
     (asg, cent)
   }

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   * within hamming distance 3 must share a chunk; near-dup texts share
   * most chunks. No n² comparison anywhere.
   *
+  * RECALL CAP (pigeonhole honesty): four chunks GUARANTEE recall only to
+  * hamming ≤ 3. A `maxDist` of 4+ still returns pairs — near-dup bit
+  * flips cluster, so distance-4 pairs usually share a chunk — but a
+  * pair whose 4 differing bits land in four DIFFERENT chunks is
+  * silently missed (pinned by OperatorsSpec's planted counterexample).
+  * The generated oracle applies the identical candidate rule, so both
+  * engines agree; the cap is about recall vs an exact all-pairs scan,
+  * not cross-engine parity. For guaranteed recall at `maxDist` d, use
+  * d+1 chunks (a 5-chunk 12/13-bit split would guarantee d=4).
+  *
   * All bit arithmetic is integer-only and the DuckDB oracle is generated
   * from the same bit positions ([[simhashOracleSql]]).
   */
@@ -37,6 +47,15 @@ object SimHash {
 
   /** Pairs within `maxDist` hamming distance, candidates via the 16-bit
     * chunk pigeonhole equi-join. Output: id_a, id_b, hamming.
+    * Guaranteed-complete only for maxDist ≤ 3 (see the recall cap note
+    * on the object). */
+  def hammingPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int, maxBucket: Int = 64): DataFrame =
+    pairsFromSignatures(signature(docs, idCol, textCol), maxDist, maxBucket)
+
+  /** [[hammingPairs]] over precomputed signatures (doc_id, sim_hi,
+    * sim_lo) — the candidate-generation core, exposed so the pigeonhole
+    * recall properties can be pinned on planted signatures.
     *
     * `maxBucket` is the hot-bucket guard: chunk values shared by more
     * than `maxBucket` docs are dropped from candidate generation (they
@@ -46,9 +65,8 @@ object SimHash {
     * pairs; capped at 64 the volume drops to 73k and scales linearly
     * with the corpus. At 100 TB this cap is the difference between a
     * bounded equi-join and n². */
-  def hammingPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int, maxBucket: Int = 64): DataFrame = {
-    val sig = signature(docs, idCol, textCol)
+  def pairsFromSignatures(sig: DataFrame, maxDist: Int,
+                          maxBucket: Int = 64): DataFrame = {
     val chunks = sig.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
       explode(array(
         struct(lit(0).as("chunk"), shiftright(col("sim_hi"), 16).as("cval")),

@@ -88,6 +88,26 @@ class DocsOpsSpec extends SparkSpec {
     assert(marked.where(!col("is_duplicate")).count() === 50)
   }
 
+  test("simhash pigeonhole: hamming<=3 always found; a distance-4 pair " +
+    "split across all four chunks is missed (the documented recall cap)") {
+    import spark.implicits._
+    // chunk layout: (hi>>16, hi&0xFFFF, lo>>16, lo&0xFFFF)
+    val sig = Seq(
+      // pair (1,2): hamming 4, one differing bit in EACH 16-bit chunk ->
+      // no shared chunk -> pigeonhole candidate generation cannot see it
+      (1L, 0L, 0L),
+      (2L, 0x10001L, 0x10001L),
+      // pair (3,4): hamming 3 -> must share >=1 of 4 chunks -> found
+      (3L, 0xFFFFFFFFL, 0xFFFFFFFFL),
+      (4L, 0xFFFFFFF8L, 0xFFFFFFFFL)
+    ).toDF("doc_id", "sim_hi", "sim_lo")
+    val pairs = graft.operators.SimHash.pairsFromSignatures(sig, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((3L, 4L, 3L)), "hamming-3 pair must be recalled")
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      "distance-4 pair spread across all chunks is (by design) missed")
+  }
+
   test("simhash signature halves stay within 32 bits") {
     val sig = graft.operators.SimHash.signature(
       Tables.documents(spark, sfDir).limit(20), "doc_id", "text")

@@ -34,6 +34,18 @@ class KMeansSpec extends SparkSpec {
     assert(k > 0 && k <= init.count())
   }
 
+  test("fit at 25 iterations stays fast (lineage checkpointed per pass)") {
+    // without the per-iteration localCheckpoint each plan nests the
+    // previous one and analysis alone takes minutes by iter ~20
+    val t0 = System.nanoTime()
+    val (asg, cent) = KMeans.fit(
+      emb.limit(200), "vec_id", "embedding", init, iters = 25)
+    assert(asg.count() === 200)
+    assert(cent.count() > 0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, f"25 iterations took $secs%.1f s - lineage blowup?")
+  }
+
   test("assignment picks the true argmin centroid (spot check)") {
     val cent = init
     val asg = KMeans.assign(emb.limit(20), "vec_id", "embedding", cent)
