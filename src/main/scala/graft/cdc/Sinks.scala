@@ -1,6 +1,7 @@
 package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sink targets for a changefeed (reference README.md:21-26 — the RFC's
@@ -58,6 +59,39 @@ object GraftSink {
   /** Console sink (debug target — row cap keeps it driver-safe). */
   final case class Console(numRows: Int = 20) extends GraftSink {
     def write(df: DataFrame): Unit = df.show(numRows, truncate = false)
+  }
+
+  /** Keyed-topic sink emulation (reference README.md:19-23 — the
+    * Kafka/Nats/Pulsar-shaped target, sandbox has no broker): rows are
+    * routed to `numPartitions` topic partitions (one directory per
+    * `__partition`, hive-style) and each row gets a dense 0-based
+    * `__offset`, monotone in `orderCols` within its partition — the
+    * per-partition total order a keyed MQ topic guarantees. `orderCols`
+    * must be a total order inside a partition (the default adds `key`
+    * as the final tiebreak) so routing AND offsets are deterministic:
+    * replaying the same changelog overwrites each partition with
+    * identical content instead of appending duplicates.
+    *
+    * Scale shape: offset assignment is a window PARTITIONED by
+    * `__partition` (never a global sort) and the physical repartition
+    * co-locates each topic partition in one task — the distributed
+    * equivalent of a broker's per-partition append log. */
+  final case class Topic(
+      path: String,
+      numPartitions: Int,
+      strategy: Route.Strategy = Route.KeyMod,
+      orderCols: Seq[String] = Seq("commit_ts_us", "seq", "key")) extends GraftSink {
+    def write(df: DataFrame): Unit = {
+      val w = Window.partitionBy(col("__partition"))
+        .orderBy(orderCols.map(col): _*)
+      df.withColumn("__partition", Route(strategy, numPartitions, df))
+        .repartition(numPartitions, col("__partition"))
+        .withColumn("__offset", row_number().over(w).cast("long") - 1)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__partition")
+        .parquet(path)
+    }
   }
 
   /** Micro-batched idempotent writer: rows are bucketed into commit-time

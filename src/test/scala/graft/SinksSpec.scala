@@ -66,6 +66,35 @@ class SinksSpec extends SparkSpec {
     assert(n1 === n2, "replaying one batch must not change total row count")
   }
 
+  test("Topic sink: keyed routing + dense per-partition offsets in order") {
+    import org.apache.spark.sql.expressions.Window
+    val path = tmp("sink-topic")
+    val sink = GraftSink.Topic(path, numPartitions = 4)
+    sink.write(changelog)
+    val back = spark.read.parquet(path)
+    assertSameRows(changelog, back.drop("__partition", "__offset"))
+    // routing rule: KeyMod
+    assert(back.where(col("__partition") =!= pmod(col("key"), lit(4L))).count() === 0)
+    // per-partition offsets are exactly the (commit_ts_us, seq, key) order
+    val w = Window.partitionBy("__partition").orderBy("commit_ts_us", "seq", "key")
+    val bad = back
+      .withColumn("__expected", row_number().over(w).cast("long") - 1)
+      .where(col("__offset") =!= col("__expected")).count()
+    assert(bad === 0)
+    // dense 0..n-1 per partition (the MQ append-log contract)
+    back.groupBy("__partition")
+      .agg(min("__offset").as("lo"), max("__offset").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("lo") === 0L)
+        assert(r.getAs[Long]("hi") === r.getAs[Long]("n") - 1)
+      }
+    // replay is idempotent: same changelog -> same partitions, no dupes
+    val n1 = back.count()
+    sink.write(changelog)
+    assert(spark.read.parquet(path).count() === n1)
+  }
+
   test("runTo delivers the plugin-chain output to the sink") {
     val path = tmp("sink-chain")
     Changefeed(Seq(
