@@ -91,6 +91,92 @@ class CdcStreamSpec extends SparkSpec {
     assert(batchSnap.exceptAll(streamedSnap).count() === 0)
   }
 
+  /** Write slice `i` of `n` (ts-ordered) from `ranked` into `dir` as one
+    * flush file — lets a test add flushes incrementally, between rollout
+    * phases, the way an upstream keeps flushing during an upgrade. */
+  private def flushSlice(dir: String, ranked: DataFrame, total: Long,
+                         i: Int, n: Int): Unit = {
+    val lo = i * total / n + 1
+    val hi = (i + 1) * total / n
+    val staging = Files.createTempDirectory(s"flush-$i")
+    ranked.where(col("__rn").between(lo, hi)).drop("__rn")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val part = Files.list(staging).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, Paths.get(dir, f"flush-$i%03d.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Thread.sleep(5)
+  }
+
+  test("2PC chain rollout: exactly-once across a plugin version upgrade") {
+    import graft.streaming.{ChainRollout, VersionedChain}
+    val ev = batchEvents
+    val total = ev.count()
+    val ranked = ev.withColumn("__rn",
+      row_number().over(Window.orderBy(col("ts_us"), col("event_id"))))
+    val inDir = tmp("rollout-in")
+
+    val v1 = VersionedChain(1, Changefeed(Seq(
+      TransformPlugin("to-changelog", Changelog.fromEvents),
+      MaskPlugin(Seq("props"), Mask.RedactKeepLast(2)))))
+    val v2 = VersionedChain(2, Changefeed(Seq(
+      TransformPlugin("to-changelog", Changelog.fromEvents),
+      MaskPlugin(Seq("props"), Mask.Sha256))))
+
+    val outDir = tmp("rollout-out")
+    val roll = new ChainRollout(spark, inDir, ev.schema,
+      GraftSink.Files(outDir, saveMode = SaveMode.Append),
+      tmp("rollout-ckpt"), v1)
+
+    // two flushes arrive and drain under v1
+    flushSlice(inDir, ranked, total, 0, 4)
+    flushSlice(inDir, ranked, total, 1, 4)
+    roll.start(); roll.drain()
+
+    // Prepare: broken chains fail validation without touching the feed;
+    // non-monotone versions are rejected
+    intercept[Exception] {
+      roll.prepare(VersionedChain(3, Changefeed(Seq(
+        PredicateFilter("bad", col("no_such_column") > 0)))))
+    }
+    intercept[IllegalArgumentException] { roll.prepare(v1) }
+    assert(roll.activeVersion === 1)
+
+    roll.prepare(v2)
+    assert(roll.stagedVersion === Some(2))
+    roll.prepare(v2) // idempotent re-prepare
+
+    // a flush lands while the upgrade is in flight (paused, not committed)
+    flushSlice(inDir, ranked, total, 2, 4)
+
+    roll.pause() // drained feed: no-op
+    roll.commit()
+    assert(roll.activeVersion === 2)
+    roll.commit() // idempotent re-commit
+    assert(roll.activeVersion === 2)
+
+    // resume from the SAME checkpoint under v2; one more flush after
+    flushSlice(inDir, ranked, total, 3, 4)
+    roll.start(); roll.drain()
+    // restart with no new input: checkpoint replays nothing
+    roll.start(); roll.drain()
+
+    val out = spark.read.parquet(outDir)
+    // exactly-once: every source event delivered exactly once overall
+    assert(out.count() === total)
+    assert(out.select("seq").distinct().count() === total)
+    // version boundary at the drain point: flushes 0-1 under v1, 2-3
+    // (including the one that arrived mid-upgrade) under v2 — and each
+    // half is bit-identical to that chain version run in batch
+    val half = 2 * total / 4
+    val firstHalf = ranked.where(col("__rn") <= half).drop("__rn")
+    val secondHalf = ranked.where(col("__rn") > half).drop("__rn")
+    val expected = v1.chain.run(firstHalf).withColumn("__chain_version", lit(1))
+      .unionAll(v2.chain.run(secondHalf).withColumn("__chain_version", lit(2)))
+    assert(out.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(out).count() === 0)
+  }
+
   test("windowed counts with watermark: emitted windows match batch; resolved-ts advances") {
     val (inDir, ev) = sliceIntoDir(4)
     val counts = CdcStream.windowedCounts(
