@@ -81,17 +81,23 @@ object GraftSink {
       numPartitions: Int,
       strategy: Route.Strategy = Route.KeyMod,
       orderCols: Seq[String] = Seq("commit_ts_us", "seq", "key")) extends GraftSink {
-    def write(df: DataFrame): Unit = {
+    /** The topic-log assignment alone (routing + dense offsets) — the
+      * sink's logical contract, reusable as a query and oracled by the
+      * driver (`cdc_topic`). */
+    def assign(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("__partition"))
         .orderBy(orderCols.map(col): _*)
       df.withColumn("__partition", Route(strategy, numPartitions, df))
         .repartition(numPartitions, col("__partition"))
         .withColumn("__offset", row_number().over(w).cast("long") - 1)
+    }
+
+    def write(df: DataFrame): Unit =
+      assign(df)
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__partition")
         .parquet(path)
-    }
   }
 
   /** Micro-batched idempotent writer: rows are bucketed into commit-time

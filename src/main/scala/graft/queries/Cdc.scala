@@ -134,6 +134,17 @@ object Cdc {
         .orderBy("key", "commit_ts_us", "seq")
     }),
 
+    // A23: keyed-topic sink assignment — partition routing + dense
+    // per-partition offsets (the MQ append-log contract, computed by the
+    // same code path GraftSink.Topic.write uses)
+    "cdc_topic" -> ((s, dir) => {
+      GraftSink.Topic(path = "", numPartitions = 8)
+        .assign(changelog(s, dir))
+        .select(col("__partition"), col("__offset"), col("seq"),
+          col("key").as("user_id"), col("commit_ts_us"), col("event_type"))
+        .orderBy("__partition", "__offset")
+    }),
+
     // A21: semi-structured payload extraction — JSON props parsed in the
     // scan projection (codegen'd get_json_object; no UDF)
     "cdc_json_extract" -> ((s, dir) => {
@@ -224,6 +235,16 @@ object Cdc {
         |       count(*) AS n_events,
         |       $sumCentsSql AS sum_value_e2
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_topic" -> (logCte +
+      """
+        |SELECT key % 8 AS __partition,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY key % 8
+        |         ORDER BY commit_ts_us, seq, key) - 1 AS BIGINT) AS __offset,
+        |       seq, key AS user_id, commit_ts_us, event_type
+        |FROM log
+        |ORDER BY 1, 2""".stripMargin),
 
     "cdc_json_extract" -> (logCte +
       """
