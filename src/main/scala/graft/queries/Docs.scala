@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Dedup, MinHash, SimHash, Similarity}
+import graft.operators.{AnnLsh, Dedup, MinHash, Sampling, SimHash, Similarity}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
   * oracles — dedup, similarity search, text analysis over the synthetic
@@ -27,7 +27,32 @@ object Docs {
     s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($arr, t)))::BIGINT AS hits_$lang"
   }.mkString(",\n|       ")
 
+  /** Split spec / stratified-mix rates shared by the Spark plans AND the
+    * generated oracle SQL (same constants, engines can't drift). */
+  private val splitSpec = Seq("train" -> 80, "valid" -> 10, "test" -> 10)
+  private val langMixPct = Map("en" -> 20, "zh" -> 60)
+  private val defaultMixPct = 40
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C20: deterministic train/valid/test split — md5-bucket on doc_id,
+    // a scan-local projection (no shuffle until the audit agg; the split
+    // itself is free at 100 TB and stable under re-crawls/appends)
+    "doc_split" -> ((s, dir) => {
+      Sampling.assignSplit(Tables.documents(s, dir), "doc_id", splitSpec)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    }),
+
+    // C21: stratified deterministic sample — per-language keep rates
+    // (training-mix rebalance) as a scan-local filter, engine-portable
+    "doc_sample_stratified" -> ((s, dir) => {
+      Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id",
+          "lang", langMixPct, defaultMixPct)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
 
     // C1: exact dedup over a simulated re-crawl (documents ∪ documents):
     // one content-hash shuffle with partial agg, keep min-id representative.
@@ -249,6 +274,17 @@ object Docs {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "doc_split" ->
+      s"""SELECT ${Sampling.splitCaseSql("doc_id", splitSpec)} AS split,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${Sampling.stratifiedWhereSql("doc_id", "lang", langMixPct, defaultMixPct)}
+         |ORDER BY doc_id""".stripMargin,
 
     "doc_dedup_exact" ->
       """WITH crawl AS (

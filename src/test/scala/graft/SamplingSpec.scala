@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+  private val spec = Seq("train" -> 80, "valid" -> 10, "test" -> 10)
+
+  test("assignSplit: total coverage, determinism, roughly spec-shaped") {
+    val split = Sampling.assignSplit(docs, "doc_id", spec).cache()
+    val n = docs.count()
+    // every doc gets exactly one label
+    assert(split.count() === n)
+    assert(split.where(col("split").isNull).count() === 0)
+    // deterministic: re-running assigns identical labels
+    val again = Sampling.assignSplit(docs, "doc_id", spec)
+    assert(split.exceptAll(again).count() === 0)
+    // fractions land near the spec (md5 is uniform; 500 docs → loose bounds)
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet === Set("train", "valid", "test"))
+    assert(byLabel("train") > n / 2, s"train=${byLabel("train")} of $n")
+    assert(byLabel("valid") < n / 4 && byLabel("test") < n / 4)
+  }
+
+  test("assignSplit: append-stable — old docs keep their split after a re-crawl grows the corpus") {
+    val firstHalf = docs.where(col("doc_id") % 2 === 0)
+    val small = Sampling.assignSplit(firstHalf, "doc_id", spec)
+    val full = Sampling.assignSplit(docs, "doc_id", spec)
+      .where(col("doc_id") % 2 === 0)
+    assert(small.exceptAll(full).count() === 0)
+    assert(full.exceptAll(small).count() === 0)
+  }
+
+  test("assignSplit rejects percentages that don't sum to 100") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, "doc_id", Seq("a" -> 50, "b" -> 30))
+    }
+  }
+
+  test("stratifiedSample: per-stratum rates honored, subset of input, deterministic") {
+    val pct = Map("en" -> 20, "zh" -> 60)
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang", pct, 40).cache()
+    // sample ⊆ input
+    assert(sampled.exceptAll(docs).count() === 0)
+    // kept fraction per stratum tracks its rate (loose bounds, small n)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, total) <- totals if total >= 50) {
+      val rate = kept.getOrElse(lang, 0L).toDouble / total
+      val want = pct.getOrElse(lang, 40) / 100.0
+      assert(math.abs(rate - want) < 0.15,
+        s"$lang: kept ${kept.getOrElse(lang, 0L)}/$total=$rate, want ~$want")
+    }
+    // deterministic
+    val again = Sampling.stratifiedSample(docs, "doc_id", "lang", pct, 40)
+    assert(sampled.exceptAll(again).count() === 0)
+  }
+
+  test("bucket matches the portable md5-prefix rule (JVM reference)") {
+    import java.security.MessageDigest
+    val ids = docs.select("doc_id").limit(32).collect().map(_.getLong(0))
+    val got = Sampling.assignSplit(docs.where(col("doc_id").isin(ids: _*)),
+        "doc_id", spec)
+      .withColumn("b", Sampling.bucket(col("doc_id"), 100))
+      .select("doc_id", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- ids) {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      assert(got(id) === h % 100, s"doc $id")
+    }
+  }
+}
