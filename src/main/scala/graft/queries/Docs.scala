@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Dedup, MinHash, Sampling, SimHash, Similarity}
+import graft.operators.{AnnLsh, Dedup, MinHash, Packing, Sampling, SimHash, Similarity}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
   * oracles — dedup, similarity search, text analysis over the synthetic
@@ -52,6 +52,15 @@ object Docs {
           "lang", langMixPct, defaultMixPct)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // C22: sequence packing — docs → fixed-token-budget shards, packed
+    // independently per hash bucket (window PARTITIONED by bucket; no
+    // global order anywhere)
+    "doc_pack" -> ((s, dir) => {
+      Packing.assignShards(Tables.documents(s, dir), "doc_id", "text",
+          numBuckets = 8, budgetTokens = 2048)
+        .orderBy("bucket", "start_tok")
     }),
 
     // C1: exact dedup over a simulated re-crawl (documents ∪ documents):
@@ -274,6 +283,10 @@ object Docs {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "doc_pack" ->
+      Packing.oracleSql("documents", "doc_id", "text",
+        numBuckets = 8, budgetTokens = 2048),
 
     "doc_split" ->
       s"""SELECT ${Sampling.splitCaseSql("doc_id", splitSpec)} AS split,
