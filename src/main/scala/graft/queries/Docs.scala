@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Dedup, MinHash, Packing, Sampling, SimHash, Similarity}
+import graft.operators.{AnnLsh, Decontaminate, Dedup, MinHash, Packing, Sampling, SimHash, Similarity}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
   * oracles — dedup, similarity search, text analysis over the synthetic
@@ -61,6 +61,18 @@ object Docs {
       Packing.assignShards(Tables.documents(s, dir), "doc_id", "text",
           numBuckets = 8, budgetTokens = 2048)
         .orderBy("bucket", "start_tok")
+    }),
+
+    // C23: benchmark decontamination — train docs sharing ≥5 distinct
+    // 3-grams with the simulated eval split (doc_id % 20 = 0); eval
+    // grams broadcast, train side stays one scan
+    "doc_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontaminate.overlaps(
+        train = docs.where(col("doc_id") % 20 =!= 0),
+        eval = docs.where(col("doc_id") % 20 === 0),
+        idCol = "doc_id", textCol = "text", n = 3, minOverlap = 5)
+        .orderBy("doc_id")
     }),
 
     // C1: exact dedup over a simulated re-crawl (documents ∪ documents):
@@ -287,6 +299,10 @@ object Docs {
     "doc_pack" ->
       Packing.oracleSql("documents", "doc_id", "text",
         numBuckets = 8, budgetTokens = 2048),
+
+    "doc_decontaminate" ->
+      Decontaminate.oracleSql("documents", "doc_id", "text",
+        n = 3, minOverlap = 5, evalMod = 20),
 
     "doc_split" ->
       s"""SELECT ${Sampling.splitCaseSql("doc_id", splitSpec)} AS split,
