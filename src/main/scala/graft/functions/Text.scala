@@ -25,6 +25,19 @@ object Text {
 
   def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Fraction of word n-grams that are repeats of an earlier n-gram in
+    * the same doc (Gopher-style repetition signal: boilerplate and
+    * looping generations score high). Scan-local and codegen'd: the
+    * distinct count reuses the hashed-shingle kernel
+    * ([[graft.operators.MinHash.hashedShingles]]) so no interpreted HOF
+    * runs; the total is arithmetic on the token count. The rare 32-bit
+    * shingle-hash collision affects the DuckDB mirror identically. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val total = (wsTokenCount(text) - (n - 1)).cast("double")
+    val uniq = size(graft.operators.MinHash.hashedShingles(text, n)).cast("double")
+    round(when(total > 0, lit(1.0) - uniq / total).otherwise(lit(0.0)), 4)
+  }
+
   /** Stopword lists for the n-gram language-ID heuristic. Deliberately
     * tiny — the point is the *operator* (per-language hit counting +
     * deterministic argmax), not NLP accuracy. */

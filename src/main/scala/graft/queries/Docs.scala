@@ -75,6 +75,17 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C24: repetition signals — duplicate n-gram fractions per doc
+    // (Gopher-style boilerplate/looping detector), scan-local via the
+    // hashed-shingle kernel
+    "doc_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Text.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
+          Text.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // C1: exact dedup over a simulated re-crawl (documents ∪ documents):
     // one content-hash shuffle with partial agg, keep min-id representative.
     "doc_dedup_exact" -> ((s, dir) => {
@@ -303,6 +314,23 @@ object Docs {
     "doc_decontaminate" ->
       Decontaminate.oracleSql("documents", "doc_id", "text",
         n = 3, minOverlap = 5, evalMod = 20),
+
+    "doc_repetition" -> {
+      // mirror of Text.dupNgramFrac: same grams, same md5-prefix hash
+      def frac(n: Int) = {
+        val gram = (0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+        s"""round(CASE WHEN len(t) >= $n THEN
+           |    1.0 - len(list_distinct(list_transform(
+           |      [$gram for i in generate_series(1, len(t)-${n - 1})],
+           |      x -> ('0x'||substr(md5(x),1,8))::BIGINT)))
+           |      / (len(t) - ${n - 1}) ELSE 0.0 END, 4)""".stripMargin
+      }
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |SELECT doc_id,
+         |  ${frac(2)} AS dup_2gram_frac,
+         |  ${frac(3)} AS dup_3gram_frac
+         |FROM tk ORDER BY doc_id""".stripMargin
+    },
 
     "doc_split" ->
       s"""SELECT ${Sampling.splitCaseSql("doc_id", splitSpec)} AS split,

@@ -92,6 +92,20 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("dupNgramFrac: planted repetition scores as expected; short docs score 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("aaa bbb aaa bbb aaa bbb", 3.0 / 5, 2.0 / 4), // 5 2-grams 2 uniq; 4 3-grams 2 uniq
+      ("one two three four five", 0.0, 0.0),          // no repeats
+      ("solo", 0.0, 0.0),                             // shorter than any gram
+      ("", 0.0, 0.0)
+    ).toDF("text", "want2", "want3")
+    val bad = df.where(
+      Text.dupNgramFrac(col("text"), 2) =!= round(col("want2"), 4) ||
+      Text.dupNgramFrac(col("text"), 3) =!= round(col("want3"), 4)).count()
+    assert(bad === 0)
+  }
+
   test("StopwordHits == per-language size(filter(tokens(lower), isin)) HOFs") {
     val declarative = Text.stopwords.map { case (_, words) =>
       size(filter(split(lower(col("text")), " "),
