@@ -46,6 +46,47 @@ object KMeans {
         .as("cluster"))
   }
 
+  /** Deterministic farthest-first (Gonzalez k-center) seeding — the
+    * distributed-friendly stand-in for k-means++: the classic ++ rule
+    * samples each seed ∝ D²(x) and is inherently sequential AND random;
+    * farthest-first keeps the same "spread the seeds out" geometry with
+    * no randomness (seed 0 = the min-id vector; each next seed = the
+    * point farthest from every chosen seed, min-id tiebreak), so runs
+    * are reproducible across engines and cluster layouts.
+    *
+    * Scale shape: each of the k rounds is one corpus scan — a broadcast
+    * of the ≤k chosen centroids, a per-row min distance, and a
+    * TakeOrdered(1) reduction (no global sort materializes; only ONE
+    * row reaches the driver per round). The chosen-seed frame is
+    * `localCheckpoint`ed per round, like [[fit]]'s loop. Use for
+    * moderate k (IVF nlist seeding); for k in the many thousands,
+    * fewer-pass oversampling (k-means||, Bahmani et al. VLDB'12) is the
+    * public scale path. */
+  def initFarthest(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = emb.select(col(idCol).as("__id"),
+        Vectors.toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n2", Vectors.dot(col("__v"), col("__v")))
+    var cents = e.orderBy(col("__id")).limit(1)
+      .select(lit(0L).as("label"), col("__v").as("centroid"))
+      .localCheckpoint()
+    for (j <- 1 until k) {
+      val c = cents
+        .withColumn("__c2", Vectors.dot(col("centroid"), col("centroid")))
+      val next = e.crossJoin(broadcast(c))
+        .withColumn("__dist",
+          col("__n2") - lit(2.0) * Vectors.dot(col("__v"), col("centroid"))
+            + col("__c2"))
+        .groupBy(col("__id"))
+        .agg(min(col("__dist")).as("__dmin"), first(col("__v")).as("__v"))
+        .orderBy(col("__dmin").desc, col("__id")).limit(1)
+        .select(lit(j.toLong).as("label"), col("__v").as("centroid"))
+      cents = cents.unionAll(next).localCheckpoint()
+    }
+    cents
+  }
+
   /** `iters` Lloyd iterations from the given initial centroids.
     * Returns (assignments (id, cluster), centroids (label, centroid)). */
   def fit(emb: DataFrame, idCol: String, vecCol: String,

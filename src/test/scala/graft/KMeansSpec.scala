@@ -46,6 +46,41 @@ class KMeansSpec extends SparkSpec {
     assert(secs < 120.0, f"25 iterations took $secs%.1f s - lineage blowup?")
   }
 
+  test("farthest-first init: one seed per planted blob, deterministic") {
+    import spark.implicits._
+    // three tight, well-separated 2-d blobs
+    val pts = (0 until 30).map { i =>
+      val (cx, cy) = (i % 3) match {
+        case 0 => (0.0f, 0.0f); case 1 => (10.0f, 0.0f); case 2 => (0.0f, 10.0f)
+      }
+      (i.toLong, Array(cx + (i / 3) * 0.01f, cy + (i / 3) * 0.01f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val seeds = KMeans.initFarthest(df, "vec_id", "embedding", 3)
+    assert(seeds.count() === 3)
+    val blobs = seeds.collect().map { r =>
+      val c = r.getAs[scala.collection.Seq[Double]]("centroid")
+      (math.round(c(0) / 10), math.round(c(1) / 10))
+    }.toSet
+    assert(blobs === Set((0L, 0L), (1L, 0L), (0L, 1L)),
+      s"seeds not one-per-blob: $blobs")
+    // deterministic
+    val again = KMeans.initFarthest(df, "vec_id", "embedding", 3)
+    assert(seeds.exceptAll(again).count() === 0)
+  }
+
+  test("fit from farthest-first init converges on the embeddings table") {
+    val k = 4
+    val seeds = KMeans.initFarthest(emb.limit(200), "vec_id", "embedding", k)
+    val (asg, cent) = KMeans.fit(emb.limit(200), "vec_id", "embedding",
+      seeds, iters = 3)
+    assert(cent.count() === k)
+    val c0 = KMeans.cost(emb.limit(200), "vec_id", "embedding",
+      KMeans.assign(emb.limit(200), "vec_id", "embedding", seeds), seeds)
+    val c3 = KMeans.cost(emb.limit(200), "vec_id", "embedding", asg, cent)
+    assert(c3 <= c0 + 1e-9, s"cost went up: $c0 -> $c3")
+  }
+
   test("assignment picks the true argmin centroid (spot check)") {
     val cent = init
     val asg = KMeans.assign(emb.limit(20), "vec_id", "embedding", cent)
