@@ -25,6 +25,25 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: the surviving rows of a NEW crawl batch
+    * against an already-ingested corpus — in-batch dedup (min id per
+    * distinct content) followed by an anti-join dropping content the
+    * corpus already holds.
+    *
+    * Scale shape: both sides reduce to (digest) / (digest, min id)
+    * BEFORE the anti-join, so the join shuffles 32-byte digests — never
+    * text — and the corpus side carries no payload at all. The corpus
+    * digest set can also be maintained as a bucketed table so repeated
+    * daily batches co-locate on digest with no re-shuffle. */
+  def incremental(newBatch: DataFrame, corpus: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val seen = corpus.select(sha2(col(textCol), 256).as("content_hash")).distinct()
+    newBatch
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(seen, Seq("content_hash"), "left_anti")
+  }
+
   /** Word n-gram Jaccard similarity on blocked candidate pairs: only
     * pairs sharing `blockCol` are compared (classic blocking — an
     * equi-join, so candidates ~ |block|² per block, never corpus²).

@@ -94,6 +94,22 @@ object Docs {
         .orderBy("keep_id")
     }),
 
+    // C25: incremental dedup — a re-crawl batch (docs ∪ docs, ids
+    // shifted) against the already-ingested first half of the corpus;
+    // only genuinely-new content survives
+    "doc_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // corpus = first half by id; the boundary is a broadcast 1-row agg
+      // (no driver-side scalar in the query path)
+      val half = docs.agg(floor(max(col("doc_id")) / lit(2)).as("__half"))
+      Dedup.incremental(
+        newBatch = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 1000000L)),
+        corpus = docs.crossJoin(broadcast(half))
+          .where(col("doc_id") <= col("__half")),
+        idCol = "doc_id", textCol = "text")
+        .orderBy("keep_id")
+    }),
+
     // C5: exact embedding-cosine near-dup pairs (correctness baseline;
     // the LSH-bucketed path is the 100 TB shape — SURVEY.md §5).
     "emb_neardup" -> ((s, dir) => {
@@ -314,6 +330,23 @@ object Docs {
     "doc_decontaminate" ->
       Decontaminate.oracleSql("documents", "doc_id", "text",
         n = 3, minOverlap = 5, evalMod = 20),
+
+    "doc_dedup_incremental" ->
+      """WITH half AS (
+        |  SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS h FROM documents),
+        |nb AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |agg AS (
+        |  SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |         count(*) AS n_copies
+        |  FROM nb GROUP BY 1),
+        |seen AS (
+        |  SELECT DISTINCT sha256(text) AS content_hash
+        |  FROM documents, half WHERE doc_id <= h)
+        |SELECT content_hash, keep_id, n_copies FROM agg
+        |WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+        |ORDER BY keep_id""".stripMargin,
 
     "doc_repetition" -> {
       // mirror of Text.dupNgramFrac: same grams, same md5-prefix hash
