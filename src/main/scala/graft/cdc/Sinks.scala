@@ -75,7 +75,15 @@ object GraftSink {
     * Scale shape: offset assignment is a window PARTITIONED by
     * `__partition` (never a global sort) and the physical repartition
     * co-locates each topic partition in one task — the distributed
-    * equivalent of a broker's per-partition append log. */
+    * equivalent of a broker's per-partition append log.
+    *
+    * This sink materializes the FULL topic log from the changelog it is
+    * given (that's what makes replay idempotent: same input, identical
+    * partitions). Do not drive it from `CdcStream.deliver`, where each
+    * micro-batch is a different slice — a later batch would overwrite a
+    * partition with only its own rows. For streaming delivery use
+    * [[Files]] (append) or [[Batched]]; the topic log is a batch
+    * materialization of the accumulated changelog. */
   final case class Topic(
       path: String,
       numPartitions: Int,
