@@ -63,6 +63,28 @@ object CdcStream {
         unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"), col("n_events"))
 
+  /** Gap sessionization on a stream — the streaming form of the batch
+    * [[graft.operators.Sessionize]] (A13): `session_window` merges
+    * events of a key whose gaps stay below `gap`, and a session is
+    * emitted once (append mode) when the watermark passes its close —
+    * the "flush returns resolved-ts" contract applied to sessions.
+    * State per key is the open sessions only, bounded by the watermark.
+    *
+    * Boundary convention: an event at EXACTLY `gap` after the previous
+    * one opens a new session here ( `[start, last+gap)` windows), while
+    * the batch rule (`gap > gapUs` starts a session) keeps it — only
+    * exact-to-the-microsecond gap ties differ, absent from real data
+    * (parity asserted in CdcStreamSpec). */
+  def sessionCounts(stream: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        col("n_events"))
+
   /** The query's current watermark in epoch-micros — the resolved-ts of
     * this changefeed (reference README.md:64). None until the first
     * batch with event-time data completes. */

@@ -177,6 +177,33 @@ class CdcStreamSpec extends SparkSpec {
     assert(expected.exceptAll(out).count() === 0)
   }
 
+  test("streamed gap sessions match the batch sessionization (A13 parity)") {
+    import graft.operators.Sessionize
+    val (inDir, ev) = sliceIntoDir(4)
+    val sessions = CdcStream.sessionCounts(
+      CdcStream.fromParquetDir(spark, inDir, ev.schema),
+      tsCol = "ts", keyCol = "user_id",
+      gap = "30 minutes", watermarkDelay = "1 hour")
+    val q = sessions.writeStream
+      .format("memory").queryName("gap_sessions").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table("gap_sessions")
+    val batch = Sessionize.stats(
+      ev.select("user_id", "ts_us", "event_id", "value"),
+      key = "user_id", tsUs = "ts_us", seq = "event_id",
+      gapUs = 30L * 60 * 1000000, valueCol = "value")
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+    // append mode: every emitted (closed) session matches a batch session
+    assert(emitted.count() > 0)
+    assert(emitted.exceptAll(batch).count() === 0)
+    // nearly all sessions close below the final watermark
+    assert(emitted.count() >= batch.count() / 2,
+      s"only ${emitted.count()} of ${batch.count()} sessions emitted")
+  }
+
   test("windowed counts with watermark: emitted windows match batch; resolved-ts advances") {
     val (inDir, ev) = sliceIntoDir(4)
     val counts = CdcStream.windowedCounts(
