@@ -27,11 +27,27 @@ object Docs {
     s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($arr, t)))::BIGINT AS hits_$lang"
   }.mkString(",\n|       ")
 
-  /** Split spec / stratified-mix rates shared by the Spark plans AND the
-    * generated oracle SQL (same constants, engines can't drift). */
+  /** Split spec / stratified-mix rates / decontamination + repetition
+    * thresholds shared by the Spark plans AND the generated oracle SQL
+    * (same constants, engines can't drift). */
   private val splitSpec = Seq("train" -> 80, "valid" -> 10, "test" -> 10)
   private val langMixPct = Map("en" -> 20, "zh" -> 60)
   private val defaultMixPct = 40
+  private val deconN = 3
+  private val deconMinOverlap = 5
+  private val evalMod = 20
+  private val dupFracMax = 0.2
+
+  /** DuckDB fragment mirroring [[Text.dupNgramFrac]] over `t` (the
+    * string_split token list): same grams, same md5-prefix hash. */
+  private def dupFracSql(n: Int): String = {
+    val gram = (0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+    s"""round(CASE WHEN len(t) >= $n THEN
+       |    1.0 - len(list_distinct(list_transform(
+       |      [$gram for i in generate_series(1, len(t)-${n - 1})],
+       |      x -> ('0x'||substr(md5(x),1,8))::BIGINT)))
+       |      / (len(t) - ${n - 1}) ELSE 0.0 END, 4)""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -69,10 +85,37 @@ object Docs {
     "doc_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Decontaminate.overlaps(
-        train = docs.where(col("doc_id") % 20 =!= 0),
-        eval = docs.where(col("doc_id") % 20 === 0),
-        idCol = "doc_id", textCol = "text", n = 3, minOverlap = 5)
+        train = docs.where(col("doc_id") % evalMod =!= 0),
+        eval = docs.where(col("doc_id") % evalMod === 0),
+        idCol = "doc_id", textCol = "text",
+        n = deconN, minOverlap = deconMinOverlap)
         .orderBy("doc_id")
+    }),
+
+    // C26: end-to-end curation manifest — exact dedup → decontaminate →
+    // repetition gate → stratified sample → split → per-(split, lang)
+    // doc/token counts, fused into ONE Catalyst plan (scan-local gates,
+    // broadcast eval grams, one manifest shuffle)
+    "doc_curate_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepers = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val train = docs.where(col("doc_id") % evalMod =!= 0)
+      val eval = docs.where(col("doc_id") % evalMod === 0)
+      val contaminated = Decontaminate.overlaps(train, eval,
+        "doc_id", "text", deconN, deconMinOverlap).select("doc_id")
+      val curated = train
+        .join(keepers, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .where(Text.dupNgramFrac(col("text"), deconN) < dupFracMax)
+      val mixed = Sampling.assignSplit(
+        Sampling.stratifiedSample(curated, "doc_id", "lang",
+          langMixPct, defaultMixPct),
+        "doc_id", splitSpec)
+      mixed.groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.wsTokenCount(col("text"))).as("sum_tokens"))
+        .orderBy("split", "lang")
     }),
 
     // C24: repetition signals — duplicate n-gram fractions per doc
@@ -329,7 +372,43 @@ object Docs {
 
     "doc_decontaminate" ->
       Decontaminate.oracleSql("documents", "doc_id", "text",
-        n = 3, minOverlap = 5, evalMod = 20),
+        n = deconN, minOverlap = deconMinOverlap, evalMod = evalMod),
+
+    "doc_curate_manifest" -> {
+      val gram = (0 until deconN).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+      s"""WITH keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |hv AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    [$gram for i in generate_series(1, len(t)-${deconN - 1})],
+         |    x -> ('0x'||substr(md5(x),1,8))::BIGINT)) AS h
+         |  FROM tk WHERE len(t) >= $deconN),
+         |eval_grams AS (
+         |  SELECT DISTINCT unnest(h) AS g FROM hv WHERE doc_id % $evalMod = 0),
+         |contaminated AS (
+         |  SELECT tr.doc_id
+         |  FROM (SELECT doc_id, unnest(h) AS g FROM hv
+         |        WHERE doc_id % $evalMod <> 0) tr
+         |  JOIN eval_grams USING (g)
+         |  GROUP BY 1 HAVING count(*) >= $deconMinOverlap),
+         |rep AS (SELECT doc_id, ${dupFracSql(deconN)} AS dup3 FROM tk),
+         |curated AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN keepers USING (doc_id)
+         |  JOIN rep USING (doc_id)
+         |  WHERE d.doc_id % $evalMod <> 0
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND rep.dup3 < $dupFracMax),
+         |mixed AS (
+         |  SELECT doc_id, lang, text,
+         |         ${Sampling.splitCaseSql("doc_id", splitSpec)} AS split
+         |  FROM curated
+         |  WHERE ${Sampling.stratifiedWhereSql("doc_id", "lang", langMixPct, defaultMixPct)})
+         |SELECT split, lang, count(*) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+         |FROM mixed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "doc_dedup_incremental" ->
       """WITH half AS (
@@ -348,22 +427,12 @@ object Docs {
         |WHERE content_hash NOT IN (SELECT content_hash FROM seen)
         |ORDER BY keep_id""".stripMargin,
 
-    "doc_repetition" -> {
-      // mirror of Text.dupNgramFrac: same grams, same md5-prefix hash
-      def frac(n: Int) = {
-        val gram = (0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")
-        s"""round(CASE WHEN len(t) >= $n THEN
-           |    1.0 - len(list_distinct(list_transform(
-           |      [$gram for i in generate_series(1, len(t)-${n - 1})],
-           |      x -> ('0x'||substr(md5(x),1,8))::BIGINT)))
-           |      / (len(t) - ${n - 1}) ELSE 0.0 END, 4)""".stripMargin
-      }
+    "doc_repetition" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
          |SELECT doc_id,
-         |  ${frac(2)} AS dup_2gram_frac,
-         |  ${frac(3)} AS dup_3gram_frac
-         |FROM tk ORDER BY doc_id""".stripMargin
-    },
+         |  ${dupFracSql(2)} AS dup_2gram_frac,
+         |  ${dupFracSql(3)} AS dup_3gram_frac
+         |FROM tk ORDER BY doc_id""".stripMargin,
 
     "doc_split" ->
       s"""SELECT ${Sampling.splitCaseSql("doc_id", splitSpec)} AS split,
