@@ -95,6 +95,25 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === n1)
   }
 
+  test("SinkConfig: uris compile to the right sinks and round-trip") {
+    val parsed = SinkConfig.parse(
+      "parquet:/out/x?partitionBy=__partition,op&maxRecords=5000&mode=append")
+    assert(parsed === GraftSink.Files("/out/x", "parquet",
+      Seq("__partition", "op"), 5000L, org.apache.spark.sql.SaveMode.Append))
+    assert(SinkConfig.parse("topic:/out/t?partitions=4&strategy=keyhash") ===
+      GraftSink.Topic("/out/t", 4, Route.KeyHash))
+    assert(SinkConfig.parse("batched:/out/w?windowUs=60000000") ===
+      GraftSink.Batched(GraftSink.Files("/out/w"), 60000000L))
+    assert(SinkConfig.parse("memory:my_view") === GraftSink.Memory("my_view"))
+    intercept[IllegalArgumentException] { SinkConfig.parse("kafka:/nope") }
+    intercept[IllegalArgumentException] { SinkConfig.parse("no-colon") }
+    // an end-to-end write through a parsed uri
+    val path = tmp("sink-uri")
+    SinkConfig.parse(s"json:$path").write(changelog)
+    assertSameRows(changelog,
+      spark.read.schema(changelog.schema).json(path))
+  }
+
   test("runTo delivers the plugin-chain output to the sink") {
     val path = tmp("sink-chain")
     Changefeed(Seq(
