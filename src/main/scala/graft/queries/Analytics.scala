@@ -218,6 +218,173 @@ object Analytics {
         .orderBy("n_name", "p_brand")
     }),
 
+    // B21: EXISTS semi-join per priority class (TPC-H Q4 shape, adapted:
+    // no l_commitdate in the reduced schema → "any lineitem shipped
+    // after the order date")
+    "q4_priority_exists" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= ts("1996-01-01")
+          && col("o_orderdate") < ts("1996-07-01"))
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // B22: bidirectional nation-pair trade volume by year (TPC-H Q7
+    // shape) — both nation dims broadcast; the fact-fact joins shuffle
+    "q7_volume_shipping" -> ((s, dir) => {
+      val pair = Set("NATION_3", "NATION_7")
+      val n1 = Tables.nation(s, dir)
+        .where(col("n_name").isin(pair.toSeq: _*))
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .where(col("n_name").isin(pair.toSeq: _*))
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-01-01")
+          && col("l_shipdate") < ts("1998-01-01"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sumFixed(discPrice, 4).as("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // B23: returned-item revenue ranking, top 20 customers (TPC-H Q10
+    // shape); acctbal emitted as cents-scaled BIGINT (SURVEY §6)
+    "q10_returned_top" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= ts("1996-01-01")
+          && col("o_orderdate") < ts("1996-04-01"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sumFixed(discPrice, 4).as("revenue_e4"),
+          max((dec182("c_acctbal") * 100).cast("long")).as("acctbal_e2"))
+        .orderBy(desc("revenue_e4"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // B24: promo revenue share (TPC-H Q14 shape) — conditional aggregate;
+    // the share divides two exact BIGINTs so the double is identical in
+    // both engines
+    "q14_promo_share" -> ((s, dir) => {
+      val promo = when(col("p_type") === "PROMO", discPrice)
+        .otherwise(lit(0).cast("decimal(18,4)"))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-09-01")
+          && col("l_shipdate") < ts("1996-10-01"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(Tables.part(s, dir).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sumFixed(promo, 4).as("promo_revenue_e4"),
+          sumFixed(discPrice, 4).as("total_revenue_e4"))
+        .select(col("promo_revenue_e4"), col("total_revenue_e4"),
+          round(lit(100.0) * col("promo_revenue_e4") / col("total_revenue_e4"), 4)
+            .as("promo_share"))
+    }),
+
+    // B25: small-quantity outlier revenue (TPC-H Q17 shape) — correlated
+    // scalar subquery as a per-part aggregate join; the per-part average
+    // is computed EXACTLY (integer cent sum / count) so the 20% threshold
+    // is engine-deterministic, never a parallel float sum
+    "q17_small_qty" -> ((s, dir) => {
+      val pk = Tables.part(s, dir)
+        .where(col("p_brand") === "Brand#23").select("p_partkey")
+      val l = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val avgq = l.groupBy(col("l_partkey").as("ap"))
+        .agg((sum((dec182("l_quantity") * 100).cast("decimal(38,0)")).cast("double")
+          / (lit(100.0) * count(lit(1)))).as("avg_qty"))
+      l.join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .join(avgq, col("l_partkey") === col("ap"))
+        .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(sumFixed(dec182("l_extendedprice"), 2).as("sum_price_e2"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // B26: large-volume orders (TPC-H Q18 shape) — HAVING on a grouped
+    // fact, then join back to order/customer detail
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sumFixed(dec182("l_quantity"), 2).as("sum_qty_e2"))
+        .where(col("sum_qty_e2") > 250 * 100)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+          (dec182("o_totalprice") * 100).cast("long").as("o_totalprice_e2"),
+          col("sum_qty_e2"))
+        .orderBy(desc("o_totalprice_e2"), col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // B27: disjunctive multi-range predicate (TPC-H Q19 shape) — the OR
+    // groups stay a single scan filter + one join, testing that neither
+    // engine falls back to a union of scans
+    "q19_disjunctive" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .agg(sumFixed(discPrice, 4).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // B28: churned high-value customers per nation (TPC-H Q22 shape,
+    // adapted: every customer has orders, so "idle" = none after
+    // 2000-01-01) — global exact-average scalar via broadcast 1-row agg,
+    // anti-join on recent orders
+    "q22_churned_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.where(col("c_acctbal") > 0)
+        .agg((sum((dec182("c_acctbal") * 100).cast("decimal(38,0)")).cast("double")
+          / (lit(100.0) * count(lit(1)))).as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= ts("2000-01-01"))
+        .select("o_custkey")
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum((dec182("c_acctbal") * 100).cast("decimal(38,0)")).cast("long")
+            .as("sum_acctbal_e2"))
+        .orderBy("n_name")
+    }),
+
     // B13: exact percentiles (linear interpolation, same rule as
     // DuckDB's quantile_cont)
     "q_percentile" -> ((s, dir) => {
@@ -435,6 +602,114 @@ object Analytics {
         |  AND s_nationkey = n_nationkey AND p_size <= 20
         |GROUP BY n_name, p_brand
         |ORDER BY n_name, p_brand""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  ${sumFixedSql(discPriceSql, 4)} AS revenue_e4
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND n1.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_top" ->
+      s"""SELECT c_custkey, c_name, n_name,
+        |  ${sumFixedSql(discPriceSql, 4)} AS revenue_e4,
+        |  max(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS acctbal_e2
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""SELECT promo_revenue_e4, total_revenue_e4,
+        |  round(100.0 * promo_revenue_e4 / total_revenue_e4, 4) AS promo_share
+        |FROM (
+        |  SELECT
+        |    ${sumFixedSql(
+                s"CASE WHEN p_type = 'PROMO' THEN $discPriceSql ELSE CAST(0 AS DECIMAL(18,4)) END", 4)}
+        |      AS promo_revenue_e4,
+        |    ${sumFixedSql(discPriceSql, 4)} AS total_revenue_e4
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01')""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH avgq AS (
+        |  SELECT l_partkey AS ap,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS DOUBLE)
+        |      / (100.0 * count(*)) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT)
+        |    AS sum_price_e2,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN avgq ON l.l_partkey = avgq.ap
+        |WHERE p.p_brand = 'Brand#23' AND l.l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT)
+        |      AS sum_qty_e2
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT) > 25000)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) AS o_orderdate_us,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_totalprice_e2,
+        |  sum_qty_e2
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice_e2 DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT ${sumFixedSql(discPriceSql, 4)} AS revenue_e4,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_churned_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS DOUBLE)
+        |           / (100.0 * count(*)) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT n_name, count(*) AS n_custs,
+        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT)
+        |    AS sum_acctbal_e2
+        |FROM customer, nation, avg_bal
+        |WHERE c_nationkey = n_nationkey AND c_acctbal > avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_percentile" ->
       """SELECT o_orderpriority,
