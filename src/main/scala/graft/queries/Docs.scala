@@ -129,6 +129,37 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C27: corpus length histogram — fixed-width token-count buckets,
+    // one scan + one tiny agg (corpus-shape report for mix planning)
+    "doc_length_hist" -> ((s, dir) => {
+      val n = Text.wsTokenCount(col("text"))
+      Tables.documents(s, dir)
+        .groupBy(floor(n / lit(50.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(n).as("min_tokens"), max(n).as("max_tokens"))
+        .orderBy("bucket")
+    }),
+
+    // C28: embedding health check — norm distribution + degenerate-vector
+    // counts in one pass. The mean is round(4)-bounded: norms differ at
+    // the ulp level between engines (DuckDB dots FLOAT[] natively), so a
+    // fixed-point floor would straddle integer boundaries; a rounded
+    // MEAN keeps relative float-sum error ~n·eps — far below 1e-4 at
+    // any corpus size
+    "emb_health" -> ((s, dir) => {
+      val v = graft.functions.Vectors.toDouble(col("embedding"))
+      val norm = sqrt(graft.functions.Vectors.dot(v, v))
+      Tables.embeddings(s, dir)
+        .select(norm.as("norm"), size(col("embedding")).cast("long").as("dim"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          countDistinct(col("dim")).as("n_distinct_dims"),
+          sum(when(col("norm") < 1e-12, 1L).otherwise(0L)).as("n_zero_norm"),
+          round(min(col("norm")), 4).as("min_norm"),
+          round(max(col("norm")), 4).as("max_norm"),
+          round(avg(col("norm")), 4).as("avg_norm"))
+    }),
+
     // C1: exact dedup over a simulated re-crawl (documents ∪ documents):
     // one content-hash shuffle with partial agg, keep min-id representative.
     "doc_dedup_exact" -> ((s, dir) => {
@@ -433,6 +464,26 @@ object Docs {
          |  ${dupFracSql(2)} AS dup_2gram_frac,
          |  ${dupFracSql(3)} AS dup_3gram_frac
          |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "doc_length_hist" ->
+      """SELECT CAST(floor(len(string_split(text, ' ')) / 50.0) AS BIGINT) AS bucket,
+        |       count(*) AS n_docs,
+        |       min(len(string_split(text, ' '))::BIGINT) AS min_tokens,
+        |       max(len(string_split(text, ' '))::BIGINT) AS max_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "emb_health" ->
+      """WITH e AS (
+        |  SELECT sqrt(list_dot_product(embedding, embedding)) AS norm,
+        |         len(embedding)::BIGINT AS dim
+        |  FROM embeddings)
+        |SELECT count(*) AS n_vectors,
+        |       count(DISTINCT dim) AS n_distinct_dims,
+        |       CAST(sum(CASE WHEN norm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |       round(min(norm), 4) AS min_norm,
+        |       round(max(norm), 4) AS max_norm,
+        |       round(avg(norm), 4) AS avg_norm
+        |FROM e""".stripMargin,
 
     "doc_split" ->
       s"""SELECT ${Sampling.splitCaseSql("doc_id", splitSpec)} AS split,
