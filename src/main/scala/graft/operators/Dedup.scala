@@ -44,6 +44,39 @@ object Dedup {
       .join(seen, Seq("content_hash"), "left_anti")
   }
 
+  /** Near-dup clusters from a pair list: connected components by
+    * iterative min-label propagation — every doc in a component ends
+    * with `cluster_id` = the smallest doc id reachable through near-dup
+    * pairs, which is the "keep one representative per group" step that
+    * turns pairwise near-dup output ([[MinHash.neardupPairs]]) into a
+    * drop list.
+    *
+    * Each iteration: one join of the (symmetric) edge list against the
+    * current labels and one min-aggregation — no driver-side state, and
+    * the label frame is `localCheckpoint`ed per pass like
+    * [[KMeans.fit]]. `iters` bounds the reachable diameter: near-dup
+    * components are overwhelmingly tiny cliques (docs that all resemble
+    * each other), so the default converges with slack; at 100 TB with
+    * adversarial chain-shaped components, the public scale path is the
+    * log-diameter large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce"), same per-round plan shape. */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               iters: Int = 8): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionAll(pairs.select(col(idB).as("a"), col(idA).as("b")))
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    for (_ <- 1 to iters) {
+      val viaNeighbors = edges
+        .join(labels, col("b") === col("doc_id"))
+        .select(col("a").as("doc_id"), col("cluster_id"))
+      labels = labels.unionAll(viaNeighbors)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Word n-gram Jaccard similarity on blocked candidate pairs: only
     * pairs sharing `blockCol` are compared (classic blocking — an
     * equi-join, so candidates ~ |block|² per block, never corpus²).

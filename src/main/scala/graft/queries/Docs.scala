@@ -160,6 +160,16 @@ object Docs {
           round(avg(col("norm")), 4).as("avg_norm"))
     }),
 
+    // C29: near-dup clusters — MinHash pairs → connected components
+    // (min-label propagation), the "keep one representative per group"
+    // step; doc_id BIGINT, cluster_id = component min
+    "doc_neardup_clusters" -> ((s, dir) => {
+      Dedup.clusters(
+        MinHash.neardupPairs(Tables.documents(s, dir),
+          idCol = "doc_id", textCol = "text", threshold = 0.5))
+        .orderBy("doc_id")
+    }),
+
     // C1: exact dedup over a simulated re-crawl (documents ∪ documents):
     // one content-hash shuffle with partial agg, keep min-id representative.
     "doc_dedup_exact" -> ((s, dir) => {
@@ -464,6 +474,18 @@ object Docs {
          |  ${dupFracSql(2)} AS dup_2gram_frac,
          |  ${dupFracSql(3)} AS dup_3gram_frac
          |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "doc_neardup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT id_a, id_b FROM (${MinHash.minhashOracleSql("documents", 0.5)}) mm),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS doc_id, a AS cluster_id FROM edges
+        |  UNION
+        |  SELECT e.a, r.cluster_id FROM edges e JOIN reach r ON e.b = r.doc_id)
+        |SELECT doc_id, min(cluster_id) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "doc_length_hist" ->
       """SELECT CAST(floor(len(string_split(text, ' ')) / 50.0) AS BIGINT) AS bucket,

@@ -108,6 +108,17 @@ class DocsOpsSpec extends SparkSpec {
       "distance-4 pair spread across all chunks is (by design) missed")
   }
 
+  test("clusters: chains and cliques collapse to the component-min label") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), clique {7,8,9}, isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L),
+      (7L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("simhash signature halves stay within 32 bits") {
     val sig = graft.operators.SimHash.signature(
       Tables.documents(spark, sfDir).limit(20), "doc_id", "text")
