@@ -85,6 +85,21 @@ object CdcStream {
         unix_micros(col("sw.start")).as("session_start_us"),
         col("n_events"))
 
+  /** Replay dedup on a stream — the streaming form of the batch
+    * [[graft.cdc.Materialize.dedup]] (A14): drops redelivered events by
+    * (key, seq) identity while bounding state with the watermark — an
+    * at-least-once upstream (the reference's delivery model,
+    * README.md:60-65) becomes exactly-once downstream as long as
+    * redeliveries arrive within `watermarkDelay`. State is partitioned
+    * by the dedup key across executors and entries expire as the
+    * watermark passes — never unbounded. */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String,
+                           watermarkDelay: String,
+                           idCols: Seq[String] = Seq("key", "seq")): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** The query's current watermark in epoch-micros — the resolved-ts of
     * this changefeed (reference README.md:64). None until the first
     * batch with event-time data completes. */

@@ -177,6 +177,28 @@ class CdcStreamSpec extends SparkSpec {
     assert(expected.exceptAll(out).count() === 0)
   }
 
+  test("streamed replay dedup collapses redelivered flushes (A14 streaming form)") {
+    val (inDir, ev) = sliceIntoDir(3)
+    // redeliver every flush verbatim (at-least-once upstream)
+    Files.list(Paths.get(inDir)).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.copy(p, Paths.get(p.toString.replace(".parquet", "-redelivered.parquet")))
+    }
+    val deduped = CdcStream.dedupWithinWatermark(
+      CdcStream.fromParquetDir(spark, inDir, ev.schema),
+      tsCol = "ts", watermarkDelay = "30 days", idCols = Seq("event_id"))
+    val q = deduped.writeStream
+      .format("memory").queryName("replay_dedup").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("replay_dedup")
+    assert(got.count() === ev.count())
+    assert(got.exceptAll(ev).count() === 0)
+    assert(ev.exceptAll(got).count() === 0)
+  }
+
   test("streamed gap sessions match the batch sessionization (A13 parity)") {
     import graft.operators.Sessionize
     val (inDir, ev) = sliceIntoDir(4)
