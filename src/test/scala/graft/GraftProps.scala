@@ -69,6 +69,38 @@ object GraftProps extends Properties("graft") {
       out == expected
     }
 
+  property("assignSplit partitions any id set for any valid spec") =
+    forAll(Gen.listOfN(25, Gen.choose(0L, 1000000L)),
+      Gen.choose(1, 98)) { (ids, a) =>
+      import spark.implicits._
+      // random 3-way spec summing to 100
+      val b = (100 - a) / 2
+      val spec = Seq("s1" -> a, "s2" -> b, "s3" -> (100 - a - b))
+        .filter(_._2 > 0)
+      val df = ids.distinct.toDF("id")
+      val out = operators.Sampling.assignSplit(df, "id", spec)
+      // one row per id, label ∈ spec, deterministic on re-run
+      out.count() == df.count() &&
+        out.where(!col("split").isin(spec.map(_._1): _*)).count() == 0L &&
+        out.exceptAll(operators.Sampling.assignSplit(df, "id", spec))
+          .count() == 0L
+    }
+
+  property("stratifiedSample output is always a subset keyed by the bucket rule") =
+    forAll(Gen.listOfN(25, Gen.choose(0L, 1000000L)),
+      Gen.choose(0, 100)) { (ids, pct) =>
+      import spark.implicits._
+      val df = ids.distinct.map(i => (i, if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "stratum")
+      val out = operators.Sampling.stratifiedSample(
+        df, "id", "stratum", Map("a" -> pct), 100 - pct)
+      // subset, and membership decided exactly by bucket < rate
+      out.exceptAll(df).count() == 0L &&
+        out.where(operators.Sampling.bucket(col("id"), 100) >=
+          when(col("stratum") === "a", pct).otherwise(100 - pct))
+          .count() == 0L
+    }
+
   property("sessionize: intra-session gaps <= gapUs, inter-session gaps > gapUs") =
     forAll(Gen.listOfN(30, Gen.choose(0L, 5000L)), Gen.choose(100L, 1500L)) {
       (tss, gap) =>
