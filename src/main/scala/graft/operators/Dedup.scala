@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default hot-block cap for [[ngramJaccardPairs]]: bounds per-block
+    * pair work at maxBlock² while staying a no-op for genuinely
+    * fine-grained blocking keys. Mirrored verbatim in the generated
+    * DuckDB oracle so both engines skip the same blocks. */
+  val DefaultMaxBlock = 1024
+
   /** Exact dedup on the sha256 of `textCol`: one surviving representative
     * (min id) per distinct content, plus the duplicate count.
     */
@@ -54,14 +60,19 @@ object Dedup {
     * Each iteration: one join of the (symmetric) edge list against the
     * current labels and one min-aggregation — no driver-side state, and
     * the label frame is `localCheckpoint`ed per pass like
-    * [[KMeans.fit]]. `iters` bounds the reachable diameter: near-dup
-    * components are overwhelmingly tiny cliques (docs that all resemble
-    * each other), so the default converges with slack; at 100 TB with
-    * adversarial chain-shaped components, the public scale path is the
-    * log-diameter large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce"), same per-round plan shape. */
+    * [[KMeans.fit]]. Iteration runs TO THE FIXPOINT: after each pass one
+    * cheap count on the two (checkpointed) label frames detects whether
+    * any label still changed, and the loop stops at zero — so a
+    * chain-shaped component of any diameter merges fully (a fixed pass
+    * count silently under-merges components deeper than it), and the
+    * common case (tiny cliques, converged in 2-3 passes) doesn't pay for
+    * slack passes. `maxIters` is a safety bound only; hitting it raises
+    * rather than returning a silently under-merged labeling. For
+    * guaranteed log-diameter round counts at adversarial scale, the
+    * public alternative is large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce") — same per-round plan shape. */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               iters: Int = 8): DataFrame = {
+               maxIters: Int = 64): DataFrame = {
     // materialize the edge list once: it re-enters every iteration's
     // join, and deriving it repeatedly would re-run the whole upstream
     // pair pipeline (e.g. MinHash) per pass — measured 7.3 s → ~1 s
@@ -70,13 +81,32 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-    for (_ <- 1 to iters) {
+      .localCheckpoint()
+    var changed = 1L
+    var pass = 0
+    while (changed > 0L) {
+      if (pass >= maxIters)
+        throw new IllegalStateException(
+          s"Dedup.clusters did not converge within $maxIters passes - " +
+            "component diameter exceeds the safety bound; raise maxIters " +
+            "or switch to large-star/small-star rounds")
       val viaNeighbors = edges
         .join(labels, col("b") === col("doc_id"))
         .select(col("a").as("doc_id"), col("cluster_id"))
-      labels = labels.unionAll(viaNeighbors)
+      val next = labels.unionAll(viaNeighbors)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
+      // fixpoint check: min-label propagation only ever lowers labels, so
+      // "no row changed" == converged. Both sides are checkpointed 2-long
+      // frames; this is one hash join + count, far cheaper than a wasted
+      // propagation pass (which costs an edge join over the full pair list).
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("__prev")),
+          "doc_id")
+        .where(col("cluster_id") =!= col("__prev"))
+        .count()
+      labels = next
+      pass += 1
     }
     labels
   }
@@ -93,17 +123,29 @@ object Dedup {
     * Scale caveat: this is the declared BLOCKED BASELINE, not the 100 TB
     * path. Pair count grows quadratically *per block* — if block sizes
     * grow with the corpus (they do for a coarse key like `source`), a
-    * 100× corpus means ~10,000× pairs inside each block. At scale use
-    * [[MinHash.neardupPairs]] (C2): its band-bucket equi-join keeps
-    * candidates proportional to true near-dups regardless of corpus
-    * size. Use this form only when the blocking key is genuinely
-    * fine-grained (bounded block size independent of corpus growth). */
+    * 100× corpus means ~10,000× pairs inside each block. `maxBlock` is
+    * the enforcement of that caveat (same role as [[SimHash]]'s
+    * `maxBucket` stop-bucket guard): blocks holding more than `maxBlock`
+    * docs are DROPPED from candidate generation, so a coarse blocking
+    * key degrades to "skip the hot blocks" instead of n² — per-block
+    * pair work is bounded by maxBlock² regardless of corpus growth. Docs
+    * in a skipped block get no pairs; for completeness there use
+    * [[MinHash.neardupPairs]] (C2), whose band-bucket equi-join keeps
+    * candidates proportional to true near-dups at any corpus size. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val sets = docs
+                        blockCol: String, n: Int, threshold: Double,
+                        maxBlock: Int = DefaultMaxBlock): DataFrame = {
+    val all = docs
       .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
         MinHash.hashedShingles(col(textCol), n).as("hv"))
       .where(size(col("hv")) > 0)
+    // hot-block guard: |block| > maxBlock would contribute >maxBlock²
+    // pairs — drop it (the count is a partial agg on the already-computed
+    // shingle frame; the semi-join broadcasts the small block list)
+    val smallBlocks = all.groupBy("blk")
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBlock)
+      .select("blk")
+    val sets = all.join(smallBlocks, Seq("blk"), "left_semi")
     // Small-input guard: a sub-split-size corpus file scans as ONE
     // partition, serializing every pairwise evaluation of the broadcast
     // join's stream side. Round-robin it across the cluster when the

@@ -19,17 +19,42 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Default corpus-size bound for [[neardupPairs]]: ~100k rows = ~5e9
+    * pairwise evaluations, the edge of what an exact baseline should
+    * ever be asked to do. Beyond it the operator REFUSES at runtime
+    * rather than silently launching an n² job. */
+  val DefaultMaxExactRows = 100000L
+
   /** All pairs (a < b) with cosine >= threshold. Exact baseline; the LSH
     * path is the 100 TB shape. Norms are computed once per vector (not
     * per pair), and the pairwise dot is the codegen'd [[Vectors.dot]] —
-    * same IEEE result, ~n× less work than the naive per-pair cosine. */
+    * same IEEE result, ~n× less work than the naive per-pair cosine.
+    *
+    * `maxRows` is the n² guard (the cap/assert treatment [[SimHash]]'s
+    * `maxBucket` gives buckets): the plan carries a broadcast 1-row
+    * count with an `assert_true`, so a corpus larger than `maxRows`
+    * fails fast at broadcast-build time — before any pairwise work —
+    * with a pointer to the [[AnnLsh]] scale path. In-plan (not a
+    * driver-side count action) so the guard costs one id-only partial
+    * agg and the operator stays a single Catalyst plan. */
   def neardupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double,
+                   maxRows: Long = DefaultMaxExactRows): DataFrame = {
     val e = emb.select(col(idCol), Vectors.toDouble(col(vecCol)).as("__v"))
       .withColumn("__n", Vectors.norm(col("__v")))
+    val guard = e.agg(count(lit(1)).as("__cnt"))
+      .select(assert_true(col("__cnt") <= maxRows,
+        concat(lit("Similarity.neardupPairs is the exact all-pairs baseline; refusing "),
+          col("__cnt").cast("string"),
+          lit(s" rows (> maxRows=$maxRows). Use AnnLsh.neardupPairs at scale " +
+            "or raise maxRows explicitly."))).as("__guard"))
     val a = e.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = e.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.crossJoin(broadcast(guard))
+      // assert_true yields NULL on success; referencing it in a filter
+      // keeps the assertion alive through column pruning
+      .where(col("__guard").isNull)
+      .join(b, col("id_a") < col("id_b"))
       .withColumn("cos_raw", Vectors.cosineWithNorms(
         col("__va"), col("__vb"), col("__na"), col("__nb")))
       .where(col("cos_raw") >= threshold)

@@ -36,6 +36,42 @@ object Cdc {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // A1 standalone: the row-change event model itself — every event as
+    // an I/U/D changelog row with commit-ts + seq (the derivation every
+    // other cdc_* query builds on, surfaced so coverage is self-evident)
+    "cdc_changelog" -> ((s, dir) => {
+      changelog(s, dir)
+        .select(col("seq"), col("key").as("user_id"), col("op"),
+          col("commit_ts_us"), col("event_type"), col("value"), col("props"))
+        .orderBy("seq")
+    }),
+
+    // A16: multi-table changefeed — per-table resolved-ts over a
+    // two-table feed (min over per-pipeline max ts, per table); the
+    // changefeed-level AddTable/RemoveTable surface behind it
+    "cdc_multi_resolved" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      MultiTableChangefeed.empty
+        .addTable("events_even", log.where(col("key") % 2 === 0))
+        .addTable("events_odd", log.where(col("key") % 2 === 1))
+        .resolvedTs(32)
+        .select(col("__table"), col("resolved_ts_us"))
+        .orderBy("__table")
+    }),
+
+    // A20: config-driven chain DSL — a chain parsed from its string form
+    // must produce exactly what the hand-built combinators produce (the
+    // oracle re-states the stages in SQL, so DSL == combinators == SQL)
+    "cdc_chain_config" -> ((s, dir) => {
+      ChainConfig.parse(
+        "event-filter:purchase,click | where:value > 50 " +
+          "| route:keymod/8 | mask:props=keep2,key=sha256")
+        .run(changelog(s, dir))
+        .select(col("seq"), col("key").as("user_hash"), col("event_type"),
+          col("value"), col("props").as("props_masked"), col("__partition"))
+        .orderBy("seq")
+    }),
+
     // A1+A2: changelog → latest-state snapshot, delete tombstones dropped
     "cdc_snapshot" -> ((s, dir) => {
       Materialize.snapshot(changelog(s, dir))
@@ -183,6 +219,34 @@ object Cdc {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "cdc_changelog" -> (logCte +
+      """
+        |SELECT seq, key AS user_id, op, commit_ts_us, event_type, value, props
+        |FROM log ORDER BY seq""".stripMargin),
+
+    "cdc_multi_resolved" -> (logCte +
+      """,
+        |per AS (
+        |  SELECT 'events_even' AS __table, key % 32 AS pipeline,
+        |         max(commit_ts_us) AS m
+        |  FROM log WHERE key % 2 = 0 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'events_odd', key % 32, max(commit_ts_us)
+        |  FROM log WHERE key % 2 = 1 GROUP BY 1, 2)
+        |SELECT __table, min(m) AS resolved_ts_us
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "cdc_chain_config" -> (logCte +
+      """
+        |SELECT seq, sha256(CAST(key AS VARCHAR)) AS user_hash, event_type,
+        |       value,
+        |       CASE WHEN length(props) <= 2 THEN '****'
+        |            ELSE '****' || substr(props, -2, 2) END AS props_masked,
+        |       key % 8 AS __partition
+        |FROM log
+        |WHERE event_type IN ('purchase','click') AND value > 50
+        |ORDER BY seq""".stripMargin),
 
     "cdc_snapshot" -> (logCte +
       """,

@@ -589,13 +589,18 @@ object Docs {
     "doc_simhash" -> SimHash.simhashOracleSql("documents", 4),
 
     "doc_ngram_jaccard" ->
-      """WITH s AS (
+      s"""WITH s0 AS (
         |  SELECT doc_id, source, list_distinct(list_transform(list_distinct(
         |    [t[i]||' '||t[i+1] for i in generate_series(1, len(t)-1)]),
         |    x -> ('0x'||substr(md5(x),1,8))::BIGINT)) AS hv
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t
         |        FROM documents) tt
         |  WHERE len(t) >= 2),
+        |small AS (
+        |  SELECT source FROM s0
+        |  GROUP BY source HAVING count(*) <= ${Dedup.DefaultMaxBlock}),
+        |s AS (
+        |  SELECT s0.* FROM s0 JOIN small USING (source)),
         |j AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |         len(list_intersect(a.hv, b.hv))

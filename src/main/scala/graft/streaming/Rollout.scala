@@ -108,6 +108,13 @@ final class ChainRollout(
     running = None
   }
 
+  /** '''Abort''' (rollback): discard whatever is staged. The active
+    * v(n) chain is untouched — a failed or regretted Prepare never
+    * affects the running feed, which is the RFC's idempotence story for
+    * a rollout that doesn't reach Commit. Idempotent: aborting with
+    * nothing staged is a no-op. */
+  def abort(): Unit = staged = None
+
   /** '''Commit''': promote the staged chain. The swap itself is a
     * metadata flip — delivery resumes from the shared checkpoint on the
     * next [[start]], under the new version. Idempotent: committing with

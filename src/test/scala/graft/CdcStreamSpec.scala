@@ -177,6 +177,56 @@ class CdcStreamSpec extends SparkSpec {
     assert(expected.exceptAll(out).count() === 0)
   }
 
+  test("2PC abort path: failed Prepare leaves v(n) delivering; abort discards staged") {
+    import graft.streaming.{ChainRollout, VersionedChain}
+    val ev = batchEvents
+    val total = ev.count()
+    val ranked = ev.withColumn("__rn",
+      row_number().over(Window.orderBy(col("ts_us"), col("event_id"))))
+    val inDir = tmp("abort-in")
+    val v1 = VersionedChain(1, Changefeed(Seq(
+      TransformPlugin("to-changelog", Changelog.fromEvents))))
+    val outDir = tmp("abort-out")
+    val roll = new ChainRollout(spark, inDir, ev.schema,
+      GraftSink.Files(outDir, saveMode = SaveMode.Append),
+      tmp("abort-ckpt"), v1)
+
+    flushSlice(inDir, ranked, total, 0, 2)
+    roll.start(); roll.drain()
+
+    // a Prepare that fails schema validation throws ...
+    intercept[Exception] {
+      roll.prepare(VersionedChain(2, Changefeed(Seq(
+        PredicateFilter("bad", col("no_such_column") > 0)))))
+    }
+    // ... and leaves NOTHING staged with v1 still active
+    assert(roll.stagedVersion === None)
+    assert(roll.activeVersion === 1)
+
+    // v(n) keeps delivering after the failed prepare — the feed is untouched
+    flushSlice(inDir, ranked, total, 1, 2)
+    roll.start(); roll.drain()
+    val afterFail = spark.read.parquet(outDir)
+    assert(afterFail.count() === total)
+    assert(afterFail.select("__chain_version").distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+
+    // abort rolls back a successfully-staged chain without a version swap
+    val v2 = VersionedChain(2, Changefeed(Seq(
+      TransformPlugin("to-changelog", Changelog.fromEvents))))
+    roll.prepare(v2)
+    assert(roll.stagedVersion === Some(2))
+    roll.abort()
+    assert(roll.stagedVersion === None)
+    roll.abort() // idempotent: aborting nothing is a no-op
+    roll.commit() // commit after abort: nothing staged, v1 stays
+    assert(roll.activeVersion === 1)
+
+    // re-Prepare after failure + abort succeeds and commits cleanly
+    roll.prepare(v2); roll.pause(); roll.commit()
+    assert(roll.activeVersion === 2)
+  }
+
   test("streamed replay dedup collapses redelivered flushes (A14 streaming form)") {
     val (inDir, ev) = sliceIntoDir(3)
     // redeliver every flush verbatim (at-least-once upstream)

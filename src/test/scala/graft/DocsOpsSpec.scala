@@ -119,6 +119,63 @@ class DocsOpsSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("clusters: converges on a chain deeper than any fixed pass count") {
+    import spark.implicits._
+    // path 100-101-...-112 (diameter 12): min-label propagation moves the
+    // component minimum one hop per pass, so a fixed 8-pass loop leaves
+    // the far end labeled > 100 — fixpoint iteration must fully merge it
+    val chain = (100L until 112L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.clusters(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 13)
+    assert(got.values.toSet === Set(100L), "every node must reach the component min")
+  }
+
+  test("clusters: maxIters safety bound raises instead of under-merging") {
+    import spark.implicits._
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.clusters(chain, maxIters = 2)
+    }
+  }
+
+  test("ngramJaccardPairs: blocks over maxBlock are skipped, not n²-joined") {
+    import spark.implicits._
+    // hot block (5 docs of identical text) over the cap of 4; cold block
+    // (2 near-identical docs) under it — only the cold pair may surface
+    val docs = ((1L to 5L).map(i => (i, "hot", "alpha beta gamma delta")) ++
+      Seq((10L, "cold", "one two three four"),
+          (11L, "cold", "one two three five"))).toDF("doc_id", "source", "text")
+    val got = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", "source", n = 2, threshold = 0.1, maxBlock = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 11L)),
+      "hot-block pairs must be dropped; cold-block pair must survive")
+    // cap above both block sizes -> hot pairs come back (the cap is a
+    // guard, not a semantic change for fine-grained keys)
+    val uncapped = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", "source", n = 2, threshold = 0.1, maxBlock = 100)
+      .count()
+    assert(uncapped === 11L) // C(5,2) hot + 1 cold
+  }
+
+  test("neardupPairs: refuses a corpus larger than maxRows before pairwise work") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("emb_id", "vec")
+    val ex = intercept[Exception] {
+      graft.operators.Similarity.neardupPairs(
+        emb, "emb_id", "vec", threshold = 0.5, maxRows = 2L).collect()
+    }
+    assert(ex.getMessage.contains("all-pairs") ||
+      Option(ex.getCause).exists(_.getMessage.contains("all-pairs")))
+    // under the cap the exact baseline still works
+    val ok = graft.operators.Similarity.neardupPairs(
+      emb, "emb_id", "vec", threshold = 0.5, maxRows = 10L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ok === Set((1L, 2L)))
+  }
+
   test("simhash signature halves stay within 32 bits") {
     val sig = graft.operators.SimHash.signature(
       Tables.documents(spark, sfDir).limit(20), "doc_id", "text")
