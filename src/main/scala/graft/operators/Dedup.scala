@@ -50,6 +50,35 @@ object Dedup {
       .join(seen, Seq("content_hash"), "left_anti")
   }
 
+  /** Maintain the ingested-corpus digest set as a BUCKETED table (hash-
+    * partitioned and sorted on `content_hash` at write time) so repeated
+    * daily [[incrementalAgainstDigests]] batches co-locate on digest with
+    * no re-shuffle of the corpus side — at 100 TB the corpus digest set
+    * is billions of rows, and re-shuffling it on every daily batch would
+    * dominate the job; bucketed, it is scanned in place and only the
+    * (much smaller) daily batch shuffles. `buckets` should match the
+    * batch side's agg partitioning (spark.sql.shuffle.partitions) so the
+    * join needs no additional exchange on either side. */
+  def writeCorpusDigests(corpus: DataFrame, idCol: String, textCol: String,
+                         table: String, buckets: Int): Unit =
+    corpus.select(sha2(col(textCol), 256).as("content_hash")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "content_hash").sortBy("content_hash")
+      .format("parquet").saveAsTable(table)
+
+  /** [[incremental]] against a digest table written by
+    * [[writeCorpusDigests]]: same semantics, but the corpus side is a
+    * pre-bucketed scan — the plan has NO Exchange above it (pinned by
+    * BucketingSpec). Append the surviving digests back to the table
+    * (mode=append preserves bucketing) to roll the corpus forward. */
+  def incrementalAgainstDigests(newBatch: DataFrame, digestTable: String,
+                                idCol: String, textCol: String): DataFrame =
+    newBatch
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(newBatch.sparkSession.table(digestTable),
+        Seq("content_hash"), "left_anti")
+
   /** Near-dup clusters from a pair list: connected components by
     * iterative min-label propagation — every doc in a component ends
     * with `cluster_id` = the smallest doc id reachable through near-dup

@@ -278,6 +278,16 @@ object Docs {
         .orderBy("id_a", "id_b")
     }),
 
+    // C3 guaranteed-recall variant: 5-chunk 13/13/13/13/12 pigeonhole —
+    // a hamming ≤ 4 pair must share one of 5 chunks, so maxDist=4 loses
+    // the 4-chunk mode's documented recall gap (4 bits spread across 4
+    // chunks) at the cost of one extra candidate row per doc.
+    "doc_simhash5" -> ((s, dir) => {
+      SimHash.hammingPairs(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", maxDist = 4, chunks = 5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // C4: word 2-gram Jaccard on same-source blocked candidate pairs.
     "doc_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir),
@@ -587,6 +597,8 @@ object Docs {
     "doc_minhash_lsh" -> MinHash.minhashOracleSql("documents", 0.5),
 
     "doc_simhash" -> SimHash.simhashOracleSql("documents", 4),
+
+    "doc_simhash5" -> SimHash.simhashOracleSql("documents", 4, chunks = 5),
 
     "doc_ngram_jaccard" ->
       s"""WITH s0 AS (

@@ -108,6 +108,40 @@ class DocsOpsSpec extends SparkSpec {
       "distance-4 pair spread across all chunks is (by design) missed")
   }
 
+  test("simhash 5-chunk mode recalls the distance-4 counterexample the " +
+    "4-chunk split misses (pigeonhole: 4 bits cannot cover 5 chunks)") {
+    import spark.implicits._
+    // same planted signatures as the 4-chunk cap test: pair (1,2) has one
+    // differing bit in each 16-bit quarter (bits 0, 16, 32, 48)
+    val sig = Seq(
+      (1L, 0L, 0L),
+      (2L, 0x10001L, 0x10001L)
+    ).toDF("doc_id", "sim_hi", "sim_lo")
+    val pairs = graft.operators.SimHash
+      .pairsFromSignatures(sig, maxDist = 4, chunks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 4L)),
+      "5-chunk mode must guarantee hamming<=4 recall")
+  }
+
+  test("simhash chunkRanges: covers all 64 bits exactly; n=4 is the " +
+    "classic 16-bit quarters") {
+    for (n <- 2 to 9) {
+      val rs = graft.operators.SimHash.chunkRanges(n)
+      assert(rs.map(_._2).sum === 64, s"n=$n must cover 64 bits")
+      // contiguous non-overlapping from the top
+      assert(rs.head._1 + rs.head._2 === 64)
+      rs.sliding(2).foreach { case Seq((s1, _), (s2, l2)) =>
+        assert(s1 === s2 + l2, s"n=$n chunks must tile")
+      case _ => }
+      assert(rs.last._1 === 0)
+    }
+    assert(graft.operators.SimHash.chunkRanges(4) ===
+      Seq((48, 16), (32, 16), (16, 16), (0, 16)))
+    assert(graft.operators.SimHash.chunkRanges(5) ===
+      Seq((51, 13), (38, 13), (25, 13), (12, 13), (0, 12)))
+  }
+
   test("clusters: chains and cliques collapse to the component-min label") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), clique {7,8,9}, isolated pair {20,21}
