@@ -24,8 +24,50 @@ import org.apache.spark.sql.functions._
   *  - `mask:col=sha256|null|keepN[,col=...]`
   *  - `route:keymod|keyhash|bytype/N[/physical]`
   *  - `select:a,b,c`            — projection
+  *  - `transform:<name>`        — a transform REGISTERED at runtime via
+  *                                [[registerTransform]] (see below)
+  *  - `sql:<SELECT ... FROM __input__>` — arbitrary SQL over the chain's
+  *                                current frame (see below)
+  *
+  * ==The no-recompilation / multi-language boundary==
+  *
+  * The reference's core pitch (README.md:44-48) is plugins added WITHOUT
+  * rebuilding the pipeline, in whatever language the user has. Two DSL
+  * stages deliver that boundary Spark-first:
+  *
+  *  - `transform:<name>` resolves a `DataFrame => DataFrame` from a
+  *    runtime registry. The host process (a job launcher, a plugin JAR's
+  *    static initializer, a Py4J-driven PySpark session) calls
+  *    [[registerTransform]] at startup; chain configs stored in table
+  *    properties / job config then reference it by name. Deploying a new
+  *    transform = dropping a JAR on the classpath + one registry call —
+  *    the pipeline itself is never recompiled.
+  *  - `sql:` runs any SQL statement against the chain's current frame
+  *    (exposed as the view `__input__`). Functions registered in the
+  *    SparkSession — including those registered FROM PYTHON via
+  *    `spark.udf.register` in a PySpark-bound session, or from any other
+  *    language binding — are callable here, so a non-JVM transform plugs
+  *    in as: register a UDF in your language, reference it from the
+  *    `sql:` stage string. The stage compiles into the same Catalyst
+  *    plan as every other plugin (one fused query, README.md:37-56).
   */
 object ChainConfig {
+
+  /** Runtime transform registry backing `transform:<name>` stages.
+    * Thread-safe; last registration for a name wins (re-registering is
+    * how a host hot-swaps a plugin version — pair with
+    * [[graft.streaming.ChainRollout]] for the 2PC rollout semantics). */
+  private val transforms =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]()
+
+  def registerTransform(name: String,
+                        fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+    transforms.put(name, fn)
+
+  def unregisterTransform(name: String): Unit = transforms.remove(name)
+
+  /** Unique-per-call view name so concurrent chains can't collide. */
+  private val sqlViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Note: stages are split on `|`, so a `where:` expression must use
     * SQL `OR` / `concat(...)` rather than `||`. */
@@ -46,6 +88,18 @@ object ChainConfig {
       case "where" => PredicateFilter(s"where[$arg]", expr(arg))
       case "select" => TransformPlugin(s"select[$arg]",
         df => df.select(arg.split(',').map(c => col(c.trim)).toSeq: _*))
+      case "transform" => TransformPlugin(s"transform[$arg]", df => {
+        val fn = transforms.get(arg)
+        if (fn == null) throw new IllegalArgumentException(
+          s"no transform registered under '$arg' - call " +
+            s"ChainConfig.registerTransform(\"$arg\", ...) before running the chain")
+        fn(df)
+      })
+      case "sql" => TransformPlugin(s"sql[$arg]", df => {
+        val view = s"__chain_input_${sqlViewSeq.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        df.sparkSession.sql(arg.replace("__input__", view))
+      })
       case "mask" =>
         val specs = arg.split(',').map(_.trim).map { s =>
           s.split("=", 2) match {

@@ -16,9 +16,49 @@ import org.apache.spark.sql.functions._
   * and expression-level ops (digest, header sniff, frame sampling) that
   * stay in whole-stage codegen.
   */
+/** The codec seam for [[Media.decodeFeatures]]: one instance is driven
+  * per partition — `open()` once (JNI library / codec-context init),
+  * `decode` per record, `close()` in a finally. Implementations must be
+  * serializable (they ship to executors) and deterministic per input if
+  * downstream dedup relies on the features.
+  *
+  * The container has no real image/audio codecs, so the shipped impl is
+  * [[ByteHistogramCodec]] — a clearly-marked deterministic stand-in. A
+  * real decoder (JPEG → pixel stats, PCM → spectrogram, …) is a drop-in:
+  * implement the trait, pass it to decodeFeatures; none of the Spark
+  * plumbing (schema, batching, partitioning) changes. */
+trait MediaCodec extends Serializable {
+  /** Per-partition initialization — codec contexts, JNI handles. */
+  def open(): Unit = ()
+  /** Decode one payload into a `dim`-length feature vector. */
+  def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
+  /** Per-partition teardown. */
+  def close(): Unit = ()
+}
+
+/** ======================= DECODE STUB =======================
+  * Deterministic byte-bucket histogram standing in for a real codec —
+  * the container has no image/audio libraries. Everything around it is
+  * the production shape; only this class is the fake.
+  * =========================================================== */
+object ByteHistogramCodec extends MediaCodec {
+  def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+    val feats = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      feats(java.lang.Math.floorMod(bytes(i).toInt, dim)) += 1f
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toFloat
+    var j = 0
+    while (j < dim) { feats(j) /= n; j += 1 }
+    feats
+  }
+}
+
 object Media {
 
-  /** Typed output row of the (stubbed) decoder. */
+  /** Typed output row of the decoder. */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            features: Array[Float])
 
@@ -54,36 +94,28 @@ object Media {
       substring(content, (lit(i) * stride + 1).cast("int"), lit(frameLen))): _*)
   }
 
-  /** Batched decode / feature extraction.
+  /** Batched decode / feature extraction through a [[MediaCodec]].
     *
-    * ======================= DECODE STUB =======================
-    * A real pipeline would initialize a codec per partition and decode
-    * each payload (JPEG → pixels, PCM → spectrogram, …). That library
-    * is not in this container, so the per-record step below computes a
-    * DETERMINISTIC byte-bucket histogram instead. The surrounding
-    * plumbing — binary input column, per-partition iterator, fixed-dim
-    * float vector output with a typed schema — is exactly the real
-    * shape and is what the tests verify.
-    * ===========================================================
-    */
-  def decodeFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    * The one deliberate `mapPartitions` in the library: codec libraries
+    * are imperative per-record machinery with expensive init, so the
+    * right Spark shape is per-partition driving — `open()` once per
+    * partition, `decode` per streamed record, `close()` via a task-
+    * completion listener so teardown runs even if a payload throws.
+    * Default codec is the [[ByteHistogramCodec]] stub (no real codecs
+    * in this container). */
+  def decodeFeatures(media: DataFrame, dim: Int = 16,
+                     codec: MediaCodec = ByteHistogramCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "content")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // (real impl: codec/session init here, once per partition)
+        codec.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
         it.map { case (id, kind, bytes) =>
-          val feats = new Array[Float](dim)
-          var i = 0
-          while (i < bytes.length) {
-            feats(java.lang.Math.floorMod(bytes(i).toInt, dim)) += 1f
-            i += 1
-          }
-          val n = math.max(bytes.length, 1).toFloat
-          var j = 0
-          while (j < dim) { feats(j) /= n; j += 1 }
-          MediaFeatures(id, kind, bytes.length.toLong, feats)
+          MediaFeatures(id, kind, bytes.length.toLong,
+            codec.decode(kind, bytes, dim))
         }
       }
       .toDF()

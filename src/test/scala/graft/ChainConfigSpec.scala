@@ -33,6 +33,43 @@ class ChainConfigSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions === 4)
   }
 
+  test("transform: stage resolves a runtime-registered transform by name " +
+    "(the no-recompilation plugin boundary)") {
+    ChainConfig.registerTransform("double-value",
+      df => df.withColumn("value", col("value") * 2))
+    try {
+      val out = ChainConfig.parse(
+        "event-filter:purchase | transform:double-value").run(log)
+      val reference = Changefeed(Seq(
+        EventTypeFilter(Set("purchase")),
+        TransformPlugin("x", df => df.withColumn("value", col("value") * 2))))
+        .run(log)
+      assert(out.exceptAll(reference).count() === 0)
+      assert(reference.exceptAll(out).count() === 0)
+    } finally ChainConfig.unregisterTransform("double-value")
+  }
+
+  test("transform: unknown name fails at run time with a registration hint") {
+    val chain = ChainConfig.parse("transform:not-registered") // parse is fine
+    val e = intercept[IllegalArgumentException](chain.run(log))
+    assert(e.getMessage.contains("registerTransform"))
+  }
+
+  test("sql: stage runs session-registered functions - the multi-language " +
+    "UDF boundary (python/any binding registers, the chain references)") {
+    // stand-in for a UDF registered from another language binding: the
+    // registration API and the resulting catalog entry are identical
+    spark.udf.register("chain_bump", (v: Double) => v + 1000.0)
+    val out = ChainConfig.parse(
+      "event-filter:purchase | sql:SELECT key, chain_bump(value) AS value FROM __input__")
+      .run(log)
+    val reference = Changefeed(Seq(EventTypeFilter(Set("purchase")))).run(log)
+      .selectExpr("key", "value + 1000.0 AS value")
+    assert(out.columns.toSeq === Seq("key", "value"))
+    assert(out.exceptAll(reference).count() === 0)
+    assert(reference.exceptAll(out).count() === 0)
+  }
+
   test("malformed configs fail loudly") {
     assert(intercept[IllegalArgumentException](
       ChainConfig.parse("nonsense:x")).getMessage.contains("unknown stage"))

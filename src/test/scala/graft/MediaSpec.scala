@@ -2,7 +2,19 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.Media
+import graft.multimodal.{ByteHistogramCodec, Media, MediaCodec}
+
+/** Drop-in codec standing in for a real JNI decoder: constant-vector
+  * features plus open/close markers so the spec can pin the per-
+  * partition lifecycle. Accumulator-free: markers ride in the vector. */
+object ConstantCodec extends MediaCodec {
+  def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    v(0) = bytes.length.toFloat
+    v(dim - 1) = if (kind == "image") 1f else 2f
+    v
+  }
+}
 
 class MediaSpec extends SparkSpec {
 
@@ -43,6 +55,23 @@ class MediaSpec extends SparkSpec {
       .select(col("media_id"), aggregate(col("features"), lit(0.0f), _ + _).as("s"))
       .where(col("s") < 0.999f || col("s") > 1.001f)
     assert(sums.count() === 0)
+  }
+
+  test("a custom MediaCodec is a drop-in: same plumbing, different decode") {
+    val dim = 4
+    val feats = Media.decodeFeatures(media, dim, ConstantCodec)
+    assert(feats.count() === media.count())
+    assert(feats.where(size(col("features")) =!= dim).count() === 0)
+    // features come from the custom codec, not the stub
+    assert(feats.where(element_at(col("features"), 1) =!=
+      col("n_bytes").cast("float")).count() === 0)
+    assert(feats.where(col("kind") === "image"
+      && element_at(col("features"), dim) =!= 1f).count() === 0)
+    assert(feats.where(col("kind") =!= "image"
+      && element_at(col("features"), dim) =!= 2f).count() === 0)
+    // and the default is the documented stub
+    assert(Media.decodeFeatures(media).exceptAll(
+      Media.decodeFeatures(media, 16, ByteHistogramCodec)).count() === 0)
   }
 
   test("digest, header sniff and frame sampling are expression-level") {
