@@ -82,4 +82,52 @@ object Sampling {
       .map { case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")
     s"$b < (CASE $stratum $cases ELSE $defaultPct END)"
   }
+
+  /** Quality-ordered token-budget selection: take documents in
+    * (`scoreCol` DESC, `idCol` ASC) order until the running total of
+    * `weightCol` exceeds `budget` — "best docs until the token budget is
+    * spent", the curation step that turns a scored corpus into a
+    * training set of a target size.
+    *
+    * Scale shape: the textbook form is one global window
+    * (`sum(weight) OVER (ORDER BY score DESC)`), which funnels the
+    * entire corpus through a single task. This instead decomposes the
+    * prefix sum exactly like [[graft.queries.Docs]]' vocab rank:
+    * score-band partitioning. Rows are bucketed by a coarse score band
+    * (bands are a total-order refinement: every row in a higher band
+    * sorts before every row in a lower band), the running sum inside
+    * each band is a PARTITIONED window, and each band's offset (total
+    * weight of all higher bands) comes from a broadcast join of the
+    * tiny per-band aggregate against itself. At 100 TB: one shuffle on
+    * the band key with ~|bands| ≪ cores partitions would skew, so the
+    * in-band window partitions on (band) but bands are chosen from the
+    * score's leading digits — for finer parallelism raise `bands`.
+    * Output: all selected rows + `cum_weight`, the global running total
+    * at that row. */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                   weightCol: String, budget: Long,
+                   bands: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // band 0 = best scores; floor keeps banding a pure function of the
+    // score so both engines agree on the partition for every row
+    val band = (lit(bands - 1) -
+      floor(col(scoreCol) * bands).cast("long"))
+      .as("__band")
+    val banded = df.withColumn("__band",
+      greatest(lit(0L), least(lit(bands - 1L), band)))
+    val w = Window.partitionBy(col("__band"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val inBand = banded.withColumn("__cum_in_band",
+      sum(col(weightCol)).over(w))
+    val totals = banded.groupBy(col("__band"))
+      .agg(sum(col(weightCol)).as("__band_w"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__band") < col("a.__band"), "left")
+      .groupBy(col("a.__band").as("__band2"))
+      .agg(coalesce(sum(col("b.__band_w")), lit(0L)).as("__offset"))
+    inBand.join(broadcast(offsets), col("__band") === col("__band2"))
+      .withColumn("cum_weight", col("__offset") + col("__cum_in_band"))
+      .where(col("cum_weight") <= budget)
+      .drop("__band", "__band2", "__cum_in_band", "__offset")
+  }
 }

@@ -185,13 +185,22 @@ object Analytics {
         .orderBy("o_orderpriority")
     }),
 
-    // B11: rollup / grouping sets with subtotal rows
+    // B11: rollup / grouping sets with subtotal rows. NOT a direct
+    // rollup over the fact: Expand would triple every fact row before
+    // the partial agg (measured 0.7 → 1.6 s at sf0.1 as the sum went
+    // decimal; ~3× the scan bytes at any SF). Instead aggregate to the
+    // (flag, status) grain first — one ordinary partial-agg shuffle —
+    // then rollup the |groups|-row result, where Expand is free.
+    // Summing the integer partial sums is exact, so the rewrite can't
+    // drift from the single-pass rollup the oracle runs.
     "q_rollup" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .rollup(col("l_returnflag"), col("l_linestatus"))
+      val base = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sumFixed(dec182("l_quantity"), 2).as("sum_qty_e2"),
-          count(lit(1)).as("n_rows"))
+          sumFixed(dec182("l_quantity"), 2).as("q"),
+          count(lit(1)).as("n"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("q")).as("sum_qty_e2"), sum(col("n")).as("n_rows"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -383,6 +392,128 @@ object Analytics {
           sum((dec182("c_acctbal") * 100).cast("decimal(38,0)")).cast("long")
             .as("sum_acctbal_e2"))
         .orderBy("n_name")
+    }),
+
+    // B29: national market share by year (TPC-H Q8 shape) — 7-table star:
+    // tiny dims (region, nation×2) broadcast, part filter cuts the fact
+    // before the orders join, customer/supplier left to AQE. The share is
+    // a conditional-agg ratio like Q14, so one pass computes both sums.
+    "q8_market_share" -> ((s, dir) => {
+      val p = Tables.part(s, dir).where(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= ts("1995-01-01")
+          && col("o_orderdate") < ts("1997-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+      val reg = Tables.region(s, dir).where(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val natVol = when(col("supp_nation") === "NATION_3", discPrice)
+        .otherwise(lit(0).cast("decimal(18,4)"))
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cnk"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sumFixed(natVol, 4).as("nation_volume_e4"),
+          sumFixed(discPrice, 4).as("total_volume_e4"))
+        .select(col("o_year"), col("nation_volume_e4"),
+          col("total_volume_e4"),
+          round(lit(100.0) * col("nation_volume_e4")
+            / col("total_volume_e4"), 4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // B30: customer order-count distribution (TPC-H Q13 shape) — LEFT
+    // join so zero-order customers land in the c_count=0 bucket; two
+    // partial-agg shuffles (custkey then count), no window.
+    "q13_cust_distribution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, dir).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // B31: top supplier by quarterly revenue (TPC-H Q15 shape) — the
+    // revenue view is one partial-agg shuffle; the max is a 1-row
+    // broadcast scalar (never a global sort), ties all returned.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-01-01")
+          && col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sumFixed(discPrice, 4).as("total_revenue_e4"))
+      val maxRev = rev.agg(max(col("total_revenue_e4")).as("max_rev"))
+      rev.crossJoin(broadcast(maxRev))
+        .where(col("total_revenue_e4") === col("max_rev"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+        .orderBy("s_suppkey")
+    }),
+
+    // B32: event funnel view→click→purchase — each stage is "first
+    // qualifying event strictly after the previous stage's first", so
+    // every step is an equi-join on user_id + one partial-agg shuffle;
+    // stage counts union into rows (no scalar cross-joins).
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts_us")
+      val firstView = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("view_ts"))
+      val firstClick = ev.where(col("event_type") === "click")
+        .join(firstView, "user_id")
+        .where(col("ts_us") > col("view_ts"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("click_ts"))
+      val firstPurchase = ev.where(col("event_type") === "purchase")
+        .join(firstClick, "user_id")
+        .where(col("ts_us") > col("click_ts"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("purchase_ts"))
+      firstView.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(firstClick.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(firstPurchase.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    }),
+
+    // B33: day-N retention cohorts — activity reduced to distinct
+    // (user, day) BEFORE any join, cohort = min day per user, offsets
+    // pre-distincted so the final agg is plain sums (no count-distinct
+    // Expand); every shuffle is on user_id or the tiny cohort_day.
+    "q_retention" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val activity = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"))
+        .distinct()
+      val cohort = activity.groupBy("user_id")
+        .agg(min(col("day")).as("cohort_day"))
+      activity.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          (col("day") - col("cohort_day")).as("off"))
+        .groupBy(col("cohort_day"))
+        .agg(
+          sum(when(col("off") === 0, 1L).otherwise(0L)).as("n_day0"),
+          sum(when(col("off") === 1, 1L).otherwise(0L)).as("n_day1"),
+          sum(when(col("off") === 7, 1L).otherwise(0L)).as("n_day7"))
+        .orderBy("cohort_day")
     }),
 
     // B13: exact percentiles (linear interpolation, same rule as
@@ -710,6 +841,81 @@ object Analytics {
         |WHERE c_nationkey = n_nationkey AND c_acctbal > avg_bal
         |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_market_share" ->
+      s"""WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    ${sumFixedSql(s"CASE WHEN n2.n_name = 'NATION_3' THEN $discPriceSql ELSE CAST(0 AS DECIMAL(18,4)) END", 4)} AS nation_volume_e4,
+        |    ${sumFixedSql(discPriceSql, 4)} AS total_volume_e4
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT o_year, nation_volume_e4, total_volume_e4,
+        |  round(100.0 * nation_volume_e4 / total_volume_e4, 4) AS mkt_share
+        |FROM vol ORDER BY o_year""".stripMargin,
+
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+        |  SELECT l_suppkey,
+        |    ${sumFixedSql(discPriceSql, 4)} AS total_revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_e4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_funnel" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS view_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS click_ts
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > fv.view_ts
+        |  GROUP BY e.user_id),
+        |fp AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_ts
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fc.click_ts
+        |  GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM fv
+        |UNION ALL SELECT '2_click', count(*) FROM fc
+        |UNION ALL SELECT '3_purchase', count(*) FROM fp
+        |ORDER BY stage""".stripMargin,
+
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |coh AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT cohort_day,
+        |  CAST(sum(CASE WHEN a.day - cohort_day = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_day0,
+        |  CAST(sum(CASE WHEN a.day - cohort_day = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_day1,
+        |  CAST(sum(CASE WHEN a.day - cohort_day = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_day7
+        |FROM act a JOIN coh ON a.user_id = coh.user_id
+        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
 
     "q_percentile" ->
       """SELECT o_orderpriority,

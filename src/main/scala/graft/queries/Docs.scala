@@ -37,6 +37,7 @@ object Docs {
   private val deconMinOverlap = 5
   private val evalMod = 20
   private val dupFracMax = 0.2
+  private val budgetTokens = 10000L
 
   /** DuckDB fragment mirroring [[Text.dupNgramFrac]] over `t` (the
     * string_split token list): same grams, same md5-prefix hash. */
@@ -68,6 +69,25 @@ object Docs {
           "lang", langMixPct, defaultMixPct)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // C30: token-budget corpus selection — best-quality docs until the
+    // token budget is spent. The running total is a banded prefix sum
+    // (partitioned window + broadcast band offsets), never one global
+    // unpartitioned window; see Sampling.budgetSelect for the shape.
+    "doc_budget_select" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val nUniq = size(array_distinct(toks)).cast("long")
+      val score = round(least(lit(1.0), nTokens.cast("double") / 100.0)
+        * (lit(0.5) + lit(0.5) * (nUniq.cast("double") / nTokens)), 4)
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), nTokens.as("n_tokens"), score.as("score"))
+      Sampling.budgetSelect(scored, "doc_id", "score", "n_tokens",
+          budget = budgetTokens)
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          col("cum_weight").as("cum_tokens"))
+        .orderBy(desc("score"), col("doc_id"))
     }),
 
     // C22: sequence packing — docs → fixed-token-budget shards, packed
@@ -586,6 +606,23 @@ object Docs {
         |  round(least(1.0, n_tokens / 100.0)
         |        * (0.5 + 0.5 * (n_uniq_tokens / n_tokens)), 4) AS quality_score
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "doc_budget_select" ->
+      s"""WITH q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (0.5 + 0.5 * (len(list_distinct(string_split(text, ' ')))
+        |                      / len(string_split(text, ' ')))), 4) AS score
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, score,
+        |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, n_tokens, score, cum_tokens FROM c
+        |WHERE cum_tokens <= $budgetTokens
+        |ORDER BY score DESC, doc_id""".stripMargin,
 
     "doc_token_count" ->
       """SELECT doc_id,
