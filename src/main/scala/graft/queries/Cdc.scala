@@ -16,11 +16,13 @@ object Cdc {
     * DecimalType outputs render trailing zeros and break the driver's
     * string hash, r2 lesson). */
   private def sumCents(c: String) =
-    sum((dec182(c) * 100).cast("long"))
+    sum((dec182(c) * 100).cast("decimal(38,0)")).cast("long")
 
-  /** DuckDB form of [[sumCents]]; outer CAST collapses HUGEINT. */
+  /** DuckDB form of [[sumCents]]; outer CAST collapses HUGEINT. Like
+    * Analytics.sumFixed, both engines sum in wide decimal (no silent
+    * int64 wrap at extreme SF) and only the final value must fit long. */
   private val sumCentsSql =
-    "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)"
+    "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT)"
 
   private def changelog(s: SparkSession, dir: String): DataFrame =
     Changelog.fromEvents(Tables.events(s, dir))
@@ -138,6 +140,23 @@ object Cdc {
         .agg(
           count(lit(1)).as("n_events"),
           sumCents("value").as("sum_value_e2"))
+        .orderBy("window_start_us", "event_type")
+    }),
+
+    // A12 extension: hopping (sliding) window — 15-minute windows every
+    // 5 minutes via the built-in window() expression. Each event lands
+    // in exactly 3 windows (Expand ×3 on the projected scan, partial
+    // aggs after — the expansion is on (ts, type, value), never payload)
+    "cdc_hopping" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "15 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sumCents("value").as("sum_value_e2"))
+        .select(
+          unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value_e2"))
         .orderBy("window_start_us", "event_type")
     }),
 
@@ -299,6 +318,16 @@ object Cdc {
         |       count(*) AS n_events,
         |       $sumCentsSql AS sum_value_e2
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_hopping" ->
+      s"""WITH w AS (
+        |  SELECT ((epoch_us(ts) // 300000000) - g.k) * 300000000 AS window_start_us,
+        |         event_type, value
+        |  FROM events, generate_series(0, 2) AS g(k))
+        |SELECT window_start_us, event_type,
+        |       count(*) AS n_events,
+        |       $sumCentsSql AS sum_value_e2
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cdc_topic" -> (logCte +
       """

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -38,6 +38,22 @@ object Docs {
   private val evalMod = 20
   private val dupFracMax = 0.2
   private val budgetTokens = 10000L
+
+  /** Fixed k-means centroids for the assignment-step query — a pure
+    * function of (k, j) so the Spark literals and the DuckDB list
+    * literals are generated from the same constants. */
+  private val kmK = 4
+  private val kmDim = 64
+  private def kmCentroid(k: Int): Seq[Double] =
+    (0 until kmDim).map(j => ((k * 31 + j * 17) % 13 - 6) / 6.0)
+  private def kmScoreSql(k: Int): String =
+    s"round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ${kmCentroid(k).mkString("[", ", ", "]")}), 9)"
+  /** Leftmost-argmax CASE chain (same chain in both engines): the first
+    * k whose score is >= every later score is the (min-index) argmax. */
+  private def kmCaseSql: String = (0 until kmK - 1).map { k =>
+    val conds = ((k + 1) until kmK).map(j => s"s$k >= s$j").mkString(" AND ")
+    s"WHEN $conds THEN $k"
+  }.mkString("CASE ", " ", s" ELSE ${kmK - 1} END")
 
   /** DuckDB fragment mirroring [[Text.dupNgramFrac]] over `t` (the
     * string_split token list): same grams, same md5-prefix hash. */
@@ -249,6 +265,42 @@ object Docs {
           Text.stopwords.map { case (l, _) => col(s"hits_$l") } :+
           col("pred_lang"): _*)
         .orderBy("doc_id")
+    }),
+
+    // C8 extension: label-vs-prediction confusion matrix — scan-local
+    // prediction, then one tiny (≤|langs|²-row) aggregation.
+    "doc_lang_confusion" -> ((s, dir) => {
+      val hits = Text.langHitCols(col("__hits"))
+      Tables.documents(s, dir)
+        .withColumn("__hits", Text.allLangHits(col("text")))
+        .withColumn("pred_lang", Text.predictLang(hits))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // C18 assignment step, oracle-backed: nearest-centroid assignment
+    // against FIXED constant centroids (the k-means inner loop as a
+    // verifiable query — the iterative fit itself is KMeansSpec-pinned).
+    // Broadcast-free: centroids are plan literals; one corpus scan.
+    "emb_kmeans_assign" -> ((s, dir) => {
+      val emb = graft.functions.Vectors.toDouble(col("embedding"))
+      val scoreCols = (0 until kmK).map(k =>
+        round(graft.functions.Vectors.dot(
+          emb, array(kmCentroid(k).map(lit): _*)), 9).as(s"s$k"))
+      val scored = Tables.embeddings(s, dir).select(
+        col("vec_id") +: col("label").cast("long").as("label") +: scoreCols: _*)
+      val assigned = (0 until kmK - 1).foldRight(lit((kmK - 1).toLong): Column) {
+        case (k, acc) =>
+          val geAllLater = ((k + 1) until kmK)
+            .map(j => col(s"s$k") >= col(s"s$j")).reduce(_ && _)
+          when(geAllLater, lit(k.toLong)).otherwise(acc)
+      }
+      scored.select(col("vec_id"), col("label"),
+        assigned.as("assigned"),
+        (round(greatest((0 until kmK).map(k => col(s"s$k")): _*), 4)
+          + lit(0.0)).as("best_score"))
+        .orderBy("vec_id")
     }),
 
     // C9: quality scoring — length / token / uniqueness heuristics.
@@ -591,6 +643,29 @@ object Docs {
         |       WHEN hits_es >= hits_fr THEN 'es'
         |       ELSE 'fr' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "doc_lang_confusion" ->
+      s"""WITH h AS (
+        |  SELECT lang,
+        |       $langHitsSql
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |       WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |       WHEN hits_es >= hits_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  count(*) AS n_docs
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "emb_kmeans_assign" ->
+      s"""WITH s AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    ${(0 until kmK).map(k => s"${kmScoreSql(k)} AS s$k").mkString(",\n|    ")}
+        |  FROM embeddings)
+        |SELECT vec_id, label,
+        |  CAST($kmCaseSql AS BIGINT) AS assigned,
+        |  round(greatest(${(0 until kmK).map(k => s"s$k").mkString(", ")}), 4) + 0.0 AS best_score
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "doc_quality" ->
       """WITH q AS (
