@@ -208,6 +208,24 @@ object Analytics {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // B11 extension: full CUBE (all four grouping sets) with the same
+    // pre-aggregate-then-expand shape as q_rollup — Expand runs on the
+    // |groups|-row aggregate, never the fact scan.
+    "q_cube" -> ((s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumFixed(dec182("l_extendedprice"), 2).as("p"),
+          count(lit(1)).as("n"))
+      base.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("p")).as("sum_price_e2"), sum(col("n")).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_price_e2"), col("n_rows"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
     // B12: part-profit star join (TPC-H Q9 shape) — part/supplier joins
     // left unhinted so AQE picks broadcast when a side is small at
     // runtime; at 100 TB both sides scale and shuffle-join on the key.
@@ -722,6 +740,15 @@ object Analytics {
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       ${sumFixedSql("CAST(l_extendedprice AS DECIMAL(18,2))", 2)} AS sum_price_e2,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q9_part_profit" ->

@@ -214,6 +214,19 @@ object Docs {
         .orderBy("keep_id")
     }),
 
+    // C1 filter form: every row annotated with its digest, the keeper
+    // id for its content, and an is_duplicate flag — what a pipeline
+    // uses to drop dupes while keeping lineage. One digest shuffle.
+    "doc_dedup_mark" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val doubled = docs.unionAll(
+        docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.markDuplicates(doubled, "doc_id", "text")
+        .select(col("doc_id"), col("content_hash"), col("keep_id"),
+          col("is_duplicate"))
+        .orderBy("doc_id")
+    }),
+
     // C25: incremental dedup — a re-crawl batch (docs ∪ docs, ids
     // shifted) against the already-ingested first half of the corpus;
     // only genuinely-new content survives
@@ -606,6 +619,18 @@ object Docs {
         |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM crawl GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "doc_dedup_mark" ->
+      """WITH crawl AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |keepers AS (
+        |  SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id
+        |  FROM crawl GROUP BY 1)
+        |SELECT c.doc_id, k.content_hash, k.keep_id,
+        |       c.doc_id <> k.keep_id AS is_duplicate
+        |FROM crawl c JOIN keepers k ON sha256(c.text) = k.content_hash
+        |ORDER BY c.doc_id""".stripMargin,
 
     "emb_neardup" ->
       s"""WITH e AS (

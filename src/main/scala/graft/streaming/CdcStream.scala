@@ -63,6 +63,22 @@ object CdcStream {
         unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"), col("n_events"))
 
+  /** Hopping (sliding) window counts with a watermark — the streaming
+    * form of the batch `cdc_hopping` query (A12). Identical plan shape
+    * to [[windowedCounts]] plus the slide: each event expands into
+    * len/slide windows BEFORE the stateful agg, so state stays
+    * per-(window, type) and the watermark closes windows exactly as in
+    * the tumbling case. */
+  def hoppingCounts(stream: DataFrame, tsCol: String, windowLen: String,
+                    slide: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"))
+
   /** Gap sessionization on a stream — the streaming form of the batch
     * [[graft.operators.Sessionize]] (A13): `session_window` merges
     * events of a key whose gaps stay below `gap`, and a session is

@@ -301,4 +301,30 @@ class CdcStreamSpec extends SparkSpec {
     assert(emitted.count() >= batch.count() / 2,
       s"only ${emitted.count()} of ${batch.count()} windows emitted")
   }
+
+  test("hopping counts with watermark: emitted windows match the batch " +
+    "sliding-window result (A12 streaming parity)") {
+    val (inDir, ev) = sliceIntoDir(4)
+    val counts = CdcStream.hoppingCounts(
+      CdcStream.fromParquetDir(spark, inDir, ev.schema),
+      tsCol = "ts", windowLen = "15 minutes", slide = "5 minutes",
+      watermarkDelay = "30 minutes")
+    val q = counts.writeStream
+      .format("memory").queryName("hop_counts").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt_hop"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table("hop_counts")
+    val batch = ev
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"))
+    assert(emitted.count() > 0)
+    assert(emitted.exceptAll(batch).count() === 0)
+    assert(emitted.count() >= batch.count() / 2,
+      s"only ${emitted.count()} of ${batch.count()} windows emitted")
+  }
 }

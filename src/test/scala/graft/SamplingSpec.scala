@@ -62,6 +62,29 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.exceptAll(again).count() === 0)
   }
 
+  test("budgetSelect: banded prefix sum equals the single-global-window " +
+    "reference, including heavy score ties across band boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // synthetic scores engineered for ties and band-edge values
+    val rows = (1L to 400L).map { id =>
+      (id, (id % 7) + 1, math.rint(((id * 13) % 21) / 20.0 * 10000) / 10000)
+    }
+    val df = rows.toDF("doc_id", "n_tokens", "score")
+    for (budget <- Seq(50L, 300L, 100000L); bands <- Seq(1, 5, 20)) {
+      val got = Sampling.budgetSelect(df, "doc_id", "score", "n_tokens",
+        budget, bands)
+      val ref = df.withColumn("cum_weight",
+          sum(col("n_tokens")).over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+        .where(col("cum_weight") <= budget)
+      assert(got.select("doc_id", "cum_weight")
+        .exceptAll(ref.select("doc_id", "cum_weight")).count() === 0
+        && got.count() === ref.count(),
+        s"budget=$budget bands=$bands")
+    }
+  }
+
   test("bucket matches the portable md5-prefix rule (JVM reference)") {
     import java.security.MessageDigest
     val ids = docs.select("doc_id").limit(32).collect().map(_.getLong(0))
