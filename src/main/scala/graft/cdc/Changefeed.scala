@@ -114,6 +114,19 @@ object Route {
   }
 }
 
+/** Per-plugin validation verdict from [[Changefeed.diagnose]]. */
+final case class PluginCheck(plugin: String, status: PluginCheck.Status,
+                             error: Option[String])
+object PluginCheck {
+  sealed trait Status
+  /** Analyzed cleanly against the incoming schema. */
+  case object Ok extends Status
+  /** This plugin is the one that breaks the chain. */
+  case object Failed extends Status
+  /** Downstream of the failure — not meaningfully checkable. */
+  case object NotReached extends Status
+}
+
 /** An ordered plugin chain over a changelog. */
 final case class Changefeed(plugins: Seq[Plugin]) {
   def run(changelog: DataFrame): DataFrame =
@@ -123,4 +136,35 @@ final case class Changefeed(plugins: Seq[Plugin]) {
     * changefeed → plugins → sink, README.md:37-56). */
   def runTo(changelog: DataFrame, sink: GraftSink): Unit =
     sink.write(run(changelog))
+
+  /** Per-plugin validation (the RFC future-work safety item: a bad
+    * plugin must FAIL VALIDATION, not crash the feed): analyze the
+    * chain stage by stage over an empty frame of `schema`, attributing
+    * the first failure to the specific plugin that introduced it.
+    * Everything downstream of a failure is `NotReached` (its input
+    * schema is unknowable). Construction-time exceptions and analysis
+    * exceptions are both caught — a plugin can't take the validator
+    * down either way. Used by [[graft.streaming.ChainRollout]].prepare
+    * so a staged chain is rejected WITH the culprit's name. */
+  def diagnose(spark: org.apache.spark.sql.SparkSession,
+               schema: org.apache.spark.sql.types.StructType): Seq[PluginCheck] = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val (checks, _) = plugins.foldLeft(
+      (Vector.empty[PluginCheck], Option(empty))) {
+      case ((acc, None), p) =>
+        (acc :+ PluginCheck(p.name, PluginCheck.NotReached, None), None)
+      case ((acc, Some(df)), p) =>
+        try {
+          val out = p(df)
+          out.schema // force analysis
+          (acc :+ PluginCheck(p.name, PluginCheck.Ok, None), Some(out))
+        } catch {
+          case e: Exception =>
+            (acc :+ PluginCheck(p.name, PluginCheck.Failed,
+              Some(e.getMessage)), None)
+        }
+    }
+    checks
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
@@ -84,18 +84,25 @@ final class ChainRollout(
   /** Block until the in-flight drain completes (phase-1 helper). */
   def drain(): Unit = running.foreach(_.awaitTermination())
 
-  /** '''Prepare''': stage the next chain version. Validates by running
-    * the chain's analysis over an empty changelog of the source schema —
-    * a broken plugin fails HERE, leaving the running v(n) feed
-    * untouched. Idempotent: re-preparing the same version re-validates
-    * and re-stages. Staging a version at or below the active one is
-    * rejected (the monotonicity that makes commit replay-safe). */
+  /** '''Prepare''': stage the next chain version. Validates PER PLUGIN
+    * over an empty changelog of the source schema
+    * ([[Changefeed.diagnose]]) — a broken plugin fails HERE, named in
+    * the rejection, leaving the running v(n) feed untouched (the RFC
+    * future-work safety item: a bad plugin must fail validation, not
+    * crash the feed). Idempotent: re-preparing the same version
+    * re-validates and re-stages. Staging a version at or below the
+    * active one is rejected (the monotonicity that makes commit
+    * replay-safe). */
   def prepare(next: VersionedChain): Unit = {
     require(next.version > active.version,
       s"rollout must move forward: staged v${next.version} vs active v${active.version}")
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
-    next.chain.run(empty).schema // force analysis; throws on a broken chain
+    val failed = next.chain.diagnose(spark, schema)
+      .find(_.status == graft.cdc.PluginCheck.Failed)
+    failed.foreach { f =>
+      throw new IllegalArgumentException(
+        s"Prepare rejected chain v${next.version}: plugin '${f.plugin}' " +
+          s"failed validation: ${f.error.getOrElse("")}")
+    }
     staged = Some(next)
   }
 

@@ -194,11 +194,14 @@ class CdcStreamSpec extends SparkSpec {
     flushSlice(inDir, ranked, total, 0, 2)
     roll.start(); roll.drain()
 
-    // a Prepare that fails schema validation throws ...
-    intercept[Exception] {
+    // a Prepare that fails schema validation throws, NAMING the culprit
+    // plugin (per-plugin diagnosis, not just a chain-level failure) ...
+    val rejection = intercept[Exception] {
       roll.prepare(VersionedChain(2, Changefeed(Seq(
         PredicateFilter("bad", col("no_such_column") > 0)))))
     }
+    assert(rejection.getMessage.contains("'bad'"),
+      s"rejection must name the failed plugin: ${rejection.getMessage}")
     // ... and leaves NOTHING staged with v1 still active
     assert(roll.stagedVersion === None)
     assert(roll.activeVersion === 1)

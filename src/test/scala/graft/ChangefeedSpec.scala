@@ -91,4 +91,36 @@ class ChangefeedSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.where(col("event_type") =!= "****se").count() === 0)
   }
+
+  test("diagnose: clean chain reports every plugin Ok") {
+    val checks = Changefeed(Seq(
+      EventTypeFilter(Set("purchase")),
+      MaskPlugin(Seq("props"), Mask.Sha256))).diagnose(spark, log.schema)
+    assert(checks.map(_.status) === Seq(PluginCheck.Ok, PluginCheck.Ok))
+    assert(checks.forall(_.error.isEmpty))
+  }
+
+  test("diagnose: the breaking plugin is named Failed, downstream is " +
+    "NotReached, upstream stays Ok — and the validator itself survives") {
+    val checks = Changefeed(Seq(
+      EventTypeFilter(Set("purchase")),                     // fine
+      PredicateFilter("broken", col("no_such_col") > 0),    // analysis error
+      MaskPlugin(Seq("props"), Mask.Sha256)))               // after the break
+      .diagnose(spark, log.schema)
+    assert(checks.map(_.status) ===
+      Seq(PluginCheck.Ok, PluginCheck.Failed, PluginCheck.NotReached))
+    assert(checks(1).plugin === "broken")
+    assert(checks(1).error.exists(_.contains("no_such_col")))
+  }
+
+  test("diagnose: a plugin that THROWS at construction time is caught, " +
+    "not propagated (failure isolation)") {
+    val checks = Changefeed(Seq(
+      TransformPlugin("explodes", _ => sys.error("plugin bug")),
+      EventTypeFilter(Set("purchase"))))
+      .diagnose(spark, log.schema)
+    assert(checks.map(_.status) ===
+      Seq(PluginCheck.Failed, PluginCheck.NotReached))
+    assert(checks.head.error.exists(_.contains("plugin bug")))
+  }
 }
