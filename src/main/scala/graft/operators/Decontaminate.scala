@@ -38,6 +38,86 @@ object Decontaminate {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** FUZZY decontamination: train docs whose MinHash bands collide with
+    * an eval doc's and whose exact Jaccard (on the hashed shingle sets)
+    * is ≥ `threshold` — catches paraphrased/near-copy contamination that
+    * exact n-gram overlap counting ([[overlaps]]) undercounts when the
+    * wording shifts. Output: idCol, n_eval_matches, max_jaccard.
+    *
+    * Scale shape: the eval side is benchmark-sized, so its (band, key)
+    * rows BROADCAST (hashed shingle sets riding along); the train side
+    * is one scan + a 4-band explode into the broadcast hash join.
+    * Train×eval is never formed — candidates ~ true near-dups exactly
+    * like [[MinHash.neardupPairs]], but one-sided. */
+  def fuzzyOverlaps(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, threshold: Double): DataFrame = {
+    val evalBands = MinHash.bandRows(MinHash.signature(eval, idCol, textCol))
+      .select(col("band"), col("bkey"),
+        col("doc_id").as("__eval_id"), col("hv").as("he"))
+    val trainBands = MinHash.bandRows(MinHash.signature(train, idCol, textCol))
+      .select(col("doc_id"), col("hv").as("ht"), col("band"), col("bkey"))
+    val inter = graft.functions.SetOps
+      .sortedIntersectCount(col("ht"), col("he")).cast("double")
+    val jac = inter / (size(col("ht")) + size(col("he")) - inter)
+    trainBands
+      .join(broadcast(evalBands), Seq("band", "bkey"))
+      // a (train, eval) pair can collide in several bands — collapse
+      // before the one Jaccard per pair (partial-agg map-side dedup)
+      .groupBy(col("doc_id"), col("__eval_id"))
+      .agg(first(col("ht")).as("ht"), first(col("he")).as("he"))
+      .withColumn("__jac", jac)
+      .where(col("__jac") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        round(max(col("__jac")), 4).as("max_jaccard"))
+  }
+
+  /** DuckDB form of [[fuzzyOverlaps]] with eval = `$id % evalMod = 0`,
+    * generated from the SAME MinHash constants as the Spark plan. */
+  def fuzzyOracleSql(table: String, id: String, text: String,
+                     threshold: Double, evalMod: Int): String = {
+    val mhExprs = MinHash.coeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(h, v -> (v*$a+$b)%${MinHash.P})) AS mh_$j"
+    }.mkString(",\n       ")
+    val bandSelects = (0 until MinHash.numBands).map { b =>
+      val key = (0 until MinHash.rowsPerBand)
+        .map(r => s"CAST(mh_${b * MinHash.rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT $id, $b AS band, $key AS bkey FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tk AS (
+       |  SELECT $id, string_split($text, ' ') AS t FROM $table),
+       |sh AS (
+       |  SELECT $id, list_distinct(
+       |    [t[i]||' '||t[i+1]||' '||t[i+2] for i in generate_series(1, len(t)-2)]) AS s
+       |  FROM tk WHERE len(t) >= 3),
+       |hv AS (
+       |  SELECT $id, list_sort(list_distinct(
+       |    list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT))) AS h
+       |  FROM sh),
+       |mh AS (
+       |  SELECT $id,
+       |       $mhExprs
+       |  FROM hv),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT tr.$id AS train_id, ev.$id AS eval_id
+       |  FROM bands tr JOIN bands ev
+       |    ON tr.band = ev.band AND tr.bkey = ev.bkey
+       |  WHERE tr.$id % $evalMod <> 0 AND ev.$id % $evalMod = 0),
+       |jac AS (
+       |  SELECT train_id, eval_id,
+       |         len(list_intersect(a.h, b.h)) / len(list_distinct(a.h || b.h)) AS j
+       |  FROM cand
+       |  JOIN hv a ON cand.train_id = a.$id
+       |  JOIN hv b ON cand.eval_id = b.$id)
+       |SELECT train_id AS $id, count(*) AS n_eval_matches,
+       |       round(max(j), 4) AS max_jaccard
+       |FROM jac WHERE j >= $threshold
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB form of [[overlaps]] with eval = `$id % evalMod = 0` (the
     * query's simulated held-out split) — same shingle rule, same hash,
     * same threshold, generated from the same constants. */

@@ -38,6 +38,7 @@ object Docs {
   private val evalMod = 20
   private val dupFracMax = 0.2
   private val budgetTokens = 10000L
+  private val fuzzyThreshold = 0.5
 
   /** Fixed k-means centroids for the assignment-step query — a pure
     * function of (k, j) so the Spark literals and the DuckDB list
@@ -125,6 +126,19 @@ object Docs {
         eval = docs.where(col("doc_id") % evalMod === 0),
         idCol = "doc_id", textCol = "text",
         n = deconN, minOverlap = deconMinOverlap)
+        .orderBy("doc_id")
+    }),
+
+    // C23 extension: FUZZY decontamination — train docs MinHash-band-
+    // colliding with an eval doc and Jaccard-verified ≥ threshold;
+    // catches paraphrased contamination exact n-gram counting misses.
+    // Eval bands broadcast; train×eval never formed.
+    "doc_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontaminate.fuzzyOverlaps(
+        train = docs.where(col("doc_id") % evalMod =!= 0),
+        eval = docs.where(col("doc_id") % evalMod === 0),
+        idCol = "doc_id", textCol = "text", threshold = fuzzyThreshold)
         .orderBy("doc_id")
     }),
 
@@ -336,6 +350,29 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C9 extension: per-source curation report — doc counts, token
+    // volume, exact integer-average quality, exact median tokens. One
+    // partial-agg shuffle on the (low-cardinality) source key; the
+    // integer-sum average is engine-deterministic like q17's.
+    "doc_source_report" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val nUniq = size(array_distinct(toks)).cast("long")
+      val score = round(least(lit(1.0), nTokens.cast("double") / 100.0)
+        * (lit(0.5) + lit(0.5) * (nUniq.cast("double") / nTokens)), 4)
+      Tables.documents(s, dir)
+        .select(col("source"), nTokens.as("n_tokens"), score.as("score"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          round(sum((col("score") * 10000).cast("decimal(38,0)"))
+            .cast("double") / (lit(10000.0) * count(lit(1))), 4)
+            .as("avg_quality"),
+          round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"))
+        .orderBy("source")
+    }),
+
     // C10: token counting — whitespace + BPE-ish regex segmentation.
     "doc_token_count" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -509,6 +546,10 @@ object Docs {
     "doc_decontaminate" ->
       Decontaminate.oracleSql("documents", "doc_id", "text",
         n = deconN, minOverlap = deconMinOverlap, evalMod = evalMod),
+
+    "doc_decontaminate_fuzzy" ->
+      Decontaminate.fuzzyOracleSql("documents", "doc_id", "text",
+        threshold = fuzzyThreshold, evalMod = evalMod),
 
     "doc_curate_manifest" -> {
       val gram = (0 until deconN).map(o => s"t[i+$o]").mkString(" || ' ' || ")
@@ -706,6 +747,21 @@ object Docs {
         |  round(least(1.0, n_tokens / 100.0)
         |        * (0.5 + 0.5 * (n_uniq_tokens / n_tokens)), 4) AS quality_score
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "doc_source_report" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (0.5 + 0.5 * (len(list_distinct(string_split(text, ' ')))
+        |                      / len(string_split(text, ' ')))), 4) AS score
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  round(CAST(sum(CAST(score * 10000 AS DECIMAL(38,0))) AS DOUBLE)
+        |        / (10000.0 * count(*)), 4) AS avg_quality,
+        |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "doc_budget_select" ->
       s"""WITH q AS (
