@@ -39,6 +39,31 @@ object Materialize {
       .agg(max(col("commit_ts_us")).as("max_ts_us"))
       .agg(min(col("max_ts_us")).as("resolved_ts_us"))
 
+  /** Feed-health / checkpoint-lag report (the TiCDC "checkpoint lag"
+    * operational metric, reference README.md:64-65): per processing
+    * pipeline, its event count, max committed ts, the feed-wide
+    * resolved-ts, and how far the pipeline's frontier runs AHEAD of the
+    * resolved-ts (`lag_us` = max_ts − resolved-ts; the slowest pipeline
+    * shows 0 and is the one holding the checkpoint back).
+    *
+    * Scale shape: ONE map-side-combined aggregation over the changelog
+    * down to |pipelines| rows; the resolved-ts scalar joins back as a
+    * broadcast of a 1-row aggregate over the CHECKPOINTED per-pipeline
+    * frame — the corpus is scanned exactly once. */
+  def feedLag(changelog: DataFrame, numPartitions: Int = 32): DataFrame = {
+    val per = changelog
+      .groupBy(pmod(col("key"), lit(numPartitions.toLong)).as("pipeline"))
+      .agg(max(col("commit_ts_us")).as("max_ts_us"),
+        count(lit(1)).as("n_events"))
+      .localCheckpoint()
+    val resolved = per.agg(min(col("max_ts_us")).as("resolved_ts_us"))
+    per.crossJoin(broadcast(resolved))
+      .select(col("pipeline"), col("n_events"), col("max_ts_us"),
+        col("resolved_ts_us"),
+        (col("max_ts_us") - col("resolved_ts_us")).as("lag_us"))
+      .orderBy("pipeline")
+  }
+
   /** Net change per key between two resolved-ts points — what a
     * warehouse sink applies per flush (reference README.md:24,64: batch
     * writes advance from one ResolvedTs to the next). For every key with

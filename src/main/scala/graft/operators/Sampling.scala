@@ -130,4 +130,50 @@ object Sampling {
       .where(col("cum_weight") <= budget)
       .drop("__band", "__band2", "__cum_in_band", "__offset")
   }
+
+  /** Temperature-scaled domain-mixture weights: per-stratum sampling
+    * weight w_i ∝ n_i^alpha (the Pile/ROOTS-style mixture rule — alpha=1
+    * is proportional sampling, alpha=0 uniform, alpha∈(0,1) up-weights
+    * small domains), plus the epochs each stratum contributes toward a
+    * target token budget (budget·w_i / n_i — >1 means the domain
+    * repeats).
+    *
+    * Scale shape: ONE partial-aggregated groupBy on the stratum key (the
+    * only full-corpus pass), then all the weight math happens on the
+    * |strata|-row aggregate — the normalizing constant joins back as a
+    * broadcast of a 1-row aggregate, never a second corpus scan and
+    * never a window. Output rows = |strata|, so at 100 TB this costs
+    * exactly one map-side-combined shuffle of (stratum, count) pairs. */
+  def mixtureWeights(df: DataFrame, stratumCol: String, weightCol: Column,
+                     alpha: Double, budget: Long): DataFrame = {
+    // localCheckpoint the |strata|-row aggregate: the normalizer re-reads
+    // it, and without the checkpoint that lineage re-runs the full corpus
+    // scan a second time
+    val perStratum = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(weightCol).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("__w", pow(col("n_tokens").cast("double"), lit(alpha)))
+      .localCheckpoint()
+    val z = perStratum.agg(sum(col("__w")).as("__z"))
+    perStratum.crossJoin(broadcast(z))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(col("__w") / col("__z"), 4).as("mix_weight"),
+        round(lit(budget.toDouble) * (col("__w") / col("__z"))
+          / col("n_tokens"), 4).as("epochs"))
+  }
+
+  /** DuckDB mirror of [[mixtureWeights]] (same constants, same math). */
+  def mixtureWeightsSql(table: String, stratum: String, weightExpr: String,
+                        alpha: Double, budget: Long): String =
+    s"""WITH per AS (
+       |  SELECT $stratum AS stratum,
+       |         CAST(sum($weightExpr) AS BIGINT) AS n_tokens,
+       |         count(*) AS n_docs
+       |  FROM $table GROUP BY 1),
+       |z AS (SELECT sum(pow(n_tokens, $alpha)) AS z FROM per)
+       |SELECT stratum, n_docs, n_tokens,
+       |       round(pow(n_tokens, $alpha) / z, 4) AS mix_weight,
+       |       round($budget * (pow(n_tokens, $alpha) / z) / n_tokens, 4)
+       |         AS epochs
+       |FROM per, z ORDER BY stratum""".stripMargin
 }

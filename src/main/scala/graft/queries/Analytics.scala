@@ -487,6 +487,60 @@ object Analytics {
         .orderBy("s_suppkey")
     }),
 
+    // B34: date-spine gap-fill + 7-day moving window — daily revenue per
+    // market segment with missing days zero-filled against a generated
+    // date spine, then an exact 7-day rolling cent-sum. The spine is
+    // |segments| × |days| (tiny: it comes from a broadcast 1-row
+    // min/max agg exploded into dates, cross-joined with the 5-row
+    // segment list), so the only corpus-sized work is the daily
+    // partial-agg shuffle; the rolling window partitions by segment.
+    "q_gapfill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sumFixed(dec182("o_totalprice"), 2).as("rev_c"))
+      val days = Tables.orders(s, dir)
+        .agg(min(to_date(col("o_orderdate"))).as("d0"),
+          max(to_date(col("o_orderdate"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val segments = Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("segment")).distinct()
+      val spine = segments.crossJoin(broadcast(days))
+      val w = Window.partitionBy(col("segment")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      spine.join(daily, Seq("segment", "day"), "left")
+        .withColumn("revenue_cents", coalesce(col("rev_c"), lit(0L)))
+        .select(col("segment"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("revenue_cents"),
+          sum(col("revenue_cents")).over(w).as("revenue_7d_cents"))
+        .orderBy("segment", "day")
+    }),
+
+    // B35: year-over-year monthly revenue — the lag(12) comparison done
+    // as an equi-self-join on the month index over the CHECKPOINTED
+    // ~80-row monthly aggregate (a lag window over the global month
+    // order would be one unpartitioned sort; the tiny-side self-join
+    // shape costs one broadcast instead, and the corpus is scanned
+    // exactly once thanks to the checkpoint).
+    "q_yoy" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sumFixed(dec182("o_totalprice"), 2).as("revenue_cents"))
+        .withColumn("__m", col("yr") * 12 + col("mo"))
+        .localCheckpoint()
+      val prev = monthly.select((col("__m") + 12).as("__m"),
+        col("revenue_cents").as("prev_year_cents"))
+      monthly.join(broadcast(prev), Seq("__m"), "left")
+        .select(col("yr"), col("mo"), col("revenue_cents"),
+          col("prev_year_cents"),
+          round((col("revenue_cents") - col("prev_year_cents"))
+            * 100.0 / col("prev_year_cents"), 4).as("yoy_pct"))
+        .orderBy("yr", "mo")
+    }),
+
     // B32: event funnel view→click→purchase — each stage is "first
     // qualifying event strictly after the previous stage's first", so
     // every step is an equi-join on user_id + one partial-agg shuffle;
@@ -911,6 +965,45 @@ object Analytics {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_gapfill" ->
+      s"""WITH daily AS (
+        |  SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+        |    ${sumFixedSql("CAST(o_totalprice AS DECIMAL(18,2))", 2)} AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+        |         max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        |days AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM bounds),
+        |segs AS (SELECT DISTINCT c_mktsegment AS segment FROM customer),
+        |spine AS (SELECT segment, day FROM segs, days),
+        |filled AS (
+        |  SELECT segment, day, coalesce(rev_c, 0) AS revenue_cents
+        |  FROM spine LEFT JOIN daily USING (segment, day))
+        |SELECT segment, strftime(day, '%Y-%m-%d') AS day, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (
+        |    PARTITION BY segment ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS revenue_7d_cents
+        |FROM filled ORDER BY segment, day""".stripMargin,
+
+    "q_yoy" ->
+      s"""WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |         CAST(month(o_orderdate) AS INT) AS mo,
+        |    ${sumFixedSql("CAST(o_totalprice AS DECIMAL(18,2))", 2)}
+        |      AS revenue_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT a.yr, a.mo, a.revenue_cents,
+        |       b.revenue_cents AS prev_year_cents,
+        |       round((a.revenue_cents - b.revenue_cents) * 100.0
+        |             / b.revenue_cents, 4) AS yoy_pct
+        |FROM monthly a LEFT JOIN monthly b
+        |  ON a.yr * 12 + a.mo = b.yr * 12 + b.mo + 12
+        |ORDER BY a.yr, a.mo""".stripMargin,
 
     "q_funnel" ->
       """WITH fv AS (

@@ -88,6 +88,12 @@ object Cdc {
     // A3: resolved-ts watermark
     "cdc_resolved_ts" -> ((s, dir) => Materialize.resolvedTs(changelog(s, dir), 32)),
 
+    // A24: feed-health / checkpoint-lag report — per pipeline, how far
+    // its frontier runs ahead of the feed-wide resolved-ts (the TiCDC
+    // checkpoint-lag metric). One corpus pass; the resolved scalar is a
+    // broadcast 1-row agg over the checkpointed per-pipeline frame.
+    "cdc_lag" -> ((s, dir) => Materialize.feedLag(changelog(s, dir), 32)),
+
     // A4: plugin chain — event-type + predicate filters
     "cdc_event_filter" -> ((s, dir) => {
       Changefeed(Seq(
@@ -283,6 +289,17 @@ object Cdc {
         |SELECT min(max_ts_us) AS resolved_ts_us FROM (
         |  SELECT key % 32 AS pipeline, max(commit_ts_us) AS max_ts_us
         |  FROM log GROUP BY 1) t""".stripMargin),
+
+    "cdc_lag" -> (logCte +
+      """,
+        |per AS (
+        |  SELECT key % 32 AS pipeline, max(commit_ts_us) AS max_ts_us,
+        |         count(*) AS n_events
+        |  FROM log GROUP BY 1),
+        |r AS (SELECT min(max_ts_us) AS resolved_ts_us FROM per)
+        |SELECT pipeline, n_events, max_ts_us, resolved_ts_us,
+        |       max_ts_us - resolved_ts_us AS lag_us
+        |FROM per, r ORDER BY pipeline""".stripMargin),
 
     "cdc_event_filter" -> (logCte +
       """

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Decontaminate, Dedup, MinHash, Packing, Sampling, SimHash, Similarity}
+import graft.operators.{AnnLsh, Chunking, Decontaminate, Dedup, MinHash, Packing, Sampling, SimHash, Similarity}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
   * oracles — dedup, similarity search, text analysis over the synthetic
@@ -39,6 +39,10 @@ object Docs {
   private val dupFracMax = 0.2
   private val budgetTokens = 10000L
   private val fuzzyThreshold = 0.5
+  private val mixAlpha = 0.5
+  private val mixBudget = 1000000L
+  private val chunkTokens = 16
+  private val chunkStride = 8
 
   /** Fixed k-means centroids for the assignment-step query — a pure
     * function of (k, j) so the Spark literals and the DuckDB list
@@ -105,6 +109,33 @@ object Docs {
         .select(col("doc_id"), col("n_tokens"), col("score"),
           col("cum_weight").as("cum_tokens"))
         .orderBy(desc("score"), col("doc_id"))
+    }),
+
+    // C32: temperature-scaled domain-mixture weights — per-source
+    // sampling weight ∝ n_tokens^alpha plus epochs toward a token
+    // budget (the Pile/ROOTS mixture rule). One partial-agg corpus
+    // pass down to |sources| rows; all weight math on the tiny agg.
+    "doc_mixture" -> ((s, dir) => {
+      Sampling.mixtureWeights(Tables.documents(s, dir), "source",
+          size(Text.tokens(col("text"))).cast("long"), mixAlpha, mixBudget)
+        .orderBy("stratum")
+    }),
+
+    // C33: fixed-token-window chunking with overlap — scan-local
+    // posexplode, no shuffle; each doc expands independently
+    "doc_chunk" -> ((s, dir) => {
+      Chunking.chunk(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens, chunkStride)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // C34: chunk-level (paragraph) dedup — cross-document boilerplate
+    // detection; non-overlapping windows, digest-only shuffle, first
+    // occurrence (min doc_id, chunk_idx) keeps, later ones flagged
+    "doc_para_dedup" -> ((s, dir) => {
+      Chunking.dedupChunks(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens, stride = chunkTokens)
+        .orderBy("doc_id", "chunk_idx")
     }),
 
     // C22: sequence packing — docs → fixed-token-budget shards, packed
@@ -779,6 +810,18 @@ object Docs {
         |SELECT doc_id, n_tokens, score, cum_tokens FROM c
         |WHERE cum_tokens <= $budgetTokens
         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "doc_mixture" ->
+      Sampling.mixtureWeightsSql("documents", "source",
+        "len(string_split(text, ' '))", mixAlpha, mixBudget),
+
+    "doc_chunk" ->
+      (Chunking.chunkSql("documents", "doc_id", "text",
+        chunkTokens, chunkStride) + "\nORDER BY doc_id, chunk_idx"),
+
+    "doc_para_dedup" ->
+      (Chunking.dedupChunksSql("documents", "doc_id", "text",
+        chunkTokens, chunkTokens) + "\nORDER BY doc_id, chunk_idx"),
 
     "doc_token_count" ->
       """SELECT doc_id,
