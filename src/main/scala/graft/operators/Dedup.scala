@@ -140,6 +140,34 @@ object Dedup {
     labels
   }
 
+  /** Canonical representative per near-dup cluster — the "keep which
+    * copy?" decision after [[clusters]]: the member with the MOST
+    * tokens wins (longest copy ≈ least-truncated crawl), ties broken by
+    * min id so the choice is deterministic and re-run-stable.
+    *
+    * Scale shape: one equi-join of the (doc, cluster) labels against a
+    * token-count projection of the corpus (text itself never moves),
+    * then two window functions over the SAME cluster partition — one
+    * exchange, clusters ≫ cores, no global sort.
+    *
+    * Output: (cluster_id, rep_id, rep_tokens, n_members). */
+  def clusterReps(labels: DataFrame, docs: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = labels.join(
+      docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens")),
+      idCol)
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val pick = byCluster.orderBy(desc("n_tokens"), col(idCol))
+    sized
+      .withColumn("__rn", row_number().over(pick))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .where(col("__rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("rep_id"),
+        col("n_tokens").as("rep_tokens"), col("n_members"))
+  }
+
   /** Word n-gram Jaccard similarity on blocked candidate pairs: only
     * pairs sharing `blockCol` are compared (classic blocking — an
     * equi-join, so candidates ~ |block|² per block, never corpus²).

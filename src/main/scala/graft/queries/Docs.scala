@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Chunking, Decontaminate, Dedup, MinHash, Packing, Sampling, SimHash, Similarity}
+import graft.operators.{AnnLsh, Chunking, Decontaminate, Dedup, MinHash, Packing, Sampling, SimHash, Similarity, Unigram}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
   * oracles — dedup, similarity search, text analysis over the synthetic
@@ -248,6 +248,24 @@ object Docs {
       Dedup.clusters(
         MinHash.neardupPairs(Tables.documents(s, dir),
           idCol = "doc_id", textCol = "text", threshold = 0.5))
+        .orderBy("doc_id")
+    }),
+
+    // C35: canonical representative per near-dup cluster — longest
+    // member wins, min-id tiebreak; one label↔token-count join + one
+    // windowed pick per cluster (text never shuffles)
+    "doc_cluster_reps" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterReps(
+        Dedup.clusters(MinHash.neardupPairs(docs,
+          idCol = "doc_id", textCol = "text", threshold = 0.5)),
+        docs, "doc_id", "text")
+        .orderBy("cluster_id")
+    }),
+
+    // C36: corpus unigram LM + per-doc avg/min log-prob quality signal
+    "doc_unigram_lp" -> ((s, dir) => {
+      Unigram.logProbScores(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -653,6 +671,33 @@ object Docs {
         |  SELECT e.a, r.cluster_id FROM edges e JOIN reach r ON e.b = r.doc_id)
         |SELECT doc_id, min(cluster_id) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_cluster_reps" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT id_a, id_b FROM (${MinHash.minhashOracleSql("documents", 0.5)}) mm),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS doc_id, a AS cluster_id FROM edges
+        |  UNION
+        |  SELECT e.a, r.cluster_id FROM edges e JOIN reach r ON e.b = r.doc_id),
+        |labels AS (
+        |  SELECT doc_id, min(cluster_id) AS cluster_id FROM reach GROUP BY 1),
+        |sized AS (
+        |  SELECT l.cluster_id, l.doc_id,
+        |         len(string_split(d.text, ' '))::BIGINT AS n_tokens
+        |  FROM labels l JOIN documents d USING (doc_id)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM sized)
+        |SELECT cluster_id, doc_id AS rep_id, n_tokens AS rep_tokens, n_members
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "doc_unigram_lp" ->
+      (Unigram.logProbScoresSql("documents", "doc_id", "text") +
+        "\nORDER BY doc_id"),
 
     "doc_length_hist" ->
       """SELECT CAST(floor(len(string_split(text, ' ')) / 50.0) AS BIGINT) AS bucket,

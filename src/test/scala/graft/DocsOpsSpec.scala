@@ -218,4 +218,35 @@ class DocsOpsSpec extends SparkSpec {
         col("sim_lo") < 0 || col("sim_lo") > 4294967295L).count()
     assert(bad === 0)
   }
+
+  test("clusterReps: longest member wins, min-id tiebreak, members counted") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d e"), (3L, "a b c d f"), // 2 and 3 tie at 5
+      (7L, "x"), (8L, "x")) // tie at 1 → min id 7
+      .toDF("doc_id", "text")
+    val reps = graft.operators.Dedup.clusterReps(labels, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(reps === Set((1L, 2L, 5L, 3L), (7L, 7L, 1L, 2L)))
+  }
+
+  test("unigram logProbScores: uniform corpus scores ln(1/V) everywhere; " +
+    "rare tokens lower the average") {
+    import spark.implicits._
+    // 4 distinct tokens, each appearing twice → p = 1/4 for all
+    val uniform = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val u = graft.operators.Unigram.logProbScores(uniform, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (id, n, avg, mn) => id -> ((n, avg, mn)) }.toMap
+    val ln4 = BigDecimal(math.log(0.25)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(u(1L) === ((4L, ln4, ln4)))
+    // doc 3's singleton token is rarer than doc 4's repeated one
+    val skewed = Seq((3L, "rare"), (4L, "x x x x x x x")).toDF("doc_id", "text")
+    val s = graft.operators.Unigram.logProbScores(skewed, "doc_id", "text")
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(s(3L) < s(4L))
+  }
 }
