@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Chunking, Decontaminate, Dedup, MinHash, Packing, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnLsh, Chunking, Decontaminate, Dedup, MinHash, Packing, Quantize, Sampling, SimHash, Similarity, Unigram}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
   * oracles — dedup, similarity search, text analysis over the synthetic
@@ -138,6 +138,20 @@ object Docs {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // C37: per-doc boilerplate fraction — share of a doc's chunks that
+    // are cross-document duplicates (composes C34's chunk dedup; the
+    // CCNet "lines seen elsewhere" signal at chunk granularity)
+    "doc_boilerplate" -> ((s, dir) => {
+      Chunking.dedupChunks(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens, stride = chunkTokens)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+          round(sum(when(col("is_dup"), 1L).otherwise(0L))
+            / count(lit(1)).cast("double"), 4).as("boilerplate_frac"))
+        .orderBy("doc_id")
+    }),
+
     // C22: sequence packing — docs → fixed-token-budget shards, packed
     // independently per hash bucket (window PARTITIONED by bucket; no
     // global order anywhere)
@@ -219,6 +233,15 @@ object Docs {
         .agg(count(lit(1)).as("n_docs"),
           min(n).as("min_tokens"), max(n).as("max_tokens"))
         .orderBy("bucket")
+    }),
+
+    // C38: int8 embedding quantization report — per-vector max-abs
+    // scale, reconstruction error, reconstructed-vs-original cosine;
+    // scan-local (the stored int8 form cuts ANN shuffle bytes 4×)
+    "emb_quantize" -> ((s, dir) => {
+      Quantize.reconstructionReport(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        .orderBy("vec_id")
     }),
 
     // C28: embedding health check — norm distribution + degenerate-vector
@@ -706,6 +729,10 @@ object Docs {
         |       max(len(string_split(text, ' '))::BIGINT) AS max_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "emb_quantize" ->
+      (Quantize.reconstructionReportSql("embeddings", "vec_id", "embedding") +
+        "\nORDER BY vec_id"),
+
     "emb_health" ->
       """WITH e AS (
         |  SELECT sqrt(list_dot_product(embedding, embedding)) AS norm,
@@ -867,6 +894,16 @@ object Docs {
     "doc_para_dedup" ->
       (Chunking.dedupChunksSql("documents", "doc_id", "text",
         chunkTokens, chunkTokens) + "\nORDER BY doc_id, chunk_idx"),
+
+    "doc_boilerplate" ->
+      s"""SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*), 4)
+        |    AS boilerplate_frac
+        |FROM (${Chunking.dedupChunksSql("documents", "doc_id", "text",
+             chunkTokens, chunkTokens)})
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_token_count" ->
       """SELECT doc_id,
