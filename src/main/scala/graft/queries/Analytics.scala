@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.AsOf
+import graft.operators.{AsOf, Skew}
 
 /** Analytics / query-engine surface (SURVEY.md §2.B) with DuckDB oracles.
   *
@@ -541,6 +541,23 @@ object Analytics {
         .orderBy("yr", "mo")
     }),
 
+    // B36: salted skew join — orders⨝customer on the salted (key, salt)
+    // pair; result provably identical to the plain join (the oracle IS
+    // the plain join), while a viral custkey's rows spread over `salts`
+    // reducers instead of one. The manual fallback when AQE skew-split
+    // can't apply.
+    "q_salted_join" -> ((s, dir) => {
+      Skew.saltedJoin(
+          Tables.orders(s, dir).select(
+            col("o_custkey").as("c_custkey"), col("o_totalprice")),
+          Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          key = "c_custkey", salts = 8)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumFixed(dec182("o_totalprice"), 2).as("revenue_cents"))
+        .orderBy("segment")
+    }),
+
     // B32: event funnel view→click→purchase — each stage is "first
     // qualifying event strictly after the previous stage's first", so
     // every step is an equi-join on user_id + one partial-agg shuffle;
@@ -1004,6 +1021,13 @@ object Analytics {
         |FROM monthly a LEFT JOIN monthly b
         |  ON a.yr * 12 + a.mo = b.yr * 12 + b.mo + 12
         |ORDER BY a.yr, a.mo""".stripMargin,
+
+    "q_salted_join" ->
+      s"""SELECT c_mktsegment AS segment, count(*) AS n_orders,
+        |  ${sumFixedSql("CAST(o_totalprice AS DECIMAL(18,2))", 2)}
+        |    AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_funnel" ->
       """WITH fv AS (

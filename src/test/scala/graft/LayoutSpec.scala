@@ -66,6 +66,46 @@ class LayoutSpec extends SparkSpec {
       s"sorted layout should row-group-skip most of the table, decoded $fromSorted of $total")
   }
 
+  test("writeZOrdered gives per-file pruning on BOTH keys; single-key " +
+    "range sort prunes only its own key") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val nFiles = 8
+
+    val zed = tmp("zorder") + "/li"
+    Layout.writeZOrdered(li, "l_partkey", "l_suppkey", nFiles, zed)
+    val ranged = tmp("zorder") + "/li-ranged"
+    Layout.writeRangeSorted(li, "l_partkey", nFiles, ranged)
+
+    def fileRanges(path: String, c: String): Array[(Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.toString).agg(min(c), max(c)).head()
+          (r.getLong(0), r.getLong(1))
+        }
+
+    val pMax = li.agg(max("l_partkey")).head().getLong(0)
+    val sMax = li.agg(max("l_suppkey")).head().getLong(0)
+    // a 1/4-width band predicate on each key: count files whose
+    // [min,max] intersects it (what parquet min/max pruning consults)
+    def matching(ranges: Array[(Long, Long)], lo: Long, hi: Long): Int =
+      ranges.count { case (mn, mx) => mx >= lo && mn <= hi }
+
+    val zPart = matching(fileRanges(zed, "l_partkey"), 0, pMax / 4)
+    val zSupp = matching(fileRanges(zed, "l_suppkey"), 0, sMax / 4)
+    val rPart = matching(fileRanges(ranged, "l_partkey"), 0, pMax / 4)
+    val rSupp = matching(fileRanges(ranged, "l_suppkey"), 0, sMax / 4)
+
+    // single-key sort: perfect on its key, zero pruning on the other
+    assert(rPart <= nFiles / 2)
+    assert(rSupp === nFiles, "range layout cannot prune the second key")
+    // z-order: BOTH keys prune (each band predicate skips some files)
+    assert(zPart < nFiles, s"zorder should prune l_partkey files ($zPart)")
+    assert(zSupp < nFiles, s"zorder should prune l_suppkey files ($zSupp)")
+    // nothing lost
+    assert(spark.read.parquet(zed).count() === li.count())
+  }
+
   test("writeHivePartitioned prunes partitions in the driver: one " +
     "directory per value, filtered scans list only matching dirs") {
     val out = tmp("hive-part") + "/events"
