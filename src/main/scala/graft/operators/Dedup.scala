@@ -140,6 +140,66 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * same output contract as [[clusters]] (doc_id, cluster_id =
+    * component min) but converging in O(log d) rounds instead of d for
+    * a component of diameter d: each round re-wires every node toward
+    * its neighborhood minimum, collapsing paths exponentially. Use for
+    * corpora where near-dup chains can be long (boilerplate-heavy
+    * crawls); [[clusters]] remains the simpler choice when diameters
+    * are known small.
+    *
+    * Every round is two groupBy-min + equi-join passes over the edge
+    * frame — no collect_list (a viral hub never materializes its
+    * neighborhood in one row), every intermediate localCheckpointed so
+    * lineage stays flat. Convergence = edge set unchanged (two anti-join
+    * counts on checkpointed canonical frames). */
+  def clustersStar(pairs: DataFrame, idA: String = "id_a",
+                   idB: String = "id_b", maxIters: Int = 32): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).as("lo"),
+        greatest(col("u"), col("v")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+    var e = canon(pairs.select(col(idA).as("u"), col(idB).as("v")))
+      .localCheckpoint()
+    var changed = 1L
+    var pass = 0
+    while (changed > 0L) {
+      if (pass >= maxIters)
+        throw new IllegalStateException(
+          s"clustersStar did not converge within $maxIters rounds")
+      // large-star: every node points its LARGER neighbors at the min
+      // of its closed neighborhood
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      val nbrMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = canon(sym.join(nbrMin, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint()
+      // small-star: every node rewires its SMALLER neighbors (and
+      // itself) to the min of those
+      val down = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val downMin = down.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = canon(
+        down.join(downMin, "u").select(col("v").as("u"), col("m").as("v"))
+          .unionAll(downMin.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      changed = ss.exceptAll(e).count() + e.exceptAll(ss).count()
+      e = ss
+      pass += 1
+    }
+    // converged edge set is a star forest: every non-center appears as
+    // `hi` exactly once, pointing at its component min
+    val members = e.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+    val centers = e.select(col("lo").as("doc_id")).distinct()
+      .join(members, Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    members.unionAll(centers)
+  }
+
   /** Canonical representative per near-dup cluster — the "keep which
     * copy?" decision after [[clusters]]: the member with the MOST
     * tokens wins (longest copy ≈ least-truncated crawl), ties broken by

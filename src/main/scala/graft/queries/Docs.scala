@@ -60,6 +60,20 @@ object Docs {
     s"WHEN $conds THEN $k"
   }.mkString("CASE ", " ", s" ELSE ${kmK - 1} END")
 
+  /** Shared recursive-CTE components oracle for both connected-component
+    * implementations (min-label and star rounds — same contract). */
+  private def neardupClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT id_a, id_b FROM (${MinHash.minhashOracleSql("documents", 0.5)}) mm),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a AS doc_id, a AS cluster_id FROM edges
+      |  UNION
+      |  SELECT e.a, r.cluster_id FROM edges e JOIN reach r ON e.b = r.doc_id)
+      |SELECT doc_id, min(cluster_id) AS cluster_id
+      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB fragment mirroring [[Text.dupNgramFrac]] over `t` (the
     * string_split token list): same grams, same md5-prefix hash. */
   private def dupFracSql(n: Int): String = {
@@ -269,6 +283,16 @@ object Docs {
     // step; doc_id BIGINT, cluster_id = component min
     "doc_neardup_clusters" -> ((s, dir) => {
       Dedup.clusters(
+        MinHash.neardupPairs(Tables.documents(s, dir),
+          idCol = "doc_id", textCol = "text", threshold = 0.5))
+        .orderBy("doc_id")
+    }),
+
+    // C29b: same components via large-star/small-star rounds — O(log d)
+    // convergence for long near-dup chains; identical output contract
+    // (and identical oracle) to doc_neardup_clusters
+    "doc_neardup_clusters_star" -> ((s, dir) => {
+      Dedup.clustersStar(
         MinHash.neardupPairs(Tables.documents(s, dir),
           idCol = "doc_id", textCol = "text", threshold = 0.5))
         .orderBy("doc_id")
@@ -683,17 +707,11 @@ object Docs {
          |  ${dupFracSql(3)} AS dup_3gram_frac
          |FROM tk ORDER BY doc_id""".stripMargin,
 
-    "doc_neardup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-        |  SELECT id_a, id_b FROM (${MinHash.minhashOracleSql("documents", 0.5)}) mm),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT a AS doc_id, a AS cluster_id FROM edges
-        |  UNION
-        |  SELECT e.a, r.cluster_id FROM edges e JOIN reach r ON e.b = r.doc_id)
-        |SELECT doc_id, min(cluster_id) AS cluster_id
-        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_neardup_clusters" -> neardupClustersOracle,
+
+    // identical contract, identical oracle — the star-rounds variant
+    // must produce byte-identical components
+    "doc_neardup_clusters_star" -> neardupClustersOracle,
 
     "doc_cluster_reps" ->
       s"""WITH RECURSIVE pairs AS (

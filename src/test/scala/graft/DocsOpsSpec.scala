@@ -219,6 +219,40 @@ class DocsOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("clustersStar: matches min-label clusters on chains, cliques, " +
+    "and a seeded random graph") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L),
+      (7L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val star = graft.operators.Dedup.clustersStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
+
+    val rnd = new scala.util.Random(42)
+    val random = (0 until 200)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b").localCheckpoint()
+    val a = graft.operators.Dedup.clusters(random)
+      .as[(Long, Long)].collect().toMap
+    val b = graft.operators.Dedup.clustersStar(random)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("clustersStar: a 100-node path converges in O(log d) rounds " +
+    "(min-label would need ~100 passes)") {
+    import spark.implicits._
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // maxIters=10 would blow up on a diameter-100 component under
+    // one-hop propagation; star rounds collapse it exponentially
+    val got = graft.operators.Dedup.clustersStar(chain, maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 101)
+    assert(got.values.toSet === Set(0L))
+  }
+
   test("clusterReps: longest member wins, min-id tiebreak, members counted") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
