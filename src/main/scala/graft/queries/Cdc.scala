@@ -88,6 +88,21 @@ object Cdc {
     // A3: resolved-ts watermark
     "cdc_resolved_ts" -> ((s, dir) => Materialize.resolvedTs(changelog(s, dir), 32)),
 
+    // A25: sink-consistency checksum — bucketed order-independent
+    // digest of the materialized snapshot (sync-diff-inspector shape):
+    // equal buckets on source and replica prove convergence without
+    // moving either table; doubles canonicalized to cents first
+    "cdc_checksum" -> ((s, dir) => {
+      val snap = Materialize.snapshot(changelog(s, dir))
+      Consistency.checksum(snap, col("key"),
+          Seq(col("key"), col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100)
+              .cast("decimal(38,0)").cast("long"),
+            col("commit_ts_us")),
+          buckets = 16)
+        .orderBy("bucket")
+    }),
+
     // A24: feed-health / checkpoint-lag report — per pipeline, how far
     // its frontier runs ahead of the feed-wide resolved-ts (the TiCDC
     // checkpoint-lag metric). One corpus pass; the resolved scalar is a
@@ -289,6 +304,22 @@ object Cdc {
         |SELECT min(max_ts_us) AS resolved_ts_us FROM (
         |  SELECT key % 32 AS pipeline, max(commit_ts_us) AS max_ts_us
         |  FROM log GROUP BY 1) t""".stripMargin),
+
+    "cdc_checksum" -> (logCte +
+      s""",
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log),
+        |snap AS (
+        |  SELECT key, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS value_cents,
+        |         commit_ts_us
+        |  FROM ranked WHERE rn = 1 AND op <> 'D')
+        |${Consistency.checksumSql("snap", "key",
+             Seq("key", "event_type", "value_cents", "commit_ts_us"), 16)}
+        |ORDER BY bucket""".stripMargin),
 
     "cdc_lag" -> (logCte +
       """,
