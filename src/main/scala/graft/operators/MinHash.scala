@@ -111,6 +111,52 @@ object MinHash {
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** Incremental near-dup: a NEW crawl batch against the already-
+    * ingested corpus — the daily path where re-banding the whole corpus
+    * per batch would be absurd. Band rows are computed for the batch
+    * only; the corpus side's band rows are the reusable artifact (write
+    * them once with [[graft.operators.Dedup.writeCorpusDigests]]-style
+    * bucketing on (band, bkey) and the corpus side joins with no
+    * exchange). Candidates = batch-band ⋈ corpus-band equi-join, so
+    * work scales with |batch| + matching buckets, never |corpus|².
+    * In-batch duplicates are [[neardupPairs]]'s job, not this one's.
+    *
+    * Output: (new_id, corpus_id, jaccard round 4), exact-verified. */
+  def incrementalNeardupPairs(newBatch: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double): DataFrame = {
+    val nb = bandRows(signature(newBatch, idCol, textCol))
+    val cb = bandRows(signature(corpus, idCol, textCol))
+    val inter = graft.functions.SetOps
+      .sortedIntersectCount(col("ha"), col("hb")).cast("double")
+    val jac = inter / (size(col("ha")) + size(col("hb")) - inter)
+    nb.as("x").join(cb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"),
+        col("x.hv").as("ha"), col("y.hv").as("hb"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(first(col("ha")).as("ha"), first(col("hb")).as("hb"))
+      .withColumn("jac", jac)
+      .where(col("jac") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** DuckDB oracle for [[incrementalNeardupPairs]] where the batch is
+    * `batchPred` over `table` and the corpus is its complement: the
+    * full-table oracle filtered to cross (batch, corpus) pairs and
+    * re-oriented batch-first — candidate generation is band-identical,
+    * so the subset relation is exact. */
+  def incrementalOracleSql(table: String, batchPredOf: String => String,
+                           threshold: Double): String =
+    s"""SELECT CASE WHEN ${batchPredOf("id_a")} THEN id_a ELSE id_b END
+       |         AS new_id,
+       |       CASE WHEN ${batchPredOf("id_a")} THEN id_b ELSE id_a END
+       |         AS corpus_id,
+       |       jaccard
+       |FROM (${minhashOracleSql(table, threshold)}) p
+       |WHERE (${batchPredOf("id_a")}) <> (${batchPredOf("id_b")})""".stripMargin
+
   /** DuckDB oracle for [[neardupPairs]], generated from the SAME constants
     * so the two engines can never drift. */
   def minhashOracleSql(table: String, threshold: Double): String = {

@@ -288,6 +288,18 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C40: incremental NEAR-dup — new batch (doc_id % 10 = 0) banded
+    // against the ingested corpus; candidates = batch-band ⋈
+    // corpus-band, work ~ |batch|, corpus never re-self-joined
+    "doc_neardup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      MinHash.incrementalNeardupPairs(
+          newBatch = docs.where(col("doc_id") % 10 === 0),
+          corpus = docs.where(col("doc_id") % 10 =!= 0),
+          idCol = "doc_id", textCol = "text", threshold = 0.5)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // C29b: same components via large-star/small-star rounds — O(log d)
     // convergence for long near-dup chains; identical output contract
     // (and identical oracle) to doc_neardup_clusters
@@ -314,6 +326,13 @@ object Docs {
     "doc_unigram_lp" -> ((s, dir) => {
       Unigram.logProbScores(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // C39: per-doc top-3 characteristic terms by tf·idf — partial
+    // top-k window per doc, round(9) rank ladder, term tiebreak
+    "doc_tfidf" -> ((s, dir) => {
+      Unigram.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), desc("tfidf"), col("term"))
     }),
 
     // C1: exact dedup over a simulated re-crawl (documents ∪ documents):
@@ -707,6 +726,10 @@ object Docs {
          |  ${dupFracSql(3)} AS dup_3gram_frac
          |FROM tk ORDER BY doc_id""".stripMargin,
 
+    "doc_neardup_incremental" ->
+      (MinHash.incrementalOracleSql("documents",
+        id => s"$id % 10 = 0", 0.5) + "\nORDER BY new_id, corpus_id"),
+
     "doc_neardup_clusters" -> neardupClustersOracle,
 
     // identical contract, identical oracle — the star-rounds variant
@@ -739,6 +762,10 @@ object Docs {
     "doc_unigram_lp" ->
       (Unigram.logProbScoresSql("documents", "doc_id", "text") +
         "\nORDER BY doc_id"),
+
+    "doc_tfidf" ->
+      (Unigram.tfIdfTopTermsSql("documents", "doc_id", "text", 3) +
+        "\nORDER BY doc_id, tfidf DESC, term"),
 
     "doc_length_hist" ->
       """SELECT CAST(floor(len(string_split(text, ' ')) / 50.0) AS BIGINT) AS bucket,

@@ -253,6 +253,38 @@ class DocsOpsSpec extends SparkSpec {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("incrementalNeardupPairs: finds batch↔corpus near-dups, never " +
+    "in-batch pairs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val batch = Seq(
+      (10L, base + " lambda"), // near-dup of corpus doc 1
+      (20L, base + " lambda")) // also an in-batch dup of 10 — not our job
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base + " mu"),
+      (2L, "totally different words nothing shared here at all okay then"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.MinHash.incrementalNeardupPairs(
+      batch, corpus, "doc_id", "text", threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L), (20L, 1L)))
+  }
+
+  test("tfIdfTopTerms: rare distinguishing term outranks ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common common other other"),
+      (3L, "common filler filler filler"))
+      .toDF("doc_id", "text")
+    val top = graft.operators.Unigram
+      .tfIdfTopTerms(docs, "doc_id", "text", 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // 'common' appears in every doc → idf 0; each doc's unique term wins
+    assert(top === Map(1L -> "zebra", 2L -> "other", 3L -> "filler"))
+  }
+
   test("clusterReps: longest member wins, min-id tiebreak, members counted") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
