@@ -45,4 +45,41 @@ object AsOf {
     }
     filled.where(col("__is_left") === 1).drop("__is_left")
   }
+
+  /** [[joinPrior]] with a staleness bound (pandas `merge_asof`
+    * `tolerance`): the matched right row only attaches when its ts is
+    * within `toleranceUs` of the left ts; staler matches null out, and
+    * `matched_ts` carries the matched right ts (null when no match in
+    * range). Same union+window plan — the bound is a scan-local
+    * post-filter, so the 100 TB shape is unchanged. */
+  def joinPriorWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      seq: String,
+      rightPayload: Map[String, String],
+      toleranceUs: Long): DataFrame = {
+
+    val l = left.withColumn("__is_left", lit(1))
+    val r = right.select(
+      Seq(col(key), col(ts), col(seq), lit(0).as("__is_left"),
+        col(ts).as("__rts")) ++
+        rightPayload.map { case (c, a) => col(c).as(a) }: _*)
+    val unified = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(seq))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = (rightPayload.values.toSeq :+ "__rts").foldLeft(unified) {
+      (df, a) => df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
+    }
+    val inRange = col("__rts").isNotNull &&
+      col(ts) - col("__rts") <= toleranceUs
+    val gated = rightPayload.values.foldLeft(filled) { (df, a) =>
+      df.withColumn(a, when(inRange, col(a)))
+    }
+    gated.where(col("__is_left") === 1)
+      .withColumn("matched_ts", when(inRange, col("__rts")))
+      .drop("__is_left", "__rts")
+  }
 }

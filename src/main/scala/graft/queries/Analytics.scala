@@ -24,6 +24,9 @@ object Analytics {
   private def discPrice: Column =
     (dec182("l_extendedprice") * (one - dec42("l_discount"))).cast("decimal(18,4)")
 
+  /** Staleness bound for the as-of tolerance query: 1 hour in µs. */
+  private val asofToleranceUs = 3600000000L
+
   private val discPriceSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
 
@@ -720,6 +723,25 @@ object Analytics {
           col("ts_us").as("purchase_ts_us"), col("value"),
           col("click_seq"), col("click_ts_us"))
         .orderBy("purchase_seq")
+    }),
+
+    // B37: as-of join with a staleness bound (pandas merge_asof
+    // `tolerance`): clicks older than 1 h before the purchase null
+    // out — same union+window plan, the bound is a scan-local gate
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("seq"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("seq"))
+      AsOf.joinPriorWithin(purchases, clicks,
+          key = "user_id", ts = "ts_us", seq = "seq",
+          rightPayload = Map("seq" -> "click_seq"),
+          toleranceUs = asofToleranceUs)
+        .select(col("seq").as("purchase_seq"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"), col("value"),
+          col("click_seq"), col("matched_ts").as("click_ts_us"))
+        .orderBy("purchase_seq")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1156,5 +1178,27 @@ object Analytics {
         |                      ROWS UNBOUNDED PRECEDING))
         |SELECT seq AS purchase_seq, user_id, ts_us AS purchase_ts_us, value,
         |       click_seq, click_ts_us
+        |FROM f WHERE is_left = 1 ORDER BY purchase_seq""".stripMargin,
+
+    "q_asof_tolerance" ->
+      s"""WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS seq, value,
+        |         1 AS is_left, NULL::BIGINT AS c_seq, NULL::BIGINT AS c_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), event_id, NULL,
+        |         0, event_id, epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'),
+        |f AS (
+        |  SELECT *,
+        |    last_value(c_seq IGNORE NULLS) OVER w AS m_seq,
+        |    last_value(c_ts_us IGNORE NULLS) OVER w AS m_ts_us
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, seq
+        |                      ROWS UNBOUNDED PRECEDING))
+        |SELECT seq AS purchase_seq, user_id, ts_us AS purchase_ts_us, value,
+        |  CASE WHEN m_ts_us IS NOT NULL AND ts_us - m_ts_us <= $asofToleranceUs
+        |       THEN m_seq END AS click_seq,
+        |  CASE WHEN m_ts_us IS NOT NULL AND ts_us - m_ts_us <= $asofToleranceUs
+        |       THEN m_ts_us END AS click_ts_us
         |FROM f WHERE is_left = 1 ORDER BY purchase_seq""".stripMargin)
 }

@@ -31,6 +31,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("r_seq"))) // key 2 sees nothing
   }
 
+  test("AsOf tolerance: in-range match attaches with matched_ts, stale " +
+    "match nulls out, boundary gap == tolerance stays matched") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 500L, 11L), (1L, 1000L, 12L))
+      .toDF("key", "ts", "seq")
+    val right = Seq((1L, 90L, 1L)).toDF("key", "ts", "seq")
+    val out = AsOf.joinPriorWithin(left, right, "key", "ts", "seq",
+        Map("seq" -> "r_seq"), toleranceUs = 410L)
+      .orderBy("seq").collect()
+    // ts=100: gap 10 <= 410 → matched, matched_ts carried
+    assert(out(0).getAs[Long]("r_seq") === 1L)
+    assert(out(0).getAs[Long]("matched_ts") === 90L)
+    // ts=500: gap 410 == tolerance → still matched (inclusive bound)
+    assert(out(1).getAs[Long]("r_seq") === 1L)
+    // ts=1000: gap 910 > 410 → stale, payload AND matched_ts null
+    assert(out(2).isNullAt(out(2).fieldIndex("r_seq")))
+    assert(out(2).isNullAt(out(2).fieldIndex("matched_ts")))
+  }
+
   test("Sessionize boundary: gap == gapUs stays in-session, gap > gapUs splits") {
     import spark.implicits._
     val gap = 1000L
