@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Chunking, Decontaminate, Dedup, MinHash, Packing, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnLsh, Chunking, Curation, Decontaminate, Dedup, MinHash, Packing, Quantize, Sampling, SimHash, Similarity, Unigram}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
   * oracles — dedup, similarity search, text analysis over the synthetic
@@ -286,6 +286,19 @@ object Docs {
         MinHash.neardupPairs(Tables.documents(s, dir),
           idCol = "doc_id", textCol = "text", threshold = 0.5))
         .orderBy("doc_id")
+    }),
+
+    // C41: config-driven curation — the recipe is ONE string (job
+    // config / dataset property), compiled to the same operators code
+    // composes by hand, fused into one plan; proves the docs-domain
+    // no-recompilation boundary (twin of the CDC chain DSL)
+    "doc_curate_dsl" -> ((s, dir) => {
+      Curation.run(Tables.documents(s, dir),
+          "dedup-exact | lang:en,zh | sample:en=20,zh=60,default=40" +
+            " | split:train=80,valid=10,test=10")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang")
     }),
 
     // C40: incremental NEAR-dup — new batch (doc_id % 10 = 0) banded
@@ -729,6 +742,20 @@ object Docs {
     "doc_neardup_incremental" ->
       (MinHash.incrementalOracleSql("documents",
         id => s"$id % 10 = 0", 0.5) + "\nORDER BY new_id, corpus_id"),
+
+    "doc_curate_dsl" ->
+      s"""WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        |base AS (
+        |  SELECT d.* FROM documents d JOIN keep USING (doc_id)
+        |  WHERE lang IN ('en', 'zh')
+        |    AND ${Sampling.stratifiedWhereSql("doc_id", "lang",
+               Map("en" -> 20, "zh" -> 60), 40)})
+        |SELECT ${Sampling.splitCaseSql("doc_id",
+               Seq("train" -> 80, "valid" -> 10, "test" -> 10))} AS split,
+        |       lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "doc_neardup_clusters" -> neardupClustersOracle,
 
