@@ -64,6 +64,27 @@ object Materialize {
       .orderBy("pipeline")
   }
 
+  /** SCD2-style version history: every non-delete change event becomes
+    * a validity interval [valid_from_us, valid_to_us) per key — the
+    * temporal-table / "as of any past time" view a warehouse keeps next
+    * to the live snapshot. The currently-live version has a null
+    * valid_to_us; a delete closes the prior interval without opening a
+    * new one.
+    *
+    * Scale shape: ONE window (lead over the per-key version order) on
+    * the same (key)-partitioned shuffle the snapshot uses — state is
+    * the changelog itself, no joins, no second pass. */
+  def history(changelog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("commit_ts_us"), col("seq"))
+    changelog
+      .withColumn("valid_to_us", lead(col("commit_ts_us"), 1).over(w))
+      .where(col("op") =!= ChangeEvent.Delete)
+      .select(col("key"), col("seq"), col("op"),
+        col("commit_ts_us").as("valid_from_us"), col("valid_to_us"))
+  }
+
   /** Net change per key between two resolved-ts points — what a
     * warehouse sink applies per flush (reference README.md:24,64: batch
     * writes advance from one ResolvedTs to the next). For every key with

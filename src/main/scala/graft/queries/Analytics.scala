@@ -725,6 +725,29 @@ object Analytics {
         .orderBy("purchase_seq")
     }),
 
+    // B38: top event paths — the 10 most common 3-step event-type
+    // sequences across per-user streams (path/journey analysis). Two
+    // lead() windows share ONE per-user sort; the trigram count is a
+    // partial-agg shuffle of tiny strings; the global top-10 is a
+    // TakeOrderedAndProject (per-partition heap, never a full sort),
+    // deterministic via the (count desc, path) total order.
+    "q_event_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .where(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(10)
+    }),
+
     // B37: as-of join with a staleness bound (pandas merge_asof
     // `tolerance`): clicks older than 1 h before the purchase null
     // out — same union+window plan, the bound is a scan-local gate
@@ -1179,6 +1202,18 @@ object Analytics {
         |SELECT seq AS purchase_seq, user_id, ts_us AS purchase_ts_us, value,
         |       click_seq, click_ts_us
         |FROM f WHERE is_left = 1 ORDER BY purchase_seq""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |       count(*) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     "q_asof_tolerance" ->
       s"""WITH u AS (

@@ -88,6 +88,17 @@ object Cdc {
     // A3: resolved-ts watermark
     "cdc_resolved_ts" -> ((s, dir) => Materialize.resolvedTs(changelog(s, dir), 32)),
 
+    // A26: SCD2 version history — every non-delete change as a
+    // validity interval [from, to); live versions open-ended; a delete
+    // closes the prior interval. One lead() window on the snapshot's
+    // own key partitioning.
+    "cdc_history" -> ((s, dir) => {
+      Materialize.history(changelog(s, dir))
+        .select(col("key").as("user_id"), col("seq"), col("op"),
+          col("valid_from_us"), col("valid_to_us"))
+        .orderBy("user_id", "valid_from_us", "seq")
+    }),
+
     // A25: sink-consistency checksum — bucketed order-independent
     // digest of the materialized snapshot (sync-diff-inspector shape):
     // equal buckets on source and replica prove convergence without
@@ -304,6 +315,17 @@ object Cdc {
         |SELECT min(max_ts_us) AS resolved_ts_us FROM (
         |  SELECT key % 32 AS pipeline, max(commit_ts_us) AS max_ts_us
         |  FROM log GROUP BY 1) t""".stripMargin),
+
+    "cdc_history" -> (logCte +
+      """,
+        |iv AS (
+        |  SELECT key, seq, op, commit_ts_us AS valid_from_us,
+        |    lead(commit_ts_us, 1) OVER (
+        |      PARTITION BY key ORDER BY commit_ts_us, seq) AS valid_to_us
+        |  FROM log)
+        |SELECT key AS user_id, seq, op, valid_from_us, valid_to_us
+        |FROM iv WHERE op <> 'D'
+        |ORDER BY user_id, valid_from_us, seq""".stripMargin),
 
     "cdc_checksum" -> (logCte +
       s""",

@@ -123,4 +123,24 @@ class ChangefeedSpec extends SparkSpec {
       Seq(PluginCheck.Failed, PluginCheck.NotReached))
     assert(checks.head.error.exists(_.contains("plugin bug")))
   }
+
+  test("history: intervals chain per key, delete closes without opening, " +
+    "live version open-ended") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, 1L, "I"), (1L, 20L, 2L, "U"), (1L, 30L, 3L, "D"),
+      (2L, 15L, 4L, "I"), (2L, 25L, 5L, "U"))
+      .toDF("key", "commit_ts_us", "seq", "op")
+    val h = Materialize.history(log)
+      .as[(Long, Long, String, Long, Option[Long])].collect()
+      .map(r => r._2 -> r).toMap
+    // key 1: I valid [10,20), U valid [20,30) closed by the delete;
+    // the delete row itself emits no interval
+    assert(h(1L)._4 === 10L && h(1L)._5 === Some(20L))
+    assert(h(2L)._4 === 20L && h(2L)._5 === Some(30L))
+    assert(!h.contains(3L))
+    // key 2: U still live -> open-ended
+    assert(h(5L)._5 === None)
+    assert(h(4L)._5 === Some(25L))
+  }
 }
