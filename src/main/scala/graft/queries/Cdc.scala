@@ -27,6 +27,10 @@ object Cdc {
   private def changelog(s: SparkSession, dir: String): DataFrame =
     Changelog.fromEvents(Tables.events(s, dir))
 
+  /** Time-travel point for `cdc_snapshot_asof` — mid-January 2024,
+    * inside the generator's event-ts range at every SF. */
+  private val asofTsUs = 1705000000000000L
+
   /** The changelog derivation (SURVEY.md §3) as a DuckDB CTE. */
   val logCte: String =
     """WITH log AS (
@@ -87,6 +91,22 @@ object Cdc {
 
     // A3: resolved-ts watermark
     "cdc_resolved_ts" -> ((s, dir) => Materialize.resolvedTs(changelog(s, dir), 32)),
+
+    // A27: snapshot as-of T (time travel) — the state the table had at
+    // an arbitrary past ts: filter the changelog to commit_ts <= T
+    // (pushed into the scan), then the same max_by partial-agg
+    // snapshot; at 100 TB the filter prunes whole files when the log
+    // is written time-partitioned
+    "cdc_snapshot_asof" -> ((s, dir) => {
+      Materialize.snapshot(
+          changelog(s, dir).where(col("commit_ts_us") <= asofTsUs))
+        .select(
+          col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
 
     // A26: SCD2 version history — every non-delete change as a
     // validity interval [from, to); live versions open-ended; a delete
@@ -315,6 +335,17 @@ object Cdc {
         |SELECT min(max_ts_us) AS resolved_ts_us FROM (
         |  SELECT key % 32 AS pipeline, max(commit_ts_us) AS max_ts_us
         |  FROM log GROUP BY 1) t""".stripMargin),
+
+    "cdc_snapshot_asof" -> (logCte +
+      s""",
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log WHERE commit_ts_us <= $asofTsUs)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
 
     "cdc_history" -> (logCte +
       """,

@@ -404,6 +404,23 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
+    // C38b: ANN top-k over the int8-QUANTIZED corpus — the compressed
+    // search path C38's report justifies: corpus vectors reconstructed
+    // from (qvec, scale), same broadcast-probe plan as C6; recall vs
+    // the exact baseline pinned in QuantizeSpec
+    "emb_ann_topk_q" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qcorpus = Quantize.int8(e.where(col("vec_id") >= 8),
+          "vec_id", "embedding")
+        .select(col("vec_id"),
+          transform(col("qvec"),
+            q => q.cast("double") / lit(127d) * col("scale"))
+            .as("embedding"))
+      Similarity.annTopK(qcorpus, e.where(col("vec_id") < 8),
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
     // C8: language-ID heuristic — stopword hit counts + deterministic
     // argmax (ties → alphabetically-first language). All four languages
     // are counted in ONE compiled tokenize pass (StopwordHits kernel).
@@ -862,6 +879,30 @@ object Docs {
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT * FROM e WHERE vec_id < 8),
         |c AS (SELECT * FROM e WHERE vec_id >= 8),
+        |s AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |         ${cosSql("p.v", "c.v")} AS cos_raw
+        |  FROM p CROSS JOIN c),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY round(cos_raw, 9) DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT probe_id, rank, neighbor_id, round(cos_raw, 4) AS cos_sim
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "emb_ann_topk_q" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e WHERE vec_id >= 8),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> round(x / scale * 127) / 127 * scale)
+        |    END AS v
+        |  FROM sc),
+        |p AS (SELECT * FROM e WHERE vec_id < 8),
         |s AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
         |         ${cosSql("p.v", "c.v")} AS cos_raw

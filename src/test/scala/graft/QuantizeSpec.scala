@@ -22,6 +22,28 @@ class QuantizeSpec extends SparkSpec {
     assert(q(2L)._3 === Seq[Byte](0, 0, 0))
   }
 
+  test("quantized ANN top-5 recalls most of the exact top-5") {
+    import graft.operators.{Quantize, Similarity}
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.where(col("vec_id") >= 8)
+    val probes = e.where(col("vec_id") < 8)
+    val exact = Similarity.annTopK(corpus, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id")
+      .withColumnRenamed("neighbor_id", "n_exact")
+    val qcorpus = Quantize.int8(corpus, "vec_id", "embedding")
+      .select(col("vec_id"), transform(col("qvec"),
+        q => q.cast("double") / lit(127d) * col("scale")).as("embedding"))
+    val quant = Similarity.annTopK(qcorpus, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id")
+    val nProbes = probes.count()
+    val hits = quant.join(exact,
+      quant("probe_id") === exact("probe_id") &&
+        quant("neighbor_id") === exact("n_exact")).count()
+    // ≥ 80% of the exact top-5 survives int8 quantization
+    assert(hits >= 4 * nProbes,
+      s"quantized recall too low: $hits of ${5 * nProbes}")
+  }
+
   test("reconstructionReport: error bounded by scale/254; cosine near 1 on real data") {
     val rep = Quantize.reconstructionReport(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding").cache()
