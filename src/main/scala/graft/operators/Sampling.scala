@@ -131,6 +131,32 @@ object Sampling {
       .drop("__band", "__band2", "__cum_in_band", "__offset")
   }
 
+  /** Fixed-size deterministic sample PER STRATUM — n docs from every
+    * stratum regardless of stratum size (the balanced eval-set / human-
+    * review draw, vs [[stratifiedSample]]'s rate-based mix). "Random
+    * but stable" comes from ordering by the md5-prefix hash of the id
+    * (+ id tiebreak) inside a window PARTITIONED by stratum: re-runs
+    * and engines agree, appends only displace rows that hash later.
+    * Strata ≫ cores at scale and n is small, so the per-stratum sort
+    * is a bounded top-n (InferWindowGroupLimit), never a global one. */
+  def perStratumSample(df: DataFrame, idCol: String, stratumCol: String,
+                       n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashCol(col(idCol)), col(idCol))
+    df.withColumn("draw", row_number().over(w).cast("long"))
+      .where(col("draw") <= n)
+  }
+
+  /** The hash [[perStratumSample]] orders by (exposed for the oracle). */
+  private def hashCol(id: Column): Column = MinHash.hash32(id.cast("string"))
+
+  /** DuckDB mirror of [[perStratumSample]]'s window. */
+  def perStratumRankSql(id: String, stratum: String): String =
+    s"""row_number() OVER (PARTITION BY $stratum
+       |      ORDER BY ('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8))::BIGINT,
+       |               $id)""".stripMargin
+
   /** Temperature-scaled domain-mixture weights: per-stratum sampling
     * weight w_i ∝ n_i^alpha (the Pile/ROOTS-style mixture rule — alpha=1
     * is proportional sampling, alpha=0 uniform, alpha∈(0,1) up-weights

@@ -725,6 +725,32 @@ object Analytics {
         .orderBy("purchase_seq")
     }),
 
+    // B39: 10%-trimmed mean order value per segment — robust central
+    // tendency without the outlier tails. Deterministic trim: rank by
+    // (cents, orderkey) inside a window partitioned per segment, drop
+    // floor(n/10) rows from each end; the mean is an exact integer
+    // cent-sum over the kept rows divided at the end.
+    "q_trimmed_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = (dec182("o_totalprice") * 100).cast("decimal(38,0)")
+        .cast("long")
+      val bySeg = Window.partitionBy(col("segment"))
+      val w = bySeg.orderBy(col("cents"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+          cents.as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(bySeg))
+        .where(col("rn") > floor(col("cnt") / 10) &&
+          col("rn") <= col("cnt") - floor(col("cnt") / 10))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("cents")).cast("double")
+            / count(lit(1)) / 100.0, 4).as("trimmed_mean"))
+        .orderBy("segment")
+    }),
+
     // B38: top event paths — the 10 most common 3-step event-type
     // sequences across per-user streams (path/journey analysis). Two
     // lead() windows share ONE per-user sort; the trigram count is a
@@ -1202,6 +1228,25 @@ object Analytics {
         |SELECT seq AS purchase_seq, user_id, ts_us AS purchase_ts_us, value,
         |       click_seq, click_ts_us
         |FROM f WHERE is_left = 1 ORDER BY purchase_seq""".stripMargin,
+
+    "q_trimmed_mean" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS segment, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY segment
+        |                       ORDER BY cents, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY segment) AS cnt
+        |  FROM j)
+        |SELECT segment, count(*) AS n_kept,
+        |       round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4)
+        |         AS trimmed_mean
+        |FROM r
+        |WHERE rn > cnt // 10 AND rn <= cnt - cnt // 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_event_paths" ->
       """WITH seq AS (

@@ -125,6 +125,16 @@ object Docs {
         .orderBy(desc("score"), col("doc_id"))
     }),
 
+    // C42: fixed-size per-stratum draw — 5 docs from EVERY source
+    // (balanced review/eval set); md5-rank window per stratum, bounded
+    // top-n, append-stable
+    "doc_sample_per_source" -> ((s, dir) => {
+      Sampling.perStratumSample(Tables.documents(s, dir), "doc_id",
+          "source", 5)
+        .select(col("source"), col("draw"), col("doc_id"), col("lang"))
+        .orderBy("source", "draw")
+    }),
+
     // C32: temperature-scaled domain-mixture weights — per-source
     // sampling weight ∝ n_tokens^alpha plus epochs toward a token
     // budget (the Pile/ROOTS mixture rule). One partial-agg corpus
@@ -999,6 +1009,13 @@ object Docs {
     "doc_mixture" ->
       Sampling.mixtureWeightsSql("documents", "source",
         "len(string_split(text, ' '))", mixAlpha, mixBudget),
+
+    "doc_sample_per_source" ->
+      s"""SELECT source, draw, doc_id, lang FROM (
+        |  SELECT source, lang, doc_id,
+        |    ${Sampling.perStratumRankSql("doc_id", "source")} AS draw
+        |  FROM documents)
+        |WHERE draw <= 5 ORDER BY source, draw""".stripMargin,
 
     "doc_chunk" ->
       (Chunking.chunkSql("documents", "doc_id", "text",

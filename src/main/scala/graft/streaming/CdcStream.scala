@@ -49,6 +49,21 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming feed-health state (A24's streaming form): per-pipeline
+    * event counts and frontier ts, maintained as a complete-mode
+    * aggregation whose state is exactly |pipelines| rows. The lag
+    * column (frontier − feed-wide resolved-ts) is derived OUTSIDE the
+    * stream from this tiny table — a global min over an in-flight
+    * stateful agg would need a second stateful aggregation, which
+    * Structured Streaming doesn't compose; deriving it from the
+    * |pipelines|-row state is free and batch-identical
+    * (CdcStreamSpec pins parity with Materialize.feedLag). */
+  def pipelineFrontiers(stream: DataFrame, numPartitions: Int): DataFrame =
+    stream
+      .groupBy(pmod(col("key"), lit(numPartitions.toLong)).as("pipeline"))
+      .agg(max(col("commit_ts_us")).as("max_ts_us"),
+        count(lit(1)).as("n_events"))
+
   /** Tumbling-window event counts with a watermark — the streaming form
     * of the batch `cdc_tumbling` query (A12 parity). Append mode emits a
     * window only once the watermark passes it: the reference's

@@ -279,6 +279,31 @@ class CdcStreamSpec extends SparkSpec {
       s"only ${emitted.count()} of ${batch.count()} sessions emitted")
   }
 
+  test("streaming pipeline frontiers converge to the batch feed-lag report " +
+    "(A24 streaming parity)") {
+    val (inDir, ev) = sliceIntoDir(3)
+    val chain = Changefeed(Seq(TransformPlugin("to-changelog", Changelog.fromEvents)))
+    val frontiers = CdcStream.pipelineFrontiers(
+      chain.run(CdcStream.fromParquetDir(spark, inDir, ev.schema)), 32)
+    val q = frontiers.writeStream
+      .format("memory").queryName("frontiers").outputMode("complete")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // derive lag from the |pipelines|-row state exactly as the operator
+    // docstring prescribes, then compare with the batch report
+    val state = spark.table("frontiers").localCheckpoint()
+    val resolved = state.agg(min(col("max_ts_us")).as("resolved_ts_us"))
+    val streamedLag = state.crossJoin(broadcast(resolved))
+      .select(col("pipeline"), col("n_events"), col("max_ts_us"),
+        col("resolved_ts_us"),
+        (col("max_ts_us") - col("resolved_ts_us")).as("lag_us"))
+    val batchLag = Materialize.feedLag(Changelog.fromEvents(ev), 32)
+    assert(streamedLag.exceptAll(batchLag).count() === 0)
+    assert(batchLag.exceptAll(streamedLag).count() === 0)
+  }
+
   test("windowed counts with watermark: emitted windows match batch; resolved-ts advances") {
     val (inDir, ev) = sliceIntoDir(4)
     val counts = CdcStream.windowedCounts(

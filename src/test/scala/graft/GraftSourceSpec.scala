@@ -11,7 +11,7 @@ class GraftSourceSpec extends SparkSpec {
 
   private def changelog = Changelog.fromEvents(Tables.events(spark, sfDir))
 
-  for (format <- Seq("parquet", "json", "csv")) {
+  for (format <- Seq("parquet", "json", "csv", "orc")) {
     test(s"sink → source round-trip preserves the changelog via $format") {
       val in = changelog
       val path = Files.createTempDirectory(s"src-$format").toString
