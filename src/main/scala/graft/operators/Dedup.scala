@@ -187,7 +187,13 @@ object Dedup {
         down.join(downMin, "u").select(col("v").as("u"), col("m").as("v"))
           .unionAll(downMin.select(col("u"), col("m").as("v"))))
         .localCheckpoint()
-      changed = ss.exceptAll(e).count() + e.exceptAll(ss).count()
+      // both frames are canonical DISTINCT sets: when the counts match,
+      // one-sided inclusion (ss ⊆ e) already implies equality — the
+      // second anti-join is only needed on a size change (it never is:
+      // sizes equal + ss\e empty ⇒ equal). Halves the per-round
+      // convergence cost.
+      val (nE, nSs) = (e.count(), ss.count())
+      changed = if (nE != nSs) 1L else ss.exceptAll(e).count()
       e = ss
       pass += 1
     }

@@ -725,6 +725,28 @@ object Analytics {
         .orderBy("purchase_seq")
     }),
 
+    // B40: RANGE-frame window — 30-day trailing spend per customer at
+    // each order date (range frames bound by VALUE, not row count; the
+    // window partitions per customer so no global sort exists). Cents
+    // stay exact integers; day arithmetic is epoch-day longs.
+    "q_trailing_spend" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = (dec182("o_totalprice") * 100).cast("decimal(38,0)")
+        .cast("long")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"))
+        .rangeBetween(-29, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"),
+          cents.as("cents"))
+        .withColumn("trailing_30d_cents", sum(col("cents")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          col("cents"), col("trailing_30d_cents"))
+        .orderBy("o_custkey", "day", "o_orderkey")
+    }),
+
     // B39: 10%-trimmed mean order value per segment — robust central
     // tendency without the outlier tails. Deterministic trim: rank by
     // (cents, orderkey) inside a window partitioned per segment, drop
@@ -1228,6 +1250,21 @@ object Analytics {
         |SELECT seq AS purchase_seq, user_id, ts_us AS purchase_ts_us, value,
         |       click_seq, click_ts_us
         |FROM f WHERE is_left = 1 ORDER BY purchase_seq""".stripMargin,
+
+    "q_trailing_spend" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         date_diff('day', DATE '1970-01-01',
+        |                   CAST(o_orderdate AS DATE))::BIGINT AS day,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day, cents,
+        |  CAST(sum(cents) OVER (
+        |    PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trailing_30d_cents
+        |FROM o ORDER BY o_custkey, day, o_orderkey""".stripMargin,
 
     "q_trimmed_mean" ->
       """WITH j AS (
