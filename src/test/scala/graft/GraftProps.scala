@@ -119,4 +119,41 @@ object GraftProps extends Properties("graft") {
           }
         }
     }
+
+  private val tokenText: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+      .map(_.take(40).mkString(" "))
+
+  property("chunk tiling: non-overlapping windows partition every token; " +
+    "stride s yields ceil(T/s) windows") =
+    forAll(Gen.nonEmptyListOf(tokenText).map(_.take(5)),
+      Gen.choose(1, 6), Gen.choose(1, 6)) { (texts, win0, stride0) =>
+      import spark.implicits._
+      val (win, stride) = (math.max(win0, stride0), math.min(win0, stride0))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = operators.Chunking.chunk(docs, "doc_id", "text", win, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      texts.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split(" ").length
+        val mine = chunks.filter(_._1 == i.toLong)
+        mine.length == (toks + stride - 1) / stride &&
+          (stride != win || mine.map(_._3).sum == toks)
+      }
+    }
+
+  property("checksum is invariant under any row permutation/partitioning") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 500L)).map(_.take(30)),
+      Gen.choose(1, 8)) { (keys, parts) =>
+      import spark.implicits._
+      val rows = keys.distinct.map(k => (k, s"payload-$k"))
+      val a = cdc.Consistency.checksum(
+        rows.toDF("k", "v"), col("k"), Seq(col("k"), col("v")), 4)
+        .collect().map(_.toSeq).toSet
+      val b = cdc.Consistency.checksum(
+        scala.util.Random.shuffle(rows).toDF("k", "v").repartition(parts),
+        col("k"), Seq(col("k"), col("v")), 4)
+        .collect().map(_.toSeq).toSet
+      a == b
+    }
 }
