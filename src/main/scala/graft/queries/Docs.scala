@@ -60,6 +60,15 @@ object Docs {
     s"WHEN $conds THEN $k"
   }.mkString("CASE ", " ", s" ELSE ${kmK - 1} END")
 
+  /** DuckDB regexp_replace chain generated from the SAME
+    * [[Text.piiPatterns]] (global flag; single quotes escaped; SQL
+    * string literals keep backslashes verbatim so the regexes transfer
+    * unchanged). */
+  private def scrubSql(expr0: String): String =
+    Text.piiPatterns.foldLeft(expr0) { case (e, (re, tag)) =>
+      s"regexp_replace($e, '${re.replace("'", "''")}', '$tag', 'g')"
+    }
+
   /** Shared recursive-CTE components oracle for both connected-component
     * implementations (min-label and star rounds — same contract). */
   private def neardupClustersOracle: String =
@@ -429,6 +438,19 @@ object Docs {
       Similarity.annTopK(qcorpus, e.where(col("vec_id") < 8),
           idCol = "vec_id", vecCol = "embedding", k = 5)
         .orderBy("probe_id", "rank")
+    }),
+
+    // C19 (oracle form): PII scrubbing — emails/phones/SSNs built
+    // deterministically from each doc's id, scrubbed by the same
+    // portable regex chain the library applies; the oracle replays the
+    // identical patterns (generated from Text.piiPatterns), so both
+    // engines' regex semantics are pinned against each other
+    "doc_pii_scrub" -> ((s, dir) => {
+      val raw = concat(lit("u"), col("doc_id"), lit("@example.org tel 555-123-4567 ssn 123-45-6789 t: "),
+        substring(col("text"), 1, 40))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.scrubPii(raw).as("scrubbed"))
+        .orderBy("doc_id")
     }),
 
     // C8: language-ID heuristic — stopword hit counts + deterministic
@@ -899,6 +921,12 @@ object Docs {
         |  FROM s)
         |SELECT probe_id, rank, neighbor_id, round(cos_raw, 4) AS cos_sim
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "doc_pii_scrub" ->
+      s"""SELECT doc_id,
+        |  ${scrubSql("'u' || doc_id || '@example.org tel 555-123-4567 ssn 123-45-6789 t: ' || substr(text, 1, 40)")}
+        |    AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "emb_ann_topk_q" ->
       s"""WITH e AS (
