@@ -9,6 +9,18 @@ import org.apache.spark.sql.SparkSession
   * With no query args, audits every SparkEntry query and prints only the
   * flags summary; with query names, prints their full formatted plans. */
 object PlanAudit {
+
+  /** Queries whose BroadcastNestedLoopJoin is the documented
+    * tiny-broadcast scalar/probe shape (a 1-row aggregate or a ≤8-row
+    * probe set joined without an equi-key). Anything flagged OUTSIDE
+    * this list is a regression and fails the audit (exit 1), so the
+    * dev tool doubles as a plan-shape gate. */
+  val expectedBnlj: Set[String] = Set(
+    "cdc_lag", "doc_budget_select", "doc_dedup_incremental",
+    "doc_mixture", "doc_tfidf", "doc_unigram_lp", "doc_vocab",
+    "emb_ann_ivf", "emb_ann_topk", "emb_ann_topk_q", "emb_neardup",
+    "q22_churned_customers", "q_gapfill")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1).toSeq
@@ -25,6 +37,7 @@ object PlanAudit {
     val targets =
       if (names.nonEmpty) names else SparkEntry.queries.keys.toSeq.sorted
     var flagged = 0
+    var regressions = 0
     for (name <- targets) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
@@ -35,9 +48,17 @@ object PlanAudit {
         "broadcast nested loop" -> plan.contains("BroadcastNestedLoopJoin"))
         .collect { case (what, true) => what }
       if (flags.nonEmpty) flagged += 1
-      println(s"== $name${if (flags.isEmpty) "" else flags.mkString("  [", ", ", "]")}")
+      // an unpartitioned window or cartesian is ALWAYS a regression; a
+      // BNLJ only when the query isn't in the documented allowlist
+      val isRegression = flags.exists(_ != "broadcast nested loop") ||
+        (flags.contains("broadcast nested loop") && !expectedBnlj(name))
+      if (isRegression) regressions += 1
+      println(s"== $name${if (flags.isEmpty) "" else flags.mkString("  [", ", ", "]")}" +
+        (if (isRegression) "  <-- REGRESSION" else ""))
       if (names.nonEmpty) println(plan)
     }
-    println(s"== audited ${targets.size} plans, $flagged flagged")
+    println(s"== audited ${targets.size} plans, $flagged flagged " +
+      s"(${flagged - regressions} documented), $regressions regressions")
+    if (regressions > 0) sys.exit(1)
   }
 }
