@@ -64,6 +64,24 @@ object Materialize {
       .orderBy("pipeline")
   }
 
+  /** Incremental snapshot maintenance — apply a new changelog slice to
+    * an ALREADY-MATERIALIZED state table (the per-flush warehouse MERGE,
+    * reference README.md:24,64: batch writes advance resolved-ts to
+    * resolved-ts). The state rows re-enter as synthetic events older
+    * than every delta event, so one `max_by` pass yields the new state:
+    * delta upserts win, delta deletes tombstone, untouched keys carry
+    * over.
+    *
+    * Scale shape: |state| + |delta| rows through ONE partial-agg
+    * shuffle — history is never rescanned; equivalent to
+    * `snapshot(fullChangelog)` (pinned in spec + oracle) at a fraction
+    * of the input. `state` must be a prior [[snapshot]]/[[upsert]]
+    * output (payload + commit_ts_us/seq columns). */
+  def upsert(state: DataFrame, delta: DataFrame): DataFrame = {
+    val asEvents = state.withColumn("op", lit(ChangeEvent.Insert))
+    snapshot(asEvents.unionByName(delta.select(asEvents.columns.map(col): _*)))
+  }
+
   /** SCD2-style version history: every non-delete change event becomes
     * a validity interval [valid_from_us, valid_to_us) per key — the
     * temporal-table / "as of any past time" view a warehouse keeps next

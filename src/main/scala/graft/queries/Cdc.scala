@@ -40,6 +40,19 @@ object Cdc {
       |         event_type, value, props
       |  FROM events)""".stripMargin
 
+  /** Shared snapshot oracle — cdc_snapshot and cdc_upsert must agree
+    * by construction (incremental apply converges to the full state). */
+  private val snapshotOracle: String = logCte +
+    """,
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key
+      |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+      |  FROM log)
+      |SELECT key AS user_id, event_type AS last_event_type,
+      |       value AS last_value, commit_ts_us AS last_ts_us
+      |FROM ranked WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1 standalone: the row-change event model itself — every event as
@@ -100,6 +113,24 @@ object Cdc {
     "cdc_snapshot_asof" -> ((s, dir) => {
       Materialize.snapshot(
           changelog(s, dir).where(col("commit_ts_us") <= asofTsUs))
+        .select(
+          col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // A28: incremental snapshot upsert — the per-flush warehouse MERGE:
+    // state materialized up to T, then the post-T delta applied in ONE
+    // max_by pass (history never rescanned). Must equal the full
+    // snapshot — the oracle IS cdc_snapshot's.
+    "cdc_upsert" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      val state = Materialize.snapshot(
+        log.where(col("commit_ts_us") <= asofTsUs))
+      val delta = log.where(col("commit_ts_us") > asofTsUs)
+      Materialize.upsert(state, delta)
         .select(
           col("key").as("user_id"),
           col("event_type").as("last_event_type"),
@@ -319,16 +350,11 @@ object Cdc {
         |WHERE event_type IN ('purchase','click') AND value > 50
         |ORDER BY seq""".stripMargin),
 
-    "cdc_snapshot" -> (logCte +
-      """,
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY key
-        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
-        |  FROM log)
-        |SELECT key AS user_id, event_type AS last_event_type,
-        |       value AS last_value, commit_ts_us AS last_ts_us
-        |FROM ranked WHERE rn = 1 AND op <> 'D'
-        |ORDER BY user_id""".stripMargin),
+    "cdc_snapshot" -> snapshotOracle,
+
+    // incremental upsert MUST converge to the same state as the full
+    // snapshot — same oracle by construction
+    "cdc_upsert" -> snapshotOracle,
 
     "cdc_resolved_ts" -> (logCte +
       """

@@ -49,6 +49,35 @@ object CdcStream {
       .start()
   }
 
+  /** [[deliver]] with a dead-letter quarantine (the RFC's "a bad
+    * plugin must not crash the feed" at RUNTIME, complementing
+    * Prepare-time validation): a micro-batch whose chain or sink write
+    * throws is written RAW to `dlq` (suffixed per batch id, append
+    * semantics) and the feed keeps going — offsets commit either way,
+    * so a poison flush is quarantined exactly once instead of wedging
+    * the changefeed in a crash loop. Re-ingesting a fixed DLQ batch is
+    * the operator's explicit, auditable action. */
+  def deliverWithDlq(stream: DataFrame, chain: Changefeed, sink: GraftSink,
+                     dlq: String => GraftSink,
+                     checkpointDir: String): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit = (batch, id) => {
+      val frame = batch.toDF()
+      try sink.write(chain.run(frame))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          dlq(s"batch-$id").write(
+            frame.withColumn("__dlq_reason",
+              org.apache.spark.sql.functions.lit(
+                String.valueOf(e.getMessage).take(200))))
+      }
+    }
+    stream.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming feed-health state (A24's streaming form): per-pipeline
     * event counts and frontier ts, maintained as a complete-mode
     * aggregation whose state is exactly |pipelines| rows. The lag

@@ -59,6 +59,37 @@ class CdcStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("deliverWithDlq: a poison batch quarantines with a reason, healthy " +
+    "batches deliver, the feed completes") {
+    val (inDir, ev) = sliceIntoDir(3)
+    // poison = any batch containing the globally-minimal event_id
+    // (exactly one of the three flushes)
+    val poisonId = ev.agg(min("event_id")).head().getLong(0)
+    val chain = Changefeed(Seq(
+      TransformPlugin("to-changelog", Changelog.fromEvents),
+      TransformPlugin("poison-detector", df => {
+        if (df.where(col("seq") === poisonId).limit(1).count() > 0)
+          sys.error(s"poison event $poisonId")
+        df
+      })))
+    val outDir = tmp("dlq-out")
+    val dlqDir = tmp("dlq-quarantine")
+    val q = CdcStream.deliverWithDlq(
+      CdcStream.fromParquetDir(spark, inDir, ev.schema), chain,
+      GraftSink.Files(outDir, saveMode = SaveMode.Append),
+      name => GraftSink.Files(s"$dlqDir/$name"), tmp("ckpt"))
+    q.awaitTermination()
+    // quarantined raw batch carries the reason and the poison row
+    val dlq = spark.read.option("mergeSchema", "true").parquet(s"$dlqDir/*")
+    assert(dlq.where(col("event_id") === poisonId).count() === 1)
+    assert(dlq.select("__dlq_reason").distinct().collect()
+      .map(_.getString(0)).exists(_.contains("poison")))
+    // the other two batches delivered; no poison row downstream
+    val delivered = spark.read.parquet(outDir)
+    assert(delivered.count() === ev.count() - dlq.count())
+    assert(delivered.where(col("seq") === poisonId).count() === 0)
+  }
+
   test("snapshot of the streamed feed equals the batch snapshot (A2 parity)") {
     val (inDir, ev) = sliceIntoDir(3)
     val chain = Changefeed(Seq(TransformPlugin("to-changelog", Changelog.fromEvents)))
