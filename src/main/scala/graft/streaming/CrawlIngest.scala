@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming crawl ingestion with cross-batch exact dedup — the
+  * production loop that turns an endless stream of crawl flushes into
+  * an append-only deduplicated corpus:
+  *
+  * per micro-batch (one crawl flush):
+  *  1. in-batch dedup (min-id representative per distinct content);
+  *  2. anti-join the batch's content digests against the persistent
+  *     digest ledger (everything the corpus already holds);
+  *  3. append the survivors' DIGESTS to the ledger, then the survivor
+  *     ROWS to the corpus.
+  *
+  * Scale shape: the ledger side joins on 64-hex digests only — crawl
+  * text never re-shuffles against the corpus; at 100 TB the ledger is
+  * the bucketed digest table of Dedup.writeCorpusDigests and the
+  * anti-join is exchange-free on the corpus side.
+  *
+  * Delivery contract: digests are written BEFORE corpus rows, so a
+  * crash between the two writes drops (not duplicates) that batch's
+  * survivors on replay — the corpus never contains duplicate content
+  * (the property dedup exists to protect); a lost flush is re-crawlable
+  * and detectable by ledger-vs-corpus count drift. Exactly-once needs a
+  * transactional table format; this is the strongest contract plain
+  * parquet dirs support, and the spec pins replay convergence. */
+object CrawlIngest {
+
+  /** Start ingesting `stream` (doc rows with `idCol` + `textCol`).
+    * `ledgerDir` holds one `content_hash` column; `corpusDir` the
+    * surviving doc rows. */
+  def start(stream: DataFrame, idCol: String, textCol: String,
+            corpusDir: String, ledgerDir: String,
+            checkpointDir: String): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit = (batch, _) => {
+      val spark = batch.sparkSession
+      val frame = batch.toDF().localCheckpoint()
+      val hashed = frame.withColumn("content_hash", sha2(col(textCol), 256))
+      // 1. in-batch dedup: min-id row per distinct content
+      val inBatch = hashed
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("content_hash")).orderBy(col(idCol))))
+        .where(col("__rn") === 1).drop("__rn")
+      // 2. drop content the ledger already holds
+      val ledger = existingLedger(spark, ledgerDir)
+      val survivors = (ledger match {
+        case Some(l) => inBatch.join(l, Seq("content_hash"), "left_anti")
+        case None => inBatch
+      }).localCheckpoint() // both writes below reuse it; and the ledger
+      // append must not re-read the ledger it is writing to
+      // 3. ledger first (crash ⇒ drop, never duplicate), then corpus
+      survivors.select(col("content_hash"))
+        .write.mode(SaveMode.Append).parquet(ledgerDir)
+      survivors.drop("content_hash")
+        .write.mode(SaveMode.Append).parquet(corpusDir)
+    }
+    stream.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private def existingLedger(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Option[DataFrame] = {
+    val d = new java.io.File(dir)
+    if (d.isDirectory &&
+      d.listFiles().exists(_.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(dir))
+    else None
+  }
+}
