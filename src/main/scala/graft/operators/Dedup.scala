@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.Blooms
 
 /** Document deduplication for training-data pipelines.
   *
@@ -78,6 +81,48 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .join(newBatch.sparkSession.table(digestTable),
         Seq("content_hash"), "left_anti")
+
+  /** Bloom sketch over the corpus content digests — built DISTRIBUTED
+    * (partial per-partition sketches merged on the driver, the standard
+    * `stat.bloomFilter` tree aggregation; only the merged bitset ever
+    * reaches the driver, never the digests). A production pipeline
+    * builds this once when the ledger rolls forward and persists
+    * [[graft.functions.Blooms.serialize]]'s bytes next to the digest
+    * table; daily batches reload it instead of re-scanning the corpus.
+    *
+    * Sizing: ~1.2 bytes/item at fpp=1%, so even a 10-billion-digest
+    * ledger sketches to ~12 GB — chunkable per digest-bucket if a single
+    * executor can't hold it; at the SFs here it is a few hundred KB. */
+  def buildDigestBloom(corpus: DataFrame, textCol: String,
+                       expectedItems: Long, fpp: Double = 0.01): BloomFilter =
+    corpus.select(sha2(col(textCol), 256).as("content_hash")).distinct()
+      .stat.bloomFilter(col("content_hash"), expectedItems, fpp)
+
+  /** [[incremental]] with a scan-local Bloom prefilter: batch digests
+    * that MISS the sketch are definitely-new (Bloom has no false
+    * negatives) and bypass the anti-join entirely; only HITS — true
+    * dupes plus the fpp tail — are verified exactly against the corpus
+    * digest set. The result is therefore EXACTLY [[incremental]]'s
+    * (same oracle), but at 100 TB the join's probe side shrinks from
+    * |batch| to |dupes| + fpp·|batch| — for a mostly-novel crawl that
+    * is a ~100× smaller shuffle, and the definitely-new majority never
+    * leaves its scan task.
+    *
+    * Both branches share the identical digest-aggregation subtree, so
+    * the batch is shuffled once and the second branch reads the reused
+    * exchange (AQE `ReusedExchange`), not a second scan. */
+  def incrementalBloom(newBatch: DataFrame, corpus: DataFrame,
+                       bloom: BloomFilter,
+                       idCol: String, textCol: String): DataFrame = {
+    val seen = corpus.select(sha2(col(textCol), 256).as("content_hash")).distinct()
+    val agg = newBatch
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    val maybeSeen = Blooms.mightContain(col("content_hash"), bloom)
+    agg.where(!maybeSeen)
+      .unionByName(
+        agg.where(maybeSeen).join(seen, Seq("content_hash"), "left_anti"))
+  }
 
   /** Near-dup clusters from a pair list: connected components by
     * iterative min-label propagation — every doc in a component ends

@@ -404,6 +404,26 @@ object Docs {
         .orderBy("keep_id")
     }),
 
+    // C44: the same incremental dedup behind a Bloom prefilter — batch
+    // digests missing the corpus sketch skip the anti-join entirely
+    // (no false negatives ⇒ identical result, identical oracle); only
+    // sketch hits pay the shuffle. The 100 TB shape for mostly-novel
+    // daily crawls where the digest ledger is too big to broadcast but
+    // its ~1.2-byte/item sketch is not.
+    "doc_dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val half = docs.agg(floor(max(col("doc_id")) / lit(2)).as("__half"))
+      val corpus = docs.crossJoin(broadcast(half))
+        .where(col("doc_id") <= col("__half"))
+      val bloom = Dedup.buildDigestBloom(corpus, "text",
+        expectedItems = 1L << 20, fpp = 0.01)
+      Dedup.incrementalBloom(
+        newBatch = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 1000000L)),
+        corpus = corpus, bloom = bloom,
+        idCol = "doc_id", textCol = "text")
+        .orderBy("keep_id")
+    }),
+
     // C5: exact embedding-cosine near-dup pairs (correctness baseline;
     // the LSH-bucketed path is the 100 TB shape — SURVEY.md §5).
     "emb_neardup" -> ((s, dir) => {
@@ -765,6 +785,25 @@ object Docs {
     },
 
     "doc_dedup_incremental" ->
+      """WITH half AS (
+        |  SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS h FROM documents),
+        |nb AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |agg AS (
+        |  SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |         count(*) AS n_copies
+        |  FROM nb GROUP BY 1),
+        |seen AS (
+        |  SELECT DISTINCT sha256(text) AS content_hash
+        |  FROM documents, half WHERE doc_id <= h)
+        |SELECT content_hash, keep_id, n_copies FROM agg
+        |WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+        |ORDER BY keep_id""".stripMargin,
+
+    // Bloom prefilter changes the PLAN, never the result — the oracle is
+    // the exact anti-join, verbatim.
+    "doc_dedup_incremental_bloom" ->
       """WITH half AS (
         |  SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS h FROM documents),
         |nb AS (
