@@ -151,6 +151,34 @@ object Sampling {
   /** The hash [[perStratumSample]] orders by (exposed for the oracle). */
   private def hashCol(id: Column): Column = MinHash.hash32(id.cast("string"))
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res): row i draws u_i ∈ (0,1) from the md5-prefix
+    * fraction of its id and gets selection key ln(u_i)/w_i; the n
+    * LARGEST keys are the sample, so inclusion odds rise with weight —
+    * the quality-weighted corpus draw ("sample 1M docs, prefer long /
+    * high-score ones") that `orderBy(rand()*w)` can't do stably.
+    *
+    * Determinism: u comes from the id, never `rand()`, so re-runs,
+    * engines, and appends agree row-by-row; keys are round(9)-laddered
+    * before ordering with an id tiebreak (SURVEY §6). Scale shape: the
+    * key is a scan-local projection and the global top-n plans as
+    * TakeOrderedAndProject — per-partition n-row heaps, never a full
+    * sort. Weights are clamped to ≥1 so a zero-weight row can't produce
+    * -inf keys. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     n: Int): DataFrame = {
+    val u = (hashCol(col(idCol)) + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("sel_key",
+        round(log(u) / greatest(weightCol.cast("double"), lit(1.0)), 9))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(n)
+  }
+
+  /** DuckDB mirror of [[weightedSample]]'s selection key. */
+  def weightedKeySql(id: String, weightExpr: String): String =
+    s"""round(ln((('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+       |      / 4294967296.0) / greatest(CAST($weightExpr AS DOUBLE), 1.0), 9)""".stripMargin
+
   /** DuckDB mirror of [[perStratumSample]]'s window. */
   def perStratumRankSql(id: String, stratum: String): String =
     s"""row_number() OVER (PARTITION BY $stratum

@@ -144,6 +144,17 @@ object Docs {
         .orderBy("source", "draw")
     }),
 
+    // C45: weighted sampling without replacement (A-Res) — longer docs
+    // favored (weight = n_chars), stable across runs/engines/appends;
+    // scan-local key + TakeOrderedAndProject global top-n
+    "doc_sample_weighted" -> ((s, dir) => {
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+          col("n_chars"), 500)
+        .orderBy(desc("sel_key"), col("doc_id"))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("sel_key"), 4).as("sel_key_r4"))
+    }),
+
     // C32: temperature-scaled domain-mixture weights — per-source
     // sampling weight ∝ n_tokens^alpha plus epochs toward a token
     // budget (the Pile/ROOTS mixture rule). One partial-agg corpus
@@ -1076,6 +1087,13 @@ object Docs {
     "doc_mixture" ->
       Sampling.mixtureWeightsSql("documents", "source",
         "len(string_split(text, ' '))", mixAlpha, mixBudget),
+
+    "doc_sample_weighted" ->
+      s"""SELECT doc_id, n_chars, round(sel_key, 4) AS sel_key_r4 FROM (
+        |  SELECT doc_id, n_chars,
+        |    ${Sampling.weightedKeySql("doc_id", "n_chars")} AS sel_key
+        |  FROM documents)
+        |ORDER BY sel_key DESC, doc_id LIMIT 500""".stripMargin,
 
     "doc_sample_per_source" ->
       s"""SELECT source, draw, doc_id, lang FROM (

@@ -85,6 +85,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: fixed size, deterministic, weight-biased, no -inf keys") {
+    val n = 100
+    val s1 = Sampling.weightedSample(docs, "doc_id", col("n_chars"), n)
+      .select("doc_id", "sel_key").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s2 = Sampling.weightedSample(docs, "doc_id", col("n_chars"), n)
+      .select("doc_id", "sel_key").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s1 == s2 && s1.size == n)
+    assert(s1.values.forall(k => k <= 0.0 && !k.isNegInfinity))
+    // A-Res with weight = n_chars must pull the sample's mean length
+    // above the population's (deterministic given fixed data)
+    val sampleMean = docs.where(col("doc_id").isin(s1.keys.toSeq: _*))
+      .agg(avg("n_chars")).head.getDouble(0)
+    val popMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleMean > popMean,
+      s"sample mean $sampleMean not above population mean $popMean")
+    // zero/negative weights clamp to 1 instead of producing -inf
+    val clamped = Sampling.weightedSample(
+      docs.withColumn("n_chars", lit(0L)), "doc_id", col("n_chars"), n)
+    assert(clamped.count() === n
+      && clamped.agg(min("sel_key")).head.getDouble(0) > -30.0)
+  }
+
   test("bucket matches the portable md5-prefix rule (JVM reference)") {
     import java.security.MessageDigest
     val ids = docs.select("doc_id").limit(32).collect().map(_.getLong(0))
