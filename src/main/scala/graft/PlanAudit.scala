@@ -17,6 +17,7 @@ object PlanAudit {
     * dev tool doubles as a plan-shape gate. */
   val expectedBnlj: Set[String] = Set(
     "cdc_lag", "doc_budget_select", "doc_dedup_incremental",
+    "doc_dedup_incremental_bloom", // same 1-row __half boundary agg as doc_dedup_incremental
     "doc_mixture", "doc_tfidf", "doc_unigram_lp", "doc_vocab",
     "emb_ann_ivf", "emb_ann_topk", "emb_ann_topk_q", "emb_neardup",
     "q22_churned_customers", "q_gapfill")

@@ -796,48 +796,6 @@ object Analytics {
         .limit(10)
     }),
 
-    // B41: ordered funnel conversion view→click→purchase — each stage is
-    // "first qualifying event strictly after the prior stage's", the
-    // classic product-analytics funnel. Three user-keyed min-aggs chained
-    // by equi-joins: every stage repartitions on user_id (same key →
-    // exchange reuse), stage frames are |users| rows of (id, ts) — never
-    // wider — and the final counts are 1-row aggs unioned into a 3-row
-    // report. No window over the whole stream, no per-user collect.
-    "q_funnel" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("ts_us"), col("event_type"))
-      val s1 = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("t1"))
-      val s2 = ev.where(col("event_type") === "click")
-        .join(s1, "user_id").where(col("ts_us") > col("t1"))
-        .groupBy("user_id").agg(min("ts_us").as("t2"))
-      val s3 = ev.where(col("event_type") === "purchase")
-        .join(s2, "user_id").where(col("ts_us") > col("t2"))
-        .groupBy("user_id").agg(min("ts_us").as("t3"))
-      def cnt(df: org.apache.spark.sql.DataFrame, step: Int, name: String) =
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(step).as("step"), lit(name).as("event_type"), col("n_users"))
-      cnt(s1, 1, "view").unionByName(cnt(s2, 2, "click"))
-        .unionByName(cnt(s3, 3, "purchase"))
-        .orderBy("step")
-    }),
-
-    // B42: retention cohorts — users bucketed by the epoch-day of their
-    // first event; the (cohort_day × day_offset) matrix counts distinct
-    // active users. One user-keyed min-agg, one user-keyed join back,
-    // one small-group distinct agg; day ids are integer epoch-division
-    // (engine-portable, no calendar functions).
-    "q_retention_cohorts" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
-      val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
-      e.join(first, "user_id")
-        .groupBy(col("cohort_day"),
-          (col("day") - col("cohort_day")).as("day_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy("cohort_day", "day_offset")
-    }),
-
     // B37: as-of join with a staleness bound (pandas merge_asof
     // `tolerance`): clicks older than 1 h before the purchase null
     // out — same union+window plan, the bound is a scan-local gate
@@ -1338,34 +1296,6 @@ object Analytics {
         |       count(*) AS n
         |FROM seq WHERE e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
-
-    "q_funnel" ->
-      """WITH s1 AS (
-        |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (
-        |  SELECT e.user_id, min(epoch_us(ts)) AS t2
-        |  FROM events e JOIN s1 USING (user_id)
-        |  WHERE event_type = 'click' AND epoch_us(ts) > t1 GROUP BY 1),
-        |s3 AS (
-        |  SELECT e.user_id, min(epoch_us(ts)) AS t3
-        |  FROM events e JOIN s2 USING (user_id)
-        |  WHERE event_type = 'purchase' AND epoch_us(ts) > t2 GROUP BY 1)
-        |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
-        |UNION ALL
-        |SELECT 2, 'click', count(*) FROM s2
-        |UNION ALL
-        |SELECT 3, 'purchase', count(*) FROM s3
-        |ORDER BY step""".stripMargin,
-
-    "q_retention_cohorts" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
-        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
-        |SELECT cohort_day, day - cohort_day AS day_offset,
-        |       count(DISTINCT e.user_id) AS n_users
-        |FROM e JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_asof_tolerance" ->
       s"""WITH u AS (
