@@ -16,10 +16,14 @@ object PlanAudit {
     * this list is a regression and fails the audit (exit 1), so the
     * dev tool doubles as a plan-shape gate. */
   val expectedBnlj: Set[String] = Set(
-    "cdc_lag", "doc_budget_select", "doc_dedup_incremental",
+    "cdc_lag", "doc_budget_select",
+    "doc_cooc_lift", // 1-row token-total scalar broadcast
+    "doc_dedup_incremental",
     "doc_dedup_incremental_bloom", // same 1-row __half boundary agg as doc_dedup_incremental
     "doc_mixture", "doc_tfidf", "doc_unigram_lp", "doc_vocab",
-    "emb_ann_ivf", "emb_ann_topk", "emb_ann_topk_q", "emb_neardup",
+    "emb_ann_ivf", "emb_ann_topk", "emb_ann_topk_q",
+    "emb_knn_classify", // wraps annTopK's broadcast ≤8-row probe set
+    "emb_neardup",
     "q22_churned_customers", "q_gapfill")
 
   def main(args: Array[String]): Unit = {

@@ -61,6 +61,54 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** k-NN majority-vote classification: each probe gets the label held by
+    * most of its k nearest corpus neighbours (cosine), ties going to the
+    * smallest label. Same plan as [[annTopK]] (broadcast probes, one
+    * corpus pass, partial top-k) plus a label join against the k·|probes|
+    * candidate rows — the per-probe vote is a tiny grouped count, never a
+    * second corpus pass.
+    */
+  def knnClassify(corpus: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topk = annTopK(corpus, probes, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("__lbl"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("n_votes"), col("__lbl"))
+    topk.join(labels, "neighbor_id")
+      .groupBy(col("probe_id"), col("__lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("probe_id"), col("__lbl").as("pred_label"),
+        col("n_votes"))
+  }
+
+  /** All pairs (a < b) with cosine >= threshold WITHIN each cluster —
+    * the SemDeDup shape (Abbas et al. 2023): a coarse quantizer (k-means
+    * assignment) scopes the quadratic pair search to cluster members, so
+    * the join is an equi-join on the cluster id and the pair count is
+    * Σ|cluster|², not |corpus|². At 100 TB, k is sized so clusters stay
+    * ~1e4-1e5 rows; hot clusters bound the work exactly like SimHash's
+    * capped buckets. */
+  def neardupPairsWithin(emb: DataFrame, idCol: String, vecCol: String,
+                         clusterCol: String, threshold: Double): DataFrame = {
+    val e = emb.select(col(clusterCol).cast("long").as("__cl"),
+      col(idCol), Vectors.toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", Vectors.norm(col("__v")))
+    val a = e.select(col("__cl"), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = e.select(col("__cl").as("__clb"), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, col("__cl") === col("__clb") && col("id_a") < col("id_b"))
+      .withColumn("cos_raw", Vectors.cosineWithNorms(
+        col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .where(col("cos_raw") >= threshold)
+      .select(col("__cl").as("cluster"), col("id_a"), col("id_b"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** Exact top-k neighbours of each probe over the corpus.
     *
     * Ordering is on round(cos, 9) with the neighbour id as tiebreak: the

@@ -490,6 +490,61 @@ object Analytics {
         .orderBy("s_suppkey")
     }),
 
+    // B41: suppliers who kept orders waiting (TPC-H Q21 shape, adapted:
+    // no l_receiptdate/l_commitdate in the reduced schema → "late" =
+    // shipped >365 days after the order date). The classic doubly-
+    // correlated EXISTS/NOT-EXISTS is rewritten Spark-first as one
+    // per-(order, supplier) partial agg + one per-order agg — two
+    // key-local shuffles on the already-joined fact, no Expand (the
+    // distinct-supplier counts come from the pre-aggregated grain, not
+    // count_distinct), no per-row subqueries. A supplier "waits" an
+    // order when it is the ONLY late supplier on a multi-supplier order.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 365 DAYS")
+      val lo = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(late).as("supp_late"))
+      val perOrder = lo.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supp"),
+          count(when(col("supp_late"), 1)).as("n_late_supp"))
+      lo.where(col("supp_late"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(10)
+    }),
+
+    // B42: null-aware NOT IN anti-join — `NOT IN (subquery)` over a
+    // NULLABLE key is NOT a plain anti-join (one NULL in the list empties
+    // the result), so Spark plans a null-aware BroadcastHashJoin
+    // (broadcast-only by design: the null check needs the whole build
+    // side). Expressed in SQL because only the optimizer's NOT IN rewrite
+    // produces that plan, and the list column is wrapped in a CASE so its
+    // TYPE is nullable (the parquet field is required, which would let
+    // Spark simplify back to the plain anti-join) while the WHERE
+    // guarantees no actual NULL — the SQL-standard three-valued semantics
+    // stay observable without degenerating to an empty result. The
+    // subquery pre-aggregates to DISTINCT big-spender keys, bounding the
+    // broadcast by |matching customers|, not |orders|.
+    "q_not_in" -> ((s, dir) => {
+      s.sql(
+        s"""SELECT c_custkey, c_name, c_mktsegment
+           |FROM parquet.`$dir/customer.parquet`
+           |WHERE c_custkey NOT IN (
+           |  SELECT DISTINCT CASE WHEN o_totalprice > 400000 THEN o_custkey END
+           |  FROM parquet.`$dir/orders.parquet`
+           |  WHERE o_totalprice > 400000)
+           |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // B34: date-spine gap-fill + 7-day moving window — daily revenue per
     // market segment with missing days zero-filled against a generated
     // date spine, then an exact 7-day rolling cent-sum. The spine is
@@ -1075,6 +1130,34 @@ object Analytics {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait FROM (
+        |  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+        |  FROM lineitem l1
+        |  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |  WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+        |    AND EXISTS (
+        |      SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM lineitem l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey
+        |        AND l3.l_suppkey <> l1.l_suppkey
+        |        AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)) w
+        |JOIN supplier ON w.l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q_not_in" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT DISTINCT CASE WHEN o_totalprice > 400000 THEN o_custkey END
+        |  FROM orders
+        |  WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_gapfill" ->
       s"""WITH daily AS (

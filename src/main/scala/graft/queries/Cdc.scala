@@ -91,6 +91,24 @@ object Cdc {
         .orderBy("seq")
     }),
 
+    // A31: dual-feed merge (failover / dual-region dual-write): a
+    // secondary feed redelivers an overlapping slice of the primary;
+    // union → exact replay dedup (grouped agg, so duplicates collapse
+    // map-side before the shuffle) → snapshot. Result must equal the
+    // single-feed snapshot — the merge is idempotent by construction,
+    // which is what makes regional failover safe at any feed size.
+    "cdc_merge_feeds" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      val secondary = log.where(col("seq") % 3 === 0)
+      Materialize.snapshot(Materialize.dedup(log.unionAll(secondary)))
+        .select(
+          col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // A1+A2: changelog → latest-state snapshot, delete tombstones dropped
     "cdc_snapshot" -> ((s, dir) => {
       Materialize.snapshot(changelog(s, dir))
@@ -351,6 +369,23 @@ object Cdc {
         |ORDER BY seq""".stripMargin),
 
     "cdc_snapshot" -> snapshotOracle,
+
+    "cdc_merge_feeds" -> (logCte +
+      """,
+        |merged AS (
+        |  SELECT * FROM log
+        |  UNION ALL SELECT * FROM log WHERE seq % 3 = 0),
+        |dd AS (
+        |  SELECT DISTINCT key, commit_ts_us, seq, op, event_type, value, props
+        |  FROM merged),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM dd)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
 
     // incremental upsert MUST converge to the same state as the full
     // snapshot — same oracle by construction

@@ -60,6 +60,28 @@ object Docs {
     s"WHEN $conds THEN $k"
   }.mkString("CASE ", " ", s" ELSE ${kmK - 1} END")
 
+  /** Column form of [[kmCaseSql]] over already-projected s0..s{k-1}
+    * score columns — shared by the assignment query and SemDeDup. */
+  private def kmArgmaxCol: Column =
+    (0 until kmK - 1).foldRight(lit((kmK - 1).toLong): Column) {
+      case (k, acc) =>
+        val geAllLater = ((k + 1) until kmK)
+          .map(j => col(s"s$k") >= col(s"s$j")).reduce(_ && _)
+        when(geAllLater, lit(k.toLong)).otherwise(acc)
+    }
+
+  /** Per-vector centroid-score columns s0..s{k-1} (round(dot, 9), the
+    * same fragment [[kmScoreSql]] emits for DuckDB). */
+  private def kmScoreCols: Seq[Column] = {
+    val emb = graft.functions.Vectors.toDouble(col("embedding"))
+    (0 until kmK).map(k =>
+      round(graft.functions.Vectors.dot(
+        emb, array(kmCentroid(k).map(lit): _*)), 9).as(s"s$k"))
+  }
+
+  /** SemDeDup within-cluster cosine threshold (shared with the oracle). */
+  private val semThreshold = 0.35
+
   /** DuckDB regexp_replace chain generated from the SAME
     * [[Text.piiPatterns]] (global flag; single quotes escaped; SQL
     * string literals keep backslashes verbatim so the regexes transfer
@@ -386,6 +408,28 @@ object Docs {
         .orderBy("keep_id")
     }),
 
+    // C48: normalization-fingerprint dedup — exact dedup on a canonical
+    // text form (lowercase, non-alnum runs → single space, trim) so
+    // trivial variants (case, punctuation, whitespace) collapse that
+    // byte-exact hashing misses. The crawl unions UPPER-cased and
+    // punctuation-suffixed copies of every doc; normalization collapses
+    // each triple. Scan-local normalization + digest; only the 32-byte
+    // digest shuffles — same 100 TB shape as C1.
+    "doc_dedup_normalized" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val crawl = docs
+        .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionAll(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit("  !!")).as("text")))
+      val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      crawl.select(col("doc_id"), sha2(norm, 256).as("norm_hash"))
+        .groupBy(col("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_variants"))
+        .orderBy("keep_id")
+    }),
+
     // C1 filter form: every row annotated with its digest, the keeper
     // id for its content, and an is_duplicate flag — what a pipeline
     // uses to drop dupes while keeping lineage. One digest shuffle.
@@ -471,6 +515,89 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
+    // C46: k-NN majority-vote classification — label the probe set from
+    // its 5 nearest labelled corpus neighbours (annTopK plan: broadcast
+    // probes, one corpus pass, partial top-k; the vote is a k·|probes|-row
+    // grouped count). Ties go to the smallest label.
+    "emb_knn_classify" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnClassify(
+        corpus = e.where(col("vec_id") >= 8),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
+        .orderBy("probe_id")
+    }),
+
+    // C47: SemDeDup — semantic near-dup pairs scoped to k-means clusters:
+    // the fixed-centroid assignment (same constants as emb_kmeans_assign)
+    // keys an equi-join, so pairwise cosine work is Σ|cluster|², never
+    // |corpus|². The 100 TB story of C5's all-pairs baseline.
+    "emb_semdedup" -> ((s, dir) => {
+      val scored = Tables.embeddings(s, dir).select(
+        col("vec_id") +: col("embedding") +: kmScoreCols: _*)
+      val clustered = scored.select(col("vec_id"), col("embedding"),
+        kmArgmaxCol.as("cluster"))
+      Similarity.neardupPairsWithin(clustered, "vec_id", "embedding",
+        "cluster", semThreshold)
+        .orderBy("cluster", "id_a", "id_b")
+    }),
+
+    // C50: per-cluster health report — member count, mean/min/max cosine
+    // of members to their assigned centroid (how tight each k-means cell
+    // is; the quantizer-quality signal that decides whether C47/C15 can
+    // trust their cluster scoping). One corpus scan to |k| rows; the
+    // cosine is quantized to e6 fixed-point per row so the mean divides
+    // EXACT integer sums (a parallel double mean would be fold-order
+    // dependent and hash-unstable).
+    "emb_cluster_report" -> ((s, dir) => {
+      val cnorm = (k: Int) => math.sqrt(kmCentroid(k).map(x => x * x).sum)
+      val scored = Tables.embeddings(s, dir).select(
+        col("vec_id") +: col("embedding") +: kmScoreCols: _*)
+        .withColumn("__nv", graft.functions.Vectors.norm(
+          graft.functions.Vectors.toDouble(col("embedding"))))
+        .withColumn("cluster", kmArgmaxCol)
+      val cosAssigned = (0 until kmK).foldRight(lit(null).cast("double"): Column) {
+        case (k, acc) => when(col("cluster") === k,
+          col(s"s$k") / (col("__nv") * lit(cnorm(k)))).otherwise(acc)
+      }
+      scored
+        .withColumn("__cos_e6", round(cosAssigned * 1e6, 0).cast("long"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("__cos_e6")).as("__sum_e6"),
+          min(col("__cos_e6")).as("min_cos_e6"),
+          max(col("__cos_e6")).as("max_cos_e6"))
+        .select(col("cluster"), col("n_members"),
+          round(col("__sum_e6").cast("double")
+            / (lit(1e6) * col("n_members")), 4).as("mean_cos"),
+          col("min_cos_e6"), col("max_cos_e6"))
+        .orderBy("cluster")
+    }),
+
+    // C51: vocabulary coverage / OOV rate — per-doc fraction of tokens
+    // outside the corpus top-30 vocabulary (the tokenizer-coverage check
+    // run before committing to a vocab). The vocab is a tiny aggregate
+    // (TakeOrdered over |vocab| rows, deterministic count-then-token
+    // tiebreak) broadcast against the exploded token stream; the only
+    // corpus-sized shuffle is the per-doc count, map-side combined.
+    "doc_oov_rate" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("__t", Text.tokens(col("text")))
+      val vocab = base.select(explode(col("__t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("w")).limit(30)
+        .select(col("w"), lit(1).as("__iv"))
+      base.select(col("doc_id"), explode(col("__t")).as("w"))
+        .join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("__iv").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 4)
+            .as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
     // C19 (oracle form): PII scrubbing — emails/phones/SSNs built
     // deterministically from each doc's id, scrubbed by the same
     // portable regex chain the library applies; the oracle replays the
@@ -519,20 +646,10 @@ object Docs {
     // verifiable query — the iterative fit itself is KMeansSpec-pinned).
     // Broadcast-free: centroids are plan literals; one corpus scan.
     "emb_kmeans_assign" -> ((s, dir) => {
-      val emb = graft.functions.Vectors.toDouble(col("embedding"))
-      val scoreCols = (0 until kmK).map(k =>
-        round(graft.functions.Vectors.dot(
-          emb, array(kmCentroid(k).map(lit): _*)), 9).as(s"s$k"))
       val scored = Tables.embeddings(s, dir).select(
-        col("vec_id") +: col("label").cast("long").as("label") +: scoreCols: _*)
-      val assigned = (0 until kmK - 1).foldRight(lit((kmK - 1).toLong): Column) {
-        case (k, acc) =>
-          val geAllLater = ((k + 1) until kmK)
-            .map(j => col(s"s$k") >= col(s"s$j")).reduce(_ && _)
-          when(geAllLater, lit(k.toLong)).otherwise(acc)
-      }
+        col("vec_id") +: col("label").cast("long").as("label") +: kmScoreCols: _*)
       scored.select(col("vec_id"), col("label"),
-        assigned.as("assigned"),
+        kmArgmaxCol.as("assigned"),
         (round(greatest((0 until kmK).map(k => col(s"s$k")): _*), 4)
           + lit(0.0)).as("best_score"))
         .orderBy("vec_id")
@@ -663,6 +780,42 @@ object Docs {
         .select(col("token"), col("n_occurrences"),
           (col("__n_higher") + col("__in_rank")).cast("long").as("rank"))
         .orderBy("rank")
+    }),
+
+    // C49: token co-occurrence lift — top adjacent-token pairs by
+    // lift = P(w1,w2) / (P(w1)·P(w2)); PMI is ln(lift), monotone, so the
+    // ranking is PMI's without a transcendental crossing the engine
+    // boundary (the lift divides EXACT integer counts — products stay
+    // < 2^53 — in one correctly-rounded IEEE division, identical in both
+    // engines; ln() last-ulp noise would not be). Bigram extraction is a
+    // scan-local transform over the token array; both count shuffles are
+    // map-side combined; the unigram side of the lift join is vocab-
+    // sized (broadcast at sane vocabs, equi-join on the word if not).
+    "doc_cooc_lift" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("__t", Text.tokens(col("text")))
+        .where(size(col("__t")) >= 2)
+      val uni = base.select(explode(col("__t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val totals = uni.agg(sum(col("n_w")).as("n_total"))
+      val bigrams = base.select(explode(expr(
+        "transform(sequence(1, size(__t) - 1), " +
+          "i -> struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2))"))
+        .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+      val liftRaw = col("n_xy").cast("double") * col("n_total") /
+        (col("n_w1").cast("double") * col("n_w2"))
+      bigrams
+        .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+        .crossJoin(broadcast(totals))
+        .where(col("n_xy") >= 5)
+        .withColumn("__lift_raw", liftRaw)
+        .orderBy(round(col("__lift_raw"), 9).desc, col("w1"), col("w2"))
+        .limit(20)
+        .select(col("w1"), col("w2"), col("n_xy"),
+          round(col("__lift_raw"), 4).as("lift"))
     }),
 
     // C16: end-to-end corpus cleaning — the composition a training-data
@@ -935,6 +1088,43 @@ object Docs {
         |       count(*) AS n_copies
         |FROM crawl GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
+    "doc_dedup_normalized" ->
+      """WITH crawl AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text || '  !!' FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS norm_hash
+        |  FROM crawl)
+        |SELECT norm_hash, min(doc_id) AS keep_id, count(*) AS n_variants
+        |FROM n GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "doc_cooc_lift" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |uc AS (SELECT w, count(*) AS n_w FROM uni GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM uni),
+        |bg AS (
+        |  SELECT u.p[1] AS w1, u.p[2] AS w2 FROM (
+        |    SELECT unnest([[t[i], t[i+1]] for i in generate_series(1, len(t)-1)]) AS p
+        |    FROM toks) u),
+        |bc AS (SELECT w1, w2, count(*) AS n_xy FROM bg GROUP BY 1, 2),
+        |j AS (
+        |  SELECT bc.w1, bc.w2, n_xy,
+        |    CAST(n_xy AS DOUBLE) * n_total
+        |      / (CAST(u1.n_w AS DOUBLE) * u2.n_w) AS lift_raw
+        |  FROM bc
+        |  JOIN uc u1 ON bc.w1 = u1.w
+        |  JOIN uc u2 ON bc.w2 = u2.w, tot
+        |  WHERE n_xy >= 5)
+        |SELECT w1, w2, n_xy, round(lift_raw, 4) AS lift
+        |FROM j
+        |ORDER BY round(lift_raw, 9) DESC, w1, w2 LIMIT 20""".stripMargin,
+
     "doc_dedup_mark" ->
       """WITH crawl AS (
         |  SELECT doc_id, text FROM documents
@@ -971,6 +1161,79 @@ object Docs {
         |  FROM s)
         |SELECT probe_id, rank, neighbor_id, round(cos_raw, 4) AS cos_sim
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "emb_knn_classify" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT * FROM e WHERE vec_id < 8),
+        |c AS (SELECT * FROM e WHERE vec_id >= 8),
+        |s AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+        |         ${cosSql("p.v", "c.v")} AS cos_raw
+        |  FROM p CROSS JOIN c),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY round(cos_raw, 9) DESC, neighbor_id) AS rank
+        |  FROM s),
+        |v AS (
+        |  SELECT probe_id, CAST(label AS BIGINT) AS label,
+        |         count(*) AS n_votes
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY n_votes DESC, label) AS rr
+        |  FROM v)
+        |SELECT probe_id, label AS pred_label, n_votes
+        |FROM m WHERE rr = 1 ORDER BY probe_id""".stripMargin,
+
+    "emb_semdedup" ->
+      s"""WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    ${(0 until kmK).map(k => s"${kmScoreSql(k)} AS s$k").mkString(",\n|    ")}
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, v, CAST($kmCaseSql AS BIGINT) AS cl FROM s)
+        |SELECT a.cl AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
+        |FROM e a JOIN e b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |WHERE ${cosSql("a.v", "b.v")} >= $semThreshold
+        |ORDER BY cluster, id_a, id_b""".stripMargin,
+
+    "emb_cluster_report" -> {
+      val cnorm = (k: Int) => math.sqrt(kmCentroid(k).map(x => x * x).sum)
+      val cosCase = (0 until kmK).map(k =>
+        s"WHEN $k THEN s$k / (nv * ${cnorm(k)})")
+        .mkString("CASE cluster ", " ", " END")
+      s"""WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    ${(0 until kmK).map(k => s"${kmScoreSql(k)} AS s$k").mkString(",\n|    ")}
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, CAST($kmCaseSql AS BIGINT) AS cluster,
+        |         sqrt(list_dot_product(v, v)) AS nv,
+        |         ${(0 until kmK).map(k => s"s$k").mkString(", ")}
+        |  FROM s),
+        |c AS (
+        |  SELECT cluster,
+        |         CAST(round(($cosCase) * 1000000, 0) AS BIGINT) AS cos_e6
+        |  FROM a)
+        |SELECT cluster, count(*) AS n_members,
+        |       round(CAST(sum(cos_e6) AS DOUBLE) / (1000000.0 * count(*)), 4)
+        |         AS mean_cos,
+        |       min(cos_e6) AS min_cos_e6, max(cos_e6) AS max_cos_e6
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "doc_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vc AS (
+        |  SELECT w, count(*) AS n FROM toks GROUP BY 1
+        |  ORDER BY n DESC, w LIMIT 30)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       count(*) FILTER (WHERE w NOT IN (SELECT w FROM vc)) AS n_oov,
+        |       round(CAST(count(*) FILTER (WHERE w NOT IN (SELECT w FROM vc))
+        |             AS DOUBLE) / count(*), 4) AS oov_rate
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "doc_pii_scrub" ->
       s"""SELECT doc_id,

@@ -145,6 +145,32 @@ object CdcStream {
         unix_micros(col("sw.start")).as("session_start_us"),
         col("n_events"))
 
+  /** Stream-stream interval join — streaming attribution (the streaming
+    * form of the batch B15 range join / B10 as-of family): each purchase
+    * pairs with every click by the same user in the preceding `window`.
+    * BOTH sides carry event-time watermarks and the join condition
+    * bounds the event-time distance, so Spark derives a state-eviction
+    * watermark per side — buffered state is O(events inside the
+    * interval), never the full history. Inner join ⇒ a pair emits as
+    * soon as both rows have arrived; eviction follows the watermark, so
+    * results match the batch join exactly for data at most `delay` late
+    * (parity pinned in CdcStreamSpec). */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      delay: String, window: String): DataFrame = {
+    val p = purchases.select(col("user_id"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_seq"))
+      .withWatermark("p_ts", delay)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_seq"))
+      .withWatermark("c_ts", delay)
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
+      .select(col("user_id"), unix_micros(col("p_ts")).as("purchase_ts_us"),
+        col("purchase_seq"), unix_micros(col("c_ts")).as("click_ts_us"),
+        col("click_seq"))
+  }
+
   /** Replay dedup on a stream — the streaming form of the batch
     * [[graft.cdc.Materialize.dedup]] (A14): drops redelivered events by
     * (key, seq) identity while bounding state with the watermark — an

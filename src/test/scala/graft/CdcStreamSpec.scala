@@ -386,4 +386,39 @@ class CdcStreamSpec extends SparkSpec {
     assert(emitted.count() >= batch.count() / 2,
       s"only ${emitted.count()} of ${batch.count()} windows emitted")
   }
+
+  test("stream-stream interval join matches the batch interval join " +
+    "(B15 streaming form)") {
+    val (inDir, ev) = sliceIntoDir(4)
+    val joined = CdcStream.attributionJoin(
+      purchases = CdcStream.fromParquetDir(spark, inDir, ev.schema)
+        .where(col("event_type") === "purchase"),
+      clicks = CdcStream.fromParquetDir(spark, inDir, ev.schema)
+        .where(col("event_type") === "click"),
+      delay = "1 hour", window = "1 hour")
+    val q = joined.writeStream
+      .format("memory").queryName("ssj").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt_ssj"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj")
+    // batch reference: same projection + interval condition, no streams
+    val bp = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("purchase_ts_us"),
+        col("event_id").as("purchase_seq"))
+    val bc = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("click_ts_us"),
+        col("event_id").as("click_seq"))
+    val batch = bp.join(bc, col("user_id") === col("c_user") &&
+        col("click_ts_us") <= col("purchase_ts_us") &&
+        col("click_ts_us") >= col("purchase_ts_us") - 3600L * 1000000)
+      .select(col("user_id"), col("purchase_ts_us"), col("purchase_seq"),
+        col("click_ts_us"), col("click_seq"))
+    // the input slices are event-time ordered, so nothing is late and
+    // streamed == batch exactly (state eviction never drops a matchable row)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }
