@@ -142,6 +142,92 @@ object MinHash {
         round(col("jac"), 4).as("jaccard"))
   }
 
+  /** Asymmetric set-CONTAINMENT join: pairs (a, b) with
+    * C(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold —
+    * "a is contained in b". Jaccard-band LSH (the [[neardupPairs]]
+    * scheme) structurally misses small-in-large containment (a snippet
+    * quoted inside a much larger doc has high containment but LOW
+    * Jaccard), so candidates come from a different scheme — prefix
+    * filtering over an inverted index (the PPJoin family):
+    *
+    *  - probe keys: each doc's `bottomK` SMALLEST shingle hashes (a
+    *    bottom-k sketch; min-hashing means any doc containing ≥
+    *    threshold of a's shingles almost surely contains one of a's
+    *    bottom-k);
+    *  - posting lists: every (shingle, doc) pair — the inverted index;
+    *    8+8-byte rows, Σ|shingles| total, the standard index build;
+    *  - hot shingles (doc-frequency > `maxPosting`) are dropped from
+    *    BOTH sides: they are non-discriminative boilerplate whose
+    *    posting lists would blow the candidate count to ~n² (exactly
+    *    [[SimHash]]'s capped-bucket treatment — the cap is what keeps
+    *    candidate growth linear at 100 TB; recall for docs whose entire
+    *    bottom-k is boilerplate is the documented trade).
+    *
+    * Candidates then verify EXACTLY via the codegen'd sorted-merge
+    * intersect, carried by two id-joins back to the (small) signature
+    * frame — the inverted index never carries the shingle arrays.
+    * Output: id_a, id_b, containment (round 4), a != b, directed. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, bottomK: Int = 2,
+                       maxPosting: Int = 256): DataFrame = {
+    val sig = docs
+      .select(col(idCol).as("doc_id"), hashedShingles(col(textCol)).as("hv"))
+      .where(size(col("hv")) > 0)
+    val postings = sig.select(col("doc_id").as("cand_id"),
+      explode(col("hv")).as("sh"))
+    val cold = postings.groupBy(col("sh"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxPosting)
+      .select(col("sh"))
+    val keys = sig.select(col("doc_id"),
+      explode(slice(col("hv"), 1, bottomK)).as("sh"))
+    val cand = keys
+      .join(cold, "sh") // hot-shingle cap (both sides share the key)
+      .join(postings, "sh")
+      .where(col("doc_id") =!= col("cand_id"))
+      .select(col("doc_id").as("id_a"), col("cand_id").as("id_b"))
+      .distinct()
+    val inter = graft.functions.SetOps
+      .sortedIntersectCount(col("ha"), col("hb")).cast("double")
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("hv").as("ha")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("hv").as("hb")), "id_b")
+      .withColumn("cont", inter / size(col("ha")))
+      .where(col("cont") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cont"), 4).as("containment"))
+  }
+
+  /** DuckDB oracle for [[containmentPairs]], generated from the same
+    * constants/scheme (bottom-k probe keys, posting-cap filter, exact
+    * verify) so recall semantics can't drift between engines. `table`
+    * may be a CTE name established by the caller. */
+  def containmentOracleSql(table: String, threshold: Double,
+                           bottomK: Int = 2, maxPosting: Int = 256): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $table),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [t[i]||' '||t[i+1]||' '||t[i+2] for i in generate_series(1, len(t)-2)]) AS s
+       |  FROM tk WHERE len(t) >= 3),
+       |hv AS (
+       |  SELECT doc_id,
+       |         list_sort(list_distinct(
+       |           list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT))) AS h
+       |  FROM sh),
+       |post AS (SELECT doc_id AS cand_id, unnest(h) AS sh FROM hv),
+       |cold AS (SELECT sh FROM post GROUP BY sh HAVING count(*) <= $maxPosting),
+       |keys AS (SELECT doc_id, unnest(h[1:$bottomK]) AS sh FROM hv),
+       |cand AS (
+       |  SELECT DISTINCT k.doc_id AS id_a, p.cand_id AS id_b
+       |  FROM keys k JOIN cold USING (sh) JOIN post p USING (sh)
+       |  WHERE k.doc_id <> p.cand_id),
+       |c AS (
+       |  SELECT id_a, id_b,
+       |         len(list_intersect(a.h, b.h)) / len(a.h) AS cont
+       |  FROM cand JOIN hv a ON id_a = a.doc_id JOIN hv b ON id_b = b.doc_id)
+       |SELECT id_a, id_b, round(cont, 4) AS containment
+       |FROM c WHERE cont >= $threshold ORDER BY id_a, id_b""".stripMargin
+
   /** DuckDB oracle for [[incrementalNeardupPairs]] where the batch is
     * `batchPred` over `table` and the corpus is its complement: the
     * full-table oracle filtered to cross (batch, corpus) pairs and

@@ -85,6 +85,35 @@ object Similarity {
         col("n_votes"))
   }
 
+  /** Hard-negative mining for contrastive training: the k corpus items
+    * most similar to each probe that carry a DIFFERENT label. Same
+    * broadcast-probe single-corpus-pass plan as [[annTopK]]; the
+    * label-mismatch filter runs before the window, so the partial top-k
+    * (InferWindowGroupLimit) keeps only k rows per (probe, partition). */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("neg_label"),
+      Vectors.toDouble(col(vecCol)).as("__vc"))
+      .withColumn("__nc", Vectors.norm(col("__vc")))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(labelCol).cast("long").as("probe_label"),
+      Vectors.toDouble(col(vecCol)).as("__vp"))
+      .withColumn("__np", Vectors.norm(col("__vp")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("cos_raw"), 9).desc, col("neighbor_id"))
+    c.crossJoin(broadcast(p))
+      .where(col("neg_label") =!= col("probe_label"))
+      .withColumn("cos_raw", Vectors.cosineWithNorms(
+        col("__vp"), col("__vc"), col("__np"), col("__nc")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("probe_label"), col("rank"),
+        col("neighbor_id"), col("neg_label"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold WITHIN each cluster —
     * the SemDeDup shape (Abbas et al. 2023): a coarse quantizer (k-means
     * assignment) scopes the quadratic pair search to cluster members, so

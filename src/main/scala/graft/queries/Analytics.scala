@@ -508,12 +508,17 @@ object Analytics {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(late).as("supp_late"))
-      val perOrder = lo.groupBy(col("l_orderkey").as("ok"))
-        .agg(count(lit(1)).as("n_supp"),
-          count(when(col("supp_late"), 1)).as("n_late_supp"))
-      lo.where(col("supp_late"))
-        .join(perOrder, col("l_orderkey") === col("ok"))
-        .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+      // per-order supplier counts as an unordered window over the
+      // pre-aggregated (order, supplier) grain — one extra exchange on
+      // l_orderkey, no self-join (which would re-evaluate the whole
+      // aggregate subplan on both sides)
+      val w = Window.partitionBy(col("l_orderkey"))
+      lo
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late_supp",
+          sum(when(col("supp_late"), 1L).otherwise(0L)).over(w))
+        .where(col("supp_late") && col("n_supp") > 1
+          && col("n_late_supp") === 1)
         .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))

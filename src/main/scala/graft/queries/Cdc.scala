@@ -91,6 +91,29 @@ object Cdc {
         .orderBy("seq")
     }),
 
+    // A32: delivery-order audit — the sink-side data-quality check that
+    // per-key commit-ts never regresses along the sequence order (the
+    // reference's ordered-delivery contract, README.md:60-65). Run over
+    // a feed with injected reordering (every 97th event's commit-ts
+    // pulled back 1h) so violations exist and localize to their keys.
+    // One exchange total: the lag window hash-partitions by key and the
+    // per-key aggregate reuses that partitioning.
+    "cdc_order_check" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perturbed = changelog(s, dir).withColumn("commit_ts_us",
+        when(col("seq") % 97 === 0, col("commit_ts_us") - 3600L * 1000000L)
+          .otherwise(col("commit_ts_us")))
+      val w = Window.partitionBy(col("key")).orderBy(col("seq"))
+      perturbed
+        .withColumn("__prev", lag(col("commit_ts_us"), 1).over(w))
+        .groupBy(col("key").as("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("commit_ts_us") < col("__prev"), 1))
+            .as("n_regressions"))
+        .where(col("n_regressions") > 0)
+        .orderBy("user_id")
+    }),
+
     // A31: dual-feed merge (failover / dual-region dual-write): a
     // secondary feed redelivers an overlapping slice of the primary;
     // union → exact replay dedup (grouped agg, so duplicates collapse
@@ -369,6 +392,23 @@ object Cdc {
         |ORDER BY seq""".stripMargin),
 
     "cdc_snapshot" -> snapshotOracle,
+
+    "cdc_order_check" -> (logCte +
+      """,
+        |p AS (
+        |  SELECT key, seq,
+        |         CASE WHEN seq % 97 = 0 THEN commit_ts_us - 3600000000
+        |              ELSE commit_ts_us END AS cts
+        |  FROM log),
+        |l AS (
+        |  SELECT key, cts,
+        |         lag(cts) OVER (PARTITION BY key ORDER BY seq) AS prev
+        |  FROM p)
+        |SELECT key AS user_id, count(*) AS n_events,
+        |       count(*) FILTER (WHERE cts < prev) AS n_regressions
+        |FROM l GROUP BY 1
+        |HAVING count(*) FILTER (WHERE cts < prev) > 0
+        |ORDER BY 1""".stripMargin),
 
     "cdc_merge_feeds" -> (logCte +
       """,

@@ -542,6 +542,34 @@ object Docs {
         .orderBy("cluster", "id_a", "id_b")
     }),
 
+    // C52: hard-negative mining — for each probe, the 3 most similar
+    // corpus vectors with a DIFFERENT label (the contrastive-training
+    // batch construction step). annTopK's broadcast-probe plan with the
+    // label-mismatch filter before the partial top-k window.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(
+        corpus = e.where(col("vec_id") >= 8),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 3)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // C53: asymmetric containment dedup — truncated copies (the first
+    // half of every doc, the quote/snippet pattern) must be found INSIDE
+    // their originals even though their Jaccard is only ~0.5. Candidates
+    // via bottom-k sketch ⋈ capped inverted index (PPJoin-style prefix
+    // filtering), never the symmetric band join that misses small-in-
+    // large pairs; exact sorted-merge verify.
+    "doc_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val crawl = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, 1, CAST(floor(n_chars / 2) AS INT))").as("text")))
+      MinHash.containmentPairs(crawl, "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // C50: per-cluster health report — member count, mean/min/max cosine
     // of members to their assigned centroid (how tight each k-means cell
     // is; the quantizer-quality signal that decides whether C47/C15 can
@@ -1197,6 +1225,35 @@ object Docs {
         |FROM e a JOIN e b ON a.cl = b.cl AND a.vec_id < b.vec_id
         |WHERE ${cosSql("a.v", "b.v")} >= $semThreshold
         |ORDER BY cluster, id_a, id_b""".stripMargin,
+
+    "emb_hard_negatives" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT * FROM e WHERE vec_id < 8),
+        |c AS (SELECT * FROM e WHERE vec_id >= 8),
+        |s AS (
+        |  SELECT p.vec_id AS probe_id, CAST(p.label AS BIGINT) AS probe_label,
+        |         c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS neg_label,
+        |         ${cosSql("p.v", "c.v")} AS cos_raw
+        |  FROM p CROSS JOIN c WHERE c.label <> p.label),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY round(cos_raw, 9) DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT probe_id, probe_label, rank, neighbor_id, neg_label,
+        |       round(cos_raw, 4) AS cos_sim
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "doc_containment" ->
+      s"""WITH crawl AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         substr(text, 1, CAST(floor(n_chars / 2) AS INT))
+        |  FROM documents),
+        |result AS (
+        |${MinHash.containmentOracleSql("crawl", 0.5)})
+        |SELECT * FROM result ORDER BY id_a, id_b""".stripMargin,
 
     "emb_cluster_report" -> {
       val cnorm = (k: Int) => math.sqrt(kmCentroid(k).map(x => x * x).sum)

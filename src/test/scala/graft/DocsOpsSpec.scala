@@ -315,4 +315,56 @@ class DocsOpsSpec extends SparkSpec {
       .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
     assert(s(3L) < s(4L))
   }
+
+  test("containmentPairs finds a planted snippet inside its source with " +
+    "containment 1.0, and NOT the reverse direction") {
+    import spark.implicits._
+    val words = (0 until 60).map(i => s"w$i")
+    val big = words.mkString(" ")
+    val snippet = words.slice(10, 25).mkString(" ") // strict subset
+    val other = (100 until 160).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, snippet), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = MinHash.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.9)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(pairs.contains((2L, 1L, 1.0)), s"snippet→source missing: $pairs")
+    // big doc is NOT contained in its snippet (containment ~0.25 < 0.9)
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 2L), s"$pairs")
+    // unrelated doc pairs with nothing
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"$pairs")
+  }
+
+  test("containmentPairs hot-shingle cap drops boilerplate-only candidates") {
+    import spark.implicits._
+    // 10 docs share ONE boilerplate text (every shingle df=10 > cap=5);
+    // two docs share genuinely rare content
+    val boiler = (0 until 20).map(_ => "same old footer text here").mkString(" ")
+    val rare = (0 until 30).map(i => s"rare$i").mkString(" ")
+    val docs = ((0 until 10).map(i => (i.toLong, boiler)) ++
+      Seq((100L, rare), (101L, rare))).toDF("doc_id", "text")
+    val pairs = MinHash.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.9, maxPosting = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // boilerplate candidates are capped away; the rare pair survives
+    assert(pairs == Set((100L, 101L), (101L, 100L)), s"$pairs")
+  }
+
+  test("hardNegatives never returns the probe's own label and ranks by " +
+    "similarity") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Similarity.hardNegatives(
+      e.where(col("vec_id") >= 8), e.where(col("vec_id") < 8),
+      "vec_id", "embedding", "label", k = 3)
+      .select("probe_id", "probe_label", "rank", "neg_label", "cos_sim")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, pl, _, nl, _) => assert(pl != nl) }
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
