@@ -25,6 +25,7 @@ object PlanAudit {
     "emb_knn_classify", // wraps annTopK's broadcast ≤8-row probe set
     "emb_hard_negatives", // same broadcast ≤8-row probe shape
     "emb_neardup",
+    "emb_semdedup", // 1-row max-cluster-size guard broadcast
     "q22_churned_customers", "q_gapfill")
 
   def main(args: Array[String]): Unit = {

@@ -119,15 +119,30 @@ object Similarity {
     * assignment) scopes the quadratic pair search to cluster members, so
     * the join is an equi-join on the cluster id and the pair count is
     * Σ|cluster|², not |corpus|². At 100 TB, k is sized so clusters stay
-    * ~1e4-1e5 rows; hot clusters bound the work exactly like SimHash's
-    * capped buckets. */
+    * ~1e4-1e5 rows; `maxCluster` is the in-plan guard (the same
+    * treatment as [[neardupPairs]]' `maxRows` and SimHash's
+    * `maxBucket`): if ANY cluster exceeds it, the job fails fast at
+    * broadcast-build time — before the quadratic join — telling the
+    * caller to raise k, because a silent hot cell would quietly turn
+    * the equi-join back into n². */
   def neardupPairsWithin(emb: DataFrame, idCol: String, vecCol: String,
-                         clusterCol: String, threshold: Double): DataFrame = {
+                         clusterCol: String, threshold: Double,
+                         maxCluster: Long = 100000L): DataFrame = {
     val e = emb.select(col(clusterCol).cast("long").as("__cl"),
       col(idCol), Vectors.toDouble(col(vecCol)).as("__v"))
       .withColumn("__n", Vectors.norm(col("__v")))
-    val a = e.select(col("__cl"), col(idCol).as("id_a"),
-      col("__v").as("__va"), col("__n").as("__na"))
+    val guard = e.groupBy(col("__cl")).agg(count(lit(1)).as("__sz"))
+      .agg(max(col("__sz")).as("__max"))
+      .select(assert_true(col("__max") <= maxCluster,
+        concat(lit("Similarity.neardupPairsWithin: largest cluster has "),
+          col("__max").cast("string"),
+          lit(s" rows (> maxCluster=$maxCluster); raise k on the " +
+            "quantizer or maxCluster explicitly — a hot cell makes the " +
+            "cluster-scoped join quadratic."))).as("__guard"))
+    val a = e.crossJoin(broadcast(guard))
+      .where(col("__guard").isNull)
+      .select(col("__cl"), col(idCol).as("id_a"),
+        col("__v").as("__va"), col("__n").as("__na"))
     val b = e.select(col("__cl").as("__clb"), col(idCol).as("id_b"),
       col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, col("__cl") === col("__clb") && col("id_a") < col("id_b"))

@@ -351,6 +351,23 @@ class DocsOpsSpec extends SparkSpec {
     assert(pairs == Set((100L, 101L), (101L, 100L)), s"$pairs")
   }
 
+  test("neardupPairsWithin refuses a cluster larger than maxCluster " +
+    "before any pairwise work") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("cluster", lit(0L)) // everything in one hot cell
+    val ex = intercept[Exception] {
+      Similarity.neardupPairsWithin(e, "vec_id", "embedding", "cluster",
+        threshold = 0.9, maxCluster = 3).count()
+    }
+    assert(ex.getMessage.contains("maxCluster") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxCluster")))
+    // and passes untouched when the cap accommodates the cell
+    val ok = Similarity.neardupPairsWithin(e, "vec_id", "embedding",
+      "cluster", threshold = 0.99, maxCluster = 1000000L)
+    assert(ok.count() >= 0)
+  }
+
   test("hardNegatives never returns the probe's own label and ranks by " +
     "similarity") {
     import spark.implicits._
