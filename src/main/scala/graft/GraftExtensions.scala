@@ -53,6 +53,9 @@ object GraftExtensions {
         MinHash.coeffs.map(_._1), MinHash.coeffs.map(_._2), MinHash.P)),
     "graft_rolling_hash" ->
       ((args: Seq[Expression]) => RollingHash(args(0))),
+    "graft_winnow" ->
+      ((args: Seq[Expression]) => WinnowFingerprints(args(0),
+        litInt(args(1), "gram width"), litInt(args(2), "window width"))),
     // hit counts for the built-in language wordlists, array<long> in
     // Text.stopwords order
     "graft_lang_hits" ->

@@ -21,4 +21,10 @@ object SetOps {
   /** One 32-bit simhash half over a token array (one compiled pass). */
   def simHashHalf(tokens: Column, byteOffset: Int): Column =
     GraftSqlBridge.column(SimHashHalf(GraftSqlBridge.expression(tokens), byteOffset))
+
+  /** Winnowing fingerprints: sorted distinct w-window minima of the
+    * positional n-gram hashes (one compiled pass). */
+  def winnowFingerprints(text: Column, n: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowFingerprints(
+      GraftSqlBridge.expression(text), n, w))
 }

@@ -93,6 +93,87 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+  * positional word n-gram md5-prefix hashes → minimum of every w-hash
+  * window → sorted distinct minima, in one compiled pass per row.
+  *
+  * Replaces the declarative transform(sequence)/array_min(slice) chain,
+  * whose per-gram interpreted md5 lambda measured ~7.6 s for the sf0.1
+  * corpus vs ~0.4 s compiled. Bit-exact with that chain and with the
+  * DuckDB list-comprehension oracle: grams are the same UTF-8 bytes,
+  * the hash is the same unsigned 32-bit md5 prefix
+  * (`conv(substring(md5(g),1,8),16,10)`), windows are positional.
+  * Returns an empty array when there are fewer than w gram hashes
+  * (callers filter those rows explicitly, mirroring the oracle's
+  * WHERE). Equivalence pinned by KernelSpec. */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+
+  require(n >= 1 && w >= 1, "n and w must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fingerprints"
+
+  /** Public so generated code can call it. */
+  def winnow(s: UTF8String): ArrayData = {
+    val tokens = s.toString.split(" ", -1)
+    if (tokens.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val h = new Array[Long](tokens.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < h.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      h(i) = Md5Util.hash32(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0)
+      i += 1
+    }
+    if (h.length < w) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](h.length - w + 1)
+    var p = 0
+    while (p < out.length) {
+      var m = h(p)
+      var j = 1
+      while (j < w) {
+        if (h(p + j) < m) m = h(p + j)
+        j += 1
+      }
+      out(p) = m
+      p += 1
+    }
+    java.util.Arrays.sort(out)
+    var wr = 0
+    var r = 0
+    while (r < out.length) {
+      if (wr == 0 || out(r) != out(wr - 1)) { out(wr) = out(r); wr += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, wr))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    winnow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowFingerprints", this,
+      classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.winnow($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** One 32-bit half of a majority-vote SimHash over an array of (distinct)
   * tokens. `byteOffset` 0 reads md5 bytes 0-3 (hex chars 1-8, the "hi"
   * half), 4 reads bytes 4-7 (hex chars 9-16, "lo"). Tie (2*ones == n)

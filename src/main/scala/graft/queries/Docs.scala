@@ -570,6 +570,35 @@ object Docs {
         .orderBy("id_a", "id_b")
     }),
 
+    // C54: winnowing fingerprints (the MOSS scheme, Schleimer et al.
+    // 2003): positional 3-gram hashes → minimum of every 4-hash window →
+    // distinct minima = the fingerprint set. Guarantees any shared run
+    // of ≥ w+k-1 tokens between two docs shares ≥1 fingerprint, at
+    // ~1/w the density of full shingling — the robust partial-overlap
+    // signature. Entirely scan-local (HOF projection, no shuffle until
+    // the per-doc digest output); emitted compactly as count + an
+    // md5 digest of the sorted fingerprint list.
+    "doc_winnow" -> ((s, dir) => {
+      val winnowW = 4
+      // n_grams = |tokens| - 2 needs no hashing; the fingerprints come
+      // from the compiled WinnowFingerprints kernel (the interpreted
+      // HOF chain measured 7.6 s at sf0.1; the kernel is scan-cost).
+      // The two WHEREs mirror the oracle's len(t) >= 3 / len(h) >= w.
+      Tables.documents(s, dir)
+        .withColumn("__t", Text.tokens(col("text")))
+        .where(size(col("__t")) >= 3)
+        .withColumn("__ng", (size(col("__t")) - 2).cast("long"))
+        .where(col("__ng") >= winnowW)
+        .withColumn("__fp",
+          graft.functions.SetOps.winnowFingerprints(col("text"), 3, winnowW))
+        .select(col("doc_id"), col("__ng").as("n_grams"),
+          size(col("__fp")).cast("long").as("n_fingerprints"),
+          md5(concat_ws("-",
+            expr("transform(__fp, x -> CAST(x AS STRING))")))
+            .as("fp_digest"))
+        .orderBy("doc_id")
+    }),
+
     // C50: per-cluster health report — member count, mean/min/max cosine
     // of members to their assigned centroid (how tight each k-means cell
     // is; the quantizer-quality signal that decides whether C47/C15 can
@@ -1254,6 +1283,25 @@ object Docs {
         |result AS (
         |${MinHash.containmentOracleSql("crawl", 0.5)})
         |SELECT * FROM result ORDER BY id_a, id_b""".stripMargin,
+
+    "doc_winnow" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [('0x'||substr(md5(t[i]||' '||t[i+1]||' '||t[i+2]),1,8))::BIGINT
+        |     for i in generate_series(1, len(t)-2)] AS h
+        |  FROM tk WHERE len(t) >= 3),
+        |m AS (
+        |  SELECT doc_id, len(h) AS n_grams,
+        |    list_sort(list_distinct(
+        |      [list_min(h[p:p+3]) for p in generate_series(1, len(h)-3)])) AS fps
+        |  FROM g WHERE len(h) >= 4)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        |       md5(list_aggregate(list_transform(fps, x -> CAST(x AS VARCHAR)),
+        |           'string_agg', '-')) AS fp_digest
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "emb_cluster_report" -> {
       val cnorm = (k: Int) => math.sqrt(kmCentroid(k).map(x => x * x).sum)

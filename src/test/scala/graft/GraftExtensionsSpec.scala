@@ -19,6 +19,10 @@ class GraftExtensionsSpec extends SparkSpec {
     val half = spark.sql(
       "SELECT graft_simhash_half(array('x','y'), 0)").first().getLong(0)
     assert(half >= 0L && half <= 4294967295L)
+    // 7 tokens -> 5 gram hashes -> 2 windows of 4 -> <= 2 fingerprints
+    val nFp = spark.sql(
+      "SELECT size(graft_winnow('a b c d e f g', 3, 4))").first().getInt(0)
+    assert(nFp >= 1 && nFp <= 2)
   }
 
   test("SQL kernel calls equal the Column-API forms") {

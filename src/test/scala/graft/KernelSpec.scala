@@ -30,6 +30,30 @@ class KernelSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("WinnowFingerprints == declarative window-min over positional gram hashes") {
+    val grams = expr(
+      "transform(sequence(1, size(__t) - 2), i -> " +
+        "conv(substring(md5(concat_ws(' ', element_at(__t, i), " +
+        "element_at(__t, CAST(i + 1 AS INT)), " +
+        "element_at(__t, CAST(i + 2 AS INT)))), 1, 8), 16, 10))")
+    val minima = expr(
+      "transform(sequence(1, size(__h) - 3), p -> array_min(slice(__h, p, 4)))")
+    val declarative = docs
+      .withColumn("__t", Text.tokens(col("text")))
+      .where(size(col("__t")) >= 6) // >= w+2 grams
+      .withColumn("__h", grams.cast("array<long>"))
+      .withColumn("__want", array_sort(array_distinct(minima)))
+    val diff = declarative.where(
+      SetOps.winnowFingerprints(col("text"), 3, 4) =!= col("__want")).count()
+    assert(diff === 0)
+    // short docs (< w gram hashes) return an empty fingerprint array
+    val short = { import spark.implicits._
+      Seq("a b c d e", "a b c", "a").toDF("text") }
+    val bad = short.where(
+      size(SetOps.winnowFingerprints(col("text"), 3, 4)) =!= 0).count()
+    assert(bad === 0)
+  }
+
   test("MinHashArray == per-permutation array_min(transform(...))") {
     val hv = MinHash.hashedShingles(col("text"), 3)
     val declarative = array(MinHash.coeffs.map { case (a, b) =>
