@@ -91,6 +91,32 @@ object Cdc {
         .orderBy("seq")
     }),
 
+    // A33: point-in-time (SCD2 as-of) join — each purchase event joined
+    // to the user-state VERSION valid at its timestamp (feature-store
+    // "training-time correctness": never join tomorrow's dimension onto
+    // today's fact). Composes A26's validity intervals; the join has an
+    // equality component (the key), so Spark plans a hash join with the
+    // interval residual as a filter — never a theta product. LEFT join
+    // keeps facts that precede their key's first version.
+    "cdc_pit_join" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      val hist = Materialize.history(log)
+      val purchases = log.where(col("event_type") === "purchase")
+        .select(col("key").as("user_id"),
+          col("commit_ts_us").as("purchase_ts_us"),
+          col("seq").as("purchase_seq"))
+      purchases.join(hist,
+          col("user_id") === col("key") &&
+            col("valid_from_us") <= col("purchase_ts_us") &&
+            (col("valid_to_us").isNull ||
+              col("purchase_ts_us") < col("valid_to_us")),
+          "left")
+        .select(col("purchase_seq"), col("user_id"),
+          col("purchase_ts_us"), col("seq").as("state_seq"),
+          col("valid_from_us"))
+        .orderBy("purchase_seq")
+    }),
+
     // A32: delivery-order audit — the sink-side data-quality check that
     // per-key commit-ts never regresses along the sequence order (the
     // reference's ordered-delivery contract, README.md:60-65). Run over
@@ -392,6 +418,26 @@ object Cdc {
         |ORDER BY seq""".stripMargin),
 
     "cdc_snapshot" -> snapshotOracle,
+
+    "cdc_pit_join" -> (logCte +
+      """,
+        |hist AS (
+        |  SELECT key, seq, op, commit_ts_us AS valid_from_us,
+        |         lead(commit_ts_us) OVER (PARTITION BY key
+        |           ORDER BY commit_ts_us, seq) AS valid_to_us
+        |  FROM log),
+        |h AS (SELECT * FROM hist WHERE op <> 'D'),
+        |p AS (
+        |  SELECT key AS user_id, commit_ts_us AS purchase_ts_us,
+        |         seq AS purchase_seq
+        |  FROM log WHERE event_type = 'purchase')
+        |SELECT purchase_seq, user_id, purchase_ts_us,
+        |       h.seq AS state_seq, h.valid_from_us
+        |FROM p LEFT JOIN h
+        |  ON h.key = p.user_id
+        |  AND h.valid_from_us <= p.purchase_ts_us
+        |  AND (h.valid_to_us IS NULL OR p.purchase_ts_us < h.valid_to_us)
+        |ORDER BY purchase_seq""".stripMargin),
 
     "cdc_order_check" -> (logCte +
       """,

@@ -65,6 +65,71 @@ object CrawlIngest {
       .start()
   }
 
+  /** [[start]]'s NEAR-dup sibling — the streaming form of
+    * [[graft.operators.MinHash.incrementalNeardupPairs]]: the persistent
+    * artifact is a BAND ledger (band, bkey, hv) instead of a digest
+    * ledger, so each flush detects paraphrased/near-identical content
+    * the exact digest misses.
+    *
+    * per micro-batch:
+    *  1. in-batch exact dedup (min-id per distinct content; in-batch
+    *     NEAR dups are `neardupPairs`' job, mirroring
+    *     incrementalNeardupPairs' scope);
+    *  2. band the batch, equi-join (band, bkey) against the band
+    *     ledger, exact-verify Jaccard on the carried shingle sets —
+    *     any batch doc matching ledger content >= threshold is dropped;
+    *  3. append the survivors' band rows to the ledger FIRST, then the
+    *     survivor rows to the corpus (crash ⇒ drop, never duplicate —
+    *     same contract as [[start]]).
+    *
+    * Scale: the flush side is banded fresh (it is small); the ledger
+    * side is the reusable artifact and joins on (band, bkey) only —
+    * crawl text never re-shuffles against the corpus. The hv arrays
+    * ride the ledger rows so verification is join-free. */
+  def startNearDup(stream: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, corpusDir: String, bandsDir: String,
+                   checkpointDir: String): StreamingQuery = {
+    import graft.operators.MinHash
+    val fn: (Dataset[Row], Long) => Unit = (batch, _) => {
+      val spark = batch.sparkSession
+      val frame = batch.toDF().localCheckpoint()
+      val inBatch = frame
+        .withColumn("content_hash", sha2(col(textCol), 256))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("content_hash")).orderBy(col(idCol))))
+        .where(col("__rn") === 1).drop("__rn", "content_hash")
+      val bands = MinHash.bandRows(MinHash.signature(inBatch, idCol, textCol))
+      val nearDupIds = existingLedger(spark, bandsDir) match {
+        case Some(l) =>
+          val inter = graft.functions.SetOps
+            .sortedIntersectCount(col("ha"), col("hb")).cast("double")
+          val jac = inter / (size(col("ha")) + size(col("hb")) - inter)
+          bands
+            .join(l.select(col("band").as("__b"), col("bkey").as("__k"),
+              col("hv").as("hb")),
+              col("band") === col("__b") && col("bkey") === col("__k"))
+            .select(col("doc_id"), col("hv").as("ha"), col("hb"))
+            .where(jac >= threshold)
+            .select(col("doc_id").as(idCol)).distinct()
+        case None => spark.emptyDataFrame
+          .withColumn(idCol, lit(null).cast("long"))
+      }
+      val survivors = inBatch
+        .join(nearDupIds, Seq(idCol), "left_anti")
+        .localCheckpoint()
+      MinHash.bandRows(MinHash.signature(survivors, idCol, textCol))
+        .select(col("band"), col("bkey"), col("hv"))
+        .write.mode(SaveMode.Append).parquet(bandsDir)
+      survivors.write.mode(SaveMode.Append).parquet(corpusDir)
+    }
+    stream.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   private def existingLedger(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Option[DataFrame] = {
     val d = new java.io.File(dir)
