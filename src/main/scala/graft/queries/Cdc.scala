@@ -91,6 +91,44 @@ object Cdc {
         .orderBy("seq")
     }),
 
+    // A35: incremental view maintenance with retractions (the Flink
+    // retract-stream model): a per-group (event_type) user-count +
+    // value-sum view maintained purely from ±delta rows — each event
+    // ADDS its new state's contribution and RETRACTS its prior state's
+    // (none if the prior op was a delete). The oracle computes the view
+    // DIRECTLY from the materialized snapshot, so the driver's
+    // hash-compare is the retraction-algebra == direct-materialization
+    // theorem, checked cross-engine. One key-partitioned window (the
+    // before-image sort) + one tiny grouped sum; deltas are exact cents.
+    "cdc_ivm_view" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val log = changelog(s, dir)
+        .withColumn("cents", (dec182("value") * 100).cast("long"))
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("commit_ts_us"), col("seq"))
+      val staged = log
+        .withColumn("prev_op", lag(col("op"), 1).over(w))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      val hasPrior = col("prev_op").isNotNull && col("prev_op") =!= "D"
+      val isLive = col("op") =!= "D"
+      val contrib = staged.select(explode(array(
+          struct(when(isLive, col("event_type")).as("grp"),
+            when(isLive, col("cents")).as("dc"),
+            when(isLive, lit(1L)).as("dn")),
+          struct(when(hasPrior, col("prev_type")).as("grp"),
+            when(hasPrior, -col("prev_cents")).as("dc"),
+            when(hasPrior, lit(-1L)).as("dn")))).as("c"))
+        .where(col("c.grp").isNotNull)
+      contrib
+        .groupBy(col("c.grp").as("event_type"))
+        .agg(sum(col("c.dn")).as("n_users"),
+          sum(col("c.dc").cast("decimal(38,0)")).cast("long")
+            .as("sum_value_e2"))
+        .where(col("n_users") > 0)
+        .orderBy("event_type")
+    }),
+
     // A33: point-in-time (SCD2 as-of) join — each purchase event joined
     // to the user-state VERSION valid at its timestamp (feature-store
     // "training-time correctness": never join tomorrow's dimension onto
@@ -418,6 +456,18 @@ object Cdc {
         |ORDER BY seq""".stripMargin),
 
     "cdc_snapshot" -> snapshotOracle,
+
+    "cdc_ivm_view" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT event_type, count(*) AS n_users,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT)
+        |    AS sum_value_e2
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "cdc_pit_join" -> (logCte +
       """,

@@ -430,6 +430,37 @@ object Docs {
         .orderBy("keep_id")
     }),
 
+    // C48 keeper-policy form: dedup groups keep their BEST variant by
+    // quality score (min-id tiebreak), not blindly the first — the
+    // production policy when a crawl holds several renderings of the
+    // same content. Same digest-keyed window as C1/C48; the quality
+    // score is scan-local, so the policy change costs nothing extra.
+    "doc_dedup_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val crawl = docs
+        .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionAll(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit("  !!")).as("text")))
+      val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      val toks = Text.tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val uniqRatio = size(array_distinct(toks)).cast("double") / nTokens
+      val qscore = round(least(lit(1.0), nTokens.cast("double") / 100.0)
+        * (lit(0.5) + lit(0.5) * uniqRatio), 4)
+      val w = Window.partitionBy(col("norm_hash"))
+        .orderBy(desc("quality"), col("doc_id"))
+      crawl
+        .select(col("doc_id"), sha2(norm, 256).as("norm_hash"),
+          qscore.as("quality"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("norm_hash"), col("doc_id").as("keep_id"),
+          col("quality"))
+        .orderBy("keep_id")
+    }),
+
     // C1 filter form: every row annotated with its digest, the keeper
     // id for its content, and an is_duplicate flag — what a pipeline
     // uses to drop dupes while keeping lineage. One digest shuffle.
@@ -1157,6 +1188,26 @@ object Docs {
         |  FROM crawl)
         |SELECT norm_hash, min(doc_id) AS keep_id, count(*) AS n_variants
         |FROM n GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "doc_dedup_best" ->
+      """WITH crawl AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text || '  !!' FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS norm_hash,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (0.5 + 0.5 * len(list_distinct(string_split(text, ' ')))
+        |          / len(string_split(text, ' '))), 4) AS quality
+        |  FROM crawl),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY norm_hash
+        |            ORDER BY quality DESC, doc_id) AS rn
+        |  FROM q)
+        |SELECT norm_hash, doc_id AS keep_id, quality
+        |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin,
 
     "doc_cooc_lift" ->
       """WITH toks AS (
