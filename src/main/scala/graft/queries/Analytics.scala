@@ -211,6 +211,27 @@ object Analytics {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // B11 extension: grouping_id() disambiguates a subtotal row from a
+    // genuinely-'ALL'-labelled key value — without it a reader of the
+    // rollup output cannot tell data from aggregate. Bit order (first
+    // rollup column = MSB) is identical in Spark's grouping_id() and
+    // DuckDB's GROUPING(); same pre-aggregate-then-Expand shape.
+    "q_rollup_gid" -> ((s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumFixed(dec182("l_quantity"), 2).as("q"),
+          count(lit(1)).as("n"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("q")).as("sum_qty_e2"), sum(col("n")).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("sum_qty_e2"), col("n_rows"))
+        .orderBy("gid", "returnflag", "linestatus")
+    }),
+
     // B11 extension: full CUBE (all four grouping sets) with the same
     // pre-aggregate-then-expand shape as q_rollup — Expand runs on the
     // |groups|-row aggregate, never the fact scan.
@@ -680,6 +701,30 @@ object Analytics {
         .orderBy("o_orderpriority")
     }),
 
+    // B43: median absolute deviation per group — the robust dispersion
+    // statistic (insensitive to the outlier tails stddev amplifies).
+    // Two exact-percentile aggregates with a broadcast median join
+    // between them; deviations are exact cent integers minus an at-most
+    // .5-fractional median (both dyadic — exactly representable), so
+    // the second percentile interpolates identical doubles in both
+    // engines (the B13 parity argument applied twice).
+    "q_mad" -> ((s, dir) => {
+      val cents = (dec182("o_totalprice") * 100).cast("long")
+      val base = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), cents.as("cents"))
+      val med = base.groupBy(col("segment"))
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      base.join(broadcast(med), "segment")
+        .withColumn("absdev", abs(col("cents").cast("double") - col("med")))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(first(col("med")), 4).as("median_cents"),
+          round(expr("percentile(absdev, 0.5)"), 4).as("mad_cents"))
+        .orderBy("segment")
+    }),
+
     // B19: statistical aggregates — stddev / correlation / covariance
     // (rounded at the boundary; parallel float aggregation noise is
     // ~1e-15 relative, far below round(4)). The `+ 0.0` normalizes IEEE
@@ -966,6 +1011,16 @@ object Analytics {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
+    "q_rollup_gid" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       ${sumFixedSql("CAST(l_quantity AS DECIMAL(18,2))", 2)} AS sum_qty_e2,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
     "q_cube" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -1249,6 +1304,21 @@ object Analytics {
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_mad" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |med AS (
+        |  SELECT segment, quantile_cont(cents, 0.5) AS med
+        |  FROM base GROUP BY 1)
+        |SELECT b.segment, count(*) AS n_orders,
+        |  round(any_value(m.med), 4) AS median_cents,
+        |  round(quantile_cont(abs(CAST(b.cents AS DOUBLE) - m.med), 0.5), 4)
+        |    AS mad_cents
+        |FROM base b JOIN med m USING (segment)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stats_agg" ->
       """SELECT l_returnflag,

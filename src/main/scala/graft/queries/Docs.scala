@@ -630,6 +630,31 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C55: shingle novelty — per doc, the fraction of its distinct
+    // shingles NOT already contributed by an earlier (lower-id) doc:
+    // the cumulative-novelty signal crawl pipelines use to score how
+    // much genuinely new content each document adds (ids stand in for
+    // ingestion order). Only 8-byte shingle hashes ever shuffle (one
+    // min-agg with map-side partials + one equi-join back); text stays
+    // in its scan.
+    "doc_novelty" -> ((s, dir) => {
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"), MinHash.hashedShingles(col("text")).as("hv"))
+        .where(size(col("hv")) > 0)
+      val pairs = sig.select(col("doc_id"), explode(col("hv")).as("sh"))
+      val firstSeen = pairs.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      pairs.join(firstSeen, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("first_doc") < col("doc_id"), 1))
+            .as("n_seen_before"))
+        .select(col("doc_id"), col("n_shingles"), col("n_seen_before"),
+          round(lit(1.0) - col("n_seen_before").cast("double")
+            / col("n_shingles"), 4).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // C50: per-cluster health report — member count, mean/min/max cosine
     // of members to their assigned centroid (how tight each k-means cell
     // is; the quantizer-quality signal that decides whether C47/C15 can
@@ -1353,6 +1378,26 @@ object Docs {
         |       md5(list_aggregate(list_transform(fps, x -> CAST(x AS VARCHAR)),
         |           'string_agg', '-')) AS fp_digest
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "doc_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [t[i]||' '||t[i+1]||' '||t[i+2] for i in generate_series(1, len(t)-2)]) AS s
+        |  FROM tk WHERE len(t) >= 3),
+        |hv AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT)) AS h
+        |  FROM sh),
+        |p AS (SELECT doc_id, unnest(h) AS sh FROM hv),
+        |f AS (SELECT sh, min(doc_id) AS first_doc FROM p GROUP BY 1)
+        |SELECT p.doc_id, count(*) AS n_shingles,
+        |  count(*) FILTER (WHERE f.first_doc < p.doc_id) AS n_seen_before,
+        |  round(1.0 - CAST(count(*) FILTER (WHERE f.first_doc < p.doc_id)
+        |        AS DOUBLE) / count(*), 4) AS novelty
+        |FROM p JOIN f USING (sh)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "emb_cluster_report" -> {
       val cnorm = (k: Int) => math.sqrt(kmCentroid(k).map(x => x * x).sum)
