@@ -26,7 +26,8 @@ object PlanAudit {
     "emb_hard_negatives", // same broadcast ≤8-row probe shape
     "emb_neardup",
     "emb_semdedup", // 1-row max-cluster-size guard broadcast
-    "q22_churned_customers", "q_gapfill")
+    "q22_churned_customers", "q_gapfill",
+    "q_ts_similarity") // users-dimension all-pairs baseline (|users| ≪ |events|) + 1-row day-spine broadcast
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -725,6 +725,53 @@ object Analytics {
         .orderBy("segment")
     }),
 
+    // B44: time-series similarity search — the 10 most-correlated pairs
+    // of per-user daily activity series (the distributed time-series
+    // similarity shape: align to a day spine, vectorize per key, score
+    // pairs). Every Pearson component (n, Σx, Σx², Σxy) is an EXACT
+    // integer — the dot's partial sums stay integer-valued doubles
+    // (< 2^53), cast back to long — so the only rounded steps are two
+    // sqrt's and one division, identical IEEE in both engines. The pair
+    // stage is quadratic in |users| (the KEY dimension, ≪ |events|);
+    // vectors are built in one linear pass over the grid. Zero-variance
+    // series are filtered exactly (integer comparison).
+    "q_ts_similarity" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dayCol = datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).cast("long")
+      val daily = ev.groupBy(col("user_id"), dayCol.as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val grid = daily.select(col("user_id")).distinct()
+        .crossJoin(broadcast(days))
+        .join(daily, Seq("user_id", "day"), "left")
+        .na.fill(0, Seq("cnt"))
+      val vec = grid.groupBy(col("user_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(day, cnt))), x -> CAST(x.cnt AS DOUBLE))").as("v"),
+          count(lit(1)).as("n"),
+          sum(col("cnt")).as("sx"),
+          sum(col("cnt") * col("cnt")).as("sxx"))
+      val a = vec.select(col("user_id").as("user_a"), col("v").as("va"),
+        col("n"), col("sx").as("sxa"), col("sxx").as("sxxa"))
+      val b = vec.select(col("user_id").as("user_b"), col("v").as("vb"),
+        col("sx").as("sxb"), col("sxx").as("sxxb"))
+      val sxy = graft.functions.Vectors.dot(col("va"), col("vb")).cast("long")
+      val joined = a.join(b, col("user_a") < col("user_b"))
+        .withColumn("sxy", sxy)
+        .withColumn("num", col("n") * col("sxy") - col("sxa") * col("sxb"))
+        .withColumn("dena", col("n") * col("sxxa") - col("sxa") * col("sxa"))
+        .withColumn("denb", col("n") * col("sxxb") - col("sxb") * col("sxb"))
+        .where(col("dena") > 0 && col("denb") > 0)
+        .withColumn("corr_raw", col("num").cast("double") /
+          (sqrt(col("dena").cast("double")) * sqrt(col("denb").cast("double"))))
+      joined
+        .orderBy(round(col("corr_raw"), 9).desc, col("user_a"), col("user_b"))
+        .limit(10)
+        .select(col("user_a"), col("user_b"),
+          round(col("corr_raw"), 4).as("corr"), col("n"))
+    }),
+
     // B19: statistical aggregates — stddev / correlation / covariance
     // (rounded at the boundary; parallel float aggregation noise is
     // ~1e-15 relative, far below round(4)). The `+ 0.0` normalizes IEEE
@@ -1304,6 +1351,45 @@ object Analytics {
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_ts_similarity" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+        |users AS (SELECT DISTINCT user_id FROM d),
+        |grid AS (
+        |  SELECT u.user_id, dy.day, coalesce(d.cnt, 0) AS cnt
+        |  FROM users u CROSS JOIN days dy
+        |  LEFT JOIN d ON d.user_id = u.user_id AND d.day = dy.day),
+        |vec AS (
+        |  SELECT user_id, list(CAST(cnt AS DOUBLE) ORDER BY day) AS v,
+        |         count(*) AS n, sum(cnt) AS sx, sum(cnt*cnt) AS sxx
+        |  FROM grid GROUP BY 1),
+        |p AS (
+        |  SELECT a.user_id AS user_a, b.user_id AS user_b, a.n AS n,
+        |         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS sxy,
+        |         a.sx AS sxa, b.sx AS sxb, a.sxx AS sxxa, b.sxx AS sxxb
+        |  FROM vec a JOIN vec b ON a.user_id < b.user_id),
+        |c AS (
+        |  SELECT user_a, user_b, n,
+        |         n*sxy - sxa*sxb AS num,
+        |         n*sxxa - sxa*sxa AS dena,
+        |         n*sxxb - sxb*sxb AS denb
+        |  FROM p WHERE n*sxxa - sxa*sxa > 0 AND n*sxxb - sxb*sxb > 0)
+        |SELECT user_a, user_b,
+        |       round(CAST(num AS DOUBLE)
+        |         / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE))), 4)
+        |         AS corr,
+        |       n
+        |FROM c
+        |ORDER BY round(CAST(num AS DOUBLE)
+        |  / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE))), 9) DESC,
+        |  user_a, user_b
+        |LIMIT 10""".stripMargin,
 
     "q_mad" ->
       """WITH base AS (
