@@ -732,8 +732,11 @@ object Analytics {
     // integer — the dot's partial sums stay integer-valued doubles
     // (< 2^53), cast back to long — so the only rounded steps are two
     // sqrt's and one division, identical IEEE in both engines. The pair
-    // stage is quadratic in |users| (the KEY dimension, ≪ |events|);
-    // vectors are built in one linear pass over the grid. Zero-variance
+    // stage is quadratic in |users| (the KEY dimension, ≪ |events|),
+    // and carries the family's in-plan guard (same as neardupPairs'
+    // maxRows): more than 100k series fails fast with a pointer to
+    // block/LSH the series first, before any pairwise work launches.
+    // Vectors are built in one linear pass over the grid. Zero-variance
     // series are filtered exactly (integer comparison).
     "q_ts_similarity" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -741,9 +744,16 @@ object Analytics {
         lit("1970-01-01").cast("date")).cast("long")
       val daily = ev.groupBy(col("user_id"), dayCol.as("day"))
         .agg(count(lit(1)).as("cnt"))
+      val guard = daily.agg(count_distinct(col("user_id")).as("__nu"))
+        .select(assert_true(col("__nu") <= 100000L,
+          concat(lit("q_ts_similarity is an exact all-pairs baseline over "),
+            col("__nu").cast("string"),
+            lit(" series (> 100000); block or LSH-bucket the series " +
+              "before pairing at this scale."))).as("__guard"))
       val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
       val grid = daily.select(col("user_id")).distinct()
+        .crossJoin(broadcast(guard)).where(col("__guard").isNull)
         .crossJoin(broadcast(days))
         .join(daily, Seq("user_id", "day"), "left")
         .na.fill(0, Seq("cnt"))

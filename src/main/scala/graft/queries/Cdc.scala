@@ -99,7 +99,10 @@ object Cdc {
     // DIRECTLY from the materialized snapshot, so the driver's
     // hash-compare is the retraction-algebra == direct-materialization
     // theorem, checked cross-engine. One key-partitioned window (the
-    // before-image sort) + one tiny grouped sum; deltas are exact cents.
+    // before-image sort) + one tiny grouped sum; deltas are exact
+    // cents. At scale the window disappears entirely: TiCDC-style
+    // events carry the before-image ON the event (README.md:62), so
+    // per-flush maintenance is |delta| rows + a |groups|-row merge.
     "cdc_ivm_view" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val log = changelog(s, dir)
