@@ -655,6 +655,54 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C23 reporting form: contamination broken down BY SOURCE — which
+    // corpus slices leak eval content (the go/no-go table a curation
+    // review reads). Same broadcast-eval-grams plan as C23 plus a
+    // left join back to the train docs and a |sources|-row aggregate.
+    "doc_decon_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val contaminated = Decontaminate.overlaps(
+        train = docs.where(col("doc_id") % evalMod =!= 0),
+        eval = docs.where(col("doc_id") % evalMod === 0),
+        idCol = "doc_id", textCol = "text",
+        n = deconN, minOverlap = deconMinOverlap)
+        .select(col("doc_id"), lit(1).as("__c"))
+      docs.where(col("doc_id") % evalMod =!= 0)
+        .select(col("doc_id"), col("source"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train_docs"),
+          count(col("__c")).as("n_contaminated"))
+        .select(col("source"), col("n_train_docs"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_train_docs"), 4)
+            .as("contaminated_share"))
+        .orderBy("source")
+    }),
+
+    // C56: dedup effectiveness report — the one-table summary a
+    // curation run publishes: crawl volume, unique contents, near-dup
+    // pair and cluster counts. Four tiny aggregates (each a metric row)
+    // over the established dedup subplans; at scale each metric is the
+    // cheap 1-row tail of a pipeline already being run.
+    "doc_dedup_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val crawl = docs.unionAll(
+        docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      val pairs = MinHash.neardupPairs(docs, "doc_id", "text", 0.5)
+      def metric(name: String, v: DataFrame): DataFrame =
+        v.select(lit(name).as("metric"), col("value"))
+      metric("crawl_docs",
+          crawl.agg(count(lit(1)).as("value")))
+        .unionAll(metric("neardup_clusters",
+          graft.operators.Dedup.clusters(pairs)
+            .agg(countDistinct(col("cluster_id")).as("value"))))
+        .unionAll(metric("neardup_pairs",
+          pairs.agg(count(lit(1)).as("value"))))
+        .unionAll(metric("unique_contents",
+          crawl.agg(countDistinct(sha2(col("text"), 256)).as("value"))))
+        .orderBy("metric")
+    }),
+
     // C50: per-cluster health report — member count, mean/min/max cosine
     // of members to their assigned centroid (how tight each k-means cell
     // is; the quantizer-quality signal that decides whether C47/C15 can
@@ -1378,6 +1426,47 @@ object Docs {
         |       md5(list_aggregate(list_transform(fps, x -> CAST(x AS VARCHAR)),
         |           'string_agg', '-')) AS fp_digest
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "doc_decon_by_source" -> {
+      val gram = (0 until deconN).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+      s"""WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |hv AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    [$gram for i in generate_series(1, len(t)-${deconN - 1})],
+        |    x -> ('0x'||substr(md5(x),1,8))::BIGINT)) AS h
+        |  FROM tk WHERE len(t) >= $deconN),
+        |eval_grams AS (
+        |  SELECT DISTINCT unnest(h) AS g FROM hv WHERE doc_id % $evalMod = 0),
+        |tr AS (
+        |  SELECT doc_id, unnest(h) AS g FROM hv WHERE doc_id % $evalMod <> 0),
+        |cont AS (
+        |  SELECT tr.doc_id FROM tr JOIN eval_grams USING (g)
+        |  GROUP BY 1 HAVING count(*) >= $deconMinOverlap),
+        |base AS (
+        |  SELECT doc_id, source FROM documents WHERE doc_id % $evalMod <> 0)
+        |SELECT source, count(*) AS n_train_docs,
+        |  count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont))
+        |    AS n_contaminated,
+        |  round(CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont))
+        |        AS DOUBLE) / count(*), 4) AS contaminated_share
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "doc_dedup_report" ->
+      s"""WITH crawl AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT 'crawl_docs' AS metric, count(*) AS value FROM crawl
+        |UNION ALL
+        |SELECT 'neardup_clusters', count(DISTINCT cluster_id)
+        |FROM ($neardupClustersOracle) cc
+        |UNION ALL
+        |SELECT 'neardup_pairs', count(*)
+        |FROM (${MinHash.minhashOracleSql("documents", 0.5)}) np
+        |UNION ALL
+        |SELECT 'unique_contents', count(DISTINCT sha256(text)) FROM crawl
+        |ORDER BY metric""".stripMargin,
 
     "doc_novelty" ->
       """WITH tk AS (
