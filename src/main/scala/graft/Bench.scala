@@ -24,17 +24,29 @@ object Bench {
         .mode("overwrite").save()
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => try run(n) catch { case _: Throwable => () }) // warmup
+    // Timed passes do NOT swallow exceptions: a crashed query must read
+    // as an error in the bench JSON, not as a phantom near-zero time.
     val results = names.map { name =>
-      name -> (1 to iters).map { _ =>
+      val passes = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        val err = try { run(name); None } catch {
+          case e: Throwable => Some(e.getClass.getSimpleName)
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      name -> passes.collectFirst { case (_, Some(e)) => Left(e) }
+        .getOrElse(Right(passes.map(_._1).min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(sec)) => "\"" + k + "\":" + sec
+      case (k, Left(err))  => "\"" + k + "\":{\"err\":\"" + err + "\"}"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(_)) => k }
+    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val errField =
+      if (errs.isEmpty) ""
+      else errs.mkString(",\"errors\":[\"", "\",\"", "\"]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -151,9 +151,15 @@ object MinHash {
     * filtering over an inverted index (the PPJoin family):
     *
     *  - probe keys: each doc's `bottomK` SMALLEST shingle hashes (a
-    *    bottom-k sketch; min-hashing means any doc containing ≥
-    *    threshold of a's shingles almost surely contains one of a's
-    *    bottom-k);
+    *    bottom-k sketch). Candidate recall is PROBABILISTIC, not exact:
+    *    a pair with true containment C is proposed iff b holds one of
+    *    a's bottom-k shingles, which under min-hashing happens with
+    *    probability ≈ 1-(1-C)^bottomK — at the default bottomK=2 a pair
+    *    sitting exactly at C=0.5 is found ~75% of the time, rising
+    *    steeply above the threshold (C=0.8 → 96%). Raise `bottomK` for
+    *    tighter recall near the threshold (k=4 → 94% at C=0.5); the
+    *    oracle mirrors the same candidate scheme, so a parity gate
+    *    CANNOT detect these misses — size k to the recall you need;
     *  - posting lists: every (shingle, doc) pair — the inverted index;
     *    8+8-byte rows, Σ|shingles| total, the standard index build;
     *  - hot shingles (doc-frequency > `maxPosting`) are dropped from

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded-state percentile estimation — the 100 TB quantile path.
+  *
+  * Spark's exact `percentile` buffers every distinct (value, count)
+  * pair per group inside ONE aggregation buffer; with few groups and
+  * high-cardinality values (money columns), the per-group state at
+  * 100 TB is a single-executor OOM, not a slow query. The classic
+  * bounded-state alternative is a fixed-width histogram (the same
+  * construction behind Postgres' `width_bucket` percentile recipes and
+  * monitoring-system quantiles):
+  *
+  *  1. '''bucket''' — a scan-local integer division assigns each row's
+  *     fixed-point value (e.g. cents) to a bucket of width `widthE`
+  *     units; at any scale this is a projection, no state;
+  *  2. '''count''' — `groupBy(group, bucket).count()` shuffles at most
+  *     |groups| x |buckets| rows regardless of input size, with
+  *     map-side partial aggregation (state per task = the histogram,
+  *     bounded by construction — value_range / widthE buckets);
+  *  3. '''interpolate''' — cumulative counts locate the bucket
+  *     straddling rank p*n, and the estimate interpolates uniformly
+  *     within it: `lo + width * (target - cum_before) / cnt`.
+  *
+  * The estimate shares a bucket with the order statistic at rank
+  * ceil(p*n), so it is within `widthE` units of that true sample
+  * quantile — choose the width to match the precision the consumer
+  * needs (a $10 bucket for order totals bounds the p99 error at $10 on
+  * a ~$500k range, with 60k buckets of state vs millions of distinct
+  * values). Note the bound is against the ORDER STATISTIC, not the
+  * linearly-interpolated percentile, which in sparse data may sit
+  * between two far-apart sample values.
+  *
+  * Cross-engine determinism (SURVEY §6): bucket ids and counts are
+  * exact integers in both engines; `p * n`, the straddle comparison,
+  * and the final interpolation are the SAME double operands in the
+  * same order, so IEEE agrees bitwise; output is round(4)-bounded with
+  * the `+ 0.0` negative-zero guard. The DuckDB oracle is generated
+  * from the same constants ([[histogramPercentileSql]]), so the two
+  * engines cannot drift.
+  */
+object Percentile {
+
+  /** Histogram-bucket percentile estimates per group.
+    *
+    * @param df       input frame
+    * @param grpCol   group column name
+    * @param fixedCol fixed-point (integer) value column, e.g. cents
+    * @param widthE   bucket width in the same fixed-point units (> 0)
+    * @param ps       percentiles in (0, 1], e.g. Seq(0.5, 0.9, 0.99)
+    * @return one row per group: grp, n, and `p<pct>_hist` estimate
+    *         columns in fixed-point units (round(4) doubles)
+    *
+    * Plan shape: scan-local bucket projection -> one partial-agg
+    * shuffle of <= |groups| x |buckets| rows -> all remaining work
+    * (window cum-sum, straddle filter, pivot) on the tiny histogram
+    * frame. The ONLY full-data pass is stage 2's map-side combine.
+    */
+  def histogramPercentiles(df: DataFrame, grpCol: String, fixedCol: String,
+                           widthE: Long, ps: Seq[Double]): DataFrame = {
+    require(widthE > 0, "bucket width must be positive")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "percentiles must be in (0, 1]")
+    // `div` truncates toward zero, DuckDB `//` floors: identical for
+    // the non-negative fixed-point values this operator contracts on.
+    val hist = df
+      .select(col(grpCol).as("grp"),
+        expr(s"$fixedCol div $widthE").as("b"))
+      .groupBy(col("grp"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("b"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+    // One row per (group, p): the unique bucket with
+    // cum_before < p*n <= cum; uniform interpolation inside it.
+    val probes = explode(array(ps.map(lit): _*)).as("p")
+    val est = cum.select(col("grp"), col("b"), col("cnt"), col("cum"),
+        col("cum_before"), col("n"), probes)
+      .withColumn("target", col("p") * col("n").cast("double"))
+      .where(col("cum_before").cast("double") < col("target") &&
+        col("target") <= col("cum").cast("double"))
+      .withColumn("est",
+        col("b").cast("double") * widthE + lit(widthE.toDouble) *
+          (col("target") - col("cum_before").cast("double")) /
+          col("cnt").cast("double"))
+    val pivots = ps.map { p =>
+      (round(max(when(col("p") === p, col("est"))), 4) + lit(0.0))
+        .as(pColName(p))
+    }
+    est.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), pivots: _*)
+  }
+
+  /** `p50_hist` / `p99_hist` / `p999_hist`-style column name for p. */
+  def pColName(p: Double): String = {
+    val digits = (BigDecimal(p) * 1000).toBigInt.toString
+    val trimmed = if (digits.endsWith("0")) digits.dropRight(1) else digits
+    s"p${trimmed}_hist"
+  }
+
+  /** DuckDB mirror of [[histogramPercentiles]] — generated from the
+    * SAME width/percentile constants so the engines cannot drift.
+    * `fixedExpr` must produce the identical integer fixed-point values
+    * as the Spark `fixedCol`. */
+  def histogramPercentileSql(table: String, grpExpr: String,
+                             fixedExpr: String, widthE: Long,
+                             ps: Seq[Double]): String = {
+    val pList = ps.map(p => s"CAST($p AS DOUBLE)").mkString(", ")
+    val pivots = ps.map { p =>
+      s"round(max(CASE WHEN p = CAST($p AS DOUBLE) THEN est END), 4) + 0.0 AS ${pColName(p)}"
+    }.mkString(",\n|  ")
+    s"""WITH vals AS (
+       |  SELECT $grpExpr AS grp, $fixedExpr AS v FROM $table),
+       |hist AS (
+       |  SELECT grp, v // $widthE AS b, count(*) AS cnt
+       |  FROM vals GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT grp, b, cnt,
+       |         sum(cnt) OVER (PARTITION BY grp ORDER BY b) AS cum,
+       |         sum(cnt) OVER (PARTITION BY grp ORDER BY b) - cnt
+       |           AS cum_before,
+       |         sum(cnt) OVER (PARTITION BY grp) AS n
+       |  FROM hist),
+       |est AS (
+       |  SELECT grp, n, p,
+       |         CAST(b AS DOUBLE) * $widthE + CAST($widthE AS DOUBLE) *
+       |           (p * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE))
+       |           / CAST(cnt AS DOUBLE) AS est
+       |  FROM cum CROSS JOIN (SELECT unnest([$pList]) AS p) ps
+       |  WHERE CAST(cum_before AS DOUBLE) < p * CAST(n AS DOUBLE)
+       |    AND p * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE))
+       |SELECT grp, max(n) AS n,
+       |  ${pivots}
+       |FROM est GROUP BY grp""".stripMargin
+  }
+}

@@ -66,14 +66,17 @@ object Similarity {
     * smallest label. Same plan as [[annTopK]] (broadcast probes, one
     * corpus pass, partial top-k) plus a label join against the k·|probes|
     * candidate rows — the per-probe vote is a tiny grouped count, never a
-    * second corpus pass.
+    * second corpus pass. Votes group on the RAW label column (any
+    * orderable type — casting here would collapse e.g. double labels
+    * 1.2 and 1.9 into one vote bucket); `pred_label` keeps that type,
+    * so cast at the call site if a specific output type is needed.
     */
   def knnClassify(corpus: DataFrame, probes: DataFrame, idCol: String,
                   vecCol: String, labelCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val topk = annTopK(corpus, probes, idCol, vecCol, k)
     val labels = corpus.select(col(idCol).as("neighbor_id"),
-      col(labelCol).cast("long").as("__lbl"))
+      col(labelCol).as("__lbl"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("n_votes"), col("__lbl"))
     topk.join(labels, "neighbor_id")
@@ -93,12 +96,14 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Labels stay in their raw type: the mismatch filter must see 1.2
+    // and 1.9 as DIFFERENT labels, which a cast-to-long would collapse.
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(labelCol).cast("long").as("neg_label"),
+      col(labelCol).as("neg_label"),
       Vectors.toDouble(col(vecCol)).as("__vc"))
       .withColumn("__nc", Vectors.norm(col("__vc")))
     val p = probes.select(col(idCol).as("probe_id"),
-      col(labelCol).cast("long").as("probe_label"),
+      col(labelCol).as("probe_label"),
       Vectors.toDouble(col(vecCol)).as("__vp"))
       .withColumn("__np", Vectors.norm(col("__vp")))
     val w = Window.partitionBy(col("probe_id"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOf, Skew}
+import graft.operators.{AsOf, Percentile, Skew}
 
 /** Analytics / query-engine surface (SURVEY.md §2.B) with DuckDB oracles.
   *
@@ -620,8 +620,10 @@ object Analytics {
       monthly.join(broadcast(prev), Seq("__m"), "left")
         .select(col("yr"), col("mo"), col("revenue_cents"),
           col("prev_year_cents"),
-          round((col("revenue_cents") - col("prev_year_cents"))
-            * 100.0 / col("prev_year_cents"), 4).as("yoy_pct"))
+          // + 0.0: a tiny negative YoY delta rounds to -0.0 in DuckDB,
+          // 0.0 in Spark (SURVEY §6 negative-zero rule).
+          (round((col("revenue_cents") - col("prev_year_cents"))
+            * 100.0 / col("prev_year_cents"), 4) + lit(0.0)).as("yoy_pct"))
         .orderBy("yr", "mo")
     }),
 
@@ -699,6 +701,21 @@ object Analytics {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
         .orderBy("o_orderpriority")
+    }),
+
+    // B45: bounded-state histogram percentile — the 100 TB scale path
+    // for B13 (whose exact `percentile` buffers every distinct value
+    // per group in one aggregation buffer: a single-executor OOM at
+    // scale, not a slow query). $10 cent-buckets cap the histogram at
+    // ~60k rows per group NO MATTER the input size; the estimate is
+    // within $10 of the exact percentile. See operators/Percentile.
+    "q_percentile_hist" -> ((s, dir) => {
+      val cents = (dec182("o_totalprice") * 100).cast("long")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderpriority"), cents.as("cents"))
+      Percentile.histogramPercentiles(base, "o_orderpriority", "cents",
+          widthE = 1000L, ps = Seq(0.5, 0.9, 0.99))
+        .orderBy("grp")
     }),
 
     // B43: median absolute deviation per group — the robust dispersion
@@ -779,7 +796,9 @@ object Analytics {
         .orderBy(round(col("corr_raw"), 9).desc, col("user_a"), col("user_b"))
         .limit(10)
         .select(col("user_a"), col("user_b"),
-          round(col("corr_raw"), 4).as("corr"), col("n"))
+          // + 0.0 normalizes IEEE negative zero (SURVEY §6): a tiny
+          // negative corr rounds to -0.0 in DuckDB, 0.0 in Spark.
+          (round(col("corr_raw"), 4) + lit(0.0)).as("corr"), col("n"))
     }),
 
     // B19: statistical aggregates — stddev / correlation / covariance
@@ -1310,7 +1329,7 @@ object Analytics {
         |SELECT a.yr, a.mo, a.revenue_cents,
         |       b.revenue_cents AS prev_year_cents,
         |       round((a.revenue_cents - b.revenue_cents) * 100.0
-        |             / b.revenue_cents, 4) AS yoy_pct
+        |             / b.revenue_cents, 4) + 0.0 AS yoy_pct
         |FROM monthly a LEFT JOIN monthly b
         |  ON a.yr * 12 + a.mo = b.yr * 12 + b.mo + 12
         |ORDER BY a.yr, a.mo""".stripMargin,
@@ -1393,13 +1412,18 @@ object Analytics {
         |SELECT user_a, user_b,
         |       round(CAST(num AS DOUBLE)
         |         / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE))), 4)
-        |         AS corr,
+        |         + 0.0 AS corr,
         |       n
         |FROM c
         |ORDER BY round(CAST(num AS DOUBLE)
         |  / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE))), 9) DESC,
         |  user_a, user_b
         |LIMIT 10""".stripMargin,
+
+    "q_percentile_hist" ->
+      (Percentile.histogramPercentileSql("orders", "o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        widthE = 1000L, ps = Seq(0.5, 0.9, 0.99)) + "\nORDER BY grp"),
 
     "q_mad" ->
       """WITH base AS (

@@ -105,7 +105,14 @@ object Cdc {
     // per-flush maintenance is |delta| rows + a |groups|-row merge.
     "cdc_ivm_view" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // Coalesce the group key BEFORE building contributions: a live
+      // event with NULL event_type must still retract/add (grp-is-null
+      // is how retraction rows are filtered, so an un-coalesced NULL
+      // group would silently drop both sides while the oracle's GROUP
+      // BY emits a NULL group). Mirrored in the oracle below.
       val log = changelog(s, dir)
+        .withColumn("event_type",
+          coalesce(col("event_type"), lit("__null__")))
         .withColumn("cents", (dec182("value") * 100).cast("long"))
       val w = Window.partitionBy(col("key"))
         .orderBy(col("commit_ts_us"), col("seq"))
@@ -466,7 +473,8 @@ object Cdc {
         |  SELECT *, row_number() OVER (PARTITION BY key
         |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
         |  FROM log)
-        |SELECT event_type, count(*) AS n_users,
+        |SELECT coalesce(event_type, '__null__') AS event_type,
+        |  count(*) AS n_users,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT)
         |    AS sum_value_e2
         |FROM ranked WHERE rn = 1 AND op <> 'D'

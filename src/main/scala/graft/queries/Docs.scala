@@ -174,7 +174,10 @@ object Docs {
           col("n_chars"), 500)
         .orderBy(desc("sel_key"), col("doc_id"))
         .select(col("doc_id"), col("n_chars"),
-          round(col("sel_key"), 4).as("sel_key_r4"))
+          // + 0.0 normalizes IEEE negative zero: Spark rounds a tiny
+          // negative key to 0.0, DuckDB to -0.0, and the driver hashes
+          // the string form (same trap as q_stats_agg, r4).
+          (round(col("sel_key"), 4) + lit(0.0)).as("sel_key_r4"))
     }),
 
     // C32: temperature-scaled domain-mixture weights — per-source
@@ -556,6 +559,9 @@ object Docs {
         corpus = e.where(col("vec_id") >= 8),
         probes = e.where(col("vec_id") < 8),
         idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
+        // knnClassify keeps the raw label type; the oracle casts BIGINT.
+        .select(col("probe_id"),
+          col("pred_label").cast("long").as("pred_label"), col("n_votes"))
         .orderBy("probe_id")
     }),
 
@@ -583,6 +589,11 @@ object Docs {
         corpus = e.where(col("vec_id") >= 8),
         probes = e.where(col("vec_id") < 8),
         idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 3)
+        // hardNegatives keeps raw label types; the oracle casts BIGINT.
+        .select(col("probe_id"),
+          col("probe_label").cast("long").as("probe_label"), col("rank"),
+          col("neighbor_id"), col("neg_label").cast("long").as("neg_label"),
+          col("cos_sim"))
         .orderBy("probe_id", "rank")
     }),
 
@@ -1642,7 +1653,7 @@ object Docs {
         "len(string_split(text, ' '))", mixAlpha, mixBudget),
 
     "doc_sample_weighted" ->
-      s"""SELECT doc_id, n_chars, round(sel_key, 4) AS sel_key_r4 FROM (
+      s"""SELECT doc_id, n_chars, round(sel_key, 4) + 0.0 AS sel_key_r4 FROM (
         |  SELECT doc_id, n_chars,
         |    ${Sampling.weightedKeySql("doc_id", "n_chars")} AS sel_key
         |  FROM documents)

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Percentile
+
+/** Bounded-state histogram percentile (B45): the 100 TB quantile path.
+  * Contract tested: (a) the estimate lands within one bucket width of
+  * the exact percentile; (b) the histogram shuffle is capped at
+  * |groups| x |buckets| rows regardless of input size; (c) the column
+  * naming rule used by the oracle generator. */
+class PercentileSpec extends SparkSpec {
+
+  test("histogram estimate within one bucket width of the straddling " +
+    "order statistic") {
+    // The provable contract: the estimate and the order statistic at
+    // rank ceil(p*n) share a bucket, so they differ by < widthE. (The
+    // INTERPOLATED percentile can sit arbitrarily far away when data is
+    // sparse — adjacent order statistics may span many empty buckets —
+    // so that is deliberately NOT the contract.)
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), cents.as("cents"))
+    val ps = Seq(0.5, 0.9, 0.99)
+    val widthE = 1000L
+    val got = Percentile
+      .histogramPercentiles(base, "o_orderpriority", "cents", widthE, ps)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(got.nonEmpty)
+    val rows = base.collect()
+      .groupBy(_.getAs[String]("o_orderpriority"))
+      .map { case (g, rs) => g -> rs.map(_.getAs[Long]("cents")).sorted }
+    rows.foreach { case (grp, sorted) =>
+      val est = got(grp)
+      val n = sorted.length
+      ps.foreach { p =>
+        val orderStat = sorted(math.ceil(p * n).toInt - 1).toDouble
+        val hv = est.getAs[Double](Percentile.pColName(p))
+        assert(math.abs(hv - orderStat) < widthE.toDouble,
+          s"$grp p=$p: est=$hv orderStat=$orderStat not within $widthE")
+      }
+    }
+  }
+
+  test("histogram state is |groups| x |buckets|, not |rows|") {
+    // 10k rows over 3 groups with values in [0, 10000) and width 100
+    // must histogram down to at most 3 x 100 rows before any window.
+    val df = spark.range(10000).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") * 37 % 10000).as("v"))
+    val hist = df.select(col("g"), expr("v div 100").as("b"))
+      .groupBy("g", "b").count()
+    assert(hist.count() <= 300)
+    val out = Percentile.histogramPercentiles(df, "g", "v", 100L, Seq(0.5))
+    assert(out.count() === 3)
+  }
+
+  test("pColName matches the oracle generator's naming") {
+    assert(Percentile.pColName(0.5) === "p50_hist")
+    assert(Percentile.pColName(0.9) === "p90_hist")
+    assert(Percentile.pColName(0.99) === "p99_hist")
+    assert(Percentile.pColName(0.999) === "p999_hist")
+  }
+}
