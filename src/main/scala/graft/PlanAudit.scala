@@ -27,7 +27,8 @@ object PlanAudit {
     "emb_neardup",
     "emb_semdedup", // 1-row max-cluster-size guard broadcast
     "q22_churned_customers", "q_gapfill",
-    "q_ts_similarity") // users-dimension all-pairs baseline (|users| ≪ |events|) + 1-row day-spine broadcast
+    "q_ts_similarity", // users-dimension all-pairs baseline (|users| ≪ |events|) + 1-row day-spine broadcast
+    "q_ts_similarity_lsh") // 1-row spine-constants broadcast + small day-spine broadcast; pairing itself is a (band, key) equi-join
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

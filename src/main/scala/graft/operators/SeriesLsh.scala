@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LSH-blocked time-series similarity — the 100 TB scale path for the
+  * all-pairs Pearson baseline (`q_ts_similarity`, B44).
+  *
+  * The baseline scores every series pair: quadratic in |series|, with
+  * an in-plan guard that simply REFUSES above 100k series. This
+  * operator replaces the pair generation with sign-random-projection
+  * LSH (the hyperplane family of Charikar 2002, built here with
+  * Rademacher ±1 components so every quantity stays an exact integer):
+  *
+  *  1. '''signs''' — component d of hyperplane i is
+  *     `sgn(i,d) = ±1` from the engine-portable md5 hash32 of
+  *     `"ts<i>|<day>"` — deterministic, reproducible, and expressible
+  *     in ANSI SQL (so the DuckDB oracle mirrors it bit-for-bit);
+  *  2. '''projections''' — Pearson correlation is cosine of the
+  *     MEAN-CENTERED series, so the bit must be the sign of
+  *     `<x - mean(x)·1, h_i>`. Multiplying by n keeps it integer:
+  *     `bit_i = [n·proj_i - sx·S_i >= 0]` where `proj_i = Σ_d
+  *     sgn(i,d)·x_d` (zero days contribute zero — computed from the
+  *     SPARSE rows, one linear groupBy) and `S_i = Σ_spine sgn(i,d)`
+  *     (a per-hyperplane constant from the tiny day spine);
+  *  3. '''banding''' — `nBits` bits in bands of `bitsPerBand`; series
+  *     sharing a band key are candidates (equi-join on (band, key),
+  *     never an all-pairs product). Two series at correlation rho
+  *     agree on one bit with probability 1 - arccos(rho)/pi, so a
+  *     rho=0.95 pair survives 8 bands of 4 bits with P > 0.999;
+  *  4. '''hot-bucket cap''' — buckets larger than `maxBucket` are
+  *     dropped from pairing (the SimHash capped-bucket treatment: a
+  *     bucket holding a constant-pattern crowd carries no
+  *     discrimination, and the cap is what keeps within-bucket
+  *     candidate growth linear at 100 TB);
+  *  5. '''exact verify''' — candidates re-score with the SAME
+  *     exact-integer Pearson as the baseline (n, Σx, Σx², Σxy all
+  *     integers; only two sqrts and one divide round).
+  *
+  * Scale shape: one linear pass builds projections (nBits sums per
+  * series, map-side combined), band rows are |series|×bands, the join
+  * is an equi-join, and verification touches only candidates. No
+  * stage is quadratic in |series|.
+  */
+object SeriesLsh {
+
+  /** ±1 Rademacher component of hyperplane `i` at spine position
+    * `day` — parity of the portable 32-bit md5 prefix. */
+  private def sgn(i: Int, day: Column): Column =
+    when(pmod(MinHash.hash32(concat(lit(s"ts$i|"), day.cast("string"))),
+      lit(2L)) === 0L, lit(1L)).otherwise(lit(-1L))
+
+  /** Correlated series pairs via sign-LSH candidates + exact Pearson
+    * verify.
+    *
+    * @param daily     sparse series rows: (user_id, day: long, cnt: long);
+    *                  missing days are zeros
+    * @param threshold minimum Pearson correlation to emit
+    * @return (user_a, user_b, corr round(4), n) — corr normalized with
+    *         the `+ 0.0` negative-zero rule (SURVEY §6)
+    */
+  def correlatedPairs(daily: DataFrame, threshold: Double,
+                      nBits: Int = 32, bitsPerBand: Int = 4,
+                      maxBucket: Int = 1024): DataFrame = {
+    require(nBits % bitsPerBand == 0, "bitsPerBand must divide nBits")
+    val bands = nBits / bitsPerBand
+
+    // Day spine + per-hyperplane sign sums S_i (tiny: one row).
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val sCols = (0 until nBits).map(i => sum(sgn(i, col("day"))).as(s"__s$i"))
+    val spine = days.agg(count(lit(1)).as("__n"), sCols: _*)
+
+    // Linear pass: per-series moments + nBits projections, one groupBy
+    // with map-side combine; zero days contribute zero to every sum.
+    val projCols = (0 until nBits)
+      .map(i => sum(sgn(i, col("day")) * col("cnt")).as(s"__pr$i"))
+    val moments = Seq(sum(col("cnt")).as("sx"),
+      sum(col("cnt") * col("cnt")).as("sxx"))
+    val aggCols = moments ++ projCols
+    val stats = daily.groupBy(col("user_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .crossJoin(broadcast(spine)) // 1-row scalar broadcast (PlanAudit)
+
+    // Band keys: key_b = sum_j bit_{b*k+j} << j, all integer math.
+    def bandKey(b: Int): Column = (0 until bitsPerBand).map { j =>
+      val i = b * bitsPerBand + j
+      when(col("__n") * col(s"__pr$i") - col("sx") * col(s"__s$i") >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bandRows = stats.select(col("user_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("bk"))
+      .select(col("user_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+
+    // Hot-bucket cap, then candidate pairs from the band equi-join.
+    val capped = bandRows
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey"))))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val cands = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("user_a"), col("y.user_id").as("user_b"))
+      .distinct()
+
+    // Exact-integer Pearson verify on the zero-filled spine vectors —
+    // identical math to the all-pairs baseline, but only on candidates.
+    val grid = daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "day"), "left")
+      .na.fill(0, Seq("cnt"))
+    val vec = grid.groupBy(col("user_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, cnt)))," +
+        " x -> CAST(x.cnt AS DOUBLE))").as("v"),
+        count(lit(1)).as("n"),
+        sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+    val a = vec.select(col("user_id").as("user_a"), col("v").as("va"),
+      col("n"), col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val b = vec.select(col("user_id").as("user_b"), col("v").as("vb"),
+      col("sx").as("sxb"), col("sxx").as("sxxb"))
+    cands.join(a, "user_a").join(b, "user_b")
+      .withColumn("sxy",
+        graft.functions.Vectors.dot(col("va"), col("vb")).cast("long"))
+      .withColumn("num", col("n") * col("sxy") - col("sxa") * col("sxb"))
+      .withColumn("dena", col("n") * col("sxxa") - col("sxa") * col("sxa"))
+      .withColumn("denb", col("n") * col("sxxb") - col("sxb") * col("sxb"))
+      .where(col("dena") > 0 && col("denb") > 0)
+      .withColumn("corr_raw", col("num").cast("double") /
+        (sqrt(col("dena").cast("double")) * sqrt(col("denb").cast("double"))))
+      .where(col("corr_raw") >= threshold)
+      .select(col("user_a"), col("user_b"),
+        (round(col("corr_raw"), 4) + lit(0.0)).as("corr"), col("n"))
+  }
+
+  /** DuckDB mirror of [[correlatedPairs]] — generated from the SAME
+    * constants, same md5-derived signs, same integer bit rule, same
+    * cap, same exact Pearson. `dailySql` must define columns
+    * (user_id, day, cnt) identical to the Spark input. */
+  def correlatedPairsSql(dailySql: String, threshold: Double,
+                         nBits: Int = 32, bitsPerBand: Int = 4,
+                         maxBucket: Int = 1024): String = {
+    require(nBits % bitsPerBand == 0, "bitsPerBand must divide nBits")
+    s"""WITH d AS (
+       |$dailySql),
+       |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+       |days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+       |nn AS (SELECT count(*) AS n FROM days),
+       |bits AS (SELECT unnest(generate_series(0, ${nBits - 1})) AS i),
+       |sg AS (
+       |  SELECT i, day,
+       |    CASE WHEN (('0x' || substr(md5('ts' || i || '|' ||
+       |      CAST(day AS VARCHAR)), 1, 8))::BIGINT % 2) = 0
+       |    THEN 1 ELSE -1 END AS s
+       |  FROM bits CROSS JOIN days),
+       |sconst AS (SELECT i, sum(s) AS sb FROM sg GROUP BY 1),
+       |proj AS (
+       |  SELECT d.user_id, sg.i, sum(sg.s * d.cnt) AS pr
+       |  FROM d JOIN sg ON sg.day = d.day GROUP BY 1, 2),
+       |mom AS (
+       |  SELECT user_id, sum(cnt) AS sx, sum(cnt*cnt) AS sxx
+       |  FROM d GROUP BY 1),
+       |bitval AS (
+       |  SELECT p.user_id, p.i,
+       |    CASE WHEN nn.n * p.pr - m.sx * sc.sb >= 0
+       |      THEN 1 << (p.i % $bitsPerBand) ELSE 0 END AS w
+       |  FROM proj p
+       |  JOIN sconst sc USING (i) JOIN mom m USING (user_id)
+       |  CROSS JOIN nn),
+       |keys AS (
+       |  SELECT user_id, i // $bitsPerBand AS band, sum(w) AS bkey
+       |  FROM bitval GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+       |    FROM keys) WHERE bsz <= $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.user_id AS user_a, y.user_id AS user_b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.user_id < y.user_id),
+       |grid AS (
+       |  SELECT u.user_id, dy.day, coalesce(d.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT user_id FROM d) u
+       |  CROSS JOIN days dy
+       |  LEFT JOIN d ON d.user_id = u.user_id AND d.day = dy.day),
+       |vec AS (
+       |  SELECT user_id, list(CAST(cnt AS DOUBLE) ORDER BY day) AS v,
+       |         count(*) AS n, sum(cnt) AS sx, sum(cnt*cnt) AS sxx
+       |  FROM grid GROUP BY 1),
+       |p AS (
+       |  SELECT c.user_a, c.user_b, a.n AS n,
+       |         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS sxy,
+       |         a.sx AS sxa, b.sx AS sxb, a.sxx AS sxxa, b.sxx AS sxxb
+       |  FROM cand c
+       |  JOIN vec a ON a.user_id = c.user_a
+       |  JOIN vec b ON b.user_id = c.user_b),
+       |c2 AS (
+       |  SELECT user_a, user_b, n,
+       |         n*sxy - sxa*sxb AS num,
+       |         n*sxxa - sxa*sxa AS dena,
+       |         n*sxxb - sxb*sxb AS denb
+       |  FROM p WHERE n*sxxa - sxa*sxa > 0 AND n*sxxb - sxb*sxb > 0)
+       |SELECT user_a, user_b,
+       |       round(CAST(num AS DOUBLE)
+       |         / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE))), 4)
+       |         + 0.0 AS corr,
+       |       n
+       |FROM c2
+       |WHERE CAST(num AS DOUBLE)
+       |  / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE)))
+       |  >= $threshold""".stripMargin
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOf, Percentile, Skew}
+import graft.operators.{AsOf, Percentile, SeriesLsh, Skew}
 
 /** Analytics / query-engine surface (SURVEY.md §2.B) with DuckDB oracles.
   *
@@ -765,8 +765,9 @@ object Analytics {
         .select(assert_true(col("__nu") <= 100000L,
           concat(lit("q_ts_similarity is an exact all-pairs baseline over "),
             col("__nu").cast("string"),
-            lit(" series (> 100000); block or LSH-bucket the series " +
-              "before pairing at this scale."))).as("__guard"))
+            lit(" series (> 100000); use SeriesLsh.correlatedPairs " +
+              "(q_ts_similarity_lsh) at this scale — sign-LSH bands + " +
+              "exact verify, never all-pairs."))).as("__guard"))
       val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
       val grid = daily.select(col("user_id")).distinct()
@@ -799,6 +800,22 @@ object Analytics {
           // + 0.0 normalizes IEEE negative zero (SURVEY §6): a tiny
           // negative corr rounds to -0.0 in DuckDB, 0.0 in Spark.
           (round(col("corr_raw"), 4) + lit(0.0)).as("corr"), col("n"))
+    }),
+
+    // B46: LSH-blocked time-series similarity — the 100 TB scale path
+    // for B44's guarded all-pairs baseline. Sign-random-projection
+    // bands (exact-integer bit rule, md5-derived ±1 components shared
+    // with the oracle) generate candidates via a (band, key) equi-join
+    // with a hot-bucket cap; candidates verify with the SAME
+    // exact-integer Pearson as the baseline. No quadratic stage.
+    "q_ts_similarity_lsh" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dayCol = datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).cast("long")
+      val daily = ev.groupBy(col("user_id"), dayCol.as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      SeriesLsh.correlatedPairs(daily, threshold = 0.5)
+        .orderBy(desc("corr"), col("user_a"), col("user_b"))
     }),
 
     // B19: statistical aggregates — stddev / correlation / covariance
@@ -1419,6 +1436,14 @@ object Analytics {
         |  / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE))), 9) DESC,
         |  user_a, user_b
         |LIMIT 10""".stripMargin,
+
+    "q_ts_similarity_lsh" ->
+      (SeriesLsh.correlatedPairsSql(
+        """  SELECT user_id,
+          |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+          |         count(*) AS cnt
+          |  FROM events GROUP BY 1, 2""".stripMargin,
+        threshold = 0.5) + "\nORDER BY corr DESC, user_a, user_b"),
 
     "q_percentile_hist" ->
       (Percentile.histogramPercentileSql("orders", "o_orderpriority",
