@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic HyperLogLog distinct-count — an oracle-backable
+  * sketch (Flajolet et al. 2007).
+  *
+  * Spark's `approx_count_distinct` is a fine operational HLL, but its
+  * xxHash64-based register math is engine-specific: no cross-engine
+  * oracle can replay it. This HLL is built ENTIRELY from the repo's
+  * portable primitives, so the DuckDB oracle computes the identical
+  * sketch from generated SQL (the MinHash-oracle pattern):
+  *
+  *  - '''hash''' — the 32-bit md5 prefix ([[MinHash.hash32]]); low
+  *    `log2(m)` bits pick the register, the remaining 26 bits feed the
+  *    rank (leading-zero count + 1, an integer CASE ladder generated
+  *    from the same constants in both engines — never floating log2);
+  *  - '''registers''' — `groupBy(idx).agg(max(rank))`: one partial-agg
+  *    shuffle whose per-task state is m longs, REGARDLESS of input
+  *    size — this is the whole point of HLL at 100 TB (B14);
+  *  - '''harmonic sum''' — ranks are ≤ 27, so `Σ 2^(-M_j)` scaled by
+  *    2^27 is `Σ 1 << (27 - M_j)`: an EXACT integer (≤ m·2^27 ≪ 2^53).
+  *    The only floating-point step is the final
+  *    `alpha · m² · 2^27 / denom` — one multiply-divide chain over
+  *    exact integers, bitwise identical in both engines. No
+  *    transcendentals cross the engine boundary (SURVEY §6): the
+  *    small-range linear-counting correction needs `ln`, so it is
+  *    deliberately NOT applied; callers get the raw estimator plus the
+  *    zero-register count to apply their own correction. With m=64 the
+  *    correction zone ends at ~160 distinct — below that, prefer exact
+  *    counting anyway.
+  *
+  * Standard error is ~1.04/sqrt(m) (m=64 → ~13%).
+  */
+object Hll {
+
+  /** alpha_m bias constants from the HLL paper (m = 16/32/64). */
+  private def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
+  /** Rank ladder thresholds: bitlen(v) = k iff 2^(k-1) <= v < 2^k,
+    * rank = 27 - bitlen (v = 0 -> 27). Same constants feed both the
+    * Spark `when` ladder and the SQL CASE. */
+  private val rankBits = 26
+
+  /** One-row sketch summary: est_hll (round-4 double), v_zero (empty
+    * registers), denom_e27 (the exact scaled harmonic sum — the full
+    * register-state digest an incremental merge would persist). */
+  def distinctEstimate(df: DataFrame, keyCol: Column, m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val h = MinHash.hash32(keyCol.cast("string"))
+    val idx = pmod(h, lit(m.toLong))
+    val v = shiftright(h, Integer.numberOfTrailingZeros(m))
+    // Integer leading-zero ladder. The fold wraps later iterations
+    // OUTERMOST, so ascend k: the highest threshold (k = 26) must be
+    // the first condition evaluated, matching the SQL CASE order.
+    val rank = (1 to rankBits).foldLeft(lit(rankBits + 1): Column) {
+      (acc, k) => when(v >= (1L << (k - 1)), lit(rankBits + 1 - k)).otherwise(acc)
+    }
+    val regs = df.select(idx.as("idx"), rank.cast("long").as("rank"))
+      .groupBy(col("idx")).agg(max(col("rank")).as("mj"))
+    val spine = df.sparkSession.range(m).select(col("id").as("idx"))
+    val filled = spine.join(regs, Seq("idx"), "left")
+      .na.fill(0L, Seq("mj"))
+    filled.agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${rankBits + 1} - mj AS INT))"))
+          .as("denom_e27"),
+        sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v_zero"))
+      .select(
+        (round(lit(alpha(m)) * lit(m.toDouble * m) * lit(math.pow(2, rankBits + 1))
+          / col("denom_e27").cast("double"), 4) + lit(0.0)).as("est_hll"),
+        col("v_zero"), col("denom_e27"))
+  }
+
+  /** DuckDB mirror of [[distinctEstimate]] — same md5 hash, same
+    * ladder constants, same integer harmonic sum, same final chain. */
+  def distinctEstimateSql(table: String, keyExpr: String, m: Int = 64): String = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val shift = Integer.numberOfTrailingZeros(m)
+    val ladder = (rankBits to 1 by -1)
+      .map(k => s"WHEN v >= ${1L << (k - 1)} THEN ${rankBits + 1 - k}")
+      .mkString("\n|      ")
+    val scale = (1L << (rankBits + 1)).toDouble
+    s"""WITH h AS (
+       |  SELECT ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM $table),
+       |r AS (
+       |  SELECT hv % $m AS idx, hv >> $shift AS v FROM h),
+       |rk AS (
+       |  SELECT idx,
+       |    CASE
+       |      $ladder
+       |      ELSE ${rankBits + 1} END AS rank
+       |  FROM r),
+       |regs AS (
+       |  SELECT s.idx, coalesce(max(rk.rank), 0) AS mj
+       |  FROM (SELECT unnest(generate_series(0, ${m - 1})) AS idx) s
+       |  LEFT JOIN rk ON rk.idx = s.idx
+       |  GROUP BY 1)
+       |SELECT
+       |  round(CAST(${alpha(m)} AS DOUBLE) * CAST(${m.toDouble * m} AS DOUBLE)
+       |    * CAST($scale AS DOUBLE)
+       |    / CAST(sum(1::BIGINT << (${rankBits + 1} - mj)) AS DOUBLE), 4) + 0.0
+       |    AS est_hll,
+       |  sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v_zero,
+       |  sum(1::BIGINT << (${rankBits + 1} - mj)) AS denom_e27
+       |FROM regs""".stripMargin
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOf, Percentile, SeriesLsh, Skew}
+import graft.operators.{AsOf, Hll, Percentile, SeriesLsh, Skew}
 
 /** Analytics / query-engine surface (SURVEY.md §2.B) with DuckDB oracles.
   *
@@ -802,6 +802,16 @@ object Analytics {
           (round(col("corr_raw"), 4) + lit(0.0)).as("corr"), col("n"))
     }),
 
+    // B14: deterministic HLL distinct-count — the oracle-backed sketch
+    // path (Spark's approx_count_distinct has engine-specific register
+    // math no oracle can replay). Portable md5 hash, integer rank
+    // ladder, EXACT integer harmonic sum (x 2^27); the one double op
+    // is the final multiply-divide. Register state is m longs per
+    // task at any input size.
+    "q_hll_distinct" -> ((s, dir) => {
+      Hll.distinctEstimate(Tables.orders(s, dir), col("o_custkey"), m = 64)
+    }),
+
     // B46: LSH-blocked time-series similarity — the 100 TB scale path
     // for B44's guarded all-pairs baseline. Sign-random-projection
     // bands (exact-integer bit rule, md5-derived ±1 components shared
@@ -1436,6 +1446,9 @@ object Analytics {
         |  / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE))), 9) DESC,
         |  user_a, user_b
         |LIMIT 10""".stripMargin,
+
+    "q_hll_distinct" ->
+      Hll.distinctEstimateSql("orders", "o_custkey", m = 64),
 
     "q_ts_similarity_lsh" ->
       (SeriesLsh.correlatedPairsSql(
