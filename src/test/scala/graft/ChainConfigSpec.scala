@@ -70,6 +70,54 @@ class ChainConfigSpec extends SparkSpec {
     assert(reference.exceptAll(out).count() === 0)
   }
 
+  test("transform: stage round-trips rows through an external python3 " +
+    "process — the out-of-process multi-language plugin boundary") {
+    // The RFC's plugin-runner pitch (README.md:44-48): a plugin in a
+    // foreign runtime, attached by config, no pipeline recompilation.
+    // RDD.pipe spawns the process per partition; rows cross as JSON
+    // lines; the declared schema re-types the output.
+    val script =
+      """import sys, json
+        |for line in sys.stdin:
+        |    r = json.loads(line)
+        |    print(json.dumps({"seq": r["seq"], "key": r["key"],
+        |                      "tag": "py:%d" % (r["key"] % 10)}))
+        |""".stripMargin
+    PipedTransform.register("py-tag",
+      Seq("python3", "-u", "-c", script),
+      "seq BIGINT, key BIGINT, tag STRING")
+    try {
+      val out = ChainConfig.parse(
+        "op-filter:U | select:seq,key | transform:py-tag").run(log)
+      val reference = ChainConfig.parse("op-filter:U | select:seq,key")
+        .run(log)
+      assert(out.columns.toSeq === Seq("seq", "key", "tag"))
+      assert(out.count() === reference.count())
+      assert(out.where(
+        col("tag") =!= concat(lit("py:"), pmod(col("key"), lit(10L))))
+        .count() === 0)
+    } finally ChainConfig.unregisterTransform("py-tag")
+  }
+
+  test("strict piped transform fails the batch on unparseable plugin " +
+    "output — the poison-batch DLQ trigger") {
+    val bad = "import sys\n" +
+      "for line in sys.stdin:\n" +
+      "    print('definitely-not-json')"
+    PipedTransform.register("py-bad",
+      Seq("python3", "-u", "-c", bad), "seq BIGINT")
+    try {
+      val chain = ChainConfig.parse("op-filter:U | transform:py-bad")
+      val e = intercept[Throwable](chain.run(log).collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else String.valueOf(t.getMessage) +: messages(t.getCause)
+      assert(messages(e).exists(m => m.contains("Malformed") ||
+        m.contains("FAILFAST") || m.contains("malformed")),
+        s"expected a FAILFAST parse failure, got: ${messages(e)}")
+    } finally ChainConfig.unregisterTransform("py-bad")
+  }
+
   test("malformed configs fail loudly") {
     assert(intercept[IllegalArgumentException](
       ChainConfig.parse("nonsense:x")).getMessage.contains("unknown stage"))
