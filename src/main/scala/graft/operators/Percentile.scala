@@ -103,6 +103,80 @@ object Percentile {
     s"p${trimmed}_hist"
   }
 
+  /** Bounded-state median absolute deviation — the 100 TB form of the
+    * exact-percentile MAD (B43). Two histogram passes, each with
+    * |groups| x |buckets| state: (1) the [[histogramPercentiles]]
+    * median estimate per group (broadcast — |groups| rows); (2) a
+    * histogram over `abs(value - med_est)`. Deviations are doubles, so
+    * the second pass buckets by `floor(absdev / width)` — identical
+    * operands in identical order on both engines, so the buckets (and
+    * everything after) agree bitwise. Estimates carry the same
+    * one-bucket-width bound as [[histogramPercentiles]], each vs its
+    * own straddling order statistic. */
+  def histogramMad(df: DataFrame, grpCol: String, fixedCol: String,
+                   widthE: Long): DataFrame = {
+    val med = histogramPercentiles(df, grpCol, fixedCol, widthE, Seq(0.5))
+      .select(col("grp"), col(pColName(0.5)).as("med_est"))
+    val dev = df.select(col(grpCol).as("grp"), col(fixedCol).as("__v"))
+      .join(broadcast(med), "grp")
+      .withColumn("absdev", abs(col("__v").cast("double") - col("med_est")))
+    val hist = dev
+      .select(col("grp"), col("med_est"),
+        floor(col("absdev") / lit(widthE.toDouble)).cast("long").as("b"))
+      .groupBy(col("grp"), col("med_est"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("b"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+      .withColumn("target", lit(0.5) * col("n").cast("double"))
+    cum
+      .where(col("cum_before").cast("double") < col("target") &&
+        col("target") <= col("cum").cast("double"))
+      .select(col("grp"), col("n"),
+        (round(col("med_est"), 4) + lit(0.0)).as("med_hist"),
+        (round(col("b").cast("double") * widthE + lit(widthE.toDouble) *
+          (col("target") - col("cum_before").cast("double")) /
+          col("cnt").cast("double"), 4) + lit(0.0)).as("mad_hist"))
+  }
+
+  /** DuckDB mirror of [[histogramMad]] — same two-stage construction
+    * from the same constants. */
+  def histogramMadSql(table: String, grpExpr: String, fixedExpr: String,
+                      widthE: Long): String = {
+    val medSql = histogramPercentileSql(table, grpExpr, fixedExpr, widthE,
+      Seq(0.5))
+    s"""WITH medq AS (
+       |${medSql}),
+       |vals2 AS (
+       |  SELECT $grpExpr AS grp, $fixedExpr AS v FROM $table),
+       |dev AS (
+       |  SELECT d.grp, m.${pColName(0.5)} AS med_est,
+       |         abs(CAST(d.v AS DOUBLE) - m.${pColName(0.5)}) AS absdev
+       |  FROM vals2 d JOIN medq m USING (grp)),
+       |h2 AS (
+       |  SELECT grp, med_est,
+       |         CAST(floor(absdev / CAST($widthE AS DOUBLE)) AS BIGINT) AS b,
+       |         count(*) AS cnt
+       |  FROM dev GROUP BY 1, 2, 3),
+       |c2 AS (
+       |  SELECT grp, med_est, b, cnt,
+       |         sum(cnt) OVER (PARTITION BY grp ORDER BY b) AS cum,
+       |         sum(cnt) OVER (PARTITION BY grp ORDER BY b) - cnt
+       |           AS cum_before,
+       |         sum(cnt) OVER (PARTITION BY grp) AS n
+       |  FROM h2)
+       |SELECT grp, n,
+       |  round(med_est, 4) + 0.0 AS med_hist,
+       |  round(CAST(b AS DOUBLE) * $widthE + CAST($widthE AS DOUBLE) *
+       |    (CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE))
+       |    / CAST(cnt AS DOUBLE), 4) + 0.0 AS mad_hist
+       |FROM c2
+       |WHERE CAST(cum_before AS DOUBLE) < CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)
+       |  AND CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)""".stripMargin
+  }
+
   /** DuckDB mirror of [[histogramPercentiles]] — generated from the
     * SAME width/percentile constants so the engines cannot drift.
     * `fixedExpr` must produce the identical integer fixed-point values

@@ -718,6 +718,21 @@ object Analytics {
         .orderBy("grp")
     }),
 
+    // B43 scale path: histogram MAD — two bounded-state histogram
+    // passes (median estimate, then deviations), |groups|x|buckets|
+    // state each, vs the exact form's every-distinct-value buffers.
+    // Deviations are doubles; both engines bucket them with identical
+    // operands, so buckets agree bitwise. See operators/Percentile.
+    "q_mad_hist" -> ((s, dir) => {
+      val cents = (dec182("o_totalprice") * 100).cast("long")
+      val base = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), cents.as("cents"))
+      Percentile.histogramMad(base, "segment", "cents", widthE = 1000L)
+        .orderBy("grp")
+    }),
+
     // B43: median absolute deviation per group — the robust dispersion
     // statistic (insensitive to the outlier tails stddev amplifies).
     // Two exact-percentile aggregates with a broadcast median join
@@ -960,6 +975,11 @@ object Analytics {
     // (cents, orderkey) inside a window partitioned per segment, drop
     // floor(n/10) rows from each end; the mean is an exact integer
     // cent-sum over the kept rows divided at the end.
+    // Group-cardinality contract (SURVEY §5): each group sorts in ONE
+    // reducer — right for many-or-small groups; for few huge groups
+    // reshape via the B45 histogram (broadcast p10/p90 boundary
+    // buckets + scan-local keep + exact ranking only inside the two
+    // boundary buckets).
     "q_trimmed_mean" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cents = (dec182("o_totalprice") * 100).cast("decimal(38,0)")
@@ -1462,6 +1482,13 @@ object Analytics {
       (Percentile.histogramPercentileSql("orders", "o_orderpriority",
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
         widthE = 1000L, ps = Seq(0.5, 0.9, 0.99)) + "\nORDER BY grp"),
+
+    "q_mad_hist" ->
+      (Percentile.histogramMadSql(
+        """(SELECT c_mktsegment AS segment,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          |  FROM orders JOIN customer ON o_custkey = c_custkey) t""".stripMargin,
+        "segment", "cents", widthE = 1000L) + "\nORDER BY grp"),
 
     "q_mad" ->
       """WITH base AS (

@@ -56,6 +56,32 @@ class PercentileSpec extends SparkSpec {
     assert(out.count() === 3)
   }
 
+  test("histogram MAD within one bucket of its deviation-distribution " +
+    "order statistic") {
+    // The operator contract, stage by stage: given ITS median estimate
+    // (med_hist), the second histogram's answer shares a bucket with
+    // the rank-ceil(n/2) order statistic of abs(v - med_hist) — same
+    // bound as histogramPercentiles, applied to the deviation pass.
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("g"), cents.as("cents"))
+    val widthE = 1000L
+    val got = Percentile.histogramMad(base, "g", "cents", widthE)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    val rows = base.collect()
+      .groupBy(_.getAs[String]("g"))
+      .map { case (g, rs) => g -> rs.map(_.getAs[Long]("cents")) }
+    rows.foreach { case (g, vals) =>
+      val med = got(g).getAs[Double]("med_hist")
+      val hv = got(g).getAs[Double]("mad_hist")
+      val devs = vals.map(v => math.abs(v.toDouble - med)).sorted
+      val orderStat = devs(math.ceil(0.5 * devs.length).toInt - 1)
+      assert(math.abs(hv - orderStat) < widthE.toDouble,
+        s"$g: mad_hist=$hv orderStat=$orderStat not within $widthE")
+    }
+  }
+
   test("pColName matches the oracle generator's naming") {
     assert(Percentile.pColName(0.5) === "p50_hist")
     assert(Percentile.pColName(0.9) === "p90_hist")
