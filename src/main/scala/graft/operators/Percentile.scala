@@ -141,6 +141,83 @@ object Percentile {
           col("cnt").cast("double"), 4) + lit(0.0)).as("mad_hist"))
   }
 
+  /** EXACT trimmed mean without a per-group full sort — the B39
+    * reshape for few-and-huge groups (SURVEY §5). The windowed form
+    * sorts each group in ONE reducer; this plan computes the SAME
+    * answer (the oracle is the plain exact trimmed-mean SQL) from:
+    *
+    *  1. one histogram pass: per-(group, bucket) counts AND exact
+    *     decimal value sums — |groups| x |buckets| state;
+    *  2. cumulative counts locate, per group, the buckets straddling
+    *     trim ranks k = n div 10 and n - k: buckets wholly below/above
+    *     subtract wholesale via their precomputed sums — no row ever
+    *     re-sorted;
+    *  3. only the (at most two) BOUNDARY buckets per group are
+    *     re-scanned and ranked — their size is bounded by the bucket
+    *     width's occupancy, not the group, so the only windows in the
+    *     plan run over tiny frames;
+    *  4. kept sum = total − whole-bucket drops − boundary partials,
+    *     all exact integers; the final divide matches the windowed
+    *     form's operand order, so the result is bit-identical.
+    */
+  def histogramTrimmedMean(df: DataFrame, grpCol: String, fixedCol: String,
+                           idCol: String, widthE: Long): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vals = df.select(col(grpCol).as("grp"), col(fixedCol).as("__v"),
+        col(idCol).as("__id"))
+      .withColumn("b", expr(s"__v div $widthE"))
+    val hist = vals.groupBy(col("grp"), col("b"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__v").cast(dec)).as("bsum"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("b"))
+    val wg = Window.partitionBy(col("grp"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cb", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wg))
+      .withColumn("total", sum(col("bsum")).over(wg))
+      .withColumn("k", expr("n div 10"))
+    val hi = col("n") - col("k")
+    val bounds = cum.groupBy(col("grp")).agg(
+      max(col("n")).as("n"), max(col("total")).as("total"),
+      max(col("k")).as("k"),
+      sum(when(col("cum") <= col("k"), col("bsum"))
+        .otherwise(lit(0).cast(dec))).as("lowWhole"),
+      sum(when(col("cb") >= hi, col("bsum"))
+        .otherwise(lit(0).cast(dec))).as("highWhole"),
+      max(when(col("cb") < col("k") && col("k") < col("cum"), col("b")))
+        .as("bL"),
+      max(when(col("cb") < col("k") && col("k") < col("cum"),
+        col("k") - col("cb"))).as("needLow"),
+      max(when(col("cb") < hi && hi < col("cum"), col("b"))).as("bH"),
+      max(when(col("cb") < hi && hi < col("cum"), col("cum") - hi))
+        .as("needHigh"))
+    // Boundary buckets only: a broadcast-join filter keeps the frames
+    // the windows run over bounded by bucket occupancy, not group size.
+    val joined = vals.join(broadcast(bounds), "grp")
+    val wLow = Window.partitionBy(col("grp"))
+      .orderBy(col("__v").asc, col("__id").asc)
+    val lowPart = joined.where(col("b") === col("bL"))
+      .withColumn("r", row_number().over(wLow))
+      .where(col("r") <= col("needLow"))
+      .groupBy(col("grp")).agg(sum(col("__v").cast(dec)).as("lowPart"))
+    val wHigh = Window.partitionBy(col("grp"))
+      .orderBy(col("__v").desc, col("__id").desc)
+    val highPart = joined.where(col("b") === col("bH"))
+      .withColumn("r", row_number().over(wHigh))
+      .where(col("r") <= col("needHigh"))
+      .groupBy(col("grp")).agg(sum(col("__v").cast(dec)).as("highPart"))
+    bounds
+      .join(lowPart, Seq("grp"), "left").join(highPart, Seq("grp"), "left")
+      .withColumn("keptSum",
+        col("total") - col("lowWhole") - col("highWhole")
+          - coalesce(col("lowPart"), lit(0).cast(dec))
+          - coalesce(col("highPart"), lit(0).cast(dec)))
+      .withColumn("n_kept", col("n") - lit(2) * col("k"))
+      .select(col("grp"), col("n_kept"),
+        round(col("keptSum").cast("double") / col("n_kept") / lit(100.0), 4)
+          .as("trimmed_mean"))
+  }
+
   /** DuckDB mirror of [[histogramMad]] — same two-stage construction
     * from the same constants. */
   def histogramMadSql(table: String, grpExpr: String, fixedExpr: String,

@@ -1001,6 +1001,23 @@ object Analytics {
         .orderBy("segment")
     }),
 
+    // B39 reshape: EXACT trimmed mean with no per-group full sort —
+    // histogram sums drop whole buckets outside the trim ranks;
+    // only the ≤2 boundary buckets per group are ranked. Same answer
+    // as q_trimmed_mean (the oracle IS the plain windowed SQL), plan
+    // survives few-and-huge groups.
+    "q_trimmed_mean_hist" -> ((s, dir) => {
+      val cents = (dec182("o_totalprice") * 100).cast("decimal(38,0)")
+        .cast("long")
+      val base = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+          cents.as("cents"))
+      Percentile.histogramTrimmedMean(base, "segment", "cents",
+          "o_orderkey", widthE = 1000L)
+        .orderBy("grp")
+    }),
+
     // B38: top event paths — the 10 most common 3-step event-type
     // sequences across per-user streams (path/journey analysis). Two
     // lead() windows share ONE per-user sort; the trigram count is a
@@ -1482,6 +1499,27 @@ object Analytics {
       (Percentile.histogramPercentileSql("orders", "o_orderpriority",
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
         widthE = 1000L, ps = Seq(0.5, 0.9, 0.99)) + "\nORDER BY grp"),
+
+    "q_trimmed_mean_hist" ->
+      // Deliberately the PLAIN exact windowed trimmed mean: the
+      // histogram reshape must reproduce it bit-for-bit.
+      """WITH j AS (
+        |  SELECT c_mktsegment AS grp, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY grp
+        |                       ORDER BY cents, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS cnt
+        |  FROM j)
+        |SELECT grp, count(*) AS n_kept,
+        |       round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4)
+        |         AS trimmed_mean
+        |FROM r
+        |WHERE rn > cnt // 10 AND rn <= cnt - cnt // 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mad_hist" ->
       (Percentile.histogramMadSql(

@@ -82,6 +82,45 @@ class PercentileSpec extends SparkSpec {
     }
   }
 
+  test("histogram trimmed mean is BIT-IDENTICAL to the windowed form") {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val base = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        cents.as("cents"))
+    val got = Percentile.histogramTrimmedMean(base, "segment", "cents",
+        "o_orderkey", widthE = 1000L)
+      .collect().map(r => (r.getAs[String]("grp"),
+        r.getAs[Long]("n_kept"), r.getAs[Double]("trimmed_mean"))).sorted
+    val bySeg = Window.partitionBy(col("segment"))
+    val w = bySeg.orderBy(col("cents"), col("o_orderkey"))
+    val exact = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(bySeg))
+      .where(col("rn") > floor(col("cnt") / 10) &&
+        col("rn") <= col("cnt") - floor(col("cnt") / 10))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col("cents")).cast("double")
+          / count(lit(1)) / 100.0, 4).as("trimmed_mean"))
+      .collect().map(r => (r.getAs[String]("segment"),
+        r.getAs[Long]("n_kept"), r.getAs[Double]("trimmed_mean"))).sorted
+    assert(got.toSeq === exact.toSeq)
+  }
+
+  test("histogram trimmed mean: n < 10 groups keep everything") {
+    import spark.implicits._
+    val tiny = Seq(("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 900L))
+      .toDF("g", "id", "v")
+    val r = Percentile.histogramTrimmedMean(tiny, "g", "v", "id", 50L)
+      .first()
+    assert(r.getAs[Long]("n_kept") === 3L)
+    assert(r.getAs[Double]("trimmed_mean") === 4.0) // 1200/3/100
+  }
+
   test("pColName matches the oracle generator's naming") {
     assert(Percentile.pColName(0.5) === "p50_hist")
     assert(Percentile.pColName(0.9) === "p90_hist")
