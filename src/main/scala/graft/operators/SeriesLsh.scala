@@ -65,20 +65,30 @@ object SeriesLsh {
     require(nBits % bitsPerBand == 0, "bitsPerBand must divide nBits")
     val bands = nBits / bitsPerBand
 
-    // Day spine + per-hyperplane sign sums S_i (tiny: one row).
-    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    // The sparse series frame feeds three stages (spine bounds, the
+    // projection pass, the verify grid) — checkpoint it so the
+    // upstream aggregation runs ONCE (the q_yoy/KMeans house pattern).
+    val d = daily.localCheckpoint()
+
+    // Signs depend only on (hyperplane, day): materialize all nBits of
+    // them on the TINY day spine (|days| x nBits md5 calls total) and
+    // broadcast — never an md5 per data row.
+    val bounds = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
-    val sCols = (0 until nBits).map(i => sum(sgn(i, col("day"))).as(s"__s$i"))
-    val spine = days.agg(count(lit(1)).as("__n"), sCols: _*)
+    val daySigns = days.select(col("day") +:
+      (0 until nBits).map(i => sgn(i, col("day")).as(s"__sg$i")): _*)
+    val sCols = (0 until nBits).map(i => sum(col(s"__sg$i")).as(s"__s$i"))
+    val spine = daySigns.agg(count(lit(1)).as("__n"), sCols: _*)
 
     // Linear pass: per-series moments + nBits projections, one groupBy
     // with map-side combine; zero days contribute zero to every sum.
     val projCols = (0 until nBits)
-      .map(i => sum(sgn(i, col("day")) * col("cnt")).as(s"__pr$i"))
+      .map(i => sum(col(s"__sg$i") * col("cnt")).as(s"__pr$i"))
     val moments = Seq(sum(col("cnt")).as("sx"),
       sum(col("cnt") * col("cnt")).as("sxx"))
     val aggCols = moments ++ projCols
-    val stats = daily.groupBy(col("user_id"))
+    val stats = d.join(broadcast(daySigns), "day")
+      .groupBy(col("user_id"))
       .agg(aggCols.head, aggCols.tail: _*)
       .crossJoin(broadcast(spine)) // 1-row scalar broadcast (PlanAudit)
 
@@ -109,9 +119,9 @@ object SeriesLsh {
 
     // Exact-integer Pearson verify on the zero-filled spine vectors —
     // identical math to the all-pairs baseline, but only on candidates.
-    val grid = daily.select(col("user_id")).distinct()
+    val grid = d.select(col("user_id")).distinct()
       .crossJoin(broadcast(days))
-      .join(daily, Seq("user_id", "day"), "left")
+      .join(d, Seq("user_id", "day"), "left")
       .na.fill(0, Seq("cnt"))
     val vec = grid.groupBy(col("user_id"))
       .agg(expr("transform(array_sort(collect_list(struct(day, cnt)))," +
