@@ -53,6 +53,17 @@ object Hll {
     * register-state digest an incremental merge would persist). */
   def distinctEstimate(df: DataFrame, keyCol: Column, m: Int = 64): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    estimateFromRegisters(registers(df, keyCol, m), m)
+  }
+
+  /** The m-row register table (idx, mj) — the sketch's PERSISTABLE,
+    * MERGEABLE digest. At 100 TB this is the operational shape: each
+    * partition/day/source materializes its m-row digest once, and any
+    * later union of scopes is [[mergeRegisters]] (a per-register max)
+    * — never a re-scan. Missing registers are zero-filled, so two
+    * digests always align row-for-row. */
+  def registers(df: DataFrame, keyCol: Column, m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
     val h = MinHash.hash32(keyCol.cast("string"))
     val idx = pmod(h, lit(m.toLong))
     val v = shiftright(h, Integer.numberOfTrailingZeros(m))
@@ -65,9 +76,23 @@ object Hll {
     val regs = df.select(idx.as("idx"), rank.cast("long").as("rank"))
       .groupBy(col("idx")).agg(max(col("rank")).as("mj"))
     val spine = df.sparkSession.range(m).select(col("id").as("idx"))
-    val filled = spine.join(regs, Seq("idx"), "left")
-      .na.fill(0L, Seq("mj"))
-    filled.agg(
+    spine.join(regs, Seq("idx"), "left").na.fill(0L, Seq("mj"))
+  }
+
+  /** Merge register digests: per-register max. HLL's merge is EXACT —
+    * registers(a union b) = merge(registers(a), registers(b)) hold as
+    * an identity, not an approximation — so sketching distributes over
+    * any partitioning of the data (HllSpec pins the identity; the
+    * `q_hll_merge` oracle proves it cross-engine). */
+  def mergeRegisters(digests: DataFrame*): DataFrame =
+    digests.reduce(_ unionAll _)
+      .groupBy(col("idx")).agg(max(col("mj")).as("mj"))
+
+  /** The one-row estimate from a register digest (see
+    * [[distinctEstimate]] for the math). */
+  def estimateFromRegisters(regs: DataFrame, m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    regs.agg(
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${rankBits + 1} - mj AS INT))"))
           .as("denom_e27"),
         sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v_zero"))

@@ -60,17 +60,38 @@ object Percentile {
     * frame. The ONLY full-data pass is stage 2's map-side combine.
     */
   def histogramPercentiles(df: DataFrame, grpCol: String, fixedCol: String,
-                           widthE: Long, ps: Seq[Double]): DataFrame = {
+                           widthE: Long, ps: Seq[Double]): DataFrame =
+    percentilesFromDigest(histogramDigest(df, grpCol, fixedCol, widthE),
+      widthE, ps)
+
+  /** The (grp, b, cnt) histogram — the estimator's PERSISTABLE,
+    * MERGEABLE digest (counts add: [[mergeDigests]]). At 100 TB each
+    * partition/day/source materializes its ≤|groups|×|buckets|-row
+    * digest once; any later union of scopes merges digests instead of
+    * re-scanning — and the merge is an IDENTITY, not an approximation
+    * (the `q_percentile_hist_merged` oracle proves it cross-engine). */
+  def histogramDigest(df: DataFrame, grpCol: String, fixedCol: String,
+                      widthE: Long): DataFrame = {
     require(widthE > 0, "bucket width must be positive")
-    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
-      "percentiles must be in (0, 1]")
     // `div` truncates toward zero, DuckDB `//` floors: identical for
     // the non-negative fixed-point values this operator contracts on.
-    val hist = df
-      .select(col(grpCol).as("grp"),
+    df.select(col(grpCol).as("grp"),
         expr(s"$fixedCol div $widthE").as("b"))
       .groupBy(col("grp"), col("b"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram digests: bucket counts add. */
+  def mergeDigests(digests: DataFrame*): DataFrame =
+    digests.reduce(_ unionAll _)
+      .groupBy(col("grp"), col("b")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Percentile estimates from a (grp, b, cnt) digest — the
+    * interpolation stages of [[histogramPercentiles]]. */
+  def percentilesFromDigest(hist: DataFrame, widthE: Long,
+                            ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "percentiles must be in (0, 1]")
     val w = Window.partitionBy(col("grp")).orderBy(col("b"))
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(w))

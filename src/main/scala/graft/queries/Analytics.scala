@@ -718,6 +718,33 @@ object Analytics {
         .orderBy("grp")
     }),
 
+    // B45 mergeability: the histogram digest is the persistable form —
+    // per-scope digests merged later MUST equal the full scan as an
+    // identity. The oracle is the FULL-TABLE histogram SQL, so parity
+    // proves sketch-then-merge == scan cross-engine.
+    "q_percentile_hist_merged" -> ((s, dir) => {
+      val cents = (dec182("o_totalprice") * 100).cast("long")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.as("cents"))
+      def half(r: Int) =
+        base.where(pmod(col("o_orderkey"), lit(2L)) === r)
+      val merged = Percentile.mergeDigests(
+        Percentile.histogramDigest(half(0), "o_orderpriority", "cents", 1000L),
+        Percentile.histogramDigest(half(1), "o_orderpriority", "cents", 1000L))
+      Percentile.percentilesFromDigest(merged, 1000L, Seq(0.5, 0.9, 0.99))
+        .orderBy("grp")
+    }),
+
+    // B14 mergeability: HLL registers merge by per-register max — an
+    // exact identity, so the oracle is the FULL-TABLE sketch SQL.
+    "q_hll_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def half(r: Int) = o.where(pmod(col("o_orderkey"), lit(2L)) === r)
+      Hll.estimateFromRegisters(Hll.mergeRegisters(
+        Hll.registers(half(0), col("o_custkey")),
+        Hll.registers(half(1), col("o_custkey"))))
+    }),
+
     // B43 scale path: histogram MAD — two bounded-state histogram
     // passes (median estimate, then deviations), |groups|x|buckets|
     // state each, vs the exact form's every-distinct-value buffers.
@@ -1486,6 +1513,17 @@ object Analytics {
 
     "q_hll_distinct" ->
       Hll.distinctEstimateSql("orders", "o_custkey", m = 64),
+
+    // Deliberately the FULL-TABLE sketch: sketch-then-merge over a
+    // disjoint split must reproduce it exactly.
+    "q_hll_merge" ->
+      Hll.distinctEstimateSql("orders", "o_custkey", m = 64),
+
+    // Deliberately the FULL-TABLE histogram: digest-merge identity.
+    "q_percentile_hist_merged" ->
+      (Percentile.histogramPercentileSql("orders", "o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        widthE = 1000L, ps = Seq(0.5, 0.9, 0.99)) + "\nORDER BY grp"),
 
     "q_ts_similarity_lsh" ->
       (SeriesLsh.correlatedPairsSql(

@@ -30,6 +30,18 @@ class HllSpec extends SparkSpec {
       s"est=${r.getAs[Double]("est_hll")} exact=$exact")
   }
 
+  test("register merge is an exact identity: sketch(a u b) == " +
+    "merge(sketch(a), sketch(b))") {
+    val o = Tables.orders(spark, sfDir)
+    def half(r: Int) = o.where(pmod(col("o_orderkey"), lit(2L)) === r)
+    val merged = Hll.estimateFromRegisters(Hll.mergeRegisters(
+      Hll.registers(half(0), col("o_custkey")),
+      Hll.registers(half(1), col("o_custkey")))).first()
+    val full = Hll.distinctEstimate(o, col("o_custkey")).first()
+    assert(merged.getAs[Long]("denom_e27") === full.getAs[Long]("denom_e27"))
+    assert(merged.getAs[Double]("est_hll") === full.getAs[Double]("est_hll"))
+  }
+
   test("sketch is deterministic: identical digest across runs") {
     val o = Tables.orders(spark, sfDir)
     val a = Hll.distinctEstimate(o, col("o_custkey")).first()

@@ -82,6 +82,23 @@ class PercentileSpec extends SparkSpec {
     }
   }
 
+  test("digest merge is an exact identity: digest(a u b) == " +
+    "merge(digest(a), digest(b))") {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"), cents.as("cents"))
+    def half(r: Int) = base.where(pmod(col("o_orderkey"), lit(2L)) === r)
+    val merged = Percentile.percentilesFromDigest(
+      Percentile.mergeDigests(
+        Percentile.histogramDigest(half(0), "o_orderpriority", "cents", 1000L),
+        Percentile.histogramDigest(half(1), "o_orderpriority", "cents", 1000L)),
+      1000L, Seq(0.5, 0.9, 0.99)).collect().map(_.toSeq).toSet
+    val full = Percentile.histogramPercentiles(base, "o_orderpriority",
+      "cents", 1000L, Seq(0.5, 0.9, 0.99)).collect().map(_.toSeq).toSet
+    assert(merged === full)
+  }
+
   test("histogram trimmed mean is BIT-IDENTICAL to the windowed form") {
     import org.apache.spark.sql.expressions.Window
     val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
