@@ -39,8 +39,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one linear pass builds projections (nBits sums per
   * series, map-side combined), band rows are |series|×bands, the join
-  * is an equi-join, and verification touches only candidates. No
-  * stage is quadratic in |series|.
+  * is an equi-join, and verification touches only candidates — with a
+  * SPARSE dot (cnt_a·cnt_b over overlapping active days), so the
+  * dense |series|×|days| grid the all-pairs baseline vectorizes is
+  * never materialized. No stage is quadratic in |series| and none is
+  * proportional to |series|×|spine|.
   */
 object SeriesLsh {
 
@@ -87,10 +90,14 @@ object SeriesLsh {
     val moments = Seq(sum(col("cnt")).as("sx"),
       sum(col("cnt") * col("cnt")).as("sxx"))
     val aggCols = moments ++ projCols
+    // |series| rows x ~nBits+4 cols, consumed by the band rows AND both
+    // sides of the verify's moment joins — checkpoint so the wide
+    // aggregation runs once.
     val stats = d.join(broadcast(daySigns), "day")
       .groupBy(col("user_id"))
       .agg(aggCols.head, aggCols.tail: _*)
       .crossJoin(broadcast(spine)) // 1-row scalar broadcast (PlanAudit)
+      .localCheckpoint()
 
     // Band keys: key_b = sum_j bit_{b*k+j} << j, all integer math.
     def bandKey(b: Int): Column = (0 until bitsPerBand).map { j =>
@@ -111,31 +118,35 @@ object SeriesLsh {
           .partitionBy(col("band"), col("bkey"))))
       .where(col("__bsz") <= maxBucket)
       .drop("__bsz")
+    // Tiny (true near-pairs); consumed by the sparse dot AND the final
+    // moment join — checkpoint so the band self-join runs once.
     val cands = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.user_id") < col("y.user_id"))
       .select(col("x.user_id").as("user_a"), col("y.user_id").as("user_b"))
       .distinct()
+      .localCheckpoint()
 
-    // Exact-integer Pearson verify on the zero-filled spine vectors —
-    // identical math to the all-pairs baseline, but only on candidates.
-    val grid = d.select(col("user_id")).distinct()
-      .crossJoin(broadcast(days))
-      .join(d, Seq("user_id", "day"), "left")
-      .na.fill(0, Seq("cnt"))
-    val vec = grid.groupBy(col("user_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(day, cnt)))," +
-        " x -> CAST(x.cnt AS DOUBLE))").as("v"),
-        count(lit(1)).as("n"),
-        sum(col("cnt")).as("sx"),
-        sum(col("cnt") * col("cnt")).as("sxx"))
-    val a = vec.select(col("user_id").as("user_a"), col("v").as("va"),
-      col("n"), col("sx").as("sxa"), col("sxx").as("sxxa"))
-    val b = vec.select(col("user_id").as("user_b"), col("v").as("vb"),
+    // Exact-integer Pearson verify — identical math to the all-pairs
+    // baseline, but only on candidates, and SPARSE: the dot product
+    // sums cnt_a*cnt_b over the candidates' overlapping ACTIVE days
+    // (zero days contribute zero), so the dense |series| x |days| grid
+    // the baseline vectorizes is never materialized. Moments (n, sx,
+    // sxx) come free from the projection pass.
+    val da = d.select(col("user_id").as("user_a"), col("day"),
+      col("cnt").as("__ca"))
+    val db = d.select(col("user_id").as("user_b"), col("day"),
+      col("cnt").as("__cb"))
+    val sxy = cands.join(da, "user_a").join(db, Seq("user_b", "day"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("sxy"))
+    val ma = stats.select(col("user_id").as("user_a"), col("__n").as("n"),
+      col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val mb = stats.select(col("user_id").as("user_b"),
       col("sx").as("sxb"), col("sxx").as("sxxb"))
-    cands.join(a, "user_a").join(b, "user_b")
-      .withColumn("sxy",
-        graft.functions.Vectors.dot(col("va"), col("vb")).cast("long"))
+    cands.join(sxy, Seq("user_a", "user_b"), "left")
+      .na.fill(0L, Seq("sxy"))
+      .join(ma, "user_a").join(mb, "user_b")
       .withColumn("num", col("n") * col("sxy") - col("sxa") * col("sxb"))
       .withColumn("dena", col("n") * col("sxxa") - col("sxa") * col("sxa"))
       .withColumn("denb", col("n") * col("sxxb") - col("sxb") * col("sxb"))
@@ -193,22 +204,20 @@ object SeriesLsh {
        |  FROM capped x JOIN capped y
        |    ON x.band = y.band AND x.bkey = y.bkey
        |    AND x.user_id < y.user_id),
-       |grid AS (
-       |  SELECT u.user_id, dy.day, coalesce(d.cnt, 0) AS cnt
-       |  FROM (SELECT DISTINCT user_id FROM d) u
-       |  CROSS JOIN days dy
-       |  LEFT JOIN d ON d.user_id = u.user_id AND d.day = dy.day),
-       |vec AS (
-       |  SELECT user_id, list(CAST(cnt AS DOUBLE) ORDER BY day) AS v,
-       |         count(*) AS n, sum(cnt) AS sx, sum(cnt*cnt) AS sxx
-       |  FROM grid GROUP BY 1),
-       |p AS (
-       |  SELECT c.user_a, c.user_b, a.n AS n,
-       |         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS sxy,
-       |         a.sx AS sxa, b.sx AS sxb, a.sxx AS sxxa, b.sxx AS sxxb
+       |sxyt AS (
+       |  SELECT c.user_a, c.user_b, sum(da.cnt * db.cnt) AS sxy
        |  FROM cand c
-       |  JOIN vec a ON a.user_id = c.user_a
-       |  JOIN vec b ON b.user_id = c.user_b),
+       |  JOIN d da ON da.user_id = c.user_a
+       |  JOIN d db ON db.user_id = c.user_b AND db.day = da.day
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT c.user_a, c.user_b, nn.n AS n, coalesce(s.sxy, 0) AS sxy,
+       |         ma.sx AS sxa, mb.sx AS sxb, ma.sxx AS sxxa, mb.sxx AS sxxb
+       |  FROM cand c
+       |  LEFT JOIN sxyt s ON s.user_a = c.user_a AND s.user_b = c.user_b
+       |  JOIN mom ma ON ma.user_id = c.user_a
+       |  JOIN mom mb ON mb.user_id = c.user_b
+       |  CROSS JOIN nn),
        |c2 AS (
        |  SELECT user_a, user_b, n,
        |         n*sxy - sxa*sxb AS num,
