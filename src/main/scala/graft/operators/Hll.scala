@@ -56,14 +56,9 @@ object Hll {
     estimateFromRegisters(registers(df, keyCol, m), m)
   }
 
-  /** The m-row register table (idx, mj) — the sketch's PERSISTABLE,
-    * MERGEABLE digest. At 100 TB this is the operational shape: each
-    * partition/day/source materializes its m-row digest once, and any
-    * later union of scopes is [[mergeRegisters]] (a per-register max)
-    * — never a re-scan. Missing registers are zero-filled, so two
-    * digests always align row-for-row. */
-  def registers(df: DataFrame, keyCol: Column, m: Int = 64): DataFrame = {
-    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+  /** Scan-local (idx, rank) sketch columns for a key — the shared
+    * per-row step of every HLL form here. */
+  private def idxRank(keyCol: Column, m: Int): (Column, Column) = {
     val h = MinHash.hash32(keyCol.cast("string"))
     val idx = pmod(h, lit(m.toLong))
     val v = shiftright(h, Integer.numberOfTrailingZeros(m))
@@ -73,7 +68,102 @@ object Hll {
     val rank = (1 to rankBits).foldLeft(lit(rankBits + 1): Column) {
       (acc, k) => when(v >= (1L << (k - 1)), lit(rankBits + 1 - k)).otherwise(acc)
     }
-    val regs = df.select(idx.as("idx"), rank.cast("long").as("rank"))
+    (idx, rank.cast("long"))
+  }
+
+  /** Per-GROUP distinct estimate — the `COUNT(DISTINCT x) GROUP BY y`
+    * shape, which at scale is otherwise a full shuffle of every
+    * (group, key) pair. State: m longs per group per task. Absent
+    * registers are accounted ALGEBRAICALLY (each contributes 2^27 to
+    * the scaled harmonic sum and one zero register) instead of
+    * materializing a per-group register spine. */
+  def groupedDistinctEstimate(df: DataFrame, grpCol: String,
+                              keyCol: Column, m: Int = 64): DataFrame =
+    estimateFromGroupedRegisters(groupedRegisters(df, grpCol, keyCol, m), m)
+
+  /** The per-(group, register) max-rank digest. Works on BATCH and
+    * STREAMING frames alike: max is a monotone streaming aggregate,
+    * so on a stream this runs in complete/update output mode with
+    * ≤ m rows of state per group — bounded BY CONSTRUCTION, no
+    * watermark needed; that is the whole point of sketches over
+    * unbounded feeds (the A24 feed-health companion: live distinct
+    * users per pipeline). HllSpec pins stream ≡ batch digest parity. */
+  def groupedRegisters(df: DataFrame, grpCol: String, keyCol: Column,
+                       m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val (idx, rank) = idxRank(keyCol, m)
+    df.select(col(grpCol).as("grp"), idx.as("idx"), rank.as("rank"))
+      .groupBy(col("grp"), col("idx")).agg(max(col("rank")).as("mj"))
+  }
+
+  /** Per-group estimates from a [[groupedRegisters]] digest. */
+  def estimateFromGroupedRegisters(regs: DataFrame, m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val unit = 1L << (rankBits + 1)
+    regs
+      .groupBy(col("grp"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${rankBits + 1} - mj AS INT))"))
+          .as("__dp"),
+        count(lit(1)).as("__np"),
+        sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("__zp"))
+      .select(col("grp"),
+        (round(lit(alpha(m)) * lit(m.toDouble * m) * lit(math.pow(2, rankBits + 1))
+          / (col("__dp") + (lit(m.toLong) - col("__np")) * unit).cast("double"),
+          4) + lit(0.0)).as("est_hll"),
+        (col("__zp") + lit(m.toLong) - col("__np")).as("v_zero"),
+        (col("__dp") + (lit(m.toLong) - col("__np")) * unit).as("denom_e27"))
+  }
+
+  /** DuckDB mirror of [[groupedDistinctEstimate]]. */
+  def groupedDistinctEstimateSql(table: String, grpExpr: String,
+                                 keyExpr: String, m: Int = 64): String = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val shift = Integer.numberOfTrailingZeros(m)
+    val ladder = (rankBits to 1 by -1)
+      .map(k => s"WHEN v >= ${1L << (k - 1)} THEN ${rankBits + 1 - k}")
+      .mkString("\n|      ")
+    val scale = (1L << (rankBits + 1)).toDouble
+    val unit = 1L << (rankBits + 1)
+    s"""WITH h AS (
+       |  SELECT $grpExpr AS grp,
+       |    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM $table),
+       |r AS (
+       |  SELECT grp, hv % $m AS idx, hv >> $shift AS v FROM h),
+       |rk AS (
+       |  SELECT grp, idx,
+       |    CASE
+       |      $ladder
+       |      ELSE ${rankBits + 1} END AS rank
+       |  FROM r),
+       |regs AS (
+       |  SELECT grp, idx, max(rank) AS mj FROM rk GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT grp,
+       |    sum(1::BIGINT << (${rankBits + 1} - mj)) AS dp,
+       |    count(*) AS np,
+       |    sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS zp
+       |  FROM regs GROUP BY 1)
+       |SELECT grp,
+       |  round(CAST(${alpha(m)} AS DOUBLE) * CAST(${m.toDouble * m} AS DOUBLE)
+       |    * CAST($scale AS DOUBLE)
+       |    / CAST(dp + ($m - np) * $unit AS DOUBLE), 4) + 0.0 AS est_hll,
+       |  zp + $m - np AS v_zero,
+       |  dp + ($m - np) * $unit AS denom_e27
+       |FROM agg""".stripMargin
+  }
+
+  /** The m-row register table (idx, mj) — the sketch's PERSISTABLE,
+    * MERGEABLE digest. At 100 TB this is the operational shape: each
+    * partition/day/source materializes its m-row digest once, and any
+    * later union of scopes is [[mergeRegisters]] (a per-register max)
+    * — never a re-scan. Missing registers are zero-filled, so two
+    * digests always align row-for-row. */
+  def registers(df: DataFrame, keyCol: Column, m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val (idx, rank) = idxRank(keyCol, m)
+    val regs = df.select(idx.as("idx"), rank.as("rank"))
       .groupBy(col("idx")).agg(max(col("rank")).as("mj"))
     val spine = df.sparkSession.range(m).select(col("id").as("idx"))
     spine.join(regs, Seq("idx"), "left").na.fill(0L, Seq("mj"))

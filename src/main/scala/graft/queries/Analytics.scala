@@ -735,6 +735,16 @@ object Analytics {
         .orderBy("grp")
     }),
 
+    // B14 grouped form: COUNT(DISTINCT customer) per order priority as
+    // a per-group HLL — m longs of state per group per task vs the
+    // exact form's full (group, key) shuffle. Absent registers are
+    // accounted algebraically; no per-group register spine.
+    "q_hll_grouped" -> ((s, dir) => {
+      Hll.groupedDistinctEstimate(Tables.orders(s, dir),
+          "o_orderpriority", col("o_custkey"), m = 64)
+        .orderBy("grp")
+    }),
+
     // B14 mergeability: HLL registers merge by per-register max — an
     // exact identity, so the oracle is the FULL-TABLE sketch SQL.
     "q_hll_merge" -> ((s, dir) => {
@@ -1524,6 +1534,10 @@ object Analytics {
     // disjoint split must reproduce it exactly.
     "q_hll_merge" ->
       Hll.distinctEstimateSql("orders", "o_custkey", m = 64),
+
+    "q_hll_grouped" ->
+      (Hll.groupedDistinctEstimateSql("orders", "o_orderpriority",
+        "o_custkey", m = 64) + "\nORDER BY grp"),
 
     // Deliberately the FULL-TABLE histogram: digest-merge identity.
     "q_percentile_hist_merged" ->

@@ -42,6 +42,48 @@ class HllSpec extends SparkSpec {
     assert(merged.getAs[Double]("est_hll") === full.getAs[Double]("est_hll"))
   }
 
+  test("grouped estimate within 35% of exact per group") {
+    val o = Tables.orders(spark, sfDir)
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("n"))
+      .toMap
+    val got = Hll.groupedDistinctEstimate(o, "o_orderpriority",
+      col("o_custkey")).collect()
+    assert(got.length === exact.size)
+    got.foreach { r =>
+      val g = r.getAs[String]("grp")
+      assert(relErr(r.getAs[Double]("est_hll"), exact(g)) <= 0.35,
+        s"$g: est=${r.getAs[Double]("est_hll")} exact=${exact(g)}")
+    }
+  }
+
+  test("streaming register digest equals the batch digest") {
+    // The digest aggregation is monotone (max), so the SAME code runs
+    // over an unbounded stream in complete mode with m rows of state
+    // per group; parity with the batch digest is exact, not
+    // approximate.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("hll-stream").toString
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_custkey"))
+    o.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(o.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Hll.groupedRegisters(stream, "o_orderpriority",
+        col("o_custkey"))
+      .writeStream.format("memory").queryName("hll_regs_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("hll_regs_stream")
+    val batch = Hll.groupedRegisters(o, "o_orderpriority",
+      col("o_custkey"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("sketch is deterministic: identical digest across runs") {
     val o = Tables.orders(spark, sfDir)
     val a = Hll.distinctEstimate(o, col("o_custkey")).first()
