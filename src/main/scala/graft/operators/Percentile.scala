@@ -184,9 +184,12 @@ object Percentile {
   def histogramTrimmedMean(df: DataFrame, grpCol: String, fixedCol: String,
                            idCol: String, widthE: Long): DataFrame = {
     val dec = "decimal(38,0)"
+    // Consumed by the histogram AND the boundary-bucket re-scan —
+    // checkpoint so upstream joins/scans run once.
     val vals = df.select(col(grpCol).as("grp"), col(fixedCol).as("__v"),
         col(idCol).as("__id"))
       .withColumn("b", expr(s"__v div $widthE"))
+      .localCheckpoint()
     val hist = vals.groupBy(col("grp"), col("b"))
       .agg(count(lit(1)).as("cnt"), sum(col("__v").cast(dec)).as("bsum"))
     val w = Window.partitionBy(col("grp")).orderBy(col("b"))
