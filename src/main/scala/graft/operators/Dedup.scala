@@ -185,6 +185,35 @@ object Dedup {
     labels
   }
 
+  /** Incremental connected components — update a prior labeling with a
+    * batch of NEW edges without re-running the full edge fixpoint.
+    *
+    * A prior (doc_id, cluster_id = component min) labeling IS its
+    * components' transitive closure, re-encoded as a STAR: every
+    * member points at the component min. Treating those rows as edges
+    * and unioning the new batch's pairs therefore reproduces exactly
+    * the components of (all edges so far) — `clustersIncremental(prev,
+    * newPairs) == clusters(oldPairs ∪ newPairs)` as an identity (the
+    * `doc_neardup_clusters_incr` oracle is the full-recompute SQL, so
+    * the parity gate proves it cross-engine; component-min self-rows
+    * carry no information and are dropped — any component of size ≥ 2
+    * keeps its min alive as some member's target).
+    *
+    * Scale shape: the star edges have diameter ≤ 2, so however deep
+    * the ORIGINAL near-dup chains were, the min-label fixpoint over
+    * (star ∪ batch) converges in ~2-3 passes; per-pass work is
+    * |labels| + |new pairs| edge rows — the daily-crawl update cost,
+    * not the corpus re-cluster cost. */
+  def clustersIncremental(prevLabels: DataFrame, newPairs: DataFrame,
+                          idA: String = "id_a", idB: String = "id_b",
+                          maxIters: Int = 64): DataFrame = {
+    val starEdges = prevLabels
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idA), col("cluster_id").as(idB))
+    clusters(starEdges.unionAll(newPairs.select(col(idA), col(idB))),
+      idA, idB, maxIters)
+  }
+
   /** Connected components by alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * same output contract as [[clusters]] (doc_id, cluster_id =

@@ -378,6 +378,26 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C29c: INCREMENTAL components — yesterday's labeling + today's
+    // batch, never the corpus re-cluster. Prior labels are star edges
+    // (diameter ≤ 2), so the fixpoint converges in ~2-3 passes however
+    // deep the original chains were; the oracle is the FULL-recompute
+    // SQL, so parity proves incremental ≡ batch cross-engine.
+    "doc_neardup_clusters_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.where(col("doc_id") % 10 =!= 0)
+      val fresh = docs.where(col("doc_id") % 10 === 0)
+      val prev = Dedup.clusters(
+        MinHash.neardupPairs(old, "doc_id", "text", 0.5))
+      val cross = MinHash.incrementalNeardupPairs(fresh, old,
+          "doc_id", "text", 0.5)
+        .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+      val inBatch = MinHash.neardupPairs(fresh, "doc_id", "text", 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clustersIncremental(prev, cross.unionAll(inBatch))
+        .orderBy("doc_id")
+    }),
+
     // C35: canonical representative per near-dup cluster — longest
     // member wins, min-id tiebreak; one label↔token-count join + one
     // windowed pick per cluster (text never shuffles)
@@ -1186,6 +1206,10 @@ object Docs {
     // identical contract, identical oracle — the star-rounds variant
     // must produce byte-identical components
     "doc_neardup_clusters_star" -> neardupClustersOracle,
+
+    // Deliberately the FULL-recompute components SQL: the incremental
+    // update must reproduce it exactly.
+    "doc_neardup_clusters_incr" -> neardupClustersOracle,
 
     "doc_cluster_reps" ->
       s"""WITH RECURSIVE pairs AS (

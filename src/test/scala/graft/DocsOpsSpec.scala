@@ -153,6 +153,25 @@ class DocsOpsSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("clustersIncremental: prior labels + new batch == full recompute, " +
+    "including cross-component merges") {
+    import spark.implicits._
+    // old graph: components {1,2}, {3,4}, chain {10,11,12}
+    val oldPairs = Seq((1L, 2L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    // new batch: merges {1,2} with {3,4}, extends the chain, adds a
+    // brand-new component {50,51}
+    val newPairs = Seq((2L, 3L), (12L, 13L), (50L, 51L))
+      .toDF("id_a", "id_b")
+    val prev = graft.operators.Dedup.clusters(oldPairs)
+    val incr = graft.operators.Dedup.clustersIncremental(prev, newPairs)
+      .as[(Long, Long)].collect().toMap
+    val full = graft.operators.Dedup.clusters(oldPairs.unionAll(newPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(incr === full)
+    assert(incr(4L) === 1L && incr(13L) === 10L && incr(51L) === 50L)
+  }
+
   test("clusters: converges on a chain deeper than any fixed pass count") {
     import spark.implicits._
     // path 100-101-...-112 (diameter 12): min-label propagation moves the
