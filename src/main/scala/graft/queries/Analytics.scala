@@ -745,6 +745,16 @@ object Analytics {
         .orderBy("grp")
     }),
 
+    // B14 windowed form: daily distinct users — the DAU monitoring
+    // shape; the grouped sketch keyed by day keeps m longs of state
+    // per day regardless of event volume.
+    "q_hll_windowed" -> ((s, dir) => {
+      Hll.groupedDistinctEstimate(
+          Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+          "day", col("user_id"), m = 64)
+        .orderBy("grp")
+    }),
+
     // B14 mergeability: HLL registers merge by per-register max — an
     // exact identity, so the oracle is the FULL-TABLE sketch SQL.
     "q_hll_merge" -> ((s, dir) => {
@@ -1538,6 +1548,10 @@ object Analytics {
     "q_hll_grouped" ->
       (Hll.groupedDistinctEstimateSql("orders", "o_orderpriority",
         "o_custkey", m = 64) + "\nORDER BY grp"),
+
+    "q_hll_windowed" ->
+      (Hll.groupedDistinctEstimateSql("events", "CAST(ts AS DATE)",
+        "user_id", m = 64) + "\nORDER BY grp"),
 
     // Deliberately the FULL-TABLE histogram: digest-merge identity.
     "q_percentile_hist_merged" ->
