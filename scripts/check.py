@@ -16,17 +16,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+LINT_TYPES = ("HUGEINT", "DECIMAL")  # UHUGEINT matches via substring
+
+
+def type_lint(exp):
+    """Reject oracle result schemas the driver stringifies differently
+    from Spark's types: DuckDB sum(BIGINT) returns HUGEINT, which
+    pandas renders '207618048.0' vs Spark BIGINT's '207618048' (r6's 7
+    red rows). Every sum-derived integer must be CAST(... AS BIGINT)."""
+    return [(c, str(t)) for c, t in zip(exp.columns, exp.types)
+            if any(k in str(t).upper() for k in LINT_TYPES)]
+
+
 def string_diff(con, ecols):
-    """Driver-style string comparison: the driver hashes each cell's
-    string form, so -0.0 vs 0.0 (equal under SQL `=`, hence invisible to
-    EXCEPT ALL) still breaks its hash. Sort both frames by their VARCHAR
-    tuple and report the first differing cell, or None if identical."""
-    collist = ", ".join(f'CAST("{c}" AS VARCHAR)' for c in ecols)
+    """Driver-style string comparison: the driver stringifies cells in
+    PYTHON (pandas), where HUGEINT becomes float64 ('….0') and -0.0
+    keeps its sign — both invisible to comparisons done inside DuckDB,
+    where HUGEINT casts to VARCHAR without the '.0' (the r5/r6 gate
+    blind spots). Fetch both frames as pandas and compare str()."""
+    collist = ", ".join(f'"{c}"' for c in ecols)
     q = f"SELECT {collist} FROM {{v}} ORDER BY ALL"
-    erows = con.sql(q.format(v="_exp")).fetchall()
-    grows = con.sql(q.format(v="_got")).fetchall()
-    for i, (er, gr) in enumerate(zip(erows, grows)):
-        for c, ev, gv in zip(ecols, er, gr):
+    edf = con.sql(q.format(v="_exp")).df()
+    gdf = con.sql(q.format(v="_got")).df()
+    for i in range(min(len(edf), len(gdf))):
+        for c in ecols:
+            ev, gv = str(edf[c].iloc[i]), str(gdf[c].iloc[i])
             if ev != gv:
                 return {"row": i, "col": c, "spark": gv, "oracle": ev}
     return None
@@ -49,6 +63,13 @@ def main():
             continue
         try:
             exp = con.sql(oracle[name])
+            bad = type_lint(exp)
+            if bad:
+                print(f"FAIL {name}: oracle type lint {bad} — cast "
+                      f"sum()-derived integers to BIGINT, decimals to DOUBLE")
+                errors[name] = {"type_lint": [list(b) for b in bad]}
+                n_fail += 1
+                continue
             got = con.sql(f"SELECT * FROM '{files[0]}'")
             ecols, gcols = sorted(exp.columns), sorted(got.columns)
             if ecols != gcols:

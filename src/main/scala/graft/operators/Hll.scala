@@ -43,10 +43,14 @@ object Hll {
     case _  => 0.7213 / (1 + 1.079 / m)
   }
 
-  /** Rank ladder thresholds: bitlen(v) = k iff 2^(k-1) <= v < 2^k,
-    * rank = 27 - bitlen (v = 0 -> 27). Same constants feed both the
-    * Spark `when` ladder and the SQL CASE. */
-  private val rankBits = 26
+  /** Bits left in the 32-bit hash after the low log2(m) index bits are
+    * shifted off — the width of v, hence the rank-ladder depth. For
+    * m = 64 this is 26 (ranks 1..27); deriving it from m keeps the
+    * estimator unbiased for every supported m, not just 64. Same
+    * constants feed both the Spark `when` ladder and the SQL CASE:
+    * bitlen(v) = k iff 2^(k-1) <= v < 2^k, rank = bits+1 - bitlen
+    * (v = 0 -> bits+1). */
+  private def rankBits(m: Int): Int = 32 - Integer.numberOfTrailingZeros(m)
 
   /** One-row sketch summary: est_hll (round-4 double), v_zero (empty
     * registers), denom_e27 (the exact scaled harmonic sum — the full
@@ -59,14 +63,15 @@ object Hll {
   /** Scan-local (idx, rank) sketch columns for a key — the shared
     * per-row step of every HLL form here. */
   private def idxRank(keyCol: Column, m: Int): (Column, Column) = {
+    val bits = rankBits(m)
     val h = MinHash.hash32(keyCol.cast("string"))
     val idx = pmod(h, lit(m.toLong))
     val v = shiftright(h, Integer.numberOfTrailingZeros(m))
     // Integer leading-zero ladder. The fold wraps later iterations
-    // OUTERMOST, so ascend k: the highest threshold (k = 26) must be
+    // OUTERMOST, so ascend k: the highest threshold (k = bits) must be
     // the first condition evaluated, matching the SQL CASE order.
-    val rank = (1 to rankBits).foldLeft(lit(rankBits + 1): Column) {
-      (acc, k) => when(v >= (1L << (k - 1)), lit(rankBits + 1 - k)).otherwise(acc)
+    val rank = (1 to bits).foldLeft(lit(bits + 1): Column) {
+      (acc, k) => when(v >= (1L << (k - 1)), lit(bits + 1 - k)).otherwise(acc)
     }
     (idx, rank.cast("long"))
   }
@@ -99,16 +104,17 @@ object Hll {
   /** Per-group estimates from a [[groupedRegisters]] digest. */
   def estimateFromGroupedRegisters(regs: DataFrame, m: Int = 64): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
-    val unit = 1L << (rankBits + 1)
+    val bits = rankBits(m)
+    val unit = 1L << (bits + 1)
     regs
       .groupBy(col("grp"))
       .agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${rankBits + 1} - mj AS INT))"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${bits + 1} - mj AS INT))"))
           .as("__dp"),
         count(lit(1)).as("__np"),
         sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("__zp"))
       .select(col("grp"),
-        (round(lit(alpha(m)) * lit(m.toDouble * m) * lit(math.pow(2, rankBits + 1))
+        (round(lit(alpha(m)) * lit(m.toDouble * m) * lit(math.pow(2, bits + 1))
           / (col("__dp") + (lit(m.toLong) - col("__np")) * unit).cast("double"),
           4) + lit(0.0)).as("est_hll"),
         (col("__zp") + lit(m.toLong) - col("__np")).as("v_zero"),
@@ -119,12 +125,16 @@ object Hll {
   def groupedDistinctEstimateSql(table: String, grpExpr: String,
                                  keyExpr: String, m: Int = 64): String = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val bits = rankBits(m)
     val shift = Integer.numberOfTrailingZeros(m)
-    val ladder = (rankBits to 1 by -1)
-      .map(k => s"WHEN v >= ${1L << (k - 1)} THEN ${rankBits + 1 - k}")
+    val ladder = (bits to 1 by -1)
+      .map(k => s"WHEN v >= ${1L << (k - 1)} THEN ${bits + 1 - k}")
       .mkString("\n|      ")
-    val scale = (1L << (rankBits + 1)).toDouble
-    val unit = 1L << (rankBits + 1)
+    val scale = (1L << (bits + 1)).toDouble
+    val unit = 1L << (bits + 1)
+    // DuckDB types sum()-derived integers HUGEINT, which the driver
+    // stringifies with a trailing `.0` unlike Spark's BIGINT — every
+    // integer output must be CAST(... AS BIGINT) (SURVEY §6).
     s"""WITH h AS (
        |  SELECT $grpExpr AS grp,
        |    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8))::BIGINT AS hv
@@ -135,13 +145,13 @@ object Hll {
        |  SELECT grp, idx,
        |    CASE
        |      $ladder
-       |      ELSE ${rankBits + 1} END AS rank
+       |      ELSE ${bits + 1} END AS rank
        |  FROM r),
        |regs AS (
        |  SELECT grp, idx, max(rank) AS mj FROM rk GROUP BY 1, 2),
        |agg AS (
        |  SELECT grp,
-       |    sum(1::BIGINT << (${rankBits + 1} - mj)) AS dp,
+       |    sum(1::BIGINT << (${bits + 1} - mj)) AS dp,
        |    count(*) AS np,
        |    sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS zp
        |  FROM regs GROUP BY 1)
@@ -149,8 +159,8 @@ object Hll {
        |  round(CAST(${alpha(m)} AS DOUBLE) * CAST(${m.toDouble * m} AS DOUBLE)
        |    * CAST($scale AS DOUBLE)
        |    / CAST(dp + ($m - np) * $unit AS DOUBLE), 4) + 0.0 AS est_hll,
-       |  zp + $m - np AS v_zero,
-       |  dp + ($m - np) * $unit AS denom_e27
+       |  CAST(zp + $m - np AS BIGINT) AS v_zero,
+       |  CAST(dp + ($m - np) * $unit AS BIGINT) AS denom_e27
        |FROM agg""".stripMargin
   }
 
@@ -182,12 +192,13 @@ object Hll {
     * [[distinctEstimate]] for the math). */
   def estimateFromRegisters(regs: DataFrame, m: Int = 64): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val bits = rankBits(m)
     regs.agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${rankBits + 1} - mj AS INT))"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${bits + 1} - mj AS INT))"))
           .as("denom_e27"),
         sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v_zero"))
       .select(
-        (round(lit(alpha(m)) * lit(m.toDouble * m) * lit(math.pow(2, rankBits + 1))
+        (round(lit(alpha(m)) * lit(m.toDouble * m) * lit(math.pow(2, bits + 1))
           / col("denom_e27").cast("double"), 4) + lit(0.0)).as("est_hll"),
         col("v_zero"), col("denom_e27"))
   }
@@ -196,11 +207,13 @@ object Hll {
     * ladder constants, same integer harmonic sum, same final chain. */
   def distinctEstimateSql(table: String, keyExpr: String, m: Int = 64): String = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val bits = rankBits(m)
     val shift = Integer.numberOfTrailingZeros(m)
-    val ladder = (rankBits to 1 by -1)
-      .map(k => s"WHEN v >= ${1L << (k - 1)} THEN ${rankBits + 1 - k}")
+    val ladder = (bits to 1 by -1)
+      .map(k => s"WHEN v >= ${1L << (k - 1)} THEN ${bits + 1 - k}")
       .mkString("\n|      ")
-    val scale = (1L << (rankBits + 1)).toDouble
+    val scale = (1L << (bits + 1)).toDouble
+    // sum() outputs are HUGEINT in DuckDB — cast to BIGINT (SURVEY §6).
     s"""WITH h AS (
        |  SELECT ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8))::BIGINT AS hv
        |  FROM $table),
@@ -210,7 +223,7 @@ object Hll {
        |  SELECT idx,
        |    CASE
        |      $ladder
-       |      ELSE ${rankBits + 1} END AS rank
+       |      ELSE ${bits + 1} END AS rank
        |  FROM r),
        |regs AS (
        |  SELECT s.idx, coalesce(max(rk.rank), 0) AS mj
@@ -220,10 +233,10 @@ object Hll {
        |SELECT
        |  round(CAST(${alpha(m)} AS DOUBLE) * CAST(${m.toDouble * m} AS DOUBLE)
        |    * CAST($scale AS DOUBLE)
-       |    / CAST(sum(1::BIGINT << (${rankBits + 1} - mj)) AS DOUBLE), 4) + 0.0
+       |    / CAST(sum(1::BIGINT << (${bits + 1} - mj)) AS DOUBLE), 4) + 0.0
        |    AS est_hll,
-       |  sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v_zero,
-       |  sum(1::BIGINT << (${rankBits + 1} - mj)) AS denom_e27
+       |  CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+       |  CAST(sum(1::BIGINT << (${bits + 1} - mj)) AS BIGINT) AS denom_e27
        |FROM regs""".stripMargin
   }
 }

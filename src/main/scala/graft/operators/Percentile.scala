@@ -92,6 +92,8 @@ object Percentile {
                             ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       "percentiles must be in (0, 1]")
+    require(ps.map(pColName).distinct.size == ps.size,
+      s"percentile column names collide: ${ps.map(pColName).mkString(", ")}")
     val w = Window.partitionBy(col("grp")).orderBy(col("b"))
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(w))
@@ -117,7 +119,11 @@ object Percentile {
       .agg(max(col("n")).as("n"), pivots: _*)
   }
 
-  /** `p50_hist` / `p99_hist` / `p999_hist`-style column name for p. */
+  /** `p50_hist` / `p99_hist` / `p999_hist`-style column name for p.
+    * The single-zero trim is ambiguous for some pairs (0.25 vs 0.025
+    * both map to p25_hist), so [[percentilesFromDigest]] and
+    * [[histogramPercentileSql]] require the mapped names be distinct
+    * rather than silently producing duplicate output columns. */
   def pColName(p: Double): String = {
     val digits = (BigDecimal(p) * 1000).toBigInt.toString
     val trimmed = if (digits.endsWith("0")) digits.dropRight(1) else digits
@@ -268,7 +274,7 @@ object Percentile {
        |           AS cum_before,
        |         sum(cnt) OVER (PARTITION BY grp) AS n
        |  FROM h2)
-       |SELECT grp, n,
+       |SELECT grp, CAST(n AS BIGINT) AS n,
        |  round(med_est, 4) + 0.0 AS med_hist,
        |  round(CAST(b AS DOUBLE) * $widthE + CAST($widthE AS DOUBLE) *
        |    (CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE))
@@ -285,6 +291,8 @@ object Percentile {
   def histogramPercentileSql(table: String, grpExpr: String,
                              fixedExpr: String, widthE: Long,
                              ps: Seq[Double]): String = {
+    require(ps.map(pColName).distinct.size == ps.size,
+      s"percentile column names collide: ${ps.map(pColName).mkString(", ")}")
     val pList = ps.map(p => s"CAST($p AS DOUBLE)").mkString(", ")
     val pivots = ps.map { p =>
       s"round(max(CASE WHEN p = CAST($p AS DOUBLE) THEN est END), 4) + 0.0 AS ${pColName(p)}"
@@ -309,7 +317,7 @@ object Percentile {
        |  FROM cum CROSS JOIN (SELECT unnest([$pList]) AS p) ps
        |  WHERE CAST(cum_before AS DOUBLE) < p * CAST(n AS DOUBLE)
        |    AND p * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE))
-       |SELECT grp, max(n) AS n,
+       |SELECT grp, CAST(max(n) AS BIGINT) AS n,
        |  ${pivots}
        |FROM est GROUP BY grp""".stripMargin
   }
