@@ -197,7 +197,12 @@ object Dedup {
     * `doc_neardup_clusters_incr` oracle is the full-recompute SQL, so
     * the parity gate proves it cross-engine; component-min self-rows
     * carry no information and are dropped — any component of size ≥ 2
-    * keeps its min alive as some member's target).
+    * keeps its min alive as some member's target). Labelings produced
+    * by [[clusters]] contain no singleton components, but a CALLER-
+    * seeded labeling may (e.g. one row per corpus doc): those rows
+    * have only a self-edge to contribute, so after the fixpoint they
+    * are re-attached verbatim via an anti-join rather than silently
+    * dropped.
     *
     * Scale shape: the star edges have diameter ≤ 2, so however deep
     * the ORIGINAL near-dup chains were, the min-label fixpoint over
@@ -210,8 +215,14 @@ object Dedup {
     val starEdges = prevLabels
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idA), col("cluster_id").as(idB))
-    clusters(starEdges.unionAll(newPairs.select(col(idA), col(idB))),
+    val merged = clusters(starEdges.unionAll(newPairs.select(col(idA), col(idB))),
       idA, idB, maxIters)
+    // Prior components that contributed no edge (singletons untouched
+    // by the new batch) are absent from the fixpoint output; carry
+    // them through unchanged instead of losing them.
+    val untouched = prevLabels
+      .join(merged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    merged.unionAll(untouched.select(col("doc_id"), col("cluster_id")))
   }
 
   /** Connected components by alternating large-star / small-star rounds

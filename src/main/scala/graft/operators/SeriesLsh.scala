@@ -47,6 +47,17 @@ import org.apache.spark.sql.functions._
   */
 object SeriesLsh {
 
+  /** Cross-term products (n·sxy, sx_a·sx_b, n·sxx, sx²) are computed
+    * in decimal(38,0): the DuckDB oracle promotes them to HUGEINT
+    * (128-bit, exact), so a silent LongType wraparound on the Spark
+    * side would be exactly the cross-engine drift the oracle pattern
+    * exists to exclude. The LINEAR sums (sx, sxx, sxy, projections)
+    * stay LongType for codegen speed — their contract is the per-series
+    * magnitude bound Σcnt² < 2^63, far above any real daily-count
+    * series; the decimal casts below make everything past the sums
+    * exact at any magnitude the sums can legally reach. */
+  private val dec = "decimal(38,0)"
+
   /** ±1 Rademacher component of hyperplane `i` at spine position
     * `day` — parity of the portable 32-bit md5 prefix. */
   private def sgn(i: Int, day: Column): Column =
@@ -99,10 +110,12 @@ object SeriesLsh {
       .crossJoin(broadcast(spine)) // 1-row scalar broadcast (PlanAudit)
       .localCheckpoint()
 
-    // Band keys: key_b = sum_j bit_{b*k+j} << j, all integer math.
+    // Band keys: key_b = sum_j bit_{b*k+j} << j, all integer math
+    // (decimal cross-terms: DuckDB computes these in HUGEINT).
     def bandKey(b: Int): Column = (0 until bitsPerBand).map { j =>
       val i = b * bitsPerBand + j
-      when(col("__n") * col(s"__pr$i") - col("sx") * col(s"__s$i") >= 0,
+      when(col("__n").cast(dec) * col(s"__pr$i")
+          - col("sx").cast(dec) * col(s"__s$i") >= 0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val bandRows = stats.select(col("user_id"),
@@ -147,9 +160,12 @@ object SeriesLsh {
     cands.join(sxy, Seq("user_a", "user_b"), "left")
       .na.fill(0L, Seq("sxy"))
       .join(ma, "user_a").join(mb, "user_b")
-      .withColumn("num", col("n") * col("sxy") - col("sxa") * col("sxb"))
-      .withColumn("dena", col("n") * col("sxxa") - col("sxa") * col("sxa"))
-      .withColumn("denb", col("n") * col("sxxb") - col("sxb") * col("sxb"))
+      .withColumn("num",
+        col("n").cast(dec) * col("sxy") - col("sxa").cast(dec) * col("sxb"))
+      .withColumn("dena",
+        col("n").cast(dec) * col("sxxa") - col("sxa").cast(dec) * col("sxa"))
+      .withColumn("denb",
+        col("n").cast(dec) * col("sxxb") - col("sxb").cast(dec) * col("sxb"))
       .where(col("dena") > 0 && col("denb") > 0)
       .withColumn("corr_raw", col("num").cast("double") /
         (sqrt(col("dena").cast("double")) * sqrt(col("denb").cast("double"))))

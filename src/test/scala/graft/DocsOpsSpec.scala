@@ -172,6 +172,19 @@ class DocsOpsSpec extends SparkSpec {
     assert(incr(4L) === 1L && incr(13L) === 10L && incr(51L) === 50L)
   }
 
+  test("clustersIncremental: caller-seeded singleton components survive " +
+    "untouched") {
+    import spark.implicits._
+    // a labeling seeded over the whole corpus includes singletons
+    // (self-labeled rows with no other member); the new batch touches
+    // only 1-2. Singleton 99 must pass through, not vanish.
+    val prev = Seq((1L, 1L), (2L, 1L), (99L, 99L)).toDF("doc_id", "cluster_id")
+    val newPairs = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.clustersIncremental(prev, newPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 99L -> 99L))
+  }
+
   test("clusters: converges on a chain deeper than any fixed pass count") {
     import spark.implicits._
     // path 100-101-...-112 (diameter 12): min-label propagation moves the

@@ -84,6 +84,24 @@ class HllSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("estimator is unbiased for m != 64: rank ladder depth derives " +
+    "from m") {
+    // With the ladder depth hard-coded to 26 (the m=64 width), m=16
+    // had P(rank=1) = 7/8 instead of 1/2 (estimates ~2x low) and
+    // m=256 could never see ranks above 25 (estimates high). SE is
+    // 1.04/sqrt(m): allow ~2.7 sigma per m. Cardinality must sit well
+    // above the raw estimator's small-range bias zone (~2.5m; the
+    // linear-counting correction is deliberately not applied), so use
+    // a 20k-key synthetic frame, not sf0.001's 150 custkeys.
+    val keys = spark.range(20000).selectExpr("CAST(id AS STRING) AS k")
+    val exact = 20000L
+    for ((m, tol) <- Seq(16 -> 0.75, 32 -> 0.50, 128 -> 0.25, 256 -> 0.18)) {
+      val r = Hll.distinctEstimate(keys, col("k"), m = m).first()
+      assert(relErr(r.getAs[Double]("est_hll"), exact) <= tol,
+        s"m=$m: est=${r.getAs[Double]("est_hll")} exact=$exact")
+    }
+  }
+
   test("sketch is deterministic: identical digest across runs") {
     val o = Tables.orders(spark, sfDir)
     val a = Hll.distinctEstimate(o, col("o_custkey")).first()

@@ -144,4 +144,18 @@ class PercentileSpec extends SparkSpec {
     assert(Percentile.pColName(0.99) === "p99_hist")
     assert(Percentile.pColName(0.999) === "p999_hist")
   }
+
+  test("colliding percentile column names are rejected, not silently " +
+    "duplicated") {
+    // 0.25 and 0.025 both map to p25_hist under the single-zero trim;
+    // both the Spark plan and the SQL generator must refuse the list.
+    val dummy = spark.range(1).selectExpr("'g' AS grp", "id AS b",
+      "1L AS cnt")
+    intercept[IllegalArgumentException] {
+      Percentile.percentilesFromDigest(dummy, 10L, Seq(0.25, 0.025))
+    }
+    intercept[IllegalArgumentException] {
+      Percentile.histogramPercentileSql("t", "g", "v", 10L, Seq(0.25, 0.025))
+    }
+  }
 }
