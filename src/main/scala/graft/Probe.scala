@@ -19,6 +19,23 @@ object Probe {
       val n = f
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $name ($n rows)")
     }
+    // Query mode: `runMain graft.Probe <sfdir> q1,q2` times the named
+    // SparkEntry queries (3 passes each, noop write like Bench);
+    // SPARK_GRAFT_EXPLAIN=1 also dumps the formatted plan.
+    if (args.length > 1) {
+      val names = args(1).split(",").toSeq
+      names.foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) df.explain("formatted")
+        (1 to 3).foreach { p =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $q pass $p")
+        }
+      }
+      spark.stop()
+      return
+    }
     val docs = Tables.documents(spark, sfDir)
     import graft.operators.{Dedup, MinHash}
     // warmup

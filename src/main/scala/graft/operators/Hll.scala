@@ -188,6 +188,20 @@ object Hll {
     digests.reduce(_ unionAll _)
       .groupBy(col("idx")).agg(max(col("mj")).as("mj"))
 
+  /** Collapse a [[groupedRegisters]] digest across ALL its groups into
+    * one zero-filled m-row register table. The per-register max over
+    * groups IS [[mergeRegisters]] applied to the per-group digests —
+    * but when the scopes being merged live in one table (shards, days,
+    * sources), deriving them via `groupedRegisters` costs ONE scan
+    * where building each scope's [[registers]] frame separately
+    * re-scans per scope. */
+  def mergeGroupedRegisters(regs: DataFrame, m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val merged = regs.groupBy(col("idx")).agg(max(col("mj")).as("mj"))
+    val spine = regs.sparkSession.range(m).select(col("id").as("idx"))
+    spine.join(merged, Seq("idx"), "left").na.fill(0L, Seq("mj"))
+  }
+
   /** The one-row estimate from a register digest (see
     * [[distinctEstimate]] for the math). */
   def estimateFromRegisters(regs: DataFrame, m: Int = 64): DataFrame = {

@@ -756,13 +756,15 @@ object Analytics {
     }),
 
     // B14 mergeability: HLL registers merge by per-register max — an
-    // exact identity, so the oracle is the FULL-TABLE sketch SQL.
+    // exact identity, so the oracle is the FULL-TABLE sketch SQL. The
+    // two scope digests (orderkey parity halves) come from ONE scan via
+    // the grouped-register form; merging them is the same per-register
+    // max a union of separately-built digests would take.
     "q_hll_merge" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      def half(r: Int) = o.where(pmod(col("o_orderkey"), lit(2L)) === r)
-      Hll.estimateFromRegisters(Hll.mergeRegisters(
-        Hll.registers(half(0), col("o_custkey")),
-        Hll.registers(half(1), col("o_custkey"))))
+      val halves = Tables.orders(s, dir)
+        .withColumn("half", pmod(col("o_orderkey"), lit(2L)))
+      Hll.estimateFromRegisters(Hll.mergeGroupedRegisters(
+        Hll.groupedRegisters(halves, "half", col("o_custkey"))))
     }),
 
     // B43 scale path: histogram MAD — two bounded-state histogram

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.cdc._
 import graft.operators.Sessionize
+import graft.sources.GraftSource
 
 /** CDC-surface queries (SURVEY.md §2.A) with DuckDB oracles. */
 object Cdc {
@@ -433,7 +434,65 @@ object Cdc {
         .select(col("key").as("user_id"), col("event_type"),
           col("amount"), col("region"), col("commit_ts_us").as("last_ts_us"))
         .orderBy("user_id")
+    }),
+
+    // A7+A8: batched idempotent sink round-trip — the changelog goes to
+    // disk TWICE through GraftSink.Batched (day-bucketed `__batch` hive
+    // partitions, dynamic partition overwrite; the second write is an
+    // at-least-once redelivery), is read back, and checksummed with the
+    // A25 digest including the batch assignment. The oracle computes
+    // the same digest DIRECTLY from the source events, so hash parity
+    // proves the sink converged to exactly one correctly-routed copy —
+    // the RFC's idempotence contract (README.md:24), checked
+    // cross-engine through a real write-read cycle.
+    "cdc_sink_roundtrip" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      val path = roundtripPath(dir, "sink")
+      val sink = GraftSink.Batched(
+        GraftSink.Files(path), batchDurationUs = 86400000000L)
+      sink.write(log)
+      sink.write(log) // replay: partitions overwrite, rows don't duplicate
+      Consistency.checksum(s.read.parquet(path), col("key"),
+          Seq(col("key"), col("seq"), col("op"), col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100)
+              .cast("decimal(38,0)").cast("long"),
+            col("commit_ts_us"), col("props"), col("__batch").cast("long")),
+          buckets = 16)
+        .orderBy("bucket")
+    }),
+
+    // C14: changelog source round-trip — the changelog is serialized to
+    // JSON and CSV (the RFC's "any serialization" arrival formats), read
+    // back through GraftSource.changelog with the canonical EXPLICIT
+    // schema, and checksummed per format. The oracle is the same digest
+    // straight from the source events cross-joined with the format list,
+    // so parity proves both text formats round-trip every column —
+    // quoted JSON payloads, doubles, epoch-µs longs — bit-exactly into
+    // the canonical change-event shape.
+    "cdc_source_roundtrip" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      val digests = Seq("json", "csv").map { fmt =>
+        val path = roundtripPath(dir, s"src_$fmt")
+        GraftSink.Files(path, format = fmt).write(log)
+        val back = GraftSource.changelog(s, path, log.schema, fmt)
+        Consistency.checksum(back, col("key"),
+            Seq(col("key"), col("seq"), col("op"), col("event_type"),
+              (col("value").cast("decimal(18,2)") * 100)
+                .cast("decimal(38,0)").cast("long"),
+              col("commit_ts_us"), col("props")),
+            buckets = 16)
+          .withColumn("format", lit(fmt))
+      }
+      digests.reduce(_ unionAll _)
+        .select(col("format"), col("bucket"), col("n_rows"), col("checksum"))
+        .orderBy("format", "bucket")
     }))
+
+  /** Deterministic per-SF scratch dir for the round-trip sinks (same
+    * input -> same path, so reruns exercise the overwrite path). */
+  private def roundtripPath(dir: String, tag: String): String =
+    sys.props("java.io.tmpdir") + "/graft_rt_" + tag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   val oracles: Map[String, String] = Map(
 
@@ -728,5 +787,38 @@ object Cdc {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
         |       $sumCentsSql AS sum_value_e2
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The sink never touches DuckDB: the oracle digests the SOURCE rows
+    // (plus the batch assignment the sink must produce), so hash parity
+    // == "what landed on disk is exactly the changelog, batched right".
+    "cdc_sink_roundtrip" -> (logCte +
+      s""",
+        |wb AS (
+        |  SELECT key, seq, op, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS value_cents,
+        |         commit_ts_us, props,
+        |         commit_ts_us // 86400000000 AS __batch
+        |  FROM log)
+        |${Consistency.checksumSql("wb", "key",
+             Seq("key", "seq", "op", "event_type", "value_cents",
+               "commit_ts_us", "props", "__batch"), 16)}
+        |ORDER BY bucket""".stripMargin),
+
+    "cdc_source_roundtrip" -> (logCte +
+      s""",
+        |wv AS (
+        |  SELECT key, seq, op, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS value_cents,
+        |         commit_ts_us, props
+        |  FROM log),
+        |cs AS (
+        |${Consistency.checksumSql("wv", "key",
+             Seq("key", "seq", "op", "event_type", "value_cents",
+               "commit_ts_us", "props"), 16)})
+        |SELECT f.format, cs.bucket, cs.n_rows, cs.checksum
+        |FROM cs CROSS JOIN (SELECT unnest(['json','csv']) AS format) f
+        |ORDER BY format, bucket""".stripMargin))
 }

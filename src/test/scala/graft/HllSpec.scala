@@ -42,6 +42,20 @@ class HllSpec extends SparkSpec {
     assert(merged.getAs[Double]("est_hll") === full.getAs[Double]("est_hll"))
   }
 
+  test("one-scan grouped-digest merge == per-scope registers merge") {
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("half", pmod(col("o_orderkey"), lit(2L)))
+    def half(r: Int) = o.where(col("half") === r)
+    val oneScan = Hll.mergeGroupedRegisters(
+      Hll.groupedRegisters(o, "half", col("o_custkey")))
+    val perScope = Hll.mergeRegisters(
+      Hll.registers(half(0), col("o_custkey")),
+      Hll.registers(half(1), col("o_custkey")))
+    assert(oneScan.exceptAll(perScope).count() === 0)
+    assert(perScope.exceptAll(oneScan).count() === 0)
+    assert(oneScan.count() === 64)
+  }
+
   test("grouped estimate within 35% of exact per group") {
     val o = Tables.orders(spark, sfDir)
     val exact = o.groupBy(col("o_orderpriority"))
