@@ -131,6 +131,48 @@ object Sampling {
       .drop("__band", "__band2", "__cum_in_band", "__offset")
   }
 
+  /** [[budgetSelect]] with an independent budget PER STRATUM — the
+    * "domain cap" curation rule: no source/domain may contribute more
+    * than `budget` weight (tokens) to the training mix, filled
+    * best-score-first within each stratum. Callers with per-stratum
+    * caps that differ can pre-divide `weightCol` by the stratum's cap
+    * and pass `budget = 1` scaled appropriately.
+    *
+    * Scale shape: identical banded prefix-sum decomposition as
+    * [[budgetSelect]], but every window and offset is keyed by
+    * (stratum, band) — the in-band window shuffles on
+    * |strata|×|bands| keys (parallelism grows with the number of
+    * domains instead of shrinking), and the offset table stays a
+    * broadcast-size aggregate. The offsets self-join carries the
+    * stratum equality, so it plans as a hash join, not a nested loop. */
+  def budgetSelectPerStratum(df: DataFrame, idCol: String,
+                             scoreCol: String, weightCol: String,
+                             stratumCol: String, budget: Long,
+                             bands: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val band = lit(bands - 1) - floor(col(scoreCol) * bands).cast("long")
+    val banded = df.withColumn("__band",
+      greatest(lit(0L), least(lit(bands - 1L), band)))
+    val w = Window.partitionBy(col(stratumCol), col("__band"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val inBand = banded.withColumn("__cum_in_band",
+      sum(col(weightCol)).over(w))
+    val totals = banded.groupBy(col(stratumCol), col("__band"))
+      .agg(sum(col(weightCol)).as("__band_w"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"),
+        col(s"b.$stratumCol") === col(s"a.$stratumCol") &&
+          col("b.__band") < col("a.__band"), "left")
+      .groupBy(col(s"a.$stratumCol").as("__s2"),
+        col("a.__band").as("__band2"))
+      .agg(coalesce(sum(col("b.__band_w")), lit(0L)).as("__offset"))
+    inBand.join(broadcast(offsets),
+        col(stratumCol) === col("__s2") && col("__band") === col("__band2"))
+      .withColumn("cum_weight", col("__offset") + col("__cum_in_band"))
+      .where(col("cum_weight") <= budget)
+      .drop("__band", "__s2", "__band2", "__cum_in_band", "__offset")
+  }
+
   /** Fixed-size deterministic sample PER STRATUM — n docs from every
     * stratum regardless of stratum size (the balanced eval-set / human-
     * review draw, vs [[stratifiedSample]]'s rate-based mix). "Random

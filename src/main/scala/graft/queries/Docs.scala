@@ -38,6 +38,7 @@ object Docs {
   private val evalMod = 20
   private val dupFracMax = 0.2
   private val budgetTokens = 10000L
+  private val budgetTokensPerSource = 3000L
   private val fuzzyThreshold = 0.5
   private val mixAlpha = 0.5
   private val mixBudget = 1000000L
@@ -154,6 +155,28 @@ object Docs {
         .select(col("doc_id"), col("n_tokens"), col("score"),
           col("cum_weight").as("cum_tokens"))
         .orderBy(desc("score"), col("doc_id"))
+    }),
+
+    // C30 per-source variant: every source gets its OWN token cap —
+    // the "domain cap" mix rule (no single domain may exceed B tokens
+    // in the training set), filled best-quality-first within each
+    // source. Same banded prefix sum as doc_budget_select with every
+    // window keyed by (source, band): parallelism grows with the
+    // number of domains, offsets stay broadcast-size.
+    "doc_budget_by_source" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val nUniq = size(array_distinct(toks)).cast("long")
+      val score = round(least(lit(1.0), nTokens.cast("double") / 100.0)
+        * (lit(0.5) + lit(0.5) * (nUniq.cast("double") / nTokens)), 4)
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), nTokens.as("n_tokens"),
+        score.as("score"))
+      Sampling.budgetSelectPerStratum(scored, "doc_id", "score",
+          "n_tokens", "source", budget = budgetTokensPerSource)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("score"), col("cum_weight").as("cum_tokens"))
+        .orderBy(col("source"), desc("score"), col("doc_id"))
     }),
 
     // C42: fixed-size per-stratum draw — 5 docs from EVERY source
@@ -1671,6 +1694,23 @@ object Docs {
         |SELECT doc_id, n_tokens, score, cum_tokens FROM c
         |WHERE cum_tokens <= $budgetTokens
         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "doc_budget_by_source" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (0.5 + 0.5 * (len(list_distinct(string_split(text, ' ')))
+        |                      / len(string_split(text, ' ')))), 4) AS score
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens, score,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT source, doc_id, n_tokens, score, cum_tokens FROM c
+        |WHERE cum_tokens <= $budgetTokensPerSource
+        |ORDER BY source, score DESC, doc_id""".stripMargin,
 
     "doc_mixture" ->
       Sampling.mixtureWeightsSql("documents", "source",

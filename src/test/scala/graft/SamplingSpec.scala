@@ -85,6 +85,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("budgetSelectPerStratum: equals a per-stratum global window; " +
+    "no stratum exceeds its budget") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rows = (1L to 400L).map { id =>
+      (id, "s" + (id % 5), (id % 7) + 1,
+        math.rint(((id * 13) % 21) / 20.0 * 10000) / 10000)
+    }
+    val df = rows.toDF("doc_id", "stratum", "n_tokens", "score")
+    for (budget <- Seq(30L, 200L, 100000L); bands <- Seq(1, 5, 20)) {
+      val got = Sampling.budgetSelectPerStratum(df, "doc_id", "score",
+        "n_tokens", "stratum", budget, bands)
+      val ref = df.withColumn("cum_weight",
+          sum(col("n_tokens")).over(Window.partitionBy(col("stratum"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .where(col("cum_weight") <= budget)
+      assert(got.select("doc_id", "cum_weight")
+        .exceptAll(ref.select("doc_id", "cum_weight")).count() === 0
+        && got.count() === ref.count(),
+        s"budget=$budget bands=$bands")
+      val worst = got.groupBy("stratum")
+        .agg(max(col("cum_weight")).as("m")).agg(max(col("m")))
+        .first().getLong(0)
+      assert(worst <= budget)
+    }
+  }
+
   test("weightedSample: fixed size, deterministic, weight-biased, no -inf keys") {
     val n = 100
     val s1 = Sampling.weightedSample(docs, "doc_id", col("n_chars"), n)
