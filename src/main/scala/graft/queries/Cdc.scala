@@ -7,6 +7,7 @@ import graft.Tables
 import graft.cdc._
 import graft.operators.Sessionize
 import graft.sources.GraftSource
+import graft.streaming.CdcStream
 
 /** CDC-surface queries (SURVEY.md §2.A) with DuckDB oracles. */
 object Cdc {
@@ -461,6 +462,41 @@ object Cdc {
         .orderBy("bucket")
     }),
 
+    // A17 (+A11 e2e): the STREAMING stateful snapshot, oracle-checked.
+    // The events table is re-written as three ts-ordered flush files
+    // (the harness stand-in for an upstream that keeps flushing), read
+    // back as a file STREAM, run through the changelog chain and the
+    // flatMapGroupsWithState per-key state machine to completion
+    // (AvailableNow), and the emitted update log is materialized to
+    // final per-key state. The oracle is the BATCH snapshot SQL, so
+    // hash parity proves stream ≡ batch cross-engine — the convergence
+    // contract behind continuous snapshot maintenance (README.md:60-70).
+    // The global-window slice prep is harness-only: a real deployment's
+    // input already IS a stream.
+    "cdc_stream_snapshot" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, dir)
+      val inDir = streamSliceDir(s, ev, dir, slices = 3)
+      val stream = CdcStream.fromParquetDir(s, inDir, ev.schema)
+      val updates = CdcStream.snapshotUpdates(Changelog.fromEvents(stream))
+      val qn = "snap_par_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = updates.toDF().writeStream
+        .format("memory").queryName(qn).outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Materialize.snapshot(s.table(qn))
+        .select(
+          col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // C14: changelog source round-trip — the changelog is serialized to
     // JSON and CSV (the RFC's "any serialization" arrival formats), read
     // back through GraftSource.changelog with the canonical EXPLICIT
@@ -494,6 +530,39 @@ object Cdc {
     sys.props("java.io.tmpdir") + "/graft_rt_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Re-write `ev` as `slices` ts-ordered parquet flush files with
+    * distinct mtimes (file-stream arrival order == event-time order),
+    * into a deterministic dir cleaned on every call — the harness
+    * stand-in for an upstream feed. */
+  private def streamSliceDir(s: SparkSession, ev: DataFrame, dir: String,
+                             slices: Int): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.SaveMode
+    val out = roundtripPath(dir, "stream_in")
+    val p = Paths.get(out)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    val total = ev.count()
+    val ranked = ev.withColumn("__rn", row_number().over(
+      Window.orderBy(col("ts_us"), col("event_id"))))
+    for (i <- 0 until slices) {
+      val lo = i * total / slices + 1
+      val hi = (i + 1) * total / slices
+      val staging = Files.createTempDirectory(s"slice-$i")
+      ranked.where(col("__rn").between(lo, hi)).drop("__rn")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val part = Files.list(staging)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(out, f"flush-$i%03d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(5)
+    }
+    out
+  }
+
   val oracles: Map[String, String] = Map(
 
     "cdc_changelog" -> (logCte +
@@ -525,6 +594,10 @@ object Cdc {
         |ORDER BY seq""".stripMargin),
 
     "cdc_snapshot" -> snapshotOracle,
+
+    // Stream ≡ batch: the streaming state machine must converge to
+    // exactly the batch snapshot, so they share one oracle.
+    "cdc_stream_snapshot" -> snapshotOracle,
 
     "cdc_ivm_view" -> (logCte +
       """,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
 import graft.operators.{AnnLsh, Chunking, Curation, Decontaminate, Dedup, MinHash, Packing, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.sources.Layout
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
   * oracles — dedup, similarity search, text analysis over the synthetic
@@ -177,6 +178,42 @@ object Docs {
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("score"), col("cum_weight").as("cum_tokens"))
         .orderBy(col("source"), desc("score"), col("doc_id"))
+    }),
+
+    // C31: layout round-trip — the corpus (minus text: layout is about
+    // key clustering, not payload) goes to disk through each layout
+    // writer (range-sorted on doc_id, hive-partitioned on lang,
+    // z-ordered on (doc_id, n_chars)), is read back through the
+    // pruning predicate that layout exists to serve, and aggregated.
+    // The oracle runs the same predicates on the RAW table, so hash
+    // parity proves every writer is lossless under reshuffling —
+    // file-skip behavior itself is pinned separately by LayoutSpec's
+    // disjoint-range/pruned-listing assertions (can't be expressed in
+    // SQL; it's a physical property).
+    "doc_layout_roundtrip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      def leg(tag: String)(write: String => Unit): DataFrame = {
+        val path = scratchPath(dir, s"layout_$tag")
+        write(path)
+        s.read.parquet(path).withColumn("leg", lit(tag))
+      }
+      val range = leg("range") { p =>
+          Layout.writeRangeSorted(d, "doc_id", 8, p)
+        }.where(col("doc_id").between(100L, 2000L))
+      val hive = leg("hive") { p =>
+          Layout.writeHivePartitioned(d, "lang", p)
+        }.where(col("lang") === "en")
+      val z = leg("zorder") { p =>
+          Layout.writeZOrdered(d, "doc_id", "n_chars", 8, p)
+        }.where(col("doc_id").between(100L, 2000L)
+          && col("n_chars").between(200L, 800L))
+      Seq(range, hive, z).map(_.groupBy("leg").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          count_distinct(col("source")).as("n_sources")))
+        .reduce(_ unionAll _)
+        .orderBy("leg")
     }),
 
     // C42: fixed-size per-stratum draw — 5 docs from EVERY source
@@ -1113,7 +1150,35 @@ object Docs {
         .orderBy("probe_id", "rank")
     }))
 
+  /** Deterministic per-SF scratch dir for round-trip writers (same
+    * input -> same path, so reruns exercise the overwrite path). */
+  private def scratchPath(dir: String, tag: String): String =
+    sys.props("java.io.tmpdir") + "/graft_rt_" + tag + "_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   val oracles: Map[String, String] = Map(
+
+    // The writers never touch DuckDB: the oracle aggregates the RAW
+    // table under the same predicates, so parity proves the layout
+    // reshuffle lost/duplicated/corrupted nothing.
+    "doc_layout_roundtrip" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, lang, source, n_chars FROM documents)
+        |SELECT leg, n_docs, sum_chars, n_sources FROM (
+        |  SELECT 'range' AS leg, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM base WHERE doc_id BETWEEN 100 AND 2000
+        |  UNION ALL
+        |  SELECT 'hive', count(*), CAST(sum(n_chars) AS BIGINT),
+        |    count(DISTINCT source)
+        |  FROM base WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT 'zorder', count(*), CAST(sum(n_chars) AS BIGINT),
+        |    count(DISTINCT source)
+        |  FROM base WHERE doc_id BETWEEN 100 AND 2000
+        |    AND n_chars BETWEEN 200 AND 800)
+        |ORDER BY leg""".stripMargin,
 
     "doc_pack" ->
       Packing.oracleSql("documents", "doc_id", "text",
