@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -497,6 +497,127 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A30: stream-stream interval join, oracle-checked — purchases and
+    // clicks arrive as two file STREAMS (ts-ordered flushes, so nothing
+    // is late and watermark eviction never drops a matchable row); each
+    // purchase joins every click by the same user in the preceding
+    // hour. The oracle is the plain batch interval-join SQL: parity
+    // proves the watermark-bounded streaming join emits exactly the
+    // batch answer when delivery respects the declared delay — the
+    // claim that lets the 100 TB deployment bound join state by time
+    // instead of buffering either stream whole.
+    "cdc_stream_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, dir)
+      val inDir = streamSliceDir(s, ev, dir, slices = 3)
+      def feed() = CdcStream.fromParquetDir(s, inDir, ev.schema)
+      val joined = CdcStream.attributionJoin(
+        purchases = feed().where(col("event_type") === "purchase"),
+        clicks = feed().where(col("event_type") === "click"),
+        delay = "1 hour", window = "1 hour")
+      val qn = "ssj_par_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream
+        .format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("user_id", "purchase_seq", "click_seq")
+    }),
+
+    // A29: dead-letter quarantine, oracle-checked — one of the three
+    // flushes is poison (it contains the globally-minimal event_id, a
+    // pure function of the data); the DLQ wrapper must quarantine
+    // exactly that batch and deliver the other two. The oracle
+    // re-derives the slice assignment in SQL (same rank/thirds formula
+    // as the slicer), finds the slice holding min(event_id), and
+    // partitions the events accordingly — so parity proves the failure
+    // path loses nothing and the healthy path delivers everything,
+    // cross-engine, through a real crash-and-continue cycle.
+    "cdc_dlq_quarantine" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val inDir = streamSliceDir(s, ev, dir, slices = 3)
+      val poisonId = ev.agg(min("event_id")).head().getLong(0)
+      val chain = Changefeed(Seq(
+        TransformPlugin("to-changelog", Changelog.fromEvents),
+        TransformPlugin("poison-detector", df => {
+          if (df.where(col("seq") === poisonId).limit(1).count() > 0)
+            sys.error(s"poison event $poisonId")
+          df
+        })))
+      val outDir = freshScratch(dir, "dlq_out")
+      val dlqDir = freshScratch(dir, "dlq_q")
+      val q = CdcStream.deliverWithDlq(
+        CdcStream.fromParquetDir(s, inDir, ev.schema), chain,
+        GraftSink.Files(outDir, saveMode = SaveMode.Append),
+        name => GraftSink.Files(s"$dlqDir/$name"),
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      q.awaitTermination()
+      val delivered = s.read.parquet(outDir)
+        .select(lit("delivered").as("disposition"), col("seq").as("id"))
+      val quarantined = s.read.option("mergeSchema", "true")
+        .parquet(s"$dlqDir/*")
+        .select(lit("quarantined").as("disposition"),
+          col("event_id").as("id"))
+      delivered.unionAll(quarantined).groupBy("disposition")
+        .agg(count(lit(1)).as("n_events"), sum(col("id")).as("sum_ids"))
+        .orderBy("disposition")
+    }),
+
+    // A22: 2PC rollout, oracle-checked end-to-end — four ts-ordered
+    // flushes; the feed drains 0-1 under chain v1 (redact mask), then
+    // Prepare→Pause→Commit swaps in v2 (sha256 mask) over the SAME
+    // checkpoint, and 2-3 (including the flush that landed mid-upgrade)
+    // drain under v2. The oracle re-derives the version boundary in SQL
+    // (rank halves) and applies each version's mask to its half, so
+    // hash parity proves exactly-once delivery across the upgrade AND
+    // that every row was transformed by precisely the version active
+    // when it flowed — the RFC's no-recompilation upgrade contract.
+    "cdc_rollout_upgrade" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.{ChainRollout, VersionedChain}
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val ev = Tables.events(s, dir)
+      val total = ev.count()
+      val ranked = ev.withColumn("__rn", row_number().over(
+        Window.orderBy(col("ts_us"), col("event_id"))))
+      val inDir = freshScratch(dir, "roll_in")
+      val outDir = freshScratch(dir, "roll_out")
+      def flush(i: Int): Unit = {
+        val lo = i * total / 4 + 1
+        val hi = (i + 1) * total / 4
+        val staging = Files.createTempDirectory(s"roll-$i")
+        ranked.where(col("__rn").between(lo, hi)).drop("__rn")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(staging.toString)
+        val part = Files.list(staging)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, Paths.get(inDir, f"flush-$i%03d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(5)
+      }
+      val v1 = VersionedChain(1, Changefeed(Seq(
+        TransformPlugin("to-changelog", Changelog.fromEvents),
+        MaskPlugin(Seq("props"), Mask.RedactKeepLast(2)))))
+      val v2 = VersionedChain(2, Changefeed(Seq(
+        TransformPlugin("to-changelog", Changelog.fromEvents),
+        MaskPlugin(Seq("props"), Mask.Sha256))))
+      val roll = new ChainRollout(s, inDir, ev.schema,
+        GraftSink.Files(outDir, saveMode = SaveMode.Append),
+        Files.createTempDirectory("ckpt").toString, v1)
+      flush(0); flush(1); roll.start(); roll.drain()
+      roll.prepare(v2); flush(2)
+      roll.pause(); roll.commit()
+      flush(3); roll.start(); roll.drain()
+      s.read.parquet(outDir)
+        .select(col("key"), col("seq"), col("op"), col("event_type"),
+          col("value"), col("commit_ts_us"), col("props"),
+          col("__chain_version").cast("long").as("chain_version"))
+        .orderBy("key", "seq")
+    }),
+
     // C14: changelog source round-trip — the changelog is serialized to
     // JSON and CSV (the RFC's "any serialization" arrival formats), read
     // back through GraftSource.changelog with the canonical EXPLICIT
@@ -530,24 +651,35 @@ object Cdc {
     sys.props("java.io.tmpdir") + "/graft_rt_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Re-write `ev` as `slices` ts-ordered parquet flush files with
-    * distinct mtimes (file-stream arrival order == event-time order),
-    * into a deterministic dir cleaned on every call — the harness
-    * stand-in for an upstream feed. */
-  private def streamSliceDir(s: SparkSession, ev: DataFrame, dir: String,
-                             slices: Int): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.SaveMode
-    val out = roundtripPath(dir, "stream_in")
+  /** [[roundtripPath]] recursively deleted and re-created — for
+    * append-mode sinks that must start empty every run. */
+  private[queries] def freshScratch(dir: String, tag: String): String = {
+    import java.nio.file.{Files, Paths}
+    val out = roundtripPath(dir, tag)
     val p = Paths.get(out)
     if (Files.exists(p))
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
     Files.createDirectories(p)
+    out
+  }
+
+  /** Re-write `ev` as `slices` ts-ordered parquet flush files with
+    * distinct mtimes (file-stream arrival order == event-time order),
+    * into a deterministic dir cleaned on every call — the harness
+    * stand-in for an upstream feed. */
+  private[queries] def streamSliceDir(s: SparkSession, ev: DataFrame,
+                             dir: String, slices: Int,
+                             orderCols: Seq[Column] = Seq(col("ts_us"),
+                               col("event_id")),
+                             tag: String = "stream_in"): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.SaveMode
+    val out = freshScratch(dir, tag)
     val total = ev.count()
     val ranked = ev.withColumn("__rn", row_number().over(
-      Window.orderBy(col("ts_us"), col("event_id"))))
+      Window.orderBy(orderCols: _*)))
     for (i <- 0 until slices) {
       val lo = i * total / slices + 1
       val hi = (i + 1) * total / slices
@@ -598,6 +730,67 @@ object Cdc {
     // Stream ≡ batch: the streaming state machine must converge to
     // exactly the batch snapshot, so they share one oracle.
     "cdc_stream_snapshot" -> snapshotOracle,
+
+    // The version boundary re-derived in SQL: the changelog is 1:1
+    // with events and (commit_ts_us, seq) == (ts, event_id) order, so
+    // rank halves reproduce which flushes drained under which chain
+    // version; each half gets that version's mask.
+    "cdc_rollout_upgrade" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY commit_ts_us, seq) AS rn,
+        |         count(*) OVER () AS total
+        |  FROM log)
+        |SELECT key, seq, op, event_type, value, commit_ts_us,
+        |  CASE WHEN rn <= (2 * total) // 4 THEN
+        |         CASE WHEN length(props) <= 2 THEN '****'
+        |              ELSE '****' || substr(props, -2, 2) END
+        |       ELSE sha256(props) END AS props,
+        |  CASE WHEN rn <= (2 * total) // 4
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT)
+        |       END AS chain_version
+        |FROM ranked ORDER BY key, seq""".stripMargin),
+
+    // The DLQ split re-derived in SQL: slice thirds by the same
+    // rank/floor-division formula as the slicer, quarantine = the
+    // slice holding min(event_id), delivered = the rest.
+    "cdc_dlq_quarantine" ->
+      """WITH ranked AS (
+        |  SELECT event_id,
+        |         row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER () AS total
+        |  FROM events),
+        |sliced AS (
+        |  SELECT event_id,
+        |         CASE WHEN rn <= total // 3 THEN 0
+        |              WHEN rn <= (2 * total) // 3 THEN 1
+        |              ELSE 2 END AS slice
+        |  FROM ranked),
+        |pslice AS (SELECT slice FROM sliced ORDER BY event_id LIMIT 1)
+        |SELECT CASE WHEN s.slice = p.slice THEN 'quarantined'
+        |            ELSE 'delivered' END AS disposition,
+        |       count(*) AS n_events,
+        |       CAST(sum(s.event_id) AS BIGINT) AS sum_ids
+        |FROM sliced s CROSS JOIN pslice p
+        |GROUP BY 1 ORDER BY disposition""".stripMargin,
+
+    // Stream ≡ batch: with in-order arrival the watermarked streaming
+    // interval join emits exactly the batch interval join.
+    "cdc_stream_interval_join" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS purchase_ts_us,
+        |         event_id AS purchase_seq
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_user, epoch_us(ts) AS click_ts_us,
+        |         event_id AS click_seq
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, purchase_ts_us, purchase_seq,
+        |       click_ts_us, click_seq
+        |FROM p JOIN c ON user_id = c_user
+        |  AND click_ts_us <= purchase_ts_us
+        |  AND click_ts_us >= purchase_ts_us - 3600000000
+        |ORDER BY user_id, purchase_seq, click_seq""".stripMargin,
 
     "cdc_ivm_view" -> (logCte +
       """,

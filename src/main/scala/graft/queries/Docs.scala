@@ -7,6 +7,8 @@ import graft.Tables
 import graft.functions.Text
 import graft.operators.{AnnLsh, Chunking, Curation, Decontaminate, Dedup, MinHash, Packing, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
+import graft.streaming.CrawlIngest
+import graft.queries.{Cdc => CdcQ}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.C) with DuckDB
   * oracles — dedup, similarity search, text analysis over the synthetic
@@ -214,6 +216,35 @@ object Docs {
           count_distinct(col("source")).as("n_sources")))
         .reduce(_ unionAll _)
         .orderBy("leg")
+    }),
+
+    // C43: streaming crawl ingestion, oracle-checked — the corpus
+    // arrives as three doc_id-ordered crawl flushes; each micro-batch
+    // in-batch-dedups (min-id per distinct content), anti-joins its
+    // digests against the persistent ledger, appends digests then rows.
+    // With id-ordered arrival the accepted set is exactly "min doc_id
+    // per distinct text", which the oracle states directly — so parity
+    // proves the ledger protocol (digest-before-corpus, cross-batch
+    // anti-join) admits each content exactly once, through a real
+    // stream → ledger → corpus cycle. (The near-dup variant A34 stays
+    // spec-pinned: its accept set is an arrival-order greedy over band
+    // collisions, not expressible as one SQL relation.)
+    "doc_crawl_ingest" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val inDir = CdcQ.streamSliceDir(s, d, dir, slices = 3,
+        orderCols = Seq(col("doc_id")), tag = "crawl_in")
+      val corpusDir = CdcQ.freshScratch(dir, "crawl_corpus")
+      val ledgerDir = CdcQ.freshScratch(dir, "crawl_ledger")
+      val q = CrawlIngest.start(
+        graft.streaming.CdcStream.fromParquetDir(s, inDir, d.schema),
+        "doc_id", "text", corpusDir, ledgerDir,
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      q.awaitTermination()
+      val corpus = s.read.parquet(corpusDir)
+      val ledgerN = s.read.parquet(ledgerDir).distinct().count()
+      corpus.select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), lit(ledgerN).as("n_ledger"))
+        .orderBy("doc_id")
     }),
 
     // C42: fixed-size per-stratum draw — 5 docs from EVERY source
@@ -1157,6 +1188,16 @@ object Docs {
       dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   val oracles: Map[String, String] = Map(
+
+    // With id-ordered arrival, "accepted by the streaming ledger
+    // protocol" == "min doc_id per distinct text" — stated directly.
+    "doc_crawl_ingest" ->
+      """WITH w AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars,
+        |       (SELECT count(*) FROM w) AS n_ledger
+        |FROM documents d JOIN w USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The writers never touch DuckDB: the oracle aggregates the RAW
     // table under the same predicates, so parity proves the layout
