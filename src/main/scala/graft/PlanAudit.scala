@@ -17,6 +17,7 @@ object PlanAudit {
     * dev tool doubles as a plan-shape gate. */
   val expectedBnlj: Set[String] = Set(
     "cdc_lag", "doc_budget_select",
+    "doc_bm25_topk", // 1-row (n_docs, avgdl) corpus-stats broadcast
     "doc_cooc_lift", // 1-row token-total scalar broadcast
     "doc_dedup_incremental",
     "doc_dedup_incremental_bloom", // same 1-row __half boundary agg as doc_dedup_incremental

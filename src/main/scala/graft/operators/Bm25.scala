@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document corpus — the classic lexical
+  * relevance scorer (Robertson/Spärck Jones; the `k1`/`b` form every
+  * search engine ships). In a training-data pipeline this is the
+  * "find corpus documents most related to these probe texts" primitive:
+  * targeted decontamination sweeps, curriculum mining near eval tasks,
+  * and cheap retrieval baselines to sanity-check embedding ANN results.
+  *
+  * Scale shape (the 100 TB story): one corpus tokenize →
+  * `groupBy(doc, term)` tf (partial-agg shuffle), one `groupBy(doc)`
+  * doc-length (same), then the corpus-sized side is immediately PRUNED
+  * by a broadcast semi-join against the (tiny) distinct query-term set
+  * — df, idf, and scoring only ever touch postings of queried terms,
+  * never the full vocabulary. Per-(query, doc) scores are one more
+  * combine-friendly shuffle, and the final top-k is a window
+  * PARTITIONED by query that Spark rewrites to a partial top-k
+  * (InferWindowGroupLimit), so no full sort survives. In a standing
+  * deployment the (doc, term, tf) + (doc, dl) frames are the posting
+  * index you materialize once (bucketed by term) and reuse per query
+  * batch; block-max/WAND pruning is the known upgrade if query volume
+  * grows — the output contract here wouldn't change.
+  *
+  * Cross-engine determinism: idf (the only transcendental) is
+  * `round(ln(...), 9)` per term; each term's contribution is again
+  * rounded to 9 places; per-document scores sum those contributions as
+  * scaled-e9 DECIMAL(38,0) (order-independent exact integer sum, the
+  * SURVEY §6 `sumFixed` discipline) and the output is `score_e9`
+  * BIGINT with a doc-id tiebreak on the rank cut. */
+object Bm25 {
+
+  /** Top-`k` documents per probe query by BM25. `queries` is a small
+    * in-memory (qid, text) set — it broadcasts; repeated terms within
+    * one query are collapsed (standard for short probe queries).
+    * Output: (qid, rank, docId, n_terms, score_e9), rank 1..k dense
+    * per qid, score_e9 = BM25 × 10⁹ as exact BIGINT. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: Seq[(String, String)], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qterms = queries.flatMap { case (qid, qt) =>
+      qt.split(' ').filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("qid", "term")
+    val qtermSet = qterms.select("term").distinct()
+
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("term"))
+    // (doc, term, tf) is the posting index — pinned once so dl, df and
+    // scoring all derive from ONE corpus tokenize (the standing-
+    // deployment analogue: materialize this bucketed by term).
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    // Query-term postings only, from here on — tiny vs the corpus.
+    val postings = tf.join(broadcast(qtermSet), "term")
+    val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // Doc lengths for ALL docs (avgdl needs the full corpus), but the
+    // scoring join only pulls the matched docs' rows.
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    // avgdl via exact integer sum ÷ count (one IEEE division), NOT
+    // avg(): engine-order double accumulation could drift an ulp.
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast("decimal(38,0)")).cast("double") /
+        count(lit(1))).as("avgdl"))
+
+    val idf9 = round(log(
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 9)
+    val tfNorm = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl")))
+    val contrib9: Column = round(idf9 * tfNorm, 9)
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score_e9"), col(idCol))
+    postings
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfT), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum((contrib9 * 1e9).cast("decimal(38,0)")).cast("long")
+          .as("score_e9"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col(idCol), col("n_terms"), col("score_e9"))
+  }
+
+  /** DuckDB mirror of [[topK]] — same query set, same round(9) ladder,
+    * same scaled-e9 integer sum, same doc-id tiebreak. */
+  def topKSql(table: String, id: String, text: String,
+              queries: Seq[(String, String)], k: Int,
+              k1: Double = 1.2, b: Double = 0.75): String = {
+    val qvals = queries.flatMap { case (qid, qt) =>
+      qt.split(' ').filter(_.nonEmpty).distinct
+        .map(t => s"('$qid', '$t')")
+    }.mkString(", ")
+    s"""WITH qterms(qid, term) AS (VALUES $qvals),
+       |toks AS (
+       |  SELECT $id, unnest(string_split($text, ' ')) AS term
+       |  FROM $table),
+       |tf AS (SELECT $id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |postings AS (
+       |  SELECT tf.* FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM qterms)),
+       |dfx AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+       |dl AS (SELECT $id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |contrib AS (
+       |  SELECT q.qid, p.$id,
+       |    round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)
+       |      * (p.tf * ${k1 + 1.0} /
+       |         (p.tf + $k1 * (${1.0 - b} + $b * d.dl / avgdl))),
+       |      9) AS c9
+       |  FROM postings p
+       |  JOIN qterms q USING (term)
+       |  JOIN dfx USING (term)
+       |  JOIN dl d USING ($id), stats),
+       |scored AS (
+       |  SELECT qid, $id, count(*) AS n_terms,
+       |    CAST(sum(CAST(c9 * 1e9 AS DECIMAL(38,0))) AS BIGINT)
+       |      AS score_e9
+       |  FROM contrib GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY score_e9 DESC, $id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, $id, n_terms, score_e9
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+}

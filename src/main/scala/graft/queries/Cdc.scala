@@ -473,7 +473,7 @@ object Cdc {
     // contract behind continuous snapshot maintenance (README.md:60-70).
     // The global-window slice prep is harness-only: a real deployment's
     // input already IS a stream.
-    "cdc_stream_snapshot" -> ((s, dir) => {
+    "cdc_stream_snapshot" -> ((s, dir) => withStreamPartitions(s) {
       import org.apache.spark.sql.streaming.Trigger
       val ev = Tables.events(s, dir)
       val inDir = streamSliceDir(s, ev, dir, slices = 3)
@@ -506,7 +506,7 @@ object Cdc {
     // batch answer when delivery respects the declared delay — the
     // claim that lets the 100 TB deployment bound join state by time
     // instead of buffering either stream whole.
-    "cdc_stream_interval_join" -> ((s, dir) => {
+    "cdc_stream_interval_join" -> ((s, dir) => withStreamPartitions(s) {
       import org.apache.spark.sql.streaming.Trigger
       val ev = Tables.events(s, dir)
       val inDir = streamSliceDir(s, ev, dir, slices = 3)
@@ -536,7 +536,7 @@ object Cdc {
     // partitions the events accordingly — so parity proves the failure
     // path loses nothing and the healthy path delivers everything,
     // cross-engine, through a real crash-and-continue cycle.
-    "cdc_dlq_quarantine" -> ((s, dir) => {
+    "cdc_dlq_quarantine" -> ((s, dir) => withStreamPartitions(s) {
       val ev = Tables.events(s, dir)
       val inDir = streamSliceDir(s, ev, dir, slices = 3)
       val poisonId = ev.agg(min("event_id")).head().getLong(0)
@@ -575,14 +575,14 @@ object Cdc {
     // hash parity proves exactly-once delivery across the upgrade AND
     // that every row was transformed by precisely the version active
     // when it flowed — the RFC's no-recompilation upgrade contract.
-    "cdc_rollout_upgrade" -> ((s, dir) => {
+    "cdc_rollout_upgrade" -> ((s, dir) => withStreamPartitions(s) {
       import org.apache.spark.sql.expressions.Window
       import graft.streaming.{ChainRollout, VersionedChain}
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val ev = Tables.events(s, dir)
-      val total = ev.count()
       val ranked = ev.withColumn("__rn", row_number().over(
-        Window.orderBy(col("ts_us"), col("event_id"))))
+        Window.orderBy(col("ts_us"), col("event_id")))).localCheckpoint()
+      val total = ranked.count()
       val inDir = freshScratch(dir, "roll_in")
       val outDir = freshScratch(dir, "roll_out")
       def flush(i: Int): Unit = {
@@ -651,6 +651,21 @@ object Cdc {
     sys.props("java.io.tmpdir") + "/graft_rt_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Run `body` with shuffle (= state-store) partitions sized to the
+    * harness's tiny local streams, restoring the session setting after.
+    * Stateful streaming cost here is per-batch state-store COMMITS
+    * (partitions × stores × micro-batches), so 32 partitions over a
+    * 100k-row feed is pure checkpoint-I/O overhead; a real deployment
+    * sizes this to executor count × throughput, which is exactly what
+    * this knob expresses. */
+  private[queries] def withStreamPartitions[T](s: SparkSession, n: Int = 8)
+                                              (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** [[roundtripPath]] recursively deleted and re-created — for
     * append-mode sinks that must start empty every run. */
   private[queries] def freshScratch(dir: String, tag: String): String = {
@@ -677,9 +692,11 @@ object Cdc {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.SaveMode
     val out = freshScratch(dir, tag)
-    val total = ev.count()
+    // One global sort, materialized once — each flush below is then a
+    // cheap filter instead of re-running the window per slice.
     val ranked = ev.withColumn("__rn", row_number().over(
-      Window.orderBy(orderCols: _*)))
+      Window.orderBy(orderCols: _*))).localCheckpoint()
+    val total = ranked.count()
     for (i <- 0 until slices) {
       val lo = i * total / slices + 1
       val hi = (i + 1) * total / slices

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Chunking, Curation, Decontaminate, Dedup, MinHash, Packing, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnLsh, Bm25, Chunking, Curation, Decontaminate, Dedup, MinHash, Packing, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -43,6 +43,14 @@ object Docs {
   private val budgetTokens = 10000L
   private val budgetTokensPerSource = 3000L
   private val fuzzyThreshold = 0.5
+  // BM25 probe set: corpus-frequent terms plus absent ones
+  // ("watermark", "predicate") so the missing-term path (term absent
+  // from postings → contributes nothing, both engines) is exercised.
+  private val bm25Queries = Seq(
+    "q_join"   -> "hash join merge",
+    "q_stream" -> "stream window watermark agg",
+    "q_scan"   -> "vector scan filter predicate")
+  private val bm25K = 10
   private val mixAlpha = 0.5
   private val mixBudget = 1000000L
   private val chunkTokens = 16
@@ -229,7 +237,7 @@ object Docs {
     // stream → ledger → corpus cycle. (The near-dup variant A34 stays
     // spec-pinned: its accept set is an arrival-order greedy over band
     // collisions, not expressible as one SQL relation.)
-    "doc_crawl_ingest" -> ((s, dir) => {
+    "doc_crawl_ingest" -> ((s, dir) => CdcQ.withStreamPartitions(s) {
       val d = Tables.documents(s, dir)
       val inDir = CdcQ.streamSliceDir(s, d, dir, slices = 3,
         orderCols = Seq(col("doc_id")), tag = "crawl_in")
@@ -512,6 +520,16 @@ object Docs {
     "doc_tfidf" -> ((s, dir) => {
       Unigram.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
         .orderBy(col("doc_id"), desc("tfidf"), col("term"))
+    }),
+
+    // C57: BM25 top-k retrieval — probe texts broadcast against
+    // query-term postings only (the corpus-sized frames are pruned by
+    // a broadcast semi-join before df/scoring touch them); per-query
+    // partial top-k window; score ladder round(9) → scaled-e9 BIGINT
+    "doc_bm25_topk" -> ((s, dir) => {
+      Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
+        bm25Queries, bm25K)
+        .orderBy("qid", "rank")
     }),
 
     // C1: exact dedup over a simulated re-crawl (documents ∪ documents):
@@ -1362,6 +1380,10 @@ object Docs {
         |  FROM sized)
         |SELECT cluster_id, doc_id AS rep_id, n_tokens AS rep_tokens, n_members
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "doc_bm25_topk" ->
+      (Bm25.topKSql("documents", "doc_id", "text", bm25Queries, bm25K) +
+        "\nORDER BY qid, rank"),
 
     "doc_unigram_lp" ->
       (Unigram.logProbScoresSql("documents", "doc_id", "text") +
