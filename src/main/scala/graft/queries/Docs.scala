@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Bm25, Chunking, Curation, Decontaminate, Dedup, MinHash, Packing, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnLsh, Bm25, Chunking, Curation, Decontaminate, Dedup, MinHash, Packing, Pca, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -51,6 +51,12 @@ object Docs {
     "q_stream" -> "stream window watermark agg",
     "q_scan"   -> "vector scan filter predicate")
   private val bm25K = 10
+  // Deterministic frozen projection directions (C58's fixed-direction
+  // demo) — same values inlined into the oracle's VALUES list.
+  // (lazy: kmDim is declared further down this object body)
+  private lazy val pcaDirs: Seq[Seq[Double]] = (0 until 3).map { k =>
+    (0 until kmDim).map(j => ((k * 29 + j * 11) % 11 - 5) / 5.0)
+  }
   private val mixAlpha = 0.5
   private val mixBudget = 1000000L
   private val chunkTokens = 16
@@ -1174,6 +1180,26 @@ object Docs {
         .orderBy("label", "dim")
     }),
 
+    // C58: distributed PCA — the corpus-sized half. One mapPartitions
+    // pass accumulates exact e6-fixed-point first/second moments in an
+    // O(d²) array per chunk (the Gramian/treeAggregate pattern; an
+    // explode-to-pairs plan would shuffle N·d²/2 rows), then ~2k
+    // partial rows reduce via one exact-decimal groupBy. Eigensolve +
+    // whitening run driver-side on this d×d result (PcaSpec).
+    "emb_pca_moments" -> ((s, dir) => {
+      Pca.gramMoments(Tables.embeddings(s, dir), "embedding", kmDim)
+        .orderBy("i", "j")
+    }),
+
+    // C58 (projection side): frozen-direction integer projection —
+    // exact e6×e6 fixed-point dots, scan-local zip_with/aggregate,
+    // no shuffle, no UDF; directions inlined in the oracle
+    "emb_project_fixed" -> ((s, dir) => {
+      Pca.projectFixed(Tables.embeddings(s, dir), "vec_id", "embedding",
+        pcaDirs)
+        .orderBy("vec_id", "k")
+    }),
+
     // C12 (expression side): binary-column ops — digest, byte length,
     // header sniff — over the synthesized media table. The stubbed
     // decode itself is covered by MediaSpec (mapPartitions, no SQL form).
@@ -1962,6 +1988,14 @@ object Docs {
         |SELECT doc_id, pred_lang, quality_score, n_chars FROM q
         |WHERE pred_lang = 'en' AND quality_score >= 0.55
         |ORDER BY doc_id""".stripMargin,
+
+    "emb_pca_moments" ->
+      (Pca.gramMomentsSql("embeddings", "embedding") +
+        "\nORDER BY i, j"),
+
+    "emb_project_fixed" ->
+      (Pca.projectFixedSql("embeddings", "vec_id", "embedding", pcaDirs) +
+        "\nORDER BY vec_id, k"),
 
     "emb_centroid_sums" ->
       """SELECT label::BIGINT AS label, (ord-1)::BIGINT AS dim,
