@@ -383,4 +383,87 @@ object Dedup {
       .join(keepers, "content_hash")
       .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
   }
+
+  /** Substring-level exact dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022): every k-token span
+    * occurring ≥ `minCount` times ANYWHERE in the corpus is marked,
+    * and per document the marked positions merge into maximal
+    * duplicated extents — the spans a curation pass would cut (whole-
+    * document dedup misses templated boilerplate shared by otherwise-
+    * distinct docs; this catches it at token granularity).
+    *
+    * Output: (idCol, span_start, span_end, span_tokens) per merged
+    * span, token offsets 0-based inclusive.
+    *
+    * Scale shape: gram construction is scan-local (posexplode + a
+    * slice against the carried token array — no window, no join);
+    * duplicate detection is one combine-friendly `groupBy(gram)`; the
+    * mark-back is an equi-join on the gram key; the span merge is the
+    * gaps-and-islands pattern — two windows PARTITIONED by doc (docs ≫
+    * cores) over only the duplicated positions. At 100 TB, group on
+    * `xxhash64(gram)` instead of the gram string to cut shuffle bytes
+    * ~6× (collision risk ~n²/2⁶⁴; use the string form, as here, when
+    * exactness is the contract — it is also what keeps the DuckDB
+    * oracle honest). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol), split(col(textCol), " ").as("__a"))
+      .select(col(idCol), col("__a"), posexplode(col("__a")))
+      .where(size(col("__a")) - col("pos") >= k)
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("__a"), col("pos") + 1, lit(k))).as("gram"))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount).select("gram")
+    val spans = grams.join(dup, "gram")
+      .select(col(idCol), col("pos").cast("long").as("s"),
+        (col("pos") + k - 1).cast("long").as("e"))
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    spans
+      .withColumn("__new", when(
+        col("s") > coalesce(max(col("e")).over(wPrev), lit(-1L)),
+        1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("s").as("span_start"), max("e").as("span_end"),
+        (max("e") - min("s") + 1).as("span_tokens"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"))
+  }
+
+  /** DuckDB mirror of [[duplicatedSpans]] — same grams, same
+    * gaps-and-islands merge. */
+  def duplicatedSpansSql(table: String, id: String, text: String,
+                         k: Int, minCount: Long = 2L): String =
+    s"""WITH arr AS (
+       |  SELECT $id, string_split($text, ' ') AS a FROM $table),
+       |toks AS (
+       |  SELECT $id, a, generate_subscripts(a, 1) - 1 AS pos,
+       |         unnest(a) AS tok
+       |  FROM arr),
+       |grams AS (
+       |  SELECT $id, pos, array_to_string(a[pos+1:pos+$k], ' ') AS gram
+       |  FROM toks WHERE len(a) - pos >= $k),
+       |dup AS (SELECT gram FROM grams GROUP BY 1
+       |        HAVING count(*) >= $minCount),
+       |spans AS (
+       |  SELECT $id, pos AS s, pos + $k - 1 AS e
+       |  FROM grams JOIN dup USING (gram)),
+       |flagged AS (
+       |  SELECT $id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY $id
+       |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+       |        AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS f
+       |  FROM spans),
+       |islands AS (
+       |  SELECT *, sum(f) OVER (PARTITION BY $id ORDER BY s) AS isl
+       |  FROM flagged)
+       |SELECT $id, CAST(min(s) AS BIGINT) AS span_start,
+       |       CAST(max(e) AS BIGINT) AS span_end,
+       |       CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
+       |FROM islands GROUP BY $id, isl""".stripMargin
 }

@@ -51,6 +51,9 @@ object Docs {
     "q_stream" -> "stream window watermark agg",
     "q_scan"   -> "vector scan filter predicate")
   private val bm25K = 10
+  // k=6 isolates the planted shared runs at every SF (k=3 drowns in
+  // vocabulary-level coincidence on the ~30-word synthetic lexicon)
+  private val dupSpanK = 6
   // Deterministic frozen projection directions (C58's fixed-direction
   // demo) — same values inlined into the oracle's VALUES list.
   // (lazy: kmDim is declared further down this object body)
@@ -536,6 +539,16 @@ object Docs {
       Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
         bm25Queries, bm25K)
         .orderBy("qid", "rank")
+    }),
+
+    // C59: substring-level exact dedup (Lee et al. 2022) — every
+    // 6-token span occurring ≥2× anywhere in the corpus, merged into
+    // maximal per-doc extents via gaps-and-islands; catches templated
+    // boilerplate whole-document dedup misses
+    "doc_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = dupSpanK)
+        .orderBy("doc_id", "span_start")
     }),
 
     // C1: exact dedup over a simulated re-crawl (documents ∪ documents):
@@ -1406,6 +1419,10 @@ object Docs {
         |  FROM sized)
         |SELECT cluster_id, doc_id AS rep_id, n_tokens AS rep_tokens, n_members
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "doc_dup_spans" ->
+      (Dedup.duplicatedSpansSql("documents", "doc_id", "text",
+        k = dupSpanK) + "\nORDER BY doc_id, span_start"),
 
     "doc_bm25_topk" ->
       (Bm25.topKSql("documents", "doc_id", "text", bm25Queries, bm25K) +
