@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Bm25, Chunking, Curation, Decontaminate, Dedup, MinHash, Packing, Pca, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnLsh, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, MinHash, Packing, Pca, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -539,6 +539,18 @@ object Docs {
       Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
         bm25Queries, bm25K)
         .orderBy("qid", "rank")
+    }),
+
+    // C60: BPE merge learning — the count step of one iteration,
+    // oracle-backed (the sequential merge loop is driver-argmax per
+    // iteration, spec-pinned like KMeans' Lloyd loop): adjacent-pair
+    // extraction is scan-local (slices + arrays_zip + explode), the
+    // count one combine-friendly groupBy carrying |vocab|² rows
+    "doc_bpe_pairs" -> ((s, dir) => {
+      Bpe.pairCounts(
+        Tables.documents(s, dir).select(split(col("text"), " ").as("toks")),
+        "toks")
+        .orderBy("left", "right")
     }),
 
     // C59: substring-level exact dedup (Lee et al. 2022) — every
@@ -1419,6 +1431,10 @@ object Docs {
         |  FROM sized)
         |SELECT cluster_id, doc_id AS rep_id, n_tokens AS rep_tokens, n_members
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "doc_bpe_pairs" ->
+      (Bpe.pairCountsSql("documents", "text") +
+        "\nORDER BY \"left\", \"right\""),
 
     "doc_dup_spans" ->
       (Dedup.duplicatedSpansSql("documents", "doc_id", "text",
