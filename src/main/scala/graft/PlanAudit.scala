@@ -19,6 +19,7 @@ object PlanAudit {
     "cdc_lag", "doc_budget_select",
     "doc_bm25_topk", // 1-row (n_docs, avgdl) corpus-stats broadcast
     "doc_cooc_lift", // 1-row token-total scalar broadcast
+    "doc_dsir_weights", // 1-row (tr, tt) model-total broadcast
     "doc_dedup_incremental",
     "doc_dedup_incremental_bloom", // same 1-row __half boundary agg as doc_dedup_incremental
     "doc_mixture", "doc_tfidf", "doc_unigram_lp", "doc_vocab",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, MinHash, Packing, Pca, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnLsh, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Dsir, MinHash, Packing, Pca, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -539,6 +539,16 @@ object Docs {
       Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
         bm25Queries, bm25K)
         .orderBy("qid", "rank")
+    }),
+
+    // C61: DSIR importance weights — every doc scored by target-vs-
+    // corpus hashed-bigram log-likelihood ratio (target = the en/src0
+    // slice); models are ≤1024-row broadcast aggregates, the corpus
+    // tokenizes and shuffles once
+    "doc_dsir_weights" -> ((s, dir) => {
+      Dsir.importanceWeights(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0" && col("lang") === "en")
+        .orderBy("doc_id")
     }),
 
     // C60: BPE merge learning — the count step of one iteration,
@@ -1431,6 +1441,10 @@ object Docs {
         |  FROM sized)
         |SELECT cluster_id, doc_id AS rep_id, n_tokens AS rep_tokens, n_members
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "doc_dsir_weights" ->
+      (Dsir.importanceWeightsSql("documents", "doc_id", "text",
+        "source = 'src0' AND lang = 'en'") + "\nORDER BY doc_id"),
 
     "doc_bpe_pairs" ->
       (Bpe.pairCountsSql("documents", "text") +
