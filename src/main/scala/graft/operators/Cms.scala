@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch frequency estimation (Cormode & Muthukrishnan
+  * 2005) — the bounded-state answer to "how often does each key
+  * occur" when the key domain is too large to count exactly:
+  * heavy-hitter detection, frequency caps, join-skew pre-detection.
+  * State is a fixed depth×width counter grid however many keys flow
+  * through; estimates only ever over-count (min over depth rows), and
+  * two sketches merge by cell-wise addition — the same
+  * digest-per-scope / merge-later operational shape as the repo's
+  * HLL (operators/Hll.scala).
+  *
+  * Scale shape: hashing is scan-local (`depth` md5-derived row
+  * hashes per key — the house first-8-hex pattern, exact in both
+  * engines); the build is ONE combine-friendly groupBy whose shuffle
+  * carries ≤ depth·width cells per partition, not input rows; the
+  * digest (≤ depth·width rows) broadcasts for estimation joins.
+  *
+  * Determinism: counts are exact longs; hash rows are md5-derived; no
+  * floats anywhere. */
+object Cms {
+
+  val Depth = 4
+  val Width = 256
+
+  /** Row-`j` hash of `key` into [0, width). */
+  def hashCol(j: Int, key: Column, width: Int = Width): Column =
+    conv(substring(md5(concat_ws(":", lit(j.toString),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % width
+
+  private def hashStructs(key: Column, depth: Int, width: Int) =
+    array((0 until depth).map(j =>
+      struct(lit(j.toLong).as("row"), hashCol(j, key, width).as("col"))): _*)
+
+  /** Build the sketch from a key column: (row, col, cnt), ≤
+    * depth·width rows total. */
+  def digest(df: DataFrame, keyCol: String, depth: Int = Depth,
+             width: Int = Width): DataFrame =
+    df.select(explode(hashStructs(col(keyCol), depth, width)).as("h"))
+      .groupBy(col("h.row").as("row"), col("h.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-scope sketches from ONE scan: (grpCol, row, col, cnt) — the
+    * operational shape for digest-per-partition / merge-at-read. */
+  def groupedDigest(df: DataFrame, grpCol: String, keyCol: String,
+                    depth: Int = Depth, width: Int = Width): DataFrame =
+    df.select(col(grpCol),
+        explode(hashStructs(col(keyCol), depth, width)).as("h"))
+      .groupBy(col(grpCol), col("h.row").as("row"), col("h.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Cell-wise merge — sketch(A ⊎ B) == merge(sketch(A), sketch(B))
+    * exactly. */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionAll _)
+      .groupBy("row", "col")
+      .agg(sum("cnt").as("cnt"))
+
+  /** Point estimates for `keys`: (keyCol, n_est) with n_est ≥ the true
+    * count, via min over the sketch's depth rows. The digest side is
+    * ≤ depth·width rows — broadcast. */
+  def estimates(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                depth: Int = Depth, width: Int = Width): DataFrame =
+    keys
+      .select(col(keyCol),
+        explode(hashStructs(col(keyCol), depth, width)).as("h"))
+      .join(broadcast(sketch),
+        col("h.row") === col("row") && col("h.col") === col("col"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+
+  /** DuckDB mirror: exact count + CMS estimate per distinct key of
+    * `table.$key` — same md5 row hashes, same min-over-rows. */
+  def estimateSql(table: String, key: String, depth: Int = Depth,
+                  width: Int = Width): String =
+    s"""WITH keys AS (
+       |  SELECT $key, count(*) AS n_exact FROM $table GROUP BY 1),
+       |hashes AS (
+       |  SELECT $key,
+       |         j, ('0x' || substr(md5(j::VARCHAR || ':' || $key::VARCHAR),
+       |             1, 8))::BIGINT % $width AS col
+       |  FROM $table, range($depth) r(j)),
+       |sketch AS (SELECT j, col, count(*) AS cnt FROM hashes GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT DISTINCT k.$key, j,
+       |         ('0x' || substr(md5(j::VARCHAR || ':' || k.$key::VARCHAR),
+       |             1, 8))::BIGINT % $width AS col
+       |  FROM keys k, range($depth) r(j)),
+       |est AS (
+       |  SELECT p.$key, CAST(min(s.cnt) AS BIGINT) AS n_est
+       |  FROM probe p JOIN sketch s ON p.j = s.j AND p.col = s.col
+       |  GROUP BY 1)
+       |SELECT k.$key, k.n_exact, e.n_est
+       |FROM keys k JOIN est e USING ($key)""".stripMargin
+
+  /** Estimate-only DuckDB form — the `q_cms_merge` oracle: the merge
+    * identity is exact, so the single-sketch estimates ARE the merged
+    * answer. */
+  def estimateOnlySql(table: String, key: String, depth: Int = Depth,
+                      width: Int = Width): String =
+    s"""WITH hashes AS (
+       |  SELECT $key,
+       |         j, ('0x' || substr(md5(j::VARCHAR || ':' || $key::VARCHAR),
+       |             1, 8))::BIGINT % $width AS col
+       |  FROM $table, range($depth) r(j)),
+       |sketch AS (SELECT j, col, count(*) AS cnt FROM hashes GROUP BY 1, 2),
+       |probe AS (SELECT DISTINCT $key, j, col FROM hashes)
+       |SELECT p.$key, CAST(min(s.cnt) AS BIGINT) AS n_est
+       |FROM probe p JOIN sketch s ON p.j = s.j AND p.col = s.col
+       |GROUP BY 1""".stripMargin
+}

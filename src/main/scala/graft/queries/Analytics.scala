@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOf, Hll, Percentile, SeriesLsh, Skew}
+import graft.operators.{AsOf, Cms, Hll, Percentile, SeriesLsh, Skew}
 
 /** Analytics / query-engine surface (SURVEY.md §2.B) with DuckDB oracles.
   *
@@ -876,6 +876,37 @@ object Analytics {
       Hll.distinctEstimate(Tables.orders(s, dir), col("o_custkey"), m = 64)
     }),
 
+    // B47: count-min sketch — bounded-state per-key frequency. The
+    // build shuffles ≤ depth·width cells per partition regardless of
+    // input size; estimates join the ≤1k-row digest as a broadcast.
+    // Output pairs the exact count with the CMS estimate, so the
+    // over-count-only contract is visible in the result itself.
+    "q_cms_freq" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val sketch = Cms.digest(ev, "user_id")
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      exact
+        .join(Cms.estimates(sketch, exact.select("user_id"), "user_id"),
+          "user_id")
+        .orderBy("user_id")
+    }),
+
+    // B47 merge: per-scope digests from ONE scan (grouped build, the
+    // q_hll_merge pattern) merge cell-wise into exactly the full-scan
+    // sketch — the oracle computes the single-sketch estimates, so
+    // parity IS the merge identity, cross-engine.
+    "q_cms_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), pmod(col("user_id"), lit(2L)).as("half"))
+      val grouped = Cms.groupedDigest(ev, "half", "user_id")
+        .localCheckpoint() // both halves filter this ≤2·depth·width frame
+      def half(h: Int) = grouped.where(col("half") === h)
+        .select("row", "col", "cnt")
+      val merged = Cms.merge(half(0), half(1))
+      val keys = ev.select("user_id").distinct()
+      Cms.estimates(merged, keys, "user_id").orderBy("user_id")
+    }),
+
     // B46: LSH-blocked time-series similarity — the 100 TB scale path
     // for B44's guarded all-pairs baseline. Sign-random-projection
     // bands (exact-integer bit rule, md5-derived ±1 components shared
@@ -1538,6 +1569,12 @@ object Analytics {
         |  / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE))), 9) DESC,
         |  user_a, user_b
         |LIMIT 10""".stripMargin,
+
+    "q_cms_freq" ->
+      (Cms.estimateSql("events", "user_id") + "\nORDER BY user_id"),
+
+    "q_cms_merge" ->
+      (Cms.estimateOnlySql("events", "user_id") + "\nORDER BY user_id"),
 
     "q_hll_distinct" ->
       Hll.distinctEstimateSql("orders", "o_custkey", m = 64),

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cms
+
+/** Count-min sketch contracts: estimates never under-count, are exact
+  * when the grid is collision-free, and cell-wise merge reproduces the
+  * single-sketch answer exactly. */
+class CmsSpec extends SparkSpec {
+
+  private def keysDf(ks: Long*) = {
+    import spark.implicits._
+    ks.map(Tuple1(_)).toDF("k")
+  }
+
+  test("estimates are exact with few keys in a wide grid") {
+    val df = keysDf(1L, 1L, 1L, 2L, 2L, 3L)
+    val sketch = Cms.digest(df, "k", depth = 4, width = 4096)
+    val est = Cms.estimates(sketch, df.distinct(), "k", depth = 4,
+        width = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("estimates never under-count, even in a tiny colliding grid") {
+    val df = keysDf((1L to 200L).flatMap(k => Seq.fill(k.toInt % 5 + 1)(k)): _*)
+    val exact = df.groupBy("k").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sketch = Cms.digest(df, "k", depth = 3, width = 16)
+    val est = Cms.estimates(sketch, df.distinct(), "k", depth = 3,
+        width = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"under-count for $k: ${est(k)} < $n")
+    }
+    // a 3x16 grid holding 200 keys MUST over-count somewhere
+    assert(exact.exists { case (k, n) => est(k) > n })
+  }
+
+  test("cell-wise merge equals the single sketch exactly") {
+    val df = keysDf((1L to 100L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k)): _*)
+    val whole = Cms.digest(df, "k")
+    val merged = Cms.merge(
+      Cms.digest(df.where(col("k") % 2 === 0), "k"),
+      Cms.digest(df.where(col("k") % 2 === 1), "k"))
+    val a = whole.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = merged.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+}
