@@ -44,6 +44,8 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    require(queries.nonEmpty && queries.exists(_._2.trim.nonEmpty),
+      "BM25 needs at least one non-empty probe query")
     val qterms = queries.flatMap { case (qid, qt) =>
       qt.split(' ').filter(_.nonEmpty).distinct.map(t => (qid, t))
     }.toDF("qid", "term")
@@ -102,6 +104,9 @@ object Bm25 {
       qt.split(' ').filter(_.nonEmpty).distinct
         .map(t => s"('$qid', '$t')")
     }.mkString(", ")
+    require(qvals.nonEmpty,
+      "BM25 oracle needs at least one non-empty probe query" +
+        " (an empty VALUES list is a SQL syntax error, not an empty result)")
     s"""WITH qterms(qid, term) AS (VALUES $qvals),
        |toks AS (
        |  SELECT $id, unnest(string_split($text, ' ')) AS term

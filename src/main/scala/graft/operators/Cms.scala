@@ -31,9 +31,12 @@ object Cms {
     conv(substring(md5(concat_ws(":", lit(j.toString),
       key.cast("string"))), 1, 8), 16, 10).cast("long") % width
 
-  private def hashStructs(key: Column, depth: Int, width: Int) =
+  private def hashStructs(key: Column, depth: Int, width: Int) = {
+    require(depth >= 1 && width >= 2,
+      s"CMS needs depth >= 1 and width >= 2 (got $depth x $width)")
     array((0 until depth).map(j =>
       struct(lit(j.toLong).as("row"), hashCol(j, key, width).as("col"))): _*)
+  }
 
   /** Build the sketch from a key column: (row, col, cnt), ≤
     * depth·width rows total. */

@@ -40,6 +40,7 @@ object Dsir {
   def hashedBigramFeatures(docs: DataFrame, idCol: String,
                            textCol: String, targetPred: Column,
                            buckets: Int = Buckets): DataFrame = {
+    require(buckets >= 2, s"DSIR needs buckets >= 2 (got $buckets)")
     val a = split(col(textCol), " ")
     val n1 = greatest(size(a) - 1, lit(0))
     val pairs = arrays_zip(slice(a, lit(1), n1), slice(a, lit(2), n1))

@@ -50,6 +50,7 @@ object Pca {
         val sx = new Array[Long](d)
         var n = 0L
         chunk.foreach { q =>
+          require(q != null, "null embedding row in gramMoments input")
           require(q.length == d,
             s"embedding dim ${q.length} != expected $d")
           n += 1
@@ -110,6 +111,8 @@ object Pca {
   def covarianceFromMoments(rows: Seq[(Long, Long, Long, Long)], d: Int,
                             scale: Long = Scale)
       : (Array[Double], Array[Array[Double]], Long) = {
+    require(rows.nonEmpty && rows.head._4 >= 2,
+      "covariance needs n >= 2 rows of moments")
     val n = rows.head._4
     val mean = new Array[Double](d)
     val cov = Array.ofDim[Double](d, d)
@@ -209,6 +212,8 @@ object Pca {
   def projectFixed(embs: DataFrame, idCol: String, vecCol: String,
                    dirs: Seq[Seq[Double]],
                    scale: Long = Scale): DataFrame = {
+    require(dirs.nonEmpty && dirs.forall(_.nonEmpty),
+      "projectFixed needs at least one non-empty direction")
     val quant = transform(col(vecCol),
       x => floor(x.cast("double") * scale).cast("long"))
     val rows = dirs.zipWithIndex.map { case (dir, k) =>
@@ -232,6 +237,9 @@ object Pca {
         s"($k, $dim, ${math.floor(c * scale).toLong})"
       }
     }.mkString(", ")
+    require(vals.nonEmpty,
+      "projectFixed oracle needs at least one non-empty direction" +
+        " (an empty VALUES list is a SQL syntax error, not an empty result)")
     s"""WITH dirs(k, dim, w) AS (VALUES $vals),
        |q AS (
        |  SELECT $id, (ord - 1)::BIGINT AS dim,
