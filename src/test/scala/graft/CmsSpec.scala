@@ -39,6 +39,28 @@ class CmsSpec extends SparkSpec {
     assert(exact.exists { case (k, n) => est(k) > n })
   }
 
+  test("streaming sketch equals the batch sketch exactly") {
+    // The build is an additive groupBy(count), so the SAME code runs
+    // over an unbounded stream in complete mode with depth·width rows
+    // of state; parity with the batch digest is exact, not
+    // approximate (the HLL streaming-registers treatment).
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("cms-stream").toString
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Cms.digest(stream, "user_id")
+      .writeStream.format("memory").queryName("cms_regs_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_regs_stream")
+    val batch = Cms.digest(ev, "user_id")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("cell-wise merge equals the single sketch exactly") {
     val df = keysDf((1L to 100L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k)): _*)
     val whole = Cms.digest(df, "k")
