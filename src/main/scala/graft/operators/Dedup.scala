@@ -384,6 +384,46 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
   }
 
+  /** Corpus snapshot diff — crawl N vs crawl N+1 at document
+    * granularity: which ids appeared, vanished, changed content, or
+    * stayed identical (the curation-side analogue of the CDC net-change
+    * delta; the first question after every re-crawl).
+    *
+    * Scale shape: both sides reduce to (id, 32-byte digest) at the
+    * scan — text never shuffles — then ONE full-outer equi-join on id
+    * classifies every row; counts are a tiny follow-up agg. Bucketing
+    * both snapshot tables by id makes the join exchange-free on a
+    * standing deployment.
+    *
+    * Output: (idCol, disposition ∈ added|removed|changed|unchanged). */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    def digests(df: DataFrame, side: String) = df.select(
+      col(idCol), sha2(col(textCol), 256).as(s"__h_$side"))
+    digests(prev, "p")
+      .join(digests(next, "n"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h_p").isNull, lit("added"))
+          .when(col("__h_n").isNull, lit("removed"))
+          .when(col("__h_p") === col("__h_n"), lit("unchanged"))
+          .otherwise(lit("changed")).as("disposition"))
+  }
+
+  /** DuckDB mirror of [[snapshotDiff]] over two table expressions. */
+  def snapshotDiffSql(prevRel: String, nextRel: String, id: String,
+                      text: String): String =
+    s"""WITH p AS (SELECT $id, sha256($text) AS hp FROM $prevRel),
+       |n AS (SELECT $id, sha256($text) AS hn FROM $nextRel),
+       |j AS (
+       |  SELECT coalesce(p.$id, n.$id) AS $id, hp, hn
+       |  FROM p FULL OUTER JOIN n ON p.$id = n.$id)
+       |SELECT $id,
+       |  CASE WHEN hp IS NULL THEN 'added'
+       |       WHEN hn IS NULL THEN 'removed'
+       |       WHEN hp = hn THEN 'unchanged'
+       |       ELSE 'changed' END AS disposition
+       |FROM j""".stripMargin
+
   /** Substring-level exact dedup ("Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2022): every k-token span
     * occurring ≥ `minCount` times ANYWHERE in the corpus is marked,

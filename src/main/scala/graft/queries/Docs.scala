@@ -563,6 +563,22 @@ object Docs {
         .orderBy("left", "right")
     }),
 
+    // C62: corpus snapshot diff — crawl N vs a deterministically
+    // perturbed crawl N+1 (every id mod 7: 0 removed, 1 changed,
+    // 2 re-added under a new id, rest untouched); both sides reduce
+    // to (id, digest) at the scan, one full-outer id join classifies
+    "doc_corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val next = d.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 1, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionAll(d.where(col("doc_id") % 7 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.snapshotDiff(d, next, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // C59: substring-level exact dedup (Lee et al. 2022) — every
     // 6-token span occurring ≥2× anywhere in the corpus, merged into
     // maximal per-doc extents via gaps-and-islands; catches templated
@@ -1441,6 +1457,18 @@ object Docs {
         |  FROM sized)
         |SELECT cluster_id, doc_id AS rep_id, n_tokens AS rep_tokens, n_members
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "doc_corpus_diff" ->
+      (Dedup.snapshotDiffSql(
+        "documents",
+        """(SELECT doc_id, text || ' rev2' AS text FROM documents
+          |   WHERE doc_id % 7 = 1
+          | UNION ALL
+          | SELECT doc_id, text FROM documents WHERE doc_id % 7 NOT IN (0, 1)
+          | UNION ALL
+          | SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |   WHERE doc_id % 7 = 2) nx""".stripMargin,
+        "doc_id", "text") + "\nORDER BY doc_id"),
 
     "doc_dsir_weights" ->
       (Dsir.importanceWeightsSql("documents", "doc_id", "text",

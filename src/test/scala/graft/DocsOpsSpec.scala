@@ -7,6 +7,16 @@ import graft.queries.Docs
 
 class DocsOpsSpec extends SparkSpec {
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val next = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(prev, next, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("emb_ann_lsh recall@5 vs the exact baseline is >= 0.3") {
     def pairs(name: String): Set[(Long, Long)] =
       Docs.queries(name)(spark, sfDir)
