@@ -202,6 +202,101 @@ object Hll {
     spine.join(merged, Seq("idx"), "left").na.fill(0L, Seq("mj"))
   }
 
+  /** Distinct-overlap (audience-overlap) estimate between two scopes
+    * in ONE scan: |A∩B| = est(A) + est(B) − est(A∪B) by
+    * inclusion-exclusion over three register columns built in a single
+    * m-row aggregation — `max(rank) FILTER (scope)` per register — so
+    * the scan, shuffle, and state cost is that of one sketch, not
+    * three. Rows may satisfy both predicates (scopes need not
+    * partition the input).
+    *
+    * Output (one row): `est_a`, `est_b`, `est_union`, `est_overlap` —
+    * round-4 doubles; the overlap is computed FROM the already-rounded
+    * component estimates (sum/difference of round-4 doubles, identical
+    * IEEE in both engines, re-rounded). Sketch error compounds ~3× for
+    * the difference, and a small TRUE overlap can estimate slightly
+    * negative — that is honest sketch behavior, deliberately not
+    * clamped. Registers absent for a scope are accounted algebraically
+    * via `coalesce(mj, 0)`; registers absent entirely add
+    * `(m − present) · 2^(bits+1)` to every denominator. */
+  def overlapEstimate(df: DataFrame, inA: Column, inB: Column,
+                      keyCol: Column, m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val bits = rankBits(m)
+    val unit = 1L << (bits + 1)
+    val (idx, rank) = idxRank(keyCol, m)
+    val regs = df.select(inA.as("a"), inB.as("b"), idx.as("idx"),
+        rank.as("rank"))
+      .where(col("a") || col("b"))
+      .groupBy(col("idx"))
+      .agg(max(when(col("a"), col("rank"))).as("ma"),
+        max(when(col("b"), col("rank"))).as("mb"),
+        max(col("rank")).as("mu"))
+    def dp(c: String): Column =
+      (coalesce(sum(expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(${bits + 1} - coalesce($c, 0) AS INT))")),
+        lit(0L)) + (lit(m.toLong) - count(lit(1))) * unit)
+    def est(denom: Column): Column =
+      round(lit(alpha(m)) * lit(m.toDouble * m) * lit(math.pow(2, bits + 1))
+        / denom.cast("double"), 4) + lit(0.0)
+    regs
+      .agg(dp("ma").as("__da"), dp("mb").as("__db"), dp("mu").as("__du"))
+      .select(est(col("__da")).as("est_a"), est(col("__db")).as("est_b"),
+        est(col("__du")).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (round(col("est_a") + col("est_b") - col("est_union"), 4) + lit(0.0))
+          .as("est_overlap"))
+  }
+
+  /** DuckDB mirror of [[overlapEstimate]] — same hash, ladder,
+    * FILTER-style register maxes, exact integer denominators, and the
+    * same rounded-components overlap arithmetic. */
+  def overlapEstimateSql(table: String, aExpr: String, bExpr: String,
+                         keyExpr: String, m: Int = 64): String = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val bits = rankBits(m)
+    val shift = Integer.numberOfTrailingZeros(m)
+    val ladder = (bits to 1 by -1)
+      .map(k => s"WHEN v >= ${1L << (k - 1)} THEN ${bits + 1 - k}")
+      .mkString("\n|      ")
+    val scale = (1L << (bits + 1)).toDouble
+    val unit = 1L << (bits + 1)
+    def dp(c: String) =
+      s"coalesce(sum(1::BIGINT << (${bits + 1} - coalesce($c, 0))), 0)" +
+        s" + ($m - count(*)) * $unit"
+    def est(d: String) =
+      s"""round(CAST(${alpha(m)} AS DOUBLE) * CAST(${m.toDouble * m} AS DOUBLE)
+         |    * CAST($scale AS DOUBLE) / CAST($d AS DOUBLE), 4) + 0.0""".stripMargin
+    s"""WITH h AS (
+       |  SELECT ($aExpr) AS a, ($bExpr) AS b,
+       |    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM $table WHERE ($aExpr) OR ($bExpr)),
+       |r AS (
+       |  SELECT a, b, hv % $m AS idx, hv >> $shift AS v FROM h),
+       |rk AS (
+       |  SELECT a, b, idx,
+       |    CASE
+       |      $ladder
+       |      ELSE ${bits + 1} END AS rank
+       |  FROM r),
+       |regs AS (
+       |  SELECT idx,
+       |    max(CASE WHEN a THEN rank END) AS ma,
+       |    max(CASE WHEN b THEN rank END) AS mb,
+       |    max(rank) AS mu
+       |  FROM rk GROUP BY 1),
+       |agg AS (
+       |  SELECT ${dp("ma")} AS da, ${dp("mb")} AS db, ${dp("mu")} AS du
+       |  FROM regs),
+       |e AS (
+       |  SELECT ${est("da")} AS est_a, ${est("db")} AS est_b,
+       |    ${est("du")} AS est_union
+       |  FROM agg)
+       |SELECT est_a, est_b, est_union,
+       |  round(est_a + est_b - est_union, 4) + 0.0 AS est_overlap
+       |FROM e""".stripMargin
+  }
+
   /** The one-row estimate from a register digest (see
     * [[distinctEstimate]] for the math). */
   def estimateFromRegisters(regs: DataFrame, m: Int = 64): DataFrame = {

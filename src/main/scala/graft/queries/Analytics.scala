@@ -876,6 +876,19 @@ object Analytics {
       Hll.distinctEstimate(Tables.orders(s, dir), col("o_custkey"), m = 64)
     }),
 
+    // B48: HLL set algebra — distinct-customer overlap between the
+    // URGENT and LOW priority audiences by inclusion-exclusion over
+    // THREE register columns built in one m-row aggregation (one scan,
+    // one sketch's worth of shuffle/state — never three passes, never
+    // a distinct-pair shuffle). The overlap derives from the rounded
+    // component estimates, so the oracle replays it exactly.
+    "q_hll_overlap" -> ((s, dir) => {
+      Hll.overlapEstimate(Tables.orders(s, dir),
+        inA = col("o_orderpriority") === "1-URGENT",
+        inB = col("o_orderpriority") === "5-LOW",
+        keyCol = col("o_custkey"), m = 64)
+    }),
+
     // B47: count-min sketch — bounded-state per-key frequency. The
     // build shuffles ≤ depth·width cells per partition regardless of
     // input size; estimates join the ≤1k-row digest as a broadcast.
@@ -1578,6 +1591,12 @@ object Analytics {
 
     "q_hll_distinct" ->
       Hll.distinctEstimateSql("orders", "o_custkey", m = 64),
+
+    "q_hll_overlap" ->
+      Hll.overlapEstimateSql("orders",
+        aExpr = "o_orderpriority = '1-URGENT'",
+        bExpr = "o_orderpriority = '5-LOW'",
+        keyExpr = "o_custkey", m = 64),
 
     // Deliberately the FULL-TABLE sketch: sketch-then-merge over a
     // disjoint split must reproduce it exactly.

@@ -116,6 +116,47 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("overlap: component estimates match single-scope sketches and " +
+    "inclusion-exclusion holds on the rounded components") {
+    val o = Tables.orders(spark, sfDir)
+    val inA = col("o_orderpriority") === "1-URGENT"
+    val inB = col("o_orderpriority") === "5-LOW"
+    val r = Hll.overlapEstimate(o, inA, inB, col("o_custkey")).first()
+    // The three register columns come from one aggregation, but each
+    // must equal the estimate a dedicated single-scope sketch produces.
+    val estA = Hll.distinctEstimate(o.where(inA), col("o_custkey"))
+      .first().getAs[Double]("est_hll")
+    val estB = Hll.distinctEstimate(o.where(inB), col("o_custkey"))
+      .first().getAs[Double]("est_hll")
+    val estU = Hll.distinctEstimate(o.where(inA || inB), col("o_custkey"))
+      .first().getAs[Double]("est_hll")
+    assert(r.getAs[Double]("est_a") === estA)
+    assert(r.getAs[Double]("est_b") === estB)
+    assert(r.getAs[Double]("est_union") === estU)
+    val io = BigDecimal(estA + estB - estU)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("est_overlap") - io) <= 1e-9)
+  }
+
+  test("overlap: identical scopes estimate zero extra; disjoint keys " +
+    "estimate near-zero overlap") {
+    val keys = spark.range(20000).selectExpr("CAST(id AS STRING) AS k",
+      "id % 2 = 0 AS even")
+    // A == B: union == both components, overlap == the common estimate.
+    val same = Hll.overlapEstimate(keys, lit(true), lit(true), col("k"),
+      m = 256).first()
+    assert(same.getAs[Double]("est_a") === same.getAs[Double]("est_union"))
+    assert(math.abs(same.getAs[Double]("est_overlap")
+      - same.getAs[Double]("est_a")) <= 1e-9)
+    // Disjoint scopes: true overlap 0; sketch error compounds ~3x over
+    // the ~6.5% SE at m=256, so allow |overlap| <= 25% of a component.
+    val dis = Hll.overlapEstimate(keys, col("even"), !col("even"),
+      col("k"), m = 256).first()
+    assert(math.abs(dis.getAs[Double]("est_overlap"))
+      <= 0.25 * dis.getAs[Double]("est_a"),
+      s"overlap=${dis.getAs[Double]("est_overlap")}")
+  }
+
   test("sketch is deterministic: identical digest across runs") {
     val o = Tables.orders(spark, sfDir)
     val a = Hll.distinctEstimate(o, col("o_custkey")).first()
