@@ -644,6 +644,14 @@ object Analytics {
         .orderBy("segment")
     }),
 
+    // B36b: join-key skew profile — the diagnostics pass BEFORE
+    // choosing a salted join: top-10 heaviest lineitem part keys with
+    // the global distribution (skew_factor = max/mean per-key weight).
+    // One key-agg shuffle + a K-row heap per partition; stats broadcast.
+    "q_skew_report" -> ((s, dir) => {
+      Skew.keyProfile(Tables.lineitem(s, dir), "l_partkey", topK = 10)
+    }),
+
     // B32: event funnel view→click→purchase — each stage is "first
     // qualifying event strictly after the previous stage's first", so
     // every step is an equi-join on user_id + one partial-agg shuffle;
@@ -1503,6 +1511,9 @@ object Analytics {
         |    AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_report" ->
+      Skew.keyProfileSql("lineitem", "l_partkey", topK = 10),
 
     "q_funnel" ->
       """WITH fv AS (

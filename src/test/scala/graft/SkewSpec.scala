@@ -29,6 +29,30 @@ class SkewSpec extends SparkSpec {
     assert(got.where(col("k") === 99 && col("attr").isNull).count() === 1)
   }
 
+  test("keyProfile: stats match exact recompute, top-K ordered, " +
+    "skewed input flagged") {
+    import spark.implicits._
+    // 1 viral key (500 rows) + 100 uniform keys (5 rows each)
+    val rows = (0 until 500).map(_ => 7L) ++
+      (1 to 100).flatMap(k => Seq.fill(5)(1000L + k))
+    val df = rows.toDF("k")
+    val got = Skew.keyProfile(df, "k", topK = 3).collect()
+    assert(got.length === 3)
+    assert(got.head.getAs[Long]("key") === 7L)
+    assert(got.head.getAs[Long]("cnt") === 500L)
+    assert(got.head.getAs[Long]("n_keys") === 101L)
+    assert(got.head.getAs[Long]("total_rows") === 1000L)
+    assert(got.head.getAs[Long]("max_cnt") === 500L)
+    assert(got.head.getAs[Double]("med_cnt") === 5.0)
+    // mean = 1000/101 ≈ 9.9 → skew_factor = 500/9.9 ≈ 50.5
+    assert(got.head.getAs[Double]("skew_factor") > 50.0)
+    assert(got.head.getAs[Double]("share") === 0.5)
+    // remaining rows are uniform keys, deterministically tie-broken
+    assert(got(1).getAs[Long]("cnt") === 5L)
+    assert(got(1).getAs[Long]("key") === 1001L)
+    assert(got(2).getAs[Long]("key") === 1002L)
+  }
+
   test("salt actually spreads a viral key across salt values") {
     import spark.implicits._
     // one hot key with many distinct payloads (distinct rows → distinct
