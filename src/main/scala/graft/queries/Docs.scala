@@ -149,6 +149,31 @@ object Docs {
         .orderBy("split")
     }),
 
+    // C20b: LEAKAGE-SAFE split — near-dup clusters go WHOLE into one
+    // split by hashing the cluster representative (component-min
+    // doc_id); docs inherit the rep's bucket. The plain per-doc split
+    // scatters paraphrase duplicates across train/eval — the classic
+    // contamination path a dedup pass alone doesn't close when near-
+    // dups are deliberately kept. Cost over doc_split: the near-dup
+    // pair stage (banded, never all-pairs) + one left join; the split
+    // itself stays a scan-local hash.
+    "doc_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = Dedup.clusters(
+        MinHash.neardupPairs(docs, idCol = "doc_id", textCol = "text",
+          threshold = 0.5))
+      val withRep = docs.join(labels, Seq("doc_id"), "left")
+        .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+      Sampling.assignSplit(withRep, "rep_id", splitSpec)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+            .as("n_clustered"),
+          count_distinct(col("rep_id")).as("n_groups"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    }),
+
     // C21: stratified deterministic sample — per-language keep rates
     // (training-mix rebalance) as a scan-local filter, engine-portable
     "doc_sample_stratified" -> ((s, dir) => {
@@ -1523,6 +1548,29 @@ object Docs {
          |       count(*) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_split_leakage_safe" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id_a, id_b FROM (${MinHash.minhashOracleSql("documents", 0.5)}) mm),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS doc_id, a AS cluster_id FROM edges
+         |  UNION
+         |  SELECT e.a, r.cluster_id FROM edges e JOIN reach r ON e.b = r.doc_id),
+         |labels AS (
+         |  SELECT doc_id, min(cluster_id) AS cluster_id FROM reach GROUP BY 1),
+         |d AS (
+         |  SELECT dd.doc_id, dd.n_chars, l.cluster_id,
+         |         coalesce(l.cluster_id, dd.doc_id) AS rep_id
+         |  FROM documents dd LEFT JOIN labels l ON dd.doc_id = l.doc_id)
+         |SELECT ${Sampling.splitCaseSql("rep_id", splitSpec)} AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clustered,
+         |  count(DISTINCT rep_id) AS n_groups,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "doc_sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents

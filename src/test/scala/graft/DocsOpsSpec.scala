@@ -152,6 +152,34 @@ class DocsOpsSpec extends SparkSpec {
       Seq((51, 13), (38, 13), (25, 13), (12, 13), (0, 12)))
   }
 
+  test("leakage-safe split: no near-dup cluster ever spans two splits, " +
+    "and singletons keep the plain per-doc assignment") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sfDir)
+    val labels = Dedup.clusters(
+      MinHash.neardupPairs(docs, idCol = "doc_id", textCol = "text",
+        threshold = 0.5))
+    val withRep = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+    val split = Sampling.assignSplit(withRep, "rep_id",
+      Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+    // the invariant the operator exists for: 1 split per cluster
+    val spanning = split.where(col("cluster_id").isNotNull)
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .where(col("n_splits") > 1)
+    assert(spanning.count() === 0)
+    assert(labels.count() > 0, "testdata must contain near-dup clusters")
+    // docs with no near-dup: rep_id == doc_id, so the assignment is
+    // exactly doc_split's — mixing the two split modes stays coherent
+    val plain = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("split").as("plain_split"))
+    val singletons = split.where(col("cluster_id").isNull)
+      .select("doc_id", "split").join(plain, "doc_id")
+    assert(singletons.where(col("split") =!= col("plain_split")).count() === 0)
+  }
+
   test("clusters: chains and cliques collapse to the component-min label") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), clique {7,8,9}, isolated pair {20,21}
