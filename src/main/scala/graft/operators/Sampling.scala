@@ -173,6 +173,53 @@ object Sampling {
       .drop("__band", "__s2", "__band2", "__cum_in_band", "__offset")
   }
 
+  /** Keep the top `keepPct`% of each stratum by score — the
+    * quality-percentile pruning rule ("drop the worst 60% of every
+    * domain"), selected by EXACT integer rank so both engines agree on
+    * every boundary row: a stratum of n rows keeps rank ≤
+    * ceil(n·keepPct/100) under (score desc, id) order — never a
+    * floating threshold comparison on the score itself.
+    *
+    * Scale shape: the same banded prefix-sum decomposition as
+    * [[budgetSelect]] — ranks come from a window over (stratum, band)
+    * plus a broadcast per-band row-count offset, so a huge stratum
+    * sorts as `bands` independent partitions instead of one hot
+    * reducer; per-stratum totals join broadcast-size. Equal scores
+    * always share a band (banding is a pure function of the score), so
+    * offset + in-band rank IS the per-stratum rank. */
+  def topPctPerStratum(df: DataFrame, idCol: String, scoreCol: String,
+                       stratumCol: String, keepPct: Int,
+                       bands: Int = 20): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100, "keepPct must be in 1..100")
+    import org.apache.spark.sql.expressions.Window
+    val band = lit(bands - 1) - floor(col(scoreCol) * bands).cast("long")
+    val banded = df.withColumn("__band",
+      greatest(lit(0L), least(lit(bands - 1L), band)))
+    val w = Window.partitionBy(col(stratumCol), col("__band"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val inBand = banded.withColumn("__rk_in_band",
+      row_number().over(w).cast("long"))
+    val totals = banded.groupBy(col(stratumCol), col("__band"))
+      .agg(count(lit(1)).as("__band_n"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"),
+        col(s"b.$stratumCol") === col(s"a.$stratumCol") &&
+          col("b.__band") < col("a.__band"), "left")
+      .groupBy(col(s"a.$stratumCol").as("__s2"),
+        col("a.__band").as("__band2"))
+      .agg(coalesce(sum(col("b.__band_n")), lit(0L)).as("__offset"))
+    val strataN = totals.groupBy(col(stratumCol).as("__s3"))
+      .agg(sum(col("__band_n")).as("__n"))
+    inBand
+      .join(broadcast(offsets),
+        col(stratumCol) === col("__s2") && col("__band") === col("__band2"))
+      .join(broadcast(strataN), col(stratumCol) === col("__s3"))
+      .where(col("__offset") + col("__rk_in_band") <=
+        expr(s"CAST((__n * $keepPct + 99) DIV 100 AS BIGINT)"))
+      .drop("__band", "__s2", "__band2", "__rk_in_band", "__s3", "__n",
+        "__offset")
+  }
+
   /** Fixed-size deterministic sample PER STRATUM — n docs from every
     * stratum regardless of stratum size (the balanced eval-set / human-
     * review draw, vs [[stratifiedSample]]'s rate-based mix). "Random

@@ -224,6 +224,34 @@ object Docs {
         .orderBy(col("source"), desc("score"), col("doc_id"))
     }),
 
+    // C30b: quality-percentile pruning — keep the top 40% of each
+    // source by quality score, selected by EXACT integer rank
+    // (rank ≤ ceil(n·40/100) under score-desc, doc_id order) so both
+    // engines agree on every boundary row. Banded prefix-sum ranks: a
+    // huge source sorts as `bands` independent partitions, never one
+    // hot reducer. Report: per-source kept/total, the kept-score
+    // floor, and kept bytes.
+    "doc_prune_quality" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val nUniq = size(array_distinct(toks)).cast("long")
+      val score = round(least(lit(1.0), nTokens.cast("double") / 100.0)
+        * (lit(0.5) + lit(0.5) * (nUniq.cast("double") / nTokens)), 4)
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), col("n_chars"), score.as("score"))
+      val kept = Sampling.topPctPerStratum(scored, "doc_id", "score",
+          "source", keepPct = 40)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("score")).as("min_kept_score"),
+          sum(col("n_chars")).as("kept_chars"))
+      scored.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(kept, "source")
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("min_kept_score"), col("kept_chars"))
+        .orderBy("source")
+    }),
+
     // C31: layout round-trip — the corpus (minus text: layout is about
     // key clustering, not payload) goes to disk through each layout
     // writer (range-sorted on doc_id, hive-partitioned on lang,
@@ -1988,6 +2016,29 @@ object Docs {
         |SELECT source, doc_id, n_tokens, score, cum_tokens FROM c
         |WHERE cum_tokens <= $budgetTokensPerSource
         |ORDER BY source, score DESC, doc_id""".stripMargin,
+
+    "doc_prune_quality" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (0.5 + 0.5 * (len(list_distinct(string_split(text, ' ')))
+        |                      / len(string_split(text, ' ')))), 4) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM q)
+        |SELECT source,
+        |  CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN rk <= (n * 40 + 99) // 100
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min(CASE WHEN rk <= (n * 40 + 99) // 100 THEN score END)
+        |    AS min_kept_score,
+        |  CAST(sum(CASE WHEN rk <= (n * 40 + 99) // 100 THEN n_chars END)
+        |    AS BIGINT) AS kept_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "doc_mixture" ->
       Sampling.mixtureWeightsSql("documents", "source",

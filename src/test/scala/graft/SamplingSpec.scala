@@ -112,6 +112,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("topPctPerStratum: equals the per-stratum global-window rank rule " +
+    "(ceil boundary, ties, every band count)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // stratum sizes 80/81/79/80/80 → ceil exercises both boundary cases
+    val rows = (1L to 400L).map { id =>
+      (id, "s" + (id % 5),
+        math.rint(((id * 13) % 21) / 20.0 * 10000) / 10000)
+    }
+    val df = rows.toDF("doc_id", "stratum", "score")
+    for (pct <- Seq(1, 40, 99, 100); bands <- Seq(1, 5, 20)) {
+      val got = Sampling.topPctPerStratum(df, "doc_id", "score",
+        "stratum", pct, bands)
+      val ref = df
+        .withColumn("rk", row_number().over(Window.partitionBy(col("stratum"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("stratum"))))
+        .where(col("rk") <= expr(s"CAST((n * $pct + 99) DIV 100 AS BIGINT)"))
+      assert(got.select("doc_id").exceptAll(ref.select("doc_id")).count() === 0
+        && got.count() === ref.count(), s"pct=$pct bands=$bands")
+    }
+    // keepPct=100 keeps everything
+    assert(Sampling.topPctPerStratum(df, "doc_id", "score", "stratum", 100)
+      .count() === 400)
+  }
+
   test("weightedSample: fixed size, deterministic, weight-biased, no -inf keys") {
     val n = 100
     val s1 = Sampling.weightedSample(docs, "doc_id", col("n_chars"), n)
