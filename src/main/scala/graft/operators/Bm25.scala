@@ -95,6 +95,63 @@ object Bm25 {
         col(idCol), col("n_terms"), col("score_e9"))
   }
 
+  /** Reciprocal-rank fusion of a retrieval ranking with a second
+    * per-document signal — the standard rerank when two rankings have
+    * incomparable score scales (BM25 relevance vs a quality/centrality
+    * prior): fused = 1/(c + rank₁) + 1/(c + rank₂), c = 60 per the RRF
+    * paper (Cormack et al. 2009). Ranks are INTEGERS, so the only
+    * doubles are two small-int divisions summed in a fixed order,
+    * rounded e9 and stored as exact BIGINT — engine-exact like the
+    * BM25 score ladder.
+    *
+    * `hits` is a [[topK]]-shaped frame (qid, rank, id, …) —
+    * |queries|·k rows, broadcast into the join against the
+    * corpus-sized `scores` (id, score) frame, which is probed, never
+    * shuffled. The second ranking is computed AMONG each query's
+    * candidates (k-row windows), which is what a reranker sees. */
+  def rrfRerank(hits: DataFrame, scores: DataFrame, idCol: String,
+                c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = scores.join(broadcast(hits), idCol)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(desc("score"), col(idCol))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(desc("rrf_e9"), col(idCol))
+    cand
+      .withColumn("q_rank", row_number().over(wq).cast("long"))
+      .withColumn("rrf_e9",
+        (round(lit(1.0) / (lit(c.toDouble) + col("rank"))
+          + lit(1.0) / (lit(c.toDouble) + col("q_rank")), 9) * 1e9)
+          .cast("decimal(38,0)").cast("long"))
+      .withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .select(col("qid"), col("fused_rank"), col(idCol),
+        col("rank").as("bm25_rank"), col("q_rank"), col("rrf_e9"))
+  }
+
+  /** DuckDB mirror of [[rrfRerank]] over [[topKSql]]'s output shape:
+    * `hitsSql` must yield (qid, rank, id, …); `scoreExpr` is the
+    * second signal computed per document of `table`. */
+  def rrfRerankSql(hitsSql: String, table: String, id: String,
+                   scoreExpr: String, c: Int = 60): String =
+    s"""WITH b AS (SELECT * FROM ($hitsSql) tk),
+       |qs AS (SELECT $id, $scoreExpr AS score FROM $table),
+       |j AS (SELECT b.qid, b.rank, b.$id, qs.score
+       |      FROM b JOIN qs USING ($id)),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, $id) AS q_rank
+       |  FROM j),
+       |f AS (
+       |  SELECT qid, $id, rank AS bm25_rank, q_rank,
+       |    CAST(CAST(round(1.0 / ($c + rank) + 1.0 / ($c + q_rank), 9)
+       |      * 1e9 AS DECIMAL(38,0)) AS BIGINT) AS rrf_e9
+       |  FROM r)
+       |SELECT qid,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf_e9 DESC, $id) AS fused_rank,
+       |  $id, bm25_rank, q_rank, rrf_e9
+       |FROM f""".stripMargin
+
   /** DuckDB mirror of [[topK]] — same query set, same round(9) ladder,
     * same scaled-e9 integer sum, same doc-id tiebreak. */
   def topKSql(table: String, id: String, text: String,

@@ -594,6 +594,24 @@ object Docs {
         .orderBy("qid", "rank")
     }),
 
+    // C57b: quality-aware retrieval — RRF-fuse the BM25 relevance rank
+    // with a per-candidate quality rank (1/(60+r₁) + 1/(60+r₂), the
+    // Cormack RRF rule): the training-data-selection rerank when
+    // relevance and quality scales are incomparable. Candidates stay
+    // |queries|·k rows end-to-end (broadcast into the quality join).
+    "doc_bm25_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hits = Bm25.topK(docs, "doc_id", "text", bm25Queries, bm25K)
+      val toks = Text.tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val nUniq = size(array_distinct(toks)).cast("long")
+      val score = round(least(lit(1.0), nTokens.cast("double") / 100.0)
+        * (lit(0.5) + lit(0.5) * (nUniq.cast("double") / nTokens)), 4)
+      Bm25.rrfRerank(hits, docs.select(col("doc_id"), score.as("score")),
+          "doc_id")
+        .orderBy("qid", "fused_rank")
+    }),
+
     // C61: DSIR importance weights — every doc scored by target-vs-
     // corpus hashed-bigram log-likelihood ratio (target = the en/src0
     // slice); models are ≤1024-row broadcast aggregates, the corpus
@@ -1538,6 +1556,15 @@ object Docs {
     "doc_bm25_topk" ->
       (Bm25.topKSql("documents", "doc_id", "text", bm25Queries, bm25K) +
         "\nORDER BY qid, rank"),
+
+    "doc_bm25_rrf" ->
+      (Bm25.rrfRerankSql(
+        Bm25.topKSql("documents", "doc_id", "text", bm25Queries, bm25K),
+        "documents", "doc_id",
+        """round(least(1.0, len(string_split(text, ' ')) / 100.0)
+          |      * (0.5 + 0.5 * (len(list_distinct(string_split(text, ' ')))
+          |                      / len(string_split(text, ' ')))), 4)"""
+          .stripMargin) + "\nORDER BY qid, fused_rank"),
 
     "doc_unigram_lp" ->
       (Unigram.logProbScoresSql("documents", "doc_id", "text") +

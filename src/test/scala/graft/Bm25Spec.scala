@@ -53,4 +53,33 @@ class Bm25Spec extends SparkSpec {
     assert(out.length == 2)
     assert(out.map(_.getLong(1)).toSeq.sorted == Seq(1L, 2L))
   }
+
+  test("rrfRerank: a strong quality prior lifts a low-relevance hit; " +
+    "flat priors fuse predictably; output is deterministic") {
+    import org.apache.spark.sql.functions._
+    val hits = Bm25.topK(corpus, "doc_id", "text", Seq("q" -> "cat"), k = 4)
+    // BM25 order is 1, 2, 6, 3; a flat prior ranks candidates by the
+    // id tiebreak (1, 2, 3, 6). Docs 6 and 3 hold rank pairs (3,4) /
+    // (4,3) — symmetric, so their rrf sums TIE exactly and the id
+    // tiebreak puts 3 first: fused order 1, 2, 3, 6.
+    val flat = corpus.select(col("doc_id"), lit(0.5).as("score"))
+    val fusedFlat = Bm25.rrfRerank(hits, flat, "doc_id")
+      .orderBy("fused_rank").collect()
+    assert(fusedFlat.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 6L))
+    assert(fusedFlat.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // prior that loves the LAST bm25 hit (doc 3, the long filler doc):
+    // 1/(60+4)+1/(60+1) > 1/(60+1)+1/(60+2) is false — RRF is a blend,
+    // so doc 3 with q_rank 1 must BEAT a doc whose both ranks are worse
+    val biased = corpus.select(col("doc_id"),
+      when(col("doc_id") === 3L, 1.0).otherwise(0.1).as("score"))
+    val fused = Bm25.rrfRerank(hits, biased, "doc_id")
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    val bm25Rank = hits.collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(bm25Rank(3L) === 4L)
+    assert(fused(3L) < 4L, s"quality prior should lift doc 3: $fused")
+    // determinism
+    val again = Bm25.rrfRerank(hits, biased, "doc_id")
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(again === fused)
+  }
 }
