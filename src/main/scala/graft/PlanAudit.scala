@@ -18,6 +18,8 @@ object PlanAudit {
   val expectedBnlj: Set[String] = Set(
     "cdc_lag", "doc_budget_select",
     "doc_bm25_topk", // 1-row (n_docs, avgdl) corpus-stats broadcast
+    "doc_bm25_rrf", // same 1-row BM25 corpus-stats broadcast, inherited
+    "q_skew_report", // 1-row key-distribution stats broadcast
     "doc_cooc_lift", // 1-row token-total scalar broadcast
     "doc_dsir_weights", // 1-row (tr, tt) model-total broadcast
     "doc_dedup_incremental",
