@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Product quantization (Jégou et al. 2011) — the compressed ANN tier
+  * between int8 quantization (C38: 4× smaller, same dimensionality)
+  * and IVF bucketing (C15: fewer candidates, full-width vectors): the
+  * vector splits into `numSub` subspaces, each encoded as the id of
+  * its nearest sub-centroid, so a d-float vector becomes `numSub`
+  * small integers and query-time scoring never touches the original
+  * floats — at 100 TB the ANN scan reads a few bytes per vector
+  * instead of 4·d, and the fat vectors are read ONCE (at encode).
+  *
+  * Scoring is ADC (asymmetric distance computation) up to a
+  * probe-side constant: nearest-by-L2 sub-centroid satisfies
+  * argmin‖x−c‖² = argmax(2·x·c − ‖c‖²) since ‖x‖² is constant per
+  * row, and the same identity makes Σ_s t_s[code_s] with
+  * t_s[c] = 2·p_s·c − ‖c‖² a ranking-equivalent stand-in for the true
+  * ADC distance (the dropped Σ_s‖p_s‖² is probe-constant). Both sides
+  * use the repo's cross-engine ladder: round(·, 9) per subspace score,
+  * scaled-e9 BIGINT table entries, integer ADC sums, leftmost-argmax
+  * CASE chains — the k-means assignment parity argument
+  * (queries/Docs.scala kmScoreSql) applied per subspace.
+  *
+  * The codebook is a pure function of (subspace, centroid, dim) — the
+  * fixed-centroid discipline the k-means oracle established — so the
+  * Spark literals and the DuckDB SQL are generated from the same
+  * constants and engines cannot drift. A learned codebook drops in by
+  * replacing [[centroid]]; the encode/ADC plumbing is codebook-
+  * agnostic. */
+object Pq {
+
+  /** Fixed sub-centroid: component j of centroid c in subspace s. */
+  def centroid(numSub: Int, subDim: Int, s: Int, c: Int): Seq[Double] =
+    (0 until subDim).map(j => ((s * 7 + c * 31 + j * 17) % 13 - 6) / 24.0)
+
+  private def normSq(cent: Seq[Double]): Double =
+    cent.foldLeft(0.0)((acc, x) => acc + x * x)
+
+  /** Per-subspace nearest-centroid scores s0..s{k-1} for the subvector
+    * at `s` — round(2·x·c − ‖c‖², 9), the L2-argmin surrogate. */
+  private def subScores(vec: Column, numSub: Int, k: Int, subDim: Int,
+                        s: Int): Seq[Column] = {
+    val sub = Vectors.toDouble(slice(vec, s * subDim + 1, subDim))
+    (0 until k).map { c =>
+      val cent = centroid(numSub, subDim, s, c)
+      round(lit(2.0) * Vectors.dot(sub, array(cent.map(lit): _*))
+        - lit(normSq(cent)), 9)
+    }
+  }
+
+  /** Leftmost argmax over score columns — the code for one subspace. */
+  private def argmaxChain(scores: Seq[Column]): Column =
+    scores.indices.dropRight(1).foldRight(
+      lit((scores.size - 1).toLong): Column) { case (c, acc) =>
+      val geAllLater = (c + 1 until scores.size)
+        .map(j => scores(c) >= scores(j)).reduce(_ && _)
+      when(geAllLater, lit(c.toLong)).otherwise(acc)
+    }
+
+  /** Encode: (id, code0..code{numSub-1}) — a scan-local projection
+    * (the one pass that reads the full-width vectors). */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             numSub: Int = 16, k: Int = 16, subDim: Int = 4): DataFrame = {
+    require(numSub >= 1 && k >= 2 && subDim >= 1,
+      "need numSub >= 1, k >= 2, subDim >= 1")
+    val codes = (0 until numSub).map(s =>
+      argmaxChain(subScores(col(vecCol), numSub, k, subDim, s))
+        .as(s"code$s"))
+    df.select(col(idCol) +: codes: _*)
+  }
+
+  /** ADC top-`topK` per probe over the ENCODED corpus: probes carry a
+    * broadcast per-subspace table of scaled-e9 scores; each corpus row
+    * contributes `numSub` integer table lookups — the original corpus
+    * vectors are never touched at query time. */
+  def annTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, topK: Int, numSub: Int = 16, k: Int = 16,
+              subDim: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = encode(corpus, idCol, vecCol, numSub, k, subDim)
+    val tables = (0 until numSub).map { s =>
+      array(subScores(col(vecCol), numSub, k, subDim, s)
+        .map(sc => (sc * 1e9).cast("decimal(38,0)").cast("long")): _*)
+        .as(s"t$s")
+    }
+    val p = probes.select(col(idCol).as("probe_id") +: tables: _*)
+    val adc = (0 until numSub)
+      .map(s => element_at(col(s"t$s"), (col(s"code$s") + 1).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("adc_e9"), col(idCol))
+    codes.crossJoin(broadcast(p))
+      .withColumn("adc_e9", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col(idCol).as("neighbor_id"),
+        col("adc_e9"))
+  }
+
+  private def centSql(cent: Seq[Double]): String =
+    cent.mkString("[", ", ", "]")
+
+  /** DuckDB fragment: the subspace-s score of centroid c for `vec`. */
+  private def subScoreSql(vec: String, numSub: Int, subDim: Int,
+                          s: Int, c: Int): String = {
+    val cent = centroid(numSub, subDim, s, c)
+    val sub = s"list_transform($vec[${s * subDim + 1}:${(s + 1) * subDim}]," +
+      " x -> CAST(x AS DOUBLE))"
+    s"round(2.0 * list_dot_product($sub, ${centSql(cent)}) - ${normSq(cent)}, 9)"
+  }
+
+  /** DuckDB mirror of [[annTopK]] — same centroids, ladder, argmax
+    * chains, e9 tables, and integer ADC sums. */
+  def annTopKSql(table: String, id: String, vec: String,
+                 corpusPred: String, probePred: String, topK: Int,
+                 numSub: Int = 16, k: Int = 16, subDim: Int = 4): String = {
+    def scoreCols(alias: String) = (0 until numSub).flatMap(s =>
+      (0 until k).map(c =>
+        s"${subScoreSql(vec, numSub, subDim, s, c)} AS ${alias}_${s}_$c"))
+      .mkString(",\n|    ")
+    def codeChain(s: Int) = {
+      val whens = (0 until k - 1).map { c =>
+        val conds = (c + 1 until k).map(j => s"s_${s}_$c >= s_${s}_$j")
+          .mkString(" AND ")
+        s"WHEN $conds THEN $c"
+      }.mkString(" ")
+      s"CASE $whens ELSE ${k - 1} END AS code$s"
+    }
+    def tableCols = (0 until numSub).flatMap(s =>
+      (0 until k).map(c =>
+        s"CAST(CAST(p_${s}_$c * 1e9 AS DECIMAL(38,0)) AS BIGINT)" +
+          s" AS t_${s}_$c")).mkString(",\n|    ")
+    def lookup(s: Int) =
+      s"(CASE code$s ${(0 until k).map(c => s"WHEN $c THEN t_${s}_$c")
+        .mkString(" ")} END)"
+    val adc = (0 until numSub).map(lookup).mkString(" + ")
+    s"""WITH cs AS (
+       |  SELECT $id,
+       |    ${scoreCols("s")}
+       |  FROM $table WHERE $corpusPred),
+       |codes AS (
+       |  SELECT $id, ${(0 until numSub).map(codeChain).mkString(",\n|    ")}
+       |  FROM cs),
+       |ps AS (
+       |  SELECT $id AS probe_id,
+       |    ${scoreCols("p")}
+       |  FROM $table WHERE $probePred),
+       |pt AS (
+       |  SELECT probe_id,
+       |    $tableCols
+       |  FROM ps),
+       |j AS (
+       |  SELECT pt.probe_id, codes.$id AS neighbor_id, $adc AS adc_e9
+       |  FROM codes CROSS JOIN pt),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adc_e9 DESC, neighbor_id) AS rank
+       |  FROM j)
+       |SELECT probe_id, rank, neighbor_id, adc_e9
+       |FROM r WHERE rank <= $topK""".stripMargin
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Dsir, MinHash, Packing, Pca, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnLsh, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Dsir, MinHash, Packing, Pca, Pq, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -803,6 +803,21 @@ object Docs {
             .as("embedding"))
       Similarity.annTopK(qcorpus, e.where(col("vec_id") < 8),
           idCol = "vec_id", vecCol = "embedding", k = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // C62: product-quantization ANN — the byte-budget search tier:
+    // the corpus collapses to numSub codes per vector in ONE
+    // full-width pass; query-time ADC is integer table lookups over
+    // the codes (original floats never re-read). Fixed formula-derived
+    // codebook (the k-means-oracle discipline) keeps both engines on
+    // identical literals; recall vs exact L2 pinned in PqSpec.
+    "emb_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Pq.annTopK(
+        corpus = e.where(col("vec_id") >= 8),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", topK = 5)
         .orderBy("probe_id", "rank")
     }),
 
@@ -1920,6 +1935,11 @@ object Docs {
         |  ${scrubSql("'u' || doc_id || '@example.org tel 555-123-4567 ssn 123-45-6789 t: ' || substr(text, 1, 40)")}
         |    AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "emb_ann_pq" ->
+      (Pq.annTopKSql("embeddings", "vec_id", "embedding",
+        corpusPred = "vec_id >= 8", probePred = "vec_id < 8", topK = 5) +
+        "\nORDER BY probe_id, rank"),
 
     "emb_ann_topk_q" ->
       s"""WITH e AS (
