@@ -27,6 +27,7 @@ object PlanAudit {
     "doc_mixture", "doc_tfidf", "doc_unigram_lp", "doc_vocab",
     "emb_ann_ivf", "emb_ann_topk", "emb_ann_topk_q",
     "emb_ann_pq", // same broadcast ≤8-row probe-table shape
+    "emb_ann_pq_refined", // inherits the shortlist stage's probe broadcast
     "emb_knn_classify", // wraps annTopK's broadcast ≤8-row probe set
     "emb_hard_negatives", // same broadcast ≤8-row probe shape
     "emb_neardup",

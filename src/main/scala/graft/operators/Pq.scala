@@ -101,6 +101,72 @@ object Pq {
         col("adc_e9"))
   }
 
+  /** Two-stage search: PQ-ADC shortlists `shortlist` candidates per
+    * probe (codes only), then ONLY those rows re-join their full-width
+    * vectors for an exact-L2 rerank to `topK` — the standard
+    * retrieve-then-refine pipeline. At scale the fat-vector read drops
+    * from |corpus| to |probes|·shortlist rows, and the shortlist join
+    * is an equi-join on the corpus id (broadcast from the probe side),
+    * so the refine stage never shuffles the corpus. `l2_e9` is the
+    * exact squared L2 distance, round(9)·1e9 as BIGINT (ascending =
+    * nearest; the ADC surrogate never surfaces in the output). */
+  def annTopKRefined(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, topK: Int, shortlist: Int,
+                     numSub: Int = 16, k: Int = 16,
+                     subDim: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= topK, "shortlist must be >= topK")
+    val cand = annTopK(corpus, probes, idCol, vecCol, shortlist,
+        numSub, k, subDim)
+      .select(col("probe_id"), col("neighbor_id"))
+    val pv = probes.select(col(idCol).as("probe_id"),
+      Vectors.toDouble(col(vecCol)).as("__pv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      Vectors.toDouble(col(vecCol)).as("__cv"))
+    val l2 = (Vectors.dot(col("__pv"), col("__pv"))
+      - lit(2.0) * Vectors.dot(col("__pv"), col("__cv"))) +
+      Vectors.dot(col("__cv"), col("__cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("l2_e9"), col("neighbor_id"))
+    cv.join(broadcast(cand.join(pv, "probe_id")), "neighbor_id")
+      .withColumn("l2_e9",
+        (round(l2, 9) * 1e9).cast("decimal(38,0)").cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("l2_e9"))
+  }
+
+  /** DuckDB mirror of [[annTopKRefined]] — [[annTopKSql]] as the
+    * shortlist CTE, then the identical exact-L2 rerank. */
+  def annTopKRefinedSql(table: String, id: String, vec: String,
+                        corpusPred: String, probePred: String, topK: Int,
+                        shortlist: Int, numSub: Int = 16, k: Int = 16,
+                        subDim: Int = 4): String = {
+    val dvec = s"list_transform($vec, x -> CAST(x AS DOUBLE))"
+    s"""WITH cand AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    ${annTopKSql(table, id, vec, corpusPred, probePred, shortlist,
+      numSub, k, subDim).replace("\n", "\n|    ")}) sl),
+       |pv AS (SELECT $id AS probe_id, $dvec AS pv
+       |       FROM $table WHERE $probePred),
+       |cv AS (SELECT $id AS neighbor_id, $dvec AS cv
+       |       FROM $table WHERE $corpusPred),
+       |d AS (
+       |  SELECT cand.probe_id, cand.neighbor_id,
+       |    CAST(CAST(round(list_dot_product(pv, pv)
+       |        - 2.0 * list_dot_product(pv, cv)
+       |        + list_dot_product(cv, cv), 9) * 1e9
+       |      AS DECIMAL(38,0)) AS BIGINT) AS l2_e9
+       |  FROM cand JOIN pv USING (probe_id) JOIN cv USING (neighbor_id)),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY l2_e9, neighbor_id) AS rank
+       |  FROM d)
+       |SELECT probe_id, rank, neighbor_id, l2_e9
+       |FROM r WHERE rank <= $topK""".stripMargin
+  }
+
   private def centSql(cent: Seq[Double]): String =
     cent.mkString("[", ", ", "]")
 

@@ -821,6 +821,20 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
+    // C62b: retrieve-then-refine — PQ-ADC shortlists 20 candidates
+    // over codes alone, then only those 20·|probes| rows re-join their
+    // full-width vectors for an exact-L2 rerank to top-5. At 100 TB
+    // the fat-vector read drops from |corpus| to |shortlist| rows; the
+    // refine join broadcasts from the probe side.
+    "emb_ann_pq_refined" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Pq.annTopKRefined(
+        corpus = e.where(col("vec_id") >= 8),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", topK = 5, shortlist = 20)
+        .orderBy("probe_id", "rank")
+    }),
+
     // C46: k-NN majority-vote classification — label the probe set from
     // its 5 nearest labelled corpus neighbours (annTopK plan: broadcast
     // probes, one corpus pass, partial top-k; the vote is a k·|probes|-row
@@ -1940,6 +1954,11 @@ object Docs {
       (Pq.annTopKSql("embeddings", "vec_id", "embedding",
         corpusPred = "vec_id >= 8", probePred = "vec_id < 8", topK = 5) +
         "\nORDER BY probe_id, rank"),
+
+    "emb_ann_pq_refined" ->
+      (Pq.annTopKRefinedSql("embeddings", "vec_id", "embedding",
+        corpusPred = "vec_id >= 8", probePred = "vec_id < 8", topK = 5,
+        shortlist = 20) + "\nORDER BY probe_id, rank"),
 
     "emb_ann_topk_q" ->
       s"""WITH e AS (

@@ -70,6 +70,39 @@ class PqSpec extends SparkSpec {
       s"recall=${hits.toDouble / exact.size}")
   }
 
+  test("refined rerank: recall@5 vs exact-L2 beats (or equals) raw ADC, " +
+    "and distances come out exactly sorted") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.where(col("vec_id") >= 8)
+    val probes = e.where(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val raw = pairs(Pq.annTopK(corpus, probes, "vec_id", "embedding", 5))
+    val refined = Pq.annTopKRefined(corpus, probes, "vec_id", "embedding",
+      topK = 5, shortlist = 20)
+    val refinedRows = refined.collect()
+    val cv = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val pv = probes.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val exact = pv.flatMap { case (pid, p) =>
+      cv.map { case (cid, c) =>
+        (pid, cid, p.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.sortBy { case (_, cid, d) => (d, cid) }.take(5)
+        .map { case (_, cid, _) => (pid, cid) }
+    }.toSet
+    val rawRecall = raw.count(exact.contains).toDouble / exact.size
+    val refRecall = pairs(refined).count(exact.contains).toDouble / exact.size
+    assert(refRecall >= rawRecall,
+      s"refine must not hurt recall: raw=$rawRecall refined=$refRecall")
+    assert(refRecall >= 0.5, s"refined recall=$refRecall")
+    // within each probe, l2_e9 ascends with rank (exact order)
+    refinedRows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byRank.sameElements(byRank.sorted))
+    }
+  }
+
   test("ADC ranks a vector's own code-identical twin first") {
     import spark.implicits._
     // probe 0 IS corpus vector 100 (identical floats): PQ must rank it
