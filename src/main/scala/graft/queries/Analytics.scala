@@ -644,7 +644,7 @@ object Analytics {
         .orderBy("segment")
     }),
 
-    // B36b: join-key skew profile — the diagnostics pass BEFORE
+    // B49: join-key skew profile — the diagnostics pass BEFORE
     // choosing a salted join: top-10 heaviest lineitem part keys with
     // the global distribution (skew_factor = max/mean per-key weight).
     // One key-agg shuffle + a K-row heap per partition; stats broadcast.

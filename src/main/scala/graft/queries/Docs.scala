@@ -149,7 +149,7 @@ object Docs {
         .orderBy("split")
     }),
 
-    // C20b: LEAKAGE-SAFE split — near-dup clusters go WHOLE into one
+    // C63: LEAKAGE-SAFE split — near-dup clusters go WHOLE into one
     // split by hashing the cluster representative (component-min
     // doc_id); docs inherit the rep's bucket. The plain per-doc split
     // scatters paraphrase duplicates across train/eval — the classic
@@ -224,7 +224,7 @@ object Docs {
         .orderBy(col("source"), desc("score"), col("doc_id"))
     }),
 
-    // C30b: quality-percentile pruning — keep the top 40% of each
+    // C64: quality-percentile pruning — keep the top 40% of each
     // source by quality score, selected by EXACT integer rank
     // (rank ≤ ceil(n·40/100) under score-desc, doc_id order) so both
     // engines agree on every boundary row. Banded prefix-sum ranks: a
@@ -594,7 +594,7 @@ object Docs {
         .orderBy("qid", "rank")
     }),
 
-    // C57b: quality-aware retrieval — RRF-fuse the BM25 relevance rank
+    // C65: quality-aware retrieval — RRF-fuse the BM25 relevance rank
     // with a per-candidate quality rank (1/(60+r₁) + 1/(60+r₂), the
     // Cormack RRF rule): the training-data-selection rerank when
     // relevance and quality scales are incomparable. Candidates stay
@@ -806,7 +806,7 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
-    // C62: product-quantization ANN — the byte-budget search tier:
+    // C66: product-quantization ANN — the byte-budget search tier:
     // the corpus collapses to numSub codes per vector in ONE
     // full-width pass; query-time ADC is integer table lookups over
     // the codes (original floats never re-read). Fixed formula-derived
@@ -821,7 +821,7 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
-    // C62b: retrieve-then-refine — PQ-ADC shortlists 20 candidates
+    // C66b: retrieve-then-refine — PQ-ADC shortlists 20 candidates
     // over codes alone, then only those 20·|probes| rows re-join their
     // full-width vectors for an exact-L2 rerank to top-5. At 100 TB
     // the fat-vector read drops from |corpus| to |shortlist| rows; the

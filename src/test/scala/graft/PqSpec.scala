@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Pq
 
-/** Product quantization (C62): codes are in-range and deterministic,
+/** Product quantization (C66): codes are in-range and deterministic,
   * encoding picks the truly-nearest sub-centroid, and ADC ranking
   * recalls a useful fraction of the exact-L2 top-k (the honest PQ
   * metric — PQ approximates L2, not cosine). */
