@@ -897,6 +897,28 @@ object Analytics {
         keyCol = col("o_custkey"), m = 64)
     }),
 
+    // B50: multi-granularity HLL — distinct users at FOUR granularities
+    // (global, per type, per day, per day×type — the GROUPING SETS of
+    // approximate distinct) from ONE scan: each row explodes to its
+    // scope labels, then the grouped sketch. State is m longs per
+    // scope; the per-day×type cells that would make exact
+    // COUNT(DISTINCT) with GROUPING SETS a multi-Expand full shuffle
+    // cost 64 longs each here. Scan amplification is ×4 scope labels,
+    // collapsed map-side by the register max before the exchange.
+    "q_hll_sets" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val day = date_format(col("ts"), "yyyy-MM-dd")
+      val scoped = ev.select(explode(array(
+          lit("all"),
+          concat(lit("type:"), col("event_type")),
+          concat(lit("day:"), day),
+          concat(lit("day_type:"), day, lit(":"), col("event_type"))))
+          .as("scope"),
+        col("user_id"))
+      Hll.groupedDistinctEstimate(scoped, "scope", col("user_id"), m = 64)
+        .orderBy("grp")
+    }),
+
     // B47: count-min sketch — bounded-state per-key frequency. The
     // build shuffles ≤ depth·width cells per partition regardless of
     // input size; estimates join the ≤1k-row digest as a broadcast.
@@ -1617,6 +1639,17 @@ object Analytics {
     "q_hll_grouped" ->
       (Hll.groupedDistinctEstimateSql("orders", "o_orderpriority",
         "o_custkey", m = 64) + "\nORDER BY grp"),
+
+    "q_hll_sets" ->
+      (Hll.groupedDistinctEstimateSql(
+        """(SELECT unnest([
+          |    'all',
+          |    'type:' || event_type,
+          |    'day:' || strftime(CAST(ts AS DATE), '%Y-%m-%d'),
+          |    'day_type:' || strftime(CAST(ts AS DATE), '%Y-%m-%d')
+          |      || ':' || event_type]) AS scope,
+          |  user_id FROM events) sc""".stripMargin,
+        "scope", "user_id", m = 64) + "\nORDER BY grp"),
 
     "q_hll_windowed" ->
       (Hll.groupedDistinctEstimateSql("events", "CAST(ts AS DATE)",

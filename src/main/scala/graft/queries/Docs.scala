@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Dsir, MinHash, Packing, Pca, Pq, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -577,6 +577,15 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C68: bigram LM with interpolated smoothing — the order-2 quality
+    // gate (word-salad with common tokens passes C36's unigram filter
+    // but scores low here). Pair extraction scan-local (BPE idiom);
+    // vocab joins combine-friendly; 1-row total broadcasts.
+    "doc_bigram_lp" -> ((s, dir) => {
+      Bigram.logProbScores(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // C39: per-doc top-3 characteristic terms by tf·idf — partial
     // top-k window per doc, round(9) rank ladder, term tiebreak
     "doc_tfidf" -> ((s, dir) => {
@@ -648,6 +657,22 @@ object Docs {
           .withColumn("doc_id", col("doc_id") + 1000000L))
       Dedup.snapshotDiff(d, next, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // C70: vocabulary drift — JS divergence of the two snapshots'
+    // hashed-unigram distributions (the distributional companion to
+    // C62's per-doc dispositions over the SAME perturbed re-crawl).
+    // Each side collapses to ≤256 bucket rows at the scan; everything
+    // downstream runs on spine-sized frames.
+    "doc_vocab_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val next = d.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 1, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionAll(d.where(col("doc_id") % 7 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Drift.vocabDrift(d, next, "text")
     }),
 
     // C59: substring-level exact dedup (Lee et al. 2022) — every
@@ -833,6 +858,24 @@ object Docs {
         probes = e.where(col("vec_id") < 8),
         idCol = "vec_id", vecCol = "embedding", topK = 5, shortlist = 20)
         .orderBy("probe_id", "rank")
+    }),
+
+    // C67: cross-source duplication matrix — distinct shared contents
+    // per source pair (the provenance question before mixing corpora).
+    // The crawl plants cross-source copies: every doc_id % 3 == 0 doc
+    // re-appears under a source computed from its id. Text collapses
+    // to sha256 at the scan; the pair join runs on the (source, digest)
+    // DISTINCT frame, so a digest in s sources costs s²/2 pairs however
+    // many raw rows carried it; the ≤|sources|² matrix broadcasts into
+    // its count joins.
+    "doc_source_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val crawl = docs.select(col("source"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 3 === 0)
+          .select(concat(lit("src"),
+            ((col("doc_id") % 20) + 7) % 20).as("source"), col("text")))
+      Provenance.sourceOverlap(crawl, "source", "text")
+        .orderBy("source_a", "source_b")
     }),
 
     // C46: k-NN majority-vote classification — label the probe set from
@@ -1570,9 +1613,30 @@ object Docs {
           |   WHERE doc_id % 7 = 2) nx""".stripMargin,
         "doc_id", "text") + "\nORDER BY doc_id"),
 
+    "doc_vocab_drift" ->
+      Drift.vocabDriftSql(
+        "documents",
+        """(SELECT doc_id, text || ' rev2' AS text FROM documents
+          |   WHERE doc_id % 7 = 1
+          | UNION ALL
+          | SELECT doc_id, text FROM documents WHERE doc_id % 7 NOT IN (0, 1)
+          | UNION ALL
+          | SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |   WHERE doc_id % 7 = 2) nx""".stripMargin,
+        "text"),
+
     "doc_dsir_weights" ->
       (Dsir.importanceWeightsSql("documents", "doc_id", "text",
         "source = 'src0' AND lang = 'en'") + "\nORDER BY doc_id"),
+
+    "doc_source_overlap" ->
+      (Provenance.sourceOverlapSql(
+        """(SELECT source, text FROM documents
+          | UNION ALL
+          | SELECT 'src' || CAST(((doc_id % 20) + 7) % 20 AS VARCHAR)
+          |          AS source, text
+          | FROM documents WHERE doc_id % 3 = 0) crawl""".stripMargin,
+        "source", "text") + "\nORDER BY source_a, source_b"),
 
     "doc_bpe_pairs" ->
       (Bpe.pairCountsSql("documents", "text") +
@@ -1597,6 +1661,10 @@ object Docs {
 
     "doc_unigram_lp" ->
       (Unigram.logProbScoresSql("documents", "doc_id", "text") +
+        "\nORDER BY doc_id"),
+
+    "doc_bigram_lp" ->
+      (Bigram.logProbScoresSql("documents", "doc_id", "text") +
         "\nORDER BY doc_id"),
 
     "doc_tfidf" ->
