@@ -19,7 +19,7 @@ object Verify {
     case c => c.toString
   } + "\""
 
-  private def writeJson(path: String, kv: Iterable[(String, String)]): Unit =
+  private[graft] def writeJson(path: String, kv: Iterable[(String, String)]): Unit =
     Files.writeString(Paths.get(path),
       kv.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
 

@@ -135,10 +135,13 @@ object Hll {
     // DuckDB types sum()-derived integers HUGEINT, which the driver
     // stringifies with a trailing `.0` unlike Spark's BIGINT — every
     // integer output must be CAST(... AS BIGINT) (SURVEY §6).
+    // Caller-supplied fragments are substituted AFTER stripMargin: a
+    // multi-line subquery whose continuation line begins with '||'
+    // must not lose a pipe to this template's margin strip.
     s"""WITH h AS (
-       |  SELECT $grpExpr AS grp,
-       |    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8))::BIGINT AS hv
-       |  FROM $table),
+       |  SELECT __GRP__ AS grp,
+       |    ('0x' || substr(md5(CAST(__KEY__ AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM __TABLE__),
        |r AS (
        |  SELECT grp, hv % $m AS idx, hv >> $shift AS v FROM h),
        |rk AS (
@@ -162,6 +165,9 @@ object Hll {
        |  CAST(zp + $m - np AS BIGINT) AS v_zero,
        |  CAST(dp + ($m - np) * $unit AS BIGINT) AS denom_e27
        |FROM agg""".stripMargin
+      .replace("__TABLE__", table)
+      .replace("__GRP__", grpExpr)
+      .replace("__KEY__", keyExpr)
   }
 
   /** The m-row register table (idx, mj) — the sketch's PERSISTABLE,
@@ -267,10 +273,12 @@ object Hll {
     def est(d: String) =
       s"""round(CAST(${alpha(m)} AS DOUBLE) * CAST(${m.toDouble * m} AS DOUBLE)
          |    * CAST($scale AS DOUBLE) / CAST($d AS DOUBLE), 4) + 0.0""".stripMargin
+    // Caller fragments substituted post-stripMargin (see
+    // groupedDistinctEstimateSql).
     s"""WITH h AS (
-       |  SELECT ($aExpr) AS a, ($bExpr) AS b,
-       |    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8))::BIGINT AS hv
-       |  FROM $table WHERE ($aExpr) OR ($bExpr)),
+       |  SELECT (__A__) AS a, (__B__) AS b,
+       |    ('0x' || substr(md5(CAST(__KEY__ AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM __TABLE__ WHERE (__A__) OR (__B__)),
        |r AS (
        |  SELECT a, b, hv % $m AS idx, hv >> $shift AS v FROM h),
        |rk AS (
@@ -295,6 +303,10 @@ object Hll {
        |SELECT est_a, est_b, est_union,
        |  round(est_a + est_b - est_union, 4) + 0.0 AS est_overlap
        |FROM e""".stripMargin
+      .replace("__TABLE__", table)
+      .replace("__A__", aExpr)
+      .replace("__B__", bExpr)
+      .replace("__KEY__", keyExpr)
   }
 
   /** The one-row estimate from a register digest (see
@@ -323,9 +335,11 @@ object Hll {
       .mkString("\n|      ")
     val scale = (1L << (bits + 1)).toDouble
     // sum() outputs are HUGEINT in DuckDB — cast to BIGINT (SURVEY §6).
+    // Caller fragments substituted post-stripMargin (see
+    // groupedDistinctEstimateSql).
     s"""WITH h AS (
-       |  SELECT ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8))::BIGINT AS hv
-       |  FROM $table),
+       |  SELECT ('0x' || substr(md5(CAST(__KEY__ AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM __TABLE__),
        |r AS (
        |  SELECT hv % $m AS idx, hv >> $shift AS v FROM h),
        |rk AS (
@@ -347,5 +361,7 @@ object Hll {
        |  CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
        |  CAST(sum(1::BIGINT << (${bits + 1} - mj)) AS BIGINT) AS denom_e27
        |FROM regs""".stripMargin
+      .replace("__TABLE__", table)
+      .replace("__KEY__", keyExpr)
   }
 }

