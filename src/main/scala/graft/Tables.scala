@@ -2,14 +2,19 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
-  * The `events` table carries `timestamp[ns]` which Spark's parquet reader
-  * rejects; we read nanos as long (`spark.sql.legacy.parquet.nanosAsLong`)
-  * and expose both a proper `ts` TimestampType column (microsecond
-  * precision, UTC) and the raw `ts_us` epoch-microsecond long used for
-  * engine-portable output.
+  * The `events` table's `ts` column has shipped in two physical formats
+  * across driver generations: parquet `timestamp[ns]` (read as raw nanos
+  * via `spark.sql.legacy.parquet.nanosAsLong`) and parquet `timestamp[us]`
+  * with `isAdjustedToUTC=false` (read as TIMESTAMP_NTZ). We branch on the
+  * loaded dtype and normalize both to the same two columns: a proper `ts`
+  * TimestampType (microsecond precision, UTC) and the raw `ts_us`
+  * epoch-microsecond long used for engine-portable output. The session
+  * timezone is pinned to UTC so the NTZ wall-clock equals the epoch
+  * reading, matching DuckDB's `epoch_us(ts)` on the same parquet.
   */
 object Tables {
 
@@ -22,10 +27,20 @@ object Tables {
     // SparkEntry.entry/queries also run under driver-owned sessions that
     // don't. Idempotent runtime conf, safe to re-set per load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      df.withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case LongType => // legacy timestamp[ns] read as raw nanos
+          df.withColumn("ts_us", expr("ts div 1000"))
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType | TimestampNTZType => // timestamp[us] parquet
+          df.withColumn("ts", col("ts").cast(TimestampType))
+            .withColumn("ts_us", unix_micros(col("ts")))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unsupported parquet type $other")
+      }
     } else df
   }
 

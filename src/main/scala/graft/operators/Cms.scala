@@ -79,39 +79,42 @@ object Cms {
     * `table.$key` — same md5 row hashes, same min-over-rows. */
   def estimateSql(table: String, key: String, depth: Int = Depth,
                   width: Int = Width): String =
-    s"""WITH keys AS (
-       |  SELECT $key, count(*) AS n_exact FROM $table GROUP BY 1),
+    // fragments substituted post-stripMargin, single pass (ADVICE r8)
+    graft.SqlTemplate.fill(s"""WITH keys AS (
+       |  SELECT __KEY__, count(*) AS n_exact FROM __TABLE__ GROUP BY 1),
        |hashes AS (
-       |  SELECT $key,
-       |         j, ('0x' || substr(md5(j::VARCHAR || ':' || $key::VARCHAR),
+       |  SELECT __KEY__,
+       |         j, ('0x' || substr(md5(j::VARCHAR || ':' || __KEY__::VARCHAR),
        |             1, 8))::BIGINT % $width AS col
-       |  FROM $table, range($depth) r(j)),
+       |  FROM __TABLE__, range($depth) r(j)),
        |sketch AS (SELECT j, col, count(*) AS cnt FROM hashes GROUP BY 1, 2),
        |probe AS (
-       |  SELECT DISTINCT k.$key, j,
-       |         ('0x' || substr(md5(j::VARCHAR || ':' || k.$key::VARCHAR),
+       |  SELECT DISTINCT k.__KEY__, j,
+       |         ('0x' || substr(md5(j::VARCHAR || ':' || k.__KEY__::VARCHAR),
        |             1, 8))::BIGINT % $width AS col
        |  FROM keys k, range($depth) r(j)),
        |est AS (
-       |  SELECT p.$key, CAST(min(s.cnt) AS BIGINT) AS n_est
+       |  SELECT p.__KEY__, CAST(min(s.cnt) AS BIGINT) AS n_est
        |  FROM probe p JOIN sketch s ON p.j = s.j AND p.col = s.col
        |  GROUP BY 1)
-       |SELECT k.$key, k.n_exact, e.n_est
-       |FROM keys k JOIN est e USING ($key)""".stripMargin
+       |SELECT k.__KEY__, k.n_exact, e.n_est
+       |FROM keys k JOIN est e USING (__KEY__)""".stripMargin,
+      "__TABLE__" -> table, "__KEY__" -> key)
 
   /** Estimate-only DuckDB form — the `q_cms_merge` oracle: the merge
     * identity is exact, so the single-sketch estimates ARE the merged
     * answer. */
   def estimateOnlySql(table: String, key: String, depth: Int = Depth,
                       width: Int = Width): String =
-    s"""WITH hashes AS (
-       |  SELECT $key,
-       |         j, ('0x' || substr(md5(j::VARCHAR || ':' || $key::VARCHAR),
+    graft.SqlTemplate.fill(s"""WITH hashes AS (
+       |  SELECT __KEY__,
+       |         j, ('0x' || substr(md5(j::VARCHAR || ':' || __KEY__::VARCHAR),
        |             1, 8))::BIGINT % $width AS col
-       |  FROM $table, range($depth) r(j)),
+       |  FROM __TABLE__, range($depth) r(j)),
        |sketch AS (SELECT j, col, count(*) AS cnt FROM hashes GROUP BY 1, 2),
-       |probe AS (SELECT DISTINCT $key, j, col FROM hashes)
-       |SELECT p.$key, CAST(min(s.cnt) AS BIGINT) AS n_est
+       |probe AS (SELECT DISTINCT __KEY__, j, col FROM hashes)
+       |SELECT p.__KEY__, CAST(min(s.cnt) AS BIGINT) AS n_est
        |FROM probe p JOIN sketch s ON p.j = s.j AND p.col = s.col
-       |GROUP BY 1""".stripMargin
+       |GROUP BY 1""".stripMargin,
+      "__TABLE__" -> table, "__KEY__" -> key)
 }

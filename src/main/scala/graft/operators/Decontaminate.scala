@@ -85,37 +85,40 @@ object Decontaminate {
         .mkString(" || '-' || ")
       s"SELECT $id, $b AS band, $key AS bkey FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH tk AS (
-       |  SELECT $id, string_split($text, ' ') AS t FROM $table),
+    // fragments substituted post-stripMargin, single pass (ADVICE r8)
+    graft.SqlTemplate.fill(s"""WITH tk AS (
+       |  SELECT __ID__, string_split(__TEXT__, ' ') AS t FROM __TABLE__),
        |sh AS (
-       |  SELECT $id, list_distinct(
+       |  SELECT __ID__, list_distinct(
        |    [t[i]||' '||t[i+1]||' '||t[i+2] for i in generate_series(1, len(t)-2)]) AS s
        |  FROM tk WHERE len(t) >= 3),
        |hv AS (
-       |  SELECT $id, list_sort(list_distinct(
+       |  SELECT __ID__, list_sort(list_distinct(
        |    list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT))) AS h
        |  FROM sh),
        |mh AS (
-       |  SELECT $id,
-       |       $mhExprs
+       |  SELECT __ID__,
+       |       __MHEXPRS__
        |  FROM hv),
        |bands AS (
-       |  $bandSelects),
+       |  __BANDSELECTS__),
        |cand AS (
-       |  SELECT DISTINCT tr.$id AS train_id, ev.$id AS eval_id
+       |  SELECT DISTINCT tr.__ID__ AS train_id, ev.__ID__ AS eval_id
        |  FROM bands tr JOIN bands ev
        |    ON tr.band = ev.band AND tr.bkey = ev.bkey
-       |  WHERE tr.$id % $evalMod <> 0 AND ev.$id % $evalMod = 0),
+       |  WHERE tr.__ID__ % $evalMod <> 0 AND ev.__ID__ % $evalMod = 0),
        |jac AS (
        |  SELECT train_id, eval_id,
        |         len(list_intersect(a.h, b.h)) / len(list_distinct(a.h || b.h)) AS j
        |  FROM cand
-       |  JOIN hv a ON cand.train_id = a.$id
-       |  JOIN hv b ON cand.eval_id = b.$id)
-       |SELECT train_id AS $id, count(*) AS n_eval_matches,
+       |  JOIN hv a ON cand.train_id = a.__ID__
+       |  JOIN hv b ON cand.eval_id = b.__ID__)
+       |SELECT train_id AS __ID__, count(*) AS n_eval_matches,
        |       round(max(j), 4) AS max_jaccard
        |FROM jac WHERE j >= $threshold
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "__ID__" -> id, "__TEXT__" -> text, "__TABLE__" -> table,
+      "__MHEXPRS__" -> mhExprs, "__BANDSELECTS__" -> bandSelects)
   }
 
   /** DuckDB form of [[overlaps]] with eval = `$id % evalMod = 0` (the
@@ -124,20 +127,22 @@ object Decontaminate {
   def oracleSql(table: String, id: String, text: String,
                 n: Int, minOverlap: Int, evalMod: Int): String = {
     val gram = (0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")
-    s"""WITH tk AS (
-       |  SELECT $id, string_split($text, ' ') AS t FROM $table),
+    graft.SqlTemplate.fill(s"""WITH tk AS (
+       |  SELECT __ID__, string_split(__TEXT__, ' ') AS t FROM __TABLE__),
        |hv AS (
-       |  SELECT $id, list_distinct(list_transform(
-       |    [$gram for i in generate_series(1, len(t)-${n - 1})],
+       |  SELECT __ID__, list_distinct(list_transform(
+       |    [__GRAM__ for i in generate_series(1, len(t)-${n - 1})],
        |    x -> ('0x'||substr(md5(x),1,8))::BIGINT)) AS h
        |  FROM tk WHERE len(t) >= $n),
        |eval_grams AS (
-       |  SELECT DISTINCT unnest(h) AS g FROM hv WHERE $id % $evalMod = 0),
+       |  SELECT DISTINCT unnest(h) AS g FROM hv WHERE __ID__ % $evalMod = 0),
        |train AS (
-       |  SELECT $id, unnest(h) AS g FROM hv WHERE $id % $evalMod <> 0)
-       |SELECT train.$id, count(*) AS n_overlap
+       |  SELECT __ID__, unnest(h) AS g FROM hv WHERE __ID__ % $evalMod <> 0)
+       |SELECT train.__ID__, count(*) AS n_overlap
        |FROM train JOIN eval_grams USING (g)
        |GROUP BY 1 HAVING count(*) >= $minOverlap
-       |ORDER BY 1""".stripMargin
+       |ORDER BY 1""".stripMargin,
+      "__ID__" -> id, "__TEXT__" -> text, "__TABLE__" -> table,
+      "__GRAM__" -> gram)
   }
 }

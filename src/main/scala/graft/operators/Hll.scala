@@ -135,10 +135,12 @@ object Hll {
     // DuckDB types sum()-derived integers HUGEINT, which the driver
     // stringifies with a trailing `.0` unlike Spark's BIGINT — every
     // integer output must be CAST(... AS BIGINT) (SURVEY §6).
-    // Caller-supplied fragments are substituted AFTER stripMargin: a
+    // Caller-supplied fragments are substituted AFTER stripMargin (a
     // multi-line subquery whose continuation line begins with '||'
-    // must not lose a pipe to this template's margin strip.
-    s"""WITH h AS (
+    // must not lose a pipe to this template's margin strip) and in a
+    // SINGLE pass (a fragment containing a placeholder-shaped token
+    // must not be re-expanded — ADVICE r8).
+    graft.SqlTemplate.fill(s"""WITH h AS (
        |  SELECT __GRP__ AS grp,
        |    ('0x' || substr(md5(CAST(__KEY__ AS VARCHAR)), 1, 8))::BIGINT AS hv
        |  FROM __TABLE__),
@@ -164,10 +166,8 @@ object Hll {
        |    / CAST(dp + ($m - np) * $unit AS DOUBLE), 4) + 0.0 AS est_hll,
        |  CAST(zp + $m - np AS BIGINT) AS v_zero,
        |  CAST(dp + ($m - np) * $unit AS BIGINT) AS denom_e27
-       |FROM agg""".stripMargin
-      .replace("__TABLE__", table)
-      .replace("__GRP__", grpExpr)
-      .replace("__KEY__", keyExpr)
+       |FROM agg""".stripMargin,
+      "__TABLE__" -> table, "__GRP__" -> grpExpr, "__KEY__" -> keyExpr)
   }
 
   /** The m-row register table (idx, mj) — the sketch's PERSISTABLE,

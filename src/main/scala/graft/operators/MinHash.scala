@@ -249,6 +249,105 @@ object MinHash {
        |FROM (${minhashOracleSql(table, threshold)}) p
        |WHERE (${batchPredOf("id_a")}) <> (${batchPredOf("id_b")})""".stripMargin
 
+  /** DuckDB oracle for [[graft.streaming.CrawlIngest.startNearDup]] run
+    * over `slices` doc_id-ordered flushes of `table` (A34).
+    *
+    * The streaming accept set is an arrival-order greedy over band
+    * collisions — not one SQL relation in general, but the recursion is
+    * only FLUSH-deep: a batch doc is checked against the band ledger,
+    * which holds exactly the survivors of strictly earlier flushes. For
+    * a fixed flush plan the greedy therefore unrolls into `slices`
+    * nested accept CTEs (acc_0..acc_{slices-1}), each anti-joining the
+    * verified cross-flush near-dup relation against the union of the
+    * earlier accept sets. Flush membership mirrors streamSliceDir's
+    * integer-division rank bounds; in-batch exact dedup (min-id per
+    * distinct text) and the band/verify scheme reuse the
+    * [[minhashOracleSql]] constants, so the engines cannot drift.
+    * Output: accepted corpus rows + the band-ledger row count
+    * (numBands per accepted doc with a non-empty shingle set). */
+  def crawlNearDupOracleSql(table: String, threshold: Double,
+                            slices: Int = 3): String = {
+    val mhExprs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(h, v -> (v*$a+$b)%$P)) AS mh_$j"
+    }.mkString(",\n       ")
+    val bandSelects = (0 until numBands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"CAST(mh_${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, flush, $b AS band, $key AS bkey FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    val flushCase = (0 until slices - 1)
+      .map(i => s"WHEN rn <= (${i + 1}*n)//$slices THEN $i")
+      .mkString(" ")
+    val accDefs = (0 until slices).map { i =>
+      if (i == 0) "acc_0 AS (SELECT doc_id FROM kept WHERE flush = 0)"
+      else {
+        val earlier = (0 until i).map(j => s"SELECT doc_id FROM acc_$j")
+          .mkString(" UNION ALL ")
+        s"acc_$i AS (\n" +
+          s"  SELECT k.doc_id FROM kept k WHERE k.flush = $i AND NOT EXISTS (\n" +
+          s"    SELECT 1 FROM ver v\n" +
+          s"    WHERE v.late_id = k.doc_id\n" +
+          s"      AND v.early_id IN ($earlier)))"
+      }
+    }.mkString(",\n")
+    val accAll = (0 until slices).map(i => s"SELECT doc_id FROM acc_$i")
+      .mkString(" UNION ALL ")
+    // accDefs/bandSelects contain no margin pipes and are substituted
+    // AFTER stripMargin in a single pass (the Hll rule, ADVICE r8).
+    graft.SqlTemplate.fill(s"""WITH ord AS (
+       |  SELECT doc_id, text, source, lang, n_chars,
+       |         row_number() OVER (ORDER BY doc_id) AS rn,
+       |         count(*) OVER () AS n
+       |  FROM __TABLE__),
+       |fl AS (
+       |  SELECT *, CASE __FLUSHCASE__ ELSE ${slices - 1} END AS flush
+       |  FROM ord),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY flush, text ORDER BY doc_id) AS rn2 FROM fl) z
+       |  WHERE rn2 = 1),
+       |tk AS (SELECT doc_id, flush, string_split(text, ' ') AS t FROM kept),
+       |sh AS (
+       |  SELECT doc_id, flush, list_distinct(
+       |    [t[i]||' '||t[i+1]||' '||t[i+2] for i in generate_series(1, len(t)-2)]) AS s
+       |  FROM tk WHERE len(t) >= 3),
+       |hv AS (
+       |  SELECT doc_id, flush,
+       |         list_sort(list_distinct(
+       |           list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT))) AS h
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, flush,
+       |       __MHEXPRS__
+       |  FROM hv),
+       |bands AS (
+       |  __BANDSELECTS__),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS late_id, y.doc_id AS early_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.flush > y.flush),
+       |ver AS (
+       |  SELECT late_id, early_id
+       |  FROM cand
+       |  JOIN hv a ON cand.late_id = a.doc_id
+       |  JOIN hv b ON cand.early_id = b.doc_id
+       |  WHERE len(list_intersect(a.h, b.h))
+       |      / len(list_distinct(a.h || b.h)) >= $threshold),
+       |__ACCDEFS__,
+       |acc AS (__ACCALL__),
+       |nb AS (SELECT CAST($numBands * count(*) AS BIGINT) AS n_bands
+       |       FROM acc JOIN hv USING (doc_id))
+       |SELECT k.doc_id, k.source, k.lang, k.n_chars,
+       |       (SELECT n_bands FROM nb) AS n_bands
+       |FROM kept k JOIN acc USING (doc_id)
+       |ORDER BY k.doc_id""".stripMargin,
+      "__FLUSHCASE__" -> flushCase, "__MHEXPRS__" -> mhExprs,
+      "__BANDSELECTS__" -> bandSelects, "__ACCDEFS__" -> accDefs,
+      "__ACCALL__" -> accAll, "__TABLE__" -> table)
+  }
+
   /** DuckDB oracle for [[neardupPairs]], generated from the SAME constants
     * so the two engines can never drift. */
   def minhashOracleSql(table: String, threshold: Double): String = {

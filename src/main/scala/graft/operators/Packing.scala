@@ -48,18 +48,21 @@ object Packing {
   def oracleSql(table: String, id: String, text: String,
                 numBuckets: Int, budgetTokens: Int): String = {
     val bucket = Sampling.bucketSql(id, numBuckets)
-    s"""WITH toks AS (
-       |  SELECT $id, $bucket AS bucket,
-       |         len(string_split($text, ' '))::BIGINT AS n_tokens
-       |  FROM $table),
+    // fragments substituted post-stripMargin, single pass (ADVICE r8)
+    graft.SqlTemplate.fill(s"""WITH toks AS (
+       |  SELECT __ID__, __BUCKET__ AS bucket,
+       |         len(string_split(__TEXT__, ' '))::BIGINT AS n_tokens
+       |  FROM __TABLE__),
        |offs AS (
        |  SELECT *, sum(n_tokens) OVER (
-       |      PARTITION BY bucket ORDER BY $id
+       |      PARTITION BY bucket ORDER BY __ID__
        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
        |  FROM toks)
-       |SELECT $id, bucket, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+       |SELECT __ID__, bucket, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
        |       CAST(floor(start_tok / $budgetTokens.0) AS BIGINT) AS shard
        |FROM offs
-       |ORDER BY bucket, start_tok""".stripMargin
+       |ORDER BY bucket, start_tok""".stripMargin,
+      "__ID__" -> id, "__TEXT__" -> text, "__TABLE__" -> table,
+      "__BUCKET__" -> bucket)
   }
 }

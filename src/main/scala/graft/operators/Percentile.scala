@@ -254,10 +254,11 @@ object Percentile {
                       widthE: Long): String = {
     val medSql = histogramPercentileSql(table, grpExpr, fixedExpr, widthE,
       Seq(0.5))
-    s"""WITH medq AS (
-       |${medSql}),
+    // fragments substituted post-stripMargin, single pass (ADVICE r8)
+    graft.SqlTemplate.fill(s"""WITH medq AS (
+       |__MEDQ__),
        |vals2 AS (
-       |  SELECT $grpExpr AS grp, $fixedExpr AS v FROM $table),
+       |  SELECT __GRP__ AS grp, __FIXED__ AS v FROM __TABLE__),
        |dev AS (
        |  SELECT d.grp, m.${pColName(0.5)} AS med_est,
        |         abs(CAST(d.v AS DOUBLE) - m.${pColName(0.5)}) AS absdev
@@ -281,7 +282,9 @@ object Percentile {
        |    / CAST(cnt AS DOUBLE), 4) + 0.0 AS mad_hist
        |FROM c2
        |WHERE CAST(cum_before AS DOUBLE) < CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)
-       |  AND CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)""".stripMargin
+       |  AND CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)""".stripMargin,
+      "__MEDQ__" -> medSql, "__GRP__" -> grpExpr,
+      "__FIXED__" -> fixedExpr, "__TABLE__" -> table)
   }
 
   /** DuckDB mirror of [[histogramPercentiles]] — generated from the
@@ -297,8 +300,8 @@ object Percentile {
     val pivots = ps.map { p =>
       s"round(max(CASE WHEN p = CAST($p AS DOUBLE) THEN est END), 4) + 0.0 AS ${pColName(p)}"
     }.mkString(",\n|  ")
-    s"""WITH vals AS (
-       |  SELECT $grpExpr AS grp, $fixedExpr AS v FROM $table),
+    graft.SqlTemplate.fill(s"""WITH vals AS (
+       |  SELECT __GRP__ AS grp, __FIXED__ AS v FROM __TABLE__),
        |hist AS (
        |  SELECT grp, v // $widthE AS b, count(*) AS cnt
        |  FROM vals GROUP BY 1, 2),
@@ -319,6 +322,7 @@ object Percentile {
        |    AND p * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE))
        |SELECT grp, CAST(max(n) AS BIGINT) AS n,
        |  ${pivots}
-       |FROM est GROUP BY grp""".stripMargin
+       |FROM est GROUP BY grp""".stripMargin,
+      "__GRP__" -> grpExpr, "__FIXED__" -> fixedExpr, "__TABLE__" -> table)
   }
 }

@@ -25,17 +25,70 @@ import graft.functions.Vectors
   * CASE chains — the k-means assignment parity argument
   * (queries/Docs.scala kmScoreSql) applied per subspace.
   *
-  * The codebook is a pure function of (subspace, centroid, dim) — the
-  * fixed-centroid discipline the k-means oracle established — so the
-  * Spark literals and the DuckDB SQL are generated from the same
-  * constants and engines cannot drift. A learned codebook drops in by
-  * replacing [[centroid]]; the encode/ADC plumbing is codebook-
-  * agnostic. */
+  * Two codebooks share the (codebook-agnostic) encode/ADC plumbing:
+  * the FORMULA codebook is a pure function of (subspace, centroid,
+  * dim) — the fixed-centroid discipline the k-means oracle
+  * established — so the Spark literals and the DuckDB SQL are
+  * generated from the same constants and engines cannot drift; the
+  * LEARNED codebook ([[learnCodebook]]) fits per-subspace Lloyd
+  * k-means over a bounded deterministic sample, and PqSpec pins its
+  * recall at ≥ the formula codebook's (the data-dependent literals
+  * can't be mirrored in a static oracle, so the gate is the recall
+  * ordering, not SQL parity). */
 object Pq {
+
+  /** Codebook: (subspace, centroidIdx) → components. */
+  type Codebook = (Int, Int) => Seq[Double]
 
   /** Fixed sub-centroid: component j of centroid c in subspace s. */
   def centroid(numSub: Int, subDim: Int, s: Int, c: Int): Seq[Double] =
     (0 until subDim).map(j => ((s * 7 + c * 31 + j * 17) % 13 - 6) / 24.0)
+
+  /** The formula codebook (cross-engine literal discipline). */
+  def formulaCodebook(numSub: Int, subDim: Int): Codebook =
+    (s, c) => centroid(numSub, subDim, s, c)
+
+  /** LEARNED codebook: per-subspace Lloyd k-means over a bounded,
+    * deterministically-drawn sample of the corpus — the production
+    * quantizer-training shape (a PQ codebook is numSub·k·subDim
+    * doubles, a few KB; training reads a sample, never the corpus,
+    * so cost is independent of corpus size — the formula codebook
+    * then drops out as literals exactly like the fixed one).
+    *
+    * Determinism: the sample is the `sampleN` smallest md5(subspace:id)
+    * ranks (house A-Res pattern — stable across runs/engines/layouts);
+    * seeding takes the k first sample rows in that same md5 order;
+    * [[KMeans.fit]]'s update step uses exact fixed-point integer sums,
+    * so the learned centroids are a pure function of the input corpus.
+    * A Lloyd-emptied cluster keeps its seed centroid, so the codebook
+    * stays k-dense and [[encode]]'s argmax chains are unchanged. */
+  def learnCodebook(df: DataFrame, idCol: String, vecCol: String,
+                    numSub: Int = 16, k: Int = 16, subDim: Int = 4,
+                    iters: Int = 3, sampleN: Int = 256): Codebook = {
+    import org.apache.spark.sql.expressions.Window
+    require(sampleN >= k, "sample must hold at least k rows")
+    val books: Array[Array[Seq[Double]]] = (0 until numSub).toArray.map { s =>
+      val sub = df.select(col(idCol).as("__sid"),
+          Vectors.toDouble(slice(col(vecCol), s * subDim + 1, subDim))
+            .as("__sv"),
+          md5(concat_ws(":", lit(s), col(idCol).cast("string"))).as("__r"))
+        .orderBy(col("__r")).limit(sampleN)
+        .localCheckpoint()
+      val seeds = sub.orderBy(col("__r")).limit(k)
+        .withColumn("label",
+          row_number().over(Window.orderBy(col("__r"))).cast("long") - 1)
+        .select(col("label"), col("__sv").as("centroid"))
+        .localCheckpoint()
+      val (_, cent) = KMeans.fit(sub.select(col("__sid"), col("__sv")),
+        "__sid", "__sv", seeds, iters)
+      val seedMap = seeds.collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1)).toMap
+      val learned = cent.collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1)).toMap
+      Array.tabulate(k)(c => learned.getOrElse(c, seedMap(c)))
+    }
+    (s, c) => books(s)(c)
+  }
 
   private def normSq(cent: Seq[Double]): Double =
     cent.foldLeft(0.0)((acc, x) => acc + x * x)
@@ -43,10 +96,10 @@ object Pq {
   /** Per-subspace nearest-centroid scores s0..s{k-1} for the subvector
     * at `s` — round(2·x·c − ‖c‖², 9), the L2-argmin surrogate. */
   private def subScores(vec: Column, numSub: Int, k: Int, subDim: Int,
-                        s: Int): Seq[Column] = {
+                        s: Int, cb: Codebook): Seq[Column] = {
     val sub = Vectors.toDouble(slice(vec, s * subDim + 1, subDim))
     (0 until k).map { c =>
-      val cent = centroid(numSub, subDim, s, c)
+      val cent = cb(s, c)
       round(lit(2.0) * Vectors.dot(sub, array(cent.map(lit): _*))
         - lit(normSq(cent)), 9)
     }
@@ -64,11 +117,13 @@ object Pq {
   /** Encode: (id, code0..code{numSub-1}) — a scan-local projection
     * (the one pass that reads the full-width vectors). */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             numSub: Int = 16, k: Int = 16, subDim: Int = 4): DataFrame = {
+             numSub: Int = 16, k: Int = 16, subDim: Int = 4,
+             codebook: Codebook = null): DataFrame = {
     require(numSub >= 1 && k >= 2 && subDim >= 1,
       "need numSub >= 1, k >= 2, subDim >= 1")
+    val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
     val codes = (0 until numSub).map(s =>
-      argmaxChain(subScores(col(vecCol), numSub, k, subDim, s))
+      argmaxChain(subScores(col(vecCol), numSub, k, subDim, s, cb))
         .as(s"code$s"))
     df.select(col(idCol) +: codes: _*)
   }
@@ -79,11 +134,12 @@ object Pq {
     * vectors are never touched at query time. */
   def annTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, topK: Int, numSub: Int = 16, k: Int = 16,
-              subDim: Int = 4): DataFrame = {
+              subDim: Int = 4, codebook: Codebook = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val codes = encode(corpus, idCol, vecCol, numSub, k, subDim)
+    val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
+    val codes = encode(corpus, idCol, vecCol, numSub, k, subDim, cb)
     val tables = (0 until numSub).map { s =>
-      array(subScores(col(vecCol), numSub, k, subDim, s)
+      array(subScores(col(vecCol), numSub, k, subDim, s, cb)
         .map(sc => (sc * 1e9).cast("decimal(38,0)").cast("long")): _*)
         .as(s"t$s")
     }
@@ -112,12 +168,12 @@ object Pq {
     * nearest; the ADC surrogate never surfaces in the output). */
   def annTopKRefined(corpus: DataFrame, probes: DataFrame, idCol: String,
                      vecCol: String, topK: Int, shortlist: Int,
-                     numSub: Int = 16, k: Int = 16,
-                     subDim: Int = 4): DataFrame = {
+                     numSub: Int = 16, k: Int = 16, subDim: Int = 4,
+                     codebook: Codebook = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shortlist >= topK, "shortlist must be >= topK")
     val cand = annTopK(corpus, probes, idCol, vecCol, shortlist,
-        numSub, k, subDim)
+        numSub, k, subDim, codebook)
       .select(col("probe_id"), col("neighbor_id"))
     val pv = probes.select(col(idCol).as("probe_id"),
       Vectors.toDouble(col(vecCol)).as("__pv"))

@@ -182,8 +182,11 @@ object SeriesLsh {
                          nBits: Int = 32, bitsPerBand: Int = 4,
                          maxBucket: Int = 1024): String = {
     require(nBits % bitsPerBand == 0, "bitsPerBand must divide nBits")
-    s"""WITH d AS (
-       |$dailySql),
+    // Caller fragment substituted AFTER stripMargin (single-pass), so a
+    // multi-line dailySql whose continuation line starts with '|'/'||'
+    // can't lose a pipe to this template's margin strip (ADVICE r8).
+    graft.SqlTemplate.fill(s"""WITH d AS (
+       |__DAILY__),
        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
        |days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
        |nn AS (SELECT count(*) AS n FROM days),
@@ -248,6 +251,7 @@ object SeriesLsh {
        |FROM c2
        |WHERE CAST(num AS DOUBLE)
        |  / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE)))
-       |  >= $threshold""".stripMargin
+       |  >= $threshold""".stripMargin,
+      "__DAILY__" -> dailySql)
   }
 }

@@ -357,17 +357,21 @@ object Analytics {
     // B25: small-quantity outlier revenue (TPC-H Q17 shape) — correlated
     // scalar subquery as a per-part aggregate join; the per-part average
     // is computed EXACTLY (integer cent sum / count) so the 20% threshold
-    // is engine-deterministic, never a parallel float sum
+    // is engine-deterministic, never a parallel float sum. The average's
+    // input is pre-filtered by the broadcast part join (only Brand#23
+    // parts can reach the final join), so the aggregate shuffles ~1/25
+    // of lineitem instead of every part's rows.
     "q17_small_qty" -> ((s, dir) => {
       val pk = Tables.part(s, dir)
         .where(col("p_brand") === "Brand#23").select("p_partkey")
-      val l = Tables.lineitem(s, dir)
+      val lf = Tables.lineitem(s, dir)
         .select("l_partkey", "l_quantity", "l_extendedprice")
-      val avgq = l.groupBy(col("l_partkey").as("ap"))
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .drop("p_partkey")
+      val avgq = lf.groupBy(col("l_partkey").as("ap"))
         .agg((sum((dec182("l_quantity") * 100).cast("decimal(38,0)")).cast("double")
           / (lit(100.0) * count(lit(1)))).as("avg_qty"))
-      l.join(broadcast(pk), col("l_partkey") === col("p_partkey"))
-        .join(avgq, col("l_partkey") === col("ap"))
+      lf.join(avgq, col("l_partkey") === col("ap"))
         .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg(sumFixed(dec182("l_extendedprice"), 2).as("sum_price_e2"),
           count(lit(1)).as("n_items"))

@@ -296,9 +296,8 @@ object Docs {
     // per distinct text", which the oracle states directly — so parity
     // proves the ledger protocol (digest-before-corpus, cross-batch
     // anti-join) admits each content exactly once, through a real
-    // stream → ledger → corpus cycle. (The near-dup variant A34 stays
-    // spec-pinned: its accept set is an arrival-order greedy over band
-    // collisions, not expressible as one SQL relation.)
+    // stream → ledger → corpus cycle. (The near-dup variant A34 is
+    // oracle-backed by doc_crawl_neardup below.)
     "doc_crawl_ingest" -> ((s, dir) => CdcQ.withStreamPartitions(s) {
       val d = Tables.documents(s, dir)
       val inDir = CdcQ.streamSliceDir(s, d, dir, slices = 3,
@@ -314,6 +313,34 @@ object Docs {
       val ledgerN = s.read.parquet(ledgerDir).distinct().count()
       corpus.select(col("doc_id"), col("source"), col("lang"),
           col("n_chars"), lit(ledgerN).as("n_ledger"))
+        .orderBy("doc_id")
+    }),
+
+    // A34: streaming NEAR-dup crawl ingestion, oracle-checked — the
+    // band-ledger sibling of doc_crawl_ingest. The accept set is an
+    // arrival-order greedy over band collisions, but the recursion is
+    // only FLUSH-deep (a batch checks against survivors of strictly
+    // earlier flushes), so for the fixed 3-flush plan the oracle
+    // unrolls it into three nested accept CTEs
+    // (MinHash.crawlNearDupOracleSql). Parity proves the full
+    // stream → band-ledger → corpus cycle: in-batch exact dedup,
+    // cross-flush banded candidate generation, exact-Jaccard verify,
+    // survivors-only ledger appends.
+    "doc_crawl_neardup" -> ((s, dir) => CdcQ.withStreamPartitions(s) {
+      val d = Tables.documents(s, dir)
+      val inDir = CdcQ.streamSliceDir(s, d, dir, slices = 3,
+        orderCols = Seq(col("doc_id")), tag = "crawlnd_in")
+      val corpusDir = CdcQ.freshScratch(dir, "crawlnd_corpus")
+      val bandsDir = CdcQ.freshScratch(dir, "crawlnd_bands")
+      val q = CrawlIngest.startNearDup(
+        graft.streaming.CdcStream.fromParquetDir(s, inDir, d.schema),
+        "doc_id", "text", threshold = 0.5, corpusDir, bandsDir,
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      q.awaitTermination()
+      val corpus = s.read.parquet(corpusDir)
+      val nBands = s.read.parquet(bandsDir).count()
+      corpus.select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), lit(nBands).as("n_bands"))
         .orderBy("doc_id")
     }),
 
@@ -846,6 +873,23 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
+    // C66c: learned-codebook PQ — per-subspace Lloyd k-means over a
+    // bounded deterministic sample replaces the formula centroids;
+    // identical encode/ADC plumbing. The codebook is data-dependent so
+    // no static SQL oracle can mirror it (driver records rows-only);
+    // the recall-ordering gate (learned >= formula vs exact L2) is
+    // pinned in PqSpec.
+    "emb_ann_pq_learned" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.where(col("vec_id") >= 8)
+      val cb = Pq.learnCodebook(corpus, "vec_id", "embedding")
+      Pq.annTopK(
+        corpus = corpus,
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", topK = 5, codebook = cb)
+        .orderBy("probe_id", "rank")
+    }),
+
     // C66b: retrieve-then-refine — PQ-ADC shortlists 20 candidates
     // over codes alone, then only those 20·|probes| rows re-join their
     // full-width vectors for an exact-L2 rerank to top-5. At 100 TB
@@ -860,7 +904,7 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
-    // C67: cross-source duplication matrix — distinct shared contents
+    // C69: cross-source duplication matrix — distinct shared contents
     // per source pair (the provenance question before mixing corpora).
     // The crawl plants cross-source copies: every doc_id % 3 == 0 doc
     // re-appears under a source computed from its id. Text collapses
@@ -2218,6 +2262,8 @@ object Docs {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_minhash_lsh" -> MinHash.minhashOracleSql("documents", 0.5),
+
+    "doc_crawl_neardup" -> MinHash.crawlNearDupOracleSql("documents", 0.5),
 
     "doc_simhash" -> SimHash.simhashOracleSql("documents", 4),
 

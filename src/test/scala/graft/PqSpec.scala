@@ -103,6 +103,41 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("learned codebook: recall@5 >= the formula codebook's recall@5") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.where(col("vec_id") >= 8)
+    val probes = e.where(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cv = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val pv = probes.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val exact = pv.flatMap { case (pid, p) =>
+      cv.map { case (cid, c) =>
+        (pid, cid, p.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.sortBy { case (_, cid, d) => (d, cid) }.take(5)
+        .map { case (_, cid, _) => (pid, cid) }
+    }.toSet
+    val formula = pairs(Pq.annTopK(corpus, probes, "vec_id", "embedding", 5))
+    val cb = Pq.learnCodebook(corpus, "vec_id", "embedding")
+    val learned = pairs(Pq.annTopK(corpus, probes, "vec_id", "embedding", 5,
+      codebook = cb))
+    val fRecall = formula.count(exact.contains).toDouble / exact.size
+    val lRecall = learned.count(exact.contains).toDouble / exact.size
+    assert(lRecall >= fRecall,
+      s"learned codebook must not lose recall: formula=$fRecall learned=$lRecall")
+  }
+
+  test("learned codebook is deterministic across runs") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.where(col("vec_id") >= 8)
+    val a = Pq.learnCodebook(corpus, "vec_id", "embedding")
+    val b = Pq.learnCodebook(corpus, "vec_id", "embedding")
+    for (s <- 0 until numSub; c <- 0 until k)
+      assert(a(s, c) === b(s, c), s"codebook drift at subspace $s centroid $c")
+  }
+
   test("ADC ranks a vector's own code-identical twin first") {
     import spark.implicits._
     // probe 0 IS corpus vector 100 (identical floats): PQ must rank it
