@@ -22,7 +22,17 @@ object Bench {
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop")
         .mode("overwrite").save()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional isolation mode: bench only the named queries (comma-sep).
+    // Lets a regression suspect be re-measured without the other ~170
+    // queries' warmup noise polluting the box (VERDICT r8 "What's wrong" #5).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    // Both-orders protocol (r6): a query that is slow only when it runs
+    // last is a box/cache artifact, not a plan regression.
+    val names = if (sys.env.contains("SPARK_GRAFT_BENCH_REVERSE")) ordered.reverse
+                else ordered
     names.foreach(n => try run(n) catch { case _: Throwable => () }) // warmup
     // Timed passes do NOT swallow exceptions: a crashed query must read
     // as an error in the bench JSON, not as a phantom near-zero time.

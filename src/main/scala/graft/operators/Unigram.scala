@@ -100,6 +100,116 @@ object Unigram {
        |SELECT $id, term, tf, df_docs, round(score, 4) AS tfidf
        |FROM ranked WHERE rn <= $k""".stripMargin
 
+  /** Per-stratum LM-score deciles — the "perplexity bucket" report every
+    * mixture recipe starts from (CCNet buckets CommonCrawl by LM
+    * perplexity into head/middle/tail; this is the 10-bucket per-source
+    * generalization over [[logProbScores]]). Docs rank within their
+    * stratum by (avg_logprob, id) — the id tiebreak makes the ntile cut
+    * a total order, so both engines assign identical buckets — and each
+    * (stratum, decile) row reports how many docs/tokens it holds and its
+    * score range, i.e. exactly the table you consult to decide "train on
+    * deciles 1-7 of web, all of books".
+    *
+    * Scale shape: [[logProbScores]]'s two combine-friendly shuffles, a
+    * stratum equi-join (doc-keyed, 1:1), then ONE window partitioned by
+    * stratum. Strata ≪ docs makes the window the only skew point: a
+    * single giant source serializes its rank into one reducer. That is
+    * inherent to exact global ntile; the 100 TB relaxation is the
+    * histogram-percentile trick (B45) — bucket avg_logprob to a fixed
+    * grid and cut deciles from cumulative bucket counts, trading exact
+    * decile boundaries for bounded state. Exact form kept here because
+    * the output contract (every doc in exactly one decile) is what the
+    * downstream sampler consumes. */
+  def logProbDeciles(docs: DataFrame, idCol: String, textCol: String,
+                     stratumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = logProbScores(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(stratumCol).as("stratum")), idCol)
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("avg_logprob"), col(idCol))
+    scores
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("stratum"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(min(col("avg_logprob")), 4).as("lp_min"),
+        round(max(col("avg_logprob")), 4).as("lp_max"))
+  }
+
+  /** DuckDB mirror of [[logProbDeciles]] (same tiebreak, same ladder). */
+  def logProbDecilesSql(table: String, id: String, text: String,
+                        stratum: String): String =
+    s"""WITH scores AS (${logProbScoresSql(table, id, text)}),
+       |j AS (
+       |  SELECT s.*, d.$stratum AS stratum
+       |  FROM scores s JOIN $table d USING ($id)),
+       |b AS (
+       |  SELECT *, ntile(10) OVER (
+       |      PARTITION BY stratum ORDER BY avg_logprob, $id) AS decile
+       |  FROM j)
+       |SELECT stratum, decile, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       round(min(avg_logprob), 4) AS lp_min,
+       |       round(max(avg_logprob), 4) AS lp_max
+       |FROM b GROUP BY 1, 2""".stripMargin
+
+  /** Per-stratum Zipf fit — the distributional health check run before
+    * trusting a corpus slice (natural text follows freq ∝ rank^s with
+    * s ≈ -1; templated/generated/spammy slices flatten or steepen the
+    * curve, so the slope is a cheap corpus-level anomaly signal the
+    * per-doc filters C36/C68 can't see). Least-squares slope/r² of
+    * ln(freq) on ln(rank), ranks from a (freq desc, token) total order.
+    *
+    * Scale shape: one partial-agg shuffle down to (stratum, token)
+    * counts — state is each stratum's vocabulary, bounded for any
+    * natural corpus (and cappable at top-K ranks, which is where a Zipf
+    * fit's mass lives anyway) — then a vocab-sized window and a
+    * |strata|-row regression aggregate. The corpus is never rescanned.
+    *
+    * Determinism: regr_slope/regr_r2 sum doubles in engine order, so
+    * per-point terms are round(9)-snapped (ln of exact long counts and
+    * of dense integer ranks — identical operands both sides) and the
+    * ≤1e-12 summation-order residue dies in the final round(4). */
+  def zipfSlope(docs: DataFrame, textCol: String,
+                stratumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(stratumCol).as("stratum"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("stratum"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(desc("cnt"), col("tok"))
+    counts
+      .withColumn("lr", round(log(row_number().over(w).cast("double")), 9))
+      .withColumn("lf", round(log(col("cnt").cast("double")), 9))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("cnt")).as("n_tokens"),
+        round(regr_slope(col("lf"), col("lr")), 4).as("zipf_slope"),
+        round(regr_r2(col("lf"), col("lr")), 4).as("zipf_r2"))
+  }
+
+  /** DuckDB mirror of [[zipfSlope]] (same rank order, same ladder). */
+  def zipfSlopeSql(table: String, text: String, stratum: String): String =
+    s"""WITH counts AS (
+       |  SELECT $stratum AS stratum,
+       |         unnest(string_split($text, ' ')) AS tok
+       |  FROM $table),
+       |c AS (SELECT stratum, tok, count(*) AS cnt FROM counts GROUP BY 1, 2),
+       |pts AS (
+       |  SELECT stratum, cnt,
+       |         round(ln(CAST(row_number() OVER (
+       |             PARTITION BY stratum ORDER BY cnt DESC, tok)
+       |           AS DOUBLE)), 9) AS lr,
+       |         round(ln(CAST(cnt AS DOUBLE)), 9) AS lf
+       |  FROM c)
+       |SELECT stratum, count(*) AS vocab,
+       |       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |       round(regr_slope(lf, lr), 4) AS zipf_slope,
+       |       round(regr_r2(lf, lr), 4) AS zipf_r2
+       |FROM pts GROUP BY 1""".stripMargin
+
   /** DuckDB mirror of [[logProbScores]] (same rounding ladder). */
   def logProbScoresSql(table: String, id: String, text: String): String =
     s"""WITH toks AS (

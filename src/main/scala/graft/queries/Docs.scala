@@ -604,6 +604,24 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C72: per-source LM-score deciles — the CCNet-style perplexity
+    // bucket table a mixture recipe consumes ("train on deciles 1-7 of
+    // web, all of books"). (avg_logprob, doc_id) total order makes the
+    // ntile cut engine-identical.
+    "doc_lm_deciles" -> ((s, dir) => {
+      Unigram.logProbDeciles(Tables.documents(s, dir), "doc_id", "text",
+          "source")
+        .orderBy("stratum", "decile")
+    }),
+
+    // C73: per-source Zipf slope/r² — corpus-level distributional health
+    // (templated or generated slices flatten/steepen the rank-frequency
+    // curve in ways per-doc filters can't see).
+    "doc_zipf" -> ((s, dir) => {
+      Unigram.zipfSlope(Tables.documents(s, dir), "text", "source")
+        .orderBy("stratum")
+    }),
+
     // C68: bigram LM with interpolated smoothing — the order-2 quality
     // gate (word-salad with common tokens passes C36's unigram filter
     // but scores low here). Pair extraction scan-local (BPE idiom);
@@ -1254,6 +1272,28 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C71: tokenizer fertility / compression stats per (lang, source) —
+    // the "how many tokens does a byte of this slice cost" table that
+    // prices a corpus against a token budget and flags slices where the
+    // tokenizer fragments (high bytes-per-char or low chars-per-token).
+    // All inputs are scan-local codegen'd expressions; ONE map-side-
+    // combined shuffle down to |lang × source| rows; ratios computed on
+    // the tiny aggregate from exact long sums.
+    "doc_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+          sum(Text.wsTokenCount(col("text"))).as("ws_tokens"),
+          sum(Text.bpeTokenCount(col("text"))).as("bpe_tokens"))
+        .withColumn("chars_per_ws_token",
+          round(col("n_chars").cast("double") / col("ws_tokens"), 4))
+        .withColumn("bytes_per_bpe_token",
+          round(col("n_bytes").cast("double") / col("bpe_tokens"), 4))
+        .orderBy("lang", "source")
+    }),
+
     // C2: MinHash+LSH near-dup — band-bucket equi-join candidates, exact
     // Jaccard verification. Never an all-pairs join.
     "doc_minhash_lsh" -> ((s, dir) => {
@@ -1706,6 +1746,14 @@ object Docs {
     "doc_unigram_lp" ->
       (Unigram.logProbScoresSql("documents", "doc_id", "text") +
         "\nORDER BY doc_id"),
+
+    "doc_lm_deciles" ->
+      (Unigram.logProbDecilesSql("documents", "doc_id", "text", "source") +
+        "\nORDER BY stratum, decile"),
+
+    "doc_zipf" ->
+      (Unigram.zipfSlopeSql("documents", "text", "source") +
+        "\nORDER BY stratum"),
 
     "doc_bigram_lp" ->
       (Bigram.logProbScoresSql("documents", "doc_id", "text") +
@@ -2260,6 +2308,21 @@ object Docs {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens,
         |  round(length(text) / len(string_split(text, ' ')), 4) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_token_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(sum(length(text)) AS DOUBLE)
+        |    / sum(len(string_split(text, ' '))), 4) AS chars_per_ws_token,
+        |  round(CAST(sum(strlen(text)) AS DOUBLE)
+        |    / sum(len(regexp_extract_all(lower(text),
+        |        '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS bytes_per_bpe_token
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
 
     "doc_minhash_lsh" -> MinHash.minhashOracleSql("documents", 0.5),
 
