@@ -25,9 +25,15 @@ object PlanAudit {
     "doc_dedup_incremental",
     "doc_dedup_incremental_bloom", // same 1-row __half boundary agg as doc_dedup_incremental
     "doc_mixture", "doc_tfidf", "doc_unigram_lp", "doc_vocab",
+    "doc_lm_deciles", // inherits doc_unigram_lp's 1-row corpus-total broadcast
+    "emb_ann_recall", // wraps the ≤8-row probe broadcasts of every path it scores + a 3-row method spine
+    "emb_ivf_balance", // 1-row occupancy-stats broadcast
     "emb_ann_ivf", "emb_ann_topk", "emb_ann_topk_q",
     "emb_ann_pq", // same broadcast ≤8-row probe-table shape
     "emb_ann_pq_refined", // inherits the shortlist stage's probe broadcast
+    "emb_ann_pq_learned", // same probe-table broadcast, learned codebook
+    "doc_bigram_lp", // 1-row corpus-total broadcast (Bigram.scala:53)
+    "doc_vocab_drift", // 1-row per-side token-total broadcast (Drift.scala:54)
     "emb_knn_classify", // wraps annTopK's broadcast ≤8-row probe set
     "emb_hard_negatives", // same broadcast ≤8-row probe shape
     "emb_neardup",

@@ -96,14 +96,19 @@ object Pq {
   /** Per-subspace nearest-centroid scores s0..s{k-1} for the subvector
     * at `s` — round(2·x·c − ‖c‖², 9), the L2-argmin surrogate. */
   private def subScores(vec: Column, numSub: Int, k: Int, subDim: Int,
-                        s: Int, cb: Codebook): Seq[Column] = {
-    val sub = Vectors.toDouble(slice(vec, s * subDim + 1, subDim))
+                        s: Int, cb: Codebook): Seq[Column] =
+    subScoresOn(Vectors.toDouble(slice(vec, s * subDim + 1, subDim)),
+      k, s, cb)
+
+  /** [[subScores]] over an already-prepared double subvector column —
+    * the staged form [[encode]] uses so the slice is projected once. */
+  private def subScoresOn(sub: Column, k: Int, s: Int,
+                          cb: Codebook): Seq[Column] =
     (0 until k).map { c =>
       val cent = cb(s, c)
       round(lit(2.0) * Vectors.dot(sub, array(cent.map(lit): _*))
         - lit(normSq(cent)), 9)
     }
-  }
 
   /** Leftmost argmax over score columns — the code for one subspace. */
   private def argmaxChain(scores: Seq[Column]): Column =
@@ -115,17 +120,36 @@ object Pq {
     }
 
   /** Encode: (id, code0..code{numSub-1}) — a scan-local projection
-    * (the one pass that reads the full-width vectors). */
+    * (the one pass that reads the full-width vectors).
+    *
+    * Staged as THREE projections (subvectors → scores → argmax codes)
+    * rather than one: the argmax CASE chain references each score
+    * O(k) times, so inlining the score trees multiplies the
+    * slice+dot subtree by the ~k²/2 comparisons — ~80k expression
+    * nodes per row at the 16×16 default, which blows past codegen
+    * limits into interpreted evaluation. With named intermediate
+    * columns each score is computed ONCE per row, and CollapseProject
+    * leaves multi-referenced non-trivial aliases staged. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              numSub: Int = 16, k: Int = 16, subDim: Int = 4,
              codebook: Codebook = null): DataFrame = {
     require(numSub >= 1 && k >= 2 && subDim >= 1,
       "need numSub >= 1, k >= 2, subDim >= 1")
     val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
+    val subCols = (0 until numSub).map(s =>
+      Vectors.toDouble(slice(col(vecCol), s * subDim + 1, subDim))
+        .as(s"__sub$s"))
+    val staged = df.select(col(idCol) +: subCols: _*)
+    val scoreCols = (0 until numSub).flatMap { s =>
+      subScoresOn(col(s"__sub$s"), k, s, cb).zipWithIndex.map {
+        case (e, c) => e.as(s"__s_${s}_$c")
+      }
+    }
+    val scored = staged.select(col(idCol) +: scoreCols: _*)
     val codes = (0 until numSub).map(s =>
-      argmaxChain(subScores(col(vecCol), numSub, k, subDim, s, cb))
+      argmaxChain((0 until k).map(c => col(s"__s_${s}_$c")))
         .as(s"code$s"))
-    df.select(col(idCol) +: codes: _*)
+    scored.select(col(idCol) +: codes: _*)
   }
 
   /** ADC top-`topK` per probe over the ENCODED corpus: probes carry a

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnEval, AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -1501,6 +1501,50 @@ object Docs {
         probes = e.where(col("vec_id") < 8),
         idCol = "vec_id", vecCol = "embedding", k = 5)
         .orderBy("probe_id", "rank")
+    }),
+
+    // C74: ANN self-evaluation — per-(method, probe) recall of every
+    // approximate index tier (LSH, IVF, PQ-ADC) against the exact
+    // brute-force baseline; the regression gate consulted when re-tuning
+    // band counts / nprobe / codebooks. Report runs on |probes|·k-sized
+    // frames; the spine join keeps probes with ZERO approx results
+    // visible as recall 0.
+    "emb_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.where(col("vec_id") >= 8)
+      val probes = e.where(col("vec_id") < 8)
+      val exact = Similarity.annTopK(corpus, probes,
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      AnnEval.recallReport(exact, Seq(
+          "lsh" -> AnnLsh.topK(corpus, probes,
+            idCol = "vec_id", vecCol = "embedding", k = 5),
+          "ivf" -> graft.operators.AnnIvf.topK(corpus, probes,
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+            k = 5, nprobe = 3),
+          "pq" -> Pq.annTopK(corpus, probes,
+            idCol = "vec_id", vecCol = "embedding", topK = 5)))
+        .orderBy("method", "probe_id")
+    }),
+
+    // C75: IVF list-balance report — per-centroid occupancy of the C18
+    // fixed-centroid assignment plus each list's deviation from the
+    // mean (balance = n/avg): the health check before trusting an IVF
+    // index (a hot list degrades every probe that hits it; an empty
+    // list wastes a probe). One corpus scan to |k| rows; the stats join
+    // back as a broadcast 1-row aggregate.
+    "emb_ivf_balance" -> ((s, dir) => {
+      val scored = Tables.embeddings(s, dir).select(
+        col("vec_id") +: kmScoreCols: _*)
+      val lists = scored.select(kmArgmaxCol.as("assigned"))
+        .groupBy("assigned").agg(count(lit(1)).as("n_vecs"))
+        .localCheckpoint() // stats re-read it; don't rescan the corpus
+      val tot = lists.agg(sum(col("n_vecs")).as("total"),
+        avg(col("n_vecs")).as("avg_n"))
+      lists.crossJoin(broadcast(tot))
+        .select(col("assigned"), col("n_vecs"),
+          round(col("n_vecs").cast("double") / col("total"), 4).as("frac"),
+          round(col("n_vecs").cast("double") / col("avg_n"), 4).as("balance"))
+        .orderBy("assigned")
     }))
 
   /** Deterministic per-SF scratch dir for round-trip writers (same
@@ -2365,6 +2409,31 @@ object Docs {
 
     "emb_ann_ivf" -> graft.operators.AnnIvf.oracleSql(
       "embeddings", probeMaxId = 8, k = 5, nprobe = 3),
+
+    "emb_ann_recall" ->
+      (AnnEval.recallReportSql(
+        AnnEval.exactTopKSql("embeddings", probeMaxId = 8, k = 5),
+        Seq(
+          "lsh" -> AnnLsh.oracleSql("embeddings", probeMaxId = 8, k = 5),
+          "ivf" -> graft.operators.AnnIvf.oracleSql(
+            "embeddings", probeMaxId = 8, k = 5, nprobe = 3),
+          "pq" -> Pq.annTopKSql("embeddings", "vec_id", "embedding",
+            corpusPred = "vec_id >= 8", probePred = "vec_id < 8",
+            topK = 5))) + "\nORDER BY method, probe_id"),
+
+    "emb_ivf_balance" ->
+      s"""WITH s AS (
+        |  SELECT vec_id,
+        |    ${(0 until kmK).map(k => s"${kmScoreSql(k)} AS s$k").mkString(",\n|    ")}
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT CAST($kmCaseSql AS BIGINT) AS assigned, count(*) AS n_vecs
+        |  FROM s GROUP BY 1),
+        |t AS (SELECT sum(n_vecs) AS total, avg(n_vecs) AS avg_n FROM g)
+        |SELECT assigned, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |       round(n_vecs / total, 4) AS frac,
+        |       round(n_vecs / avg_n, 4) AS balance
+        |FROM g, t ORDER BY assigned""".stripMargin,
 
     "emb_neardup_lsh" -> AnnLsh.neardupOracleSql("embeddings", threshold = 0.4),
 

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnnEval
+import graft.queries.Docs
+
+/** C74 ANN recall self-evaluation, C75 IVF list balance. */
+class AnnEvalSpec extends SparkSpec {
+
+  test("recallReport counts hits against the exact set (hand case)") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("probe_id", "neighbor_id")
+    val path = Seq((1L, 10L), (1L, 99L), (2L, 10L), (2L, 12L))
+      .toDF("probe_id", "neighbor_id")
+    val out = AnnEval.recallReport(exact, Seq("m" -> path))
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(out(1L) == (1L, 0.5))
+    assert(out(2L) == (2L, 1.0))
+  }
+
+  test("recallReport keeps probes with zero approx results as recall 0") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (2L, 10L)).toDF("probe_id", "neighbor_id")
+    val empty = Seq.empty[(Long, Long)].toDF("probe_id", "neighbor_id")
+    val out = AnnEval.recallReport(exact, Seq("dead" -> empty)).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_returned") == 0L)
+      assert(r.getAs[Double]("recall") == 0.0)
+    }
+  }
+
+  test("emb_ann_recall reports all three methods for every probe") {
+    val out = Docs.queries("emb_ann_recall")(spark, sfDir).collect()
+    val methods = out.map(_.getAs[String]("method")).toSet
+    assert(methods == Set("lsh", "ivf", "pq"))
+    val probes = out.map(_.getAs[Long]("probe_id")).toSet
+    // 8 probes x 3 methods, every pair present
+    assert(out.length == probes.size * 3)
+    out.foreach { r =>
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+    }
+    // macro recall of the LSH tier matches the DocsOpsSpec >= 0.3 gate
+    val lsh = out.filter(_.getAs[String]("method") == "lsh")
+    val macroR = lsh.map(_.getAs[Long]("n_hit")).sum.toDouble /
+      lsh.map(_.getAs[Long]("n_exact")).sum
+    assert(macroR >= 0.3, s"lsh macro recall $macroR")
+  }
+
+  test("emb_ivf_balance fractions sum to 1 and balance averages 1") {
+    val out = Docs.queries("emb_ivf_balance")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 4)
+    val fracSum = out.map(_.getAs[Double]("frac")).sum
+    assert(math.abs(fracSum - 1.0) < 0.01, s"frac sum $fracSum")
+    val total = out.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == Tables.embeddings(spark, sfDir).count())
+  }
+}
