@@ -60,7 +60,9 @@ object GraftExtensions {
     // Text.stopwords order
     "graft_lang_hits" ->
       ((args: Seq[Expression]) =>
-        StopwordHits(args(0), Text.stopwords.map(_._2))))
+        StopwordHits(args(0), Text.stopwords.map(_._2))),
+    "graft_char_entropy_e9" ->
+      ((args: Seq[Expression]) => CharEntropyE9(args(0))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

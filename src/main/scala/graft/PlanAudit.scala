@@ -39,6 +39,7 @@ object PlanAudit {
     "emb_neardup",
     "emb_semdedup", // 1-row max-cluster-size guard broadcast
     "q22_churned_customers", "q_gapfill",
+    "q11_important_stock", // 1-row global-total scalar broadcast (Q11 fraction threshold)
     "q_ts_similarity", // users-dimension all-pairs baseline (|users| ≪ |events|) + 1-row day-spine broadcast
     "q_ts_similarity_lsh") // 1-row spine-constants broadcast + small day-spine broadcast; pairing itself is a (band, key) equi-join
 

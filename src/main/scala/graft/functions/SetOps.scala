@@ -27,4 +27,9 @@ object SetOps {
   def winnowFingerprints(text: Column, n: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowFingerprints(
       GraftSqlBridge.expression(text), n, w))
+
+  /** Character-distribution Shannon entropy (nats, e9-scaled long) in
+    * one compiled pass — zero-shuffle per-row histogram (codegen'd). */
+  def charEntropyE9(text: Column): Column =
+    GraftSqlBridge.column(CharEntropyE9(GraftSqlBridge.expression(text)))
 }

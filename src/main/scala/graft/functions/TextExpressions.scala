@@ -343,3 +343,72 @@ case class StopwordHits(child: Expression, sets: Seq[Seq[String]])
   override protected def withNewChildInternal(newChild: Expression): StopwordHits =
     copy(child = newChild)
 }
+
+/** Per-row character-distribution Shannon entropy (nats) on the e9
+  * ladder: count Unicode code points, per-char contribution
+  * −p·ln p rounded to 9 decimals (Spark's HALF_UP BigDecimal rule),
+  * scaled ×1e9 to a long, summed as exact integers — so the value is
+  * order-independent and engine-portable (the Drift/C70 recipe; max
+  * entropy ln(1.1M codepoints) ≈ 14, e9 ≈ 1.4e10, far inside long).
+  * The gibberish/noise detector: natural text sits in a narrow band
+  * (~2.8-3.2 nats for English chars); binary-in-text, base64 blobs, and
+  * key-mash rows spike high, template/repetition rows sink low.
+  *
+  * Scale shape: the whole histogram lives in one compiled pass per row —
+  * ZERO shuffle, where the declarative form (explode chars → groupBy
+  * (doc, char)) shuffles |docs|×|alphabet| rows. Equivalence with that
+  * declarative form is pinned in KernelSpec; cross-engine parity with
+  * the DuckDB unnest oracle is the driver row. Empty/null-safe: an
+  * empty string has entropy 0. */
+case class CharEntropyE9(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_char_entropy_e9"
+
+  /** Public so generated code can call it. */
+  def entropyE9(s: UTF8String): Long = {
+    val str = s.toString
+    if (str.isEmpty) return 0L
+    val counts = new java.util.HashMap[Integer, Array[Int]](64)
+    var total = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Int](1))
+      slot(0) += 1
+      total += 1L
+      i += Character.charCount(cp)
+    }
+    var sumE9 = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      val p = c / total
+      val term = -p * math.log(p)
+      // Spark round(x, 9): BigDecimal HALF_UP — replicate exactly, then
+      // the ×1e9 integer cast (fraction is ~0 after rounding, so any
+      // half-rule agrees)
+      val t9 = java.math.BigDecimal.valueOf(term)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      sumE9 += java.math.BigDecimal.valueOf(t9 * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    sumE9
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    entropyE9(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("charEntropy", this, classOf[CharEntropyE9].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.entropyE9($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyE9 =
+    copy(child = newChild)
+}

@@ -319,4 +319,49 @@ object Sampling {
        |       round($budget * (pow(n_tokens, $alpha) / z) / n_tokens, 4)
        |         AS epochs
        |FROM per, z ORDER BY stratum""".stripMargin
+
+  /** Deterministic epoch shuffle + shard assignment — the training-order
+    * manifest: every doc gets a shard in [0, nShards) and a position
+    * within that shard, both derived ONLY from (epoch, doc_id) via the
+    * engine-portable md5 prefix. Re-running the pipeline, appending to
+    * the corpus, or materializing on a different engine reproduces the
+    * exact same order (what `orderBy(rand())` can never give a training
+    * run), while a different epoch seed decorrelates the order between
+    * epochs — the "reshuffle each epoch without a stateful shuffler"
+    * contract of large-scale loaders. Shard and order use DOMAIN-
+    * SEPARATED hashes ("shard:"/"order:" prefixes): one hash for both
+    * would sort each shard by the same key that chose it, leaving
+    * neighboring positions correlated across epochs.
+    *
+    * Scale shape: both hashes are scan-local projections; the only
+    * exchange is the per-shard window (= the `repartition(shard).
+    * sortWithinPartitions(order)` a sharded writer needs anyway), and
+    * with nShards ≫ cores the windows parallelize with no global sort
+    * and no skew (md5 buckets are uniform). Output: (id, shard, pos). */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol).cast("string")
+    val shard = pmod(
+      MinHash.hash32(concat(lit(s"shard:$epoch:"), id)), lit(nShards.toLong))
+    val orderKey = MinHash.hash32(concat(lit(s"order:$epoch:"), id))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__ok"), col(idCol))
+    df.select(col(idCol), shard.as("shard"), orderKey.as("__ok"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__ok")
+  }
+
+  /** DuckDB mirror of [[epochShuffle]]'s (shard, pos) assignment. */
+  def epochShuffleSql(table: String, id: String, epoch: Int,
+                      nShards: Int): String =
+    s"""SELECT $id, shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY __ok, $id) AS pos
+       |FROM (
+       |  SELECT $id,
+       |    ('0x' || substr(md5('shard:$epoch:' || CAST($id AS VARCHAR)), 1, 8))::BIGINT
+       |      % $nShards AS shard,
+       |    ('0x' || substr(md5('order:$epoch:' || CAST($id AS VARCHAR)), 1, 8))::BIGINT
+       |      AS __ok
+       |  FROM $table)""".stripMargin
 }

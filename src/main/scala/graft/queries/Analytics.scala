@@ -515,6 +515,162 @@ object Analytics {
         .orderBy("s_suppkey")
     }),
 
+    // B51: min-cost supplier (TPC-H Q2 shape, adapted: the reduced schema
+    // has no partsupp, so the part×supplier offer grain — TPC-H's
+    // ps_supplycost — is derived once from lineitem history as the min
+    // unit price each supplier ever charged for the part). The correlated
+    // "= (SELECT min(...))" subquery is expressed Spark-first as a
+    // per-part min over the SAME pre-aggregated offer grain: the offer
+    // aggregate partitions by (part, supplier), the min re-shuffles only
+    // the |parts×suppliers-in-region| grain (never the fact), and the
+    // region-filtered supplier dim broadcasts into both. Unit cost stays
+    // in integer µ-units (scaled-long div) so the min and the equality
+    // rejoin are exact in both engines — a double division would make
+    // "cost = min(cost)" float-equality across engines.
+    "q2_min_cost_supp" -> ((s, dir) => {
+      val unitCost = expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000 AS BIGINT)" +
+          " div CAST(l_quantity AS BIGINT)")
+      val euroSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+          .where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val offers = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          unitCost.as("unit_cost_e4"))
+        .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("unit_cost_e4")).as("cost_e4"),
+          first(col("s_name")).as("s_name"),
+          first(col("s_acctbal")).as("s_acctbal"),
+          first(col("n_name")).as("n_name"))
+      val minCost = offers.groupBy(col("l_partkey").as("mc_partkey"))
+        .agg(min(col("cost_e4")).as("min_cost_e4"))
+      offers
+        .join(minCost, col("l_partkey") === col("mc_partkey")
+          && col("cost_e4") === col("min_cost_e4"))
+        .join(Tables.part(s, dir)
+          .where(col("p_type") === "STANDARD" && col("p_size") <= 10)
+          .select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select((dec182("s_acctbal") * 100).cast("long").as("s_acctbal_e2"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"),
+          col("cost_e4"))
+        .orderBy(desc("s_acctbal_e2"), col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // B52: important stock (TPC-H Q11 shape, adapted: part value held by
+    // one nation's suppliers = lineitem revenue in place of availqty ×
+    // supplycost) — grouped sum HAVING > fraction of the GLOBAL sum. The
+    // global scalar is a broadcast 1-row aggregate over the already-
+    // grouped per-part frame (q22's pattern), so the fact is scanned
+    // once; the fraction compare runs in exact scaled-long space
+    // (value_e2 × 1000 > total_e2), never a float ratio.
+    "q11_important_stock" -> ((s, dir) => {
+      val natSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sumFixed(dec182("l_extendedprice"), 2).as("value_e2"))
+      val total = vals
+        .agg(sum(col("value_e2").cast("decimal(38,0)")).cast("long")
+          .as("total_e2"))
+      vals.crossJoin(broadcast(total))
+        .where(col("value_e2") * 1000 > col("total_e2"))
+        .select(col("l_partkey"), col("value_e2"))
+        .orderBy(desc("value_e2"), col("l_partkey"))
+    }),
+
+    // B53: late-shipment priority split (TPC-H Q12 shape, adapted: no
+    // l_shipmode/l_receiptdate — "late" = shipped >90 days after the
+    // order date, grouped by return flag) — the two-way conditional
+    // aggregate: one fact-orders equi-join, CASE-sums partial-agg
+    // map-side, no Expand and no second scan for the second count.
+    "q12_ship_priority" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+        .where(col("l_shipdate") >= ts("1996-01-01")
+          && col("l_shipdate") < ts("1997-01-01"))
+        .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // B54: supplier-count by part attribute (TPC-H Q16 shape, adapted:
+    // the part×supplier relation comes from lineitem; "complaint"
+    // suppliers = negative account balance) — count(DISTINCT supplier)
+    // per (brand, size) with an excluded-supplier anti-join. The
+    // exclusion list is a broadcast anti-join on the fact BEFORE the
+    // grouped distinct (the NOT IN of the oracle), so excluded rows
+    // never enter the distinct's Expand; the distinct aggregate
+    // partial-aggregates the (brand, size, suppkey) grain map-side.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val badSupp = Tables.supplier(s, dir)
+        .where(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(badSupp),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Tables.part(s, dir)
+          .where(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO"
+            && col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+          .select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_size"))
+    }),
+
+    // B55: dominant-share suppliers (TPC-H Q20 shape, adapted: availqty
+    // has no source table, so "excess supply" = the supplier shipped
+    // more than HALF of a part's 1995 volume) — the nested semi-join
+    // chain: part filter → per-(part, supplier) volume → correlated
+    // per-part threshold → DISTINCT suppliers ⋉ supplier dim. The
+    // correlated "0.5 × sum(l_quantity)" subquery is a window sum over
+    // the SAME (part, supplier) aggregate grain — zero extra shuffles
+    // (the window reuses the groupBy partitioning); the share compare
+    // is exact in scaled longs (2×supp > total).
+    "q20_excess_supply" -> ((s, dir) => {
+      val qty = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1995-01-01")
+          && col("l_shipdate") < ts("1996-01-01"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(Tables.part(s, dir)
+          .where(col("p_name").like("%gear%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sumFixed(dec182("l_quantity"), 2).as("qty_e2"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val dom = qty
+        .withColumn("tot_e2", sum(col("qty_e2")).over(w))
+        .where(col("qty_e2") * 2 > col("tot_e2"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(dom, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"),
+          (dec182("s_acctbal") * 100).cast("long").as("s_acctbal_e2"))
+        .orderBy("s_name")
+    }),
+
     // B41: suppliers who kept orders waiting (TPC-H Q21 shape, adapted:
     // no l_receiptdate/l_commitdate in the reduced schema → "late" =
     // shipped >365 days after the order date). The classic doubly-
@@ -1420,6 +1576,90 @@ object Analytics {
         |WHERE c_nationkey = n_nationkey AND c_acctbal > avg_bal
         |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q2_min_cost_supp" ->
+      """WITH euro AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000 AS BIGINT)
+        |        // CAST(l_quantity AS BIGINT)) AS cost_e4,
+        |    min(s_name) AS s_name, min(s_acctbal) AS s_acctbal,
+        |    min(n_name) AS n_name
+        |  FROM lineitem JOIN euro ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |mc AS (
+        |  SELECT l_partkey AS mc_partkey, min(cost_e4) AS min_cost_e4
+        |  FROM offers GROUP BY 1)
+        |SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS s_acctbal_e2,
+        |  s_name, n_name, p_partkey, p_brand, cost_e4
+        |FROM offers
+        |JOIN mc ON l_partkey = mc_partkey AND cost_e4 = min_cost_e4
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'STANDARD' AND p_size <= 10
+        |ORDER BY s_acctbal_e2 DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH vals AS (
+        |  SELECT l_partkey,
+        |    ${sumFixedSql("CAST(l_extendedprice AS DECIMAL(18,2))", 2)} AS value_e2
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value_e2) AS BIGINT) AS total_e2 FROM vals)
+        |SELECT l_partkey, value_e2 FROM vals, tot
+        |WHERE value_e2 * 1000 > total_e2
+        |ORDER BY value_e2 DESC, l_partkey""".stripMargin,
+
+    "q12_ship_priority" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q20_excess_supply" ->
+      s"""WITH qty AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    ${sumFixedSql("CAST(l_quantity AS DECIMAL(18,2))", 2)} AS qty_e2
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%gear%'
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, qty_e2,
+        |      sum(qty_e2) OVER (PARTITION BY l_partkey) AS tot_e2
+        |    FROM qty)
+        |  WHERE qty_e2 * 2 > tot_e2)
+        |SELECT s_name, n_name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS s_acctbal_e2
+        |FROM supplier JOIN dom ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_name""".stripMargin,
 
     "q8_market_share" ->
       s"""WITH vol AS (

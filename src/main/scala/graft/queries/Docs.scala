@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Text
+import graft.functions.{SetOps, Text}
 import graft.operators.{AnnEval, AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
@@ -172,6 +172,72 @@ object Docs {
           count_distinct(col("rep_id")).as("n_groups"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("split")
+    }),
+
+    // C76: deterministic epoch shuffle + shard assignment — the
+    // training-order manifest (shard in [0,8), position within shard)
+    // derived ONLY from (epoch, doc_id) via the portable md5 prefix:
+    // re-runs/engines/appends reproduce the exact order, a different
+    // epoch decorrelates it. Both hashes are scan-local; the one
+    // exchange is the per-shard window a sharded writer needs anyway.
+    "doc_epoch_shuffle" -> ((s, dir) => {
+      Sampling.epochShuffle(Tables.documents(s, dir), "doc_id",
+          epoch = 1, nShards = 8)
+        .orderBy("shard", "pos")
+    }),
+
+    // C77: curriculum ordering — the stage-major, shard-parallel
+    // training order a paced run consumes: per-SOURCE difficulty
+    // quartile (ntile under a (score, id) total order, partitioned by
+    // source so no global window), md5 shard, then sources round-robin-
+    // interleaved within each (stage, shard) stream (rank within the
+    // source's stream, then interleave by (rank, source)). Every window
+    // partitions on keys whose cardinality the caller scales (stage ×
+    // shard × source), so no partition approaches corpus size; the
+    // score is the C30 quality proxy, scan-local.
+    "doc_curriculum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Text.tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val nUniq = size(array_distinct(toks)).cast("long")
+      val score = round(least(lit(1.0), nTokens.cast("double") / 100.0)
+        * (lit(0.5) + lit(0.5) * (nUniq.cast("double") / nTokens)), 4)
+      val id = col("doc_id").cast("string")
+      val stageW = Window.partitionBy(col("source"))
+        .orderBy(desc("score"), col("doc_id"))
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), score.as("score"),
+          pmod(MinHash.hash32(concat(lit("cshard:"), id)), lit(4L))
+            .as("shard"),
+          MinHash.hash32(concat(lit("cur:"), id)).as("__ok"))
+        .withColumn("stage", ntile(4).over(stageW).cast("long"))
+      val rrW = Window.partitionBy(col("stage"), col("shard"), col("source"))
+        .orderBy(col("__ok"), col("doc_id"))
+      val posW = Window.partitionBy(col("stage"), col("shard"))
+        .orderBy(col("rr"), col("source"), col("doc_id"))
+      staged.withColumn("rr", row_number().over(rrW).cast("long"))
+        .withColumn("pos", row_number().over(posW).cast("long"))
+        .select(col("doc_id"), col("stage"), col("shard"), col("source"),
+          col("pos"))
+        .orderBy("stage", "shard", "pos")
+    }),
+
+    // C78: character-entropy noise screen — per-doc Shannon entropy of
+    // the char distribution (nats, e9 ladder): base64/binary blobs and
+    // key-mash spike high, template/repetition rows sink low — the
+    // orthogonal complement to C36's token-level quality score. The
+    // histogram lives inside ONE codegen'd expression (CharEntropyE9),
+    // so the whole screen is a zero-shuffle scan projection; the
+    // declarative explode→groupBy form would shuffle |docs|×|alphabet|
+    // rows (equivalence pinned in KernelSpec).
+    "doc_char_entropy" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(array_distinct(split(col("text"), ""))).cast("long")
+            .as("n_distinct"),
+          SetOps.charEntropyE9(col("text")).as("entropy_e9"))
+        .orderBy("doc_id")
     }),
 
     // C21: stratified deterministic sample — per-language keep rates
@@ -1864,6 +1930,62 @@ object Docs {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${Sampling.stratifiedWhereSql("doc_id", "lang", langMixPct, defaultMixPct)}
          |ORDER BY doc_id""".stripMargin,
+
+    "doc_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS t,
+        |         count(*) AS n_distinct
+        |  FROM cnt GROUP BY 1),
+        |terms AS (
+        |  SELECT cnt.doc_id, tot.n_distinct,
+        |    round(-(c / t) * ln(c / t), 9) AS c9
+        |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  CAST(x.n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(x.entropy_e9 AS BIGINT) AS entropy_e9
+        |FROM documents d JOIN (
+        |  SELECT doc_id, n_distinct,
+        |    CAST(sum(CAST(round(c9, 9) * 1e9 AS DECIMAL(38,0))) AS BIGINT)
+        |      AS entropy_e9
+        |  FROM terms GROUP BY 1, 2) x ON d.doc_id = x.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "doc_epoch_shuffle" ->
+      s"""SELECT doc_id, shard, pos
+         |FROM (${Sampling.epochShuffleSql("documents", "doc_id", epoch = 1, nShards = 8)})
+         |ORDER BY shard, pos""".stripMargin,
+
+    "doc_curriculum" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (0.5 + 0.5 * (len(list_distinct(string_split(text, ' ')))
+        |                      / len(string_split(text, ' ')))), 4) AS score,
+        |    ('0x' || substr(md5('cshard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 4 AS shard,
+        |    ('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS ok
+        |  FROM documents),
+        |staged AS (
+        |  SELECT doc_id, source, score, shard, ok,
+        |    CAST(ntile(4) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS stage
+        |  FROM q),
+        |rr AS (
+        |  SELECT doc_id, source, shard, stage,
+        |    row_number() OVER (PARTITION BY stage, shard, source
+        |      ORDER BY ok, doc_id) AS rr
+        |  FROM staged)
+        |SELECT doc_id, stage, shard, source,
+        |  row_number() OVER (PARTITION BY stage, shard
+        |    ORDER BY rr, source, doc_id) AS pos
+        |FROM rr
+        |ORDER BY stage, shard, pos""".stripMargin,
 
     "doc_dedup_exact" ->
       """WITH crawl AS (

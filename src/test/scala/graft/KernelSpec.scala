@@ -130,6 +130,29 @@ class KernelSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("CharEntropyE9 == declarative explode→groupBy entropy on the e9 ladder") {
+    val cnt = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("doc_id").agg(sum("c").cast("double").as("t"))
+    val declarative = cnt.join(tot, "doc_id")
+      .withColumn("c9",
+        round((col("c") / col("t")) * log(col("c") / col("t")) * lit(-1.0), 9))
+      .groupBy("doc_id")
+      .agg(sum((round(col("c9"), 9) * 1e9).cast("decimal(38,0)"))
+        .cast("long").as("e9d"))
+    val native = docs.select(col("doc_id"),
+      SetOps.charEntropyE9(col("text")).as("e9n"))
+    val joined = native.join(declarative, "doc_id")
+    assert(joined.count() === docs.count())
+    val diff = joined.where(col("e9n") =!= col("e9d")).count()
+    assert(diff === 0)
+    // single-char and empty edge rows: entropy exactly 0
+    val edge = { import spark.implicits._
+      Seq("", "aaaa", "x").toDF("text") }
+    assert(edge.where(SetOps.charEntropyE9(col("text")) =!= 0L).count() === 0)
+  }
+
   test("StopwordHits == per-language size(filter(tokens(lower), isin)) HOFs") {
     val declarative = Text.stopwords.map { case (_, words) =>
       size(filter(split(lower(col("text")), " "),

@@ -179,4 +179,38 @@ class SamplingSpec extends SparkSpec {
       assert(got(id) === h % 100, s"doc $id")
     }
   }
+
+  test("epochShuffle: total permutation per shard, deterministic, " +
+    "epochs decorrelated, shards balanced") {
+    val n = docs.count()
+    val e1 = Sampling.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
+      .cache()
+    // every doc appears exactly once, with a dense 1..k position per shard
+    assert(e1.count() === n)
+    assert(e1.select("doc_id").distinct().count() === n)
+    val dense = e1.groupBy("shard")
+      .agg(count(lit(1)).as("k"), max("pos").as("mx"), min("pos").as("mn"))
+    assert(dense.where(col("mx") =!= col("k") || col("mn") =!= 1)
+      .count() === 0)
+    // deterministic re-run
+    val again = Sampling.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
+    assert(e1.exceptAll(again).count() === 0)
+    // a different epoch reassigns most docs' (shard, pos): identical
+    // rows between epochs should be rare (md5 decorrelates)
+    val e2 = Sampling.epochShuffle(docs, "doc_id", epoch = 2, nShards = 8)
+    assert(e1.intersect(e2).count() < n / 4)
+    // md5 shards are roughly uniform (500 docs over 8 shards)
+    val sizes = e1.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length === 8 && sizes.min > n / 16, sizes.mkString(","))
+  }
+
+  test("epochShuffle: append-stable shard, order-shift only — old docs " +
+    "keep their shard when the corpus grows") {
+    val half = docs.where(col("doc_id") % 2 === 0)
+    val small = Sampling.epochShuffle(half, "doc_id", 1, 8)
+      .select(col("doc_id"), col("shard"))
+    val full = Sampling.epochShuffle(docs, "doc_id", 1, 8)
+      .where(col("doc_id") % 2 === 0).select(col("doc_id"), col("shard"))
+    assert(small.exceptAll(full).count() === 0)
+  }
 }
