@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns (SURVEY.md §2.C12): image/audio/video payloads as
@@ -43,15 +43,20 @@ trait MediaCodec extends Serializable {
   * =========================================================== */
 object ByteHistogramCodec extends MediaCodec {
   def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
-    val feats = new Array[Float](dim)
+    val counts = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
-      feats(java.lang.Math.floorMod(bytes(i).toInt, dim)) += 1f
+      counts(java.lang.Math.floorMod(bytes(i).toInt, dim)) += 1L
       i += 1
     }
-    val n = math.max(bytes.length, 1).toFloat
+    // normalize via DOUBLE division rounded to float — the exact chain a
+    // SQL engine mirrors as CAST(c::DOUBLE / n::DOUBLE AS REAL), so the
+    // stub's features are engine-portable bit-for-bit (float/float
+    // division would double-round differently)
+    val n = math.max(bytes.length, 1).toDouble
+    val feats = new Array[Float](dim)
     var j = 0
-    while (j < dim) { feats(j) /= n; j += 1 }
+    while (j < dim) { feats(j) = (counts(j) / n).toFloat; j += 1 }
     feats
   }
 }
@@ -92,6 +97,103 @@ object Media {
     val stride = (length(content) - frameLen) / math.max(k - 1, 1)
     array((0 until k).map(i =>
       substring(content, (lit(i) * stride + 1).cast("int"), lit(frameLen))): _*)
+  }
+
+  /** Near-duplicate media pairs over decoded feature vectors — the
+    * "same asset, different encode" screen that [[contentDigest]]'s
+    * exact byte dedup misses (re-encoded/transcoded payloads share
+    * features, not bytes).
+    *
+    * Blocking is an EXACT-INTEGER grid signature, not float LSH: each
+    * feature is quantized to `floor(f × 32)` (32 = 2⁵, so the multiply
+    * is an exponent shift — NO floating rounding anywhere) and the dim
+    * halves Horner-pack into two base-33 long band keys; a pair is
+    * compared only if it shares a band. Two reasons over sign-LSH:
+    * (a) decoded-feature distributions are often CONCENTRATED (all
+    * byte-histograms of same-type media point the same way), which
+    * collapses every sign bucket into one — the grid keys keep
+    * discriminating; (b) integer keys cannot flip at a float boundary,
+    * so the candidate set is bit-stable across engines — band-key
+    * parity is what lets the DuckDB oracle replay the whole pipeline.
+    * Recall < 1 by design (a near-dup can straddle a grid step in both
+    * bands); MediaSpec measures it against the exact all-pairs
+    * baseline.
+    *
+    * Scale shape: signatures are scan-local; candidates come from a
+    * shuffle-partitioned equi-join on (band, key) — never a cartesian;
+    * the threshold filter runs before the pair-dedup groupBy so only
+    * surviving pairs shuffle twice. */
+  def neardupPairs(feats: DataFrame, idCol: String = "media_id",
+                   vecCol: String = "features", dim: Int = 16,
+                   threshold: Double = 0.9995): DataFrame = {
+    require(dim % 2 == 0, "grid blocking splits dims into two bands")
+    val per = dim / 2
+    def gridKey(offset: Int): Column =
+      (0 until per).map { i =>
+        val q = floor(
+          element_at(col(vecCol), offset + i + 1).cast("double") * 32.0)
+        q * lit(math.pow(33.0, i).toLong)
+      }.reduce(_ + _).cast("long")
+    val bandStructs = (0 until 2).map(b =>
+      struct(lit(b).as("band"), gridKey(b * per).as("bkey")))
+    val e = feats.select(col(idCol).as("id"),
+        graft.functions.Vectors.toDouble(col(vecCol)).as("v"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("v"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withColumn("n", graft.functions.Vectors.norm(col("v")))
+    e.as("x").join(e.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        graft.functions.Vectors.cosineWithNorms(
+          col("x.v"), col("y.v"), col("x.n"), col("y.n")).as("cos_raw"))
+      .where(col("cos_raw") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("cos_raw")).as("cos_raw"))
+      .select(col("id_a"), col("id_b"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** DuckDB oracle for [[neardupPairs]] over [[fromDocuments]] media
+    * decoded by the [[ByteHistogramCodec]] stub: re-derives the byte
+    * histogram (ASCII corpus: char code = byte), the REAL-rounded
+    * normalization, the grid band keys, candidates, and the cosine
+    * threshold — the full decode → block → compare pipeline in SQL. */
+  def neardupOracleSql(table: String, dim: Int = 16,
+                       threshold: Double = 0.9995): String = {
+    val per = dim / 2
+    def keySql(lo: Int): String =
+      (0 until per).map { i =>
+        s"CAST(floor(CAST(vf[${lo + i + 1}] AS DOUBLE) * 32) AS BIGINT)" +
+          s" * ${math.pow(33.0, i).toLong}"
+      }.mkString("(", " + ", ")")
+    val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    s"""WITH f AS (
+       |  SELECT doc_id AS media_id,
+       |    list_transform(generate_series(0, ${dim - 1}), j ->
+       |      CAST(CAST(len(list_filter(chars, ch -> unicode(ch) % $dim = j))
+       |             AS DOUBLE) / n AS REAL)) AS vf
+       |  FROM (SELECT doc_id, string_split(text, '') AS chars,
+       |          CAST(greatest(length(text), 1) AS DOUBLE) AS n
+       |        FROM $table)),
+       |e AS (
+       |  SELECT media_id, vf::DOUBLE[] AS v,
+       |    ${keySql(0)} AS k0, ${keySql(per)} AS k1
+       |  FROM f),
+       |bands AS (
+       |  SELECT media_id, v, 0 AS band, k0 AS bkey FROM e
+       |  UNION ALL SELECT media_id, v, 1, k1 FROM e),
+       |cand AS (
+       |  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |   AND x.media_id < y.media_id)
+       |SELECT id_a, id_b, round($cos, 4) AS cos_sim
+       |FROM cand JOIN e a ON id_a = a.media_id
+       |          JOIN e b ON id_b = b.media_id
+       |WHERE $cos >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Batched decode / feature extraction through a [[MediaCodec]].

@@ -108,4 +108,23 @@ object AnnEval {
        |            ORDER BY round(cos_raw, 9) DESC, neighbor_id) AS rank
        |  FROM s)
        |SELECT probe_id, neighbor_id FROM r WHERE rank <= $k""".stripMargin
+
+  /** [[exactTopKSql]] on the first `d` dimensions only — the DuckDB side
+    * of the Matryoshka-truncation evaluation (`emb_ann_mrl`). */
+  def truncTopKSql(table: String, probeMaxId: Long, k: Int, d: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, (embedding::DOUBLE[])[1:$d] AS v FROM $table),
+       |p AS (SELECT * FROM e WHERE vec_id < $probeMaxId),
+       |c AS (SELECT * FROM e WHERE vec_id >= $probeMaxId),
+       |s AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(p.v, c.v)
+       |           / (sqrt(list_dot_product(p.v, p.v))
+       |              * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+       |  FROM p CROSS JOIN c),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |            ORDER BY round(cos_raw, 9) DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT probe_id, neighbor_id FROM r WHERE rank <= $k""".stripMargin
 }

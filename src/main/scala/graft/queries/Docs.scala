@@ -1557,6 +1557,20 @@ object Docs {
         .orderBy("media_id")
     }),
 
+    // C79: media near-dup over DECODED features — the full multimodal
+    // pipeline e2e: binary payloads → batched codec decode
+    // (mapPartitions through the MediaCodec seam, stub codec) →
+    // exact-integer grid-signature blocking → cosine threshold. The
+    // "same asset, different encode" screen exact byte dedup misses;
+    // the oracle replays decode → block → compare entirely in SQL, so
+    // the driver row proves the codec plumbing, not just the digests.
+    "media_neardup" -> ((s, dir) => {
+      val m = graft.multimodal.Media.fromDocuments(Tables.documents(s, dir))
+      val feats = graft.multimodal.Media.decodeFeatures(m, dim = 16)
+      graft.multimodal.Media.neardupPairs(feats)
+        .orderBy("id_a", "id_b")
+    }),
+
     // C7: LSH-bucketed ANN — the scale path; band equi-join, exact cosine
     // on candidates only. Recall vs the exact C6 baseline is asserted in
     // DocsOpsSpec.
@@ -1589,6 +1603,35 @@ object Docs {
             k = 5, nprobe = 3),
           "pq" -> Pq.annTopK(corpus, probes,
             idCol = "vec_id", vecCol = "embedding", topK = 5)))
+        .orderBy("method", "probe_id")
+    }),
+
+    // C80: Matryoshka-truncation evaluation — per-probe recall of
+    // prefix-dimension search (first 8/16/32 of 64 dims) against the
+    // full-dim exact baseline: the dimension-budget tuning table for
+    // MRL-style embeddings (store/search a prefix, pay cosine on d
+    // dims instead of D). Truncation is a scan-local slice; each tier
+    // is the same broadcast-probe top-k plan at lower width; the
+    // report runs on |probes|·k rows via the C74 spine (zero-result
+    // probes stay visible as recall 0). On the SYNTHETIC random
+    // embeddings prefix recall is low by nature (no dimension is
+    // privileged); MRL-trained embeddings concentrate information in
+    // the prefix — the report is how that claim gets checked before
+    // cutting storage. The d = full-width tier is the identity
+    // (recall 1.0 exactly), pinned in AnnEvalSpec.
+    "emb_ann_mrl" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      def part(pred: Column, d: Int) = e.where(pred)
+        .select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      val corpus = e.where(col("vec_id") >= 8)
+      val probes = e.where(col("vec_id") < 8)
+      val exact = Similarity.annTopK(corpus, probes,
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      AnnEval.recallReport(exact, Seq(8, 16, 32).map { d =>
+          s"mrl$d" -> Similarity.annTopK(
+            part(col("vec_id") >= 8, d), part(col("vec_id") < 8, d),
+            idCol = "vec_id", vecCol = "embedding", k = 5)
+        })
         .orderBy("method", "probe_id")
     }),
 
@@ -2543,6 +2586,13 @@ object Docs {
             corpusPred = "vec_id >= 8", probePred = "vec_id < 8",
             topK = 5))) + "\nORDER BY method, probe_id"),
 
+    "emb_ann_mrl" ->
+      (AnnEval.recallReportSql(
+        AnnEval.exactTopKSql("embeddings", probeMaxId = 8, k = 5),
+        Seq(8, 16, 32).map(d => s"mrl$d" ->
+          AnnEval.truncTopKSql("embeddings", probeMaxId = 8, k = 5, d = d)))
+        + "\nORDER BY method, probe_id"),
+
     "emb_ivf_balance" ->
       s"""WITH s AS (
         |  SELECT vec_id,
@@ -2566,6 +2616,9 @@ object Docs {
         |  sha256(text) AS digest,
         |  hex(substr(text, 1, 8)) AS header_hex
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "media_neardup" ->
+      graft.multimodal.Media.neardupOracleSql("documents"),
 
     "doc_vocab" ->
       """SELECT token, count(*) AS n_occurrences,

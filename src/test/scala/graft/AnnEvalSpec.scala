@@ -52,6 +52,30 @@ class AnnEvalSpec extends SparkSpec {
     assert(macroR >= 0.3, s"lsh macro recall $macroR")
   }
 
+  test("emb_ann_mrl: full spine, recall in [0,1], full-width prefix is " +
+    "the identity (recall exactly 1)") {
+    import graft.operators.{AnnEval, Similarity}
+    val out = Docs.queries("emb_ann_mrl")(spark, sfDir).collect()
+    // 3 tiers x 8 probes, every recall bounded
+    assert(out.length === 24)
+    out.foreach { r =>
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // truncating to the FULL width must reproduce the baseline exactly
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.where(col("vec_id") >= 8)
+    val probes = e.where(col("vec_id") < 8)
+    def trunc(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("vec_id"), slice(col("embedding"), 1, 64).as("embedding"))
+    val exact = Similarity.annTopK(corpus, probes,
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+    val full = AnnEval.recallReport(exact, Seq("mrl64" ->
+      Similarity.annTopK(trunc(corpus), trunc(probes),
+        idCol = "vec_id", vecCol = "embedding", k = 5)))
+    assert(full.where(col("recall") =!= 1.0).count() === 0)
+  }
+
   test("emb_ivf_balance fractions sum to 1 and balance averages 1") {
     val out = Docs.queries("emb_ivf_balance")(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 4)

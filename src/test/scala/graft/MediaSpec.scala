@@ -85,4 +85,28 @@ class MediaSpec extends SparkSpec {
     // header hex of ascii text: 16 hex chars for 8 bytes
     assert(out.where(length(col("hdr")) =!= 16).count() === 0)
   }
+
+  test("feature near-dup: pairs ⊆ exact all-pairs answer, recall measured, " +
+    "deterministic") {
+    import graft.functions.Vectors
+    val feats = Media.decodeFeatures(media, 16).cache()
+    val got = Media.neardupPairs(feats).cache()
+    // exact all-pairs baseline at the same threshold
+    val e = feats.select(col("media_id").as("id"),
+      Vectors.toDouble(col("features")).as("v"))
+    val exact = e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(Vectors.cosine(col("x.v"), col("y.v")), 4).as("cos_sim"))
+      .where(Vectors.cosine(col("x.v"), col("y.v")) >= 0.9995)
+      .cache()
+    // no false positives: every reported pair is a true near-dup pair
+    assert(got.exceptAll(exact).count() === 0)
+    // recall of the grid blocking against the exact baseline — the
+    // byte-histogram distribution is grid-friendly; require most pairs
+    val (nGot, nExact) = (got.count(), exact.count())
+    assert(nExact > 0, "threshold found no pairs; test data changed?")
+    assert(nGot * 10 >= nExact * 8, s"recall ${nGot}/${nExact} < 0.8")
+    // deterministic re-run
+    assert(got.exceptAll(Media.neardupPairs(feats)).count() === 0)
+  }
 }
