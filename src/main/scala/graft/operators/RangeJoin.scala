@@ -46,4 +46,39 @@ object RangeJoin {
       .drop("__k", "__lts", "__lseq")
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
   }
+
+  /** Interval-OVERLAP join — pair every left interval [lStart, lEnd]
+    * with every right interval [rStart, rEnd] it overlaps (closed
+    * endpoints: overlap ⟺ lStart ≤ rEnd ∧ rStart ≤ lEnd). The theta
+    * form is a nested-loop product; here each interval explodes to the
+    * time buckets it spans and the join is a plain equi-join on the
+    * bucket — shuffle-partitioned, AQE-splittable.
+    *
+    * An overlapping pair shares EVERY bucket their intersection spans,
+    * so a naive bucket join duplicates it; instead of a dedup shuffle
+    * the join keeps a pair only in its CANONICAL bucket — the bucket of
+    * max(lStart, rStart), the first bucket of the intersection — which
+    * each pair has exactly one of (the meet-exactly-once trick from the
+    * MapReduce interval-join literature; all math is exact integer
+    * `div`, so the canonical test is engine-portable). Cost: each
+    * interval carries span/bucketUs + 1 copies — pick `bucketUs` near
+    * the typical interval length so the explode factor stays O(1);
+    * pathological long intervals fan out linearly, never quadratically.
+    *
+    * Caller contract: the two frames' column names must not collide
+    * (prefix them); both bounds are epoch-µs longs. */
+  def overlapPairs(left: DataFrame, lStart: String, lEnd: String,
+                   right: DataFrame, rStart: String, rEnd: String,
+                   bucketUs: Long): DataFrame = {
+    def bucketed(df: DataFrame, s: String, e: String, as: String) =
+      df.withColumn(as, explode(sequence(
+        expr(s"$s div $bucketUs"), expr(s"$e div $bucketUs"))))
+    val l = bucketed(left, lStart, lEnd, "__lb")
+    val r = bucketed(right, rStart, rEnd, "__rb")
+    l.join(r, col("__lb") === col("__rb")
+        && col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+        && col("__lb") ===
+          expr(s"greatest($lStart, $rStart) div $bucketUs"))
+      .drop("__lb", "__rb")
+  }
 }

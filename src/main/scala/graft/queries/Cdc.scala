@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.cdc._
-import graft.operators.Sessionize
+import graft.operators.{RangeJoin, Sessionize}
 import graft.sources.GraftSource
 import graft.streaming.CdcStream
 
@@ -366,6 +366,44 @@ object Cdc {
         Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value"),
         key = "user_id", tsUs = "ts_us", seq = "event_id",
         gapUs = 30L * 60 * 1000000, valueCol = "value")
+        .orderBy("user_id", "session_id")
+    }),
+
+    // A36: session-concurrency report — for each session, how many OTHER
+    // users' sessions overlap it in time (the per-session load/
+    // co-activity metric an ops dashboard reads next to A24's lag). The
+    // session×session overlap is an interval-OVERLAP join: the theta
+    // form is a nested-loop product, so both sides explode to 1-hour
+    // time buckets and pair in a plain equi-join, each overlapping pair
+    // kept only in its CANONICAL bucket (bucket of max(starts) — the
+    // meet-exactly-once trick; exact integer div, engine-portable), so
+    // no dedup shuffle. Sessions are localCheckpointed once — both join
+    // sides and the zero-fill read the same materialized frame instead
+    // of re-running the sessionizer three times.
+    "cdc_concurrency" -> ((s, dir) => {
+      val sess = Sessionize.stats(
+          Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value"),
+          key = "user_id", tsUs = "ts_us", seq = "event_id",
+          gapUs = 30L * 60 * 1000000, valueCol = "value")
+        .select(col("user_id"), col("session_id"),
+          col("session_start_us"), col("session_end_us"))
+        .localCheckpoint()
+      val l = sess.select(col("user_id").as("l_user"),
+        col("session_id").as("l_sess"),
+        col("session_start_us").as("l_s"), col("session_end_us").as("l_e"))
+      val r = sess.select(col("user_id").as("r_user"),
+        col("session_start_us").as("r_s"), col("session_end_us").as("r_e"))
+      val counts = RangeJoin.overlapPairs(l, "l_s", "l_e", r, "r_s", "r_e",
+          bucketUs = 3600000000L)
+        .where(col("l_user") =!= col("r_user"))
+        .groupBy(col("l_user"), col("l_sess"))
+        .agg(count(lit(1)).as("n_concurrent"))
+      sess.join(counts,
+          col("user_id") === col("l_user") && col("session_id") === col("l_sess"),
+          "left")
+        .select(col("user_id"), col("session_id"),
+          col("session_start_us"), col("session_end_us"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
         .orderBy("user_id", "session_id")
     }),
 
@@ -1071,6 +1109,32 @@ object Cdc {
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
         |       $sumCentsSql AS sum_value_e2
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |d AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |            ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |            AS session_id
+        |  FROM d),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |         min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |  FROM s GROUP BY 1, 2)
+        |SELECT a.user_id, a.session_id, a.session_start_us, a.session_end_us,
+        |       CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+        |FROM sess a LEFT JOIN sess b
+        |  ON a.user_id <> b.user_id
+        | AND a.session_start_us <= b.session_end_us
+        | AND b.session_start_us <= a.session_end_us
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2""".stripMargin,
 
     // The sink never touches DuckDB: the oracle digests the SOURCE rows
     // (plus the batch assignment the sink must produce), so hash parity

@@ -88,4 +88,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("session_end_us") === 10L)
     assert(out(1).getAs[Long]("n_events") === 1L)
   }
+
+  test("RangeJoin.overlapPairs == theta-join baseline, each pair exactly " +
+    "once, across bucket sizes") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    // intervals engineered to hit the edge cases: touching endpoints
+    // (closed-interval overlap), containment, spans over many buckets,
+    // same-bucket disjoint, exact bucket-boundary starts
+    val l = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 200L, 210L),
+        (4L, 90L, 300L), (5L, 100L, 100L))
+      .toDF("l_id", "l_s", "l_e")
+    val r = Seq((10L, 100L, 150L), (11L, 0L, 10L), (12L, 55L, 58L),
+        (13L, 211L, 220L), (14L, 0L, 400L))
+      .toDF("r_id", "r_s", "r_e")
+    val theta = l.join(r, col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+      .select("l_id", "r_id")
+    for (w <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.overlapPairs(l, "l_s", "l_e", r, "r_s", "r_e", w)
+        .select("l_id", "r_id")
+      // exactly-once: multiset equality against the theta baseline
+      assert(got.exceptAll(theta).count() === 0, s"bucket $w: extra pairs")
+      assert(theta.exceptAll(got).count() === 0, s"bucket $w: missing pairs")
+    }
+  }
 }
