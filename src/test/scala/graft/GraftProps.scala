@@ -142,6 +142,29 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("overlapPairs == theta join for random intervals and bucket sizes") =
+    forAll(
+      Gen.listOfN(12, for {
+        s <- Gen.choose(0L, 500L); len <- Gen.choose(0L, 120L)
+      } yield (s, s + len)),
+      Gen.listOfN(12, for {
+        s <- Gen.choose(0L, 500L); len <- Gen.choose(0L, 120L)
+      } yield (s, s + len)),
+      Gen.choose(1L, 200L)) { (ls, rs, w) =>
+      import spark.implicits._
+      val l = ls.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("l_id", "l_s", "l_e")
+      val r = rs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("r_id", "r_s", "r_e")
+      val theta = l.join(r,
+          col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+        .select("l_id", "r_id")
+      val got = operators.RangeJoin
+        .overlapPairs(l, "l_s", "l_e", r, "r_s", "r_e", w)
+        .select("l_id", "r_id")
+      got.exceptAll(theta).count() == 0L && theta.exceptAll(got).count() == 0L
+    }
+
   property("checksum is invariant under any row permutation/partitioning") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0L, 500L)).map(_.take(30)),
       Gen.choose(1, 8)) { (keys, parts) =>
