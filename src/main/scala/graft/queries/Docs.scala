@@ -222,6 +222,33 @@ object Docs {
         .orderBy("stage", "shard", "pos")
     }),
 
+    // C81: SFT chat-template assembly + loss-mask offsets — the
+    // formatting pass that turns raw text into instruction-tuning rows:
+    // deterministic prompt/response split (first ⌈n/2⌉ tokens prompt,
+    // rest response), chat-template wrap, and the [mask_start, mask_end)
+    // character span a trainer masks loss OUTSIDE of (only the response
+    // is supervised). Everything is scan-local string/integer math —
+    // zero shuffles at any corpus size; the formatted text crosses the
+    // engine boundary as its sha256 so the driver hash stays row-sized.
+    "doc_chat_format" -> ((s, dir) => {
+      val n = size(split(col("text"), " ")).cast("long")
+      val kL = expr("CAST((size(split(text, ' ')) + 1) DIV 2 AS INT)")
+      val prompt =
+        array_join(slice(split(col("text"), " "), lit(1), kL), " ")
+      val response = array_join(
+        slice(split(col("text"), " "), kL + lit(1), lit(1000000)), " ")
+      val pre = concat(lit("<|user|>\n"), prompt, lit("\n<|assistant|>\n"))
+      val formatted = concat(pre, response)
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          kL.cast("long").as("n_prompt_tokens"),
+          (n - kL).cast("long").as("n_response_tokens"),
+          length(pre).cast("long").as("mask_start"),
+          length(formatted).cast("long").as("mask_end"),
+          sha2(formatted.cast("binary"), 256).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // C78: character-entropy noise screen — per-doc Shannon entropy of
     // the char distribution (nats, e9 ladder): base64/binary blobs and
     // key-mash spike high, template/repetition rows sink low — the
@@ -1973,6 +2000,25 @@ object Docs {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${Sampling.stratifiedWhereSql("doc_id", "lang", langMixPct, defaultMixPct)}
          |ORDER BY doc_id""".stripMargin,
+
+    "doc_chat_format" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST((len(string_split(text, ' ')) + 1) // 2 AS INT) AS k
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, k, len(toks) AS n,
+        |    '<|user|>' || chr(10) || array_to_string(toks[1:k], ' ')
+        |      || chr(10) || '<|assistant|>' || chr(10) AS pre,
+        |    array_to_string(toks[k+1:], ' ') AS response
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(k AS BIGINT) AS n_prompt_tokens,
+        |  CAST(n - k AS BIGINT) AS n_response_tokens,
+        |  CAST(length(pre) AS BIGINT) AS mask_start,
+        |  CAST(length(pre || response) AS BIGINT) AS mask_end,
+        |  sha256(pre || response) AS digest
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "doc_char_entropy" ->
       """WITH chars AS (
