@@ -350,6 +350,97 @@ object MinHash {
 
   /** DuckDB oracle for [[neardupPairs]], generated from the SAME constants
     * so the two engines can never drift. */
+  /** Sketch-calibration report — per banded candidate pair, the
+    * MinHash-ESTIMATED Jaccard (fraction of the 16 signature slots that
+    * agree — the unbiased estimator the banding itself relies on) next
+    * to the EXACT shingle Jaccard, plus the absolute error. This is the
+    * gate consulted before trusting a signature width k: if the observed
+    * |est − exact| tail is too fat at k=16, widen the signature (σ ≈
+    * √(J(1−J)/k)); the ANN-recall analog of C74 for the dedup sketches.
+    *
+    * Scale shape: identical to [[neardupPairs]] — one signature scan,
+    * band equi-join candidates, per-pair verification on the candidate
+    * set only. Both ratios are exact small-integer divisions (k/16,
+    * i/u), so the report is engine-exact after the round(4) boundary.
+    * No threshold filter: calibration wants the low-similarity
+    * candidates too (that's where the estimator is noisiest). */
+  def calibration(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = signature(docs, idCol, textCol)
+    val bands = bandRows(sig)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val a = sig.select(col("doc_id").as("id_a"),
+      col("hv").as("ha"), col("mh").as("ma"))
+    val b = sig.select(col("doc_id").as("id_b"),
+      col("hv").as("hb"), col("mh").as("mb"))
+    val inter = graft.functions.SetOps
+      .sortedIntersectCount(col("ha"), col("hb")).cast("double")
+    val exact = inter / (size(col("ha")) + size(col("hb")) - inter)
+    val agree =
+      expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))")
+        .cast("double")
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("est", agree / lit(numHashes.toDouble))
+      .withColumn("exact", exact)
+      .select(col("id_a"), col("id_b"),
+        round(col("est"), 4).as("est_jaccard"),
+        round(col("exact"), 4).as("exact_jaccard"),
+        round(abs(col("est") - col("exact")), 4).as("abs_err"))
+  }
+
+  /** DuckDB mirror of [[calibration]] — same signature/band constants,
+    * the slot-agreement estimator as a 16-term CASE sum. */
+  def calibrationSql(table: String): String = {
+    val mhExprs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(h, v -> (v*$a+$b)%$P)) AS mh_$j"
+    }.mkString(",\n       ")
+    val bandSelects = (0 until numBands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"CAST(mh_${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    val agreeSql = (0 until numHashes)
+      .map(j => s"CASE WHEN a.mh_$j = b.mh_$j THEN 1 ELSE 0 END")
+      .mkString("(", " + ", s") / ${numHashes.toDouble}")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $table),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [t[i]||' '||t[i+1]||' '||t[i+2] for i in generate_series(1, len(t)-2)]) AS s
+       |  FROM tk WHERE len(t) >= 3),
+       |hv AS (
+       |  SELECT doc_id,
+       |         list_sort(list_distinct(
+       |           list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT))) AS h
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, h,
+       |       $mhExprs
+       |  FROM hv),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |p AS (
+       |  SELECT id_a, id_b,
+       |         $agreeSql AS est,
+       |         len(list_intersect(a.h, b.h))
+       |           / len(list_distinct(a.h || b.h)) AS j
+       |  FROM cand
+       |  JOIN mh a ON cand.id_a = a.doc_id
+       |  JOIN mh b ON cand.id_b = b.doc_id)
+       |SELECT id_a, id_b, round(est, 4) AS est_jaccard,
+       |       round(j, 4) AS exact_jaccard,
+       |       round(abs(est - j), 4) AS abs_err
+       |FROM p ORDER BY id_a, id_b""".stripMargin
+  }
+
   def minhashOracleSql(table: String, threshold: Double): String = {
     val mhExprs = coeffs.zipWithIndex.map { case ((a, b), j) =>
       s"list_min(list_transform(h, v -> (v*$a+$b)%$P)) AS mh_$j"

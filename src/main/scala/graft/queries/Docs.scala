@@ -222,6 +222,17 @@ object Docs {
         .orderBy("stage", "shard", "pos")
     }),
 
+    // C82: MinHash calibration — per banded candidate pair, the
+    // signature-slot Jaccard ESTIMATE next to the exact shingle
+    // Jaccard + absolute error: the sketch-quality gate consulted
+    // before trusting k=16 signatures (C74's recall report, but for
+    // the dedup sketches). Same plan shape as C2; both ratios are
+    // exact small-integer divisions, engine-exact after round(4).
+    "doc_minhash_calibration" -> ((s, dir) => {
+      MinHash.calibration(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
     // C81: SFT chat-template assembly + loss-mask offsets — the
     // formatting pass that turns raw text into instruction-tuning rows:
     // deterministic prompt/response split (first ⌈n/2⌉ tokens prompt,
@@ -2000,6 +2011,8 @@ object Docs {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${Sampling.stratifiedWhereSql("doc_id", "lang", langMixPct, defaultMixPct)}
          |ORDER BY doc_id""".stripMargin,
+
+    "doc_minhash_calibration" -> MinHash.calibrationSql("documents"),
 
     "doc_chat_format" ->
       """WITH t AS (
