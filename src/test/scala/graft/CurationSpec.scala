@@ -49,4 +49,31 @@ class CurationSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("doc_id", "lang"))
     assert(out.count() === docs.where(col("n_chars") > 200).count())
   }
+
+  test("doc_curriculum: total permutation, dense per-(stage, shard) " +
+    "positions, round-robin source interleave") {
+    import org.apache.spark.sql.expressions.Window
+    val out = queries.Docs.queries("doc_curriculum")(spark, sfDir).cache()
+    val n = docs.count()
+    // every doc appears exactly once
+    assert(out.count() === n)
+    assert(out.select("doc_id").distinct().count() === n)
+    // positions are a dense 1..k within every (stage, shard) stream
+    val dense = out.groupBy("stage", "shard")
+      .agg(count(lit(1)).as("k"), min("pos").as("mn"), max("pos").as("mx"))
+    assert(dense.where(col("mn") =!= 1 || col("mx") =!= col("k"))
+      .count() === 0)
+    // round-robin: the interleave orders a stream by (per-source
+    // occurrence number, source), so walking pos order the re-derived
+    // occurrence number must be NON-DECREASING — round 1 of every
+    // source plays out before any round 2 (sources that deplete simply
+    // drop out of later rounds)
+    val wOcc = Window.partitionBy("stage", "shard", "source").orderBy("pos")
+    val wPrev = Window.partitionBy("stage", "shard").orderBy("pos")
+    val occ = out.withColumn("occ", row_number().over(wOcc))
+      .withColumn("prev_occ", lag("occ", 1).over(wPrev))
+    val bad = occ.where(col("prev_occ").isNotNull
+      && col("occ") < col("prev_occ")).count()
+    assert(bad === 0)
+  }
 }
