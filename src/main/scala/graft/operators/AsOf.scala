@@ -46,6 +46,65 @@ object AsOf {
     filled.where(col("__is_left") === 1).drop("__is_left")
   }
 
+  /** Nearest-event as-of join (pandas `merge_asof direction='nearest'`):
+    * for each left row, attach the right row with the same key whose ts is
+    * CLOSEST in either direction — the backward match when distances tie.
+    *
+    * Same union+one-shuffle plan as [[joinPrior]], with a second window
+    * frame scanning forward: `last(ignoreNulls)` over the preceding frame
+    * yields the backward candidate, `first(ignoreNulls)` over
+    * `rowsBetween(1, unboundedFollowing)` the forward one; a scan-local
+    * CASE picks the closer. Still linear per key — the naive form is a
+    * theta join on |ts delta| with a per-left argmin, quadratic per key.
+    *
+    * Output adds `matched_ts` (ts of the chosen right row, null when the
+    * key has no right rows) and `direction` ('prev'/'next'/null).
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      seq: String,
+      rightPayload: Map[String, String]): DataFrame = {
+
+    val l = left.withColumn("__is_left", lit(1))
+    val r = right.select(
+      Seq(col(key), col(ts), col(seq), lit(0).as("__is_left"),
+        col(ts).as("__rts")) ++
+        rightPayload.map { case (c, a) => col(c).as(a) }: _*)
+    val unified = l.unionByName(r, allowMissingColumns = true)
+
+    val wPrev = Window.partitionBy(col(key)).orderBy(col(ts), col(seq))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col(key)).orderBy(col(ts), col(seq))
+      .rowsBetween(1, Window.unboundedFollowing)
+
+    val names = rightPayload.values.toSeq :+ "__rts"
+    val twoSided = names.foldLeft(unified) { (df, a) =>
+      df.withColumn(s"__p_$a", last(col(a), ignoreNulls = true).over(wPrev))
+        .withColumn(s"__n_$a", first(col(a), ignoreNulls = true).over(wNext))
+    }
+
+    val pTs = col("__p___rts")
+    val nTs = col("__n___rts")
+    val usePrev = pTs.isNotNull &&
+      (nTs.isNull || (col(ts) - pTs) <= (nTs - col(ts)))
+    val useNext = nTs.isNotNull &&
+      (pTs.isNull || (nTs - col(ts)) < (col(ts) - pTs))
+
+    val chosen = names.foldLeft(twoSided) { (df, a) =>
+      df.withColumn(a,
+        when(usePrev, col(s"__p_$a")).when(useNext, col(s"__n_$a")))
+    }
+    chosen.where(col("__is_left") === 1)
+      .withColumn("matched_ts", col("__rts"))
+      .withColumn("direction",
+        when(usePrev, lit("prev")).when(useNext, lit("next")))
+      .drop(Seq("__is_left", "__rts") ++
+        names.flatMap(a => Seq(s"__p_$a", s"__n_$a")): _*)
+  }
+
   /** [[joinPrior]] with a staleness bound (pandas `merge_asof`
     * `tolerance`): the matched right row only attaches when its ts is
     * within `toleranceUs` of the left ts; staler matches null out, and

@@ -104,6 +104,30 @@ object Cms {
   /** Estimate-only DuckDB form — the `q_cms_merge` oracle: the merge
     * identity is exact, so the single-sketch estimates ARE the merged
     * answer. */
+  /** Frequent items with support threshold `minCount` — CMS prefilter +
+    * exact rescan (retrieve-then-refine for frequency). The sketch never
+    * underestimates, so `est >= minCount` keeps every truly-frequent key
+    * (NO false negatives — the classic CMS guarantee); inflated
+    * candidates are killed by the exact rescan, so the OUTPUT is exact
+    * and the sketch never appears in it. Scale shape: one bounded-state
+    * sketch scan (≤ depth·width longs), one map-side-combined distinct
+    * of keys probed against the broadcast sketch, then an exact count
+    * of ONLY the rows whose key survives the broadcast candidate
+    * semi-join — the full-cardinality groupBy count that a plain
+    * HAVING >= T plan shuffles is replaced by a hot-keys-only one. */
+  def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+                   depth: Int = Depth, width: Int = Width): DataFrame = {
+    val sketch = digest(df, keyCol, depth, width)
+    val cands = estimates(sketch, df.select(keyCol).distinct(), keyCol,
+        depth, width)
+      .where(col("n_est") >= minCount)
+      .select(keyCol)
+    df.join(broadcast(cands), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   def estimateOnlySql(table: String, key: String, depth: Int = Depth,
                       width: Int = Width): String =
     graft.SqlTemplate.fill(s"""WITH hashes AS (

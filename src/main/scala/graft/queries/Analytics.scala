@@ -250,6 +250,34 @@ object Analytics {
         .orderBy("returnflag", "linestatus")
     }),
 
+    // B11 extension (B57): explicit GROUPING SETS — the ((flag,status),
+    // (shipyear), ()) combination is neither a rollup nor a cube, so it
+    // exercises the arbitrary-set Expand path directly. Same
+    // pre-aggregate-then-expand shape: the fact shuffles once to the
+    // (flag, status, shipyear) grain, Expand runs on |groups| rows.
+    // grouping_id() bit order (first listed column = MSB) matches
+    // DuckDB's GROUPING(); integer partial sums keep the rewrite exact.
+    "q_grouping_sets" -> ((s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .withColumn("shipyear", year(col("l_shipdate")).cast("long"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("shipyear"))
+        .agg(
+          sumFixed(dec182("l_quantity"), 2).as("q"),
+          count(lit(1)).as("n"))
+      base.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("shipyear")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"), col("shipyear"))
+        .agg(sum(col("q")).as("sum_qty_e2"), sum(col("n")).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          coalesce(col("shipyear"), lit(-1L)).as("shipyear"),
+          col("gid"), col("sum_qty_e2"), col("n_rows"))
+        .orderBy("gid", "returnflag", "linestatus", "shipyear")
+    }),
+
     // B12: part-profit star join (TPC-H Q9 shape) — part/supplier joins
     // left unhinted so AQE picks broadcast when a side is small at
     // runtime; at 100 TB both sides scale and shuffle-join on the key.
@@ -1110,6 +1138,21 @@ object Analytics {
       Cms.estimates(merged, keys, "user_id").orderBy("user_id")
     }),
 
+    // B58: threshold heavy hitters — CMS prefilter + exact rescan.
+    // CMS estimates never UNDER-count, so `est >= T` keeps every truly
+    // frequent part (no false negatives); the exact rescan counts only
+    // rows whose key survives the broadcast candidate semi-join and
+    // drops the inflated ones, so the output is EXACT and the oracle is
+    // a plain HAVING — the sketch is pure plan structure. At 100 TB the
+    // full-key count shuffle becomes a hot-keys-only shuffle.
+    "q_cms_heavy" -> ((s, dir) => {
+      Cms.heavyHitters(
+          Tables.lineitem(s, dir).select(col("l_partkey")),
+          "l_partkey", minCount = 45L)
+        .select(col("l_partkey"), col("n").as("n_items"))
+        .orderBy(desc("n_items"), col("l_partkey"))
+    }),
+
     // B46: LSH-blocked time-series similarity — the 100 TB scale path
     // for B44's guarded all-pairs baseline. Sign-random-projection
     // bands (exact-integer bit rule, md5-derived ±1 components shared
@@ -1234,6 +1277,28 @@ object Analytics {
         .select(col("seq").as("purchase_seq"), col("user_id"),
           col("ts_us").as("purchase_ts_us"), col("value"),
           col("click_seq"), col("click_ts_us"))
+        .orderBy("purchase_seq")
+    }),
+
+    // B10 extension (B56): nearest-direction as-of join — each purchase
+    // attaches the click CLOSEST in time either way (backward wins ties).
+    // Same union + one-shuffle-per-key window plan as q_asof_join with a
+    // second (forward) frame; the naive |ts delta| theta join + argmin is
+    // quadratic per key and never survives 100 TB.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("seq"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("seq"))
+      AsOf.joinNearest(purchases, clicks,
+        key = "user_id", ts = "ts_us", seq = "seq",
+        rightPayload = Map("seq" -> "click_seq"))
+        .select(col("seq").as("purchase_seq"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"), col("click_seq"),
+          col("matched_ts").as("click_ts_us"), col("direction"),
+          when(col("matched_ts").isNotNull,
+            abs(col("ts_us") - col("matched_ts"))).as("dist_us"))
         .orderBy("purchase_seq")
     }),
 
@@ -1458,6 +1523,23 @@ object Analytics {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""WITH b AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity,
+        |         CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS shipyear
+        |  FROM lineitem)
+        |SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       coalesce(shipyear, -1) AS shipyear,
+        |       CAST(GROUPING(l_returnflag, l_linestatus, shipyear)
+        |            AS BIGINT) AS gid,
+        |       ${sumFixedSql("CAST(l_quantity AS DECIMAL(18,2))", 2)} AS sum_qty_e2,
+        |       count(*) AS n_rows
+        |FROM b
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (shipyear), ())
+        |ORDER BY gid, returnflag, linestatus, shipyear""".stripMargin,
 
     "q9_part_profit" ->
       s"""SELECT n_name, p_brand,
@@ -1905,6 +1987,12 @@ object Analytics {
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
         widthE = 1000L, ps = Seq(0.5, 0.9, 0.99)) + "\nORDER BY grp"),
 
+    "q_cms_heavy" ->
+      """SELECT l_partkey, count(*) AS n_items
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING count(*) >= 45
+        |ORDER BY n_items DESC, l_partkey""".stripMargin,
+
     "q_ts_similarity_lsh" ->
       (SeriesLsh.correlatedPairsSql(
         """  SELECT user_id,
@@ -2050,6 +2138,47 @@ object Analytics {
         |SELECT seq AS purchase_seq, user_id, ts_us AS purchase_ts_us, value,
         |       click_seq, click_ts_us
         |FROM f WHERE is_left = 1 ORDER BY purchase_seq""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS seq,
+        |         1 AS is_left, NULL::BIGINT AS c_seq, NULL::BIGINT AS c_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), event_id,
+        |         0, event_id, epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'),
+        |f AS (
+        |  SELECT *,
+        |    last_value(c_seq IGNORE NULLS) OVER wp AS p_seq,
+        |    last_value(c_ts IGNORE NULLS) OVER wp AS p_ts,
+        |    first_value(c_seq IGNORE NULLS) OVER wn AS n_seq,
+        |    first_value(c_ts IGNORE NULLS) OVER wn AS n_ts
+        |  FROM u WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY ts_us, seq
+        |           ROWS UNBOUNDED PRECEDING),
+        |    wn AS (PARTITION BY user_id ORDER BY ts_us, seq
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |d AS (
+        |  SELECT seq AS purchase_seq, user_id, ts_us AS purchase_ts_us,
+        |    CASE
+        |      WHEN p_ts IS NOT NULL
+        |           AND (n_ts IS NULL OR ts_us - p_ts <= n_ts - ts_us)
+        |        THEN 'prev'
+        |      WHEN n_ts IS NOT NULL THEN 'next'
+        |    END AS direction,
+        |    p_seq, p_ts, n_seq, n_ts
+        |  FROM f WHERE is_left = 1)
+        |SELECT purchase_seq, user_id, purchase_ts_us,
+        |  CASE direction WHEN 'prev' THEN p_seq WHEN 'next' THEN n_seq
+        |  END AS click_seq,
+        |  CASE direction WHEN 'prev' THEN p_ts WHEN 'next' THEN n_ts
+        |  END AS click_ts_us,
+        |  direction,
+        |  CASE direction WHEN 'prev' THEN purchase_ts_us - p_ts
+        |                 WHEN 'next' THEN n_ts - purchase_ts_us
+        |  END AS dist_us
+        |FROM d ORDER BY purchase_seq""".stripMargin,
 
     "q_trailing_spend" ->
       """WITH o AS (

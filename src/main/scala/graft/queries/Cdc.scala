@@ -196,6 +196,30 @@ object Cdc {
     // map-side before the shuffle) → snapshot. Result must equal the
     // single-feed snapshot — the merge is idempotent by construction,
     // which is what makes regional failover safe at any feed size.
+    // A37: watermark-disorder audit — how out-of-order is each feed?
+    // An event is LATE when its commit ts is behind the running
+    // high-water mark of its key's stream in arrival (seq) order; the
+    // report gives per-event-type late counts and the worst lateness,
+    // i.e. the minimum watermark delay a streaming consumer would need
+    // to avoid dropping events. One shuffle on key for the window, one
+    // partial-agg shuffle for the report; the fraction is an exact
+    // integer DIV on the e9 ladder.
+    "cdc_disorder" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key")).orderBy(col("seq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      changelog(s, dir)
+        .withColumn("__hwm", max(col("commit_ts_us")).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("commit_ts_us") < col("__hwm"), 1)).as("n_late"),
+          coalesce(max(when(col("commit_ts_us") < col("__hwm"),
+            col("__hwm") - col("commit_ts_us"))), lit(0L)).as("max_late_us"))
+        .withColumn("late_frac_e9",
+          expr("n_late * 1000000000 div n_events"))
+        .orderBy("event_type")
+    }),
+
     "cdc_merge_feeds" -> ((s, dir) => {
       val log = changelog(s, dir)
       val secondary = log.where(col("seq") % 3 === 0)
@@ -896,6 +920,21 @@ object Cdc {
         |FROM l GROUP BY 1
         |HAVING count(*) FILTER (WHERE cts < prev) > 0
         |ORDER BY 1""".stripMargin),
+
+    "cdc_disorder" -> (logCte +
+      """,
+        |h AS (
+        |  SELECT event_type, commit_ts_us,
+        |         max(commit_ts_us) OVER (PARTITION BY key ORDER BY seq
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM log)
+        |SELECT event_type, count(*) AS n_events,
+        |       count(*) FILTER (WHERE commit_ts_us < hwm) AS n_late,
+        |       coalesce(max(CASE WHEN commit_ts_us < hwm
+        |                    THEN hwm - commit_ts_us END), 0) AS max_late_us,
+        |       (count(*) FILTER (WHERE commit_ts_us < hwm) * 1000000000)
+        |         // count(*) AS late_frac_e9
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "cdc_merge_feeds" -> (logCte +
       """,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{SetOps, Text}
-import graft.operators.{AnnEval, AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnEval, AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, LogReg, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -257,6 +257,36 @@ object Docs {
           length(pre).cast("long").as("mask_start"),
           length(formatted).cast("long").as("mask_end"),
           sha2(formatted.cast("binary"), 256).as("digest"))
+        .orderBy("doc_id")
+    }),
+
+    // C84: fill-in-middle (FIM) transform — the PSM reordering used to
+    // train infilling (prefix/suffix visible, middle predicted):
+    // deterministic token-third split (exact integer ceil-div both
+    // engines), assembly '<|fim_pre|>'+prefix+'<|fim_suf|>'+suffix+
+    // '<|fim_mid|>'+middle, and the [mask_start, mask_end) char span a
+    // trainer supervises (loss on the middle only). All scan-local
+    // string/array math — zero shuffles at any corpus size; assembled
+    // text crosses the engine boundary as sha256 (the C81 convention).
+    "doc_fim" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val n = size(toks).cast("long")
+      val k1 = expr("CAST((size(split(text, ' ')) + 2) DIV 3 AS INT)")
+      val k2 = expr("CAST((2 * size(split(text, ' ')) + 2) DIV 3 AS INT)")
+      val prefix = array_join(slice(toks, lit(1), k1), " ")
+      val middle = array_join(slice(toks, k1 + lit(1), k2 - k1), " ")
+      val suffix = array_join(slice(toks, k2 + lit(1), lit(1000000)), " ")
+      val head = concat(lit("<|fim_pre|>"), prefix,
+        lit("<|fim_suf|>"), suffix, lit("<|fim_mid|>"))
+      val assembled = concat(head, middle)
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          k1.cast("long").as("n_prefix_tokens"),
+          (k2 - k1).cast("long").as("n_middle_tokens"),
+          (n - k2).cast("long").as("n_suffix_tokens"),
+          length(head).cast("long").as("mask_start"),
+          length(assembled).cast("long").as("mask_end"),
+          sha2(assembled.cast("binary"), 256).as("digest"))
         .orderBy("doc_id")
     }),
 
@@ -1323,6 +1353,32 @@ object Docs {
     }),
 
     // C9: quality scoring — length / token / uniqueness heuristics.
+    // C83: trainable quality filter — full-batch gradient-descent
+    // logistic regression (fast-sigmoid link: no transcendentals, so the
+    // whole train→score path is IEEE-bit-identical to the unrolled-CTE
+    // DuckDB oracle). Features snap to e9 BIGINTs at the scan; gradient
+    // terms are e18 128-bit-exact integer sums (order-independent under
+    // any partitioning); weights snap to 12 decimals per step. Each of
+    // the 3 iterations is ONE partial-agg scan of the cached feature
+    // frame — 3 longs per partition reach the driver (KMeans-scalar
+    // class); scoring is scan-local. See operators/LogReg.scala.
+    "doc_quality_lr" -> ((s, dir) => {
+      val feat = LogReg.featurize(Tables.documents(s, dir)).persist()
+      try {
+        val w = LogReg.train(feat)
+        LogReg.scoreBySource(feat, w)
+      } finally feat.unpersist(blocking = false)
+    }),
+
+    // C83 companion: the trained weight vector itself on the e12 ladder
+    // — proves the training loop (not just the downstream report) agrees
+    // bit-for-bit with the oracle's unrolled iterations.
+    "doc_quality_lr_model" -> ((s, dir) => {
+      val feat = LogReg.featurize(Tables.documents(s, dir)).persist()
+      try LogReg.modelRow(s, LogReg.train(feat))
+      finally feat.unpersist(blocking = false)
+    }),
+
     "doc_quality" -> ((s, dir) => {
       val toks = Text.tokens(col("text"))
       val nChars = length(col("text")).cast("long")
@@ -2033,6 +2089,28 @@ object Docs {
         |  sha256(pre || response) AS digest
         |FROM f ORDER BY doc_id""".stripMargin,
 
+    "doc_fim" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST((len(string_split(text, ' ')) + 2) // 3 AS INT) AS k1,
+        |         CAST((2 * len(string_split(text, ' ')) + 2) // 3 AS INT) AS k2
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, k1, k2, len(toks) AS n,
+        |    '<|fim_pre|>' || array_to_string(toks[1:k1], ' ')
+        |      || '<|fim_suf|>' || array_to_string(toks[k2+1:], ' ')
+        |      || '<|fim_mid|>' AS head,
+        |    array_to_string(toks[k1+1:k2], ' ') AS middle
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(k1 AS BIGINT) AS n_prefix_tokens,
+        |  CAST(k2 - k1 AS BIGINT) AS n_middle_tokens,
+        |  CAST(n - k2 AS BIGINT) AS n_suffix_tokens,
+        |  CAST(length(head) AS BIGINT) AS mask_start,
+        |  CAST(length(head || middle) AS BIGINT) AS mask_end,
+        |  sha256(head || middle) AS digest
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "doc_char_entropy" ->
       """WITH chars AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch
@@ -2446,6 +2524,10 @@ object Docs {
         |  CAST($kmCaseSql AS BIGINT) AS assigned,
         |  round(greatest(${(0 until kmK).map(k => s"s$k").mkString(", ")}), 4) + 0.0 AS best_score
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "doc_quality_lr" -> LogReg.oracleSql(),
+
+    "doc_quality_lr_model" -> LogReg.modelOracleSql(),
 
     "doc_quality" ->
       """WITH q AS (

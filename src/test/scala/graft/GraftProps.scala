@@ -165,6 +165,52 @@ object GraftProps extends Properties("graft") {
       got.exceptAll(theta).count() == 0L && theta.exceptAll(got).count() == 0L
     }
 
+  property("joinNearest == brute-force argmin with backward tiebreak") =
+    forAll(
+      Gen.listOfN(8, for {
+        k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 100L)
+      } yield (k, t)),
+      Gen.listOfN(8, for {
+        k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 100L)
+      } yield (k, t))) { (ls, rs) =>
+      import spark.implicits._
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val r = rs.zipWithIndex.map { case ((k, t), i) =>
+        (k, t, 1000L + i)
+      }
+      val got = operators.AsOf.joinNearest(
+          l.toDF("key", "ts", "seq"), r.toDF("key", "ts", "seq"),
+          "key", "ts", "seq", Map("seq" -> "r_seq"))
+        .select("seq", "r_seq").collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      // Oracle: scan all right rows of the key; min |Δts|, prev wins
+      // ties. Side classification follows the window's (ts, seq) order:
+      // right seqs (1000+) all exceed left seqs, so a right row at the
+      // exact left ts sorts AFTER the left row — it is a distance-0
+      // "next", and among equal-ts rows the window picks the
+      // (ts, seq)-extreme one.
+      l.forall { case (k, t, seq) =>
+        val cands = r.filter(_._1 == k)
+        val expected = if (cands.isEmpty) None else {
+          val prevs = cands.filter(c => c._2 < t)
+          val nexts = cands.filter(c => c._2 >= t)
+          val prev = if (prevs.isEmpty) None
+            else Some(prevs.maxBy(c => (c._2, c._3)))
+          val next = if (nexts.isEmpty) None
+            else Some(nexts.minBy(c => (c._2, c._3)))
+          (prev, next) match {
+            case (Some(p), Some(n)) =>
+              if (t - p._2 <= n._2 - t) Some(p._3) else Some(n._3)
+            case (Some(p), None) => Some(p._3)
+            case (None, Some(n)) => Some(n._3)
+            case _ => None
+          }
+        }
+        got(seq) == expected
+      }
+    }
+
   property("checksum is invariant under any row permutation/partitioning") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0L, 500L)).map(_.take(30)),
       Gen.choose(1, 8)) { (keys, parts) =>

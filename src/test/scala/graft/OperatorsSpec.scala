@@ -50,6 +50,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("matched_ts")))
   }
 
+  test("AsOf nearest: picks the closer side, backward wins exact ties, " +
+    "one-sided and empty keys degrade correctly") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // prev at 90 (d=10), next at 130 (d=30) → prev
+      (1L, 125L, 11L), // prev at 90 (d=35), next at 130 (d=5)  → next
+      (1L, 110L, 12L), // prev at 90 (d=20), next at 130 (d=20) → tie → prev
+      (2L, 100L, 13L), // only a forward row (200)              → next
+      (3L, 100L, 14L)  // no right rows at all                  → null
+    ).toDF("key", "ts", "seq")
+    val right = Seq((1L, 90L, 1L), (1L, 130L, 2L), (2L, 200L, 3L))
+      .toDF("key", "ts", "seq")
+    val out = AsOf.joinNearest(left, right, "key", "ts", "seq",
+      Map("seq" -> "r_seq")).orderBy("seq").collect()
+    assert(out(0).getAs[Long]("r_seq") === 1L)
+    assert(out(0).getAs[String]("direction") === "prev")
+    assert(out(1).getAs[Long]("r_seq") === 2L)
+    assert(out(1).getAs[String]("direction") === "next")
+    assert(out(2).getAs[Long]("r_seq") === 1L) // tie → backward
+    assert(out(2).getAs[String]("direction") === "prev")
+    assert(out(3).getAs[Long]("r_seq") === 3L)
+    assert(out(3).getAs[Long]("matched_ts") === 200L)
+    assert(out(4).isNullAt(out(4).fieldIndex("r_seq")))
+    assert(out(4).isNullAt(out(4).fieldIndex("direction")))
+  }
+
   test("Sessionize boundary: gap == gapUs stays in-session, gap > gapUs splits") {
     import spark.implicits._
     val gap = 1000L
