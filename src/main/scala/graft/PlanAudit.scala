@@ -27,6 +27,7 @@ object PlanAudit {
     "doc_mixture", "doc_tfidf", "doc_unigram_lp", "doc_vocab",
     "doc_lm_deciles", // inherits doc_unigram_lp's 1-row corpus-total broadcast
     "emb_ann_recall", // wraps the ≤8-row probe broadcasts of every path it scores + a 3-row method spine
+    "emb_ann_mrl", // same ≤8-row probe broadcast at each truncation tier + tier spine
     "emb_ivf_balance", // 1-row occupancy-stats broadcast
     "emb_ann_ivf", "emb_ann_topk", "emb_ann_topk_q",
     "emb_ann_pq", // same broadcast ≤8-row probe-table shape

@@ -252,4 +252,94 @@ object Pca {
        |FROM q JOIN dirs USING (dim)
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** Diagonal-Mahalanobis OOD score per vector — the embedding-health
+    * outlier screen ([[graft.queries.Docs]] C85): corrupt rows, wrong
+    * models, and distribution shift all land in the z²-sum tail that
+    * the norm-only health report (C28) can't see.
+    *
+    * score = Σ_i (x_i − μ_i)²/σ²_i over the per-dimension corpus
+    * moments (diagonal covariance — the full-Σ Mahalanobis needs the
+    * driver eigensolve and is NOT engine-deterministic; the diagonal
+    * is, and is the standard cheap screen).
+    *
+    * Determinism ladder: components quantize to scale-e6 longs at the
+    * scan; per-dim moments are exact integer sums (s², 128-bit); μ/σ²
+    * derive from them with identical IEEE double expressions in both
+    * engines; each per-dim term rounds to an e9 BIGINT BEFORE the
+    * per-vector sum, so the reduction is exact-integer and
+    * order-independent.
+    *
+    * Scale shape: one |corpus|×d explode → d-row moment aggregate
+    * (map-side combined, d rows reach the reduce); the d-row stats
+    * frame broadcasts back, scoring is a scan-local zip_with/aggregate
+    * fold (no second shuffle). Top-N consumers TakeOrdered — no global
+    * sort. */
+  def diagOod(emb: DataFrame, idCol: String, vecCol: String,
+              payload: Seq[String] = Nil,
+              scale: Long = Scale): DataFrame = {
+    val q = transform(col(vecCol), x =>
+      floor(x.cast("double") * scale).cast("long"))
+    val base = emb.select(
+      Seq(col(idCol)) ++ payload.map(col) :+ q.as("__q"): _*)
+    val dims = base
+      .select(posexplode(col("__q")).as(Seq("dim", "qx")))
+      .groupBy(col("dim"))
+      .agg(sum(col("qx")).as("s1"),
+        sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("s2"),
+        count(lit(1)).as("n"))
+    def muOf(c: Column): Column =
+      c.getField("s1").cast("double") / c.getField("n").cast("double")
+    val stats = dims.groupBy()
+      .agg(array_sort(collect_list(
+        struct(col("dim"), col("s1"), col("s2"), col("n")))).as("cs"))
+      .select(
+        transform(col("cs"), muOf _).as("__mu"),
+        transform(col("cs"), c =>
+          c.getField("s2").cast("double") / c.getField("n").cast("double")
+            - muOf(c) * muOf(c)).as("__vr"))
+    val pair = zip_with(col("__mu"), col("__vr"),
+      (m, v) => struct(m.as("m"), v.as("v")))
+    base.crossJoin(broadcast(stats))
+      .withColumn("__terms", zip_with(col("__q"), pair, (qi, st) =>
+        when(st.getField("v") > 0,
+          round(((qi.cast("double") - st.getField("m"))
+            * (qi.cast("double") - st.getField("m"))
+            / st.getField("v")) * lit(1.0e9)).cast("long"))
+          .otherwise(lit(0L))))
+      .withColumn("ood_e9",
+        aggregate(col("__terms"), lit(0L), (a, t) => a + t))
+      .drop("__q", "__mu", "__vr", "__terms")
+  }
+
+  /** DuckDB mirror of [[diagOod]] — explode form (the per-dim terms
+    * are e9 integers before the per-vector sum, so the grouped sum is
+    * exact there too). */
+  def diagOodSql(table: String, idCol: String, vecCol: String,
+                 scale: Long = Scale): String =
+    s"""WITH qv AS (
+       |  SELECT $idCol, ($vecCol)::DOUBLE[] AS v FROM $table),
+       |d AS (
+       |  SELECT $idCol, (ord - 1)::BIGINT AS dim,
+       |         CAST(floor(x * $scale) AS BIGINT) AS qx
+       |  FROM (SELECT $idCol, unnest(v) AS x,
+       |               generate_subscripts(v, 1) AS ord
+       |        FROM qv) t),
+       |st AS (
+       |  SELECT dim,
+       |    CAST(sum(qx) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m,
+       |    CAST(sum(qx * qx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      - (CAST(sum(qx) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |      * (CAST(sum(qx) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS v
+       |  FROM d GROUP BY dim),
+       |terms AS (
+       |  SELECT d.$idCol,
+       |    CASE WHEN st.v > 0
+       |      THEN CAST(round((((CAST(qx AS DOUBLE) - st.m)
+       |           * (CAST(qx AS DOUBLE) - st.m)) / st.v)
+       |           * 1000000000.0) AS BIGINT)
+       |      ELSE 0 END AS t
+       |  FROM d JOIN st USING (dim))
+       |SELECT $idCol, CAST(sum(t) AS BIGINT) AS ood_e9
+       |FROM terms GROUP BY $idCol""".stripMargin
 }

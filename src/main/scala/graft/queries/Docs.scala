@@ -655,6 +655,22 @@ object Docs {
           round(avg(col("norm")), 4).as("avg_norm"))
     }),
 
+    // C85: diagonal-Mahalanobis OOD screen — the distributional
+    // companion to C28's norm-only health report: per-vector
+    // z²-sum against per-dimension corpus moments (exact e6-quantized
+    // integer sums; per-dim terms snap to e9 BIGINTs BEFORE the
+    // per-vector reduction, so every parallel sum is exact-integer).
+    // One |corpus|×d explode to a d-row broadcast stats frame, then a
+    // scan-local zip_with/aggregate fold — no second shuffle; top-50
+    // is TakeOrdered. See Pca.diagOod.
+    "emb_ood" -> ((s, dir) => {
+      Pca.diagOod(Tables.embeddings(s, dir), "vec_id", "embedding",
+          payload = Seq("label"))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("ood_e9"))
+        .orderBy(desc("ood_e9"), col("vec_id")).limit(50)
+    }),
+
     // C29: near-dup clusters — MinHash pairs → connected components
     // (min-label propagation), the "keep one representative per group"
     // step; doc_id BIGINT, cluster_id = component min
@@ -2033,6 +2049,13 @@ object Docs {
         |       round(max(norm), 4) AS max_norm,
         |       round(avg(norm), 4) AS avg_norm
         |FROM e""".stripMargin,
+
+    "emb_ood" -> graft.SqlTemplate.fill(
+      """SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, s.ood_e9
+        |FROM (__OOD__) s
+        |JOIN embeddings e USING (vec_id)
+        |ORDER BY ood_e9 DESC, vec_id LIMIT 50""".stripMargin,
+      "__OOD__" -> Pca.diagOodSql("embeddings", "vec_id", "embedding")),
 
     "doc_split" ->
       s"""SELECT ${Sampling.splitCaseSql("doc_id", splitSpec)} AS split,

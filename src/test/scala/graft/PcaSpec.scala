@@ -75,6 +75,34 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("diagOod: an injected far-out vector dominates the score; " +
+    "constant dimensions contribute zero") {
+    import spark.implicits._
+    // 40 inliers near the origin (deterministic small offsets), one
+    // far outlier; a constant last dimension exercises the var<=0 guard.
+    val dd = 4
+    val inliers = (1 to 40).map { i =>
+      (i.toLong, Array.tabulate(dd)(j =>
+        if (j == dd - 1) 7.0f else ((i * (j + 1)) % 5 - 2) * 0.01f).toSeq)
+    }
+    val out = (99L, Array.tabulate(dd)(j =>
+      if (j == dd - 1) 7.0f else 50.0f).toSeq)
+    val emb = (inliers :+ out).toDF("vec_id", "embedding")
+    val scored = Pca.diagOod(emb, "vec_id", "embedding")
+      .orderBy(desc("ood_e9")).collect()
+    assert(scored.head.getAs[Long]("vec_id") === 99L)
+    val top = scored.head.getAs[Long]("ood_e9")
+    val second = scored(1).getAs[Long]("ood_e9")
+    assert(top > 10L * second,
+      s"outlier should dominate: top=$top second=$second")
+    // all-constant corpus → every variance guard trips → score 0
+    val const = (1 to 5).map(i => (i.toLong, Seq(1.5f, 2.5f)))
+      .toDF("vec_id", "embedding")
+    val zeros = Pca.diagOod(const, "vec_id", "embedding")
+      .agg(max(abs(col("ood_e9")))).head().getLong(0)
+    assert(zeros === 0L)
+  }
+
   test("fixed-direction projection equals the literal dot product") {
     val dirs = Seq(Seq.tabulate(d)(j => (j % 5 - 2) / 2.0))
     val out = Pca.projectFixed(embs, "vec_id", "embedding", dirs)
