@@ -62,9 +62,13 @@ object Bench {
     // The driver's captured tail truncates ~108 of 174 queries away
     // (VERDICT r7/r8); persist the complete per-query map so any bench
     // regression can be root-caused from artifacts.
+    // Isolation runs (BENCH_ONLY) must not clobber the full-run
+    // artifact — they land in BENCH_ONLY.json unless redirected.
+    val defaultOut =
+      if (only.isDefined) "BENCH_ONLY.json" else "BENCH_FULL.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line)
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)), line)
     catch { case _: Throwable => () }
     spark.stop()
   }

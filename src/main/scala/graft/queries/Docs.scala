@@ -781,6 +781,18 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C86: Kneser-Ney bigram LM — the modified-backoff smoothing that
+    // scores a token by the DIVERSITY of contexts it continues, not its
+    // raw frequency: tokens frequent only inside one boilerplate phrase
+    // stop inflating fluency scores (the failure mode of C68's
+    // interpolated model on templated corpora). All model statistics
+    // are grouped aggregates of the bigram-type table; same scan-local
+    // pair extraction and rounding ladder as C68.
+    "doc_bigram_kn" -> ((s, dir) => {
+      Bigram.knLogProbScores(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // C39: per-doc top-3 characteristic terms by tf·idf — partial
     // top-k window per doc, round(9) rank ladder, term tiebreak
     "doc_tfidf" -> ((s, dir) => {
@@ -2020,6 +2032,10 @@ object Docs {
 
     "doc_bigram_lp" ->
       (Bigram.logProbScoresSql("documents", "doc_id", "text") +
+        "\nORDER BY doc_id"),
+
+    "doc_bigram_kn" ->
+      (Bigram.knLogProbScoresSql("documents", "doc_id", "text") +
         "\nORDER BY doc_id"),
 
     "doc_tfidf" ->
