@@ -62,7 +62,9 @@ object GraftExtensions {
       ((args: Seq[Expression]) =>
         StopwordHits(args(0), Text.stopwords.map(_._2))),
     "graft_char_entropy_e9" ->
-      ((args: Seq[Expression]) => CharEntropyE9(args(0))))
+      ((args: Seq[Expression]) => CharEntropyE9(args(0))),
+    "graft_top_token_count" ->
+      ((args: Seq[Expression]) => TopTokenCount(args(0))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

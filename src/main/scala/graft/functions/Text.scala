@@ -54,6 +54,12 @@ object Text {
     element_at(GraftSqlBridge.column(
       StopwordHits(GraftSqlBridge.expression(text), Seq(set))), 1)
 
+  /** Max single-token frequency in the doc (the Gopher "top-word
+    * fraction" numerator) — one compiled pass ([[TopTokenCount]]);
+    * KernelSpec pins it to the explode→groupBy declarative form. */
+  def topTokenCount(text: Column): Column =
+    GraftSqlBridge.column(TopTokenCount(GraftSqlBridge.expression(text)))
+
   /** Hit counts for ALL languages in ONE compiled tokenize pass —
     * `array<long>` aligned with [[stopwords]] order. Per-language HOF
     * counting re-tokenized the text once per language per row. */

@@ -412,3 +412,59 @@ case class CharEntropyE9(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): CharEntropyE9 =
     copy(child = newChild)
 }
+
+/** Max whitespace-token frequency in the row (the Gopher "top-word
+  * fraction" numerator): tokenize on single spaces, count occurrences
+  * in a local hash map, return the largest count. Used by the C87 rule
+  * filter as `top_count / n_tokens <= cap` (compared as exact integers,
+  * `S * top_count <= C * n_tokens`, so no float crosses the engine
+  * boundary).
+  *
+  * Scale shape: the whole per-doc mode lives in one compiled pass per
+  * row — ZERO shuffle, where the declarative form (explode tokens →
+  * groupBy (doc, token) → max) shuffles every token in the corpus.
+  * Equivalence with that declarative form is pinned in KernelSpec.
+  * Empty string counts one empty token (same as `string_split` /
+  * Spark `split` semantics, which both yield `['']`). */
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_top_token_count"
+
+  /** Public so generated code can call it. */
+  def topCount(s: UTF8String): Long = {
+    val str = s.toString
+    val counts = new java.util.HashMap[String, Array[Int]](64)
+    var best = 0
+    var start = 0
+    var i = 0
+    val n = str.length
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        val tok = str.substring(start, i)
+        val slot = counts.computeIfAbsent(tok, _ => new Array[Int](1))
+        slot(0) += 1
+        if (slot(0) > best) best = slot(0)
+        start = i + 1
+      }
+      i += 1
+    }
+    best.toLong
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    topCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("topTokenCount", this, classOf[TopTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.topCount($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}

@@ -60,6 +60,16 @@ object Docs {
   private lazy val pcaDirs: Seq[Seq[Double]] = (0 until 3).map { k =>
     (0 until kmDim).map(j => ((k * 29 + j * 11) % 11 - 5) / 5.0)
   }
+  /** C87 Gopher/C4-style rule thresholds — every comparison is done on
+    * exact integers in BOTH engines (`S·x <= C·n` instead of
+    * `x/n <= C/S`), so no float ratio crosses the engine boundary. */
+  private val gopherWcMin = 20L     // token-count lower bound
+  private val gopherWcMax = 80L     // token-count upper bound
+  private val gopherMwlMin = 3L     // mean word length lower bound
+  private val gopherMwlMax = 6L     // mean word length upper bound
+  private val gopherTopPct = 12L    // top-word fraction cap, percent
+  private val gopherStopMin = 2L    // min stopword hits (any language)
+
   private val mixAlpha = 0.5
   private val mixBudget = 1000000L
   private val chunkTokens = 16
@@ -135,6 +145,57 @@ object Docs {
        |      [$gram for i in generate_series(1, len(t)-${n - 1})],
        |      x -> ('0x'||substr(md5(x),1,8))::BIGINT)))
        |      / (len(t) - ${n - 1}) ELSE 0.0 END, 4)""".stripMargin
+  }
+
+  /** C87 per-doc rule flags (0/1 longs) — shared by `doc_gopher_rules`
+    * and `doc_gopher_report`. All comparisons integer-exact. */
+  private def gopherFlags(docs: DataFrame): DataFrame = {
+    val n = Text.wsTokenCount(col("text"))
+    val letters = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val nUniq = size(array_distinct(Text.tokens(col("text")))).cast("long")
+    val top = Text.topTokenCount(col("text"))
+    val hits = Text.allLangHits(col("text"))
+    val stopHits = Text.stopwords.indices
+      .map(i => element_at(hits, i + 1)).reduce(_ + _)
+    def flag(c: Column): Column = when(c, lit(1L)).otherwise(lit(0L))
+    docs.select(col("doc_id"), col("source"), n.as("n_tokens"),
+        flag(n.between(gopherWcMin, gopherWcMax)).as("wc_ok"),
+        flag(letters >= lit(gopherMwlMin) * n
+          && letters <= lit(gopherMwlMax) * n).as("mwl_ok"),
+        flag(nUniq * 2 >= n).as("uniq_ok"),
+        flag(top * 100 <= lit(gopherTopPct) * n).as("top_ok"),
+        flag(stopHits >= gopherStopMin).as("stop_ok"))
+      .withColumn("pass", col("wc_ok") * col("mwl_ok") * col("uniq_ok")
+        * col("top_ok") * col("stop_ok"))
+  }
+
+  /** DuckDB mirror of [[gopherFlags]] — a WITH body ending in relation
+    * `gf(doc_id, source, n_tokens, wc_ok, …, pass)`. */
+  private def gopherFlagsSql: String = {
+    val stopHits = Text.stopwords.map { case (_, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($arr, t)))"
+    }.mkString("(", " + ", ")")
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws,
+       |    len(string_split(text, ' '))::BIGINT AS n,
+       |    length(replace(text, ' ', ''))::BIGINT AS letters,
+       |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+       |    $stopHits::BIGINT AS stop_hits
+       |  FROM documents),
+       |top AS (
+       |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_count FROM (
+       |    SELECT doc_id, tok, count(*) AS c
+       |    FROM tk, unnest(ws) AS u(tok) GROUP BY doc_id, tok)
+       |  GROUP BY doc_id),
+       |gf AS (
+       |  SELECT tk.doc_id, source, n AS n_tokens,
+       |    (CASE WHEN n BETWEEN $gopherWcMin AND $gopherWcMax THEN 1 ELSE 0 END)::BIGINT AS wc_ok,
+       |    (CASE WHEN letters >= $gopherMwlMin * n AND letters <= $gopherMwlMax * n THEN 1 ELSE 0 END)::BIGINT AS mwl_ok,
+       |    (CASE WHEN 2 * n_uniq >= n THEN 1 ELSE 0 END)::BIGINT AS uniq_ok,
+       |    (CASE WHEN 100 * top_count <= $gopherTopPct * n THEN 1 ELSE 0 END)::BIGINT AS top_ok,
+       |    (CASE WHEN stop_hits >= $gopherStopMin THEN 1 ELSE 0 END)::BIGINT AS stop_ok
+       |  FROM tk JOIN top ON tk.doc_id = top.doc_id)""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -613,6 +674,38 @@ object Docs {
           Text.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
           Text.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))
         .orderBy("doc_id")
+    }),
+
+    // C87: Gopher/C4-style rule-based quality filter — five
+    // deterministic rules per doc (token-count bounds, mean-word-length
+    // bounds, unique-token ratio, top-word fraction, stopword presence),
+    // each an integer-exact comparison. The top-word numerator comes
+    // from the TopTokenCount kernel: ZERO shuffle, where the declarative
+    // form (explode tokens → groupBy(doc, token) → max) shuffles every
+    // token in the corpus. Flags are 0/1 longs so the row is
+    // hash-stable; `pass` is the product.
+    "doc_gopher_rules" -> ((s, dir) => {
+      gopherFlags(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("wc_ok"), col("mwl_ok"),
+          col("uniq_ok"), col("top_ok"), col("stop_ok"), col("pass"))
+        .orderBy("doc_id")
+    }),
+
+    // C87 report twin: per-source rule-failure profile — which sources
+    // die on which rule (the triage table a curation run starts from).
+    // One map-side-combined shuffle down to |source| rows.
+    "doc_gopher_report" -> ((s, dir) => {
+      gopherFlags(Tables.documents(s, dir))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(lit(1L) - col("wc_ok")).as("fail_wc"),
+          sum(lit(1L) - col("mwl_ok")).as("fail_mwl"),
+          sum(lit(1L) - col("uniq_ok")).as("fail_uniq"),
+          sum(lit(1L) - col("top_ok")).as("fail_top"),
+          sum(lit(1L) - col("stop_ok")).as("fail_stop"),
+          sum(col("pass")).as("n_pass"))
+        .orderBy("source")
     }),
 
     // C27: corpus length histogram — fixed-width token-count buckets,
@@ -1908,6 +2001,23 @@ object Docs {
          |  ${dupFracSql(2)} AS dup_2gram_frac,
          |  ${dupFracSql(3)} AS dup_3gram_frac
          |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "doc_gopher_rules" ->
+      s"""$gopherFlagsSql
+         |SELECT doc_id, n_tokens, wc_ok, mwl_ok, uniq_ok, top_ok, stop_ok,
+         |  (wc_ok * mwl_ok * uniq_ok * top_ok * stop_ok)::BIGINT AS pass
+         |FROM gf ORDER BY doc_id""".stripMargin,
+
+    "doc_gopher_report" ->
+      s"""$gopherFlagsSql
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(1 - wc_ok) AS BIGINT) AS fail_wc,
+         |  CAST(sum(1 - mwl_ok) AS BIGINT) AS fail_mwl,
+         |  CAST(sum(1 - uniq_ok) AS BIGINT) AS fail_uniq,
+         |  CAST(sum(1 - top_ok) AS BIGINT) AS fail_top,
+         |  CAST(sum(1 - stop_ok) AS BIGINT) AS fail_stop,
+         |  CAST(sum(wc_ok * mwl_ok * uniq_ok * top_ok * stop_ok) AS BIGINT) AS n_pass
+         |FROM gf GROUP BY source ORDER BY source""".stripMargin,
 
     "doc_neardup_incremental" ->
       (MinHash.incrementalOracleSql("documents",

@@ -166,4 +166,23 @@ class KernelSpec extends SparkSpec {
       assert(diff === 0)
     }
   }
+
+  test("TopTokenCount == declarative explode→groupBy(doc,token)→max") {
+    val declarative = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("want"))
+    val native = docs.select(col("doc_id"),
+      Text.topTokenCount(col("text")).as("got"))
+    val joined = native.join(declarative, "doc_id")
+    assert(joined.count() === docs.count())
+    assert(joined.where(col("got") =!= col("want")).count() === 0)
+    // edge rows: empty string is ONE empty token (split semantics);
+    // all-same-token rows count the full run
+    val edge = { import spark.implicits._
+      Seq("" -> 1L, "a a a a" -> 4L, "x" -> 1L, "a b a b b" -> 3L)
+        .toDF("text", "want") }
+    assert(edge.where(
+      Text.topTokenCount(col("text")) =!= col("want")).count() === 0)
+  }
 }
