@@ -887,6 +887,38 @@ object Analytics {
         .orderBy("cohort_day")
     }),
 
+    // B59: event-rate anomaly screen — per (event_type, day) volume
+    // z-scored against the trailing 7 OBSERVED days (rows frame, so a
+    // gap day shrinks the baseline instead of silently zero-filling).
+    // Mean/variance come from exact integer sum/sumsq over the frame —
+    // the double expression is evaluated from identical exact longs in
+    // both engines, so no float summation order can diverge; z needs
+    // ≥3 baseline days and positive variance, else NULL. ONE partial-agg
+    // shuffle to the (type, day) grain + one type-partitioned window
+    // (|types| × |days| rows — spine-sized, never event-sized).
+    "q_rate_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val cnt = count(col("n")).over(w)
+      val sm = sum(col("n")).over(w)
+      val sq = sum(col("n") * col("n")).over(w)
+      val mean = sm.cast("double") / cnt
+      val varTrail =
+        (sq.cast("double") - sm.cast("double") * sm / cnt) / (cnt - lit(1))
+      val z = when(cnt >= 3 && varTrail > 0,
+        (col("n") - mean) / sqrt(varTrail))
+      daily.select(col("event_type"), col("day"), col("n"),
+          cnt.as("base_days"), round(mean, 4).as("mean7"),
+          round(z, 4).as("z"),
+          when(abs(z) > 2, 1L).otherwise(0L).as("anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     // B13: exact percentiles (linear interpolation, same rule as
     // DuckDB's quantile_cont)
     "q_percentile" -> ((s, dir) => {
@@ -1894,6 +1926,33 @@ object Analytics {
         |  CAST(sum(CASE WHEN a.day - cohort_day = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_day7
         |FROM act a JOIN coh ON a.user_id = coh.user_id
         |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+
+    "q_rate_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    count(n) OVER f AS base_days,
+        |    sum(n) OVER f AS sm,
+        |    sum(n * n) OVER f AS sq
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, day, n, base_days,
+        |    CAST(sm AS DOUBLE) / base_days AS mean,
+        |    (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * sm / base_days)
+        |      / (base_days - 1) AS v
+        |  FROM w)
+        |SELECT event_type, day, n, base_days,
+        |  round(mean, 4) AS mean7,
+        |  round(CASE WHEN base_days >= 3 AND v > 0
+        |        THEN (n - mean) / sqrt(v) END, 4) AS z,
+        |  (CASE WHEN base_days >= 3 AND v > 0 AND abs((n - mean) / sqrt(v)) > 2
+        |        THEN 1 ELSE 0 END)::BIGINT AS anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
 
     "q_percentile" ->
       """SELECT o_orderpriority,
