@@ -305,6 +305,62 @@ object Sampling {
           / col("n_tokens"), 4).as("epochs"))
   }
 
+  /** Repeat-capped epoch plan under a token budget — the C32 mixture
+    * taken to an executable schedule (Muennighoff et al. 2023: repeating
+    * data beyond ~4 epochs stops helping, so cap repeats and surface the
+    * unfillable deficit instead of silently over-repeating a small
+    * domain): per stratum, the α-weighted target token allocation, the
+    * capped epoch count, the tokens actually scheduled, and the deficit
+    * the mixer must redistribute. Integer outputs floor the SAME double
+    * in both engines (target is a pure function of exact long counts via
+    * pow/÷, so the doubles are bit-identical before the floor).
+    *
+    * Same scale shape as [[mixtureWeights]]: ONE map-side-combined
+    * shuffle of (stratum, count) pairs; all plan math on the
+    * |strata|-row aggregate; the normalizer a broadcast 1-row agg. */
+  def epochPlan(df: DataFrame, stratumCol: String, weightCol: Column,
+                alpha: Double, budget: Long, maxEpochs: Int): DataFrame = {
+    val perStratum = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(weightCol).cast("long").as("n_tokens"))
+      .withColumn("__w", pow(col("n_tokens").cast("double"), lit(alpha)))
+      .localCheckpoint()
+    val z = perStratum.agg(sum(col("__w")).as("__z"))
+    val target = lit(budget.toDouble) * (col("__w") / col("__z"))
+    val targetL = floor(target).cast("long")
+    val capL = col("n_tokens") * maxEpochs
+    perStratum.crossJoin(broadcast(z))
+      .select(col("stratum"), col("n_tokens"),
+        round(col("__w") / col("__z"), 4).as("mix_weight"),
+        targetL.as("target_tokens"),
+        round(least(lit(maxEpochs.toDouble), target / col("n_tokens")), 4)
+          .as("epochs"),
+        least(targetL, capL).as("sampled_tokens"),
+        greatest(lit(0L), targetL - capL).as("deficit_tokens"))
+  }
+
+  /** DuckDB mirror of [[epochPlan]] (same constants, same math). */
+  def epochPlanSql(table: String, stratum: String, weightExpr: String,
+                   alpha: Double, budget: Long, maxEpochs: Int): String =
+    s"""WITH per AS (
+       |  SELECT $stratum AS stratum,
+       |         CAST(sum($weightExpr) AS BIGINT) AS n_tokens
+       |  FROM $table GROUP BY 1),
+       |z AS (SELECT sum(pow(n_tokens, $alpha)) AS z FROM per),
+       |t AS (
+       |  SELECT stratum, n_tokens, pow(n_tokens, $alpha) / z AS w,
+       |         $budget * (pow(n_tokens, $alpha) / z) AS target
+       |  FROM per, z)
+       |SELECT stratum, n_tokens,
+       |  round(w, 4) AS mix_weight,
+       |  CAST(floor(target) AS BIGINT) AS target_tokens,
+       |  round(least(CAST($maxEpochs AS DOUBLE), target / n_tokens), 4)
+       |    AS epochs,
+       |  least(CAST(floor(target) AS BIGINT), n_tokens * $maxEpochs)
+       |    AS sampled_tokens,
+       |  greatest(0, CAST(floor(target) AS BIGINT) - n_tokens * $maxEpochs)
+       |    AS deficit_tokens
+       |FROM t ORDER BY stratum""".stripMargin
+
   /** DuckDB mirror of [[mixtureWeights]] (same constants, same math). */
   def mixtureWeightsSql(table: String, stratum: String, weightExpr: String,
                         alpha: Double, budget: Long): String =

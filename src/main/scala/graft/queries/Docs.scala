@@ -70,6 +70,13 @@ object Docs {
   private val gopherTopPct = 12L    // top-word fraction cap, percent
   private val gopherStopMin = 2L    // min stopword hits (any language)
 
+  /** C88 compaction target bytes per planned output file. */
+  private val compactTarget = 4096L
+
+  /** C89 epoch-plan budget + repeat cap (Muennighoff-style ≤4 epochs). */
+  private val epochPlanBudget = 100000L
+  private val epochPlanMax = 4
+
   private val mixAlpha = 0.5
   private val mixBudget = 1000000L
   private val chunkTokens = 16
@@ -573,6 +580,17 @@ object Docs {
         .orderBy("stratum")
     }),
 
+    // C89: repeat-capped epoch plan — C32's mixture as an executable
+    // schedule: α-weighted target allocation per source, epochs capped
+    // at 4 (the data-constrained-scaling repeat ceiling), scheduled
+    // tokens, and the deficit the mixer must redistribute
+    "doc_epoch_plan" -> ((s, dir) => {
+      Sampling.epochPlan(Tables.documents(s, dir), "source",
+          size(Text.tokens(col("text"))).cast("long"), mixAlpha,
+          epochPlanBudget, epochPlanMax)
+        .orderBy("stratum")
+    }),
+
     // C33: fixed-token-window chunking with overlap — scan-local
     // posexplode, no shuffle; each doc expands independently
     "doc_chunk" -> ((s, dir) => {
@@ -706,6 +724,34 @@ object Docs {
           sum(lit(1L) - col("stop_ok")).as("fail_stop"),
           sum(col("pass")).as("n_pass"))
         .orderBy("source")
+    }),
+
+    // C88: compaction / small-file bin-packing planner — the OPTIMIZE
+    // step of a lakehouse layout: per source, docs in id order are
+    // assigned to output files by `floor(bytes_before / target)` (the
+    // SQL-expressible packing rule — deterministic, append-stable, and
+    // a pure window where true greedy close-at-target is inherently
+    // sequential); the report is per planned file: docs, bytes, id
+    // range, fill. One source-partitioned prefix-sum window over
+    // doc-sized rows + one grouped agg to file-sized rows; a
+    // pathological mega-source decomposes via the C30 banded prefix
+    // sum. Fill ratio is an exact integer-derived division.
+    "doc_compaction_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .withColumn("file_id", (col("before") / compactTarget).cast("long"))
+        .groupBy("source", "file_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("bytes"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .withColumn("fill_pct",
+          round(col("bytes") * lit(100.0) / compactTarget, 4))
+        .orderBy("source", "file_id")
     }),
 
     // C27: corpus length histogram — fixed-width token-count buckets,
@@ -2002,6 +2048,23 @@ object Docs {
          |  ${dupFracSql(3)} AS dup_3gram_frac
          |FROM tk ORDER BY doc_id""".stripMargin,
 
+    "doc_compaction_plan" ->
+      s"""WITH c AS (
+         |  SELECT source, doc_id, n_chars,
+         |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM documents),
+         |f AS (
+         |  SELECT source, bef // $compactTarget AS file_id, doc_id, n_chars
+         |  FROM c)
+         |SELECT source, CAST(file_id AS BIGINT) AS file_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  round(CAST(sum(n_chars) AS BIGINT) * 100.0 / $compactTarget, 4) AS fill_pct
+         |FROM f GROUP BY source, file_id
+         |ORDER BY source, file_id""".stripMargin,
+
     "doc_gopher_rules" ->
       s"""$gopherFlagsSql
          |SELECT doc_id, n_tokens, wc_ok, mwl_ok, uniq_ok, top_ok, stop_ok,
@@ -2768,6 +2831,11 @@ object Docs {
     "doc_mixture" ->
       Sampling.mixtureWeightsSql("documents", "source",
         "len(string_split(text, ' '))", mixAlpha, mixBudget),
+
+    "doc_epoch_plan" ->
+      Sampling.epochPlanSql("documents", "source",
+        "len(string_split(text, ' '))", mixAlpha,
+        epochPlanBudget, epochPlanMax),
 
     "doc_sample_weighted" ->
       s"""SELECT doc_id, n_chars, round(sel_key, 4) + 0.0 AS sel_key_r4 FROM (
