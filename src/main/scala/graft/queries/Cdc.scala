@@ -67,6 +67,19 @@ object Cdc {
         .orderBy("seq")
     }),
 
+    // A38: right-to-be-forgotten propagation — the erasure request is a
+    // RELATION of subject keys (user_id % 23 = 0 models the external
+    // request list) that broadcast-anti-joins the feed out of existence
+    // (erasure, not a D tombstone — a tombstone would itself retain the
+    // key); the audit is self-verifying: n_remaining_traces is
+    // re-derived FROM the purged frame, so a purge bug shows up as a
+    // nonzero count and fails the cross-engine hash.
+    "cdc_forget" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      val req = log.select(col("key")).where(col("key") % 23 === 0).distinct()
+      Forget.audit(log, req).orderBy("user_id")
+    }),
+
     // A16: multi-table changefeed — per-table resolved-ts over a
     // two-table feed (min over per-pipeline max ts, per table); the
     // changefeed-level AddTable/RemoveTable surface behind it
@@ -780,6 +793,33 @@ object Cdc {
       """
         |SELECT seq, key AS user_id, op, commit_ts_us, event_type, value, props
         |FROM log ORDER BY seq""".stripMargin),
+
+    "cdc_forget" -> (logCte +
+      """,
+        |fk AS (SELECT DISTINCT key FROM log WHERE key % 23 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log),
+        |purged AS (
+        |  SELECT l.* FROM log l WHERE l.key NOT IN (SELECT key FROM fk)),
+        |rem AS (
+        |  SELECT key, count(*) AS n_rem
+        |  FROM purged JOIN fk USING (key) GROUP BY key),
+        |a AS (
+        |  SELECT l.key, count(*) AS n_events_purged,
+        |         min(commit_ts_us) AS first_ts_us,
+        |         max(commit_ts_us) AS last_ts_us
+        |  FROM log l JOIN fk USING (key) GROUP BY l.key),
+        |snap AS (
+        |  SELECT key, (CASE WHEN op <> 'D' THEN 1 ELSE 0 END)::BIGINT
+        |         AS in_snapshot
+        |  FROM ranked WHERE rn = 1)
+        |SELECT a.key AS user_id, a.n_events_purged, a.first_ts_us,
+        |       a.last_ts_us, snap.in_snapshot,
+        |       CAST(coalesce(rem.n_rem, 0) AS BIGINT) AS n_remaining_traces
+        |FROM a JOIN snap USING (key) LEFT JOIN rem USING (key)
+        |ORDER BY user_id""".stripMargin),
 
     "cdc_multi_resolved" -> (logCte +
       """,
