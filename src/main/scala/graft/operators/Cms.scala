@@ -128,6 +128,60 @@ object Cms {
       .where(col("n") >= minCount)
   }
 
+  /** Equi-join cardinality estimate from the two sides' sketches —
+    * min over depth rows of the cell-wise counter inner product (the
+    * AMS/CMS join-size estimator: each row's dot product over-counts by
+    * hash collisions, so the min is the tightest upper bound; never an
+    * under-estimate). The planner-side use: priced BEFORE running a
+    * join, from ≤depth·width-long digests that are maintainable
+    * per-partition and mergeable (cell-wise add), while the exact
+    * answer needs a full groupBy of both key sets. Alongside it the
+    * EXACT size Σ n_a(k)·n_b(k) from the per-key count join — the
+    * ground truth the estimate is graded against (wide-decimal sum:
+    * a skewed 100 TB join can exceed int64 in intermediate products).
+    * Both digests are tiny; every join here is broadcast. */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
+                       bKey: String, depth: Int = Depth,
+                       width: Int = Width): DataFrame = {
+    val sa = digest(a, aKey, depth, width)
+    val sb = digest(b, bKey, depth, width).
+      withColumnRenamed("cnt", "cnt_b")
+    val est = sa.join(broadcast(sb), Seq("row", "col"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("dot"))
+      .agg(min(col("dot")).cast("long").as("n_est"))
+    val exact = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("na"))
+      .join(b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("nb")), "k")
+      .agg(sum((col("na") * col("nb")).cast("decimal(38,0)"))
+        .cast("long").as("n_exact"))
+    exact.crossJoin(broadcast(est))
+  }
+
+  /** DuckDB mirror of [[joinSizeEstimate]] — one (n_exact, n_est) row. */
+  def joinSizeSql(tableA: String, keyA: String, tableB: String,
+                  keyB: String, depth: Int = Depth,
+                  width: Int = Width): String =
+    graft.SqlTemplate.fill(s"""(WITH sa AS (
+       |  SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || __KA__::VARCHAR),
+       |         1, 8))::BIGINT % $width AS col, count(*) AS cnt
+       |  FROM __TA__, range($depth) r(j) GROUP BY 1, 2),
+       |sb AS (
+       |  SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || __KB__::VARCHAR),
+       |         1, 8))::BIGINT % $width AS col, count(*) AS cnt
+       |  FROM __TB__, range($depth) r(j) GROUP BY 1, 2),
+       |dot AS (
+       |  SELECT sa.j, sum(sa.cnt * sb.cnt) AS d
+       |  FROM sa JOIN sb ON sa.j = sb.j AND sa.col = sb.col GROUP BY 1),
+       |ex AS (
+       |  SELECT CAST(sum(CAST(na * nb AS DECIMAL(38,0))) AS BIGINT) AS n_exact
+       |  FROM (SELECT __KA__ AS k, count(*) AS na FROM __TA__ GROUP BY 1) a
+       |  JOIN (SELECT __KB__ AS k, count(*) AS nb FROM __TB__ GROUP BY 1) b
+       |  USING (k))
+       |SELECT ex.n_exact, (SELECT CAST(min(d) AS BIGINT) FROM dot) AS n_est
+       |FROM ex)""".stripMargin,
+      "__TA__" -> tableA, "__KA__" -> keyA,
+      "__TB__" -> tableB, "__KB__" -> keyB)
+
   def estimateOnlySql(table: String, key: String, depth: Int = Depth,
                       width: Int = Width): String =
     graft.SqlTemplate.fill(s"""WITH hashes AS (

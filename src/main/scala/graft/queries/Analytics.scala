@@ -1185,6 +1185,27 @@ object Analytics {
         .orderBy(desc("n_items"), col("l_partkey"))
     }),
 
+    // B60: sketch-based join-size estimation — the AMS/CMS inner
+    // product (min over depth rows of the cell-wise counter dot) prices
+    // an equi-join BEFORE running it, from mergeable ≤depth·width-long
+    // digests; the exact Σ n_a·n_b ground truth sits beside it so the
+    // report grades its own estimator (est ≥ exact always — collisions
+    // only add). Two classic pairs: the FK join and the 1:N customer
+    // fan-out.
+    "q_join_estimate" -> ((s, dir) => {
+      val ol = Cms.joinSizeEstimate(
+        Tables.orders(s, dir).select(col("o_orderkey")), "o_orderkey",
+        Tables.lineitem(s, dir).select(col("l_orderkey")), "l_orderkey")
+        .select(lit("orders_lineitem").as("pair"),
+          col("n_exact"), col("n_est"))
+      val co = Cms.joinSizeEstimate(
+        Tables.customer(s, dir).select(col("c_custkey")), "c_custkey",
+        Tables.orders(s, dir).select(col("o_custkey")), "o_custkey")
+        .select(lit("customer_orders").as("pair"),
+          col("n_exact"), col("n_est"))
+      ol.unionAll(co).orderBy("pair")
+    }),
+
     // B46: LSH-blocked time-series similarity — the 100 TB scale path
     // for B44's guarded all-pairs baseline. Sign-random-projection
     // bands (exact-integer bit rule, md5-derived ±1 components shared
@@ -2051,6 +2072,14 @@ object Analytics {
         |FROM lineitem GROUP BY l_partkey
         |HAVING count(*) >= 45
         |ORDER BY n_items DESC, l_partkey""".stripMargin,
+
+    "q_join_estimate" ->
+      s"""SELECT 'orders_lineitem' AS pair, n_exact, n_est FROM
+         |${Cms.joinSizeSql("orders", "o_orderkey", "lineitem", "l_orderkey")}
+         |UNION ALL
+         |SELECT 'customer_orders', n_exact, n_est FROM
+         |${Cms.joinSizeSql("customer", "c_custkey", "orders", "o_custkey")}
+         |ORDER BY pair""".stripMargin,
 
     "q_ts_similarity_lsh" ->
       (SeriesLsh.correlatedPairsSql(
