@@ -71,4 +71,19 @@ class CmsSpec extends SparkSpec {
     val b = merged.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(a == b)
   }
+
+  test("join-size estimate is exact in a wide grid, upper bound in a tiny one") {
+    // a: keys 1..20 once each; b: key k appears k%4+1 times
+    val a = keysDf(1L to 20L: _*)
+    val b = keysDf((1L to 30L).flatMap(k => Seq.fill((k % 4 + 1).toInt)(k)): _*)
+    val exactWant = (1L to 20L).map(k => k % 4 + 1).sum
+    val wide = Cms.joinSizeEstimate(a, "k", b, "k", depth = 4, width = 4096)
+      .collect().head
+    assert(wide.getLong(0) === exactWant)      // n_exact
+    assert(wide.getLong(1) === exactWant)      // collision-free → est == exact
+    val tiny = Cms.joinSizeEstimate(a, "k", b, "k", depth = 3, width = 8)
+      .collect().head
+    assert(tiny.getLong(0) === exactWant)
+    assert(tiny.getLong(1) >= exactWant)       // collisions only add
+  }
 }

@@ -213,4 +213,29 @@ class SamplingSpec extends SparkSpec {
       .where(col("doc_id") % 2 === 0).select(col("doc_id"), col("shard"))
     assert(small.exceptAll(full).count() === 0)
   }
+
+  test("epochPlan: cap/deficit identities and budget conservation") {
+    import spark.implicits._
+    // three strata: tiny (will cap), medium, huge (never caps)
+    val df = (Seq.fill(2)("tiny") ++ Seq.fill(40)("med") ++
+      Seq.fill(400)("big")).zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }.toDF("src", "id")
+    val plan = Sampling.epochPlan(df, "src", lit(10L), alpha = 0.5,
+      budget = 3000L, maxEpochs = 4).collect()
+    assert(plan.length === 3)
+    plan.foreach { r =>
+      val (n, target, epochs, sampled, deficit) =
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6))
+      assert(epochs <= 4.0)
+      assert(sampled + deficit === target)        // split identity
+      assert(sampled <= 4 * n)                    // repeat cap
+      assert(deficit === math.max(0L, target - 4 * n))
+    }
+    // targets sum to the budget up to the per-stratum floors
+    val tsum = plan.map(_.getLong(3)).sum
+    assert(tsum <= 3000L && tsum >= 3000L - plan.length)
+    // the tiny stratum must actually cap under sqrt weighting
+    val tiny = plan.find(_.getString(0) == "tiny").get
+    assert(tiny.getLong(6) > 0L)
+  }
 }
