@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{SetOps, Text}
-import graft.operators.{AnnEval, AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, LogReg, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnEval, AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, Fuzzy, LogReg, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -752,6 +752,21 @@ object Docs {
         .withColumn("fill_pct",
           round(col("bytes") * lit(100.0) / compactTarget, 4))
         .orderBy("source", "file_id")
+    }),
+
+    // C90: edit-distance-1 fuzzy self-match (SymSpell/FastSS deletion-
+    // neighborhood blocking) — record linkage for near-identical
+    // identifiers: every name explodes to {self} ∪ one-char deletions
+    // (scan-local, len+1 keys), candidates from ONE key equi-join whose
+    // buckets hold only strings a deletion apart, exact levenshtein ≤ 1
+    // verify. Blocking is recall-LOSSLESS, so the oracle is deliberately
+    // the quadratic theta join — parity proves blocked ≡ exact while the
+    // engine never materializes n² comparisons.
+    "doc_fuzzy_match" -> ((s, dir) => {
+      Fuzzy.editDistance1Pairs(
+          Tables.customer(s, dir).select("c_custkey", "c_name"),
+          "c_custkey", "c_name")
+        .orderBy("a_id", "b_id")
     }),
 
     // C27: corpus length histogram — fixed-width token-count buckets,
@@ -2047,6 +2062,10 @@ object Docs {
          |  ${dupFracSql(2)} AS dup_2gram_frac,
          |  ${dupFracSql(3)} AS dup_3gram_frac
          |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "doc_fuzzy_match" ->
+      (Fuzzy.editDistance1PairsSql("customer", "c_custkey", "c_name")
+        + "\nORDER BY a_id, b_id"),
 
     "doc_compaction_plan" ->
       s"""WITH c AS (
