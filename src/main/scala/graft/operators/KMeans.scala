@@ -87,6 +87,86 @@ object KMeans {
     cents
   }
 
+  /** Diverse-subset selection — the Gonzalez k-center greedy surfaced
+    * as a SELECTION operator (coreset / few-shot exemplar / eval-probe
+    * picking: k vectors that 2-approximate the minimax coverage
+    * radius): seed = min-id vector, each next pick = the vector whose
+    * distance to every prior pick is largest (min-id tiebreak).
+    * Distances snap to round(9) BEFORE the running min / argmax (the
+    * C18 kmScore recipe), so selection is bit-stable cross-engine and
+    * the oracle can unroll the same k rounds as CTEs.
+    *
+    * Scale shape: each round is ONE scan of the corpus-sized
+    * (id, v, dmin) frame — the newest pick broadcasts (1 row), the
+    * running min is a scan-local `least`, the argmax a TakeOrdered(1)
+    * reduction (one row to the driver per round — the KMeans-scalar
+    * class); the frame localCheckpoints per round so lineage stays flat.
+    * k corpus scans total — the greedy's inherent cost; for k beyond
+    * ~tens, over-sample-then-refine (k-means||) is the public recipe. */
+  def selectDiverse(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = emb.select(col(idCol).as("__id"),
+        Vectors.toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n2", Vectors.dot(col("__v"), col("__v")))
+    var picked = e.orderBy(col("__id")).limit(1)
+      .select(lit(0L).as("sel_round"), col("__id"), col("__v"))
+      .localCheckpoint()
+    // (id, v, n2, dmin): running min of round(9) distances to picks
+    var frame: DataFrame = null
+    for (j <- 1 until k) {
+      val latest = broadcast(
+        picked.where(col("sel_round") === (j - 1))
+          .select(col("__v").as("__c"))
+          .withColumn("__c2", Vectors.dot(col("__c"), col("__c"))))
+      def dcur = round(col("__n2") - lit(2.0) * Vectors.dot(col("__v"),
+        col("__c")) + col("__c2"), 9)
+      frame = (if (frame == null)
+          e.crossJoin(latest).select(col("__id"), col("__v"), col("__n2"),
+            dcur.as("__dmin"))
+        else
+          frame.crossJoin(latest).select(col("__id"), col("__v"),
+            col("__n2"), least(col("__dmin"), dcur).as("__dmin")))
+        .localCheckpoint()
+      val next = frame.orderBy(col("__dmin").desc, col("__id")).limit(1)
+        .select(lit(j.toLong).as("sel_round"), col("__id"), col("__v"))
+      picked = picked.unionAll(next).localCheckpoint()
+    }
+    picked.select(col("sel_round"), col("__id").as("vec_id"))
+  }
+
+  /** DuckDB mirror of [[selectDiverse]] — the k greedy rounds unrolled
+    * as CTEs (same round(9) snap, same (dmin DESC, id) pick rule). */
+  def selectDiverseSql(table: String, id: String, vec: String,
+                       k: Int): String = {
+    require(k >= 1)
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+              |  SELECT $id AS vid,
+              |         list_transform($vec, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM $table),
+              |c0 AS (SELECT vid, v FROM e ORDER BY vid LIMIT 1)""".stripMargin
+    def distSql(vExpr: String, cExpr: String) =
+      s"round(list_dot_product($vExpr, $vExpr) - 2 * " +
+        s"list_dot_product($vExpr, $cExpr) + " +
+        s"list_dot_product($cExpr, $cExpr), 9)"
+    for (j <- 1 until k) {
+      val prev = if (j == 1) "e" else s"d${j - 1}"
+      val dminExpr =
+        if (j == 1) distSql(s"$prev.v", s"c${j - 1}.v")
+        else s"least($prev.dmin, ${distSql(s"$prev.v", s"c${j - 1}.v")})"
+      sb ++= s""",
+                |d$j AS (
+                |  SELECT $prev.vid, $prev.v, $dminExpr AS dmin
+                |  FROM $prev, c${j - 1}),
+                |c$j AS (SELECT vid, v FROM d$j ORDER BY dmin DESC, vid LIMIT 1)""".stripMargin
+    }
+    sb ++= "\n" + (0 until k).map(j =>
+      s"SELECT ${j}::BIGINT AS sel_round, vid AS vec_id FROM c$j")
+      .mkString("", "\nUNION ALL ", "\nORDER BY sel_round")
+    sb.toString
+  }
+
   /** `iters` Lloyd iterations from the given initial centroids.
     * Returns (assignments (id, cluster), centroids (label, centroid)). */
   def fit(emb: DataFrame, idCol: String, vecCol: String,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{SetOps, Text}
-import graft.operators.{AnnEval, AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, Fuzzy, LogReg, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnEval, AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, Fuzzy, KMeans, LogReg, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -1524,6 +1524,18 @@ object Docs {
     // against FIXED constant centroids (the k-means inner loop as a
     // verifiable query — the iterative fit itself is KMeansSpec-pinned).
     // Broadcast-free: centroids are plan literals; one corpus scan.
+    // C91: diverse-subset selection — the Gonzalez k-center greedy as
+    // a SELECTION operator (coreset / few-shot exemplar / eval-probe
+    // picking): k vectors that 2-approximate the minimax coverage
+    // radius; distances snap to round(9) before the running min /
+    // argmax so selection is bit-stable cross-engine, and the oracle
+    // unrolls the same 8 greedy rounds as CTEs.
+    "emb_diverse_select" -> ((s, dir) => {
+      KMeans.selectDiverse(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8)
+        .orderBy("sel_round")
+    }),
+
     "emb_kmeans_assign" -> ((s, dir) => {
       val scored = Tables.embeddings(s, dir).select(
         col("vec_id") +: col("label").cast("long").as("label") +: kmScoreCols: _*)
@@ -2745,6 +2757,9 @@ object Docs {
         |       ELSE 'fr' END AS pred_lang,
         |  count(*) AS n_docs
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "emb_diverse_select" ->
+      KMeans.selectDiverseSql("embeddings", "vec_id", "embedding", 8),
 
     "emb_kmeans_assign" ->
       s"""WITH s AS (

@@ -101,4 +101,25 @@ class KMeansSpec extends SparkSpec {
       assert(assigned === best, s"vec ${r.getLong(0)}")
     }
   }
+
+  test("selectDiverse: planted far clusters are picked before near dupes") {
+    import spark.implicits._
+    // four tight clusters at corners of a square + near-duplicates;
+    // greedy k-center with k=4 must pick one vector per corner
+    val pts = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0.1f, 0f)),      // corner A
+      (10L, Seq(10f, 0f)), (11L, Seq(10f, 0.1f)),  // corner B
+      (20L, Seq(0f, 10f)), (21L, Seq(0.1f, 10f)),  // corner C
+      (30L, Seq(10f, 10f)), (31L, Seq(10f, 9.9f))) // corner D
+      .toDF("vec_id", "embedding")
+    val sel = KMeans.selectDiverse(pts, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sel(0L) === 0L) // seed = min id
+    val corners = sel.values.map(_ / 10L).toSet
+    assert(corners === Set(0L, 1L, 2L, 3L), s"got $sel")
+    // determinism: same input, same picks
+    val again = KMeans.selectDiverse(pts, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === sel)
+  }
 }
