@@ -1185,6 +1185,31 @@ object Analytics {
         .orderBy(desc("n_items"), col("l_partkey"))
     }),
 
+    // B61: event-type transition matrix — first-order Markov counts +
+    // row-normalized probabilities over each user's ts-ordered stream
+    // (the journey model behind next-event prediction and funnel
+    // design; B38's path trigrams are the order-2 cousin). One
+    // user-partitioned window (lead) + one grouped count on the tiny
+    // |types|² grain; probabilities are exact small-integer divisions
+    // on the aggregate, so round(4) is engine-stable.
+    "q_markov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("from_type")
+        .agg(sum(col("n")).as("row_n"))
+      trans.join(totals, "from_type")
+        .select(col("from_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("row_n"), 4).as("p"))
+        .orderBy("from_type", "next_type")
+    }),
+
     // B60: sketch-based join-size estimation — the AMS/CMS inner
     // product (min over depth rows of the cell-wise counter dot) prices
     // an equi-join BEFORE running it, from mergeable ≤depth·width-long
@@ -2072,6 +2097,21 @@ object Analytics {
         |FROM lineitem GROUP BY l_partkey
         |HAVING count(*) >= 45
         |ORDER BY n_items DESC, l_partkey""".stripMargin,
+
+    "q_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type, count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT from_type, sum(n) AS row_n FROM t GROUP BY 1)
+        |SELECT t.from_type, t.next_type, t.n,
+        |  round(CAST(t.n AS DOUBLE) / r.row_n, 4) AS p
+        |FROM t JOIN r USING (from_type)
+        |ORDER BY from_type, next_type""".stripMargin,
 
     "q_join_estimate" ->
       s"""SELECT 'orders_lineitem' AS pair, n_exact, n_est FROM
