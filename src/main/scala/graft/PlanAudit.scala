@@ -34,6 +34,10 @@ object PlanAudit {
     "emb_ann_pq_refined", // inherits the shortlist stage's probe broadcast
     "emb_ann_pq_learned", // same probe-table broadcast, learned codebook
     "doc_bigram_lp", // 1-row corpus-total broadcast (Bigram.scala:53)
+    "doc_bigram_kn", // same 1-row KN model-totals broadcast (Bigram.scala knLogProbScores)
+    "emb_ood", // 1-row per-dim moment-stats broadcast (Pca.diagOod)
+    "doc_epoch_plan", // 1-row mixture-normalizer broadcast (Sampling.epochPlan), the doc_mixture shape
+    "q_join_estimate", // 1-row × 1-row exact/estimate join (Cms.joinSizeEstimate)
     "doc_vocab_drift", // 1-row per-side token-total broadcast (Drift.scala:54)
     "emb_knn_classify", // wraps annTopK's broadcast ≤8-row probe set
     "emb_hard_negatives", // same broadcast ≤8-row probe shape
