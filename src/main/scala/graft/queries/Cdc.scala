@@ -80,6 +80,26 @@ object Cdc {
       Forget.audit(log, req).orderBy("user_id")
     }),
 
+    // A39: synthetic-changefeed generator source — a full DataSourceV2
+    // TableProvider (batch + micro-batch streaming) whose rows are a
+    // pure integer function of their index, generated in the executors
+    // with zero I/O (the CDC-shaped `rate` source a harness uses to ask
+    // for a billion change events without writing a byte); the oracle
+    // re-states the row function via generate_series, so parity proves
+    // the connector delivers exactly the declared relation.
+    "cdc_gen_source" -> ((s, dir) => {
+      s.read.format("graft.sources.GenSource")
+        .option("rows", 20000).option("users", 257).option("slices", 32)
+        .load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value_e2")).cast("long").as("sum_value_e2"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"))
+        .orderBy("event_type")
+    }),
+
     // A16: multi-table changefeed — per-table resolved-ts over a
     // two-table feed (min over per-pipeline max ts, per table); the
     // changefeed-level AddTable/RemoveTable surface behind it
@@ -793,6 +813,15 @@ object Cdc {
       """
         |SELECT seq, key AS user_id, op, commit_ts_us, event_type, value, props
         |FROM log ORDER BY seq""".stripMargin),
+
+    "cdc_gen_source" ->
+      s"""WITH g AS (
+         |${graft.sources.GenSource.oracleSql(20000L, 257L)})
+         |SELECT event_type, count(*) AS n,
+         |       count(DISTINCT user_id) AS n_users,
+         |       CAST(sum(value_e2) AS BIGINT) AS sum_value_e2,
+         |       min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_forget" -> (logCte +
       """,

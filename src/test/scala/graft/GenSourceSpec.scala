@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.GenSource
+
+/** DSv2 generator-source contracts: deterministic row function, even
+  * slice partitioning, and batch ≡ streaming (the micro-batch stream
+  * must deliver exactly the batch relation, replay-stable). */
+class GenSourceSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.GenSource"
+
+  test("batch read: row function, count, and determinism") {
+    val df = spark.read.format(fmt)
+      .option("rows", 1000).option("users", 7).option("slices", 8).load()
+    assert(df.count() === 1000L)
+    val r = df.where(col("event_id") === 123L).collect().head
+    assert(r.getLong(1) === (123L * 37) % 7)
+    assert(r.getLong(2) === GenSource.epochUs + 123L * GenSource.stepUs)
+    assert(r.getString(3) === GenSource.eventTypes(((123L * 13) % 5).toInt))
+    assert(r.getLong(4) === (123L * 7919) % 100000)
+    val again = spark.read.format(fmt)
+      .option("rows", 1000).option("users", 7).option("slices", 8).load()
+    assert(df.exceptAll(again).count() === 0L)
+    assert(again.exceptAll(df).count() === 0L)
+  }
+
+  test("slices become even input partitions, no shuffle") {
+    val df = spark.read.format(fmt)
+      .option("rows", 100).option("slices", 5).load()
+    assert(df.rdd.getNumPartitions === 5)
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.toSeq === Seq(20, 20, 20, 20, 20))
+  }
+
+  test("micro-batch stream drains to exactly the batch relation") {
+    val q = spark.readStream.format(fmt)
+      .option("rows", 500).option("users", 11)
+      .option("rowsPerBatch", 64).load()
+      .writeStream.format("memory").queryName("gen_stream")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("gen_stream")
+    val batch = spark.read.format(fmt)
+      .option("rows", 500).option("users", 11).load()
+    assert(streamed.count() === 500L)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+}
