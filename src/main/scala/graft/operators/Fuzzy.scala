@@ -39,18 +39,29 @@ object Fuzzy {
         s"substring($name, i+1, length($name))))"))
 
   /** All (a, b) id pairs (a < b) whose names are at edit distance ≤ 1.
-    * Exact output (blocking is recall-lossless, verify is exact). */
+    * Exact output (blocking is recall-lossless, verify is exact).
+    *
+    * Names are dropped BEFORE the key join: candidates dedup on the
+    * (long, long) id pair — ~4× cheaper to shuffle and hash than the
+    * 4-string-column distinct — and the two name lookups re-attach via
+    * plain id equi-joins only for the pairs that survived. */
   def editDistance1Pairs(df: DataFrame, idCol: String,
                          nameCol: String): DataFrame = {
-    val keyed = df.select(col(idCol).as("__id"), col(nameCol).as("__name"),
-        explode(deletionKeys(nameCol)).as("__key"))
+    val keyed = df.select(col(idCol).as("__id"),
+      explode(deletionKeys(nameCol)).as("__key"))
     val cands = keyed.as("a")
       .join(keyed.as("b"), col("a.__key") === col("b.__key")
         && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("a_id"), col("a.__name").as("a_name"),
-        col("b.__id").as("b_id"), col("b.__name").as("b_name"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
       .distinct()
-    cands.where(levenshtein(col("a_name"), col("b_name")) <= 1)
+    val names = df.select(col(idCol).as("__nid"),
+      col(nameCol).as("__nname"))
+    cands
+      .join(names, col("a_id") === col("__nid"))
+      .withColumnRenamed("__nname", "a_name").drop("__nid")
+      .join(names, col("b_id") === col("__nid"))
+      .withColumnRenamed("__nname", "b_name").drop("__nid")
+      .where(levenshtein(col("a_name"), col("b_name")) <= 1)
       .select(col("a_id"), col("b_id"))
   }
 
