@@ -919,6 +919,34 @@ object Analytics {
         .orderBy("event_type", "day")
     }),
 
+    // B62: exponentially-decayed (EWMA) activity score — per event
+    // type, trailing-30-day daily volumes weighted by 0.9^age (the
+    // freshness-weighted health metric dashboards poll; the decayed
+    // cousin of B59's flat window). Per-day terms snap to the round(9)
+    // e9 DECIMAL ladder BEFORE the sum (the C70 recipe), so the
+    // decayed total is an exact integer cross-engine despite the pow.
+    // Scale: one partial-agg shuffle to the (type, day) grain; all
+    // decay math on spine-sized rows.
+    "q_ewma" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val maxd = daily.groupBy("event_type").agg(max(col("day")).as("maxday"))
+      daily.join(maxd, "event_type")
+        .withColumn("age", col("maxday") - col("day"))
+        .where(col("age") <= 30)
+        .withColumn("term9", round(col("cnt") * pow(lit(0.9), col("age")), 9))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("cnt")).as("n_events"),
+          sum((col("term9") * 1e9).cast("decimal(38,0)"))
+            .cast("long").as("ewma_e9"))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          round(col("ewma_e9") / 1e9, 4).as("ewma"))
+        .orderBy("event_type")
+    }),
+
     // B13: exact percentiles (linear interpolation, same rule as
     // DuckDB's quantile_cont)
     "q_percentile" -> ((s, dir) => {
@@ -1999,6 +2027,24 @@ object Analytics {
         |  (CASE WHEN base_days >= 3 AND v > 0 AND abs((n - mean) / sqrt(v)) > 2
         |        THEN 1 ELSE 0 END)::BIGINT AS anomaly
         |FROM z ORDER BY event_type, day""".stripMargin,
+
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, max(day) AS maxday FROM daily GROUP BY 1),
+        |t AS (
+        |  SELECT d.event_type, d.cnt, m.maxday - d.day AS age,
+        |         round(d.cnt * pow(0.9, m.maxday - d.day), 9) AS term9
+        |  FROM daily d JOIN m USING (event_type)
+        |  WHERE m.maxday - d.day <= 30)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(term9 * 1e9 AS DECIMAL(38,0))) AS BIGINT)
+        |        / 1e9, 4) AS ewma
+        |FROM t GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_percentile" ->
       """SELECT o_orderpriority,

@@ -100,6 +100,27 @@ object Cdc {
         .orderBy("event_type")
     }),
 
+    // A39 scale demo: snapshot over TWO MILLION generated change events
+    // — the generator feeds the A2 max_by materialization at a volume
+    // ~30× the sf0.1 parquet feed with zero I/O, so the bench row prices
+    // pure engine throughput (scan-local generation → ONE map-side-
+    // combined shuffle of |users| groups); the oracle re-derives the
+    // same 2M rows via generate_series + a ranked window.
+    "cdc_gen_snapshot" -> ((s, dir) => {
+      val feed = s.read.format("graft.sources.GenSource")
+        .option("rows", 2000000).option("users", 1000).option("slices", 32)
+        .load()
+      feed.groupBy(col("user_id"))
+        .agg(max_by(
+            struct(col("ts_us"), col("event_id"), col("event_type"),
+              col("value_e2")),
+            struct(col("ts_us"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.event_type").as("last_event_type"),
+          col("last.value_e2").as("last_value_e2"),
+          col("last.ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // A16: multi-table changefeed — per-table resolved-ts over a
     // two-table feed (min over per-pipeline max ts, per table); the
     // changefeed-level AddTable/RemoveTable surface behind it
@@ -822,6 +843,18 @@ object Cdc {
          |       CAST(sum(value_e2) AS BIGINT) AS sum_value_e2,
          |       min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_gen_snapshot" ->
+      s"""WITH g AS (
+         |${graft.sources.GenSource.oracleSql(2000000L, 1000L)}),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |            ORDER BY ts_us DESC, event_id DESC) AS rn
+         |  FROM g)
+         |SELECT user_id, event_type AS last_event_type,
+         |       value_e2 AS last_value_e2, ts_us AS last_ts_us
+         |FROM ranked WHERE rn = 1
+         |ORDER BY user_id""".stripMargin,
 
     "cdc_forget" -> (logCte +
       """,
