@@ -919,6 +919,24 @@ object Analytics {
         .orderBy("event_type", "day")
     }),
 
+    // B63: UNPIVOT (B17's inverse) — the wide per-flag measure columns
+    // melt to (flag, measure, value_e2) rows via stack(), the Expand
+    // path in the plan; the melt runs on the already-aggregated
+    // |flags|-row frame (pre-aggregate-then-expand, the B11 rule), so
+    // Expand multiplies 3 rows, not the fact scan. Values exact cents.
+    "q_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sumFixed(dec182("l_extendedprice"), 2).as("price_e2"),
+          sumFixed(dec42("l_discount"), 2).as("discount_e2"),
+          sumFixed(dec42("l_tax"), 2).as("tax_e2"))
+        .select(col("l_returnflag"), expr(
+          "stack(3, 'extendedprice', price_e2, 'discount', discount_e2, " +
+            "'tax', tax_e2) AS (measure, value_e2)"))
+        .orderBy("l_returnflag", "measure")
+    }),
+
     // B62: exponentially-decayed (EWMA) activity score — per event
     // type, trailing-30-day daily volumes weighted by 0.9^age (the
     // freshness-weighted health metric dashboards poll; the decayed
@@ -2027,6 +2045,20 @@ object Analytics {
         |  (CASE WHEN base_days >= 3 AND v > 0 AND abs((n - mean) / sqrt(v)) > 2
         |        THEN 1 ELSE 0 END)::BIGINT AS anomaly
         |FROM z ORDER BY event_type, day""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH w AS (
+         |  SELECT l_returnflag,
+         |    ${sumFixedSql("CAST(l_extendedprice AS DECIMAL(18,2))", 2)} AS price_e2,
+         |    ${sumFixedSql("CAST(l_discount AS DECIMAL(4,2))", 2)} AS discount_e2,
+         |    ${sumFixedSql("CAST(l_tax AS DECIMAL(4,2))", 2)} AS tax_e2
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'extendedprice' AS measure, price_e2 AS value_e2 FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'discount', discount_e2 FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'tax', tax_e2 FROM w
+         |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q_ewma" ->
       """WITH daily AS (

@@ -121,6 +121,37 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A40: cross-table CONSISTENT snapshot (the TiCDC syncpoint idea):
+    // a transaction spanning tables must never be half-visible, so both
+    // tables materialize at the SAME ts — the global syncpoint =
+    // min(per-table resolved-ts); each side filters its feed to
+    // commit_ts ≤ syncpoint before the A2 max_by materialization, and
+    // the per-table summary (keys, exact cent sum, max materialized ts
+    // ≤ sync) is the consistency certificate. The syncpoint is a 1-row
+    // broadcast into scan-local filters — no extra feed shuffle beyond
+    // the two snapshots'.
+    "cdc_syncpoint" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      val even = log.where(col("key") % 2 === 0)
+      val odd = log.where(col("key") % 2 === 1)
+      val sync = broadcast(
+        Materialize.resolvedTs(even, 32).unionAll(
+          Materialize.resolvedTs(odd, 32))
+        .agg(min(col("resolved_ts_us")).as("sync_ts_us")))
+      def side(name: String, t: DataFrame): DataFrame =
+        Materialize.snapshot(
+            t.crossJoin(sync).where(col("commit_ts_us") <= col("sync_ts_us"))
+              .drop("sync_ts_us"))
+          .agg(count(lit(1)).as("n_keys"),
+            sumCents("value").as("sum_value_e2"),
+            max(col("commit_ts_us")).as("max_ts_us"))
+          .crossJoin(sync)
+          .select(lit(name).as("__table"), col("sync_ts_us"),
+            col("n_keys"), col("sum_value_e2"), col("max_ts_us"))
+      side("events_even", even).unionAll(side("events_odd", odd))
+        .orderBy("__table")
+    }),
+
     // A16: multi-table changefeed — per-table resolved-ts over a
     // two-table feed (min over per-pipeline max ts, per table); the
     // changefeed-level AddTable/RemoveTable surface behind it
@@ -855,6 +886,30 @@ object Cdc {
          |       value_e2 AS last_value_e2, ts_us AS last_ts_us
          |FROM ranked WHERE rn = 1
          |ORDER BY user_id""".stripMargin,
+
+    "cdc_syncpoint" -> (logCte +
+      s""",
+        |per AS (
+        |  SELECT key % 2 AS side, key % 32 AS pipeline,
+        |         max(commit_ts_us) AS m
+        |  FROM log GROUP BY 1, 2),
+        |res AS (SELECT side, min(m) AS r FROM per GROUP BY 1),
+        |sync AS (SELECT min(r) AS sync_ts_us FROM res),
+        |upto AS (
+        |  SELECT l.* FROM log l, sync
+        |  WHERE l.commit_ts_us <= sync.sync_ts_us),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM upto),
+        |live AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+        |SELECT CASE WHEN key % 2 = 0 THEN 'events_even'
+        |            ELSE 'events_odd' END AS __table,
+        |       (SELECT sync_ts_us FROM sync) AS sync_ts_us,
+        |       count(*) AS n_keys,
+        |       $sumCentsSql AS sum_value_e2,
+        |       max(commit_ts_us) AS max_ts_us
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "cdc_forget" -> (logCte +
       """,

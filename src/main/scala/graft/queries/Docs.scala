@@ -1490,6 +1490,39 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C92: PII risk report — the triage table BEFORE C19's scrub runs:
+    // per source, docs carrying any PII plus per-category match counts
+    // (emails / phones / SSNs planted on disjoint id residues so the
+    // counts differ per category and per source). Detection is the
+    // SAME portable regex set the scrubber uses — report and redaction
+    // can't drift; counting is scan-local regexp_extract_all, one
+    // map-side-combined shuffle to |source| rows.
+    "doc_pii_report" -> ((s, dir) => {
+      val raw = concat(
+        when(col("doc_id") % 3 === 0,
+          concat(lit("contact u"), col("doc_id"),
+            lit("@example.org now "))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("tel 555-123-4567 ")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("ssn 123-45-6789 ")).otherwise(lit("")),
+        col("text"))
+      val hits = Text.piiPatterns.map { case (re, _) =>
+        size(regexp_extract_all(raw, lit(re), lit(0))).cast("long")
+      }
+      Tables.documents(s, dir)
+        .select(col("source"), hits(0).as("h_email"),
+          hits(1).as("h_phone"), hits(2).as("h_ssn"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("h_email") + col("h_phone") + col("h_ssn") > 0, 1L)
+            .otherwise(0L)).as("docs_with_pii"),
+          sum(col("h_email")).as("n_emails"),
+          sum(col("h_phone")).as("n_phones"),
+          sum(col("h_ssn")).as("n_ssn"))
+        .orderBy("source")
+    }),
+
     // C8: language-ID heuristic — stopword hit counts + deterministic
     // argmax (ties → alphabetically-first language). All four languages
     // are counted in ONE compiled tokenize pass (StopwordHits kernel).
@@ -2692,6 +2725,30 @@ object Docs {
         |       round(CAST(count(*) FILTER (WHERE w NOT IN (SELECT w FROM vc))
         |             AS DOUBLE) / count(*), 4) AS oov_rate
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_pii_report" -> {
+      val rawSql = "(CASE WHEN doc_id % 3 = 0 THEN 'contact u' || doc_id" +
+        " || '@example.org now ' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN 'tel 555-123-4567 ' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 7 = 0 THEN 'ssn 123-45-6789 ' ELSE '' END)" +
+        " || text"
+      val Seq(reE, reP, reS) = graft.functions.Text.piiPatterns.map {
+        case (re, _) => re.replace("'", "''")
+      }
+      s"""WITH h AS (
+         |  SELECT source,
+         |    len(regexp_extract_all($rawSql, '$reE'))::BIGINT AS h_email,
+         |    len(regexp_extract_all($rawSql, '$reP'))::BIGINT AS h_phone,
+         |    len(regexp_extract_all($rawSql, '$reS'))::BIGINT AS h_ssn
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN h_email + h_phone + h_ssn > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_with_pii,
+         |  CAST(sum(h_email) AS BIGINT) AS n_emails,
+         |  CAST(sum(h_phone) AS BIGINT) AS n_phones,
+         |  CAST(sum(h_ssn) AS BIGINT) AS n_ssn
+         |FROM h GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "doc_pii_scrub" ->
       s"""SELECT doc_id,
