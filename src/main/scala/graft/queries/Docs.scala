@@ -1497,6 +1497,33 @@ object Docs {
     // SAME portable regex set the scrubber uses — report and redaction
     // can't drift; counting is scan-local regexp_extract_all, one
     // map-side-combined shuffle to |source| rows.
+    // C93: deterministic token-dropout augmentation — the noising
+    // transform contrastive/denoising objectives train on, with the
+    // repo's determinism contract instead of rand(): a token drops iff
+    // md5(doc_id:pos:token) lands in the bottom dropPct% of hash space,
+    // so re-runs, engines, and appends reproduce the identical
+    // augmented corpus (and a different salt would re-roll it). All
+    // scan-local array math (arrays_zip + filter + concat_ws); the
+    // augmented text crosses the engine boundary as sha256 (the C81
+    // convention). At 100 TB: zero shuffles, a pure projection.
+    "doc_token_dropout" -> ((s, dir) => {
+      val dropPct = 10
+      val toks = Text.tokens(col("text"))
+      val zipped = arrays_zip(toks, expr(
+        "sequence(1, size(split(text, ' ')))"))
+      val kept = filter(zipped, t =>
+        conv(substring(md5(concat_ws(":", col("doc_id"), t("1"), t("0"))),
+          1, 8), 16, 10).cast("long") % 100 >= dropPct)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(kept).cast("long").as("n_kept"),
+          sha2(concat_ws(" ",
+            transform(kept, t => t("0")).cast("array<string>")), 256)
+            .as("aug_sha256"))
+        .orderBy("doc_id")
+    }),
+
     "doc_pii_report" -> ((s, dir) => {
       val raw = concat(
         when(col("doc_id") % 3 === 0,
@@ -2725,6 +2752,19 @@ object Docs {
         |       round(CAST(count(*) FILTER (WHERE w NOT IN (SELECT w FROM vc))
         |             AS DOUBLE) / count(*), 4) AS oov_rate
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_token_dropout" ->
+      """WITH z AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |k AS (
+         |  SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+         |    list_filter(ws, (x, i) ->
+         |      ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR
+         |         || ':' || x), 1, 8))::BIGINT % 100 >= 10) AS kept
+         |  FROM z)
+         |SELECT doc_id, n_tokens, len(kept)::BIGINT AS n_kept,
+         |  sha256(array_to_string(kept, ' ')) AS aug_sha256
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "doc_pii_report" -> {
       val rawSql = "(CASE WHEN doc_id % 3 = 0 THEN 'contact u' || doc_id" +
