@@ -152,6 +152,29 @@ object Cdc {
         .orderBy("__table")
     }),
 
+    // A41 (A9 companion): sink DDL emission — the ordered ALTER plan
+    // migrating a downstream table to the evolved schema (EmitDDLEvent's
+    // other half: A9 evolves the FEED, this emits the statements the
+    // SINK must run). Source columns come from the live parquet footer
+    // in BOTH engines (Spark's schema read vs DuckDB DESCRIBE over the
+    // same file), mapped into a shared dialect vocabulary — so the
+    // driver row proves the two engines agree on the schema itself, not
+    // just on data. Schema work is inherently driver-side metadata
+    // (|columns| rows, no data scan).
+    "cdc_ddl_plan" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/events.parquet").schema.fields.toSeq
+        .map(f => f.name -> SchemaEvolution.dialectType(f.dataType))
+      val target = src.filterNot(_._1 == "props").map {
+        case ("value", _) => ("value", "DECIMAL(18,2)")
+        case kv => kv
+      } :+ ("masked" -> "VARCHAR")
+      val plan = SchemaEvolution.ddlPlan("events", src, target)
+      import s.implicits._
+      plan.zipWithIndex.map { case ((op, c, t, sql), i) =>
+        (i.toLong + 1, op, c, t, sql)
+      }.toDF("ord", "op", "col_name", "col_type", "ddl")
+    }),
+
     // A16: multi-table changefeed — per-table resolved-ts over a
     // two-table feed (min over per-pipeline max ts, per table); the
     // changefeed-level AddTable/RemoveTable surface behind it
@@ -886,6 +909,40 @@ object Cdc {
          |       value_e2 AS last_value_e2, ts_us AS last_ts_us
          |FROM ranked WHERE rn = 1
          |ORDER BY user_id""".stripMargin,
+
+    "cdc_ddl_plan" ->
+      """WITH src AS (
+        |  SELECT column_name, column_type
+        |  FROM (DESCRIBE SELECT * FROM events)),
+        |tgt AS (
+        |  SELECT column_name,
+        |    CASE WHEN column_name = 'value' THEN 'DECIMAL(18,2)'
+        |         ELSE column_type END AS column_type
+        |  FROM src WHERE column_name <> 'props'
+        |  UNION ALL SELECT 'masked', 'VARCHAR'),
+        |adds AS (
+        |  SELECT 'ADD' AS op, t.column_name AS col_name,
+        |         t.column_type AS col_type,
+        |         'ALTER TABLE events ADD COLUMN ' || t.column_name || ' '
+        |           || t.column_type AS ddl
+        |  FROM tgt t LEFT JOIN src s USING (column_name)
+        |  WHERE s.column_name IS NULL),
+        |rts AS (
+        |  SELECT 'ALTER TYPE', t.column_name, t.column_type,
+        |         'ALTER TABLE events ALTER COLUMN ' || t.column_name
+        |           || ' TYPE ' || t.column_type
+        |  FROM tgt t JOIN src s USING (column_name)
+        |  WHERE t.column_type <> s.column_type),
+        |drps AS (
+        |  SELECT 'DROP', s.column_name, s.column_type,
+        |         'ALTER TABLE events DROP COLUMN ' || s.column_name
+        |  FROM src s LEFT JOIN tgt t USING (column_name)
+        |  WHERE t.column_name IS NULL),
+        |u AS (SELECT * FROM adds UNION ALL SELECT * FROM rts
+        |      UNION ALL SELECT * FROM drps)
+        |SELECT row_number() OVER (ORDER BY op, col_name) AS ord,
+        |       op, col_name, col_type, ddl
+        |FROM u ORDER BY ord""".stripMargin,
 
     "cdc_syncpoint" -> (logCte +
       s""",

@@ -35,6 +35,29 @@ class GenSourceSpec extends SparkSpec {
     assert(sizes.toSeq === Seq(20, 20, 20, 20, 20))
   }
 
+  test("GenSource stream drives the CDC plugin chain: stream ≡ batch") {
+    import graft.cdc.{Changelog, EventTypeFilter, Mask, MaskPlugin}
+    def toChangelog(df: org.apache.spark.sql.DataFrame) =
+      Changelog.fromEvents(df
+        .withColumn("value", col("value_e2") / 100.0)
+        .withColumn("props", lit(null).cast("string")))
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      MaskPlugin(Seq("key"), Mask.Sha256)(
+        EventTypeFilter(Set("purchase", "click"))(toChangelog(df)))
+    val opts = Map("rows" -> "400", "users" -> "13", "rowsPerBatch" -> "97")
+    val q = chain(
+      spark.readStream.format(fmt).options(opts).load())
+      .writeStream.format("memory").queryName("gen_chain")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("gen_chain")
+    val batch = chain(spark.read.format(fmt).options(opts).load())
+    assert(streamed.count() === batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("micro-batch stream drains to exactly the batch relation") {
     val q = spark.readStream.format(fmt)
       .option("rows", 500).option("users", 11)
