@@ -1490,6 +1490,48 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C94: T5-style span corruption — the third member of the
+    // augmentation family (C84 FIM reorders, C93 drops, this MASKS
+    // spans): a span of 3 tokens starts wherever md5(doc_id:sc:pos)
+    // lands in 1/7 of hash space (deterministic — the repo's no-rand()
+    // contract), overlapping spans merge, each masked run collapses to
+    // ONE sentinel in the corrupted text while the masked-out tokens
+    // become the target sequence. Start flags are computed once into an
+    // array and neighbors indexed (3-token lookback), so the whole
+    // transform is scan-local array math — zero shuffles; text crosses
+    // the boundary as sha256 (C81 convention). Sentinels are unnumbered
+    // (<X>) — per-span numbering needs a running counter the oracle
+    // side cannot express scan-locally; documented simplification.
+    "doc_span_corrupt" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("ws", Text.tokens(col("text")))
+        .withColumn("n", size(col("ws")))
+        .withColumn("starts", expr(
+          "transform(sequence(1, greatest(n, 1)), j -> " +
+            "CAST(conv(substring(md5(concat(doc_id, ':sc:', j)), 1, 8), " +
+            "16, 10) AS BIGINT) % 7 = 0)"))
+        .withColumn("masked", expr(
+          "transform(sequence(1, greatest(n, 1)), i -> starts[i-1] OR " +
+            "(i > 1 AND starts[i-2]) OR (i > 2 AND starts[i-3]))"))
+        .withColumn("runstart", expr(
+          "transform(sequence(1, greatest(n, 1)), i -> masked[i-1] AND " +
+            "(i = 1 OR NOT masked[i-2]))"))
+      d.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          expr("CAST(size(filter(sequence(1, n), i -> masked[i-1])) AS BIGINT)")
+            .as("n_masked"),
+          expr("CAST(size(filter(sequence(1, n), i -> runstart[i-1])) AS BIGINT)")
+            .as("n_spans"),
+          sha2(expr(
+            "concat_ws(' ', transform(filter(sequence(1, n), i -> " +
+              "NOT masked[i-1] OR runstart[i-1]), " +
+              "i -> IF(runstart[i-1], '<X>', ws[i-1])))"), 256)
+            .as("corrupted_sha256"),
+          sha2(expr(
+            "concat_ws(' ', transform(filter(sequence(1, n), i -> " +
+              "masked[i-1]), i -> ws[i-1]))"), 256).as("targets_sha256"))
+        .orderBy("doc_id")
+    }),
+
     // C92: PII risk report — the triage table BEFORE C19's scrub runs:
     // per source, docs carrying any PII plus per-category match counts
     // (emails / phones / SSNs planted on disjoint id residues so the
@@ -2752,6 +2794,42 @@ object Docs {
         |       round(CAST(count(*) FILTER (WHERE w NOT IN (SELECT w FROM vc))
         |             AS DOUBLE) / count(*), 4) AS oov_rate
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_span_corrupt" ->
+      """WITH z AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |         len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |a AS (
+         |  SELECT doc_id, ws, n,
+         |    [('0x' || substr(md5(doc_id::VARCHAR || ':sc:' || j::VARCHAR),
+         |        1, 8))::BIGINT % 7 = 0
+         |     for j in generate_series(1, n)] AS starts
+         |  FROM z),
+         |b AS (
+         |  SELECT doc_id, ws, n, starts,
+         |    [starts[i] OR (i > 1 AND starts[i-1]) OR (i > 2 AND starts[i-2])
+         |     for i in generate_series(1, n)] AS masked
+         |  FROM a),
+         |c AS (
+         |  SELECT doc_id, ws, n, masked,
+         |    [masked[i] AND (i = 1 OR NOT masked[i-1])
+         |     for i in generate_series(1, n)] AS runstart
+         |  FROM b)
+         |SELECT doc_id, n::BIGINT AS n_tokens,
+         |  len(list_filter(generate_series(1, n), i -> masked[i]))::BIGINT
+         |    AS n_masked,
+         |  len(list_filter(generate_series(1, n), i -> runstart[i]))::BIGINT
+         |    AS n_spans,
+         |  sha256(coalesce(array_to_string(list_transform(
+         |    list_filter(generate_series(1, n),
+         |                i -> NOT masked[i] OR runstart[i]),
+         |    i -> CASE WHEN runstart[i] THEN '<X>' ELSE ws[i] END), ' '), ''))
+         |    AS corrupted_sha256,
+         |  sha256(coalesce(array_to_string(list_transform(
+         |    list_filter(generate_series(1, n), i -> masked[i]),
+         |    i -> ws[i]), ' '), '')) AS targets_sha256
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_token_dropout" ->
       """WITH z AS (
