@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{SetOps, Text}
-import graft.operators.{AnnEval, AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, Fuzzy, KMeans, LogReg, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
+import graft.operators.{AnnEval, AnnLsh, Bigram, Bm25, Bpe, Chunking, Curation, Decontaminate, Dedup, Drift, Dsir, Fuzzy, Graph, KMeans, LogReg, MinHash, Packing, Pca, Pq, Provenance, Quantize, Sampling, SimHash, Similarity, Unigram}
 import graft.sources.Layout
 import graft.streaming.CrawlIngest
 import graft.queries.{Cdc => CdcQ}
@@ -1490,6 +1490,21 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C95: duplication-graph triangle census — the clique-ness signal
+    // beside C29's connected components: a triangle-dense family is
+    // "every copy matches every other" (keep one representative); a
+    // triangle-free star/chain is a hub-template pattern needing
+    // per-edge review. Degree-oriented wedge generation (Suri &
+    // Vassilvitskii) caps a d-degree hub at O(d_low²) wedges; the
+    // oracle is the direct three-way self-join — parity proves the
+    // oriented plan counts every triangle exactly once.
+    "doc_dup_triangles" -> ((s, dir) => {
+      val pairs = MinHash.neardupPairs(Tables.documents(s, dir),
+          "doc_id", "text", 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      Graph.triangles(pairs)
+    }),
+
     // C94: T5-style span corruption — the third member of the
     // augmentation family (C84 FIM reorders, C93 drops, this MASKS
     // spans): a span of 3 tokens starts wherever md5(doc_id:sc:pos)
@@ -2794,6 +2809,12 @@ object Docs {
         |       round(CAST(count(*) FILTER (WHERE w NOT IN (SELECT w FROM vc))
         |             AS DOUBLE) / count(*), 4) AS oov_rate
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_dup_triangles" ->
+      s"""WITH edges AS (
+         |  SELECT id_a AS a, id_b AS b
+         |  FROM (${graft.operators.MinHash.minhashOracleSql("documents", 0.5)}))
+         |${graft.operators.Graph.trianglesSql("edges")}""".stripMargin,
 
     "doc_span_corrupt" ->
       """WITH z AS (
