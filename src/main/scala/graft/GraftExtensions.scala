@@ -64,7 +64,13 @@ object GraftExtensions {
     "graft_char_entropy_e9" ->
       ((args: Seq[Expression]) => CharEntropyE9(args(0))),
     "graft_top_token_count" ->
-      ((args: Seq[Expression]) => TopTokenCount(args(0))))
+      ((args: Seq[Expression]) => TopTokenCount(args(0))),
+    // bounded per-group top-k AGGREGATE (TypedImperativeAggregate):
+    // SELECT key, graft_topk(x, 5) FROM t GROUP BY key
+    "graft_topk" ->
+      ((args: Seq[Expression]) =>
+        BoundedTopK(args(0), litInt(args(1), "k"))
+          .toAggregateExpression()))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -937,6 +937,27 @@ object Analytics {
         .orderBy("l_returnflag", "measure")
     }),
 
+    // B64: bounded-state grouped top-k via a native
+    // TypedImperativeAggregate (graft_topk) — the aggregate formulation
+    // of per-group top-k: a size-k min-heap per group with MAP-SIDE
+    // partial aggregation, so shuffled bytes ~ |groups|·k where the
+    // window-rank form (row_number over partition order by desc ≤ k)
+    // shuffles and sorts every row. Output the sorted-desc values as
+    // csv (the house array convention); oracle = DuckDB's max(x, k).
+    "q_topk_agg" -> ((s, dir) => {
+      import graft.functions.BoundedTopK
+      import org.apache.spark.sql.GraftSqlBridge
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val topk = GraftSqlBridge.column(
+        BoundedTopK(GraftSqlBridge.expression(col("cents")), 5)
+          .toAggregateExpression())
+      Tables.events(s, dir)
+        .withColumn("cents", cents)
+        .groupBy(col("event_type"))
+        .agg(concat_ws(",", topk.cast("array<string>")).as("top5_e2"))
+        .orderBy("event_type")
+    }),
+
     // B62: exponentially-decayed (EWMA) activity score — per event
     // type, trailing-30-day daily volumes weighted by 0.9^age (the
     // freshness-weighted health metric dashboards poll; the decayed
@@ -2059,6 +2080,14 @@ object Analytics {
          |UNION ALL
          |SELECT l_returnflag, 'tax', tax_e2 FROM w
          |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT event_type,
+        |  array_to_string((list(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) DESC))[1:5], ',') AS top5_e2
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_ewma" ->
       """WITH daily AS (
