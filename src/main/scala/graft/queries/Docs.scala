@@ -254,6 +254,30 @@ object Docs {
         .orderBy("shard", "pos")
     }),
 
+    // C96: content-addressed shard manifest — the Merkle-leaf table a
+    // versioned dataset release ships: per C76 shard, doc count, bytes,
+    // and a manifest digest = sha256 over the ORDERED per-doc content
+    // digests (order = the shard's training order, so the manifest
+    // certifies both content AND order; two releases diff shard-by-
+    // shard on one 32-byte value). Per-doc digests are scan-local; the
+    // per-shard fold is a sort_array(collect_list) over ≤|corpus|/shards
+    // digests — bounded by shard sizing, the same exchange the shard
+    // writer performs anyway.
+    "doc_shard_manifest" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val shuf = Sampling.epochShuffle(d, "doc_id", epoch = 1, nShards = 8)
+      d.select(col("doc_id"), col("n_chars"),
+          sha2(col("text"), 256).as("digest"))
+        .join(shuf, "doc_id")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("bytes"),
+          sha2(concat_ws("", transform(
+            sort_array(collect_list(struct(col("pos"), col("digest")))),
+            t => t("digest"))), 256).as("manifest_sha"))
+        .orderBy("shard")
+    }),
+
     // C77: curriculum ordering — the stage-major, shard-parallel
     // training order a paced run consumes: per-SOURCE difficulty
     // quartile (ntile under a (score, id) total order, partitioned by
@@ -2499,6 +2523,20 @@ object Docs {
       s"""SELECT doc_id, shard, pos
          |FROM (${Sampling.epochShuffleSql("documents", "doc_id", epoch = 1, nShards = 8)})
          |ORDER BY shard, pos""".stripMargin,
+
+    "doc_shard_manifest" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, shard, pos
+         |  FROM (${Sampling.epochShuffleSql("documents", "doc_id",
+                    epoch = 1, nShards = 8)})),
+         |j AS (
+         |  SELECT s.shard, s.pos, d.n_chars, sha256(d.text) AS digest
+         |  FROM s JOIN documents d USING (doc_id))
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+         |  sha256(array_to_string(list(digest ORDER BY pos), ''))
+         |    AS manifest_sha
+         |FROM j GROUP BY shard ORDER BY shard""".stripMargin,
 
     "doc_curriculum" ->
       """WITH q AS (
