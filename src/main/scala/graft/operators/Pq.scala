@@ -51,41 +51,61 @@ object Pq {
   /** LEARNED codebook: per-subspace Lloyd k-means over a bounded,
     * deterministically-drawn sample of the corpus — the production
     * quantizer-training shape (a PQ codebook is numSub·k·subDim
-    * doubles, a few KB; training reads a sample, never the corpus,
-    * so cost is independent of corpus size — the formula codebook
-    * then drops out as literals exactly like the fixed one).
+    * doubles, a few KB; training reads a SAMPLE, never the corpus, so
+    * cost is independent of corpus size — the formula codebook then
+    * drops out as literals exactly like the fixed one).
     *
-    * Determinism: the sample is the `sampleN` smallest md5(subspace:id)
-    * ranks (house A-Res pattern — stable across runs/engines/layouts);
-    * seeding takes the k first sample rows in that same md5 order;
-    * [[KMeans.fit]]'s update step uses exact fixed-point integer sums,
-    * so the learned centroids are a pure function of the input corpus.
-    * A Lloyd-emptied cluster keeps its seed centroid, so the codebook
-    * stays k-dense and [[encode]]'s argmax chains are unchanged. */
+    * Scale shape: ONE corpus pass — a TakeOrdered of the `sampleN`
+    * smallest md5('pq:'+id) ranks (house A-Res pattern; stable across
+    * runs/engines/layouts) collects the full-width sample to the
+    * driver, and every subspace's Lloyd loop runs THERE on its slice
+    * (the Pca/Jacobi bounded-state-to-driver rule: iterating Spark
+    * jobs over a 256-row frame pays ~50 scheduler round-trips for
+    * microseconds of arithmetic — measured 9.7 s → sub-second). The
+    * local loop replicates the distributed [[KMeans]] semantics
+    * exactly: same dist expression order, (dist, label) argmin
+    * tiebreak, exact floor(x·1e6) integer mean sums (order-free), and
+    * Lloyd-emptied clusters fall back to their seed centroid so the
+    * codebook stays k-dense and [[encode]]'s argmax chains are
+    * unchanged. */
   def learnCodebook(df: DataFrame, idCol: String, vecCol: String,
                     numSub: Int = 16, k: Int = 16, subDim: Int = 4,
                     iters: Int = 3, sampleN: Int = 256): Codebook = {
-    import org.apache.spark.sql.expressions.Window
     require(sampleN >= k, "sample must hold at least k rows")
+    val sample: Array[Array[Double]] = df
+      .select(md5(concat_ws(":", lit("pq"), col(idCol).cast("string")))
+          .as("__r"),
+        Vectors.toDouble(col(vecCol)).as("__v"))
+      .orderBy(col("__r")).limit(sampleN)
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
     val books: Array[Array[Seq[Double]]] = (0 until numSub).toArray.map { s =>
-      val sub = df.select(col(idCol).as("__sid"),
-          Vectors.toDouble(slice(col(vecCol), s * subDim + 1, subDim))
-            .as("__sv"),
-          md5(concat_ws(":", lit(s), col(idCol).cast("string"))).as("__r"))
-        .orderBy(col("__r")).limit(sampleN)
-        .localCheckpoint()
-      val seeds = sub.orderBy(col("__r")).limit(k)
-        .withColumn("label",
-          row_number().over(Window.orderBy(col("__r"))).cast("long") - 1)
-        .select(col("label"), col("__sv").as("centroid"))
-        .localCheckpoint()
-      val (_, cent) = KMeans.fit(sub.select(col("__sid"), col("__sv")),
-        "__sid", "__sv", seeds, iters)
-      val seedMap = seeds.collect()
-        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1)).toMap
-      val learned = cent.collect()
-        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1)).toMap
-      Array.tabulate(k)(c => learned.getOrElse(c, seedMap(c)))
+      val pts = sample.map(_.slice(s * subDim, s * subDim + subDim))
+      val seeds: Array[Array[Double]] = pts.take(k).map(_.clone())
+      var cents: Seq[(Int, Array[Double])] =
+        seeds.zipWithIndex.map { case (c, i) => (i, c) }
+      for (_ <- 1 to iters) {
+        val asg = pts.map { v =>
+          val n2 = dot(v, v)
+          cents.map { case (l, c) =>
+            (n2 - 2.0 * dot(v, c) + dot(c, c), l)
+          }.min._2
+        }
+        cents = asg.zip(pts).groupBy(_._1).toSeq.map { case (l, vs) =>
+          val n = vs.length
+          l -> Array.tabulate(subDim) { j =>
+            vs.map(x => math.floor(x._2(j) * 1e6).toLong).sum.toDouble /
+              (n * 1e6)
+          }
+        }.sortBy(_._1)
+      }
+      val learned = cents.toMap
+      Array.tabulate(k)(c => learned.getOrElse(c, seeds(c)).toSeq)
     }
     (s, c) => books(s)(c)
   }
