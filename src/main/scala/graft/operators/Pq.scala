@@ -156,6 +156,27 @@ object Pq {
     require(numSub >= 1 && k >= 2 && subDim >= 1,
       "need numSub >= 1, k >= 2, subDim >= 1")
     val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
+    // ONE compiled pass for all sub-codes (PqEncodeCodes): the staged
+    // declarative form (encodeDeclarative, kept for the PqSpec
+    // equivalence pin and as the oracle's vocabulary) generates ~k·numSub
+    // score expressions whose codegen COMPILE time dominates the encode.
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(numSub, k)((s, c) => cb(s, c).toArray)
+    val codesCol = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PqEncodeCodes(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(vecCol)), books))
+    df.select(col(idCol), codesCol.as("__codes"))
+      .select(col(idCol) +: (0 until numSub).map(s =>
+        element_at(col("__codes"), s + 1).as(s"code$s")): _*)
+  }
+
+  /** The staged declarative encode (subvectors → round(9) scores →
+    * argmax CASE chains) — the form the DuckDB oracle mirrors; kept as
+    * the equivalence baseline for the kernel (PqSpec). */
+  private[graft] def encodeDeclarative(df: DataFrame, idCol: String,
+      vecCol: String, numSub: Int = 16, k: Int = 16, subDim: Int = 4,
+      codebook: Codebook = null): DataFrame = {
+    val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
     val subCols = (0 until numSub).map(s =>
       Vectors.toDouble(slice(col(vecCol), s * subDim + 1, subDim))
         .as(s"__sub$s"))

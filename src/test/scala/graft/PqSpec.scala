@@ -152,4 +152,14 @@ class PqSpec extends SparkSpec {
       .collect()
     assert(top.length === 1 && top.head.getLong(2) === 100L)
   }
+
+  test("kernel encode == staged declarative encode, both codebooks") {
+    val emb = Tables.embeddings(spark, sfDir).limit(120)
+    for (cb <- Seq(null, Pq.learnCodebook(emb, "vec_id", "embedding"))) {
+      val a = Pq.encode(emb, "vec_id", "embedding", codebook = cb)
+      val b = Pq.encodeDeclarative(emb, "vec_id", "embedding", codebook = cb)
+      assert(a.exceptAll(b).count() === 0)
+      assert(b.exceptAll(a).count() === 0)
+    }
+  }
 }
