@@ -39,6 +39,7 @@ object PlanAudit {
     "doc_epoch_plan", // 1-row mixture-normalizer broadcast (Sampling.epochPlan), the doc_mixture shape
     "q_join_estimate", // 1-row × 1-row exact/estimate join (Cms.joinSizeEstimate)
     "cdc_syncpoint", // 1-row syncpoint-ts broadcast into both tables' as-of filters
+    "doc_dup_triangles", // 1-row n_edges × 1-row n_nodes summary crossJoin (Graph.triangles)
     "doc_vocab_drift", // 1-row per-side token-total broadcast (Drift.scala:54)
     "emb_knn_classify", // wraps annTopK's broadcast ≤8-row probe set
     "emb_hard_negatives", // same broadcast ≤8-row probe shape
