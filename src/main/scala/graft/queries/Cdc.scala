@@ -570,6 +570,26 @@ object Cdc {
         .orderBy("__partition", "__offset")
     }),
 
+    // A23 consumer side: offset-resume topic replay — the sink written
+    // hive-partitioned by __partition, then read back as a CONSUMER
+    // resuming partition 3 from offset 10 (the "seek(partition,
+    // offset)" every MQ client performs): the partition predicate
+    // prunes to ONE directory at plan time and the offset predicate
+    // pushes into the parquet scan, so a resume touches only the tail
+    // of one partition however large the topic. The oracle re-derives
+    // routing + dense offsets in SQL and applies the same seek filter.
+    "cdc_topic_replay" -> ((s, dir) => {
+      val path = roundtripPath(dir, "topicreplay")
+      GraftSink.Topic(path = path, numPartitions = 8)
+        .write(changelog(s, dir))
+      s.read.parquet(path)
+        .where(col("__partition") === 3 && col("__offset") >= 10)
+        .select(col("__partition").cast("long").as("__partition"),
+          col("__offset"), col("seq"), col("key").as("user_id"),
+          col("commit_ts_us"), col("event_type"))
+        .orderBy("__offset")
+    }),
+
     // A21: semi-structured payload extraction — JSON props parsed in the
     // scan projection (codegen'd get_json_object; no UDF)
     "cdc_json_extract" -> ((s, dir) => {
@@ -1280,6 +1300,18 @@ object Cdc {
         |       seq, key AS user_id, commit_ts_us, event_type
         |FROM log
         |ORDER BY 1, 2""".stripMargin),
+
+    "cdc_topic_replay" -> (logCte +
+      """
+        |SELECT * FROM (
+        |  SELECT key % 8 AS __partition,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY key % 8
+        |           ORDER BY commit_ts_us, seq, key) - 1 AS BIGINT) AS __offset,
+        |         seq, key AS user_id, commit_ts_us, event_type
+        |  FROM log)
+        |WHERE __partition = 3 AND __offset >= 10
+        |ORDER BY __offset""".stripMargin),
 
     "cdc_json_extract" -> (logCte +
       """

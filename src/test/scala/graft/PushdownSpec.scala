@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 import graft.queries.Analytics
 
@@ -39,6 +40,23 @@ class PushdownSpec extends SparkSpec {
     // …and the fat unused ones pruned
     Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
       .foreach(c => assert(!read.contains(c), s"$c not pruned: $read"))
+  }
+
+  test("topic replay: partition predicate prunes directories, offset pushes") {
+    import graft.cdc.{Changelog, GraftSink}
+    val path = sys.props("java.io.tmpdir") + "/graft_pushdown_topic"
+    GraftSink.Topic(path = path, numPartitions = 4)
+      .write(Changelog.fromEvents(Tables.events(spark, sfDir)))
+    val df = spark.read.parquet(path)
+      .where(col("__partition") === 2 && col("__offset") >= 5)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("__partition"), plan.take(800))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("__offset"), pushed)
   }
 
   test("q1: aggregate scan prunes join keys and runs whole-stage codegen") {
