@@ -865,6 +865,34 @@ object Analytics {
         .orderBy("stage")
     }),
 
+    // B65: funnel conversion-latency percentiles — B32's funnel with
+    // the time-to-convert distribution (view→purchase µs) for the
+    // users who completed it: same per-stage min-ts equi-joins, then
+    // exact percentiles over the |converted-users| latency frame (the
+    // bounded-cardinality grain where exact percentile is safe — the
+    // B13/B45 tradeoff documented there applies at the event grain).
+    "q_funnel_latency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts_us")
+      val firstView = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("view_ts"))
+      val firstClick = ev.where(col("event_type") === "click")
+        .join(firstView, "user_id")
+        .where(col("ts_us") > col("view_ts"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("click_ts"),
+          first(col("view_ts")).as("view_ts"))
+      val firstPurchase = ev.where(col("event_type") === "purchase")
+        .join(firstClick, "user_id")
+        .where(col("ts_us") > col("click_ts"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("purchase_ts"),
+          first(col("view_ts")).as("view_ts"))
+      firstPurchase
+        .select((col("purchase_ts") - col("view_ts")).as("lat_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
+          round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"),
+          max(col("lat_us")).as("max_us"))
+    }),
+
     // B33: day-N retention cohorts — activity reduced to distinct
     // (user, day) BEFORE any join, cohort = min day per user, offsets
     // pre-distincted so the final agg is plain sums (no count-distinct
@@ -2026,6 +2054,28 @@ object Analytics {
         |UNION ALL SELECT '2_click', count(*) FROM fc
         |UNION ALL SELECT '3_purchase', count(*) FROM fp
         |ORDER BY stage""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS view_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |fc AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS click_ts,
+        |         min(fv.view_ts) AS view_ts
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > fv.view_ts
+        |  GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_ts,
+        |         min(fc.view_ts) AS view_ts
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fc.click_ts
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(purchase_ts - view_ts, 0.5), 4) AS p50_us,
+        |  round(quantile_cont(purchase_ts - view_ts, 0.9), 4) AS p90_us,
+        |  max(purchase_ts - view_ts) AS max_us
+        |FROM fp""".stripMargin,
 
     "q_retention" ->
       """WITH act AS (

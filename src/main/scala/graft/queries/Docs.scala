@@ -1571,6 +1571,55 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C97: preference-pair assembly — the DPO/RLHF data shape beside
+    // C81's SFT rows: within each source, docs rank by (quality desc,
+    // id) and adjacent ranks pair off (2i-1 chosen, 2i rejected), so
+    // every pair has chosen_score ≥ rejected_score by construction and
+    // the margin is the supervision strength a trainer can filter on.
+    // One source-partitioned window + a scan-local self-pairing join on
+    // (source, pair_id); margin exact on the e4 ladder.
+    "doc_pref_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Text.tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val nUniq = size(array_distinct(toks)).cast("long")
+      val score = round(least(lit(1.0), nTokens.cast("double") / 100.0)
+        * (lit(0.5) + lit(0.5) * (nUniq.cast("double") / nTokens)), 4)
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_e4").desc, col("doc_id"))
+      val ranked = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          (score * 10000).cast("decimal(38,0)").cast("long").as("score_e4"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("pair_id", ((col("rnk") + 1) / 2).cast("long"))
+      val chosen = ranked.where(col("rnk") % 2 === 1)
+        .select(col("source"), col("pair_id"),
+          col("doc_id").as("chosen_id"), col("score_e4").as("chosen_e4"))
+      val rejected = ranked.where(col("rnk") % 2 === 0)
+        .select(col("source"), col("pair_id"),
+          col("doc_id").as("rejected_id"), col("score_e4").as("rejected_e4"))
+      chosen.join(rejected, Seq("source", "pair_id"))
+        .select(col("source"), col("pair_id"), col("chosen_id"),
+          col("rejected_id"),
+          (col("chosen_e4") - col("rejected_e4")).as("margin_e4"))
+        .orderBy("source", "pair_id")
+    }),
+
+    // C98: k-anonymity audit — the re-identification screen a corpus
+    // release runs AFTER C19's scrub: docs whose quasi-identifier
+    // combination (lang, source, length bucket) has fewer than k
+    // members are linkable; the report lists risky cells + their doc
+    // counts. One map-side-combined shuffle to the cell grain, HAVING
+    // on the tiny aggregate.
+    "doc_kanon_audit" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"),
+          (col("n_chars") / 100L).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") < 5)
+        .orderBy("lang", "source", "len_bucket")
+    }),
+
     // C92: PII risk report — the triage table BEFORE C19's scrub runs:
     // per source, docs carrying any PII plus per-category match counts
     // (emails / phones / SSNs planted on disjoint id residues so the
@@ -2853,6 +2902,34 @@ object Docs {
          |  SELECT id_a AS a, id_b AS b
          |  FROM (${graft.operators.MinHash.minhashOracleSql("documents", 0.5)}))
          |${graft.operators.Graph.trianglesSql("edges")}""".stripMargin,
+
+    "doc_pref_pairs" ->
+      """WITH q AS (
+         |  SELECT source, doc_id,
+         |    CAST(round(least(1.0, len(string_split(text, ' ')) / 100.0)
+         |      * (0.5 + 0.5 * (len(list_distinct(string_split(text, ' ')))
+         |                      / len(string_split(text, ' ')))), 4) * 10000
+         |      AS BIGINT) AS score_e4
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, score_e4,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score_e4 DESC, doc_id) AS rnk
+         |  FROM q),
+         |p AS (SELECT *, (rnk + 1) // 2 AS pair_id FROM r)
+         |SELECT c.source, CAST(c.pair_id AS BIGINT) AS pair_id,
+         |  c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+         |  c.score_e4 - j.score_e4 AS margin_e4
+         |FROM p c JOIN p j ON c.source = j.source AND c.pair_id = j.pair_id
+         |  AND c.rnk % 2 = 1 AND j.rnk % 2 = 0
+         |ORDER BY c.source, pair_id""".stripMargin,
+
+    "doc_kanon_audit" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1, 2, 3
+         |HAVING count(*) < 5
+         |ORDER BY lang, source, len_bucket""".stripMargin,
 
     "doc_span_corrupt" ->
       """WITH z AS (
