@@ -121,6 +121,63 @@ object Decontaminate {
       "__MHEXPRS__" -> mhExprs, "__BANDSELECTS__" -> bandSelects)
   }
 
+  /** The REVERSE direction of [[overlaps]]: per EVAL doc, how much of
+    * it the training corpus already contains — the generalization-vs-
+    * contamination table read before trusting a benchmark score (an
+    * eval doc with coverage ~1 is memorizable; ~0 is genuinely held
+    * out). Output: (evalIdCol, n_grams, n_covered, coverage).
+    *
+    * Scale shape: the eval gram set broadcasts into ONE train scan
+    * (the [[overlaps]] argument); only MATCHED grams — bounded by the
+    * eval side — come back, distinct to a tiny frame, and the per-eval
+    * join runs on eval-sized rows. The train corpus never shuffles. */
+  def evalCoverage(train: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val evalRows = eval
+      .select(col(idCol).as("eval_id"),
+        explode(MinHash.hashedShingles(col(textCol), n)).as("g"))
+    val covered = train
+      .select(explode(MinHash.hashedShingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalRows.select("g").distinct()), "g")
+      .select("g").distinct()
+      .withColumn("hit", lit(1L))
+    evalRows.join(broadcast(covered), Seq("g"), "left")
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_grams"), 4))
+  }
+
+  /** DuckDB mirror of [[evalCoverage]] with eval = `$id % evalMod = 0`. */
+  def evalCoverageSql(table: String, id: String, text: String,
+                      n: Int, evalMod: Int): String = {
+    val gram = (0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+    graft.SqlTemplate.fill(s"""WITH tk AS (
+       |  SELECT __ID__, string_split(__TEXT__, ' ') AS t FROM __TABLE__),
+       |hv AS (
+       |  SELECT __ID__, list_distinct(list_transform(
+       |    [__GRAM__ for i in generate_series(1, len(t)-${n - 1})],
+       |    x -> ('0x'||substr(md5(x),1,8))::BIGINT)) AS h
+       |  FROM tk WHERE len(t) >= $n),
+       |eval_rows AS (
+       |  SELECT __ID__ AS eval_id, unnest(h) AS g
+       |  FROM hv WHERE __ID__ % $evalMod = 0),
+       |covered AS (
+       |  SELECT DISTINCT g FROM (
+       |    SELECT unnest(h) AS g FROM hv WHERE __ID__ % $evalMod <> 0) tr
+       |  JOIN (SELECT DISTINCT g FROM eval_rows) eg USING (g))
+       |SELECT e.eval_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_covered,
+       |  round(sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END)
+       |        / count(*), 4) AS coverage
+       |FROM eval_rows e LEFT JOIN covered c ON e.g = c.g
+       |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "__ID__" -> id, "__TEXT__" -> text, "__TABLE__" -> table,
+      "__GRAM__" -> gram)
+  }
+
   /** DuckDB form of [[overlaps]] with eval = `$id % evalMod = 0` (the
     * query's simulated held-out split) — same shingle rule, same hash,
     * same threshold, generated from the same constants. */

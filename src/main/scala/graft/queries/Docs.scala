@@ -1571,6 +1571,21 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C99: eval-coverage report — the REVERSE of C23's decontamination:
+    // per EVAL doc, the fraction of its distinct 3-grams already present
+    // in the training split (coverage ~1 → the benchmark row is
+    // memorizable; ~0 → genuinely held out). Eval grams broadcast into
+    // ONE train scan; only matched grams (bounded by the eval side)
+    // come back; the train corpus never shuffles.
+    "doc_eval_coverage" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Decontaminate.evalCoverage(
+          d.where(col("doc_id") % evalMod =!= 0),
+          d.where(col("doc_id") % evalMod === 0),
+          "doc_id", "text", n = deconN)
+        .orderBy("eval_id")
+    }),
+
     // C97: preference-pair assembly — the DPO/RLHF data shape beside
     // C81's SFT rows: within each source, docs rank by (quality desc,
     // id) and adjacent ranks pair off (2i-1 chosen, 2i rejected), so
@@ -2902,6 +2917,10 @@ object Docs {
          |  SELECT id_a AS a, id_b AS b
          |  FROM (${graft.operators.MinHash.minhashOracleSql("documents", 0.5)}))
          |${graft.operators.Graph.trianglesSql("edges")}""".stripMargin,
+
+    "doc_eval_coverage" ->
+      Decontaminate.evalCoverageSql("documents", "doc_id", "text",
+        deconN, evalMod),
 
     "doc_pref_pairs" ->
       """WITH q AS (
