@@ -865,6 +865,39 @@ object Analytics {
         .orderBy("stage")
     }),
 
+    // B66: inter-event burstiness — per user, the coefficient of
+    // variation of inter-arrival gaps (CV ≈ 1 Poisson, ≫1 bursty,
+    // ≪1 metronomic — the traffic-shape profile behind capacity
+    // planning and bot screens), then a corpus-level CV histogram.
+    // Gaps from one user-window lag; mean/variance from exact integer
+    // sum/sumsq (the B59 recipe — no float summation order); users
+    // need ≥3 gaps. Output is the bounded |buckets| histogram.
+    "q_burstiness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .where(col("prev").isNotNull)
+        // gaps in SECONDS (exact integer div): µs-squared sums overflow
+        // int64; second granularity keeps sumsq ≪ 2^63 at any scale
+        .select(col("user_id"),
+          expr("(ts_us - prev) div 1000000").as("gap"))
+      val per = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("gap")).as("sm"),
+          sum(col("gap") * col("gap")).as("sq"))
+        .where(col("n") >= 3)
+      val mean = col("sm").cast("double") / col("n")
+      val variance =
+        (col("sq").cast("double")
+          - col("sm").cast("double") * col("sm") / col("n")) / (col("n") - 1)
+      per.select(col("user_id"),
+          when(mean > 0, sqrt(variance) / mean).otherwise(lit(0.0)).as("cv"))
+        .groupBy(floor(col("cv") * 2).cast("long").as("cv_bucket"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cv_bucket")
+    }),
+
     // B65: funnel conversion-latency percentiles — B32's funnel with
     // the time-to-convert distribution (view→purchase µs) for the
     // users who completed it: same per-stage min-ts equi-joins, then
@@ -2054,6 +2087,28 @@ object Analytics {
         |UNION ALL SELECT '2_click', count(*) FROM fc
         |UNION ALL SELECT '3_purchase', count(*) FROM fp
         |ORDER BY stage""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, count(*) AS n, sum(gap) AS sm,
+        |         sum(gap * gap) AS sq
+        |  FROM g WHERE gap IS NOT NULL
+        |  GROUP BY 1 HAVING count(*) >= 3),
+        |c AS (
+        |  SELECT user_id,
+        |    CASE WHEN CAST(sm AS DOUBLE) / n > 0 THEN
+        |      sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n)
+        |           / (n - 1)) / (CAST(sm AS DOUBLE) / n)
+        |    ELSE 0 END AS cv
+        |  FROM p)
+        |SELECT CAST(floor(cv * 2) AS BIGINT) AS cv_bucket,
+        |       count(*) AS n_users
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_funnel_latency" ->
       """WITH fv AS (

@@ -1620,6 +1620,30 @@ object Docs {
         .orderBy("source", "pair_id")
     }),
 
+    // C100: per-source length Gini — the inequality coefficient of the
+    // doc-length distribution (a high-Gini source mixes fragments with
+    // walls of text — the heterogeneity screen before per-source
+    // thresholds are trusted): G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx),
+    // every term an exact integer from a source-partitioned rank
+    // window + one grouped sum, one double division at the end.
+    "doc_length_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("rnk") * col("n_chars")).as("rx"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          round((col("rx") * 2 - (col("n_docs") + 1) * col("sum_chars"))
+            .cast("double")
+            / (col("n_docs") * col("sum_chars")), 4).as("gini"))
+        .orderBy("source")
+    }),
+
     // C98: k-anonymity audit — the re-identification screen a corpus
     // release runs AFTER C19's scrub: docs whose quasi-identifier
     // combination (lang, source, length bucket) has fewer than k
@@ -2942,6 +2966,22 @@ object Docs {
          |FROM p c JOIN p j ON c.source = j.source AND c.pair_id = j.pair_id
          |  AND c.rnk % 2 = 1 AND j.rnk % 2 = 0
          |ORDER BY c.source, pair_id""".stripMargin,
+
+    "doc_length_gini" ->
+      """WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS rnk
+         |  FROM documents),
+         |a AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(sum(rnk * n_chars) AS BIGINT) AS rx
+         |  FROM r GROUP BY source)
+         |SELECT source, n_docs, sum_chars,
+         |  round(CAST(rx * 2 - (n_docs + 1) * sum_chars AS DOUBLE)
+         |        / (n_docs * sum_chars), 4) AS gini
+         |FROM a ORDER BY source""".stripMargin,
 
     "doc_kanon_audit" ->
       """SELECT lang, source, n_chars // 100 AS len_bucket,
