@@ -33,6 +33,13 @@ object Cdc {
     * inside the generator's event-ts range at every SF. */
   private val asofTsUs = 1705000000000000L
 
+  /** `cdc_gen_snapshot` feed size — 2M by default (what the driver
+    * verifies); SPARK_GRAFT_GEN_ROWS scales the SAME query for local
+    * throughput experiments (both the Spark plan and the generated
+    * oracle read it, so parity holds at any size — BENCH_NOTES.md). */
+  private val genSnapshotRows: Long =
+    sys.env.get("SPARK_GRAFT_GEN_ROWS").map(_.toLong).getOrElse(2000000L)
+
   /** The changelog derivation (SURVEY.md §3) as a DuckDB CTE. */
   val logCte: String =
     """WITH log AS (
@@ -108,7 +115,8 @@ object Cdc {
     // same 2M rows via generate_series + a ranked window.
     "cdc_gen_snapshot" -> ((s, dir) => {
       val feed = s.read.format("graft.sources.GenSource")
-        .option("rows", 2000000).option("users", 1000).option("slices", 32)
+        .option("rows", genSnapshotRows).option("users", 1000)
+        .option("slices", 32)
         .load()
       feed.groupBy(col("user_id"))
         .agg(max_by(
@@ -920,7 +928,7 @@ object Cdc {
 
     "cdc_gen_snapshot" ->
       s"""WITH g AS (
-         |${graft.sources.GenSource.oracleSql(2000000L, 1000L)}),
+         |${graft.sources.GenSource.oracleSql(genSnapshotRows, 1000L)}),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY user_id
          |            ORDER BY ts_us DESC, event_id DESC) AS rn
