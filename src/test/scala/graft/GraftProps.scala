@@ -225,4 +225,32 @@ object GraftProps extends Properties("graft") {
         .collect().map(_.toSeq).toSet
       a == b
     }
+
+  // C90's recall-losslessness claim, generator-driven: plant a random
+  // ≤1-edit pair among distractors; the blocked join must find it.
+  private val word: Gen[String] =
+    Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar))
+      .map(_.mkString)
+  private val edit: Gen[String => String] = Gen.oneOf(
+    Gen.zip(Gen.choose(0, 100), Gen.alphaLowerChar).map {
+      case (p, c) => (s: String) =>
+        { val i = p % s.length; s.substring(0, i) + c + s.substring(i + 1) }
+    },
+    Gen.zip(Gen.choose(0, 100), Gen.alphaLowerChar).map {
+      case (p, c) => (s: String) =>
+        { val i = p % (s.length + 1); s.substring(0, i) + c + s.substring(i) }
+    },
+    Gen.choose(0, 100).map(p => (s: String) =>
+      { val i = p % s.length; s.substring(0, i) + s.substring(i + 1) }))
+
+  property("deletion-neighborhood blocking finds every planted ≤1-edit pair") =
+    forAll(word, edit, Gen.listOfN(6, word)) { (base, e, noise) =>
+      import spark.implicits._
+      val variant = e(base)
+      val rows = ((1L, base) +: (2L, variant) +: noise.zipWithIndex
+        .map { case (w, i) => (10L + i, w) }).toDF("id", "name")
+      val pairs = operators.Fuzzy.editDistance1Pairs(rows, "id", "name")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs.contains((1L, 2L))
+    }
 }
