@@ -655,6 +655,28 @@ object Docs {
         .orderBy("bucket", "start_tok")
     }),
 
+    // C101: packing-efficiency sweep — C22's shard packing priced at
+    // three candidate context lengths (the "choose max_len" table:
+    // small budgets waste less per shard but multiply shard count and
+    // padding overhead upstream): per budget, shard count, token
+    // volume, and capacity-waste%. Three bounded re-aggregations of the
+    // same assignment plan, unioned to a 3-row report.
+    "doc_pack_sweep" -> ((s, dir) => {
+      Seq(512, 1024, 2048).map { budget =>
+        Packing.assignShards(Tables.documents(s, dir), "doc_id", "text",
+            numBuckets = 8, budgetTokens = budget)
+          .agg(
+            countDistinct(concat_ws(":", col("bucket"), col("shard")))
+              .as("n_shards"),
+            sum(col("n_tokens")).as("sum_tokens"))
+          .select(lit(budget.toLong).as("budget"), col("n_shards"),
+            col("sum_tokens"),
+            round((col("n_shards") * budget - col("sum_tokens"))
+              .cast("double") * 100 / (col("n_shards") * budget), 4)
+              .as("waste_pct"))
+      }.reduce(_ unionAll _).orderBy("budget")
+    }),
+
     // C23: benchmark decontamination — train docs sharing ≥5 distinct
     // 3-grams with the simulated eval split (doc_id % 20 = 0); eval
     // grams broadcast, train side stays one scan
@@ -2216,6 +2238,19 @@ object Docs {
     "doc_pack" ->
       Packing.oracleSql("documents", "doc_id", "text",
         numBuckets = 8, budgetTokens = 2048),
+
+    "doc_pack_sweep" ->
+      Seq(512, 1024, 2048).map { budget =>
+        s"""SELECT ${budget}::BIGINT AS budget,
+           |  count(DISTINCT bucket || ':' || shard) AS n_shards,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  round(CAST(count(DISTINCT bucket || ':' || shard) * $budget
+           |        - sum(n_tokens) AS DOUBLE) * 100
+           |        / (count(DISTINCT bucket || ':' || shard) * $budget), 4)
+           |    AS waste_pct
+           |FROM (${graft.operators.Packing.oracleSql("documents", "doc_id",
+                    "text", 8, budget)})""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY budget"),
 
     "doc_decontaminate" ->
       Decontaminate.oracleSql("documents", "doc_id", "text",
