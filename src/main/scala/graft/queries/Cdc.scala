@@ -183,6 +183,34 @@ object Cdc {
       }.toDF("ord", "op", "col_name", "col_type", "ddl")
     }),
 
+    // A42: producer-liveness (heartbeat-gap) audit — per pipeline
+    // partition, the largest silent window in the feed and a stalled
+    // flag when it exceeds the heartbeat SLO (the "is the upstream
+    // still alive" check A24's lag report can't answer: lag measures
+    // distance-behind-now, this measures the worst historical stall).
+    // One pipeline-partitioned lag window + one partial-agg shuffle to
+    // |pipelines| rows; gaps in exact integer seconds.
+    "cdc_heartbeat" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pipeline = pmod(col("key"), lit(32L)).as("pipeline")
+      val w = Window.partitionBy("pipeline")
+        .orderBy("commit_ts_us", "seq")
+      changelog(s, dir)
+        .select(pipeline, col("commit_ts_us"), col("seq"))
+        .withColumn("prev", lag(col("commit_ts_us"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("pipeline"),
+          expr("(commit_ts_us - prev) div 1000000").as("gap_s"))
+        .groupBy("pipeline")
+        .agg(count(lit(1)).as("n_gaps"),
+          max(col("gap_s")).as("max_gap_s"),
+          sum(when(col("gap_s") > 3600, 1L).otherwise(0L))
+            .as("n_gaps_over_1h"))
+        .withColumn("stalled",
+          when(col("max_gap_s") > 86400, 1L).otherwise(0L))
+        .orderBy("pipeline")
+    }),
+
     // A16: multi-table changefeed — per-table resolved-ts over a
     // two-table feed (min over per-pipeline max ts, per table); the
     // changefeed-level AddTable/RemoveTable surface behind it
@@ -971,6 +999,23 @@ object Cdc {
         |SELECT row_number() OVER (ORDER BY op, col_name) AS ord,
         |       op, col_name, col_type, ddl
         |FROM u ORDER BY ord""".stripMargin,
+
+    "cdc_heartbeat" -> (logCte +
+      """,
+        |g AS (
+        |  SELECT key % 32 AS pipeline,
+        |    (commit_ts_us - lag(commit_ts_us) OVER (PARTITION BY key % 32
+        |      ORDER BY commit_ts_us, seq)) // 1000000 AS gap_s
+        |  FROM log),
+        |p AS (
+        |  SELECT pipeline, count(*) AS n_gaps,
+        |         max(gap_s) AS max_gap_s,
+        |         CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_gaps_over_1h
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT pipeline, n_gaps, max_gap_s, n_gaps_over_1h,
+        |  (CASE WHEN max_gap_s > 86400 THEN 1 ELSE 0 END)::BIGINT AS stalled
+        |FROM p ORDER BY pipeline""".stripMargin),
 
     "cdc_syncpoint" -> (logCte +
       s""",
