@@ -1642,6 +1642,33 @@ object Docs {
         .orderBy("source", "pair_id")
     }),
 
+    // C102: effective-dataset-size report — raw vs post-exact-dedup
+    // token accounting per source (the "how much data do I actually
+    // have" number a scaling-law estimate needs; a source with a low
+    // discount factor is mostly copies): keepers = min-doc-id per
+    // content digest (the C1 rule, so a cross-source duplicate counts
+    // toward its keeper's source), both totals are one grouped sum
+    // each, the digest shuffle carries 32-byte keys never text.
+    "doc_effective_tokens" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          Text.wsTokenCount(col("text")).as("n_tokens"),
+          sha2(col("text"), 256).as("digest"))
+      val keepers = d.groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val raw = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("raw_tokens"))
+      val eff = d.join(keepers, Seq("doc_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_unique_docs"),
+          sum(col("n_tokens")).as("unique_tokens"))
+      raw.join(eff, "source")
+        .withColumn("discount",
+          round(col("unique_tokens").cast("double") / col("raw_tokens"), 4))
+        .orderBy("source")
+    }),
+
     // C100: per-source length Gini — the inequality coefficient of the
     // doc-length distribution (a high-Gini source mixes fragments with
     // walls of text — the heterogeneity screen before per-source
@@ -3001,6 +3028,26 @@ object Docs {
          |FROM p c JOIN p j ON c.source = j.source AND c.pair_id = j.pair_id
          |  AND c.rnk % 2 = 1 AND j.rnk % 2 = 0
          |ORDER BY c.source, pair_id""".stripMargin,
+
+    "doc_effective_tokens" ->
+      """WITH d AS (
+         |  SELECT source, doc_id,
+         |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |    sha256(text) AS digest
+         |  FROM documents),
+         |k AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY digest),
+         |raw AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS raw_tokens
+         |  FROM d GROUP BY 1),
+         |eff AS (
+         |  SELECT source, count(*) AS n_unique_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS unique_tokens
+         |  FROM d JOIN k USING (doc_id) GROUP BY 1)
+         |SELECT raw.source, n_docs, raw_tokens, n_unique_docs, unique_tokens,
+         |  round(CAST(unique_tokens AS DOUBLE) / raw_tokens, 4) AS discount
+         |FROM raw JOIN eff ON raw.source = eff.source
+         |ORDER BY raw.source""".stripMargin,
 
     "doc_length_gini" ->
       """WITH r AS (
