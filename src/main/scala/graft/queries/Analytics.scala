@@ -865,6 +865,25 @@ object Analytics {
         .orderBy("stage")
     }),
 
+    // B67: grouped mode with deterministic tiebreak — the single most
+    // active user per event type via max_by over the pre-aggregated
+    // (type, user) grain (argmax = max_by(user, (n, -user)): highest
+    // count wins, ties to the LOWEST user id — B31 keeps ties, this
+    // picks one winner deterministically). Two map-side-combined
+    // shuffles, the second over |types|·|users| grain rows only.
+    "q_mode_user" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("user_id"), struct(col("n"), -col("user_id")))
+            .as("top_user"),
+          max(struct(col("n"), -col("user_id"))).getField("n")
+            .as("top_n"))
+        .orderBy("event_type")
+    }),
+
     // B66: inter-event burstiness — per user, the coefficient of
     // variation of inter-arrival gaps (CV ≈ 1 Poisson, ≫1 bursty,
     // ≪1 metronomic — the traffic-shape profile behind capacity
@@ -2087,6 +2106,18 @@ object Analytics {
         |UNION ALL SELECT '2_click', count(*) FROM fc
         |UNION ALL SELECT '3_purchase', count(*) FROM fp
         |ORDER BY stage""".stripMargin,
+
+    "q_mode_user" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id) AS rk
+        |  FROM c)
+        |SELECT event_type, user_id AS top_user, n AS top_n
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q_burstiness" ->
       """WITH g AS (
