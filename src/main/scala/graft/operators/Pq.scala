@@ -291,6 +291,126 @@ object Pq {
   private def centSql(cent: Seq[Double]): String =
     cent.mkString("[", ", ", "]")
 
+  /** DuckDB CTE chain that REPLAYS [[learnCodebook]] relationally —
+    * the C83/C91 unrolled-iteration discipline applied to Lloyd: the
+    * same md5('pq:'+id)-ranked bounded sample, the same first-k seeds,
+    * `iters` unrolled (assign, re-center) rounds, and the same
+    * end-of-loop seed fallback for emptied clusters. Every float step
+    * is order-pinned: distances are explicit left-assoc component sums
+    * (bit-equal to the Scala while-loop dots), means are exact
+    * floor(x·1e6) BIGINT sums divided by the same n·1e6 double, so the
+    * learned codebook is bit-identical across engines and the one
+    * data-dependent query gains a true cross-engine oracle.
+    * Produces `__cb(s, l, c0..c{subDim-1})`. */
+  private def learnedCbCtes(table: String, id: String, vec: String,
+                            corpusPred: String, numSub: Int, k: Int,
+                            subDim: Int, iters: Int,
+                            sampleN: Int): String = {
+    val dims = 0 until subDim
+    def sum(term: Int => String) = dims.map(term).mkString(" + ")
+    val iterCtes = (1 to iters).map { i =>
+      s"""__asg$i AS (
+         |  SELECT rid, s, l FROM (
+         |    SELECT p.rid, p.s, c.l,
+         |      row_number() OVER (PARTITION BY p.rid, p.s ORDER BY
+         |        (${sum(j => s"p.x$j*p.x$j")})
+         |        - 2.0 * (${sum(j => s"p.x$j*c.c$j")})
+         |        + (${sum(j => s"c.c$j*c.c$j")}), c.l) AS rk
+         |    FROM __pts p JOIN __cents${i - 1} c ON p.s = c.s) WHERE rk = 1),
+         |__cents$i AS (
+         |  SELECT a.s, a.l,
+         |    ${dims.map(j => s"CAST(SUM(CAST(floor(p.x$j * 1e6) AS BIGINT)) " +
+          s"AS DOUBLE) / (COUNT(*) * 1e6) AS c$j").mkString(",\n|    ")}
+         |  FROM __asg$i a JOIN __pts p ON a.rid = p.rid AND a.s = p.s
+         |  GROUP BY a.s, a.l)""".stripMargin
+    }.mkString(",\n")
+    s"""__corpus AS (
+       |  SELECT $id AS id, list_transform($vec, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM $table WHERE $corpusPred),
+       |__samp AS (
+       |  SELECT v, row_number() OVER (
+       |    ORDER BY md5('pq:' || CAST(id AS VARCHAR))) AS rid
+       |  FROM __corpus),
+       |__pts AS (
+       |  SELECT rid, t.s,
+       |    ${dims.map(j => s"v[t.s*$subDim+${j + 1}] AS x$j").mkString(", ")}
+       |  FROM __samp CROSS JOIN
+       |    (SELECT CAST(range AS INTEGER) AS s FROM range($numSub)) t
+       |  WHERE rid <= $sampleN),
+       |__cents0 AS (
+       |  SELECT s, CAST(rid - 1 AS INTEGER) AS l,
+       |    ${dims.map(j => s"x$j AS c$j").mkString(", ")}
+       |  FROM __pts WHERE rid <= $k),
+       |$iterCtes,
+       |__cb AS (
+       |  SELECT s0.s, s0.l,
+       |    ${dims.map(j => s"coalesce(g.c$j, s0.c$j) AS c$j").mkString(", ")}
+       |  FROM __cents0 s0
+       |  LEFT JOIN __cents$iters g ON s0.s = g.s AND s0.l = g.l)""".stripMargin
+  }
+
+  /** DuckDB oracle for the learned codebook itself: one row per
+    * (subspace, centroid, dim) with the raw double component — a
+    * bit-exact weights pin, the PQ analogue of C83's trained-weight
+    * hash pin. */
+  def learnedCodebookSql(table: String, id: String, vec: String,
+                         corpusPred: String, numSub: Int = 16,
+                         k: Int = 16, subDim: Int = 4, iters: Int = 3,
+                         sampleN: Int = 256): String = {
+    val comp = (0 until subDim - 1)
+      .map(j => s"WHEN $j THEN c$j").mkString(" ")
+    s"""WITH ${learnedCbCtes(table, id, vec, corpusPred, numSub, k,
+        subDim, iters, sampleN)}
+       |SELECT s AS subspace, l AS centroid, d.j AS dim,
+       |  CASE d.j $comp ELSE c${subDim - 1} END AS comp
+       |FROM __cb CROSS JOIN
+       |  (SELECT CAST(range AS INTEGER) AS j FROM range($subDim)) d
+       |ORDER BY subspace, centroid, dim""".stripMargin
+  }
+
+  /** DuckDB mirror of [[annTopK]] under the LEARNED codebook: the
+    * [[learnedCbCtes]] replay feeds the same score ladder relationally
+    * (scores/codes/e9 tables join the `__cb` relation instead of
+    * inlining formula literals; the integer ADC sum is order-free). */
+  def learnedAnnSql(table: String, id: String, vec: String,
+                    corpusPred: String, probePred: String, topK: Int,
+                    numSub: Int = 16, k: Int = 16, subDim: Int = 4,
+                    iters: Int = 3, sampleN: Int = 256): String = {
+    val dims = 0 until subDim
+    def score(v: String) =
+      s"round(2.0 * (${dims.map(j => s"$v[b.s*$subDim+${j + 1}]*b.c$j")
+        .mkString(" + ")}) - (${dims.map(j => s"b.c$j*b.c$j")
+        .mkString(" + ")}), 9)"
+    s"""WITH ${learnedCbCtes(table, id, vec, corpusPred, numSub, k,
+        subDim, iters, sampleN)},
+       |__probes AS (
+       |  SELECT $id AS id, list_transform($vec, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM $table WHERE $probePred),
+       |__csc AS (
+       |  SELECT c.id, b.s, b.l, ${score("c.v")} AS sc
+       |  FROM __corpus c CROSS JOIN __cb b),
+       |__codes AS (
+       |  SELECT id, s, l AS code FROM (
+       |    SELECT id, s, l,
+       |      row_number() OVER (PARTITION BY id, s ORDER BY sc DESC, l) AS rk
+       |    FROM __csc) WHERE rk = 1),
+       |__pt AS (
+       |  SELECT p.id AS probe_id, b.s, b.l,
+       |    CAST(CAST(${score("p.v")} * 1e9 AS DECIMAL(38,0)) AS BIGINT) AS t
+       |  FROM __probes p CROSS JOIN __cb b),
+       |__adc AS (
+       |  SELECT pt.probe_id, cd.id AS neighbor_id,
+       |    CAST(SUM(pt.t) AS BIGINT) AS adc_e9
+       |  FROM __codes cd JOIN __pt pt ON cd.s = pt.s AND cd.code = pt.l
+       |  GROUP BY pt.probe_id, cd.id),
+       |__r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adc_e9 DESC, neighbor_id) AS rank
+       |  FROM __adc)
+       |SELECT probe_id, rank, neighbor_id, adc_e9
+       |FROM __r WHERE rank <= $topK""".stripMargin
+  }
+
   /** DuckDB fragment: the subspace-s score of centroid c for `vec`. */
   private def subScoreSql(vec: String, numSub: Int, subDim: Int,
                           s: Int, c: Int): String = {

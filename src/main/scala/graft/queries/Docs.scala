@@ -1255,10 +1255,13 @@ object Docs {
 
     // C66c: learned-codebook PQ — per-subspace Lloyd k-means over a
     // bounded deterministic sample replaces the formula centroids;
-    // identical encode/ADC plumbing. The codebook is data-dependent so
-    // no static SQL oracle can mirror it (driver records rows-only);
-    // the recall-ordering gate (learned >= formula vs exact L2) is
-    // pinned in PqSpec.
+    // identical encode/ADC plumbing. The codebook is data-dependent,
+    // but the training loop is bounded and deterministic, so the
+    // oracle REPLAYS it: Pq.learnedAnnSql unrolls the Lloyd rounds
+    // into DuckDB CTEs (the C83 gradient-descent / C91 k-center
+    // discipline) and feeds the same relational score ladder — full
+    // cross-engine parity, no rows-only weakening. The recall-ordering
+    // gate (learned >= formula vs exact L2) stays pinned in PqSpec.
     "emb_ann_pq_learned" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val corpus = e.where(col("vec_id") >= 8)
@@ -1268,6 +1271,26 @@ object Docs {
         probes = e.where(col("vec_id") < 8),
         idCol = "vec_id", vecCol = "embedding", topK = 5, codebook = cb)
         .orderBy("probe_id", "rank")
+    }),
+
+    // C66d: the learned codebook ITSELF as a query — one row per
+    // (subspace, centroid, dim) with the raw double component. The
+    // oracle re-trains in DuckDB (unrolled Lloyd over the same
+    // md5-ranked 256-row sample, exact floor(x·1e6) integer means), so
+    // a hash match here is a BIT-EXACT weights pin — the PQ analogue
+    // of C83's trained-LR-weight pin, and the debuggable half of the
+    // C66c gate (a codebook diff localizes to (s, c, j) instead of an
+    // opaque ADC rank flip).
+    "emb_pq_codebook_learned" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cb = Pq.learnCodebook(e.where(col("vec_id") >= 8),
+        "vec_id", "embedding")
+      val rows = for {
+        sub <- 0 until 16; c <- 0 until 16; j <- 0 until 4
+      } yield (sub, c, j, cb(sub, c)(j))
+      rows.toDF("subspace", "centroid", "dim", "comp")
+        .orderBy("subspace", "centroid", "dim")
     }),
 
     // C66b: retrieve-then-refine — PQ-ADC shortlists 20 candidates
@@ -3155,6 +3178,15 @@ object Docs {
       (Pq.annTopKSql("embeddings", "vec_id", "embedding",
         corpusPred = "vec_id >= 8", probePred = "vec_id < 8", topK = 5) +
         "\nORDER BY probe_id, rank"),
+
+    "emb_ann_pq_learned" ->
+      (Pq.learnedAnnSql("embeddings", "vec_id", "embedding",
+        corpusPred = "vec_id >= 8", probePred = "vec_id < 8", topK = 5) +
+        "\nORDER BY probe_id, rank"),
+
+    "emb_pq_codebook_learned" ->
+      Pq.learnedCodebookSql("embeddings", "vec_id", "embedding",
+        corpusPred = "vec_id >= 8"),
 
     "emb_ann_pq_refined" ->
       (Pq.annTopKRefinedSql("embeddings", "vec_id", "embedding",
