@@ -146,9 +146,12 @@ object Cms {
     val sa = digest(a, aKey, depth, width)
     val sb = digest(b, bKey, depth, width).
       withColumnRenamed("cnt", "cnt_b")
+    // cell products widen to decimal(38,0) like the exact path: on a
+    // skewed join two hot-cell counters can multiply past int64, and a
+    // wrapped product would break the never-under-estimate guarantee
     val est = sa.join(broadcast(sb), Seq("row", "col"))
       .groupBy(col("row"))
-      .agg(sum(col("cnt") * col("cnt_b")).as("dot"))
+      .agg(sum((col("cnt") * col("cnt_b")).cast("decimal(38,0)")).as("dot"))
       .agg(min(col("dot")).cast("long").as("n_est"))
     val exact = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("na"))
       .join(b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("nb")), "k")
@@ -170,7 +173,7 @@ object Cms {
        |         1, 8))::BIGINT % $width AS col, count(*) AS cnt
        |  FROM __TB__, range($depth) r(j) GROUP BY 1, 2),
        |dot AS (
-       |  SELECT sa.j, sum(sa.cnt * sb.cnt) AS d
+       |  SELECT sa.j, sum(CAST(sa.cnt * sb.cnt AS DECIMAL(38,0))) AS d
        |  FROM sa JOIN sb ON sa.j = sb.j AND sa.col = sb.col GROUP BY 1),
        |ex AS (
        |  SELECT CAST(sum(CAST(na * nb AS DECIMAL(38,0))) AS BIGINT) AS n_exact

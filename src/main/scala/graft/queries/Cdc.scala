@@ -189,10 +189,15 @@ object Cdc {
     // still alive" check A24's lag report can't answer: lag measures
     // distance-behind-now, this measures the worst historical stall).
     // One pipeline-partitioned lag window + one partial-agg shuffle to
-    // |pipelines| rows; gaps in exact integer seconds.
+    // |pipelines| rows; gaps in exact integer seconds. Routing uses
+    // `%` (not pmod) so the Spark expression and the DuckDB mirror's
+    // `key % 32` agree for SIGNED keys too — pmod is non-negative
+    // while both engines' % follows the dividend's sign (the
+    // cdc_syncpoint convention; keys are non-negative today, but the
+    // pairing must not be load-bearing on that).
     "cdc_heartbeat" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val pipeline = pmod(col("key"), lit(32L)).as("pipeline")
+      val pipeline = (col("key") % lit(32L)).as("pipeline")
       val w = Window.partitionBy("pipeline")
         .orderBy("commit_ts_us", "seq")
       changelog(s, dir)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -167,30 +167,59 @@ private[sources] case class GenOffset(index: Long) extends Offset {
   * restart (pure function of the range — deterministic replay). */
 private[sources] class GenMicroBatchStream(rows: Long, users: Long,
                                            slices: Int, rowsPerBatch: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   // each poll advances the available high-water mark by one batch — the
-  // engine admits [start, latestOffset()) per trigger, so batch sizes
-  // stay ≤ rowsPerBatch·polls and the mark stops at `rows` (which lets
-  // processAllAvailable terminate)
+  // engine admits [start, latest) per trigger, so batch sizes stay
+  // ≤ rowsPerBatch·polls and the mark stops at `rows` (which lets
+  // processAllAvailable terminate). Checkpoint recovery lands on a
+  // FRESH stream instance whose mark would restart at 0, so latestOffset
+  // would regress below the committed offset and the engine would
+  // commit the regressed end and re-deliver committed rows (a
+  // duplicate-delivery bug the deterministic-replay contract forbids,
+  // reproduced in GenSourceSpec's restart test). The stream therefore
+  // implements SupportsAdmissionControl — the ONE polling hook the
+  // engine hands the recovered start offset to — and seeds the mark
+  // from every offset the engine passes back, keeping latestOffset
+  // monotone across restarts.
   private var available = 0L
+
+  private def seed(index: Long): Unit =
+    available = math.max(available, index)
 
   override def initialOffset(): Offset = GenOffset(0L)
 
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    seed(start.asInstanceOf[GenOffset].index)
+    available = math.min(rows, available + rowsPerBatch)
+    GenOffset(available)
+  }
+
+  override def reportLatestOffset(): Offset = GenOffset(available)
+
+  // non-admission-control fallback (not called by the engine once
+  // SupportsAdmissionControl is implemented; kept for API completeness)
   override def latestOffset(): Offset = {
     available = math.min(rows, available + rowsPerBatch)
     GenOffset(available)
   }
 
-  override def deserializeOffset(json: String): Offset =
+  override def deserializeOffset(json: String): Offset = {
+    seed(json.toLong)
     GenOffset(json.toLong)
+  }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    seed(end.asInstanceOf[GenOffset].index)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    seed(end.asInstanceOf[GenOffset].index)
     new GenBatch(start.asInstanceOf[GenOffset].index,
       end.asInstanceOf[GenOffset].index, users, slices)
       .planInputPartitions()
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GenReaderFactory

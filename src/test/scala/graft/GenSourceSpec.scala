@@ -58,6 +58,41 @@ class GenSourceSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("restart from checkpoint: no duplicate delivery, no regression") {
+    // Stop mid-stream, restart the SAME query from its checkpoint with
+    // a FRESH stream instance: the recovered `available` mark must seed
+    // from the checkpointed offset (not restart at 0, which would
+    // regress latestOffset below the committed offset and re-deliver
+    // committed rows). Done = union of both runs is exactly the batch
+    // relation, each event_id exactly once.
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gen_restart_ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("gen_restart_out").toString
+    def run(): Unit = {
+      // file sink: the one built-in sink that supports checkpoint
+      // recovery (memory sink refuses to resume)
+      val q = spark.readStream.format(fmt)
+        .option("rows", 300).option("users", 11)
+        .option("rowsPerBatch", 50).load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()   // drains all 300 rows, checkpoint at 300
+    run()   // recovery on a fresh stream: must deliver ZERO new rows
+    val delivered = spark.read.parquet(out)
+    assert(delivered.count() === 300L,
+      "restarted stream re-delivered committed rows")
+    val batch = spark.read.format(fmt)
+      .option("rows", 300).option("users", 11).load()
+    assert(delivered.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(delivered).count() === 0L)
+  }
+
   test("micro-batch stream drains to exactly the batch relation") {
     val q = spark.readStream.format(fmt)
       .option("rows", 500).option("users", 11)

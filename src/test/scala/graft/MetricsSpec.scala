@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+/** MEASURED shuffle bounds — SURVEY §5 promises per-operator exchange
+  * shapes ("snapshot exchanges ≈ |keys| partial-agg rows", "dedup
+  * shuffles carry digests, never text", "LSH candidates stay under the
+  * banding caps"). PlanAudit gates plan SHAPES statically; this spec
+  * EXECUTES the headline queries at sf0.01 and asserts the promises
+  * from the executed plan's SQL metrics (records + bytes per shuffle
+  * exchange), so a plan change that silently inflates a promised bound
+  * red-lines here instead of surfacing as a 100 TB incident.
+  *
+  * The bounds are stated in the operators' own units (|keys|·maps,
+  * |groups|·k·maps, bytes/row) rather than absolute numbers, so they
+  * hold at any SF; maps = upstream map-side partition count, the
+  * partial-agg fan-in factor. */
+class MetricsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  case class Shuffle(node: String, records: Long, dataBytes: Long) {
+    def bytesPerRow: Double =
+      if (records == 0) 0.0 else dataBytes.toDouble / records
+  }
+
+  /** Execute `df` and return every shuffle exchange's (records written,
+    * in-memory data size), final-AQE-plan-accurate (query stages and
+    * reuse followed, double counts dropped by identity). */
+  private def shuffles(df: DataFrame): Seq[Shuffle] = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      val here = p match {
+        case s: ShuffleExchangeLike => Seq(s)
+        case _ => Nil
+      }
+      here ++ (kids ++ p.subqueries).flatMap(walk)
+    }
+    val uniq = walk(df.queryExecution.executedPlan)
+      .foldLeft(Vector.empty[ShuffleExchangeLike]) { (acc, s) =>
+        if (acc.exists(_ eq s)) acc else acc :+ s
+      }
+    uniq.map { s =>
+      def m(k: String): Long =
+        s.metrics.get(k).map(_.value).getOrElse(0L)
+      Shuffle(s.nodeName, m("shuffleRecordsWritten"), m("dataSize"))
+    }.filter(_.records > 0)
+  }
+
+  private def debug(name: String, ss: Seq[Shuffle]): Unit =
+    info(s"$name: " + ss.map(s =>
+      f"${s.records}%d rows, ${s.dataBytes}%d B (${s.bytesPerRow}%.0f B/row)")
+      .mkString(" | "))
+
+  private def changelog: DataFrame =
+    graft.cdc.Changelog.fromEvents(Tables.events(spark, sf))
+
+  test("A2 snapshot: every exchange stays at partial-agg scale, ≪ |log|") {
+    val log = changelog
+    val totalRows = log.count()
+    val keys = log.select("key").distinct().count()
+    val maps = log.rdd.getNumPartitions
+    val ss = shuffles(graft.cdc.Materialize.snapshot(changelog))
+    debug("cdc_snapshot", ss)
+    assert(ss.nonEmpty)
+    // map-side max_by combine: each map partition emits at most |keys|
+    // partial rows, so NO exchange may carry more than |keys|·maps —
+    // and the changelog itself (totalRows ≫ keys) must never shuffle
+    ss.foreach { s =>
+      assert(s.records <= keys * maps,
+        s"snapshot exchange ${s.records} rows > |keys|*maps = ${keys * maps}")
+      assert(s.records < totalRows,
+        s"snapshot shuffled the full changelog ($totalRows rows)")
+    }
+  }
+
+  test("B64 grouped top-k: exchange rows ≤ |groups|·(k+1)·maps") {
+    val e = Tables.events(spark, sf)
+    val groups = e.select("event_type").distinct().count()
+    val maps = e.rdd.getNumPartitions
+    val k = 5
+    val df = SparkEntry.queries("q_topk_agg")(spark, sf)
+    val ss = shuffles(df)
+    debug("q_topk_agg", ss)
+    assert(ss.nonEmpty)
+    // the bounded-state top-k agg carries ≤ k+1 buffer entries per
+    // (group, map partition) into its exchange — |events| never moves
+    val total = e.count()
+    ss.foreach { s =>
+      assert(s.records <= groups * (k + 1) * maps * 4,
+        s"top-k exchange ${s.records} rows; bound ${groups * (k + 1) * maps * 4}")
+      assert(s.records < total / 10,
+        s"top-k exchange ${s.records} rows is input-scale ($total input rows)")
+    }
+  }
+
+  test("C1 exact dedup: exchanges carry digest-width rows, never text") {
+    val docs = Tables.documents(spark, sf)
+    val avgText = docs.select(avg(length(col("text")))).first().getDouble(0)
+    val df = SparkEntry.queries("doc_dedup_exact")(spark, sf)
+    val ss = shuffles(df)
+    debug("doc_dedup_exact", ss)
+    assert(ss.nonEmpty)
+    assert(avgText > 200, s"testdata drift: avg text len $avgText")
+    // text collapses to a 64-hex sha256 at the scan: every exchange row
+    // must be digest-shaped (digest + id + small agg state), nowhere
+    // near the document width
+    ss.foreach { s =>
+      assert(s.bytesPerRow < 200,
+        f"dedup exchange carries ${s.bytesPerRow}%.0f B/row — text-width " +
+          f"(avg doc ${avgText}%.0f B) instead of digest-width")
+    }
+  }
+
+  test("C2 MinHash LSH: band exchange ≤ |docs|·bands, signature-width") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val bands = operators.MinHash.numBands
+    val df = SparkEntry.queries("doc_minhash_lsh")(spark, sf)
+    val ss = shuffles(df)
+    debug("doc_minhash_lsh", ss)
+    assert(ss.nonEmpty)
+    // banding replicates each doc exactly `bands` times (plus bounded
+    // candidate-pair frames downstream); nothing may exceed that scale.
+    // Width binds only at input scale: a ≥|docs|-row exchange carrying
+    // text-width rows is the 100 TB killer, while the few surviving
+    // candidate pairs may legitimately carry both signatures into the
+    // verify stage.
+    ss.foreach { s =>
+      assert(s.records <= nDocs * bands * 2,
+        s"LSH exchange ${s.records} rows > 2·|docs|·bands = ${nDocs * bands * 2}")
+      if (s.records >= nDocs)
+        assert(s.bytesPerRow < 600,
+          f"input-scale LSH exchange (${s.records} rows) carries " +
+            f"${s.bytesPerRow}%.0f B/row — wider than a banded signature row")
+    }
+  }
+}
