@@ -1,7 +1,22 @@
 #!/bin/bash
-# Local correctness loop: Verify at sf0.01 -> DuckDB oracle compare.
+# Local correctness loop: Verify -> DuckDB oracle compare.
+#   check.sh                 one SF (sf0.01, the driver's gate)
+#   check.sh all             ALL THREE SFs (sf0.001 + sf0.01 + sf0.1) —
+#                            the full pre-commit gate: overflow headroom,
+#                            hot-bucket caps, and AQE behaviors are
+#                            SF-dependent (SURVEY §5), so one SF is not
+#                            enough before a round lands.
+#   check.sh <sfdir> [out]   explicit dir
 set -e
 cd "$(dirname "$0")/.."
+if [ "${1:-}" = "all" ]; then
+  rc=0
+  for sf in sf0.001 sf0.01 sf0.1; do
+    echo "=== $sf ==="
+    bash "$0" "/root/testdata/$sf" "/tmp/graft_verify_$sf" || rc=1
+  done
+  exit $rc
+fi
 SF="${1:-/root/testdata/sf0.01}"
 OUT="${2:-/tmp/graft_verify}"
 rm -rf "$OUT"

@@ -19,6 +19,53 @@ object Probe {
       val n = f
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $name ($n rows)")
     }
+    // Generated-corpus curve mode: `runMain graft.Probe _ gendocs=2000000,10000000`
+    // prices exact dedup + MinHash-LSH banding over the zero-I/O
+    // GenDocsSource at each size (the cdc_gen_snapshot scale-curve
+    // discipline applied to the dedup path — BENCH_NOTES.md).
+    if (args.length > 1 && args(1).startsWith("gendocs=")) {
+      val sizes = args(1).stripPrefix("gendocs=").split(",").map(_.toLong)
+      def corpus(n: Long) = spark.read.format("graft.sources.GenDocsSource")
+        .option("docs", n).option("slices", cpus.toInt).load()
+      sizes.foreach { n =>
+        corpus(math.min(n, 100000L)).count() // warm codegen/planner
+        time(s"gen_dedup_exact n=$n") {
+          operators.Dedup.exact(corpus(n), "doc_id", "text")
+            .select(count(lit(1)), sum(col("n_copies"))).first().getLong(0)
+        }
+        time(s"gen_minhash_bands n=$n") {
+          operators.MinHash.bandRows(
+              operators.MinHash.signature(corpus(n), "doc_id", "text"))
+            .select(count(lit(1))).first().getLong(0)
+        }
+      }
+      spark.stop()
+      return
+    }
+    // Streaming-throughput mode: `runMain graft.Probe _ genstream=2000000:200000`
+    // drains a GenSource micro-batch stream of N rows (R rows/batch)
+    // through the A12 tumbling-window aggregation into a memory sink —
+    // prices the state-store path end to end (offsets, planning, state
+    // read/write) rather than a single batch plan.
+    if (args.length > 1 && args(1).startsWith("genstream=")) {
+      val Array(n, r) = args(1).stripPrefix("genstream=").split(":").map(_.toLong)
+      time(s"gen_stream_windowed n=$n batch=$r") {
+        val q = spark.readStream.format("graft.sources.GenSource")
+          .option("rows", n).option("users", 1000).option("slices", cpus.toInt)
+          .option("rowsPerBatch", r).load()
+          .withColumn("minute", (col("ts_us") / 60000000L).cast("long"))
+          .groupBy("minute", "event_type")
+          .agg(count(lit(1)).as("n"), sum(col("value_e2")).as("sum_e2"))
+          .writeStream.format("memory").queryName("gen_probe_win")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table("gen_probe_win").count()
+      }
+      spark.stop()
+      return
+    }
     // Query mode: `runMain graft.Probe <sfdir> q1,q2` times the named
     // SparkEntry queries (3 passes each, noop write like Bench);
     // SPARK_GRAFT_EXPLAIN=1 also dumps the formatted plan.

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -21,9 +19,15 @@ import org.apache.spark.sql.functions._
   *    path is bit-identical across engines (+,×,÷,abs are IEEE-exact);
   *  - per-row gradient terms are e9×e9 = e18-scaled 128-bit integer
   *    products, summed exactly (order-independent, any partitioning);
-  *  - weights snap to 12 decimals after each update, so the model state
-  *    that feeds the next iteration is a short decimal, not an
-  *    accumulation of float noise.
+  *  - the weight STATE is e12-scaled integers, and the update
+  *    lr·(g/1e18)/n = lrE6·g / (1e12·n) on the e12 ladder is an exact
+  *    RATIONAL of integers, rounded half-away-from-zero in pure
+  *    integer arithmetic — no float ever touches the weight path, so
+  *    the two engines cannot disagree even when an update lands
+  *    exactly on a rounding boundary (a double-then-round snap
+  *    straddled one at sf0.001: engines' double-rounding rules differ
+  *    at half boundaries, and snapped-decimal GD CONCENTRATES values
+  *    on them — r10).
   *
   * Scale shape: each iteration is ONE partial-agg scan of the cached
   * feature frame (3 gradient sums — map-side combine, 3 longs per
@@ -75,27 +79,34 @@ object LogReg {
     round(p * lit(1.0e9)).cast("long")
   }
 
-  private def snap12(x: Double): Double =
-    new JBigDecimal(x).setScale(12, RoundingMode.HALF_UP).doubleValue
+  /** lr as the exact rational lrE6/1e6 (0.5 → 500000/1e6). */
+  private def lrE6(lr: Double): Long = math.round(lr * 1.0e6)
 
   /** K full-batch GD steps from w = 0. `feat` should be cached by the
-    * caller — each iteration is one aggregate scan over it. */
+    * caller — each iteration is one aggregate scan over it. Weight
+    * state lives on the e12 integer ladder; each update subtracts
+    * round_half_away(lrE6·g / (1e12·n)) computed in exact integer
+    * arithmetic (mirrored verbatim by the oracle's HUGEINT CTEs). */
   def train(feat: DataFrame, lr: Double = LearnRate,
             iters: Int = Iters): Array[Double] = {
-    val n = feat.count().toDouble
-    var w = Array(0.0, 0.0, 0.0)
+    val n = feat.count()
+    val rate = BigInt(lrE6(lr))
+    val den = BigInt(1000000000000L) * n
+    var wE12 = Array(0L, 0L, 0L)
     for (_ <- 1 to iters) {
+      val w = wE12.map(_.toDouble / 1.0e12)
       val err = (pE9(w) - col("y") * lit(1000000000L)).cast("decimal(19,0)")
       val row = feat.agg(
         sum(err * col("x0_e9").cast("decimal(19,0)")).as("g0"),
         sum(err * col("x1_e9").cast("decimal(19,0)")).as("g1"),
         sum(err * col("x2_e9").cast("decimal(19,0)")).as("g2")).head()
-      w = w.indices.map { j =>
-        val g = row.getDecimal(j).doubleValue
-        snap12(w(j) - lr * ((g / 1.0e18) / n))
+      wE12 = wE12.indices.map { j =>
+        val num = rate * BigInt(row.getDecimal(j).toBigInteger)
+        val q = (num.abs * 2 + den) / (den * 2)
+        wE12(j) - (q * num.signum).toLong
       }.toArray
     }
-    w
+    wE12.map(_.toDouble / 1.0e12)
   }
 
   /** Per-source quality report under the trained model: doc counts,
@@ -136,20 +147,38 @@ object LogReg {
       |               AS DOUBLE) / CAST(length(text) AS DOUBLE)
       |          ELSE 0.0 END) * 1000000000.0) AS BIGINT) AS x2_e9
       |  FROM documents),
-      |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
-      |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)""".stripMargin
+      |cnt AS (SELECT count(*) AS n FROM f),
+      |w0 AS (SELECT CAST(0 AS BIGINT) AS w0_e12, CAST(0 AS BIGINT) AS w1_e12,
+      |              CAST(0 AS BIGINT) AS w2_e12)""".stripMargin
 
-  /** Score + gradient CTEs for iteration k (reads weight CTE w{k-1}). */
+  /** The weights as doubles for the margin (the only float op on the
+    * weight path — same division both engines, bit-identical). */
+  private def mSql(wCte: String): String =
+    s"""(SELECT f.*,
+       |          ((CAST(w0_e12 AS DOUBLE) / 1.0e12)
+       |            * (CAST(x0_e9 AS DOUBLE) / 1000000000.0)
+       |           + (CAST(w1_e12 AS DOUBLE) / 1.0e12)
+       |            * (CAST(x1_e9 AS DOUBLE) / 1000000000.0))
+       |           + (CAST(w2_e12 AS DOUBLE) / 1.0e12)
+       |            * (CAST(x2_e9 AS DOUBLE) / 1000000000.0) AS m
+       |        FROM f, $wCte) q""".stripMargin
+
+  /** Score + gradient CTEs for iteration k (reads weight CTE w{k-1}).
+    * The weight update is EXACT integer arithmetic: delta_e12 =
+    * round_half_away(lrE6·g / (1e12·n)) over HUGEINTs — mirrors
+    * [[train]]'s BigInt update verbatim. */
   private def iterCtes(k: Int, lr: Double): String = {
     val prev = s"w${k - 1}"
+    val rate = lrE6(lr)
+    def upd(j: Int): String =
+      s"""w${j}_e12 - CAST(CASE WHEN g$j >= 0
+         |      THEN ((CAST($rate AS HUGEINT) * g$j) * 2 + den) // (den * 2)
+         |      ELSE -(((CAST($rate AS HUGEINT) * -g$j) * 2 + den) // (den * 2))
+         |      END AS BIGINT) AS w${j}_e12""".stripMargin
     s"""p$k AS (
        |  SELECT q.*, CAST(round((0.5 + (0.5 * m) / (1.0 + abs(m)))
        |         * 1000000000.0) AS BIGINT) AS p_e9
-       |  FROM (SELECT f.*,
-       |          (w0 * (CAST(x0_e9 AS DOUBLE) / 1000000000.0)
-       |           + w1 * (CAST(x1_e9 AS DOUBLE) / 1000000000.0))
-       |           + w2 * (CAST(x2_e9 AS DOUBLE) / 1000000000.0) AS m
-       |        FROM f, $prev) q),
+       |  FROM ${mSql(prev)}),
        |g$k AS (
        |  SELECT sum(CAST(p_e9 - y * 1000000000 AS HUGEINT)
        |             * CAST(x0_e9 AS HUGEINT)) AS g0,
@@ -160,13 +189,12 @@ object LogReg {
        |  FROM p$k),
        |w$k AS (
        |  SELECT
-       |    round(w0 - $lr * ((CAST(g0 AS DOUBLE) / 1.0e18)
-       |          / (SELECT n FROM cnt)), 12) AS w0,
-       |    round(w1 - $lr * ((CAST(g1 AS DOUBLE) / 1.0e18)
-       |          / (SELECT n FROM cnt)), 12) AS w1,
-       |    round(w2 - $lr * ((CAST(g2 AS DOUBLE) / 1.0e18)
-       |          / (SELECT n FROM cnt)), 12) AS w2
-       |  FROM g$k, $prev)""".stripMargin
+       |    ${upd(0)},
+       |    ${upd(1)},
+       |    ${upd(2)}
+       |  FROM g$k, $prev,
+       |    (SELECT CAST(1000000000000 AS HUGEINT)
+       |       * (SELECT n FROM cnt) AS den) d$k)""".stripMargin
   }
 
   private def trainedCtes(iters: Int, lr: Double): String =
@@ -179,22 +207,17 @@ object LogReg {
        |scored AS (
        |  SELECT q.source, CAST(round((0.5 + (0.5 * m) / (1.0 + abs(m)))
        |         * 1000000000.0) AS BIGINT) AS p_e9
-       |  FROM (SELECT f.*,
-       |          (w0 * (CAST(x0_e9 AS DOUBLE) / 1000000000.0)
-       |           + w1 * (CAST(x1_e9 AS DOUBLE) / 1000000000.0))
-       |           + w2 * (CAST(x2_e9 AS DOUBLE) / 1000000000.0) AS m
-       |        FROM f, w$iters) q)
+       |  FROM ${mSql(s"w$iters")})
        |SELECT source, count(*) AS n_docs,
        |       count(*) FILTER (WHERE p_e9 < 500000000) AS n_flagged,
        |       CAST(sum(p_e9) AS BIGINT) AS sum_p_e9
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
-  /** DuckDB twin of the trained weight vector on the e12 ladder. */
+  /** DuckDB twin of the trained weight vector on the e12 ladder
+    * (the weight state IS e12 integers — emitted directly). */
   def modelOracleSql(iters: Int = Iters, lr: Double = LearnRate): String =
     s"""WITH
        |${trainedCtes(iters, lr)}
-       |SELECT CAST(round(w0 * 1.0e12) AS BIGINT) AS w0_e12,
-       |       CAST(round(w1 * 1.0e12) AS BIGINT) AS w1_e12,
-       |       CAST(round(w2 * 1.0e12) AS BIGINT) AS w2_e12
+       |SELECT w0_e12, w1_e12, w2_e12
        |FROM w$iters""".stripMargin
 }

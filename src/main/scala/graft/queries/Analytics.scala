@@ -27,6 +27,22 @@ object Analytics {
   /** Staleness bound for the as-of tolerance query: 1 hour in µs. */
   private val asofToleranceUs = 3600000000L
 
+  /** Exact interpolated tenth-percentile over a sorted long array `v`
+    * with count `n_converted`: pos = (t/10)·(n−1) = k/10 exactly, so
+    * the interpolation v[⌊k/10⌋] + (k%10)/10·Δ is the exact integer
+    * v[idx+1]·(10−rem) + v[idx+2]·rem over ten, computed as integers
+    * with ONE final /10.0 (same IEEE division both engines — immune to
+    * the engine-native percentile's ulp divergence at large
+    * magnitudes). The idx+2 access is guarded by least(·, n): its
+    * coefficient rem is 0 exactly when it would fall off the end. */
+  private def pctE1(t: Int): Column = {
+    val n = col("n_converted")
+    val idx = expr(s"((n_converted - 1) * $t) div 10")
+    val rem = ((n - lit(1L)) * lit(t.toLong)) % lit(10L)
+    (element_at(col("v"), (idx + 1).cast("int")) * (lit(10L) - rem)
+      + element_at(col("v"), least(idx + 2, n).cast("int")) * rem) / lit(10.0)
+  }
+
   private val discPriceSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
 
@@ -937,12 +953,22 @@ object Analytics {
         .where(col("ts_us") > col("click_ts"))
         .groupBy("user_id").agg(min(col("ts_us")).as("purchase_ts"),
           first(col("view_ts")).as("view_ts"))
+      // Exact interpolated percentiles in INTEGER arithmetic: lat_us
+      // are longs and p ∈ {5,9}/10, so pos = p·(n−1) is the exact
+      // rational k/10 — p_e1 = v[k/10]·(10−k%10) + v[k/10+1]·(k%10)
+      // is an exact integer and the single /10.0 is the same IEEE op
+      // in both engines. (Engine-native percentile interpolation
+      // differs by 1 ulp at ~8e11 µs magnitudes where 1 ulp ≈ 1.2e-4 —
+      // bigger than the round(4) guard; caught by the sf0.001 gate,
+      // r10.) Same bounded state as the engine's exact percentile:
+      // both buffer the group's values once.
       firstPurchase
         .select((col("purchase_ts") - col("view_ts")).as("lat_us"))
         .agg(count(lit(1)).as("n_converted"),
-          round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
-          round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"),
+          sort_array(collect_list(col("lat_us"))).as("v"),
           max(col("lat_us")).as("max_us"))
+        .select(col("n_converted"),
+          pctE1(5).as("p50_us"), pctE1(9).as("p90_us"), col("max_us"))
     }),
 
     // B33: day-N retention cohorts — activity reduced to distinct
@@ -2156,12 +2182,20 @@ object Analytics {
         |         min(fc.view_ts) AS view_ts
         |  FROM events e JOIN fc ON e.user_id = fc.user_id
         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fc.click_ts
-        |  GROUP BY 1)
-        |SELECT count(*) AS n_converted,
-        |  round(quantile_cont(purchase_ts - view_ts, 0.5), 4) AS p50_us,
-        |  round(quantile_cont(purchase_ts - view_ts, 0.9), 4) AS p90_us,
-        |  max(purchase_ts - view_ts) AS max_us
-        |FROM fp""".stripMargin,
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT count(*) AS n, list_sort(list(purchase_ts - view_ts)) AS v,
+        |         max(purchase_ts - view_ts) AS max_us
+        |  FROM fp)
+        |SELECT n AS n_converted,
+        |  (v[CAST(((n - 1) * 5) // 10 AS INTEGER) + 1] * (10 - ((n - 1) * 5) % 10)
+        |   + v[CAST(least(((n - 1) * 5) // 10 + 2, n) AS INTEGER)]
+        |     * (((n - 1) * 5) % 10)) / 10.0 AS p50_us,
+        |  (v[CAST(((n - 1) * 9) // 10 AS INTEGER) + 1] * (10 - ((n - 1) * 9) % 10)
+        |   + v[CAST(least(((n - 1) * 9) // 10 + 2, n) AS INTEGER)]
+        |     * (((n - 1) * 9) % 10)) / 10.0 AS p90_us,
+        |  max_us
+        |FROM a""".stripMargin,
 
     "q_retention" ->
       """WITH act AS (

@@ -43,6 +43,13 @@ object Docs {
   private val budgetTokens = 10000L
   private val budgetTokensPerSource = 3000L
   private val fuzzyThreshold = 0.5
+
+  /** `doc_gen_dedup` corpus size — 20k by default (what the driver
+    * verifies); SPARK_GRAFT_GEN_DOCS scales the SAME query for local
+    * throughput curves (plan and generated oracle both read it, so
+    * parity holds at any size — BENCH_NOTES.md). */
+  private val genDocsRows: Long =
+    sys.env.get("SPARK_GRAFT_GEN_DOCS").map(_.toLong).getOrElse(20000L)
   // BM25 probe set: corpus-frequent terms plus absent ones
   // ("watermark", "predicate") so the missing-term path (term absent
   // from postings → contributes nothing, both engines) is exercised.
@@ -1100,6 +1107,23 @@ object Docs {
         .orderBy("keep_id")
     }),
 
+    // C1 scale rail (C103): exact dedup over a GENERATED corpus — the
+    // GenDocsSource zero-I/O documents generator (every 4th doc an
+    // exact copy of its group leader; text distinct per base below
+    // 64^6) feeding the same digest-groupBy dedup, so the dedup path
+    // gets the 2M→100M pricing curve cdc_gen_snapshot gave the
+    // snapshot path (BENCH_NOTES.md) AND a cross-engine oracle over
+    // the generated relation itself (generate_series re-derivation —
+    // parity proves the connector delivers exactly the declared
+    // corpus and the dedup collapses exactly the planted copies).
+    // SPARK_GRAFT_GEN_DOCS scales the SAME query for curve runs.
+    "doc_gen_dedup" -> ((s, dir) => {
+      val corpus = s.read.format("graft.sources.GenDocsSource")
+        .option("docs", genDocsRows).option("slices", 32).load()
+      Dedup.exact(corpus, idCol = "doc_id", textCol = "text")
+        .orderBy("keep_id")
+    }),
+
     // C48: normalization-fingerprint dedup — exact dedup on a canonical
     // text form (lowercase, non-alnum runs → single space, trim) so
     // trivial variants (case, punctuation, whitespace) collapse that
@@ -1853,7 +1877,10 @@ object Docs {
     // whole train→score path is IEEE-bit-identical to the unrolled-CTE
     // DuckDB oracle). Features snap to e9 BIGINTs at the scan; gradient
     // terms are e18 128-bit-exact integer sums (order-independent under
-    // any partitioning); weights snap to 12 decimals per step. Each of
+    // any partitioning); weight state is e12 INTEGERS with the update
+    // rounded as an exact integer rational (no float on the weight
+    // path — engines' double-rounding rules differ at half boundaries,
+    // which snapped-decimal GD concentrates on; r10). Each of
     // the 3 iterations is ONE partial-agg scan of the cached feature
     // frame — 3 longs per partition reach the driver (KMeans-scalar
     // class); scoring is scan-local. See operators/LogReg.scala.
@@ -2744,6 +2771,13 @@ object Docs {
         |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM crawl GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "doc_gen_dedup" ->
+      s"""WITH g AS (
+        |${graft.sources.GenDocsSource.oracleSql(genDocsRows)})
+        |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM g GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "doc_dedup_normalized" ->
       """WITH crawl AS (

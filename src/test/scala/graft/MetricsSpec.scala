@@ -121,6 +121,64 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("A39 generated snapshot: the exchange is CONSTANT-SIZE in feed rows") {
+    // The BENCH_NOTES scale-curve argument made into an assertion: the
+    // A2 max_by materialization over a 2M-row generated feed must
+    // shuffle at most |users|·maps partial rows — the exchange size is
+    // a function of key cardinality, NOT feed size (the property that
+    // carries the curve to 100 TB).
+    val users = 1000L
+    val feed = spark.read.format("graft.sources.GenSource")
+      .option("rows", 2000000L).option("users", users)
+      .option("slices", 8).load()
+    val maps = feed.rdd.getNumPartitions
+    val snap = feed.groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts_us"), col("event_id")),
+        struct(col("ts_us"), col("event_id"))).as("last"))
+    val ss = shuffles(snap)
+    debug("gen_snapshot_2m", ss)
+    assert(ss.nonEmpty)
+    ss.foreach { s =>
+      assert(s.records <= users * maps,
+        s"snapshot exchange ${s.records} rows > |users|*maps = ${users * maps} " +
+          "— the exchange scales with the feed, not the keys")
+    }
+  }
+
+  test("C25 incremental dedup: every exchange digest-width, ≤ batch+corpus") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val avgText = docs.select(avg(length(col("text")))).first().getDouble(0)
+    val ss = shuffles(SparkEntry.queries("doc_dedup_incremental")(spark, sf))
+    debug("doc_dedup_incremental", ss)
+    assert(ss.nonEmpty)
+    // batch side dedups to (digest, min id, count), corpus side to bare
+    // digests — the anti-join shuffles 32-byte digests, never text, and
+    // never more rows than batch (2·|docs|) + corpus (|docs|/2) deliver
+    ss.foreach { s =>
+      assert(s.records <= nDocs * 3,
+        s"incremental-dedup exchange ${s.records} rows > batch+corpus scale")
+      assert(s.bytesPerRow < 200,
+        f"incremental-dedup exchange ${s.bytesPerRow}%.0f B/row — " +
+          f"text-width (avg doc ${avgText}%.0f B) instead of digest-width")
+    }
+  }
+
+  test("C15 IVF ANN: no exchange above assignment scale") {
+    val emb = Tables.embeddings(spark, sf)
+    val nVecs = emb.count()
+    val ss = shuffles(SparkEntry.queries("emb_ann_ivf")(spark, sf))
+    debug("emb_ann_ivf", ss)
+    // list assignment is scan-local and the probe side broadcasts, so
+    // nothing input-sized multiplies: every exchange stays ≤ |corpus|
+    // (plus bounded per-probe candidate frames); a records blow-up here
+    // means the bucket join degenerated toward all-pairs
+    ss.foreach { s =>
+      assert(s.records <= nVecs * 2,
+        s"IVF exchange ${s.records} rows > 2·|corpus| = ${nVecs * 2}")
+    }
+  }
+
   test("C2 MinHash LSH: band exchange ≤ |docs|·bands, signature-width") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
