@@ -549,6 +549,34 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C103+C43: streaming crawl ingestion over the GENERATED corpus —
+    // the zero-I/O GenDocsSource micro-batch stream (AvailableNow,
+    // multi-flush) drives the SAME ledger protocol as doc_crawl_ingest:
+    // in-batch dedup, digest anti-join against the accumulating ledger,
+    // digests-then-rows appends. Offsets walk upward so arrival is
+    // id-ordered and no planted dup group straddles a flush boundary
+    // (bases are ≡0 mod 4; flush edges are multiples of 4096), hence
+    // the accepted set is exactly "min doc_id per distinct text" over
+    // the generated relation — which the oracle states directly over
+    // the generate_series re-derivation. Parity proves the streaming
+    // ledger cycle admits each generated content exactly once.
+    "doc_gen_crawl_ingest" -> ((s, dir) => CdcQ.withStreamPartitions(s) {
+      val stream = s.readStream.format("graft.sources.GenDocsSource")
+        .option("docs", 20000).option("docsPerBatch", 4096)
+        .option("slices", 8).load()
+      val corpusDir = CdcQ.freshScratch(dir, "gen_crawl_corpus")
+      val ledgerDir = CdcQ.freshScratch(dir, "gen_crawl_ledger")
+      val q = CrawlIngest.start(stream, "doc_id", "text",
+        corpusDir, ledgerDir,
+        java.nio.file.Files.createTempDirectory("gen_ckpt").toString)
+      q.awaitTermination()
+      val corpus = s.read.parquet(corpusDir)
+      val ledgerN = s.read.parquet(ledgerDir).distinct().count()
+      corpus.select(col("doc_id"), col("source"),
+          lit(ledgerN).as("n_ledger"))
+        .orderBy("doc_id")
+    }),
+
     // A34: streaming NEAR-dup crawl ingestion, oracle-checked — the
     // band-ledger sibling of doc_crawl_ingest. The accept set is an
     // arrival-order greedy over band collisions, but the recursion is
@@ -2218,7 +2246,13 @@ object Docs {
             idCol = "vec_id", vecCol = "embedding", labelCol = "label",
             k = 5, nprobe = 3),
           "pq" -> Pq.annTopK(corpus, probes,
-            idCol = "vec_id", vecCol = "embedding", topK = 5)))
+            idCol = "vec_id", vecCol = "embedding", topK = 5),
+          // the learned-codebook tier joined the report once its
+          // training loop gained the relational oracle (r10) — the
+          // regression gate now grades every deployed ANN tier
+          "pq_learned" -> Pq.annTopK(corpus, probes,
+            idCol = "vec_id", vecCol = "embedding", topK = 5,
+            codebook = Pq.learnCodebook(corpus, "vec_id", "embedding"))))
         .orderBy("method", "probe_id")
     }),
 
@@ -2778,6 +2812,14 @@ object Docs {
         |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM g GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "doc_gen_crawl_ingest" ->
+      s"""WITH g AS (
+        |${graft.sources.GenDocsSource.oracleSql(20000L)}),
+        |w AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text)
+        |SELECT g.doc_id, g.source, (SELECT count(*) FROM w) AS n_ledger
+        |FROM g JOIN w USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
 
     "doc_dedup_normalized" ->
       """WITH crawl AS (
@@ -3494,7 +3536,11 @@ object Docs {
             "embeddings", probeMaxId = 8, k = 5, nprobe = 3),
           "pq" -> Pq.annTopKSql("embeddings", "vec_id", "embedding",
             corpusPred = "vec_id >= 8", probePred = "vec_id < 8",
-            topK = 5))) + "\nORDER BY method, probe_id"),
+            topK = 5),
+          "pq_learned" -> Pq.learnedAnnSql("embeddings", "vec_id",
+            "embedding", corpusPred = "vec_id >= 8",
+            probePred = "vec_id < 8", topK = 5)))
+        + "\nORDER BY method, probe_id"),
 
     "emb_ann_mrl" ->
       (AnnEval.recallReportSql(

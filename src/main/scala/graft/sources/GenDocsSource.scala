@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -189,7 +189,17 @@ private[sources] object GenDocsReaderFactory extends PartitionReaderFactory {
   * [[GenMicroBatchStream]] (seeded high-water mark — restart-safe). */
 private[sources] class GenDocsMicroBatchStream(docs: Long, slices: Int,
                                                docsPerBatch: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: the whole declared range is "available now"
+  // by construction (rows are a pure function of the index), and
+  // latestOffset already walks toward it one batch per poll and stops
+  // advancing at the end — exactly the multi-batch drain-then-terminate
+  // contract. Without this marker the engine would wrap the stream and
+  // freeze availability at the FIRST poll (one batch), silently
+  // truncating the feed.
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   private var available = 0L
 

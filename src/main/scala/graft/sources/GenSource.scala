@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -167,7 +167,17 @@ private[sources] case class GenOffset(index: Long) extends Offset {
   * restart (pure function of the range — deterministic replay). */
 private[sources] class GenMicroBatchStream(rows: Long, users: Long,
                                            slices: Int, rowsPerBatch: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: the whole declared range is "available now"
+  // by construction (rows are a pure function of the index), and
+  // latestOffset already walks toward it one batch per poll and stops
+  // advancing at the end — exactly the multi-batch drain-then-terminate
+  // contract. Without this marker the engine would wrap the stream and
+  // freeze availability at the FIRST poll (one batch), silently
+  // truncating the feed.
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   // each poll advances the available high-water mark by one batch — the
   // engine admits [start, latest) per trigger, so batch sizes stay

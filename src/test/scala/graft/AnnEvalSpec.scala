@@ -33,13 +33,13 @@ class AnnEvalSpec extends SparkSpec {
     }
   }
 
-  test("emb_ann_recall reports all three methods for every probe") {
+  test("emb_ann_recall reports all four methods for every probe") {
     val out = Docs.queries("emb_ann_recall")(spark, sfDir).collect()
     val methods = out.map(_.getAs[String]("method")).toSet
-    assert(methods == Set("lsh", "ivf", "pq"))
+    assert(methods == Set("lsh", "ivf", "pq", "pq_learned"))
     val probes = out.map(_.getAs[Long]("probe_id")).toSet
-    // 8 probes x 3 methods, every pair present
-    assert(out.length == probes.size * 3)
+    // 8 probes x 4 methods, every pair present
+    assert(out.length == probes.size * 4)
     out.foreach { r =>
       val recall = r.getAs[Double]("recall")
       assert(recall >= 0.0 && recall <= 1.0)

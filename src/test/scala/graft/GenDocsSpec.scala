@@ -44,6 +44,21 @@ class GenDocsSpec extends SparkSpec {
     assert(sizes.toSeq === Seq(20, 20, 20, 20, 20))
   }
 
+  test("Trigger.AvailableNow drains the WHOLE range in multiple batches") {
+    // Without SupportsTriggerAvailableNow the engine freezes
+    // availability at the first poll (one batch) and silently truncates
+    // the feed to docsPerBatch rows — this pins the multi-batch
+    // drain-then-terminate contract that CrawlIngest (AvailableNow)
+    // relies on.
+    val q = spark.readStream.format(fmt)
+      .option("docs", 500).option("docsPerBatch", 64).load()
+      .writeStream.format("memory").queryName("gen_docs_avail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(spark.table("gen_docs_avail").count() === 500L)
+  }
+
   test("micro-batch stream drains to exactly the batch relation") {
     val q = spark.readStream.format(fmt)
       .option("docs", 500).option("docsPerBatch", 64).load()
