@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus the decode /
   * feature-extract plumbing a training-data pipeline needs.
   *
-  * The actual codecs are NOT available in this environment, so
-  * [[decodeFeatures]] STUBS the decode step with a deterministic
-  * byte-histogram "feature extractor" — clearly marked below. Everything
-  * around the stub is the real production shape: binary column + metadata
-  * struct schema, per-partition batched iteration (how a JNI/codec
-  * library is driven — one codec init per partition, streamed records),
-  * and expression-level ops (digest, header sniff, frame sampling) that
-  * stay in whole-stage codegen.
+  * AUDIO decode is REAL: [[WavCodec]] (Wav.scala) is a pure-JVM
+  * RIFF/WAVE container parser driven through this seam — see
+  * `media_wav_roundtrip` for the cross-engine losslessness proof.
+  * Image/video codecs are NOT available in this environment, so for
+  * those [[decodeFeatures]] defaults to a deterministic byte-histogram
+  * stand-in — clearly marked below. Everything around the codec is the
+  * real production shape: binary column + metadata struct schema,
+  * per-partition batched iteration (how a JNI/codec library is driven —
+  * one codec init per partition, streamed records), and expression-level
+  * ops (digest, header sniff, frame sampling) that stay in whole-stage
+  * codegen.
   */
 /** The codec seam for [[Media.decodeFeatures]]: one instance is driven
   * per partition — `open()` once (JNI library / codec-context init),

@@ -200,9 +200,27 @@ object Pq {
   def annTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, topK: Int, numSub: Int = 16, k: Int = 16,
               subDim: Int = 4, codebook: Codebook = null): DataFrame = {
+    val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
+    searchCodes(encode(corpus, idCol, vecCol, numSub, k, subDim, cb),
+      probes, idCol, vecCol, topK, numSub, k, subDim, cb)
+  }
+
+  /** ADC search over a PRE-ENCODED codes frame — the build-once /
+    * search-many half of the index lifecycle: `codes` is the persisted
+    * index artifact ((id, code0..code{numSub-1}) — a few bytes per
+    * vector, written once at [[encode]] time), and every query-time
+    * search reads ONLY it plus the probe set. At 100 TB re-encoding
+    * per query would re-read the fat vectors; a real deployment stores
+    * the codes table (bucketed/partitioned like any fact table) and
+    * this entry point is the one queries hit. The codebook must be the
+    * one the codes were encoded under ([[Codebook]] is a few KB of
+    * literals — ship it with the artifact). */
+  def searchCodes(codes: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, topK: Int, numSub: Int = 16,
+                  k: Int = 16, subDim: Int = 4,
+                  codebook: Codebook = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
-    val codes = encode(corpus, idCol, vecCol, numSub, k, subDim, cb)
     val tables = (0 until numSub).map { s =>
       array(subScores(col(vecCol), numSub, k, subDim, s, cb)
         .map(sc => (sc * 1e9).cast("decimal(38,0)").cast("long")): _*)

@@ -109,4 +109,41 @@ class MediaSpec extends SparkSpec {
     // deterministic re-run
     assert(got.exceptAll(Media.neardupPairs(feats)).count() === 0)
   }
+
+  test("WavCodec: real RIFF parse — junk chunk walked, samples exact") {
+    import graft.multimodal.{Wav, WavCodec}
+    val id = 42L
+    val bytes = Wav.synth(id)
+    assert(bytes.length === Wav.fileLen(id))
+    val feats = WavCodec.decode("audio", bytes, 8)
+    // replay the windowed mean-|amplitude| directly from the formula —
+    // equality proves the codec found the data chunk BEHIND the junk
+    // chunk and decoded every LE16 sample exactly
+    val n = Wav.nSamples(id)
+    val sums = new Array[Long](8); val cnts = new Array[Long](8)
+    (0 until n).foreach { t =>
+      val w = t * 8 / n
+      sums(w) += math.abs(Wav.sample(id, t)); cnts(w) += 1
+    }
+    (0 until 8).foreach { w =>
+      assert(feats(w) === (sums(w).toDouble / (cnts(w).toDouble * 32768.0)).toFloat)
+    }
+  }
+
+  test("WavCodec: malformed payloads are rejected, not misread") {
+    import graft.multimodal.{Wav, WavCodec}
+    val good = Wav.synth(7L)
+    // wrong magic
+    val notRiff = good.clone(); notRiff(0) = 'X'.toByte
+    intercept[IllegalArgumentException](WavCodec.decode("audio", notRiff, 8))
+    // truncated mid-data: data chunk length now exceeds the payload
+    intercept[IllegalArgumentException](
+      WavCodec.decode("audio", good.take(good.length - 10), 8))
+    // stereo/compressed fmt must be refused (the codec only claims
+    // 16-bit mono PCM)
+    val stereo = good.clone()
+    val fmtOff = 12 + 8 + Wav.junkLen(7L) // fmt chunk follows the junk chunk
+    stereo(fmtOff + 10) = 2 // numChannels = 2
+    intercept[IllegalArgumentException](WavCodec.decode("audio", stereo, 8))
+  }
 }
