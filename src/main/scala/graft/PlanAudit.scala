@@ -33,6 +33,7 @@ object PlanAudit {
     "emb_ann_pq", // same broadcast ≤8-row probe-table shape
     "emb_ann_pq_refined", // inherits the shortlist stage's probe broadcast
     "emb_ann_pq_learned", // same probe-table broadcast, learned codebook
+    "emb_index_roundtrip", // same ≤8-row probe-table broadcast over the reloaded codes index
     "doc_bigram_lp", // 1-row corpus-total broadcast (Bigram.scala:53)
     "doc_bigram_kn", // same 1-row KN model-totals broadcast (Bigram.scala knLogProbScores)
     "emb_ood", // 1-row per-dim moment-stats broadcast (Pca.diagOod)
@@ -40,6 +41,7 @@ object PlanAudit {
     "q_join_estimate", // 1-row × 1-row exact/estimate join (Cms.joinSizeEstimate)
     "cdc_syncpoint", // 1-row syncpoint-ts broadcast into both tables' as-of filters
     "doc_dup_triangles", // 1-row n_edges × 1-row n_nodes summary crossJoin (Graph.triangles)
+    "doc_source_pagerank", // 1-row dangling-mass × 1-row |V| broadcast per PR iteration (Graph.pagerank)
     "doc_vocab_drift", // 1-row per-side token-total broadcast (Drift.scala:54)
     "emb_knn_classify", // wraps annTopK's broadcast ≤8-row probe set
     "emb_hard_negatives", // same broadcast ≤8-row probe shape

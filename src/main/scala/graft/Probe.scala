@@ -42,6 +42,39 @@ object Probe {
       spark.stop()
       return
     }
+    // ANN index-lifecycle curve: `runMain graft.Probe _ genann=2000000,20000000`
+    // prices C104's build-once / search-many split at each corpus size
+    // over zero-I/O formula vectors (dim 64): (a) PQ-encode the corpus
+    // and persist the codes artifact — the one-time index build; (b)
+    // serve an 8-probe ADC top-5 search from the RELOADED artifact —
+    // the per-query cost a deployment actually pays (bytes scanned per
+    // query = |corpus|·16 code bytes, never the 256-byte vectors).
+    if (args.length > 1 && args(1).startsWith("genann=")) {
+      val sizes = args(1).stripPrefix("genann=").split(",").map(_.toLong)
+      import graft.operators.Pq
+      def corpus(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 64).map(d =>
+          (((col("id") * (2 * d + 1) + d) % 997).cast("double") / 997.0)
+            .cast("float")): _*).as("embedding"))
+      val probes = corpus(8)
+      sizes.foreach { n =>
+        val codesDir = s"/tmp/graft_probe_pq_codes_$n"
+        Pq.encode(corpus(math.min(n, 100000L)), "vec_id", "embedding")
+          .agg(count(lit(1))).first() // warm codegen/planner
+        time(s"pq_index_build n=$n") {
+          Pq.encode(corpus(n), "vec_id", "embedding")
+            .write.mode("overwrite").parquet(codesDir)
+          spark.read.parquet(codesDir).count()
+        }
+        time(s"pq_index_search n=$n probes=8 topk=5") {
+          Pq.searchCodes(spark.read.parquet(codesDir), probes,
+            "vec_id", "embedding", topK = 5).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Streaming-throughput mode: `runMain graft.Probe _ genstream=2000000:200000`
     // drains a GenSource micro-batch stream of N rows (R rows/batch)
     // through the A12 tumbling-window aggregation into a memory sink —

@@ -64,4 +64,105 @@ object Graph {
        |  (SELECT count(*) FROM $edgesRel e1
        |     JOIN $edgesRel e2 ON e2.a = e1.a AND e2.b > e1.b
        |     JOIN $edgesRel e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin
+
+  /** Weighted PageRank over a directed edge list, FIXED `iters` power
+    * iterations in exact integer fixed-point — the provenance-centrality
+    * signal for crawl curation (which sources ORIGINATE content vs
+    * mirror it; Page et al. 1999, the curation use echoing CommonCrawl's
+    * harmonic-centrality source ranking).
+    *
+    * Determinism (the C18/C83 bounded-iteration discipline): rank state
+    * is an e12-scaled long (start = 1e12 per node); each edge routes
+    * `rank·w DIV W_out` (decimal(38,0) product, integral division);
+    * dangling mass (nodes with no out-edges) is redistributed uniformly
+    * as `DIV n`; the damped update is
+    * `base + dampE6·(in + share) DIV 1e6` with
+    * `base = (1e6−dampE6)·1e6`. Every operand is a non-negative
+    * integer, so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree, and the whole loop is replayable as unrolled CTEs
+    * ([[pagerankSql]]). Truncation sheds ≤1e-12 mass per edge per
+    * round — deterministic on both engines, irrelevant to ranking.
+    *
+    * Scale shape: one iteration = edges ⋈ ranks on src (the O(|E|)
+    * equi-join shuffle) + groupBy(dst); rank/out-weight sides are
+    * O(|V|). The two scalar terms (dangling mass, node count) are 1-row
+    * broadcasts. Each iteration is materialized (localCheckpoint) —
+    * exactly how a web-scale PR run checkpoints rounds instead of
+    * growing one 3·d-deep plan. State bound: ranks sum to ≤ |V|·1e12,
+    * so per-node longs hold to |V| < 9.2e6 per *connected mass* — at
+    * larger |V| the same loop runs with a smaller scale constant.
+    *
+    * @param nodes one column `v` (the full vertex set — isolated
+    *              vertices keep base rank and receive dangling share)
+    * @param edges (src, dst, w) with positive long weights
+    * @return (v, rank_e12) */
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int,
+               dampE6: Long = 850000L): DataFrame = {
+    require(iters >= 1 && dampE6 >= 0 && dampE6 <= 1000000L)
+    val spark = nodes.sparkSession
+    val baseE12 = (1000000L - dampE6) * 1000000L
+    val outW = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+      .localCheckpoint()
+    val nNodes = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.select(col("v"), lit(1000000000000L).as("rank"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = edges.join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(outW, "src")
+        .select(col("dst").as("v"),
+          expr("CAST(rank AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))" +
+            " div CAST(wout AS DECIMAL(38,0))").as("c"))
+      val inSum = contrib.groupBy("v").agg(sum(col("c")).as("insum"))
+      val dangling = ranks.join(outW.withColumnRenamed("src", "v"),
+          Seq("v"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+        .crossJoin(broadcast(nNodes))
+        .select(expr("CAST(dmass AS DECIMAL(38,0)) div CAST(n AS DECIMAL(38,0))")
+          .as("share"))
+      ranks = nodes
+        .join(inSum, Seq("v"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("v"),
+          (lit(baseE12) + expr(
+            s"CAST($dampE6 AS DECIMAL(38,0)) * " +
+              "(coalesce(insum, 0) + share) div CAST(1000000 AS DECIMAL(38,0))"))
+            .cast("long").as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("v"), col("rank").as("rank_e12"))
+  }
+
+  /** DuckDB mirror of [[pagerank]] as unrolled per-iteration CTEs.
+    * `prefixCtes` must define relations `nodes(v)` and
+    * `edges(src, dst, w)`; the caller appends its own final SELECT over
+    * the returned query's (v, rank_e12) output. */
+  def pagerankSql(prefixCtes: String, iters: Int,
+                  dampE6: Long = 850000L): String = {
+    val baseE12 = (1000000L - dampE6) * 1000000L
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS v,
+         |         CAST(r.rank AS HUGEINT) * e.w // o.wout AS c
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON r.v = e.src
+         |  JOIN outw o ON o.src = e.src),
+         |s$i AS (SELECT v, sum(c) AS insum FROM c$i GROUP BY 1),
+         |d$i AS (
+         |  SELECT COALESCE(sum(r.rank), 0) // (SELECT n FROM nn) AS share
+         |  FROM r${i - 1} r LEFT JOIN outw o ON o.src = r.v
+         |  WHERE o.src IS NULL),
+         |r$i AS (
+         |  SELECT nodes.v,
+         |         $baseE12 + CAST($dampE6 AS HUGEINT)
+         |           * (COALESCE(s$i.insum, 0) + d$i.share) // 1000000 AS rank
+         |  FROM nodes LEFT JOIN s$i ON s$i.v = nodes.v CROSS JOIN d$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $prefixCtes,
+       |outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT v, CAST(1000000000000 AS HUGEINT) AS rank FROM nodes),
+       |$steps
+       |SELECT v, CAST(rank AS BIGINT) AS rank_e12 FROM r$iters""".stripMargin
+  }
 }

@@ -204,6 +204,48 @@ object Analytics {
         .orderBy("o_orderpriority")
     }),
 
+    // B68: materialized-summary query routing — a (priority, status)
+    // rollup of orders is written once, registered as a route, and the
+    // user's coarser aggregate over the BASE table is rewritten by the
+    // SummaryRoutingRule optimizer rule to re-aggregate the summary
+    // partials (sum-of-counts / min-of-mins / max-of-maxes) instead of
+    // re-scanning the fact — the in-query assertion FAILS the row if the
+    // executed plan still reads orders.parquet, and the oracle
+    // aggregates the base table in DuckDB, so parity proves the rewrite
+    // answers exactly what the base scan would have. At 100 TB this is
+    // the summary-serving read path beside A35's IVM write path.
+    "q_summary_route" -> ((s, dir) => {
+      import graft.plans.SummaryRouting
+      val base = dir + "/orders.parquet"
+      val sumDir = Cdc.freshScratch(dir, "orders_summary")
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          max(col("o_totalprice")).as("max_tp"),
+          min(col("o_totalprice")).as("min_tp"))
+        .write.mode("overwrite").parquet(sumDir)
+      SummaryRouting.register(s, SummaryRouting.Route(
+        baseDir = base, summaryDir = sumDir,
+        keys = Map("o_orderpriority" -> "o_orderpriority",
+          "o_orderstatus" -> "o_orderstatus"),
+        aggs = Map(("count", "*") -> "cnt",
+          ("max", "o_totalprice") -> "max_tp",
+          ("min", "o_totalprice") -> "min_tp")))
+      val routed = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy("o_orderpriority")
+      val scans = routed.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      require(scans.contains("orders_summary"),
+        "summary route did not fire: aggregate still reads the base scan")
+      require(!scans.contains("orders.parquet"),
+        "summary route left a base-table scan in the plan")
+      routed
+    }),
+
     // B11: rollup / grouping sets with subtotal rows. NOT a direct
     // rollup over the fact: Expand would triple every fact row before
     // the partial agg (measured 0.7 → 1.6 s at sf0.1 as the sum went
@@ -1746,6 +1788,15 @@ object Analytics {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |       count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the oracle aggregates the BASE table — parity proves the routed
+    // (summary-served) plan answers exactly what the base scan would
+    "q_summary_route" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       max(o_totalprice) AS max_price,
+        |       min(o_totalprice) AS min_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

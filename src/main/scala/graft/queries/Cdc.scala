@@ -850,16 +850,18 @@ object Cdc {
     }),
 
     // C14: changelog source round-trip — the changelog is serialized to
-    // JSON and CSV (the RFC's "any serialization" arrival formats), read
+    // JSON, CSV, and ORC (the RFC's "any serialization" arrival formats;
+    // ORC is the columnar warehouse-export case — schema-carrying and
+    // compressed, vs the text formats' quoting/parsing hazards), read
     // back through GraftSource.changelog with the canonical EXPLICIT
     // schema, and checksummed per format. The oracle is the same digest
     // straight from the source events cross-joined with the format list,
-    // so parity proves both text formats round-trip every column —
+    // so parity proves every format round-trips every column —
     // quoted JSON payloads, doubles, epoch-µs longs — bit-exactly into
     // the canonical change-event shape.
     "cdc_source_roundtrip" -> ((s, dir) => {
       val log = changelog(s, dir)
-      val digests = Seq("json", "csv").map { fmt =>
+      val digests = Seq("json", "csv", "orc").map { fmt =>
         val path = roundtripPath(dir, s"src_$fmt")
         GraftSink.Files(path, format = fmt).write(log)
         val back = GraftSource.changelog(s, path, log.schema, fmt)
@@ -1509,6 +1511,6 @@ object Cdc {
              Seq("key", "seq", "op", "event_type", "value_cents",
                "commit_ts_us", "props"), 16)})
         |SELECT f.format, cs.bucket, cs.n_rows, cs.checksum
-        |FROM cs CROSS JOIN (SELECT unnest(['json','csv']) AS format) f
+        |FROM cs CROSS JOIN (SELECT unnest(['csv','json','orc']) AS format) f
         |ORDER BY format, bucket""".stripMargin))
 }

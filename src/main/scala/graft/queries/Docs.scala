@@ -1345,6 +1345,26 @@ object Docs {
         .orderBy("subspace", "centroid", "dim")
     }),
 
+    // C104: PQ index PERSISTENCE — the build-once / search-many index
+    // lifecycle: encode writes the codes table (the index artifact — a
+    // few bytes per vector) to parquet ONCE; the search reloads it and
+    // runs ADC over the reloaded frame, never touching the fat vectors.
+    // Output ≡ emb_ann_pq (same oracle), so parity proves the artifact
+    // round-trip is lossless and the search path is artifact-driven —
+    // the property that lets a 100 TB deployment encode once and serve
+    // every query from the compact index.
+    "emb_index_roundtrip" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val indexDir = CdcQ.freshScratch(dir, "pq_codes_index")
+      Pq.encode(e.where(col("vec_id") >= 8), "vec_id", "embedding")
+        .write.mode("overwrite").parquet(indexDir)
+      Pq.searchCodes(
+        codes = s.read.parquet(indexDir),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", topK = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
     // C66b: retrieve-then-refine — PQ-ADC shortlists 20 candidates
     // over codes alone, then only those 20·|probes| rows re-join their
     // full-width vectors for an exact-L2 rerank to top-5. At 100 TB
@@ -1357,6 +1377,36 @@ object Docs {
         probes = e.where(col("vec_id") < 8),
         idCol = "vec_id", vecCol = "embedding", topK = 5, shortlist = 20)
         .orderBy("probe_id", "rank")
+    }),
+
+    // C105: provenance PageRank — centrality in the cross-source copy
+    // graph (which sources ORIGINATE content vs mirror it; the
+    // harmonic-centrality idea CommonCrawl uses for host ranking,
+    // computed here over C69's duplication matrix instead of hyperlinks).
+    // 3 power iterations in e12 integer fixed-point — every per-edge
+    // route, dangling redistribution, and damped update is an exact
+    // integral division, so DuckDB replays the WHOLE loop as unrolled
+    // CTEs (the C18/C83 bounded-iteration discipline). Scale: one
+    // O(|E|) equi-join + groupBy(dst) per round; dangling mass and |V|
+    // are 1-row broadcasts (PlanAudit-allowlisted); each round
+    // materialized like a web-scale PR checkpoint.
+    "doc_source_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val crawl = docs.select(col("source"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 3 === 0)
+          .select(concat(lit("src"),
+            ((col("doc_id") % 20) + 7) % 20).as("source"), col("text")))
+      val ov = Provenance.sourceOverlap(crawl, "source", "text")
+        .select(col("source_a"), col("source_b"), col("shared"))
+        .localCheckpoint() // consumed by both edge directions
+      val edges = ov.select(col("source_a").as("src"),
+          col("source_b").as("dst"), col("shared").as("w"))
+        .unionAll(ov.select(col("source_b").as("src"),
+          col("source_a").as("dst"), col("shared").as("w")))
+      val nodes = crawl.select(col("source").as("v")).distinct()
+      Graph.pagerank(nodes, edges, iters = 3)
+        .select(col("v").as("source"), col("rank_e12"))
+        .orderBy(desc("rank_e12"), col("source"))
     }),
 
     // C69: cross-source duplication matrix — distinct shared contents
@@ -2208,6 +2258,28 @@ object Docs {
     // "same asset, different encode" screen exact byte dedup misses;
     // the oracle replays decode → block → compare entirely in SQL, so
     // the driver row proves the codec plumbing, not just the digests.
+    // C12b: REAL audio codec round-trip — Wav.synth builds VALID
+    // RIFF/WAVE payloads (junk chunk planted before data, so only a
+    // genuine chunk walk finds the samples) from a pure integer
+    // function of the id; WavCodec REALLY parses them (magic, chunk
+    // sizes, fmt sanity, little-endian 16-bit PCM) through the
+    // production mapPartitions codec seam. The oracle re-derives the
+    // per-window mean-|amplitude| features from the sample FORMULA, so
+    // a hash match proves encoder and parser are mutually lossless —
+    // any offset/endianness/chunk-walk bug changes the decoded samples
+    // and the row stops matching. One modality's decode is no longer a
+    // stub; image/video stay behind the documented ByteHistogramCodec.
+    "media_wav_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Wav, WavCodec}
+      val media = s.range(0, 500).as[Long]
+        .map(id => (id, "audio", Wav.synth(id)))
+        .toDF("media_id", "kind", "content")
+      graft.multimodal.Media.decodeFeatures(media, dim = 8, codec = WavCodec)
+        .select(col("media_id"), col("n_bytes"), col("features"))
+        .orderBy("media_id")
+    }),
+
     "media_neardup" -> ((s, dir) => {
       val m = graft.multimodal.Media.fromDocuments(Tables.documents(s, dir))
       val feats = graft.multimodal.Media.decodeFeatures(m, dim = 16)
@@ -2566,6 +2638,32 @@ object Docs {
     "doc_dsir_weights" ->
       (Dsir.importanceWeightsSql("documents", "doc_id", "text",
         "source = 'src0' AND lang = 'en'") + "\nORDER BY doc_id"),
+
+    // the same crawl + overlap derivation as doc_source_overlap's
+    // oracle, then the unrolled 3-iteration integer PR loop
+    "doc_source_pagerank" ->
+      ("SELECT v AS source, rank_e12 FROM (\n" +
+        Graph.pagerankSql(
+          """crawl AS (
+            |  SELECT source, text FROM documents
+            |  UNION ALL
+            |  SELECT 'src' || CAST(((doc_id % 20) + 7) % 20 AS VARCHAR)
+            |           AS source, text
+            |  FROM documents WHERE doc_id % 3 = 0),
+            |sd AS (
+            |  SELECT DISTINCT source AS src, sha256(text) AS digest
+            |  FROM crawl),
+            |ov AS (
+            |  SELECT a.src AS sa, b.src AS sb, count(*) AS shared
+            |  FROM sd a JOIN sd b ON a.digest = b.digest AND a.src < b.src
+            |  GROUP BY 1, 2),
+            |edges AS (
+            |  SELECT sa AS src, sb AS dst, shared AS w FROM ov
+            |  UNION ALL
+            |  SELECT sb AS src, sa AS dst, shared AS w FROM ov),
+            |nodes AS (SELECT DISTINCT source AS v FROM crawl)""".stripMargin,
+          iters = 3) +
+        "\n) pr ORDER BY rank_e12 DESC, source"),
 
     "doc_source_overlap" ->
       (Provenance.sourceOverlapSql(
@@ -3260,6 +3358,13 @@ object Docs {
         corpusPred = "vec_id >= 8", probePred = "vec_id < 8", topK = 5) +
         "\nORDER BY probe_id, rank"),
 
+    // identical relation to emb_ann_pq: the index round-trip must be
+    // invisible to the search result
+    "emb_index_roundtrip" ->
+      (Pq.annTopKSql("embeddings", "vec_id", "embedding",
+        corpusPred = "vec_id >= 8", probePred = "vec_id < 8", topK = 5) +
+        "\nORDER BY probe_id, rank"),
+
     "emb_pq_codebook_learned" ->
       Pq.learnedCodebookSql("embeddings", "vec_id", "embedding",
         corpusPred = "vec_id >= 8"),
@@ -3575,6 +3680,34 @@ object Docs {
 
     "media_neardup" ->
       graft.multimodal.Media.neardupOracleSql("documents"),
+
+    // formula-side re-derivation of the decoded WAV features: windows,
+    // integer |sample| sums, and the single DOUBLE→REAL division mirror
+    // WavCodec.decode exactly; n_bytes mirrors Wav.fileLen
+    "media_wav_roundtrip" ->
+      """WITH m AS (
+        |  SELECT i AS media_id, CAST(256 + i % 256 AS INTEGER) AS n,
+        |         CAST(2 * (i % 8) AS INTEGER) AS junk
+        |  FROM generate_series(0, 499) t(i)),
+        |ts AS (
+        |  SELECT media_id, n, unnest(range(n)) AS t FROM m),
+        |s AS (
+        |  SELECT media_id, CAST((t * 8) // n AS INTEGER) AS w,
+        |         abs((media_id * 31 + t * 17) % 8192 - 4096) AS a
+        |  FROM ts),
+        |wf AS (
+        |  SELECT media_id, w, CAST(sum(a) AS DOUBLE) AS sa,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM s GROUP BY 1, 2),
+        |feats AS (
+        |  SELECT media_id,
+        |         list(CAST(sa / (c * 32768.0) AS REAL) ORDER BY w) AS features
+        |  FROM wf GROUP BY media_id)
+        |SELECT m.media_id,
+        |       CAST(12 + 8 + junk + 24 + 8 + 2 * n AS BIGINT) AS n_bytes,
+        |       features
+        |FROM m JOIN feats USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     "doc_vocab" ->
       """SELECT token, count(*) AS n_occurrences,
