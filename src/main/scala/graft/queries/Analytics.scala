@@ -1473,6 +1473,40 @@ object Analytics {
     // ~1e-15 relative, far below round(4)). The `+ 0.0` normalizes IEEE
     // negative zero: DuckDB covar can yield -0.0 where Spark gives 0.0 —
     // equal under SQL `=` but distinct under the driver's string hash.
+    // B69: exact per-group OLS trend — slope/intercept of daily event
+    // volume per type, the drift detector a metrics pipeline runs.
+    // Closed-form least squares over (day, count) points kept as exact
+    // integer moment sums (n, Σx, Σy, Σx², Σxy — one map-side-combined
+    // shuffle, O(|groups|) state; engine float regr_slope would differ
+    // in summation order); slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and
+    // intercept share one positive denominator, emitted e6-scaled via
+    // the exact-rational half-away rounding ladder (sign-split so both
+    // engines' integral division sees only non-negative operands —
+    // Spark div truncates, DuckDB // floors; they agree only there).
+    "q_ols_trend" -> ((s, dir) => {
+      def halfAwayE6(c: String, d: String) =
+        s"CASE WHEN ($c) >= 0 THEN (2000000 * ($c) + $d) div (2 * ($d)) " +
+          s"ELSE -((2000000 * (-($c)) + $d) div (2 * ($d))) END"
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts_us div 86400000000").as("x"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .selectExpr("event_type", "n",
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS den",
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS snum",
+          "CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy AS inum")
+        .where(col("den") > 0)
+        .selectExpr("event_type", "n AS n_days",
+          halfAwayE6("snum", "den") + " AS slope_e6",
+          halfAwayE6("inum", "den") + " AS intercept_e6")
+        .orderBy("event_type")
+    }),
+
     "q_stats_agg" -> ((s, dir) => {
       def r4(c: Column) = round(c, 4) + lit(0.0)
       Tables.lineitem(s, dir)
@@ -2505,6 +2539,32 @@ object Analytics {
         |    AS mad_cents
         |FROM base b JOIN med m USING (segment)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same integer moment sums and sign-split half-away e6 ladder
+    "q_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM daily GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n,
+        |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+        |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS snum,
+        |         CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS inum
+        |  FROM sums)
+        |SELECT event_type, n AS n_days,
+        |  CAST(CASE WHEN snum >= 0 THEN (2000000 * snum + den) // (2 * den)
+        |       ELSE -((2000000 * (-snum) + den) // (2 * den)) END
+        |    AS BIGINT) AS slope_e6,
+        |  CAST(CASE WHEN inum >= 0 THEN (2000000 * inum + den) // (2 * den)
+        |       ELSE -((2000000 * (-inum) + den) // (2 * den)) END
+        |    AS BIGINT) AS intercept_e6
+        |FROM d WHERE den > 0 ORDER BY event_type""".stripMargin,
 
     "q_stats_agg" ->
       """SELECT l_returnflag,

@@ -2088,6 +2088,21 @@ object Docs {
         .orderBy("id_a", "id_b")
     }),
 
+    // C106: EXACT corpus-wide set-similarity self-join via
+    // frequency-ordered prefix filtering (AllPairs/PPJoin) over 3-gram
+    // shingle sets — lossless candidate pruning where C4 block-scopes
+    // (misses cross-block pairs) and C2 accepts banding recall: every
+    // Jaccard≥0.7 pair shares a prefix shingle, so the equi-join on
+    // rare prefix shingles generates a provable superset (measured at
+    // sf0.1: 202k candidates vs 12.5M raw pairs) and the exact integer
+    // verify keeps precisely the true pairs. PrefixJoinSpec pins the
+    // losslessness against the brute-force all-pairs join.
+    "doc_prefix_jaccard" -> ((s, dir) => {
+      graft.operators.PrefixJoin.jaccardPairs(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", tNum = 7, tDen = 10)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // C11: polynomial rolling-hash document fingerprint.
     "doc_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -3597,6 +3612,11 @@ object Docs {
     "doc_simhash" -> SimHash.simhashOracleSql("documents", 4),
 
     "doc_simhash5" -> SimHash.simhashOracleSql("documents", 4, chunks = 5),
+
+    "doc_prefix_jaccard" ->
+      (graft.operators.PrefixJoin.jaccardPairsSql(
+        "documents", "doc_id", "text", tNum = 7, tDen = 10) +
+        "\nORDER BY doc_a, doc_b"),
 
     "doc_ngram_jaccard" ->
       s"""WITH s0 AS (
