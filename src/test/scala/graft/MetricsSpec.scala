@@ -179,6 +179,60 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("C106 prefix join: every exchange stays at token scale, shingle-width") {
+    val docs = Tables.documents(spark, sf)
+    val tokRows = docs.select(col("doc_id"),
+        explode(operators.MinHash.shingles(col("text"), 3)).as("t"))
+      .distinct().count()
+    val avgText = docs.select(avg(length(col("text")))).first().getDouble(0)
+    val ss = shuffles(SparkEntry.queries("doc_prefix_jaccard")(spark, sf))
+    debug("doc_prefix_jaccard", ss)
+    assert(ss.nonEmpty)
+    // the lossless-pruning promise, measured: prefix postings are rare
+    // shingles, so candidates ≪ all-pairs and NO exchange — tokenize,
+    // df/size aggs, prefix self-join output, or verify re-join — may
+    // exceed a small multiple of the (doc, shingle) frame itself; and
+    // every row is (id, shingle)-shaped, never document-width
+    ss.foreach { s =>
+      assert(s.records <= tokRows * 3,
+        s"prefix-join exchange ${s.records} rows > 3·|tok| = ${tokRows * 3} " +
+          "— candidate generation degenerated toward all-pairs")
+      assert(s.bytesPerRow < 200,
+        f"prefix-join exchange ${s.bytesPerRow}%.0f B/row — document-width " +
+          f"(avg doc ${avgText}%.0f B) instead of shingle-width")
+    }
+  }
+
+  test("B68 summary routing: the routed aggregate reads summary-scale rows") {
+    // the routing promise, measured from file-scan metrics: after the
+    // rule fires, the aggregate's scan delivers |summary| rows (the
+    // (priority, status) grain), never the base table's row count
+    val df = SparkEntry.queries("q_summary_route")(spark, sf)
+    df.collect()
+    val baseRows = Tables.orders(spark, sf).count()
+    val summaryRows = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderstatus").distinct().count()
+    def scans(p: SparkPlan): Seq[Long] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      val here = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics.get("numOutputRows").map(_.value).toSeq
+        case _ => Nil
+      }
+      here ++ (kids ++ p.subqueries).flatMap(scans)
+    }
+    val scanned = scans(df.queryExecution.executedPlan).sum
+    info(s"q_summary_route: scanned $scanned rows " +
+      s"(summary grain $summaryRows, base $baseRows)")
+    assert(scanned == summaryRows,
+      s"routed aggregate scanned $scanned rows; expected the " +
+        s"$summaryRows-row summary grain (base table has $baseRows)")
+  }
+
   test("C2 MinHash LSH: band exchange ≤ |docs|·bands, signature-width") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
