@@ -30,6 +30,7 @@ object PlanAudit {
     "emb_ann_mrl", // same ≤8-row probe broadcast at each truncation tier + tier spine
     "emb_ivf_balance", // 1-row occupancy-stats broadcast
     "emb_ann_ivf", "emb_ann_topk", "emb_ann_topk_q",
+    "emb_ann_ivfpq", // probe × |lists|-row centroid broadcast (the emb_ann_ivf routing shape)
     "emb_ann_pq", // same broadcast ≤8-row probe-table shape
     "emb_ann_pq_refined", // inherits the shortlist stage's probe broadcast
     "emb_ann_pq_learned", // same probe-table broadcast, learned codebook

@@ -152,7 +152,8 @@ object Pq {
     * leaves multi-referenced non-trivial aliases staged. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              numSub: Int = 16, k: Int = 16, subDim: Int = 4,
-             codebook: Codebook = null): DataFrame = {
+             codebook: Codebook = null,
+             keep: Seq[String] = Nil): DataFrame = {
     require(numSub >= 1 && k >= 2 && subDim >= 1,
       "need numSub >= 1, k >= 2, subDim >= 1")
     val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
@@ -165,8 +166,10 @@ object Pq {
     val codesCol = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.PqEncodeCodes(
         org.apache.spark.sql.GraftSqlBridge.expression(col(vecCol)), books))
-    df.select(col(idCol), codesCol.as("__codes"))
-      .select(col(idCol) +: (0 until numSub).map(s =>
+    // `keep` rides extra columns (e.g. an IVF list id) into the codes
+    // artifact without a post-encode re-join against the fat corpus
+    df.select(col(idCol) +: keep.map(col) :+ codesCol.as("__codes"): _*)
+      .select(col(idCol) +: keep.map(col) ++: (0 until numSub).map(s =>
         element_at(col("__codes"), s + 1).as(s"code$s")): _*)
   }
 
@@ -233,6 +236,61 @@ object Pq {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("adc_e9"), col(idCol))
     codes.crossJoin(broadcast(p))
+      .withColumn("adc_e9", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col(idCol).as("neighbor_id"),
+        col("adc_e9"))
+  }
+
+  /** IVF-PQ composite index — the FAISS-style pairing of the two scale
+    * levers: the IVF coarse quantizer (per-list centroids from exact
+    * fixed-point sums, [[AnnIvf.centroids]]) routes each probe to its
+    * `nprobe` nearest inverted lists, and PQ-ADC scores ONLY those
+    * lists' codes. Search cost per query drops from |corpus| code rows
+    * (flat ADC, [[searchCodes]]) to ~nprobe/|lists| of them, and each
+    * scored row is still ~numSub bytes — the two reductions compose.
+    * Plan shape: probe × centroid is the tiny documented broadcast
+    * nested-loop (|lists| rows); the codes are touched only through an
+    * EQUI-join on the list id, so the big side shuffles nothing and
+    * prunes to the selected lists. Codes carry the list id from encode
+    * time (`keep` — the artifact is bucketable by list, giving 100 TB
+    * deployments list-partition pruning on the same parquet layout).
+    * Output mirrors [[annTopK]] (probe_id, rank, neighbor_id, adc_e9);
+    * recall vs flat ADC is a product of the IVF routing recall, graded
+    * the same way C74 grades every tier. */
+  def annTopKIvf(corpus: DataFrame, probes: DataFrame, idCol: String,
+                 vecCol: String, labelCol: String, topK: Int,
+                 nprobe: Int, numSub: Int = 16, k: Int = 16,
+                 subDim: Int = 4, codebook: Codebook = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
+    val codes = encode(corpus.withColumn("__list",
+        col(labelCol).cast("long")),
+      idCol, vecCol, numSub, k, subDim, cb, keep = Seq("__list"))
+    val cent = AnnIvf.centroids(corpus, labelCol, vecCol)
+    val tables = (0 until numSub).map { s =>
+      array(subScores(col(vecCol), numSub, k, subDim, s, cb)
+        .map(sc => (sc * 1e9).cast("decimal(38,0)").cast("long")): _*)
+        .as(s"t$s")
+    }
+    val p = probes.select(col(idCol).as("probe_id") +:
+      Vectors.toDouble(col(vecCol)).as("__vp") +: tables: _*)
+    // route: nprobe nearest centroids per probe (AnnIvf's exact tiebreak)
+    val wSel = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("__ccos"), 9).desc, col("label"))
+    val selected = p.crossJoin(broadcast(cent))
+      .withColumn("__ccos", Vectors.cosine(col("__vp"), col("centroid")))
+      .withColumn("__crn", row_number().over(wSel))
+      .where(col("__crn") <= nprobe)
+      .select(col("probe_id") +: col("label").as("__list") +:
+        (0 until numSub).map(s => col(s"t$s")): _*)
+    val adc = (0 until numSub)
+      .map(s => element_at(col(s"t$s"), (col(s"code$s") + 1).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("adc_e9"), col(idCol))
+    selected.join(codes, "__list")
       .withColumn("adc_e9", adc)
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= topK)
@@ -481,6 +539,82 @@ object Pq {
        |j AS (
        |  SELECT pt.probe_id, codes.$id AS neighbor_id, $adc AS adc_e9
        |  FROM codes CROSS JOIN pt),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adc_e9 DESC, neighbor_id) AS rank
+       |  FROM j)
+       |SELECT probe_id, rank, neighbor_id, adc_e9
+       |FROM r WHERE rank <= $topK""".stripMargin
+  }
+
+  /** DuckDB mirror of [[annTopKIvf]] — the [[annTopKSql]] ladder with
+    * the codes CTE carrying the list id and the cross join replaced by
+    * IVF routing (AnnIvf's exact-fixed-point centroids, round(9)
+    * cosine, label tiebreak) plus an equi-join on the selected lists. */
+  def annTopKIvfSql(table: String, id: String, vec: String,
+                    corpusPred: String, probePred: String, topK: Int,
+                    nprobe: Int, numSub: Int = 16, k: Int = 16,
+                    subDim: Int = 4): String = {
+    def scoreCols(alias: String) = (0 until numSub).flatMap(s =>
+      (0 until k).map(c =>
+        s"${subScoreSql(vec, numSub, subDim, s, c)} AS ${alias}_${s}_$c"))
+      .mkString(",\n|    ")
+    def codeChain(s: Int) = {
+      val whens = (0 until k - 1).map { c =>
+        val conds = (c + 1 until k).map(j => s"s_${s}_$c >= s_${s}_$j")
+          .mkString(" AND ")
+        s"WHEN $conds THEN $c"
+      }.mkString(" ")
+      s"CASE $whens ELSE ${k - 1} END AS code$s"
+    }
+    def tableCols = (0 until numSub).flatMap(s =>
+      (0 until k).map(c =>
+        s"CAST(CAST(p_${s}_$c * 1e9 AS DECIMAL(38,0)) AS BIGINT)" +
+          s" AS t_${s}_$c")).mkString(",\n|    ")
+    def lookup(s: Int) =
+      s"(CASE code$s ${(0 until k).map(c => s"WHEN $c THEN t_${s}_$c")
+        .mkString(" ")} END)"
+    val adc = (0 until numSub).map(lookup).mkString(" + ")
+    val cos = "list_dot_product(pt.v, cent.c)" +
+      " / (sqrt(list_dot_product(pt.v, pt.v))" +
+      " * sqrt(list_dot_product(cent.c, cent.c)))"
+    s"""WITH cs AS (
+       |  SELECT $id, label::BIGINT AS list,
+       |    ${scoreCols("s")}
+       |  FROM $table WHERE $corpusPred),
+       |codes AS (
+       |  SELECT $id, list, ${(0 until numSub).map(codeChain).mkString(",\n|    ")}
+       |  FROM cs),
+       |comp AS (
+       |  SELECT label::BIGINT AS list, (ord-1)::BIGINT AS dim,
+       |         sum(CAST(floor(x*1000000) AS BIGINT)) AS csum, count(*) AS n
+       |  FROM (SELECT label, unnest($vec::DOUBLE[]) AS x,
+       |               generate_subscripts($vec, 1) AS ord
+       |        FROM $table WHERE $corpusPred) t
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT list, list(csum / (n * 1000000.0) ORDER BY dim) AS c
+       |  FROM comp GROUP BY list),
+       |ps AS (
+       |  SELECT $id AS probe_id, $vec::DOUBLE[] AS v,
+       |    ${scoreCols("p")}
+       |  FROM $table WHERE $probePred),
+       |pt AS (
+       |  SELECT probe_id, v,
+       |    $tableCols
+       |  FROM ps),
+       |sel AS (
+       |  SELECT probe_id, list FROM (
+       |    SELECT pt.probe_id, cent.list,
+       |           row_number() OVER (PARTITION BY pt.probe_id
+       |             ORDER BY round($cos, 9) DESC, cent.list) AS crn
+       |    FROM pt CROSS JOIN cent) x
+       |  WHERE crn <= $nprobe),
+       |j AS (
+       |  SELECT pt.probe_id, codes.$id AS neighbor_id, $adc AS adc_e9
+       |  FROM sel
+       |  JOIN codes ON codes.list = sel.list
+       |  JOIN pt ON pt.probe_id = sel.probe_id),
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY probe_id
        |      ORDER BY adc_e9 DESC, neighbor_id) AS rank

@@ -2212,6 +2212,23 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
+    // C107: IVF-PQ composite index — the coarse quantizer routes each
+    // probe to nprobe lists, PQ-ADC scores only those lists' codes:
+    // per-query cost ~ (nprobe/|lists|)·|corpus| rows × ~16 B each, the
+    // FAISS-style composition of the two reductions. Codes carry the
+    // list id from encode time, so the persisted artifact is
+    // list-partitionable (scan pruning at 100 TB). Oracle replays
+    // routing + ADC relationally end to end.
+    "emb_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Pq.annTopKIvf(
+        corpus = e.where(col("vec_id") >= 8),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+        topK = 5, nprobe = 3)
+        .orderBy("probe_id", "rank")
+    }),
+
     // C5-scale: LSH-accelerated embedding near-dup — band equi-join
     // candidates, exact cosine filter (the 100 TB form of emb_neardup)
     "emb_neardup_lsh" -> ((s, dir) => {
@@ -3651,6 +3668,11 @@ object Docs {
 
     "emb_ann_ivf" -> graft.operators.AnnIvf.oracleSql(
       "embeddings", probeMaxId = 8, k = 5, nprobe = 3),
+
+    "emb_ann_ivfpq" ->
+      (Pq.annTopKIvfSql("embeddings", "vec_id", "embedding",
+        corpusPred = "vec_id >= 8", probePred = "vec_id < 8",
+        topK = 5, nprobe = 3) + "\nORDER BY probe_id, rank"),
 
     "emb_ann_recall" ->
       (AnnEval.recallReportSql(
