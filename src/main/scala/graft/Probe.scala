@@ -75,6 +75,27 @@ object Probe {
       return
     }
 
+    // PageRank curve: `runMain graft.Probe _ genpr=5000000,20000000` —
+    // prices C105's per-iteration O(|E|) equi-join + groupBy(dst) over
+    // a zero-I/O formula digraph (avg degree 10, weights 1..5, ~1/e of
+    // nodes dangling via the hash wrap) at each edge count.
+    if (args.length > 1 && args(1).startsWith("genpr=")) {
+      val sizes = args(1).stripPrefix("genpr=").split(",").map(_.toLong)
+      sizes.foreach { e =>
+        val v = math.max(e / 10, 1)
+        val edges = spark.range(e).selectExpr(
+          s"id % $v AS src",
+          s"(id * 2654435761) % $v AS dst",
+          "1 + id % 5 AS w")
+        val nodes = spark.range(v).select(col("id").as("v"))
+        time(s"pagerank iters=3 edges=$e nodes=$v") {
+          operators.Graph.pagerank(nodes, edges, iters = 3).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Streaming-throughput mode: `runMain graft.Probe _ genstream=2000000:200000`
     // drains a GenSource micro-batch stream of N rows (R rows/batch)
     // through the A12 tumbling-window aggregation into a memory sink —

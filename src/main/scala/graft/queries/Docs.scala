@@ -2351,6 +2351,11 @@ object Docs {
             k = 5, nprobe = 3),
           "pq" -> Pq.annTopK(corpus, probes,
             idCol = "vec_id", vecCol = "embedding", topK = 5),
+          // the composite index's recall compounds IVF routing loss
+          // with ADC quantization loss — graded beside its parents
+          "ivfpq" -> Pq.annTopKIvf(corpus, probes,
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+            topK = 5, nprobe = 3),
           // the learned-codebook tier joined the report once its
           // training loop gained the relational oracle (r10) — the
           // regression gate now grades every deployed ANN tier
@@ -3684,6 +3689,9 @@ object Docs {
           "pq" -> Pq.annTopKSql("embeddings", "vec_id", "embedding",
             corpusPred = "vec_id >= 8", probePred = "vec_id < 8",
             topK = 5),
+          "ivfpq" -> Pq.annTopKIvfSql("embeddings", "vec_id", "embedding",
+            corpusPred = "vec_id >= 8", probePred = "vec_id < 8",
+            topK = 5, nprobe = 3),
           "pq_learned" -> Pq.learnedAnnSql("embeddings", "vec_id",
             "embedding", corpusPred = "vec_id >= 8",
             probePred = "vec_id < 8", topK = 5)))
