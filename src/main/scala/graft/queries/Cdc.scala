@@ -169,6 +169,26 @@ object Cdc {
     // driver row proves the two engines agree on the schema itself, not
     // just on data. Schema work is inherently driver-side metadata
     // (|columns| rows, no data scan).
+    // A43: schema-compatibility gate — grades the SAME source→target
+    // transition A41 plans DDL for, per column: adds are
+    // compat_with_default, drops breaking_consumers, type changes
+    // widening_ok only on the declared widening pairs — and a drop+add
+    // sharing one type is flagged suspected_rename on BOTH rows (the
+    // rename-masquerading-as-drop+add silent-data-loss case a sink
+    // must refuse to auto-apply). Metadata-scale relational logic;
+    // the oracle re-derives the source schema via DESCRIBE.
+    "cdc_schema_compat" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/events.parquet").schema.fields.toSeq
+        .map(f => f.name -> SchemaEvolution.dialectType(f.dataType))
+      val target = src.filterNot(_._1 == "props").map {
+        case ("value", _) => ("value", "DECIMAL(18,2)")
+        case ("user_id", _) => ("user_id", "HUGEINT")
+        case kv => kv
+      } :+ ("masked" -> "VARCHAR")
+      SchemaEvolution.compatReport(s, src, target)
+        .orderBy("change", "col_name")
+    }),
+
     "cdc_ddl_plan" -> ((s, dir) => {
       val src = s.read.parquet(s"$dir/events.parquet").schema.fields.toSeq
         .map(f => f.name -> SchemaEvolution.dialectType(f.dataType))
@@ -972,6 +992,17 @@ object Cdc {
          |       value_e2 AS last_value_e2, ts_us AS last_ts_us
          |FROM ranked WHERE rn = 1
          |ORDER BY user_id""".stripMargin,
+
+    // same A41 target transition, DESCRIBE-derived source schema
+    "cdc_schema_compat" ->
+      (SchemaEvolution.compatReportSql("events",
+        """SELECT column_name,
+          |    CASE WHEN column_name = 'value' THEN 'DECIMAL(18,2)'
+          |         WHEN column_name = 'user_id' THEN 'HUGEINT'
+          |         ELSE column_type END AS column_type
+          |  FROM src WHERE column_name <> 'props'
+          |  UNION ALL SELECT 'masked', 'VARCHAR'""".stripMargin) +
+        "\nORDER BY change, col_name"),
 
     "cdc_ddl_plan" ->
       """WITH src AS (
