@@ -27,6 +27,49 @@ object Analytics {
   /** Staleness bound for the as-of tolerance query: 1 hour in µs. */
   private val asofToleranceUs = 3600000000L
 
+  // B71 profile column sets (shared by the query and its oracle)
+  private val profNumCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val profStrCols = Seq("l_returnflag", "l_linestatus")
+  private val profTsCols = Seq("l_shipdate")
+
+  /** DuckDB mirror of `q_table_profile`: one agg CTE, one report row
+    * per column. Dialect-type strings match SchemaEvolution.dialectType
+    * for the lineitem schema. */
+  private def tableProfileSql: String = {
+    val dt = Map("l_orderkey" -> "BIGINT", "l_partkey" -> "BIGINT",
+      "l_suppkey" -> "BIGINT", "l_linenumber" -> "INTEGER",
+      "l_quantity" -> "DOUBLE", "l_extendedprice" -> "DOUBLE",
+      "l_discount" -> "DOUBLE", "l_tax" -> "DOUBLE",
+      "l_returnflag" -> "VARCHAR", "l_linestatus" -> "VARCHAR",
+      "l_shipdate" -> "TIMESTAMP")
+    def expr(c: String) =
+      if (profTsCols.contains(c)) s"epoch_us($c)" else c
+    val aggCols =
+      (profNumCols ++ profTsCols).map(c =>
+        s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c, " +
+          s"CAST(min(${expr(c)}) AS DOUBLE) AS mn_$c, " +
+          s"CAST(max(${expr(c)}) AS DOUBLE) AS mx_$c") ++
+      profStrCols.map(c =>
+        s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c, " +
+          s"min($c) AS ms_$c, max($c) AS xs_$c")
+    val numRows = (profNumCols ++ profTsCols).map(c =>
+      s"SELECT '$c' AS col_name, '${dt(c)}' AS dtype, n_rows, " +
+        s"n_rows - nn_$c AS n_null, nd_$c AS n_distinct, " +
+        s"mn_$c AS min_num, mx_$c AS max_num, " +
+        "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str " +
+        "FROM a")
+    val strRows = profStrCols.map(c =>
+      s"SELECT '$c', '${dt(c)}', n_rows, n_rows - nn_$c, nd_$c, " +
+        s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ms_$c, xs_$c FROM a")
+    s"""WITH a AS (
+       |  SELECT count(*) AS n_rows,
+       |    ${aggCols.mkString(",\n|    ")}
+       |  FROM lineitem)
+       |${(numRows ++ strRows).mkString("\nUNION ALL\n")}
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Exact interpolated tenth-percentile over a sorted long array `v`
     * with count `n_converted`: pos = (t/10)·(n−1) = k/10 exactly, so
     * the interpolation v[⌊k/10⌋] + (k%10)/10·Δ is the exact integer
@@ -1473,6 +1516,55 @@ object Analytics {
     // ~1e-15 relative, far below round(4)). The `+ 0.0` normalizes IEEE
     // negative zero: DuckDB covar can yield -0.0 where Spark gives 0.0 —
     // equal under SQL `=` but distinct under the driver's string hash.
+    // B71: table profiling — the ANALYZE-equivalent stats report an
+    // optimizer or data catalog collects: per column, row/null counts,
+    // EXACT distinct cardinality, and typed min/max, all in ONE scan
+    // (the multi-distinct Expand is the standard ANALYZE cost; every
+    // other metric partial-aggs map-side to a 1-row frame). min/max
+    // surface as doubles for numeric/timestamp columns — min/max SELECT
+    // existing values, so both engines emit identical bits with no
+    // rounding ladder — and as strings for text columns. The 1-row agg
+    // is checkpointed and fanned into |columns| report rows.
+    "q_table_profile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val numCols = profNumCols
+      val strCols = profStrCols
+      val tsCols = profTsCols
+      def numE(c: String) = col(c).cast("double")
+      // parquet timestamps load as NTZ; the UTC session makes the cast
+      // epoch-preserving, matching DuckDB's epoch_us
+      def tsE(c: String) = unix_micros(col(c).cast("timestamp")).cast("double")
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++
+        (numCols.map(c => (c, numE(c))) ++ tsCols.map(c => (c, tsE(c))))
+          .flatMap { case (c, e) => Seq(
+            count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(e).as(s"mn_$c"), max(e).as(s"mx_$c")) } ++
+        strCols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).as(s"ms_$c"), max(col(c)).as(s"xs_$c")))
+      val row = li.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      val dt = li.schema.fields
+        .map(f => f.name -> graft.cdc.SchemaEvolution.dialectType(f.dataType))
+        .toMap
+      val parts = (numCols ++ tsCols).map(c => row.select(
+          lit(c).as("col_name"), lit(dt(c)).as("dtype"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_null"),
+          col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))) ++
+        strCols.map(c => row.select(
+          lit(c).as("col_name"), lit(dt(c)).as("dtype"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_null"),
+          col(s"nd_$c").as("n_distinct"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col(s"ms_$c").as("min_str"), col(s"xs_$c").as("max_str")))
+      parts.reduce(_ unionAll _).orderBy("col_name")
+    }),
+
     // B69: exact per-group OLS trend — slope/intercept of daily event
     // volume per type, the drift detector a metrics pipeline runs.
     // Closed-form least squares over (day, count) points kept as exact
@@ -2539,6 +2631,8 @@ object Analytics {
         |    AS mad_cents
         |FROM base b JOIN med m USING (segment)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_table_profile" -> tableProfileSql,
 
     // same integer moment sums and sign-split half-away e6 ladder
     "q_ols_trend" ->
