@@ -44,6 +44,7 @@ object PlanAudit {
     "doc_dup_triangles", // 1-row n_edges × 1-row n_nodes summary crossJoin (Graph.triangles)
     "doc_source_pagerank", // 1-row dangling-mass × 1-row |V| broadcast per PR iteration (Graph.pagerank)
     "doc_prefix_jaccard", // 1-row max-posting guard broadcast (PrefixJoin fail-fast, the Similarity.neardupPairs shape)
+    "q_table_profile", // 1-row per-column ndv × 1-row stats-frame joins (B71 report assembly)
     "doc_vocab_drift", // 1-row per-side token-total broadcast (Drift.scala:54)
     "emb_knn_classify", // wraps annTopK's broadcast ≤8-row probe set
     "emb_hard_negatives", // same broadcast ≤8-row probe shape

@@ -74,6 +74,14 @@ object SummaryRouting {
       em.extraOptimizations = em.extraOptimizations :+ SummaryRoutingRule(spark)
   }
 
+  /** Take the route offline — REQUIRED before rebuilding its summary:
+    * with the route live, the summary-building aggregate (same keys,
+    * same partials, bare base scan) is itself a covered shape and would
+    * be rewritten to read the artifact it is about to overwrite. A
+    * refresh job deregisters, rebuilds, re-registers — exactly the
+    * offline window a materialized-view refresh has anyway. */
+  def deregister(baseDir: String): Unit = routes.remove(norm(baseDir))
+
   def clear(): Unit = routes.clear()
 }
 

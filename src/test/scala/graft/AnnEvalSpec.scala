@@ -33,13 +33,13 @@ class AnnEvalSpec extends SparkSpec {
     }
   }
 
-  test("emb_ann_recall reports all four methods for every probe") {
+  test("emb_ann_recall reports every deployed tier for every probe") {
     val out = Docs.queries("emb_ann_recall")(spark, sfDir).collect()
     val methods = out.map(_.getAs[String]("method")).toSet
-    assert(methods == Set("lsh", "ivf", "pq", "pq_learned"))
+    assert(methods == Set("lsh", "ivf", "pq", "ivfpq", "pq_learned"))
     val probes = out.map(_.getAs[Long]("probe_id")).toSet
-    // 8 probes x 4 methods, every pair present
-    assert(out.length == probes.size * 4)
+    // 8 probes x 5 methods, every pair present
+    assert(out.length == probes.size * 5)
     out.foreach { r =>
       val recall = r.getAs[Double]("recall")
       assert(recall >= 0.0 && recall <= 1.0)

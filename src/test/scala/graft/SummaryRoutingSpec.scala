@@ -76,6 +76,18 @@ class SummaryRoutingSpec extends SparkSpec {
     assert(agg.agg(sum(col("n"))).collect().head.getLong(0) === 60L)
   }
 
+  test("summary rebuild under a live route does not read itself") {
+    // the q_summary_route query fn registers a route and REBUILDS the
+    // summary on every invocation; without the deregister-first refresh
+    // window, invocation 2's summary-building aggregate is itself a
+    // covered shape and reads the artifact it just deleted
+    val q = graft.queries.Analytics.queries("q_summary_route")
+    val first = q(spark, sfDir).collect()
+    val second = q(spark, sfDir).collect()
+    assert(first.toSeq === second.toSeq)
+    assert(first.nonEmpty)
+  }
+
   test("uncovered shapes refuse to route (base scan answers)") {
     registered()
     def readsBase(df: org.apache.spark.sql.DataFrame): Unit = {
