@@ -53,12 +53,19 @@ object PrefixJoin {
                    maxPosting: Long = DefaultMaxPosting): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       "need a threshold in (0, 1]")
+    // the (doc, shingle) frame feeds five consumers (df, sizes, prefix,
+    // both verify sides) — materialize once instead of re-shingling the
+    // corpus per consumer (the temp table a real run would stage; the
+    // remaining cost is the verify re-join's Σ_pairs|A| rows, the price
+    // of string-exact intersection counts vs C4's hashed-set shortcut)
     val tok = docs
       .select(col(idCol).as("doc_id"),
         explode(MinHash.shingles(col(textCol), n)).as("token"))
       .distinct()
+      .localCheckpoint()
     val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint()
     val pos = row_number().over(
       Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token")))
     // prefix length |A| − ⌈t·|A|⌉ + 1, ceil as (tNum·s + tDen − 1) div tDen
