@@ -203,6 +203,44 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("C105 pagerank: total shuffled rows stay at iters·(|E|+|V|) scale") {
+    // pagerank materializes each iteration (localCheckpoint), so its
+    // exchanges never appear in one final plan — measure them across
+    // ALL jobs with a listener instead: the §5 claim is one O(|E|)
+    // rank⋈edges shuffle plus O(|V|)-scale agg/rank frames per round,
+    // so total shuffle WRITE records across the whole run must stay
+    // within a small multiple of iters·(|E| + |V|)·maps-fan-in — an
+    // all-pairs or replicated-join regression blows this bound up.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val e = 200000L
+    val v = 20000L
+    val edges = spark.range(e).selectExpr(s"id % $v AS src",
+      s"(id * 2654435761) % $v AS dst", "1 + id % 5 AS w")
+    val nodes = spark.range(v).select(col("id").as("v"))
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          written.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = operators.Graph.pagerank(nodes, edges, iters = 3).count()
+      assert(n === v)
+    } finally {
+      // listener events are async — give the bus a beat to drain
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val total = written.get()
+    val bound = 3L * (e + 6 * v) * 2
+    info(s"pagerank shuffle-write records: $total (bound $bound)")
+    assert(total > 0, "listener saw no shuffle writes")
+    assert(total <= bound,
+      s"pagerank shuffled $total rows > bound $bound — an exchange " +
+        "is no longer at |E|/|V| scale")
+  }
+
   test("B68 summary routing: the routed aggregate reads summary-scale rows") {
     // the routing promise, measured from file-scan metrics: after the
     // rule fires, the aggregate's scan delivers |summary| rows (the
