@@ -25,10 +25,12 @@ object Docs {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
-  private val langHitsSql: String = Text.stopwords.map { case (lang, words) =>
-    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($arr, t)))::BIGINT AS hits_$lang"
-  }.mkString(",\n|       ")
+  private def langHitsSqlOn(texpr: String): String =
+    Text.stopwords.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(lower($texpr), ' '), t -> list_contains($arr, t)))::BIGINT AS hits_$lang"
+    }.mkString(",\n|       ")
+  private val langHitsSql: String = langHitsSqlOn("text")
 
   /** Split spec / stratified-mix rates / decontamination + repetition
     * thresholds shared by the Spark plans AND the generated oracle SQL
@@ -1911,6 +1913,45 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C108: mixed-language screen — per-doc language CONSISTENCY, the
+    // multilingual-contamination filter C8's whole-doc vote can't see
+    // (a half-en/half-fr doc gets one confident label): re-run the C8
+    // stopword argmax per 40-word CHUNK, then per doc report chunk
+    // count, distinct predicted languages, the majority language
+    // (count desc, lang asc tiebreak — B67's argmax contract), and the
+    // mixed flag. Chunking + per-chunk hits are scan-local (one
+    // posexplode, no shuffle until the per-doc agg); state is
+    // O(|docs|·|langs|).
+    "doc_lang_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 40
+      val hits = Text.langHitCols(col("__hits"))
+      val chunks = Tables.documents(s, dir)
+        .withColumn("__t", split(col("text"), " "))
+        .withColumn("__nc", expr(s"((size(__t) - 1) div $W) + 1"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("__nc") - 1)).as("__i"),
+          col("__t"))
+        .withColumn("__ctext",
+          concat_ws(" ", expr(s"slice(__t, __i * $W + 1, $W)")))
+        .withColumn("__hits", Text.allLangHits(col("__ctext")))
+        .withColumn("pred", Text.predictLang(hits))
+      val perLang = chunks.groupBy("doc_id", "pred")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col("pred"))
+      val majority = perLang.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("doc_id"), col("pred").as("majority_lang"))
+      perLang.groupBy("doc_id")
+        .agg(sum(col("n")).as("n_chunks"),
+          count(lit(1)).as("n_langs"))
+        .join(majority, "doc_id")
+        .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+          col("majority_lang"), (col("n_langs") > 1).as("is_mixed"))
+        .orderBy("doc_id")
+    }),
+
     // C8 extension: label-vs-prediction confusion matrix — scan-local
     // prediction, then one tiny (≤|langs|²-row) aggregation.
     "doc_lang_confusion" -> ((s, dir) => {
@@ -3434,6 +3475,43 @@ object Docs {
         |  FROM s)
         |SELECT probe_id, rank, neighbor_id, round(cos_raw, 4) AS cos_sim
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // same chunking, per-chunk hits and argmax, majority tiebreak
+    "doc_lang_mix" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    array_to_string(w[i * 40 + 1 : i * 40 + 40], ' ') AS ctext
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(((len(w) - 1) // 40) + 1)) AS i
+        |        FROM t) u),
+        |h AS (
+        |  SELECT doc_id,
+        |       ${langHitsSqlOn("ctext")}
+        |  FROM ch),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |         WHEN hits_es >= hits_fr THEN 'es'
+        |         ELSE 'fr' END AS pred
+        |  FROM h),
+        |cl AS (SELECT doc_id, pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |m AS (
+        |  SELECT doc_id, pred AS majority_lang FROM (
+        |    SELECT doc_id, pred,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY n DESC, pred) AS rn
+        |    FROM cl) r WHERE rn = 1),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+        |         count(*) AS n_langs
+        |  FROM cl GROUP BY 1)
+        |SELECT a.doc_id, a.n_chunks, a.n_langs, m.majority_lang,
+        |       a.n_langs > 1 AS is_mixed
+        |FROM a JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_lang_id" ->
       s"""WITH h AS (
