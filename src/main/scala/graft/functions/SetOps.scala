@@ -18,6 +18,10 @@ object SetOps {
   def shingleHashes(text: Column, n: Int): Column =
     GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(text), n))
 
+  /** Distinct word n-gram shingle strings (one compiled pass). */
+  def shingleStrings(text: Column, n: Int): Column =
+    GraftSqlBridge.column(ShingleStrings(GraftSqlBridge.expression(text), n))
+
   /** One 32-bit simhash half over a token array (one compiled pass). */
   def simHashHalf(tokens: Column, byteOffset: Int): Column =
     GraftSqlBridge.column(SimHashHalf(GraftSqlBridge.expression(tokens), byteOffset))

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus the decode /
   * feature-extract plumbing a training-data pipeline needs.
   *
-  * AUDIO decode is REAL: [[WavCodec]] (Wav.scala) is a pure-JVM
-  * RIFF/WAVE container parser driven through this seam — see
-  * `media_wav_roundtrip` for the cross-engine losslessness proof.
-  * Image/video codecs are NOT available in this environment, so for
-  * those [[decodeFeatures]] defaults to a deterministic byte-histogram
-  * stand-in — clearly marked below. Everything around the codec is the
+  * AUDIO and IMAGE decode are REAL: [[WavCodec]] (Wav.scala) is a
+  * pure-JVM RIFF/WAVE container parser and [[BmpCodec]] (Bmp.scala) a
+  * pure-JVM 24-bit BMP parser, both driven through this seam — see
+  * `media_wav_roundtrip` / `media_bmp_roundtrip` for the cross-engine
+  * losslessness proofs. Video codecs are NOT available in this
+  * environment, so [[decodeFeatures]] defaults to a deterministic
+  * byte-histogram stand-in — clearly marked below. Everything around
+  * the codec is the
   * real production shape: binary column + metadata struct schema,
   * per-partition batched iteration (how a JNI/codec library is driven —
   * one codec init per partition, streamed records), and expression-level
@@ -25,11 +27,13 @@ import org.apache.spark.sql.functions._
   * serializable (they ship to executors) and deterministic per input if
   * downstream dedup relies on the features.
   *
-  * The container has no real image/audio codecs, so the shipped impl is
-  * [[ByteHistogramCodec]] — a clearly-marked deterministic stand-in. A
-  * real decoder (JPEG → pixel stats, PCM → spectrogram, …) is a drop-in:
-  * implement the trait, pass it to decodeFeatures; none of the Spark
-  * plumbing (schema, batching, partitioning) changes. */
+  * The container has no real video codecs, so the DEFAULT impl is
+  * [[ByteHistogramCodec]] — a clearly-marked deterministic stand-in.
+  * [[WavCodec]] and [[BmpCodec]] are real drop-in parsers proving the
+  * seam; a further decoder (JPEG → pixel stats, H.264 → frame stats, …)
+  * is the same shape: implement the trait, pass it to decodeFeatures;
+  * none of the Spark plumbing (schema, batching, partitioning)
+  * changes. */
 trait MediaCodec extends Serializable {
   /** Per-partition initialization — codec contexts, JNI handles. */
   def open(): Unit = ()
@@ -88,6 +92,20 @@ object Media {
 
   /** Content digest — dedup key for binary payloads (codegen'd). */
   def contentDigest(content: org.apache.spark.sql.Column) = sha2(content, 256)
+
+  /** Engine-boundary form of a float32 feature vector: csv of
+    * `floor(f · 2⁴⁸)` per component. The power-of-two scale is an
+    * exponent shift — exact in double, no rounding anywhere — so each
+    * integer captures the full float32 significand (any 1-ulp decode
+    * divergence changes it), and integers stringify identically in
+    * Spark and DuckDB where raw float formatting would not. This is the
+    * SURVEY §6 array rule applied to float payloads: never hand the
+    * driver comparator a top-level array or an engine-formatted float.
+    * Features are normalized to [0, 1), so the scaled value fits a
+    * BIGINT with room to spare. */
+  def featuresCsv(features: Column): Column =
+    concat_ws(",", transform(features,
+      f => floor(f.cast("double") * lit(281474976710656L)).cast("string")))
 
   /** First-bytes header in hex — format sniffing (magic numbers). */
   def headerHex(content: org.apache.spark.sql.Column, n: Int = 8) =

@@ -109,6 +109,11 @@ object WavCodec extends MediaCodec {
     while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
       val t = tag(bytes, off)
       val sz = u32(bytes, off + 4).toInt
+      // a corrupt declared size (negative after .toInt, or past EOF)
+      // must throw to the DLQ path, not stall the walk (advancing by
+      // `8 + sz + (sz & 1)` with sz < 0 loops forever)
+      require(sz >= 0 && off + 8 + sz <= bytes.length,
+        s"bad chunk size $sz at offset $off")
       if (t == "fmt ") {
         require(u16(bytes, off + 8) == 1, "not PCM")
         require(u16(bytes, off + 10) == 1, "not mono")

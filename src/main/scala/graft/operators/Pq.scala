@@ -263,12 +263,32 @@ object Pq {
                  vecCol: String, labelCol: String, topK: Int,
                  nprobe: Int, numSub: Int = 16, k: Int = 16,
                  subDim: Int = 4, codebook: Codebook = null): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
     val codes = encode(corpus.withColumn("__list",
         col(labelCol).cast("long")),
       idCol, vecCol, numSub, k, subDim, cb, keep = Seq("__list"))
-    val cent = AnnIvf.centroids(corpus, labelCol, vecCol)
+    searchCodesIvf(codes, AnnIvf.centroids(corpus, labelCol, vecCol),
+      probes, idCol, vecCol, topK, nprobe, numSub, k, subDim, cb)
+  }
+
+  /** IVF-routed ADC search over a PRE-ENCODED codes frame — the
+    * build-once / search-many half of the COMPOSITE index lifecycle
+    * ([[searchCodesIvf]] is to [[annTopKIvf]] what [[searchCodes]] is
+    * to [[annTopK]]). `codes` must carry its IVF list id in `__list`
+    * (what [[encode]]'s `keep` preserved at build time); `cent` is the
+    * coarse-quantizer centroid frame shipped with the artifact. The
+    * 100 TB point: persist the codes HIVE-PARTITIONED BY the list id
+    * (`emb_index_ivf_roundtrip` does exactly that) and the routing
+    * equi-join touches only the selected lists — with a literal list
+    * filter, partition pruning does the routing's I/O (the
+    * PartitionFilters pin in PushdownSpec). */
+  def searchCodesIvf(codes: DataFrame, cent: DataFrame, probes: DataFrame,
+                     idCol: String, vecCol: String, topK: Int,
+                     nprobe: Int, numSub: Int = 16, k: Int = 16,
+                     subDim: Int = 4,
+                     codebook: Codebook = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = Option(codebook).getOrElse(formulaCodebook(numSub, subDim))
     val tables = (0 until numSub).map { s =>
       array(subScores(col(vecCol), numSub, k, subDim, s, cb)
         .map(sc => (sc * 1e9).cast("decimal(38,0)").cast("long")): _*)

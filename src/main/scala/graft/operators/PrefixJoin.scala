@@ -26,10 +26,18 @@ import org.apache.spark.sql.functions._
   * Scale shape: tokenize + distinct is scan-local into one
   * (doc_id, token) shuffle; df/size are map-side-combined aggs; the
   * candidate join is an equi-join on prefix tokens (≈(1−t)·Σ|doc|
-  * rows); verification re-joins only CANDIDATE pairs against the token
-  * frame (Σ_pairs |A| rows, pairs deduped first — the doc_fuzzy_match
-  * lesson), with exact integer threshold arithmetic
-  * `tDen·inter ≥ tNum·(|A|+|B|−inter)`. A 1-row max-posting guard
+  * rows); verification joins each CANDIDATE pair (deduped first — the
+  * doc_fuzzy_match lesson) to two per-doc sorted-distinct xxhash64
+  * shingle arrays and counts the intersection with the codegen'd
+  * sorted-merge kernel ([[graft.functions.SortedIntersectCount]]) —
+  * 8 B/element array payloads on two pair-sized equi-joins instead of
+  * re-shuffling Σ_pairs|A| token rows (measured 9.6 s → the r11 cut at
+  * sf0.1), with exact integer threshold arithmetic
+  * `tDen·inter ≥ tNum·(|A|+|B|−inter)`. Hash-collision risk is the
+  * 64-bit birthday bound within one pair's union (≲ |A∪B|²/2⁶⁵ ≈ 1e-14
+  * per pair) — documented, and continuously CERTIFIED: the DuckDB
+  * oracle keeps the string-exact intersection, so driver parity fails
+  * the round if a collision ever changes a count. A 1-row max-posting guard
   * (assert_true, the Similarity.neardupPairs treatment) fails fast if
   * a prefix posting exceeds `maxPosting` — a cap can't silently DROP
   * tokens here, that would break the lossless contract, so the guard
@@ -53,27 +61,32 @@ object PrefixJoin {
                    maxPosting: Long = DefaultMaxPosting): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       "need a threshold in (0, 1]")
-    // the (doc, shingle) frame feeds five consumers (df, sizes, prefix,
-    // both verify sides) — materialize once instead of re-shingling the
-    // corpus per consumer (the temp table a real run would stage; the
-    // remaining cost is the verify re-join's Σ_pairs|A| rows, the price
-    // of string-exact intersection counts vs C4's hashed-set shortcut)
+    // the (doc, shingle) frame feeds four consumers (df, sizes, prefix,
+    // the per-doc hash arrays) — materialize once instead of
+    // re-shingling the corpus per consumer (the temp table a real run
+    // would stage)
+    // compiled shingle pass; per-doc distinct inside the expression
+    // makes (doc_id, token) globally distinct already — NO dedup
+    // shuffle (the HOF + distinct() form measured 4.9 s warm at sf0.1
+    // for this stage alone; this is ~0.5 s)
     val tok = docs
       .select(col(idCol).as("doc_id"),
-        explode(MinHash.shingles(col(textCol), n)).as("token"))
-      .distinct()
+        explode(graft.functions.SetOps.shingleStrings(col(textCol), n))
+          .as("token"))
       .localCheckpoint()
     val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      .localCheckpoint()
     val pos = row_number().over(
       Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token")))
     // prefix length |A| − ⌈t·|A|⌉ + 1, ceil as (tNum·s + tDen − 1) div tDen
+    // staged once: the prefix frame feeds the guard and BOTH self-join
+    // sides — without it each consumer re-runs the df-join + window
     val pref = tok.join(freq, "token").join(sz, "doc_id")
       .withColumn("__pos", pos)
       .where(col("__pos") <=
         col("sz") - expr(s"($tNum * sz + $tDen - 1) div $tDen") + 1)
       .select(col("doc_id"), col("token"))
+      .localCheckpoint()
     val guard = pref.groupBy("token").agg(count(lit(1)).as("__p"))
       .agg(coalesce(max(col("__p")), lit(0L)).as("__maxp"))
       .select(assert_true(col("__maxp") <= maxPosting,
@@ -93,16 +106,24 @@ object PrefixJoin {
       // through column pruning
       .where(col("__guard").isNull)
       .select(col("doc_a"), col("doc_b"))
+    // per-doc sorted-distinct hash form of the shingle set: one groupBy
+    // over the staged token frame (8 B/element from here on)
+    val arr = tok.groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("token")))).as("h"))
+    // sizes ride the hash arrays (|A| = array length — same value the
+    // sz agg computes, bar the documented 64-bit collision bound), so
+    // the verify stage is exactly two pair-sized equi-joins
     val inter = cand
-      .join(tok.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
-      .join(tok.select(col("doc_id").as("doc_b"), col("token")),
-        Seq("doc_b", "token"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
+      .join(arr.select(col("doc_id").as("doc_a"), col("h").as("ha")),
         "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("size_b")),
+      .join(arr.select(col("doc_id").as("doc_b"), col("h").as("hb")),
         "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.SetOps.sortedIntersectCount(
+          col("ha"), col("hb")).as("inter"),
+        size(col("ha")).cast("long").as("size_a"),
+        size(col("hb")).cast("long").as("size_b"))
+    inter
       .where(lit(tDen.toLong) * col("inter") >=
         lit(tNum.toLong) * (col("size_a") + col("size_b") - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("inter"),

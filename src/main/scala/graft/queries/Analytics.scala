@@ -77,13 +77,19 @@ object Analytics {
     * with ONE final /10.0 (same IEEE division both engines — immune to
     * the engine-native percentile's ulp divergence at large
     * magnitudes). The idx+2 access is guarded by least(·, n): its
-    * coefficient rem is 0 exactly when it would fall off the end. */
+    * coefficient rem is 0 exactly when it would fall off the end. The
+    * whole expression is guarded by n > 0 (NULL otherwise, matching
+    * DuckDB's NULL-list indexing): with an EMPTY group idx goes
+    * negative and element_at would throw, and the negative div/`//`
+    * operands diverge between engines. */
   private def pctE1(t: Int): Column = {
     val n = col("n_converted")
     val idx = expr(s"((n_converted - 1) * $t) div 10")
     val rem = ((n - lit(1L)) * lit(t.toLong)) % lit(10L)
-    (element_at(col("v"), (idx + 1).cast("int")) * (lit(10L) - rem)
-      + element_at(col("v"), least(idx + 2, n).cast("int")) * rem) / lit(10.0)
+    when(n > 0,
+      (element_at(col("v"), (idx + 1).cast("int")) * (lit(10L) - rem)
+        + element_at(col("v"), least(idx + 2, n).cast("int")) * rem)
+        / lit(10.0))
   }
 
   private val discPriceSql =
@@ -278,19 +284,71 @@ object Analytics {
         aggs = Map(("count", "*") -> "cnt",
           ("max", "o_totalprice") -> "max_tp",
           ("min", "o_totalprice") -> "min_tp")))
-      val routed = Tables.orders(s, dir)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"),
-          max(col("o_totalprice")).as("max_price"),
-          min(col("o_totalprice")).as("min_price"))
-        .orderBy("o_orderpriority")
-      val scans = routed.queryExecution.executedPlan.collectLeaves()
-        .map(_.toString).mkString("\n")
-      require(scans.contains("orders_summary"),
-        "summary route did not fire: aggregate still reads the base scan")
-      require(!scans.contains("orders.parquet"),
-        "summary route left a base-table scan in the plan")
-      routed
+      try {
+        val routed = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            max(col("o_totalprice")).as("max_price"),
+            min(col("o_totalprice")).as("min_price"))
+          .orderBy("o_orderpriority")
+        val scans = routed.queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).mkString("\n")
+        require(scans.contains("orders_summary"),
+          "summary route did not fire: aggregate still reads the base scan")
+        require(!scans.contains("orders.parquet"),
+          "summary route left a base-table scan in the plan")
+        // materialize THROUGH the routed plan, then drop the route: a
+        // process-global route left live would silently serve any later
+        // covered aggregate over the same base path from the scratch
+        // artifact (stale-result hazard once the base changes)
+        routed.localCheckpoint()
+      } finally SummaryRouting.deregister(base)
+    }),
+
+    // B70: runtime bloom-filter semi-join reduction, driver-graded —
+    // Catalyst builds a bloom filter from the hard-filtered dim side
+    // and injects might_contain on the FACT scan, discarding
+    // non-joining fact rows BEFORE the shuffle (the engine lever for
+    // selective fact⋈dim joins at 100 TB, where the dim no longer
+    // broadcasts; keeping join plans declarative is what makes it
+    // available). Production size thresholds are scaled down so the
+    // injection admits local-test data; the in-plan require (the
+    // q_summary_route discipline) FAILS the row if the executed plan
+    // lacks the filter, and the result materializes UNDER the bloom
+    // plan via localCheckpoint before the confs are restored. Oracle =
+    // the plain join aggregate, so driver parity proves the reduction
+    // never changes results.
+    "q_bloom_join" -> ((s, dir) => {
+      val forced = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        // bloom reduction targets SHUFFLE joins; at 100 TB this dim
+        // wouldn't broadcast, so model that join shape
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = forced.map { case (k, _) =>
+        k -> scala.util.Try(s.conf.get(k)).toOption }
+      forced.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+              .where(col("o_orderpriority") === "1-URGENT"
+                && col("o_totalprice") > 200000),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sumFixed(col("l_quantity").cast("decimal(18,2)"), 2)
+              .as("sum_qty_e2"))
+          .orderBy("o_orderpriority")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("might_contain")
+            && plan.contains("bloom_filter_agg"),
+          "runtime bloom-filter reduction did not fire on the fact scan")
+        df.localCheckpoint()
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }),
 
     // B11: rollup / grouping sets with subtotal rows. NOT a direct
@@ -1929,6 +1987,15 @@ object Analytics {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // the PLAIN join aggregate: parity proves the bloom reduction is
+    // result-invisible
+    "q_bloom_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+        |  ${sumFixedSql("CAST(l_quantity AS DECIMAL(18,2))", 2)} AS sum_qty_e2
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_rollup" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -2370,12 +2437,14 @@ object Analytics {
         |         max(purchase_ts - view_ts) AS max_us
         |  FROM fp)
         |SELECT n AS n_converted,
+        |  CASE WHEN n > 0 THEN
         |  (v[CAST(((n - 1) * 5) // 10 AS INTEGER) + 1] * (10 - ((n - 1) * 5) % 10)
         |   + v[CAST(least(((n - 1) * 5) // 10 + 2, n) AS INTEGER)]
-        |     * (((n - 1) * 5) % 10)) / 10.0 AS p50_us,
+        |     * (((n - 1) * 5) % 10)) / 10.0 END AS p50_us,
+        |  CASE WHEN n > 0 THEN
         |  (v[CAST(((n - 1) * 9) // 10 AS INTEGER) + 1] * (10 - ((n - 1) * 9) % 10)
         |   + v[CAST(least(((n - 1) * 9) // 10 + 2, n) AS INTEGER)]
-        |     * (((n - 1) * 9) % 10)) / 10.0 AS p90_us,
+        |     * (((n - 1) * 9) % 10)) / 10.0 END AS p90_us,
         |  max_us
         |FROM a""".stripMargin,
 

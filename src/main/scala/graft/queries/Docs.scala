@@ -1367,6 +1367,31 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
+    // C107 (persistence side): the COMPOSITE index artifact on disk —
+    // IVF-PQ codes written HIVE-PARTITIONED BY the list id, reloaded,
+    // and searched through the same routing join. At 100 TB this
+    // layout is the point of the composite index: the list directories
+    // ARE the inverted lists, so a probe's nprobe-list search prunes
+    // to nprobe directories at the SCAN (PushdownSpec pins the
+    // PartitionFilters on a literal one-probe search) and the reload
+    // reads 16 code bytes/vector, never the fat embeddings. Output ≡
+    // emb_ann_ivfpq (same oracle): the partitioned round-trip must be
+    // invisible to the search result.
+    "emb_index_ivf_roundtrip" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.where(col("vec_id") >= 8)
+      val indexDir = CdcQ.freshScratch(dir, "ivfpq_codes_index")
+      Pq.encode(corpus.withColumn("__list", col("label").cast("long")),
+          "vec_id", "embedding", keep = Seq("__list"))
+        .write.partitionBy("__list").mode("overwrite").parquet(indexDir)
+      Pq.searchCodesIvf(
+        codes = s.read.parquet(indexDir),
+        cent = graft.operators.AnnIvf.centroids(corpus, "label", "embedding"),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", topK = 5, nprobe = 3)
+        .orderBy("probe_id", "rank")
+    }),
+
     // C66b: retrieve-then-refine — PQ-ADC shortlists 20 candidates
     // over codes alone, then only those 20·|probes| rows re-join their
     // full-width vectors for an exact-L2 rerank to top-5. At 100 TB
@@ -2341,7 +2366,13 @@ object Docs {
     // a hash match proves encoder and parser are mutually lossless —
     // any offset/endianness/chunk-walk bug changes the decoded samples
     // and the row stops matching. One modality's decode is no longer a
-    // stub; image/video stay behind the documented ByteHistogramCodec.
+    // stub; video stays behind the documented ByteHistogramCodec.
+    // Output contract: the float32 features cross the engine boundary
+    // as a csv of floor(f·2^48) — a power-of-two scale is an exponent
+    // shift (exact in double, no rounding), so the integers capture
+    // every feature bit-losslessly and stringify identically in both
+    // engines (the SURVEY §6 r3 array rule + the float-formatting rule:
+    // never ship raw arrays or engine-formatted floats to the driver).
     "media_wav_roundtrip" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.{Wav, WavCodec}
@@ -2349,7 +2380,32 @@ object Docs {
         .map(id => (id, "audio", Wav.synth(id)))
         .toDF("media_id", "kind", "content")
       graft.multimodal.Media.decodeFeatures(media, dim = 8, codec = WavCodec)
-        .select(col("media_id"), col("n_bytes"), col("features"))
+        .select(col("media_id"), col("n_bytes"),
+          graft.multimodal.Media.featuresCsv(col("features"))
+            .as("features_csv"))
+        .orderBy("media_id")
+    }),
+
+    // C12c: second REAL image codec round-trip — Bmp.synth builds VALID
+    // 24-bit BMP payloads (bottom-up row order, 4-byte row padding, and
+    // a junk gap before the pixel array addressed only through the
+    // header's bfOffBits — three independent ways a fixed-offset or
+    // top-down "parser" silently decodes wrong pixels) from a pure
+    // integer function of the id; BmpCodec REALLY parses them through
+    // the production mapPartitions codec seam. The oracle re-derives
+    // the per-window mean-intensity features from the pixel FORMULA in
+    // logical raster order, so a hash match proves the encoder and the
+    // parser agree on byte layout, row direction, and stride.
+    "media_bmp_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Bmp, BmpCodec}
+      val media = s.range(0, 500).as[Long]
+        .map(id => (id, "image", Bmp.synth(id)))
+        .toDF("media_id", "kind", "content")
+      graft.multimodal.Media.decodeFeatures(media, dim = 8, codec = BmpCodec)
+        .select(col("media_id"), col("n_bytes"),
+          graft.multimodal.Media.featuresCsv(col("features"))
+            .as("features_csv"))
         .orderBy("media_id")
     }),
 
@@ -3757,6 +3813,13 @@ object Docs {
         corpusPred = "vec_id >= 8", probePred = "vec_id < 8",
         topK = 5, nprobe = 3) + "\nORDER BY probe_id, rank"),
 
+    // identical relation to emb_ann_ivfpq: the list-partitioned
+    // artifact round-trip must be invisible to the search result
+    "emb_index_ivf_roundtrip" ->
+      (Pq.annTopKIvfSql("embeddings", "vec_id", "embedding",
+        corpusPred = "vec_id >= 8", probePred = "vec_id < 8",
+        topK = 5, nprobe = 3) + "\nORDER BY probe_id, rank"),
+
     "emb_ann_recall" ->
       (AnnEval.recallReportSql(
         AnnEval.exactTopKSql("embeddings", probeMaxId = 8, k = 5),
@@ -3811,7 +3874,10 @@ object Docs {
 
     // formula-side re-derivation of the decoded WAV features: windows,
     // integer |sample| sums, and the single DOUBLE→REAL division mirror
-    // WavCodec.decode exactly; n_bytes mirrors Wav.fileLen
+    // WavCodec.decode exactly; n_bytes mirrors Wav.fileLen. Features
+    // cross the engine boundary as floor(f·2^48) integers csv-joined
+    // (exponent shift — exact; see Media.featuresCsv), never as raw
+    // float arrays the driver comparator cannot hash.
     "media_wav_roundtrip" ->
       """WITH m AS (
         |  SELECT i AS media_id, CAST(256 + i % 256 AS INTEGER) AS n,
@@ -3829,11 +3895,52 @@ object Docs {
         |  FROM s GROUP BY 1, 2),
         |feats AS (
         |  SELECT media_id,
-        |         list(CAST(sa / (c * 32768.0) AS REAL) ORDER BY w) AS features
+        |         array_to_string(list(
+        |           CAST(floor(CAST(CAST(sa / (c * 32768.0) AS REAL) AS DOUBLE)
+        |                * 281474976710656) AS BIGINT) ORDER BY w), ',')
+        |           AS features_csv
         |  FROM wf GROUP BY media_id)
         |SELECT m.media_id,
         |       CAST(12 + 8 + junk + 24 + 8 + 2 * n AS BIGINT) AS n_bytes,
-        |       features
+        |       features_csv
+        |FROM m JOIN feats USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // formula-side re-derivation of the decoded BMP features in LOGICAL
+    // raster order (p = y·w + x): the synth stores rows bottom-up with
+    // 4-byte padding behind a bfOffBits gap, so a stride/row-direction/
+    // offset bug in the parser changes the decoded pixels and the hash
+    // stops matching; n_bytes mirrors Bmp.fileLen
+    "media_bmp_roundtrip" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |         CAST(8 + i % 9 AS BIGINT) AS w,
+        |         CAST(4 + i % 5 AS BIGINT) AS h,
+        |         CAST(i % 8 AS BIGINT) AS gap
+        |  FROM generate_series(0, 499) t(i)),
+        |ps AS (
+        |  SELECT media_id, w, h, unnest(range(w * h)) AS p FROM m),
+        |s AS (
+        |  SELECT media_id, CAST((p * 8) // (w * h) AS INTEGER) AS win,
+        |         (media_id * 7 + p * 3) % 256
+        |           + (media_id * 7 + p * 3 + 11) % 256
+        |           + (media_id * 7 + p * 3 + 22) % 256 AS a
+        |  FROM ps),
+        |wf AS (
+        |  SELECT media_id, win, CAST(sum(a) AS DOUBLE) AS sa,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM s GROUP BY 1, 2),
+        |feats AS (
+        |  SELECT media_id,
+        |         array_to_string(list(
+        |           CAST(floor(CAST(CAST(sa / (c * 765.0) AS REAL) AS DOUBLE)
+        |                * 281474976710656) AS BIGINT) ORDER BY win), ',')
+        |           AS features_csv
+        |  FROM wf GROUP BY media_id)
+        |SELECT m.media_id,
+        |       CAST(14 + 40 + gap + h * ((3 * w + 3) // 4 * 4) AS BIGINT)
+        |         AS n_bytes,
+        |       features_csv
         |FROM m JOIN feats USING (media_id)
         |ORDER BY media_id""".stripMargin,
 

@@ -30,6 +30,21 @@ class KernelSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("ShingleStrings == array_distinct of the declarative shingle HOF") {
+    val diff = docs.where(
+      graft.functions.SetOps.shingleStrings(col("text"), 3)
+        =!= MinHash.shingles(col("text"), 3)).count()
+    assert(diff === 0)
+    // edge rows the corpus may not cover: short text, trailing blanks
+    val edge = spark.createDataFrame(Seq(
+      (1L, "a b"), (2L, ""), (3L, "a b c"), (4L, "x y z  "),
+      (5L, "a a a a a"))).toDF("id", "text")
+    val ediff = edge.where(
+      graft.functions.SetOps.shingleStrings(col("text"), 3)
+        =!= MinHash.shingles(col("text"), 3)).count()
+    assert(ediff === 0)
+  }
+
   test("WinnowFingerprints == declarative window-min over positional gram hashes") {
     val grams = expr(
       "transform(sequence(1, size(__t) - 2), i -> " +

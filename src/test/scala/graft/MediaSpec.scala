@@ -145,5 +145,64 @@ class MediaSpec extends SparkSpec {
     val fmtOff = 12 + 8 + Wav.junkLen(7L) // fmt chunk follows the junk chunk
     stereo(fmtOff + 10) = 2 // numChannels = 2
     intercept[IllegalArgumentException](WavCodec.decode("audio", stereo, 8))
+    // corrupt declared chunk size (negative / past EOF) must throw,
+    // not hang the walk loop (ADVICE r10)
+    val badSz = good.clone()
+    badSz(12 + 4) = 0xff.toByte; badSz(12 + 5) = 0xff.toByte
+    badSz(12 + 6) = 0xff.toByte; badSz(12 + 7) = 0xff.toByte
+    intercept[IllegalArgumentException](WavCodec.decode("audio", badSz, 8))
+  }
+
+  test("BmpCodec: bottom-up padded rows behind bfOffBits decoded exactly") {
+    import graft.multimodal.{Bmp, BmpCodec}
+    // id 3: width 11 (stride 36 ≠ 33 → padding live), gap 3 ≠ 0
+    for (id <- Seq(3L, 0L, 12L)) {
+      val bytes = Bmp.synth(id)
+      assert(bytes.length === Bmp.fileLen(id))
+      val feats = BmpCodec.decode("image", bytes, 8)
+      val w = Bmp.width(id); val h = Bmp.height(id)
+      val sums = new Array[Long](8); val cnts = new Array[Long](8)
+      for (p <- 0L until w.toLong * h) {
+        val win = (p * 8 / (w * h)).toInt
+        sums(win) += (0 until 3).map(Bmp.channel(id, p, _)).sum
+        cnts(win) += 1
+      }
+      (0 until 8).foreach { i =>
+        assert(feats(i) ===
+          (sums(i).toDouble / (cnts(i).toDouble * 765.0)).toFloat,
+          s"id=$id window $i")
+      }
+    }
+  }
+
+  test("BmpCodec: a naive fixed-offset top-down read would decode wrong " +
+    "pixels — the layout traps are live") {
+    import graft.multimodal.Bmp
+    val id = 3L // gap 3, bottom-up, stride 36 over 33 pixel bytes
+    val bytes = Bmp.synth(id)
+    val w = Bmp.width(id)
+    // logical pixel (0,0) channel 0 lives at bfOffBits + (h-1)·stride,
+    // NOT at byte 54 — both the gap and the row flip displace it
+    val naive = bytes(54) & 0xff
+    assert(naive !== Bmp.channel(id, 0L, 0),
+      "trap dead: naive byte-54 read happened to see pixel (0,0)")
+    // and the last stored row really is padded with junk
+    assert(Bmp.stride(w) > 3 * w)
+  }
+
+  test("BmpCodec: malformed payloads are rejected, not misread") {
+    import graft.multimodal.{Bmp, BmpCodec}
+    val good = Bmp.synth(9L)
+    val notBmp = good.clone(); notBmp(0) = 'X'.toByte
+    intercept[IllegalArgumentException](BmpCodec.decode("image", notBmp, 8))
+    // truncated pixel array
+    intercept[IllegalArgumentException](
+      BmpCodec.decode("image", good.take(good.length - 4), 8))
+    // 8-bit palette BMPs are refused (codec only claims 24-bit BI_RGB)
+    val pal = good.clone(); pal(28) = 8
+    intercept[IllegalArgumentException](BmpCodec.decode("image", pal, 8))
+    // compression flag
+    val rle = good.clone(); rle(30) = 1
+    intercept[IllegalArgumentException](BmpCodec.decode("image", rle, 8))
   }
 }

@@ -36,4 +36,28 @@ class QueryAnalysisSpec extends SparkSpec {
       s"${failures.size}/${SparkEntry.queries.size} queries failed analysis:\n" +
         failures.mkString("\n"))
   }
+
+  test("no query output carries a top-level array/map/struct column") {
+    // Every past hash-instability at the driver boundary was an
+    // output-contract class: r2 decimal rendering, r3 raw arrays, r10
+    // the wav features array<float> (driver comparator: unhashable
+    // numpy.ndarray). Scalars are the contract — arrays cross the
+    // boundary csv-stringified or digested (SURVEY §6; see
+    // Media.featuresCsv for the float-lossless form). This red-lines
+    // the remaining unguarded class mechanically.
+    assume(Files.exists(Paths.get(sfDir)), s"$sfDir missing")
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType]
+            || f.dataType.isInstanceOf[MapType]
+            || f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} non-scalar output columns would break the " +
+        s"driver comparator:\n${offenders.mkString("\n")}")
+  }
 }
