@@ -120,6 +120,48 @@ object Probe {
       spark.stop()
       return
     }
+    // Stream-stream interval-join throughput:
+    // `runMain graft.Probe _ genjoin=2000000:200000` drives A30's
+    // dual-watermark attribution join from two zero-I/O GenSource
+    // feeds (N rows per feed, R rows/batch) into a noop sink — prices
+    // the symmetric stream-join state path (store puts/gets, watermark
+    // eviction) at micro-batch granularity, and prints the MAX
+    // state-store rows seen across batches: the boundedness claim
+    // (state = O(delay + window) of event time, never O(history))
+    // measured from the engine's own progress metrics.
+    if (args.length > 1 && args(1).startsWith("genjoin=")) {
+      val Array(n, r) = args(1).stripPrefix("genjoin=").split(":").map(_.toLong)
+      // users=997 (coprime to the 5-cycle of event types): every
+      // purchase at index i has exactly ONE matching click (i-997,
+      // 997 s earlier — inside the 1 h window), so the probe pays for
+      // real match emission, not just state churn. A users value
+      // divisible by 5 would make purchases and clicks user-disjoint.
+      def feed() = spark.readStream.format("graft.sources.GenSource")
+        .option("rows", n).option("users", 997).option("slices", cpus.toInt)
+        .option("rowsPerBatch", r).load()
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("event_id"), col("event_type"))
+      val joined = streaming.CdcStream.attributionJoin(
+        purchases = feed().where(col("event_type") === "purchase"),
+        clicks = feed().where(col("event_type") === "click"),
+        delay = "1 hour", window = "1 hour")
+      val t0 = System.nanoTime()
+      val q = joined.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress
+      val maxState = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      val outRows = progress.map(_.sink.numOutputRows).filter(_ > 0).sum
+      println(f"$secs%8.2f s  gen_stream_join n=$n batch=$r " +
+        f"(${progress.length} batches, ${2 * n / secs}%.0f gen rows/s, " +
+        f"$outRows matches, max state rows $maxState)")
+      spark.stop()
+      return
+    }
     // Query mode: `runMain graft.Probe <sfdir> q1,q2` times the named
     // SparkEntry queries (3 passes each, noop write like Bench);
     // SPARK_GRAFT_EXPLAIN=1 also dumps the formatted plan.

