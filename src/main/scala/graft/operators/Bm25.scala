@@ -131,6 +131,112 @@ object Bm25 {
   /** DuckDB mirror of [[rrfRerank]] over [[topKSql]]'s output shape:
     * `hitsSql` must yield (qid, rank, id, …); `scoreExpr` is the
     * second signal computed per document of `table`. */
+  /** Retrieval self-evaluation — the ANN recall-report discipline (C74)
+    * applied to lexical retrieval: grade [[topK]]'s ranking against an
+    * EXACT relevance oracle. Relevance is binary and label-free: a
+    * document is relevant to a query iff it contains ≥ `minMatch`
+    * DISTINCT query terms — fully replayable in SQL, which is what lets
+    * the driver certify the metrics rather than trust them. Metrics per
+    * query: corpus-wide `n_relevant`, `n_hits` inside the top-k,
+    * `recall_e4` / `precision_e4` / `mrr_e4` as exact e4 integers (pure
+    * integer divisions — no engine-native float ranking metrics, no
+    * log-discount transcendentals to diverge), and `first_rank`.
+    * Queries with no relevant documents or no relevant hits surface as
+    * NULL metrics, not dropped rows (the C74 zero-result-visibility
+    * rule).
+    *
+    * Scale shape: the relevance side touches only query-term postings
+    * (broadcast semi-join against the tiny term set — the same pruning
+    * [[topK]] does); the metric aggregation runs on |queries|·k rows. */
+  def evalTopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, String)], k: Int,
+               minMatch: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hits = topK(docs, idCol, textCol, queries, k)
+    val qterms = queries.flatMap { case (qid, qt) =>
+      qt.split(' ').filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("qid", "term")
+    // relevant(q, d): d carries >= minMatch distinct terms of q —
+    // distinct (doc, term) first, so tf never inflates the match count
+    val rel = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .distinct()
+      .join(broadcast(qterms), "term")
+      .groupBy(col("qid"), col(idCol))
+      .agg(count(lit(1)).as("n_match"))
+      .where(col("n_match") >= minMatch)
+      .select(col("qid"), col(idCol), lit(1L).as("__rel"))
+      .localCheckpoint() // consumed by relCnt and the hit join
+    val relCnt = rel.groupBy("qid").agg(count(lit(1)).as("n_relevant"))
+    val hitAgg = hits
+      .join(rel, Seq("qid", idCol), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("__rel"), lit(0L))).as("n_hits"),
+        min(when(col("__rel") === 1L, col("rank"))).as("first_rank"))
+    val spine = queries.map(_._1).toDF("qid")
+    spine
+      .join(hitAgg, Seq("qid"), "left")
+      .join(relCnt, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_rank"))
+      .select(col("qid"), col("n_relevant"), col("n_hits"),
+        when(col("n_relevant") > 0,
+          expr("(10000 * n_hits) div n_relevant")).as("recall_e4"),
+        expr(s"(10000 * n_hits) div $k").as("precision_e4"),
+        col("first_rank"),
+        when(col("first_rank").isNotNull,
+          expr("10000 div first_rank")).as("mrr_e4"))
+  }
+
+  /** DuckDB mirror of [[evalTopK]] — [[topKSql]] as the hits CTE, the
+    * identical distinct-term relevance oracle, and the same integer
+    * metric ladders (`//` == Spark `div` on the non-negative operands). */
+  def evalTopKSql(table: String, id: String, text: String,
+                  queries: Seq[(String, String)], k: Int,
+                  minMatch: Int = 2): String = {
+    val qvals = queries.flatMap { case (qid, qt) =>
+      qt.split(' ').filter(_.nonEmpty).distinct
+        .map(t => s"('$qid', '$t')")
+    }.mkString(", ")
+    s"""WITH hits AS (SELECT * FROM (${topKSql(table, id, text, queries, k)}) tk),
+       |qt(qid, term) AS (VALUES $qvals),
+       |dterm AS (
+       |  SELECT DISTINCT $id, term FROM (
+       |    SELECT $id, unnest(string_split($text, ' ')) AS term
+       |    FROM $table) u),
+       |rel AS (
+       |  SELECT qid, $id FROM dterm JOIN qt USING (term)
+       |  GROUP BY 1, 2 HAVING count(*) >= $minMatch),
+       |relcnt AS (SELECT qid, count(*) AS n_relevant FROM rel GROUP BY 1),
+       |hagg AS (
+       |  SELECT h.qid,
+       |    sum(CASE WHEN r.$id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+       |    min(CASE WHEN r.$id IS NOT NULL THEN h.rank END) AS first_rank
+       |  FROM hits h LEFT JOIN rel r ON h.qid = r.qid AND h.$id = r.$id
+       |  GROUP BY 1),
+       |m AS (
+       |  SELECT q.qid,
+       |    coalesce(n_relevant, 0) AS n_relevant,
+       |    coalesce(n_hits, 0) AS n_hits,
+       |    first_rank
+       |  FROM (SELECT DISTINCT qid FROM qt) q
+       |  LEFT JOIN hagg USING (qid) LEFT JOIN relcnt USING (qid))
+       |SELECT qid, CAST(n_relevant AS BIGINT) AS n_relevant,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CASE WHEN n_relevant > 0
+       |       THEN CAST((10000 * n_hits) // n_relevant AS BIGINT)
+       |  END AS recall_e4,
+       |  CAST((10000 * n_hits) // $k AS BIGINT) AS precision_e4,
+       |  CAST(first_rank AS BIGINT) AS first_rank,
+       |  CASE WHEN first_rank IS NOT NULL
+       |       THEN CAST(10000 // first_rank AS BIGINT)
+       |  END AS mrr_e4
+       |FROM m""".stripMargin
+  }
+
   def rrfRerankSql(hitsSql: String, table: String, id: String,
                    scoreExpr: String, c: Int = 60): String =
     s"""WITH b AS (SELECT * FROM ($hitsSql) tk),

@@ -202,4 +202,58 @@ object Decontaminate {
       "__ID__" -> id, "__TEXT__" -> text, "__TABLE__" -> table,
       "__GRAM__" -> gram)
   }
+
+  /** EMBEDDING-space decontamination (C109) — the semantic sibling of
+    * the n-gram [[overlaps]] check: a paraphrased or translated
+    * benchmark leak shares no n-grams but sits next to the benchmark in
+    * embedding space, so flag corpus vectors whose cosine against ANY
+    * benchmark vector reaches `threshold`. Output per contaminated
+    * vector: `n_bench_hits` (how many benchmark items it matches) and
+    * `max_cos` — enough to rank a removal sweep.
+    *
+    * Scale shape: benchmarks are tiny next to a 100 TB corpus — the
+    * benchmark side BROADCASTS (norms precomputed) and the corpus stays
+    * one scan-local pass of |bench| fused dot products per row; only
+    * matching rows reach the per-vector count shuffle. Never a
+    * corpus × corpus join; if the "benchmark" ever rivals the corpus,
+    * compose [[AnnLsh]] banding exactly as the near-dup path does.
+    * Cosine ladder and round(4) output follow
+    * [[Similarity.neardupPairs]] (the oracle replays them verbatim). */
+  def embeddingContamination(corpus: DataFrame, bench: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    val c = corpus.select(col(idCol).as("vec_id"),
+        Vectors.toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", Vectors.norm(col("__v")))
+    val b = bench.select(col(idCol).as("__bid"),
+        Vectors.toDouble(col(vecCol)).as("__bv"))
+      .withColumn("__bn", Vectors.norm(col("__bv")))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos_raw", Vectors.cosineWithNorms(
+        col("__v"), col("__bv"), col("__n"), col("__bn")))
+      .where(col("cos_raw") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        round(max(col("cos_raw")), 4).as("max_cos"))
+  }
+
+  /** DuckDB mirror of [[embeddingContamination]] over the embeddings
+    * table split by `benchPred` (benchmark) / its complement (corpus). */
+  def embeddingContaminationSql(table: String, id: String, vec: String,
+                                benchPred: String,
+                                threshold: Double): String = {
+    val cos = "list_dot_product(c.v, b.v) / " +
+      "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    s"""WITH e AS (SELECT $id AS vec_id, $vec::DOUBLE[] AS v FROM $table),
+       |b AS (SELECT * FROM e WHERE $benchPred),
+       |c AS (SELECT * FROM e WHERE NOT ($benchPred)),
+       |s AS (
+       |  SELECT c.vec_id, $cos AS cos_raw
+       |  FROM c CROSS JOIN b
+       |  WHERE $cos >= $threshold)
+       |SELECT vec_id, count(*) AS n_bench_hits,
+       |       round(max(cos_raw), 4) AS max_cos
+       |FROM s GROUP BY 1""".stripMargin
+  }
 }

@@ -25,6 +25,81 @@ import org.apache.spark.sql.functions._
   * exactly (every pa = pb = m makes ln 1 = 0 before rounding). */
 object Drift {
 
+  /** N-gram diversity report (C111) — distinct-n over total-n per
+    * stratum for n ∈ 1..`maxN` (the distinct-1/2/3 diversity family of
+    * Li et al. 2016 and Texygen's self-BLEU proxy): THE mode-collapse
+    * screen for synthetic/generated corpora, where dedup passes nothing
+    * (every sample is unique) but the n-gram space quietly shrinks.
+    * Output per (stratum, n): `total_ngrams`, `distinct_ngrams`,
+    * `distinct_e4` = (10000·distinct) div total — an exact integer
+    * ladder, no float ratios.
+    *
+    * Scale shape: totals need NO explode at all — per-doc positional
+    * gram count is `max(len − n + 1, 0)`, computed arithmetically at
+    * the scan and partial-agg summed. Distincts ride the compiled
+    * per-doc-distinct shingle pass ([[graft.functions.ShingleStrings]]):
+    * the union of per-doc distinct sets has the same GLOBAL distinct
+    * count as the raw gram stream, so the count-distinct shuffle
+    * carries each doc's distinct grams once, never the positional
+    * stream. One aggregate per n over the same scan (union of maxN
+    * branches — each a combine-friendly two-level agg). */
+  def ngramDiversity(docs: DataFrame, textCol: String, stratumCol: String,
+                     maxN: Int = 3): DataFrame = {
+    import graft.functions.SetOps
+    (1 to maxN).map { n =>
+      val len = size(split(col(textCol), " "))
+      val totals = docs
+        .groupBy(col(stratumCol).as("stratum"))
+        .agg(sum(greatest(len - lit(n - 1), lit(0)).cast("long"))
+          .as("total_ngrams"))
+      val distincts = docs
+        .select(col(stratumCol).as("stratum"),
+          explode(SetOps.shingleStrings(col(textCol), n)).as("__g"))
+        .groupBy(col("stratum"))
+        .agg(countDistinct(col("__g")).as("distinct_ngrams"))
+      totals.join(distincts, Seq("stratum"), "left")
+        .select(col("stratum"), lit(n).cast("long").as("n"),
+          col("total_ngrams"),
+          coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"))
+        .withColumn("distinct_e4",
+          when(col("total_ngrams") > 0,
+            expr("(10000 * distinct_ngrams) div total_ngrams")))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB mirror of [[ngramDiversity]]: same arithmetic totals, same
+    * per-doc-distinct union for the global distinct count, same e4
+    * integer ladder. */
+  def ngramDiversitySql(table: String, text: String, stratum: String,
+                        maxN: Int = 3): String = {
+    def branch(n: Int): String = {
+      val gram = (0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+      s"""SELECT tt.stratum, CAST($n AS BIGINT) AS n,
+         |  tt.total_ngrams,
+         |  coalesce(dd.distinct_ngrams, 0) AS distinct_ngrams,
+         |  CASE WHEN tt.total_ngrams > 0
+         |       THEN CAST((10000 * coalesce(dd.distinct_ngrams, 0))
+         |                 // tt.total_ngrams AS BIGINT)
+         |  END AS distinct_e4
+         |FROM (
+         |  SELECT $stratum AS stratum,
+         |    CAST(sum(greatest(len(string_split($text, ' ')) - ${n - 1}, 0))
+         |      AS BIGINT) AS total_ngrams
+         |  FROM $table GROUP BY 1) tt
+         |LEFT JOIN (
+         |  SELECT stratum, CAST(count(DISTINCT g) AS BIGINT)
+         |    AS distinct_ngrams
+         |  FROM (
+         |    SELECT $stratum AS stratum,
+         |      unnest([$gram
+         |        for i in generate_series(1, len(t) - ${n - 1})]) AS g
+         |    FROM (SELECT $stratum, string_split($text, ' ') AS t
+         |          FROM $table) s) u
+         |  GROUP BY 1) dd USING (stratum)""".stripMargin
+    }
+    (1 to maxN).map(branch).mkString("\nUNION ALL\n")
+  }
+
   /** One-row drift summary: (n_tokens_prev, n_tokens_next,
     * n_buckets_shifted, js_e9). `js_e9` is the JS divergence (natural
     * log) scaled by 1e9; `n_buckets_shifted` counts hash buckets whose

@@ -778,6 +778,78 @@ object Cdc {
       s.table(qn).orderBy("user_id", "purchase_seq", "click_seq")
     }),
 
+    // A44: stream-stream LEFT-OUTER interval join — the incremental
+    // "unattributed conversions" feed: attributed purchases emit on
+    // match, unattributed ones emit as NULL-click rows via the
+    // watermark-driven state TIMEOUT (the semantics a batch LEFT JOIN
+    // computes offline, produced with the same O(interval) state as
+    // A30). Timeout rows only emit once event time advances past their
+    // horizon, so the bounded drain appends a SENTINEL flush (user -1,
+    // ts beyond max + delay + window, one row per side so BOTH
+    // watermarks move — production feeds advance naturally and need no
+    // sentinel). Oracle = the plain LEFT JOIN; parity proves timeout
+    // emission loses nothing and invents nothing (sentinels excluded
+    // on both sides).
+    "cdc_stream_interval_join_outer" -> ((s, dir) => withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, dir)
+      val maxTs = ev.agg(max(col("ts_us"))).head.getLong(0)
+      // one purchase + one click per sentinel flush, so BOTH side
+      // watermarks advance past every real row's match horizon
+      def sentinelPair(i: Int, ts: Long) = ev.limit(1)
+        .crossJoin(s.range(2).select(col("id").as("__i")))
+        .withColumn("event_id", lit(-(2L * i + 1)) - col("__i"))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts_us", lit(ts))
+        .withColumn("ts", timestamp_micros(lit(ts)))
+        .withColumn("event_type",
+          when(col("__i") === 0, "purchase").otherwise("click"))
+        .drop("__i")
+      val inDir = streamSliceDir(s, ev, dir,
+        slices = 3, tag = "stream_in_outer")
+      // TWO sentinel flushes as separate micro-batches: the first moves
+      // the watermark past every real purchase's horizon, the second
+      // gives the engine a batch that RUNS under that watermark (state
+      // timeout fires during batch execution; AvailableNow schedules no
+      // trailing no-data batch — observed: the tail purchases of the
+      // final data flush stay buffered without it)
+      def appendFlush(idx: Int, ts: Long): Unit = {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val staging = Files.createTempDirectory(s"sentinel-$idx")
+        sentinelPair(idx, ts).coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+        val part = Files.list(staging)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, Paths.get(inDir, f"flush-$idx%03d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(5)
+      }
+      appendFlush(100, maxTs + 4L * 3600000000L)
+      appendFlush(101, maxTs + 8L * 3600000000L)
+      def feed() = CdcStream.fromParquetDir(s, inDir, ev.schema)
+      // NO sentinel filter inside the streaming plan: a user_id
+      // predicate doesn't reference the watermark column, so Catalyst
+      // pushes it BELOW the EventTimeWatermark node — the sentinels
+      // would be dropped at the scan and never advance the watermark
+      // (observed: the tail purchases stay buffered forever). They are
+      // excluded after the sink instead.
+      val joined = CdcStream.attributionJoinOuter(
+        purchases = feed().where(col("event_type") === "purchase"),
+        clicks = feed().where(col("event_type") === "click"),
+        delay = "1 hour", window = "1 hour")
+      val qn = "ssjo_par_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream
+        .format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).where(col("user_id") >= 0)
+        .orderBy("user_id", "purchase_seq", "click_seq")
+    }),
+
     // A29: dead-letter quarantine, oracle-checked — one of the three
     // flushes is poison (it contains the globally-minimal event_id, a
     // pure function of the data); the DLQ wrapper must quarantine
@@ -1192,6 +1264,23 @@ object Cdc {
         |SELECT user_id, purchase_ts_us, purchase_seq,
         |       click_ts_us, click_seq
         |FROM p JOIN c ON user_id = c_user
+        |  AND click_ts_us <= purchase_ts_us
+        |  AND click_ts_us >= purchase_ts_us - 3600000000
+        |ORDER BY user_id, purchase_seq, click_seq""".stripMargin,
+
+    // the batch LEFT JOIN the streaming timeout emission must equal
+    "cdc_stream_interval_join_outer" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS purchase_ts_us,
+        |         event_id AS purchase_seq
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_user, epoch_us(ts) AS click_ts_us,
+        |         event_id AS click_seq
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, purchase_ts_us, purchase_seq,
+        |       click_ts_us, click_seq
+        |FROM p LEFT JOIN c ON user_id = c_user
         |  AND click_ts_us <= purchase_ts_us
         |  AND click_ts_us >= purchase_ts_us - 3600000000
         |ORDER BY user_id, purchase_seq, click_seq""".stripMargin,

@@ -1047,6 +1047,31 @@ object Docs {
         .orderBy("qid", "rank")
     }),
 
+    // C111: n-gram diversity / distinct-n report — the mode-collapse
+    // screen for synthetic corpora (Li et al. 2016 distinct-n): dedup
+    // passes generated data where every sample is unique while the
+    // n-gram space quietly shrinks; this measures it per source as
+    // exact (10000·distinct) div total ladders for n = 1..3. Totals
+    // are pure scan arithmetic (no explode); distincts ride the
+    // compiled per-doc-distinct shingle pass.
+    "doc_ngram_diversity" -> ((s, dir) => {
+      Drift.ngramDiversity(Tables.documents(s, dir), "text", "source")
+        .orderBy("stratum", "n")
+    }),
+
+    // C110: retrieval self-evaluation — the C74 ANN-recall discipline
+    // applied to lexical retrieval: grade the BM25 top-k against an
+    // exact label-free relevance oracle (≥2 distinct query terms in
+    // the doc), reporting recall@k / precision@k / MRR as exact e4
+    // integer ladders (no float ranking metrics, no log discounts to
+    // diverge cross-engine). The regression gate consulted when
+    // re-tuning k1/b or swapping the ranker.
+    "doc_retrieval_eval" -> ((s, dir) => {
+      Bm25.evalTopK(Tables.documents(s, dir), "doc_id", "text",
+        bm25Queries, bm25K)
+        .orderBy("qid")
+    }),
+
     // C65: quality-aware retrieval — RRF-fuse the BM25 relevance rank
     // with a per-candidate quality rank (1/(60+r₁) + 1/(60+r₂), the
     // Cormack RRF rule): the training-data-selection rerank when
@@ -1262,6 +1287,22 @@ object Docs {
       Similarity.neardupPairs(Tables.embeddings(s, dir),
         idCol = "vec_id", vecCol = "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // C109: embedding-space benchmark decontamination — the semantic
+    // sibling of C23's n-gram check (a paraphrased leak shares no
+    // n-grams but sits next to the benchmark in embedding space).
+    // Benchmark = the probe vectors (vec_id < 8), corpus = the rest;
+    // the benchmark side broadcasts and the corpus is one scan-local
+    // pass — the decontamination sweep shape at 100 TB, where
+    // benchmarks are always the tiny side.
+    "emb_decontaminate" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Decontaminate.embeddingContamination(
+        corpus = e.where(col("vec_id") >= 8),
+        bench = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", threshold = 0.35)
+        .orderBy("vec_id")
     }),
 
     // C6: brute-force ANN top-k — broadcast probe set, one corpus pass,
@@ -2820,6 +2861,14 @@ object Docs {
       (Bm25.topKSql("documents", "doc_id", "text", bm25Queries, bm25K) +
         "\nORDER BY qid, rank"),
 
+    "doc_retrieval_eval" ->
+      (Bm25.evalTopKSql("documents", "doc_id", "text", bm25Queries, bm25K) +
+        "\nORDER BY qid"),
+
+    "doc_ngram_diversity" ->
+      (Drift.ngramDiversitySql("documents", "text", "source") +
+        "\nORDER BY stratum, n"),
+
     "doc_bm25_rrf" ->
       (Bm25.rrfRerankSql(
         Bm25.topKSql("documents", "doc_id", "text", bm25Queries, bm25K),
@@ -3130,6 +3179,11 @@ object Docs {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE ${cosSql("a.v", "b.v")} >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "emb_decontaminate" ->
+      (Decontaminate.embeddingContaminationSql("embeddings", "vec_id",
+        "embedding", benchPred = "vec_id < 8", threshold = 0.35) +
+        "\nORDER BY vec_id"),
 
     "emb_ann_topk" ->
       s"""WITH e AS (

@@ -156,7 +156,28 @@ object CdcStream {
     * results match the batch join exactly for data at most `delay` late
     * (parity pinned in CdcStreamSpec). */
   def attributionJoin(purchases: DataFrame, clicks: DataFrame,
-                      delay: String, window: String): DataFrame = {
+                      delay: String, window: String): DataFrame =
+    attributionJoinWith(purchases, clicks, delay, window, "inner")
+
+  /** LEFT-OUTER form of [[attributionJoin]] (A44): every purchase
+    * emits — attributed rows as soon as the click arrives, and
+    * UNATTRIBUTED purchases as null-click rows once the watermark
+    * passes their match horizon (the state-timeout emission Spark
+    * derives from the dual watermarks + time-range condition). This is
+    * the "conversions that never got a touchpoint" feed a batch LEFT
+    * JOIN computes offline, produced incrementally with the same
+    * O(interval) state as the inner form. Timeout emission only fires
+    * when event time ADVANCES past the tail — a bounded drain must
+    * push the watermark with a final sentinel flush (the
+    * cdc_stream_interval_join_outer query and CdcStreamSpec show the
+    * pattern; a production feed advances naturally). */
+  def attributionJoinOuter(purchases: DataFrame, clicks: DataFrame,
+                           delay: String, window: String): DataFrame =
+    attributionJoinWith(purchases, clicks, delay, window, "left_outer")
+
+  private def attributionJoinWith(purchases: DataFrame, clicks: DataFrame,
+                                  delay: String, window: String,
+                                  joinType: String): DataFrame = {
     val p = purchases.select(col("user_id"), col("ts").as("p_ts"),
       col("event_id").as("purchase_seq"))
       .withWatermark("p_ts", delay)
@@ -165,7 +186,7 @@ object CdcStream {
       .withWatermark("c_ts", delay)
     p.join(c, col("user_id") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"), joinType)
       .select(col("user_id"), unix_micros(col("p_ts")).as("purchase_ts_us"),
         col("purchase_seq"), unix_micros(col("c_ts")).as("click_ts_us"),
         col("click_seq"))
