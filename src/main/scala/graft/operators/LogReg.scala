@@ -120,6 +120,31 @@ object LogReg {
         sum(col("p_e9")).as("sum_p_e9"))
       .orderBy("source")
 
+  /** Calibration / reliability report (C112) — the deploy gate for the
+    * trained filter: bucket the corpus by predicted-score decile and
+    * compare each bucket's predicted mass (`mean_p_e4`) with its
+    * OBSERVED label rate (`pos_frac_e4`). A well-calibrated filter has
+    * the two tracking; divergence says the score can't be thresholded
+    * at face value (pick the threshold from this table, not from 0.5).
+    * Bins are FIXED e4-granularity value buckets (min(p_e9 div 1e5,
+    * 9999)) — scan-local at any corpus size, unlike rank-deciles whose
+    * global ntile would sort the corpus; empty bins are informative
+    * (scores never land there), and the fine grain matters because the
+    * fast-sigmoid scores of a weak-feature model CONCENTRATE (percent
+    * bins collapsed this corpus into one row). All integer ladders —
+    * nothing float crosses the engine boundary. One scan-local pass
+    * over the cached feature frame + a ≤10⁴-row agg. */
+  def calibrationReport(feat: DataFrame, w: Array[Double]): DataFrame =
+    feat.withColumn("p_e9", pE9(w))
+      .withColumn("bucket", least(expr("p_e9 div 100000"), lit(9999L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_pos"),
+        sum(col("p_e9")).as("sum_p_e9"))
+      .withColumn("pos_frac_e4", expr("(10000 * n_pos) div n_docs"))
+      .withColumn("mean_p_e4", expr("(sum_p_e9 div n_docs) div 100000"))
+      .orderBy("bucket")
+
   /** The trained weights themselves on the e12 ladder — a single-row
     * frame proving the cross-engine bit-equality of the training loop,
     * not just of the downstream report. */
@@ -212,6 +237,26 @@ object LogReg {
        |       count(*) FILTER (WHERE p_e9 < 500000000) AS n_flagged,
        |       CAST(sum(p_e9) AS BIGINT) AS sum_p_e9
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB twin of featurize→train→calibrationReport. */
+  def calibrationOracleSql(iters: Int = Iters,
+                           lr: Double = LearnRate): String =
+    s"""WITH
+       |${trainedCtes(iters, lr)},
+       |scored AS (
+       |  SELECT q.y, CAST(round((0.5 + (0.5 * m) / (1.0 + abs(m)))
+       |         * 1000000000.0) AS BIGINT) AS p_e9
+       |  FROM ${mSql(s"w$iters")}),
+       |b AS (
+       |  SELECT least(p_e9 // 100000, 9999) AS bucket,
+       |         count(*) AS n_docs,
+       |         CAST(sum(y) AS BIGINT) AS n_pos,
+       |         CAST(sum(p_e9) AS BIGINT) AS sum_p_e9
+       |  FROM scored GROUP BY 1)
+       |SELECT bucket, n_docs, n_pos, sum_p_e9,
+       |  CAST((10000 * n_pos) // n_docs AS BIGINT) AS pos_frac_e4,
+       |  CAST((sum_p_e9 // n_docs) // 100000 AS BIGINT) AS mean_p_e4
+       |FROM b ORDER BY bucket""".stripMargin
 
   /** DuckDB twin of the trained weight vector on the e12 ladder
     * (the weight state IS e12 integers — emitted directly). */

@@ -351,6 +351,37 @@ object Analytics {
       }
     }),
 
+    // B72: approximate query processing on a DETERMINISTIC 1/16
+    // sample — the interactive-BI lever at 100 TB: scan ~6% of the
+    // fact for a bounded-error answer now, the exact answer later.
+    // The sample predicate is the engine-portable md5-bucket rule on
+    // the row identity (C20's ladder), NOT rand(): reproducible across
+    // runs/engines, scan-local, and a deployment can PERSIST the
+    // bucket column and partition by it so the sample scan prunes at
+    // the layout level. The query self-grades (the C74 discipline):
+    // exact and scaled estimate side by side with an integer
+    // relative-error ladder.
+    "q_sample_estimate" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val li = Tables.lineitem(s, dir)
+      val rev = col("l_extendedprice").cast("decimal(18,2)")
+      val rowId = concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(sumFixed(rev, 2).as("exact_e2"),
+          count(lit(1)).as("n_rows"))
+      val est = li.where(Sampling.bucket(rowId, 16) === 0)
+        .groupBy(col("l_returnflag"))
+        .agg((sumFixed(rev, 2) * 16).as("est_e2"),
+          (count(lit(1)) * 16).as("est_rows"))
+      exact.join(est, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("n_rows"), col("exact_e2"),
+          coalesce(col("est_rows"), lit(0L)).as("est_rows"),
+          coalesce(col("est_e2"), lit(0L)).as("est_e2"))
+        .withColumn("abs_err_e4",
+          expr("(10000 * abs(est_e2 - exact_e2)) div exact_e2"))
+        .orderBy("l_returnflag")
+    }),
+
     // B11: rollup / grouping sets with subtotal rows. NOT a direct
     // rollup over the fact: Expand would triple every fact row before
     // the partial agg (measured 0.7 → 1.6 s at sf0.1 as the sum went
@@ -1986,6 +2017,31 @@ object Analytics {
         |       min(o_totalprice) AS min_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sample_estimate" -> {
+      val bucket = graft.operators.Sampling.bucketSql(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+        16)
+      s"""WITH x AS (
+        |  SELECT l_returnflag,
+        |    ${sumFixedSql("CAST(l_extendedprice AS DECIMAL(18,2))", 2)}
+        |      AS exact_e2,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag,
+        |    CAST(${sumFixedSql("CAST(l_extendedprice AS DECIMAL(18,2))", 2)}
+        |      * 16 AS BIGINT) AS est_e2,
+        |    CAST(count(*) * 16 AS BIGINT) AS est_rows
+        |  FROM lineitem WHERE $bucket = 0 GROUP BY 1)
+        |SELECT x.l_returnflag, x.n_rows, x.exact_e2,
+        |  coalesce(e.est_rows, 0) AS est_rows,
+        |  coalesce(e.est_e2, 0) AS est_e2,
+        |  CAST((10000 * abs(coalesce(e.est_e2, 0) - x.exact_e2))
+        |    // x.exact_e2 AS BIGINT) AS abs_err_e4
+        |FROM x LEFT JOIN e USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin
+    },
 
     // the PLAIN join aggregate: parity proves the bloom reduction is
     // result-invisible

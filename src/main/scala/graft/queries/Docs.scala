@@ -2086,6 +2086,22 @@ object Docs {
       finally feat.unpersist(blocking = false)
     }),
 
+    // C112: calibration / reliability report for the trained filter —
+    // per score-decile bucket, predicted mass vs OBSERVED label rate
+    // (the reliability-diagram table; pick the deploy threshold from
+    // it, not from 0.5). Pure integer ladders end to end; the oracle
+    // replays train → score → bucket relationally.
+    "doc_quality_lr_calibration" -> ((s, dir) => {
+      val feat = LogReg.featurize(Tables.documents(s, dir)).persist()
+      try {
+        // trained LONGER than the C83 report (8 unrolled iterations vs
+        // 3): calibration needs the margins spread enough to populate
+        // multiple bins, and the oracle unrolls to any depth
+        val w = LogReg.train(feat, iters = 8)
+        LogReg.calibrationReport(feat, w)
+      } finally feat.unpersist(blocking = false)
+    }),
+
     "doc_quality" -> ((s, dir) => {
       val toks = Text.tokens(col("text"))
       val nChars = length(col("text")).cast("long")
@@ -3664,6 +3680,8 @@ object Docs {
     "doc_quality_lr" -> LogReg.oracleSql(),
 
     "doc_quality_lr_model" -> LogReg.modelOracleSql(),
+
+    "doc_quality_lr_calibration" -> LogReg.calibrationOracleSql(iters = 8),
 
     "doc_quality" ->
       """WITH q AS (
