@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus the decode /
   * feature-extract plumbing a training-data pipeline needs.
   *
-  * AUDIO and IMAGE decode are REAL: [[WavCodec]] (Wav.scala) is a
-  * pure-JVM RIFF/WAVE container parser and [[BmpCodec]] (Bmp.scala) a
-  * pure-JVM 24-bit BMP parser, both driven through this seam — see
-  * `media_wav_roundtrip` / `media_bmp_roundtrip` for the cross-engine
-  * losslessness proofs. Video codecs are NOT available in this
-  * environment, so [[decodeFeatures]] defaults to a deterministic
-  * byte-histogram stand-in — clearly marked below. Everything around
-  * the codec is the
+  * ALL THREE modalities' decode is REAL: [[WavCodec]] (Wav.scala) is
+  * a pure-JVM RIFF/WAVE audio parser, [[BmpCodec]] (Bmp.scala) a
+  * pure-JVM 24-bit BMP image parser, and [[AviCodec]] (Avi.scala) a
+  * pure-JVM AVI video parser (RIFF container walk + uncompressed DIB
+  * frames), each driven through this seam — see `media_wav_roundtrip`
+  * / `media_bmp_roundtrip` / `media_avi_roundtrip` for the
+  * cross-engine losslessness proofs. [[decodeFeatures]] defaults to a
+  * deterministic byte-histogram stand-in (clearly marked below) for
+  * payloads with no parser, e.g. formats needing native libraries
+  * this container lacks (JPEG, H.264). Everything around the codec is
+  * the
   * real production shape: binary column + metadata struct schema,
   * per-partition batched iteration (how a JNI/codec library is driven —
   * one codec init per partition, streamed records), and expression-level
@@ -27,13 +30,13 @@ import org.apache.spark.sql.functions._
   * serializable (they ship to executors) and deterministic per input if
   * downstream dedup relies on the features.
   *
-  * The container has no real video codecs, so the DEFAULT impl is
-  * [[ByteHistogramCodec]] — a clearly-marked deterministic stand-in.
-  * [[WavCodec]] and [[BmpCodec]] are real drop-in parsers proving the
-  * seam; a further decoder (JPEG → pixel stats, H.264 → frame stats, …)
-  * is the same shape: implement the trait, pass it to decodeFeatures;
-  * none of the Spark plumbing (schema, batching, partitioning)
-  * changes. */
+  * The DEFAULT impl is [[ByteHistogramCodec]] — a clearly-marked
+  * deterministic stand-in for formats with no pure-JVM parser here.
+  * [[WavCodec]], [[BmpCodec]] and [[AviCodec]] are real drop-in
+  * parsers covering all three modalities; a further decoder (JPEG →
+  * pixel stats, H.264 → frame stats, …) is the same shape: implement
+  * the trait, pass it to decodeFeatures; none of the Spark plumbing
+  * (schema, batching, partitioning) changes. */
 trait MediaCodec extends Serializable {
   /** Per-partition initialization — codec contexts, JNI handles. */
   def open(): Unit = ()
@@ -45,8 +48,9 @@ trait MediaCodec extends Serializable {
 
 /** ======================= DECODE STUB =======================
   * Deterministic byte-bucket histogram standing in for a real codec —
-  * the container has no image/audio libraries. Everything around it is
-  * the production shape; only this class is the fake.
+  * the fallback for formats whose decoders need native libraries this
+  * container lacks (JPEG, H.264). WAV/BMP/AVI have REAL pure-JVM
+  * parsers (Wav/Bmp/Avi.scala); only this class is a fake.
   * =========================================================== */
 object ByteHistogramCodec extends MediaCodec {
   def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {

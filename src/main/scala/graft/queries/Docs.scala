@@ -2466,6 +2466,31 @@ object Docs {
         .orderBy("media_id")
     }),
 
+    // C12d: third REAL codec — VIDEO. Avi.synth builds VALID AVI
+    // containers (RIFF chunk walk → validated hdrl main+stream headers
+    // → planted JUNK chunk → movi LIST located by list TYPE →
+    // dwTotalFrames uncompressed 00db DIB frames with bottom-up padded
+    // rows) from a pure integer function of (id, frame, pixel);
+    // AviCodec REALLY parses them through the production mapPartitions
+    // seam. With WAV (audio) and BMP (image) this makes every
+    // modality's decode real — the ByteHistogramCodec stand-in is now
+    // only the default fallback, not a coverage gap. The oracle
+    // re-derives per-frame-window mean intensity from the FORMULA, so
+    // a hash match proves container walk, header parse, frame count,
+    // row direction, and stride all agree.
+    "media_avi_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Avi, AviCodec}
+      val media = s.range(0, 500).as[Long]
+        .map(id => (id, "video", Avi.synth(id)))
+        .toDF("media_id", "kind", "content")
+      graft.multimodal.Media.decodeFeatures(media, dim = 8, codec = AviCodec)
+        .select(col("media_id"), col("n_bytes"),
+          graft.multimodal.Media.featuresCsv(col("features"))
+            .as("features_csv"))
+        .orderBy("media_id")
+    }),
+
     "media_neardup" -> ((s, dir) => {
       val m = graft.multimodal.Media.fromDocuments(Tables.documents(s, dir))
       val feats = graft.multimodal.Media.decodeFeatures(m, dim = 16)
@@ -3974,6 +3999,47 @@ object Docs {
         |  FROM wf GROUP BY media_id)
         |SELECT m.media_id,
         |       CAST(12 + 8 + junk + 24 + 8 + 2 * n AS BIGINT) AS n_bytes,
+        |       features_csv
+        |FROM m JOIN feats USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // formula-side re-derivation of the decoded AVI frame features in
+    // logical (frame, raster) order: per-frame-window integer intensity
+    // sums mirror AviCodec.decode exactly; n_bytes mirrors Avi.fileLen
+    // (RIFF 12 + hdrl 200 + JUNK 8+junk + movi 12 + nf·(8 + h·stride))
+    "media_avi_roundtrip" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |         CAST(8 + i % 5 AS BIGINT) AS nf,
+        |         CAST(6 + i % 4 AS BIGINT) AS w,
+        |         CAST(4 + i % 3 AS BIGINT) AS h,
+        |         CAST(2 * (i % 8) AS BIGINT) AS junk
+        |  FROM generate_series(0, 499) t(i)),
+        |fs AS (
+        |  SELECT media_id, nf, w, h, unnest(range(nf)) AS f FROM m),
+        |ps AS (
+        |  SELECT media_id, nf, f, unnest(range(w * h)) AS p FROM fs),
+        |s AS (
+        |  SELECT media_id, CAST((f * 8) // nf AS INTEGER) AS win,
+        |         (media_id * 7 + f * 131 + p * 3) % 256
+        |           + (media_id * 7 + f * 131 + p * 3 + 11) % 256
+        |           + (media_id * 7 + f * 131 + p * 3 + 22) % 256 AS a
+        |  FROM ps),
+        |wf AS (
+        |  SELECT media_id, win, CAST(sum(a) AS DOUBLE) AS sa,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM s GROUP BY 1, 2),
+        |feats AS (
+        |  SELECT media_id,
+        |         array_to_string(list(
+        |           CAST(floor(CAST(CAST(sa / (c * 765.0) AS REAL) AS DOUBLE)
+        |                * 281474976710656) AS BIGINT) ORDER BY win), ',')
+        |           AS features_csv
+        |  FROM wf GROUP BY media_id)
+        |SELECT m.media_id,
+        |       CAST(12 + 200 + 8 + junk + 12
+        |            + nf * (8 + h * ((3 * w + 3) // 4 * 4)) AS BIGINT)
+        |         AS n_bytes,
         |       features_csv
         |FROM m JOIN feats USING (media_id)
         |ORDER BY media_id""".stripMargin,

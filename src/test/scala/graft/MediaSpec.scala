@@ -190,6 +190,47 @@ class MediaSpec extends SparkSpec {
     assert(Bmp.stride(w) > 3 * w)
   }
 
+  test("AviCodec: container walk, header parse, frames decoded exactly") {
+    import graft.multimodal.{Avi, AviCodec}
+    for (id <- Seq(5L, 0L, 11L)) { // width 7/6/9: padding live on 7 and 9
+      val bytes = Avi.synth(id)
+      assert(bytes.length === Avi.fileLen(id))
+      val feats = AviCodec.decode("video", bytes, 8)
+      val nf = Avi.nFrames(id); val w = Avi.width(id); val h = Avi.height(id)
+      val sums = new Array[Long](8); val cnts = new Array[Long](8)
+      for (f <- 0 until nf; p <- 0L until w.toLong * h) {
+        val win = (f * 8 / nf).min(7)
+        sums(win) += (0 until 3).map(Avi.channel(id, f, p, _)).sum
+        cnts(win) += 1
+      }
+      (0 until 8).foreach { i =>
+        assert(feats(i) ===
+          (sums(i).toDouble / (cnts(i).toDouble * 765.0)).toFloat,
+          s"id=$id window $i")
+      }
+    }
+  }
+
+  test("AviCodec: malformed payloads are rejected, not misread") {
+    import graft.multimodal.{Avi, AviCodec}
+    val good = Avi.synth(3L)
+    val notAvi = good.clone(); notAvi(8) = 'X'.toByte // break 'AVI ' type
+    intercept[IllegalArgumentException](AviCodec.decode("video", notAvi, 8))
+    // truncated mid-movi: the last frame chunk runs past the payload
+    intercept[IllegalArgumentException](
+      AviCodec.decode("video", good.take(good.length - 10), 8))
+    // compressed stream handler must be refused (codec claims DIB only)
+    val cmp = good.clone()
+    val strh = 12 + 12 + 64 + 12 // RIFF + LIST hdrl hdr + avih + LIST strl hdr
+    cmp(strh + 12) = 'M'.toByte // fccHandler 'DIB ' -> 'MIB '
+    intercept[IllegalArgumentException](AviCodec.decode("video", cmp, 8))
+    // frame-count lie: avih dwTotalFrames inflated past the movi list
+    val lie = good.clone()
+    val avih = 12 + 12
+    lie(avih + 8 + 16) = (Avi.nFrames(3L) + 3).toByte
+    intercept[IllegalArgumentException](AviCodec.decode("video", lie, 8))
+  }
+
   test("BmpCodec: malformed payloads are rejected, not misread") {
     import graft.multimodal.{Bmp, BmpCodec}
     val good = Bmp.synth(9L)
