@@ -36,6 +36,7 @@ object PlanAudit {
     "emb_ann_pq_learned", // same probe-table broadcast, learned codebook
     "emb_index_roundtrip", // same ≤8-row probe-table broadcast over the reloaded codes index
     "emb_index_ivf_roundtrip", // emb_ann_ivfpq's probe × centroid routing broadcast over the reloaded list-partitioned index
+    "emb_index_ivf_append", // same routing broadcast over the incrementally-appended index
     "emb_decontaminate", // ≤8-row benchmark-side broadcast (the decontamination sweep's tiny side by design)
     "doc_retrieval_eval", // inherits doc_bm25_topk's 1-row corpus-stats broadcast + the |queries|-row spine join
     "doc_bigram_lp", // 1-row corpus-total broadcast (Bigram.scala:53)

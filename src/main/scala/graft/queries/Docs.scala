@@ -1433,6 +1433,34 @@ object Docs {
         .orderBy("probe_id", "rank")
     }),
 
+    // C104/C107 (lifecycle side): INCREMENTAL index append — new
+    // vectors arrive daily and must join the artifact WITHOUT
+    // re-encoding the existing corpus: encode only the new batch under
+    // the same frozen codebook and list assignment and APPEND it into
+    // the hive-partitioned codes layout (each append touches only its
+    // lists' directories). Search over the appended artifact must
+    // equal the search over a from-scratch build — the oracle is
+    // exactly emb_ann_ivfpq's, so parity proves append ≡ rebuild.
+    "emb_index_ivf_append" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.where(col("vec_id") >= 8)
+      val indexDir = CdcQ.freshScratch(dir, "ivfpq_codes_append")
+      def codesOf(part: DataFrame) =
+        Pq.encode(part.withColumn("__list", col("label").cast("long")),
+          "vec_id", "embedding", keep = Seq("__list"))
+      // day 1: build from the first half; day 2: append the rest
+      codesOf(corpus.where(col("vec_id") % 2 === 0))
+        .write.partitionBy("__list").mode("overwrite").parquet(indexDir)
+      codesOf(corpus.where(col("vec_id") % 2 =!= 0))
+        .write.partitionBy("__list").mode("append").parquet(indexDir)
+      Pq.searchCodesIvf(
+        codes = s.read.parquet(indexDir),
+        cent = graft.operators.AnnIvf.centroids(corpus, "label", "embedding"),
+        probes = e.where(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding", topK = 5, nprobe = 3)
+        .orderBy("probe_id", "rank")
+    }),
+
     // C66b: retrieve-then-refine — PQ-ADC shortlists 20 candidates
     // over codes alone, then only those 20·|probes| rows re-join their
     // full-width vectors for an exact-L2 rerank to top-5. At 100 TB
@@ -3913,6 +3941,12 @@ object Docs {
     // identical relation to emb_ann_ivfpq: the list-partitioned
     // artifact round-trip must be invisible to the search result
     "emb_index_ivf_roundtrip" ->
+      (Pq.annTopKIvfSql("embeddings", "vec_id", "embedding",
+        corpusPred = "vec_id >= 8", probePred = "vec_id < 8",
+        topK = 5, nprobe = 3) + "\nORDER BY probe_id, rank"),
+
+    // identical relation again: incremental append ≡ from-scratch build
+    "emb_index_ivf_append" ->
       (Pq.annTopKIvfSql("embeddings", "vec_id", "embedding",
         corpusPred = "vec_id >= 8", probePred = "vec_id < 8",
         topK = 5, nprobe = 3) + "\nORDER BY probe_id, rank"),
