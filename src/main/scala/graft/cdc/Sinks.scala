@@ -106,6 +106,30 @@ object GraftSink {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__partition")
         .parquet(path)
+
+    /** Kafka-style LOG COMPACTION of an [[assign]]ed topic (A45): per
+      * key the LATEST record is retained AT ITS ORIGINAL OFFSET —
+      * consumers see offset GAPS, the defining compacted-topic
+      * property (A19's changelog compaction has no offsets to
+      * preserve) — and delete tombstones (op = 'D') survive only
+      * within `retentionUs` of the topic's newest commit (Kafka's
+      * delete.retention.ms: long enough for every consumer to observe
+      * the delete, then reclaimed). A compacted topic replayed from
+      * offset 0 therefore bootstraps a consumer to the SNAPSHOT state
+      * in O(|keys|) records instead of O(|log|). The retention cutoff
+      * is a 1-row broadcast; latest-per-key is one window over
+      * (partition, key) — both at topic scale, never history scale. */
+    def compact(assigned: DataFrame, retentionUs: Long): DataFrame = {
+      val w = Window.partitionBy(col("__partition"), col("key"))
+        .orderBy(desc("__offset"))
+      val cutoff = assigned
+        .agg((max(col("commit_ts_us")) - retentionUs).as("__cutoff"))
+      assigned.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+        .crossJoin(broadcast(cutoff))
+        .where(col("op") =!= "D" || col("commit_ts_us") >= col("__cutoff"))
+        .drop("__cutoff")
+    }
   }
 
   /** Micro-batched idempotent writer: rows are bucketed into commit-time

@@ -631,6 +631,25 @@ object Cdc {
         .orderBy("__partition", "__offset")
     }),
 
+    // A45: Kafka-style compacted topic — per key only the LATEST record
+    // survives AT ITS ORIGINAL OFFSET (consumers see offset gaps, the
+    // defining compacted-topic property; A19's changelog compaction has
+    // no offsets to preserve), and delete tombstones are reclaimed once
+    // older than delete.retention (12 h here — drops AND keeps some at
+    // every SF, so neither branch is vacuous) relative to the topic's
+    // newest commit. Replaying the compacted topic from offset 0
+    // bootstraps a consumer in O(|keys|) records instead of O(|log|) —
+    // the sink-side twin of A2's snapshot.
+    "cdc_topic_compacted" -> ((s, dir) => {
+      val topic = GraftSink.Topic(path = "", numPartitions = 8)
+      topic.compact(topic.assign(changelog(s, dir)),
+          retentionUs = 12L * 3600000000L)
+        .select(col("__partition"), col("__offset"),
+          col("key").as("user_id"), col("seq"), col("op"),
+          col("event_type"), col("commit_ts_us"))
+        .orderBy("__partition", "__offset")
+    }),
+
     // A23 consumer side: offset-resume topic replay — the sink written
     // hive-partitioned by __partition, then read back as a CONSUMER
     // resuming partition 3 from offset 10 (the "seek(partition,
@@ -1479,6 +1498,27 @@ object Cdc {
         |         ORDER BY commit_ts_us, seq, key) - 1 AS BIGINT) AS __offset,
         |       seq, key AS user_id, commit_ts_us, event_type
         |FROM log
+        |ORDER BY 1, 2""".stripMargin),
+
+    "cdc_topic_compacted" -> (logCte +
+      """,
+        |t AS (
+        |  SELECT key % 8 AS __partition,
+        |         CAST(row_number() OVER (PARTITION BY key % 8
+        |           ORDER BY commit_ts_us, seq, key) - 1 AS BIGINT)
+        |           AS __offset,
+        |         key, seq, op, event_type, commit_ts_us
+        |  FROM log),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT t.*, row_number() OVER (PARTITION BY __partition, key
+        |                                   ORDER BY __offset DESC) AS rn
+        |    FROM t) r WHERE rn = 1),
+        |cut AS (SELECT max(commit_ts_us) - 43200000000 AS c FROM t)
+        |SELECT __partition, __offset, key AS user_id, seq, op,
+        |       event_type, commit_ts_us
+        |FROM latest, cut
+        |WHERE op <> 'D' OR commit_ts_us >= c
         |ORDER BY 1, 2""".stripMargin),
 
     "cdc_topic_replay" -> (logCte +

@@ -1047,6 +1047,27 @@ object Docs {
         .orderBy("qid", "rank")
     }),
 
+    // C113: HTML boilerplate stripping — the FIRST step of every crawl
+    // pipeline: each doc is wrapped in a deterministic page (head with
+    // title/style/script payloads that must VANISH, an entity-encoded
+    // nav whose text must survive, a footer) and stripped by the
+    // production regex chain (patterns inside the Java-regex ∩ RE2
+    // common subset). The oracle derives the expected prose
+    // INDEPENDENTLY from the raw text + known wrapper — a hash match
+    // proves the strip EXTRACTS correctly, not merely that two engines
+    // ran the same rewrite. Scan-local per-row string work, no shuffle.
+    "doc_html_strip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+          graft.operators.Html.strip(
+            graft.operators.Html.synthesize(col("doc_id"), col("text")))
+            .as("stripped"))
+        .select(col("doc_id"),
+          sha2(col("stripped"), 256).as("stripped_sha256"),
+          length(col("stripped")).cast("long").as("n_chars_stripped"))
+        .orderBy("doc_id")
+    }),
+
     // C111: n-gram diversity / distinct-n report — the mode-collapse
     // screen for synthetic corpora (Li et al. 2016 distinct-n): dedup
     // passes generated data where every sample is unique while the
@@ -2937,6 +2958,16 @@ object Docs {
     "doc_ngram_diversity" ->
       (Drift.ngramDiversitySql("documents", "text", "source") +
         "\nORDER BY stratum, n"),
+
+    // INDEPENDENT derivation: expected prose from the raw text + known
+    // wrapper, never the regex chain itself
+    "doc_html_strip" ->
+      """SELECT doc_id,
+        |  sha256('Home & About <here> ' || text || ' (c) 2026')
+        |    AS stripped_sha256,
+        |  CAST(length('Home & About <here> ' || text || ' (c) 2026')
+        |    AS BIGINT) AS n_chars_stripped
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_bm25_rrf" ->
       (Bm25.rrfRerankSql(

@@ -95,6 +95,49 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === n1)
   }
 
+  test("Topic.compact: latest-per-key at ORIGINAL offsets, tombstone " +
+    "retention, replay bootstraps the snapshot") {
+    val topic = GraftSink.Topic(path = "", numPartitions = 8)
+    val assigned = topic.assign(changelog).localCheckpoint()
+    val retentionUs = 12L * 3600000000L
+    val compacted = topic.compact(assigned, retentionUs).localCheckpoint()
+    // one record per (partition, key), and each kept record is the
+    // key's LATEST at its ORIGINAL offset — compaction renumbers
+    // NOTHING (the consumer-visible offset-gap property)
+    assert(compacted.groupBy("__partition", "key").count()
+      .where(col("count") > 1).count() === 0)
+    val latest = assigned.groupBy("__partition", "key")
+      .agg(max(col("__offset")).as("__offset"))
+    assert(compacted.select("__partition", "key", "__offset")
+      .exceptAll(latest).count() === 0)
+    // offset gaps really exist (compaction removed earlier versions)
+    val perPart = compacted.groupBy("__partition")
+      .agg(count(lit(1)).as("n"), max(col("__offset")).as("mx"))
+    assert(perPart.where(col("mx") >= col("n")).count() > 0,
+      "no offset gaps — compaction kept every record?")
+    // retention exercised BOTH ways: some tombstones dropped, some kept
+    val cutoff = assigned.agg(max(col("commit_ts_us"))).head.getLong(0) -
+      retentionUs
+    val latestRows = assigned.withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__partition"), col("key"))
+            .orderBy(desc("__offset"))))
+      .where(col("__rn") === 1)
+    val oldTombs = latestRows
+      .where(col("op") === "D" && col("commit_ts_us") < cutoff).count()
+    val freshTombs = latestRows
+      .where(col("op") === "D" && col("commit_ts_us") >= cutoff).count()
+    assert(oldTombs > 0 && freshTombs > 0,
+      s"retention not exercised: $oldTombs dropped / $freshTombs kept")
+    assert(compacted.where(col("op") === "D").count() === freshTombs)
+    // replay-from-0 of the compacted topic bootstraps the A2 snapshot:
+    // same live keys as Materialize.snapshot over the full changelog
+    val snapKeys = Materialize.snapshot(changelog).select("key")
+    val replayKeys = compacted.where(col("op") =!= "D").select("key")
+    assertSameRows(snapKeys, replayKeys)
+  }
+
   test("SinkConfig: uris compile to the right sinks and round-trip") {
     val parsed = SinkConfig.parse(
       "parquet:/out/x?partitionBy=__partition,op&maxRecords=5000&mode=append")
