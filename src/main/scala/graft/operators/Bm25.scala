@@ -199,7 +199,7 @@ object Bm25 {
                   minMatch: Int = 2): String = {
     val qvals = queries.flatMap { case (qid, qt) =>
       qt.split(' ').filter(_.nonEmpty).distinct
-        .map(t => s"('$qid', '$t')")
+        .map(t => s"('${sqlLit(qid)}', '${sqlLit(t)}')")
     }.mkString(", ")
     s"""WITH hits AS (SELECT * FROM (${topKSql(table, id, text, queries, k)}) tk),
        |qt(qid, term) AS (VALUES $qvals),
@@ -260,12 +260,18 @@ object Bm25 {
 
   /** DuckDB mirror of [[topK]] — same query set, same round(9) ladder,
     * same scaled-e9 integer sum, same doc-id tiebreak. */
+  /** SQL string-literal escape for interpolated query ids/terms: the
+    * API takes arbitrary Seq[(String,String)], so a term containing a
+    * single quote must not break (or inject into) the generated oracle
+    * SQL. Doubling quotes is the one escape both engines share. */
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
   def topKSql(table: String, id: String, text: String,
               queries: Seq[(String, String)], k: Int,
               k1: Double = 1.2, b: Double = 0.75): String = {
     val qvals = queries.flatMap { case (qid, qt) =>
       qt.split(' ').filter(_.nonEmpty).distinct
-        .map(t => s"('$qid', '$t')")
+        .map(t => s"('${sqlLit(qid)}', '${sqlLit(t)}')")
     }.mkString(", ")
     require(qvals.nonEmpty,
       "BM25 oracle needs at least one non-empty probe query" +

@@ -217,8 +217,10 @@ object Decontaminate {
     * matching rows reach the per-vector count shuffle. Never a
     * corpus × corpus join; if the "benchmark" ever rivals the corpus,
     * compose [[AnnLsh]] banding exactly as the near-dup path does.
-    * Cosine ladder and round(4) output follow
-    * [[Similarity.neardupPairs]] (the oracle replays them verbatim). */
+    * The cosine crosses the engine boundary as an INTEGER e4 ladder
+    * (`max_cos_e4 = round(max_cos·10⁴)` as BIGINT, the score_e9 /
+    * recall_e4 discipline) — never a raw rounded DOUBLE, whose
+    * formatting can diverge cross-engine at half boundaries. */
   def embeddingContamination(corpus: DataFrame, bench: DataFrame,
                              idCol: String, vecCol: String,
                              threshold: Double): DataFrame = {
@@ -235,7 +237,7 @@ object Decontaminate {
       .where(col("cos_raw") >= threshold)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_bench_hits"),
-        round(max(col("cos_raw")), 4).as("max_cos"))
+        round(max(col("cos_raw")) * 10000).cast("long").as("max_cos_e4"))
   }
 
   /** DuckDB mirror of [[embeddingContamination]] over the embeddings
@@ -253,7 +255,7 @@ object Decontaminate {
        |  FROM c CROSS JOIN b
        |  WHERE $cos >= $threshold)
        |SELECT vec_id, count(*) AS n_bench_hits,
-       |       round(max(cos_raw), 4) AS max_cos
+       |       CAST(round(max(cos_raw) * 10000) AS BIGINT) AS max_cos_e4
        |FROM s GROUP BY 1""".stripMargin
   }
 }

@@ -41,20 +41,31 @@ object Html {
       lit("</p><footer>(c) 2026</footer></body></html>"))
 
   /** What a correct strip of [[synthesize]]'s page yields — derived
-    * from the raw text alone (the independent oracle side). */
+    * from the raw text alone (the independent oracle side). The final
+    * whitespace collapse mirrors [[strip]]'s last stage (a strip
+    * normalizes whitespace, so the expectation must state the same
+    * normal form); everything before it is independent. */
   def expected(text: Column): Column =
-    concat(lit("Home & About <here> "), text, lit(" (c) 2026"))
+    trim(regexp_replace(
+      concat(lit("Home & About <here> "), text, lit(" (c) 2026")),
+      "[ \\t\\r\\n]+", " "))
 
-  /** The production strip chain (see object docs). */
+  /** The production strip chain (see object docs). Block-element drop
+    * is case-insensitive and word-bounded — `<HEAD>` matches, and
+    * `<header>` does NOT match the `head` pattern (a real crawl page's
+    * `<header>` element preceding a literal `</head>` must not lose its
+    * content); the closing tag tolerates trailing whitespace
+    * (`</script >` is valid HTML). All still inside the Java∩RE2
+    * subset (flags + lazy quantifiers only, no lookaround). */
   def strip(html: Column): Column = {
     val noBlocks = Seq("head", "script", "style").foldLeft(html)((c, el) =>
-      regexp_replace(c, s"(?s)<$el[^>]*>.*?</$el>", " "))
+      regexp_replace(c, s"(?si)<$el(\\s[^>]*)?>.*?</$el\\s*>", " "))
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val decoded = regexp_replace(
       regexp_replace(
         regexp_replace(noTags, "&lt;", "<"),
         "&gt;", ">"),
       "&amp;", "&")
-    trim(regexp_replace(decoded, " +", " "))
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
   }
 }

@@ -2962,12 +2962,16 @@ object Docs {
     // INDEPENDENT derivation: expected prose from the raw text + known
     // wrapper, never the regex chain itself
     "doc_html_strip" ->
-      """SELECT doc_id,
-        |  sha256('Home & About <here> ' || text || ' (c) 2026')
-        |    AS stripped_sha256,
-        |  CAST(length('Home & About <here> ' || text || ' (c) 2026')
-        |    AS BIGINT) AS n_chars_stripped
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH exp AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      'Home & About <here> ' || text || ' (c) 2026',
+        |      '[ \t\r\n]+', ' ', 'g')) AS expected
+        |  FROM documents)
+        |SELECT doc_id,
+        |  sha256(expected) AS stripped_sha256,
+        |  CAST(length(expected) AS BIGINT) AS n_chars_stripped
+        |FROM exp ORDER BY doc_id""".stripMargin,
 
     "doc_bm25_rrf" ->
       (Bm25.rrfRerankSql(
