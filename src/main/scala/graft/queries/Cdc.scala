@@ -670,6 +670,76 @@ object Cdc {
         .orderBy("__offset")
     }),
 
+    // A46: streaming topic CONSUMER — the missing half of the
+    // reference's producer → broker → consumer loop (README.md:17-23).
+    // The Topic sink materializes the broker log; TopicSource TAILS it
+    // as a DSv2 micro-batch stream with a per-partition offset map in
+    // the checkpoint (the Kafka consumer-group shape), end-of-log
+    // discovered from parquet footer statistics only, admission
+    // control bounding each trigger, and the batch's [from, until)
+    // range pushed into the scan as a parquet __offset predicate. The
+    // oracle is the A23 assignment SQL: a full drain from offset 0
+    // must reproduce exactly the topic the producer wrote — consumer
+    // ≡ broker log, cross-engine.
+    "cdc_topic_stream" -> ((s, dir) => withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = roundtripPath(dir, "topicstream")
+      GraftSink.Topic(path = path, numPartitions = 8)
+        .write(changelog(s, dir))
+      val qn = "topic_stream_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.sources.TopicSource.stream(s, path,
+          graft.sources.TopicSource.changelogTopicSchema,
+          maxOffsetsPerTrigger = 4096)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("__partition").cast("long").as("__partition"),
+          col("__offset"), col("seq"), col("key").as("user_id"),
+          col("commit_ts_us"), col("event_type"))
+        .orderBy("__partition", "__offset")
+    }),
+
+    // A45+A46: compacted-topic BOOTSTRAP — replaying a compacted topic
+    // from offset 0 through the streaming consumer and applying its
+    // records (drop tombstones) must converge to exactly the A2
+    // SNAPSHOT: the Kafka changelog-topic bootstrap contract, in
+    // O(|keys|) records instead of O(|log|). Offsets in a compacted
+    // topic are GAPPED, so this also pins the consumer's
+    // stats-not-rowcount end-of-log discovery on the driver gate. The
+    // oracle is the shared snapshot SQL — stream-of-compacted ≡ batch
+    // snapshot, cross-engine.
+    "cdc_topic_stream_compacted" -> ((s, dir) => withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = roundtripPath(dir, "topicstreamcompact")
+      val sink = GraftSink.Topic(path = path, numPartitions = 8)
+      sink.compact(sink.assign(changelog(s, dir)),
+          retentionUs = 12L * 3600000000L)
+        .write.mode(SaveMode.Overwrite).partitionBy("__partition")
+        .parquet(path)
+      val qn = "topic_bootstrap_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.sources.TopicSource.stream(s, path,
+          graft.sources.TopicSource.changelogTopicSchema)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .where(col("op") =!= "D")
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // A21: semi-structured payload extraction — JSON props parsed in the
     // scan projection (codegen'd get_json_object; no UDF)
     "cdc_json_extract" -> ((s, dir) => {
@@ -1520,6 +1590,21 @@ object Cdc {
         |FROM latest, cut
         |WHERE op <> 'D' OR commit_ts_us >= c
         |ORDER BY 1, 2""".stripMargin),
+
+    // A46: a full consumer drain from offset 0 ≡ the producer's
+    // assignment (the A23 SQL verbatim)
+    "cdc_topic_stream" -> (logCte +
+      """
+        |SELECT key % 8 AS __partition,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY key % 8
+        |         ORDER BY commit_ts_us, seq, key) - 1 AS BIGINT) AS __offset,
+        |       seq, key AS user_id, commit_ts_us, event_type
+        |FROM log
+        |ORDER BY 1, 2""".stripMargin),
+
+    // A45+A46: compacted-topic bootstrap ≡ the shared snapshot oracle
+    "cdc_topic_stream_compacted" -> snapshotOracle,
 
     "cdc_topic_replay" -> (logCte +
       """
