@@ -187,4 +187,102 @@ object SchemaEvolution {
     val unioned = segments.reduce(_.unionByName(_, allowMissingColumns = true))
     evolve(unioned, ddls)
   }
+
+  // ---------------------------------------------------------------------
+  // Mid-stream DDL (A9's streaming half): DDL events travel IN the feed
+  // as op='DDL' rows whose props JSON describes the change (TiCDC's
+  // EmitDDLEvent, reference README.md:63) — so schema history replays
+  // with the data and a restarted consumer re-derives it.
+  // ---------------------------------------------------------------------
+
+  /** In-feed JSON form of a [[Ddl]] (AddColumn defaults are restricted
+    * to string literals — the only default a schema-less JSON event can
+    * carry faithfully). */
+  def ddlToJson(d: Ddl): String = d match {
+    case RenameColumn(from, to, ts) =>
+      s"""{"ddl":"rename","from":"$from","to":"$to","ts":$ts}"""
+    case AddColumn(name, _, ts) =>
+      throw new IllegalArgumentException(
+        s"use addColumnJson for AddColumn($name) — the Column default " +
+          "must be a string literal to cross the event boundary")
+    case DropColumn(name, ts) =>
+      s"""{"ddl":"drop","name":"$name","ts":$ts}"""
+  }
+
+  def addColumnJson(name: String, default: String, ts: Long): String =
+    s"""{"ddl":"add","name":"$name","default":"$default","ts":$ts}"""
+
+  /** Rebuild a [[Ddl]] from the fields a DDL event carries (extracted
+    * relationally with get_json_object — no driver-side JSON parsing). */
+  def ddlFromFields(kind: String, a: String, b: String, ts: Long): Ddl =
+    kind match {
+      case "rename" => RenameColumn(a, b, ts)
+      case "add" => AddColumn(a, lit(b), ts)
+      case "drop" => DropColumn(a, ts)
+      case other => throw new IllegalArgumentException(s"unknown DDL kind: $other")
+    }
+
+  /** Apply a DDL to a driver-side (name, dialectType) column list — the
+    * metadata-only projection the streaming compat gate runs per batch
+    * (schema work is |columns|-sized driver state, never a Spark job).
+    * JSON-carried AddColumn defaults are string literals → VARCHAR. */
+  def applyToCols(cols: Seq[(String, String)], d: Ddl): Seq[(String, String)] =
+    d match {
+      case AddColumn(n, _, _) =>
+        if (cols.exists(_._1 == n)) cols else cols :+ (n -> "VARCHAR")
+      case DropColumn(n, _) => cols.filterNot(_._1 == n)
+      case RenameColumn(from, to, _) =>
+        cols.map { case (n, t) => (if (n == from) to else n, t) }
+    }
+
+  /** Driver-side twin of [[compatReport]] — identical classification
+    * (ADD/DROP/ALTER × default/rename/widening/breaking), pure Scala so
+    * the per-micro-batch gate costs no job. compatReport stays the
+    * relational form (A43's oracle speaks it); this is the same
+    * decision table over the same inputs. */
+  def compatVerdictsLocal(src: Seq[(String, String)],
+                          tgt: Seq[(String, String)])
+      : Seq[(String, String, String)] = {
+    val srcM = src.toMap
+    val tgtM = tgt.toMap
+    val droppedTypes = src.collect {
+      case (n, t) if !tgtM.contains(n) => t }.toSet
+    val addedTypes = tgt.collect {
+      case (n, t) if !srcM.contains(n) => t }.toSet
+    val adds = tgt.filterNot { case (n, _) => srcM.contains(n) }.map {
+      case (n, t) =>
+        (n, "ADD",
+          if (droppedTypes.contains(t)) "suspected_rename"
+          else "compat_with_default")
+    }
+    val drops = src.filterNot { case (n, _) => tgtM.contains(n) }.map {
+      case (n, t) =>
+        (n, "DROP",
+          if (addedTypes.contains(t)) "suspected_rename"
+          else "breaking_consumers")
+    }
+    val alters = tgt.collect {
+      case (n, t) if srcM.get(n).exists(_ != t) =>
+        (n, "ALTER",
+          if (wideningPairs.contains((srcM(n), t))) "widening_ok"
+          else "breaking_type")
+    }
+    adds ++ drops ++ alters
+  }
+
+  /** [[evolve]] for MIXED-schema frames (a merged-schema read over sink
+    * segments written under different points of the DDL history): a
+    * rename where BOTH old and new columns exist merges them
+    * (`to := coalesce(to, from)`, old segments filled from `from`)
+    * instead of blindly renaming into a duplicate column. Pure
+    * projection, fuses into the scan like evolve. */
+  def conform(df: DataFrame, ddls: Seq[Ddl]): DataFrame =
+    ddls.sortBy(_.commitTsUs).foldLeft(df) { (d, ddl) =>
+      ddl match {
+        case RenameColumn(from, to, _)
+            if d.columns.contains(from) && d.columns.contains(to) =>
+          d.withColumn(to, coalesce(col(to), col(from))).drop(from)
+        case other => apply(d, other)
+      }
+    }
 }

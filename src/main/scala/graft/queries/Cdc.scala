@@ -777,6 +777,50 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A9 STREAMING half (A47): mid-stream schema evolution — the DDL
+    // arrives as an op='DDL' event INSIDE a LIVE feed (TiCDC's
+    // EmitDDLEvent), is compat-gated per micro-batch (A43 classifier,
+    // driver-side metadata), recorded in the sink's _ddl_history
+    // ledger (restart-safe: the sink owns its schema state), and every
+    // subsequent batch conforms WITHOUT restarting the query. The
+    // read-back splices mixed-schema segments (mergeSchema +
+    // rename-merge). Oracle = the batch A9 SQL — a feed evolved
+    // mid-flight must converge to exactly the spliced batch result.
+    "cdc_stream_schema_evolution" -> ((s, dir) => withStreamPartitions(s) {
+      import s.implicits._
+      val log = changelog(s, dir)
+      val ddlSeqBase = 8000000000000000000L
+      val ddlDf = Seq(
+        (-1L, asofTsUs, ddlSeqBase + 1, "DDL", Option.empty[String],
+          Option.empty[Double],
+          SchemaEvolution.ddlToJson(
+            SchemaEvolution.RenameColumn("value", "amount", asofTsUs))),
+        (-1L, asofTsUs, ddlSeqBase + 2, "DDL", Option.empty[String],
+          Option.empty[Double],
+          SchemaEvolution.addColumnJson("region", "unassigned", asofTsUs)),
+        (-1L, asofTsUs, ddlSeqBase + 3, "DDL", Option.empty[String],
+          Option.empty[Double],
+          SchemaEvolution.ddlToJson(
+            SchemaEvolution.DropColumn("props", asofTsUs))))
+        .toDF("key", "commit_ts_us", "seq", "op", "event_type", "value",
+          "props")
+      val feed = log.unionByName(ddlDf)
+      val inDir = streamSliceDir(s, feed, dir, slices = 3,
+        orderCols = Seq(col("commit_ts_us"), col("seq")),
+        tag = "evolve_in")
+      val sinkDir = freshScratch(dir, "evolve_sink")
+      val dlqDir = freshScratch(dir, "evolve_dlq")
+      val q = CdcStream.deliverEvolving(
+        CdcStream.fromParquetDir(s, inDir, feed.schema),
+        sinkDir, dlqDir,
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      q.awaitTermination()
+      Materialize.snapshot(CdcStream.readEvolved(s, sinkDir))
+        .select(col("key").as("user_id"), col("event_type"),
+          col("amount"), col("region"), col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // A7+A8: batched idempotent sink round-trip — the changelog goes to
     // disk TWICE through GraftSink.Batched (day-bucketed `__batch` hive
     // partitions, dynamic partition overwrite; the second write is an
@@ -1082,7 +1126,7 @@ object Cdc {
 
   /** [[roundtripPath]] recursively deleted and re-created — for
     * append-mode sinks that must start empty every run. */
-  private[queries] def freshScratch(dir: String, tag: String): String = {
+  private[graft] def freshScratch(dir: String, tag: String): String = {
     import java.nio.file.{Files, Paths}
     val out = roundtripPath(dir, tag)
     val p = Paths.get(out)
@@ -1097,7 +1141,7 @@ object Cdc {
     * distinct mtimes (file-stream arrival order == event-time order),
     * into a deterministic dir cleaned on every call — the harness
     * stand-in for an upstream feed. */
-  private[queries] def streamSliceDir(s: SparkSession, ev: DataFrame,
+  private[graft] def streamSliceDir(s: SparkSession, ev: DataFrame,
                              dir: String, slices: Int,
                              orderCols: Seq[Column] = Seq(col("ts_us"),
                                col("event_id")),
@@ -1672,6 +1716,19 @@ object Cdc {
         |FROM log ORDER BY seq""".stripMargin),
 
     "cdc_schema_evolution" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id, event_type, value AS amount,
+        |       'unassigned' AS region, commit_ts_us AS last_ts_us
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
+
+    // A47: a feed evolved MID-STREAM must converge to the batch A9
+    // splice — same oracle text
+    "cdc_stream_schema_evolution" -> (logCte +
       """,
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY key

@@ -78,6 +78,136 @@ object CdcStream {
       .start()
   }
 
+  /** MID-STREAM schema evolution (A9's streaming half): a live feed
+    * that receives a DDL event keeps running — no restart, no fixed
+    * target schema. DDL events travel IN the feed as op='DDL' rows
+    * whose props JSON describes the change (TiCDC's EmitDDLEvent,
+    * reference README.md:63). Per micro-batch:
+    *
+    *  1. recover the applied DDL history from the sink's `_ddl_history`
+    *     ledger (the sink owns its schema state, so a RESTARTED query —
+    *     fresh JVM, fresh closure — resumes under the evolved schema
+    *     even for batches after the DDL batch committed);
+    *  2. extract this batch's DDL events relationally
+    *     (get_json_object; the collect is |DDL events|-bounded);
+    *  3. gate them through the A43 compat classifier
+    *     ([[SchemaEvolution.compatVerdictsLocal]], driver-side
+    *     metadata): any `breaking_*` verdict quarantines the DDL to the
+    *     DLQ and the feed CONTINUES under the old schema; compat-green
+    *     (adds-with-default, renames, widenings) appends to the ledger;
+    *  4. conform the batch's data rows to the evolved schema
+    *     ([[SchemaEvolution.evolve]] — splice semantics, a pure
+    *     projection) and write them as an idempotent `__batch=<id>`
+    *     partition (replay overwrites, never duplicates).
+    *
+    * The sink directory is read back with mergeSchema +
+    * [[SchemaEvolution.conform]] (old segments fill renamed/added
+    * columns) — pinned batch-identical to the A9 splice by
+    * `cdc_stream_schema_evolution`'s oracle. */
+  def deliverEvolving(stream: DataFrame, sinkDir: String, dlqDir: String,
+                      checkpointDir: String): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit = (batch, id) => {
+      val frame = batch.toDF()
+      val history = EvolveLedger.read(sinkDir)
+      val ddlRows = frame.where(col("op") === "DDL")
+        .select(
+          get_json_object(col("props"), "$.ddl").as("kind"),
+          coalesce(get_json_object(col("props"), "$.from"),
+            get_json_object(col("props"), "$.name")).as("a"),
+          coalesce(get_json_object(col("props"), "$.to"),
+            get_json_object(col("props"), "$.default")).as("b"),
+          col("commit_ts_us"), col("seq"))
+        .orderBy("commit_ts_us", "seq")
+        .collect() // |DDL events in this flush| rows — metadata-bounded
+        .toSeq
+      val newDdls = ddlRows.map(r => graft.cdc.SchemaEvolution
+        .ddlFromFields(r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+      val data = frame.where(col("op") =!= "DDL")
+      val payload = data.schema.fields.toSeq
+        .filterNot(f => graft.cdc.ChangeEvent.metaColumns.contains(f.name))
+        .map(f => f.name -> graft.cdc.SchemaEvolution.dialectType(f.dataType))
+      val before = history.foldLeft(payload)(
+        graft.cdc.SchemaEvolution.applyToCols)
+      val after = newDdls.foldLeft(before)(
+        graft.cdc.SchemaEvolution.applyToCols)
+      val verdicts = graft.cdc.SchemaEvolution
+        .compatVerdictsLocal(before, after)
+      val breaking = verdicts.filter(_._3.startsWith("breaking"))
+      val applied =
+        if (newDdls.isEmpty || breaking.nonEmpty) history
+        else {
+          EvolveLedger.append(sinkDir, id, ddlRows.map(r =>
+            Seq(r.getString(0), r.getString(1), r.getString(2),
+              r.getLong(3).toString, r.getLong(4).toString)))
+          history ++ newDdls
+        }
+      if (breaking.nonEmpty) {
+        // quarantine the DDL (not the data): the feed keeps flowing
+        // under the old schema, the operator replays the fixed DDL
+        frame.where(col("op") === "DDL")
+          .withColumn("__dlq_reason", lit(breaking.map {
+            case (c, ch, v) => s"$ch $c: $v" }.mkString("; ").take(200)))
+          .write.mode("overwrite").parquet(s"$dlqDir/ddl-batch-$id")
+      }
+      graft.cdc.SchemaEvolution.evolve(data, applied)
+        .write.mode("overwrite").parquet(s"$sinkDir/__batch=$id")
+    }
+    stream.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Read an evolving sink back under its full DDL history: merged
+    * schema across segments, renames/adds spliced. */
+  def readEvolved(spark: SparkSession, sinkDir: String): DataFrame =
+    graft.cdc.SchemaEvolution.conform(
+      spark.read.option("mergeSchema", "true").parquet(sinkDir)
+        .drop("__batch"),
+      EvolveLedger.read(sinkDir))
+
+  /** The evolving sink's schema ledger: one tiny metadata file per
+    * micro-batch that applied DDLs, under `_ddl_history/` (underscore
+    * prefix — invisible to the parquet scan). Fields are
+    * pipe-separated (kind|a|b|ts|seq), written atomically per batch id
+    * so an at-least-once replay overwrites its own file instead of
+    * duplicating history. Driver-side |DDL| bytes — schema state is
+    * metadata, never data. */
+  private[graft] object EvolveLedger {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+
+    private def dir(sinkDir: String) = Paths.get(sinkDir, "_ddl_history")
+
+    def read(sinkDir: String): Seq[graft.cdc.SchemaEvolution.Ddl] = {
+      val d = dir(sinkDir)
+      if (!Files.exists(d)) Seq.empty
+      else Files.list(d).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".ledger"))
+        .flatMap(f => Files.readAllLines(f).asScala)
+        .map { line =>
+          val p = line.split('|')
+          (graft.cdc.SchemaEvolution.ddlFromFields(
+            p(0), p(1), p(2), p(3).toLong), p(4).toLong)
+        }
+        .sortBy { case (d0, seq) => (d0.commitTsUs, seq) }
+        .map(_._1)
+    }
+
+    def append(sinkDir: String, batchId: Long,
+               rows: Seq[Seq[String]]): Unit = {
+      val d = dir(sinkDir)
+      Files.createDirectories(d)
+      val tmp = d.resolve(s".batch-$batchId.tmp")
+      Files.write(tmp, rows.map(_.mkString("|")).asJava)
+      Files.move(tmp, d.resolve(s"batch-$batchId.ledger"),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Streaming feed-health state (A24's streaming form): per-pipeline
     * event counts and frontier ts, maintained as a complete-mode
     * aggregation whose state is exactly |pipelines| rows. The lag

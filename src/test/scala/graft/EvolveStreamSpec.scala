@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Changelog, Materialize, SchemaEvolution}
+import graft.streaming.CdcStream
+
+/** Mid-stream schema evolution (A9's streaming half): a DDL event
+  * arriving INSIDE a live feed evolves the sink without a restart —
+  * compat-gated, ledger-recorded, breaking DDLs quarantined. */
+class EvolveStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(tag).toString
+
+  private def changelog: DataFrame =
+    Changelog.fromEvents(Tables.events(spark, sfDir))
+
+  private val ddlTs = 1705000000000000L
+  private val seqBase = 8000000000000000000L
+
+  private def ddlRow(seq: Long, props: String) =
+    (-1L, ddlTs, seqBase + seq, "DDL", Option.empty[String],
+      Option.empty[Double], props)
+
+  private def feedWith(ddls: Seq[String]): DataFrame =
+    changelog.unionByName(
+      ddls.zipWithIndex.map { case (p, i) => ddlRow(i + 1, p) }
+        .toDF("key", "commit_ts_us", "seq", "op", "event_type", "value",
+          "props"))
+
+  private val evolveDdlJson = Seq(
+    SchemaEvolution.ddlToJson(
+      SchemaEvolution.RenameColumn("value", "amount", ddlTs)),
+    SchemaEvolution.addColumnJson("region", "unassigned", ddlTs),
+    SchemaEvolution.ddlToJson(SchemaEvolution.DropColumn("props", ddlTs)))
+
+  private def drain(inDir: String, schema: org.apache.spark.sql.types.StructType,
+                    sinkDir: String, dlqDir: String, ckpt: String): Unit = {
+    val q = CdcStream.deliverEvolving(
+      CdcStream.fromParquetDir(spark, inDir, schema), sinkDir, dlqDir, ckpt)
+    q.awaitTermination()
+  }
+
+  private def snapshotOf(df: DataFrame): DataFrame =
+    Materialize.snapshot(df)
+      .select(col("key").as("user_id"), col("event_type"), col("amount"),
+        col("region"), col("commit_ts_us").as("last_ts_us"))
+
+  test("DDL mid-feed: evolved stream converges to the batch A9 splice") {
+    val feed = feedWith(evolveDdlJson)
+    val inDir = graft.queries.Cdc.streamSliceDir(spark, feed, sfDir,
+      slices = 3, orderCols = Seq(col("commit_ts_us"), col("seq")),
+      tag = "spec_evolve_in")
+    val sink = tmp("evolve_sink"); val dlq = tmp("evolve_dlq")
+    drain(inDir, feed.schema, sink, dlq, tmp("evolve_ckpt"))
+    val streamed = snapshotOf(CdcStream.readEvolved(spark, sink))
+    val batch = snapshotOf(SchemaEvolution.evolve(changelog, Seq(
+      SchemaEvolution.RenameColumn("value", "amount"),
+      SchemaEvolution.AddColumn("region", lit("unassigned")),
+      SchemaEvolution.DropColumn("props"))))
+    assert(streamed.count() === batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+    // the DDL batch actually recorded the history
+    assert(Files.exists(Paths.get(sink, "_ddl_history")))
+    // nothing was quarantined
+    assert(!Files.exists(Paths.get(dlq)) ||
+      !Files.list(Paths.get(dlq)).findAny().isPresent)
+  }
+
+  test("restart AFTER the DDL batch committed: ledger restores the schema") {
+    // The foreachBatch closure's memory dies with the query; batches
+    // arriving after a restart must still conform under the evolved
+    // schema because the sink's _ddl_history ledger IS the state.
+    val feed = feedWith(evolveDdlJson)
+    val inDir = graft.queries.Cdc.streamSliceDir(spark, feed, sfDir,
+      slices = 3, orderCols = Seq(col("commit_ts_us"), col("seq")),
+      tag = "spec_evolve_restart")
+    // hold back the LAST flush (strictly after the DDL)
+    val held = Paths.get(tmp("evolve_held"), "flush-002.parquet")
+    Files.move(Paths.get(inDir, "flush-002.parquet"), held,
+      StandardCopyOption.ATOMIC_MOVE)
+    val sink = tmp("evolve_r_sink"); val dlq = tmp("evolve_r_dlq")
+    val ckpt = tmp("evolve_r_ckpt")
+    drain(inDir, feed.schema, sink, dlq, ckpt)   // run 1: flushes 0-1
+    Files.move(held, Paths.get(inDir, "flush-002.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    drain(inDir, feed.schema, sink, dlq, ckpt)   // run 2: fresh query
+    val streamed = snapshotOf(CdcStream.readEvolved(spark, sink))
+    val batch = snapshotOf(SchemaEvolution.evolve(changelog, Seq(
+      SchemaEvolution.RenameColumn("value", "amount"),
+      SchemaEvolution.AddColumn("region", lit("unassigned")),
+      SchemaEvolution.DropColumn("props"))))
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+    // run 2's segment was written under the EVOLVED schema (amount, no
+    // value), proving the ledger — not the dead closure — carried it
+    import scala.jdk.CollectionConverters._
+    val batchDirs = Files.list(Paths.get(sink)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("__batch=")).toSeq
+    val tail = spark.read.parquet(
+      sink + "/" + batchDirs.maxBy(_.stripPrefix("__batch=").toInt))
+    assert(tail.columns.contains("amount") && !tail.columns.contains("value"))
+  }
+
+  test("breaking DDL is quarantined; the feed continues under the old schema") {
+    val feed = feedWith(Seq(
+      SchemaEvolution.ddlToJson(
+        SchemaEvolution.DropColumn("event_type", ddlTs))))
+    val inDir = graft.queries.Cdc.streamSliceDir(spark, feed, sfDir,
+      slices = 3, orderCols = Seq(col("commit_ts_us"), col("seq")),
+      tag = "spec_evolve_break")
+    val sink = tmp("evolve_b_sink"); val dlq = tmp("evolve_b_dlq")
+    drain(inDir, feed.schema, sink, dlq, tmp("evolve_b_ckpt"))
+    import scala.jdk.CollectionConverters._
+    val dlqDirs = Files.list(Paths.get(dlq)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("ddl-batch-")).toSeq
+    assert(dlqDirs.nonEmpty, "breaking DDL was not quarantined")
+    val quarantined = spark.read.parquet(dlq + "/" + dlqDirs.head)
+    assert(quarantined.count() === 1L)
+    assert(quarantined.select("__dlq_reason").head.getString(0)
+      .contains("breaking_consumers"))
+    // the feed kept flowing, un-evolved and complete
+    val delivered = CdcStream.readEvolved(spark, sink)
+    assert(delivered.columns.contains("event_type"))
+    assert(delivered.count() === changelog.count())
+    assert(!Files.exists(Paths.get(sink, "_ddl_history")) ||
+      !Files.list(Paths.get(sink, "_ddl_history")).findAny().isPresent)
+  }
+}
