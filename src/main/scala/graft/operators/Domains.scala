@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-level curation (C114/C115) — the layer between page-level
+  * filters (C113 HTML strip, C87 Gopher rules) and the corpus: crawl
+  * curation is governed per REGISTRABLE DOMAIN (C4 / RefinedWeb: a
+  * blocklist kills spam/adult domains outright; a per-domain cap stops
+  * any single domain from dominating the corpus).
+  *
+  * Everything here is scan-local projection + one aggregation:
+  *  - [[host]] extracts the URL authority with one regex in the
+  *    Java∩RE2 common subset (scheme required, optional userinfo and
+  *    port stripped, lowercased);
+  *  - [[registrable]] reduces a host to its registrable domain with
+  *    the deterministic 2-label rule plus a multi-part-suffix ladder
+  *    (`co.uk`-style: when the second-to-last label is a known
+  *    registry class, keep three labels). A full public-suffix list is
+  *    a data file, not logic — swap the set for PSL at deployment; the
+  *    rule's SHAPE (label slice by a computed k) is the operator.
+  *  - [[report]] aggregates docs/tokens/chars per domain after a
+  *    BROADCAST blocklist anti-join (the blocklist is thousands of
+  *    rows against a 100 TB corpus — never a shuffle);
+  *  - [[cap]] keeps at most k docs per domain by a deterministic
+  *    md5 rank — a row_number window PARTITIONED by domain whose
+  *    `rnk <= k` filter Spark rewrites to a partial per-partition
+  *    group limit (InferWindowGroupLimit), so the giant domain that
+  *    motivates the cap never materializes its full sort.
+  *
+  * `doc_domain_report` / `doc_domain_cap` follow the C113 oracle
+  * discipline: the synthetic URL is deterministic in (source, doc_id),
+  * and the DuckDB oracle derives the EXPECTED domain independently
+  * from those keys — a hash match proves extraction + suffix logic,
+  * not that two engines ran the same regex. */
+object Domains {
+
+  /** Authority-extraction regex: scheme `://`, optional
+    * `userinfo@`, host up to `:port`, `/path`, `?query` or `#frag`.
+    * Character classes + one capture group — Java∩RE2. */
+  private val hostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+  /** Lowercased host of a URL ('' when the URL has no scheme —
+    * scheme-relative and garbage rows surface as the empty domain and
+    * flow to quarantine, never a throw in the hot path). */
+  def host(url: Column): Column = lower(regexp_extract(url, hostRe, 1))
+
+  /** Second-level labels that indicate a multi-part public suffix. */
+  val multiPartSuffixes: Seq[String] =
+    Seq("ac", "co", "com", "edu", "gov", "net", "org")
+
+  /** Registrable domain (eTLD+1 approximation): last two labels, or
+    * last three when the second-to-last is a registry class label. */
+  def registrable(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val k = when(n >= 3 && array_contains(
+      array(multiPartSuffixes.map(lit): _*), element_at(labels, -2)), 3)
+      .otherwise(least(n, lit(2)))
+    concat_ws(".", slice(labels, -k, k))
+  }
+
+  /** Registrable domain straight from a URL column. */
+  def domainOf(url: Column): Column = registrable(host(url))
+
+  /** Per-domain corpus report after a broadcast blocklist anti-join:
+    * docs, whitespace tokens, chars. `blocked` is the domain blocklist
+    * (one `domain` column). */
+  def report(docs: DataFrame, urlCol: Column, textCol: Column,
+             charsCol: Column, blocked: DataFrame): DataFrame =
+    docs.withColumn("domain", domainOf(urlCol))
+      .join(broadcast(blocked), Seq("domain"), "left_anti")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(textCol, " "))).as("n_tokens"),
+        sum(charsCol).as("sum_chars"))
+
+  /** Per-domain cap (the "no domain dominates" rule): keep at most
+    * `k` docs per domain in deterministic md5 order (salted by `tag`
+    * so different caps draw independent orders). */
+  def cap(docs: DataFrame, urlCol: Column, idCol: Column, k: Int,
+          tag: String = "cap"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(tag), idCol.cast("string")))
+    val w = Window.partitionBy(col("domain")).orderBy(h, idCol)
+    docs.withColumn("domain", domainOf(urlCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Deterministic synthetic URL for the documents table (the C113
+    * wrapper discipline): scheme / userinfo / port / host case all
+    * vary with doc_id so extraction is actually exercised; the
+    * registrable domain is `site{doc_id%13}.{tld[doc_id%5]}` — the
+    * independent derivation the oracle states. */
+  def synthesizeUrl(docId: Column, source: Column): Column = {
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("net"), lit("co.uk"), lit("de")),
+      (docId % 5 + 1).cast("int"))
+    val rawHost = concat(lit("www."), source, lit("-"), docId % 37,
+      lit(".site"), docId % 13, lit("."), tld)
+    concat(
+      when(docId % 3 === 0, "http").otherwise("https"), lit("://"),
+      when(docId % 11 === 0, "user:pw@").otherwise(""),
+      when(docId % 4 === 0, upper(rawHost)).otherwise(rawHost),
+      when(docId % 7 === 0, ":8080").otherwise(""),
+      lit("/p/"), docId)
+  }
+
+  /** The oracle's independent registrable-domain derivation. */
+  val expectedDomainSql: String =
+    "'site' || (doc_id % 13) || '.' || " +
+      "(['com','org','net','co.uk','de'])[(doc_id % 5) + 1]"
+}

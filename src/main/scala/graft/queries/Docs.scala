@@ -1068,6 +1068,42 @@ object Docs {
         .orderBy("doc_id")
     }),
 
+    // C114: domain-level curation report — crawl curation is governed
+    // per REGISTRABLE DOMAIN (RefinedWeb/C4: blocklist kills spam
+    // domains, stats drive mixture decisions). Each doc gets a
+    // deterministic synthetic URL (scheme/userinfo/port/case all vary
+    // — the C113 wrapper discipline), the PRODUCTION extraction runs
+    // (authority regex → eTLD+1 suffix ladder, scan-local), a
+    // broadcast blocklist anti-joins, and one aggregation reports
+    // docs/tokens/chars per domain. The oracle derives the expected
+    // domain INDEPENDENTLY from (doc_id) — a hash match proves
+    // extraction + suffix logic, not a replayed regex.
+    "doc_domain_report" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val blocked = Seq("site3.com", "site7.co.uk").toDF("domain")
+      graft.operators.Domains.report(docs,
+          graft.operators.Domains.synthesizeUrl(col("doc_id"), col("source")),
+          col("text"), col("n_chars"), blocked)
+        .orderBy("domain")
+    }),
+
+    // C115: per-domain cap — the "no domain dominates" rule: keep at
+    // most 5 docs per registrable domain in deterministic md5 order.
+    // The rnk<=k filter over the domain-partitioned row_number is
+    // Spark's InferWindowGroupLimit shape: each partition keeps a
+    // bounded top-k, so the giant domain that motivates the cap never
+    // materializes its full sort. Oracle = the plain window SQL over
+    // the independent domain derivation.
+    "doc_domain_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Domains.cap(docs,
+          graft.operators.Domains.synthesizeUrl(col("doc_id"), col("source")),
+          col("doc_id"), k = 5)
+        .select(col("domain"), col("doc_id"), col("rnk"))
+        .orderBy("domain", "rnk")
+    }),
+
     // C111: n-gram diversity / distinct-n report — the mode-collapse
     // screen for synthetic corpora (Li et al. 2016 distinct-n): dedup
     // passes generated data where every sample is unique while the
@@ -2972,6 +3008,32 @@ object Docs {
         |  sha256(expected) AS stripped_sha256,
         |  CAST(length(expected) AS BIGINT) AS n_chars_stripped
         |FROM exp ORDER BY doc_id""".stripMargin,
+
+    "doc_domain_report" ->
+      (s"""WITH d AS (
+        |  SELECT ${graft.operators.Domains.expectedDomainSql} AS domain,
+        |         len(string_split(text, ' ')) AS n_toks, n_chars
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d
+        |WHERE domain NOT IN ('site3.com', 'site7.co.uk')
+        |GROUP BY domain ORDER BY domain""".stripMargin),
+
+    "doc_domain_cap" ->
+      (s"""WITH d AS (
+        |  SELECT doc_id,
+        |         ${graft.operators.Domains.expectedDomainSql} AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT domain, doc_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY domain
+        |           ORDER BY md5('cap' || doc_id), doc_id) AS BIGINT) AS rnk
+        |  FROM d)
+        |SELECT domain, doc_id, rnk FROM r WHERE rnk <= 5
+        |ORDER BY domain, rnk""".stripMargin),
 
     "doc_bm25_rrf" ->
       (Bm25.rrfRerankSql(

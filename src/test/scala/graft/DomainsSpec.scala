@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Domains
+
+/** Domain extraction + per-domain governance contracts (C114/C115). */
+class DomainsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def hostOf(url: String): String =
+    Seq(url).toDF("u").select(Domains.host(col("u"))).head.getString(0)
+
+  private def regOf(host: String): String =
+    Seq(host).toDF("h").select(Domains.registrable(col("h")))
+      .head.getString(0)
+
+  test("host extraction: scheme, userinfo, port, path, case, garbage") {
+    assert(hostOf("https://www.Example.COM/p/1") === "www.example.com")
+    assert(hostOf("http://user:pw@a.b.org:8080/x?q=1#f") === "a.b.org")
+    assert(hostOf("ftp+ssh://HOST.NET") === "host.net")
+    assert(hostOf("https://no-path.de") === "no-path.de")
+    // schemeless / garbage rows surface as '' (quarantine), never throw
+    assert(hostOf("www.example.com/p/1") === "")
+    assert(hostOf("not a url at all") === "")
+  }
+
+  test("registrable domain: 2-label rule + multi-part suffix ladder") {
+    assert(regOf("www.foo.example.com") === "example.com")
+    assert(regOf("example.com") === "example.com")
+    assert(regOf("deep.a.b.site9.co.uk") === "site9.co.uk")
+    assert(regOf("bare") === "bare")
+    assert(regOf("a.gov.uk") === "a.gov.uk")
+  }
+
+  test("report blocklist is a broadcast anti-join; cap uses a window group limit") {
+    val docs = Tables.documents(spark, sfDir)
+    val url = Domains.synthesizeUrl(col("doc_id"), col("source"))
+    val rep = Domains.report(docs, url, col("text"), col("n_chars"),
+      Seq("site3.com").toDF("domain"))
+    val repPlan = rep.queryExecution.executedPlan.toString
+    assert(repPlan.contains("BroadcastHashJoin") &&
+      repPlan.contains("LeftAnti"), s"blocklist must broadcast:\n$repPlan")
+    val capped = Domains.cap(docs, url, col("doc_id"), k = 5)
+    val capPlan = capped.queryExecution.executedPlan.toString
+    assert(capPlan.contains("WindowGroupLimit"),
+      s"cap must run as a partial window group limit:\n$capPlan")
+    // the cap actually binds and never exceeds k per domain
+    val over = capped.groupBy("domain").count().where(col("count") > 5)
+    assert(over.count() === 0L)
+  }
+}
