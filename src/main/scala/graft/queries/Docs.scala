@@ -1104,6 +1104,32 @@ object Docs {
         .orderBy("domain", "rnk")
     }),
 
+    // C116: encoding-damage screen — U+FFFD replacement runs, C1
+    // controls (Windows-125x read as Latin-1), and the
+    // UTF-8-as-Latin-1 Ã-ladder digraphs, three scan-local rlike
+    // detectors (no shuffle). Corruption is PLANTED deterministically
+    // by doc_id (class = doc_id % 10) and the oracle derives the
+    // expected flags from doc_id arithmetic alone — the C113
+    // discipline: parity proves the detectors fire exactly where
+    // damage exists and nowhere else (the clean 70% must stay clean).
+    "doc_mojibake" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.withColumn("__text",
+        graft.operators.Mojibake.plantDamage(col("text"), col("doc_id")))
+      graft.operators.Mojibake.flags(planted, col("__text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // C116 rollup: per-source damage report (counts per class + exact
+    // e4 damaged rate) — the dashboard row an ingest gate alerts on.
+    "doc_mojibake_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.withColumn("__text",
+        graft.operators.Mojibake.plantDamage(col("text"), col("doc_id")))
+      graft.operators.Mojibake.report(planted, col("__text"), col("source"))
+        .orderBy("source")
+    }),
+
     // C111: n-gram diversity / distinct-n report — the mode-collapse
     // screen for synthetic corpora (Li et al. 2016 distinct-n): dedup
     // passes generated data where every sample is unique while the
@@ -3008,6 +3034,29 @@ object Docs {
         |  sha256(expected) AS stripped_sha256,
         |  CAST(length(expected) AS BIGINT) AS n_chars_stripped
         |FROM exp ORDER BY doc_id""".stripMargin,
+
+    "doc_mojibake" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 10 = 0 AS BIGINT) AS has_replacement,
+        |  CAST(doc_id % 10 = 1 AS BIGINT) AS has_c1,
+        |  CAST(doc_id % 10 = 2 AS BIGINT) AS has_latin1_mojibake,
+        |  CASE doc_id % 10 WHEN 0 THEN 'replacement'
+        |                   WHEN 1 THEN 'c1_controls'
+        |                   WHEN 2 THEN 'latin1_mojibake'
+        |                   ELSE 'clean' END AS damage_class
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_mojibake_report" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_c1,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_latin1_mojibake,
+        |  CAST(10000 * sum(CASE WHEN doc_id % 10 < 3 THEN 1 ELSE 0 END)
+        |       // count(*) AS BIGINT) AS damaged_e4
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "doc_domain_report" ->
       (s"""WITH d AS (
