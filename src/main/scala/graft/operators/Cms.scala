@@ -104,28 +104,67 @@ object Cms {
   /** Estimate-only DuckDB form — the `q_cms_merge` oracle: the merge
     * identity is exact, so the single-sketch estimates ARE the merged
     * answer. */
-  /** Frequent items with support threshold `minCount` — CMS prefilter +
-    * exact rescan (retrieve-then-refine for frequency). The sketch never
-    * underestimates, so `est >= minCount` keeps every truly-frequent key
-    * (NO false negatives — the classic CMS guarantee); inflated
-    * candidates are killed by the exact rescan, so the OUTPUT is exact
-    * and the sketch never appears in it. Scale shape: one bounded-state
-    * sketch scan (≤ depth·width longs), one map-side-combined distinct
-    * of keys probed against the broadcast sketch, then an exact count
-    * of ONLY the rows whose key survives the broadcast candidate
-    * semi-join — the full-cardinality groupBy count that a plain
-    * HAVING >= T plan shuffles is replaced by a hot-keys-only one. */
+  /** Frequent items with support threshold `minCount` — pigeonhole
+    * candidate stage + CMS prefilter + exact rescan
+    * (retrieve-then-refine for frequency), exact output, NO false
+    * negatives at every stage:
+    *
+    *  1. [[localHeavyCandidates]] emits only keys whose count WITHIN
+    *     some partition reaches ceil(minCount/P) — provable floor: a
+    *     key cannot total ≥ minCount across P partitions without some
+    *     partition holding ≥ minCount/P of it (pigeonhole). The
+    *     candidate exchange is therefore bounded by locally-heavy keys
+    *     (≤ Σ |partition|·P/minCount rows), NOT the full key
+    *     cardinality — the r11 finding: probing every distinct key
+    *     re-creates exactly the full-cardinality shuffle the sketch
+    *     exists to avoid.
+    *  2. The CMS never underestimates, so `est >= minCount` keeps every
+    *     truly-frequent survivor (the classic CMS guarantee); inflated
+    *     candidates are killed by
+    *  3. an exact count of ONLY the rows whose key survives the
+    *     broadcast candidate semi-join — so the OUTPUT is exact and the
+    *     sketch never appears in it. */
   def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
                    depth: Int = Depth, width: Int = Width): DataFrame = {
     val sketch = digest(df, keyCol, depth, width)
-    val cands = estimates(sketch, df.select(keyCol).distinct(), keyCol,
-        depth, width)
+    val cands = estimates(sketch, localHeavyCandidates(df, keyCol, minCount),
+        keyCol, depth, width)
       .where(col("n_est") >= minCount)
       .select(keyCol)
     df.join(broadcast(cands), Seq(keyCol), "left_semi")
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
+  }
+
+  /** Keys whose count within AT LEAST ONE partition reaches
+    * ceil(minCount / numPartitions) — the pigeonhole superset of every
+    * key totaling ≥ minCount. Local counting is a per-partition hash
+    * map (one of the repo's documented imperative seams, beside media
+    * decode and the PCA Gramian: the floor test must apply BEFORE the
+    * exchange, which no declarative partial aggregation can express);
+    * memory is bounded by a partition's distinct keys — swap in a
+    * Misra-Gries summary if a deployment's partitions are
+    * key-explosive. The emitted candidate set is locally distinct, so
+    * the following exchange carries ≤ min(|local keys|,
+    * |partition|·P/minCount) rows per partition. */
+  def localHeavyCandidates(df: DataFrame, keyCol: String,
+                           minCount: Long): DataFrame = {
+    val keyDf = df.select(col(keyCol))
+    keyDf.mapPartitions { it =>
+      val ctx = org.apache.spark.TaskContext.get()
+      val p = if (ctx == null) 1 else math.max(1, ctx.numPartitions())
+      val floorCnt = math.max(1L, (minCount + p - 1) / p)
+      val counts = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.foreach { r =>
+        val k = r.get(0)
+        counts.update(k, counts.getOrElse(k, 0L) + 1L)
+      }
+      counts.iterator.collect {
+        case (k, c) if c >= floorCnt => org.apache.spark.sql.Row(k)
+      }
+    }(org.apache.spark.sql.Encoders.row(keyDf.schema))
+      .distinct()
   }
 
   /** Equi-join cardinality estimate from the two sides' sketches —

@@ -72,6 +72,46 @@ class CmsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("heavy hitters: no false negatives under ADVERSARIAL partitioning") {
+    // The pigeonhole candidate stage must survive the worst split: a
+    // heavy key's occurrences spread EVENLY across all partitions (each
+    // local count sits exactly at the floor), decoys sitting just
+    // below the local floor in every partition, and a key concentrated
+    // in one partition. Exact expected = plain groupBy/HAVING.
+    import spark.implicits._
+    val p = 8
+    val minCount = 24L // floor = 24/8 = 3 per partition
+    val rows =
+      Seq.fill(24)(7L) ++           // heavy, will spread 3-per-partition
+      Seq.fill(16)(11L) ++          // light: 2 per partition everywhere
+      Seq.fill(30)(13L) ++          // heavy, above floor everywhere
+      Seq.fill(23)(17L)             // just below threshold (false pos bait)
+    // repartition(p) round-robins → even spread, the adversarial case
+    val df = rows.map(Tuple1(_)).toDF("k").repartition(p)
+    val got = Cms.heavyHitters(df, "k", minCount, depth = 3, width = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("k").count().where(col("count") >= minCount)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(want.keySet === Set(7L, 13L)) // the fixture is non-vacuous
+    // concentrated key: all mass in one partition still surfaces
+    val skewed = (Seq.fill(25)(99L) ++ (1L to 200L)).map(Tuple1(_))
+      .toDF("k").repartition(p, col("k"))
+    val got2 = Cms.heavyHitters(skewed, "k", minCount).collect()
+    assert(got2.map(_.getLong(0)).toSet === Set(99L))
+  }
+
+  test("heavy-hitter candidate stage: floor prunes locally-light keys") {
+    import spark.implicits._
+    // 4 partitions, floor = ceil(40/4) = 10: key 1 is locally heavy in
+    // one partition only; keys 100..163 appear once each (never emitted)
+    val df = (Seq.fill(12)(1L) ++ (100L to 163L)).map(Tuple1(_)).toDF("k")
+      .repartition(4, col("k"))
+    val cands = Cms.localHeavyCandidates(df, "k", minCount = 40L)
+      .collect().map(_.getLong(0)).toSet
+    assert(cands === Set(1L))
+  }
+
   test("join-size estimate is exact in a wide grid, upper bound in a tiny one") {
     // a: keys 1..20 once each; b: key k appears k%4+1 times
     val a = keysDf(1L to 20L: _*)

@@ -308,6 +308,34 @@ class MetricsSpec extends SparkSpec {
         s"$summaryRows-row summary grain (base table has $baseRows)")
   }
 
+  test("B58 heavy hitters: candidate exchange ≪ distinct keys (pigeonhole)") {
+    // r11 finding: probing EVERY distinct key re-created the
+    // full-cardinality shuffle the sketch exists to avoid. The
+    // pigeonhole candidate stage must keep the candidate exchange
+    // strictly below the distinct-key cardinality — only keys locally
+    // heavy in some partition (count ≥ ceil(minCount/P)) may travel.
+    val li = Tables.lineitem(spark, sf).select("l_partkey")
+      .repartition(8).localCheckpoint() // fix P; cut the repartition
+                                        // exchange out of the measured plan
+    val distinctKeys = li.distinct().count()
+    val cand = graft.operators.Cms.localHeavyCandidates(
+      li, "l_partkey", minCount = 45L)
+    val ss = shuffles(cand)
+    debug("cms_candidates", ss)
+    assert(ss.nonEmpty)
+    ss.foreach { s =>
+      assert(s.records < distinctKeys / 2,
+        s"candidate exchange ${s.records} rows is not ≪ $distinctKeys " +
+          "distinct keys — the floor stopped pruning")
+    }
+    // and the stage is a true superset of the exact answer (no false
+    // negatives end-to-end at the real partitioning)
+    val want = li.groupBy("l_partkey").count().where(col("count") >= 45)
+      .select("l_partkey").collect().map(_.getLong(0)).toSet
+    val got = cand.collect().map(_.getLong(0)).toSet
+    assert(want.subsetOf(got))
+  }
+
   test("C2 MinHash LSH: band exchange ≤ |docs|·bands, signature-width") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
