@@ -6,6 +6,69 @@ import graft.operators.Skew
 
 class SkewSpec extends SparkSpec {
 
+  test("AQE splits a planted skewed shuffle join (executed-plan assert)") {
+    // B36's salted join is the MANUAL skew lever; the AUTOMATIC one —
+    // AQE's OptimizeSkewedJoin — has been enabled since r1 but never
+    // asserted. Plant a join where ~90% of the left side carries one
+    // key, force a shuffle join, and pin from the EXECUTED plan that
+    // the hot partition was split (numSkewedPartitions > 0), not
+    // merely that the config was on. Decision boundary vs B36
+    // (SURVEY §5): AQE handles skew between SMJ/SHJ partitions at
+    // runtime with zero code; the salted join remains for
+    // BROADCAST-side skew, for deterministic pre-planned layouts, and
+    // for engines/paths where AQE's split cannot apply (stream-static
+    // joins, bucketed co-located joins that must not re-shuffle).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // test-scale thresholds (production defaults are 256MB/5x; the
+      // MECHANISM under assert is the same split)
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val scramble = lit(2654435761L) // keep shuffle bytes incompressible
+      val left = spark.range(0, 400000).select(
+        when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        (col("id") * scramble % 1000000007L).as("v"))
+      val right = spark.range(0, 20000).select(
+        col("id").as("k"), (col("id") * scramble % 998244353L).as("w"))
+      // the tiny-collect reduction must NOT require the join's hash
+      // distribution (a groupBy on the join key would make the skew
+      // split cost an extra shuffle, and OptimizeSkewedJoin declines)
+      val joined = left.join(right, "k").agg(count(lit(1)).as("n"))
+      joined.collect() // drive THIS QueryExecution so its adaptive
+                       // plan finalizes with runtime metrics
+      def walk(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        p +: kids.flatMap(walk)
+      }
+      val reads = walk(joined.queryExecution.executedPlan)
+        .collect { case r: AQEShuffleReadExec => r }
+      val skewedParts = reads.flatMap(_.metrics.get("numSkewedPartitions"))
+        .map(_.value).sum
+      val skewedSplits = reads.flatMap(_.metrics.get("numSkewedSplits"))
+        .map(_.value).sum
+      info(s"skewed partitions: $skewedParts, splits: $skewedSplits")
+      assert(skewedParts > 0,
+        "AQE did not detect the planted skewed partition — " +
+          walk(joined.queryExecution.executedPlan).map(_.nodeName).mkString(", "))
+      assert(skewedSplits > 1,
+        "AQE detected skew but did not split the hot partition")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   private def orders = Tables.orders(spark, sfDir)
     .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
   private def customer = Tables.customer(spark, sfDir)
