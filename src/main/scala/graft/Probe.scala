@@ -96,6 +96,85 @@ object Probe {
       return
     }
 
+    // B-family analytics curves: `runMain graft.Probe _ genbench=2000000,8000000,32000000`
+    // prices the three headline B shapes over zero-I/O generated frames
+    // at each size (VERDICT r11 ask #8) and reports each run's shuffle
+    // exchanges from the EXECUTED plan's task metrics, so the
+    // constant-exchange claims are checked numbers, not prose:
+    //  - B10 as-of join (union + ONE key shuffle + one window pass;
+    //    exchange rows = |left|+|right|, never a per-row range probe)
+    //  - B64 grouped top-k via the bounded TypedImperativeAggregate
+    //    (exchange rows ≤ |groups|·maps partial states, each ≤ k+1 values)
+    //  - B5 windowed rank top-3 (partial WindowGroupLimit: exchange rows
+    //    ≤ |keys|·(3+1)·maps, never |input|)
+    if (args.length > 1 && args(1).startsWith("genbench=")) {
+      val sizes = args(1).stripPrefix("genbench=").split(",").map(_.toLong)
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.BoundedTopK
+      import org.apache.spark.sql.GraftSqlBridge
+      def timeShuffles(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        val t0 = System.nanoTime()
+        // drive THIS QueryExecution (a count()/noop write would plan a
+        // separate execution and its metrics would read zero)
+        val out = df.queryExecution.toRdd.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        def walk(p: SparkPlan): Seq[SparkPlan] = {
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case o => o.children
+          }
+          p +: (kids ++ p.subqueries).flatMap(walk)
+        }
+        val uniq = walk(df.queryExecution.executedPlan)
+          .collect { case s: ShuffleExchangeLike => s }
+          .foldLeft(Vector.empty[ShuffleExchangeLike]) { (acc, s) =>
+            if (acc.exists(_ eq s)) acc else acc :+ s }
+        val rows = uniq.map(
+          _.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L))
+          .filter(_ > 0)
+        println(f"$secs%8.2f s  $name ($out rows out; " +
+          s"shuffle rows: ${rows.mkString(" + ")})")
+      }
+      def frame(n: Long, keys: Long) = spark.range(n).select(
+        (col("id") % keys).as("key"),
+        (col("id") * 2654435761L % 1000000007L).as("ts"),
+        col("id").as("seq"),
+        (col("id") * 48271L % 99991L).as("value"))
+      sizes.foreach { n =>
+        val keys = math.max(n / 64, 1L) // ~64 rows/key
+        val groups = math.max(keys / 16, 1L)
+        // warm pass at a bounded size (codegen + planner)
+        val warmN = math.min(n, 200000L)
+        operators.AsOf.joinPrior(frame(warmN, 997), frame(warmN / 4, 997)
+            .withColumnRenamed("value", "q"), "key", "ts", "seq",
+          Map("q" -> "quote")).queryExecution.toRdd.count()
+        timeShuffles(s"asof_join_prior n=$n keys=$keys") {
+          operators.AsOf.joinPrior(frame(n, keys), frame(n / 4, keys)
+              .withColumnRenamed("value", "q"), "key", "ts", "seq",
+            Map("q" -> "quote"))
+        }
+        timeShuffles(s"grouped_topk k=5 n=$n groups=$groups") {
+          val topk = GraftSqlBridge.column(
+            BoundedTopK(GraftSqlBridge.expression(col("value")), 5)
+              .toAggregateExpression())
+          frame(n, keys).groupBy((col("key") % groups).as("g"))
+            .agg(topk.as("top5"))
+        }
+        timeShuffles(s"windowed_rank top3 n=$n keys=$keys") {
+          val w = Window.partitionBy(col("key"))
+            .orderBy(col("value").desc, col("seq"))
+          frame(n, keys).withColumn("rnk", row_number().over(w))
+            .where(col("rnk") <= 3)
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Streaming-throughput mode: `runMain graft.Probe _ genstream=2000000:200000`
     // drains a GenSource micro-batch stream of N rows (R rows/batch)
     // through the A12 tumbling-window aggregation into a memory sink —
