@@ -164,10 +164,15 @@ object Probe {
           frame(n, keys).groupBy((col("key") % groups).as("g"))
             .agg(topk.as("top5"))
         }
-        timeShuffles(s"windowed_rank top3 n=$n keys=$keys") {
+        // denser keys for the rank shape (~1024 rows/key): the partial
+        // WindowGroupLimit keeps ≤ k+1 rows per key per map, so the cap
+        // only BINDS when rows/key/map exceeds it — at 64 rows/key over
+        // 32 maps every map holds 2/key and the exchange equals input
+        val rankKeys = math.max(n / 1024, 1L)
+        timeShuffles(s"windowed_rank top3 n=$n keys=$rankKeys") {
           val w = Window.partitionBy(col("key"))
             .orderBy(col("value").desc, col("seq"))
-          frame(n, keys).withColumn("rnk", row_number().over(w))
+          frame(n, rankKeys).withColumn("rnk", row_number().over(w))
             .where(col("rnk") <= 3)
         }
       }
