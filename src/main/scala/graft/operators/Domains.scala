@@ -88,6 +88,42 @@ object Domains {
       .where(col("rnk") <= k)
   }
 
+  /** URL canonicalization (C117) — the crawl-side twin of C48's text
+    * normalization-fingerprint: the SAME page is fetched under
+    * scheme/case/tracking-parameter/fragment variants, so URL-level
+    * dedup must compare canonical forms, not raw strings. The chain
+    * (every step one scan-local regexp_replace in the Java∩RE2
+    * subset, order matters and is documented):
+    *  1. lowercase scheme + host (path stays case-sensitive per RFC);
+    *  2. drop the fragment (`#...` never reaches the server);
+    *  3. drop tracking query parameters (utm_*, gclid, fbclid) but
+    *     KEEP meaningful ones, re-normalizing `?`/`&` after removal;
+    *  4. drop default ports (:80 for http, :443 for https);
+    *  5. collapse a trailing `/` (`https://h/p/` ≡ `https://h/p`,
+    *     and the root form `https://h/` ≡ `https://h`).
+    * Canonical-URL dedup is then C1's digest groupBy on the canonical
+    * string — text never shuffles, only the canonical form. */
+  def canonicalUrl(url: Column): Column = {
+    // 1. lowercase scheme://host[:port] (group 1), keep the rest as-is
+    val lowered = concat(
+      lower(regexp_extract(url, "^([^/]*//[^/?#]*)", 1)),
+      regexp_extract(url, "^[^/]*//[^/?#]*([^#]*)", 1)) // 2. drops #frag
+    // 3. tracking params: remove `utm_<x>=v`, `gclid=v`, `fbclid=v`
+    //    wherever they sit, then repair separators left behind
+    val noTrack = regexp_replace(lowered,
+      "(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?", "")
+    val fixedSep = regexp_replace(
+      regexp_replace(noTrack, "[?&]+$", ""), // dangling ? or &
+      "\\?&", "?")                           // ?&keep=1 → ?keep=1
+    // 4. default ports
+    val noPort = regexp_replace(fixedSep,
+      "^(https://[^/:?#]*):443(?:([/?#])|$)", "$1$2")
+    val noPort2 = regexp_replace(noPort,
+      "^(http://[^/:?#]*):80(?:([/?#])|$)", "$1$2")
+    // 5. trailing slash (no query present); the root form collapses too
+    regexp_replace(noPort2, "^([^?#]*[^/?#])/$", "$1")
+  }
+
   /** Deterministic synthetic URL for the documents table (the C113
     * wrapper discipline): scheme / userinfo / port / host case all
     * vary with doc_id so extraction is actually exercised; the
@@ -111,4 +147,24 @@ object Domains {
   val expectedDomainSql: String =
     "'site' || (doc_id % 13) || '.' || " +
       "(['com','org','net','co.uk','de'])[(doc_id % 5) + 1]"
+
+  /** Deterministic VARIANT URLs for C117: page group = docId % 97,
+    * variant = docId % 6 — host case, explicit default port, fragment,
+    * tracking query, trailing slash. Every variant of a group must
+    * canonicalize to `https://www.page{g}.example.com/a/{g}` (the
+    * independent form the oracle states). */
+  def synthesizeVariantUrl(docId: Column): Column = {
+    val g = docId % 97
+    val v = docId % 6
+    val base = concat(lit("https://www.page"), g,
+      lit(".example.com/a/"), g)
+    when(v === 1, concat(lit("https://WWW.PAGE"), g,
+        lit(".EXAMPLE.COM/a/"), g))
+      .when(v === 2, concat(lit("https://www.page"), g,
+        lit(".example.com:443/a/"), g))
+      .when(v === 3, concat(base, lit("#sec2")))
+      .when(v === 4, concat(base, lit("?utm_source=feed&utm_medium=rss")))
+      .when(v === 5, concat(base, lit("/")))
+      .otherwise(base)
+  }
 }

@@ -690,7 +690,7 @@ object Cdc {
         java.util.UUID.randomUUID.toString.replace("-", "")
       val q = graft.sources.TopicSource.stream(s, path,
           graft.sources.TopicSource.changelogTopicSchema,
-          maxOffsetsPerTrigger = 4096)
+          maxOffsetsPerTrigger = 8192)
         .writeStream.format("memory").queryName(qn)
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("ckpt").toString)
@@ -734,6 +734,44 @@ object Cdc {
       s.table(qn)
         .where(col("op") =!= "D")
         .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // A48: the reference's FULL deployment loop in one graded path —
+    // producer (A23 Topic sink) → broker (hive-partitioned offset log)
+    // → consumer (A46 TopicSource tail) → plugin chain (A4 filter) →
+    // stateful snapshot (A17 flatMapGroupsWithState). The oracle is
+    // the batch snapshot SQL over the filtered log: parity proves the
+    // whole pipeline — routing, offsets, admission-controlled tailing,
+    // chain, per-key state machine — composes to exactly the batch
+    // semantics (README.md:17-23's producer→broker→consumer shape).
+    "cdc_topic_e2e" -> ((s, dir) => withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = roundtripPath(dir, "topice2e")
+      GraftSink.Topic(path = path, numPartitions = 8)
+        .write(changelog(s, dir))
+      val consumed = graft.sources.TopicSource.stream(s, path,
+          graft.sources.TopicSource.changelogTopicSchema,
+          maxOffsetsPerTrigger = 8192)
+        .drop("__partition", "__offset")
+      val chained = EventTypeFilter(
+        Set("signup", "click", "purchase", "error"))(consumed)
+      val updates = CdcStream.snapshotUpdates(chained)
+      val qn = "topic_e2e_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = updates.toDF().writeStream
+        .format("memory").queryName(qn).outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Materialize.snapshot(s.table(qn))
+        .select(
+          col("key").as("user_id"),
           col("event_type").as("last_event_type"),
           col("value").as("last_value"),
           col("commit_ts_us").as("last_ts_us"))
@@ -1649,6 +1687,21 @@ object Cdc {
 
     // A45+A46: compacted-topic bootstrap ≡ the shared snapshot oracle
     "cdc_topic_stream_compacted" -> snapshotOracle,
+
+    // A48: producer→broker→consumer→chain→snapshot ≡ the batch
+    // snapshot over the chain-filtered log
+    "cdc_topic_e2e" -> (logCte +
+      """,
+        |f AS (SELECT * FROM log
+        |      WHERE event_type IN ('signup','click','purchase','error')),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM f)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
 
     "cdc_topic_replay" -> (logCte +
       """

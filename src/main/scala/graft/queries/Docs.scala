@@ -1104,6 +1104,31 @@ object Docs {
         .orderBy("domain", "rnk")
     }),
 
+    // C117: URL canonicalization + canonical-URL dedup — the crawl
+    // frontier fetches the SAME page under scheme-case / default-port
+    // / fragment / tracking-parameter / trailing-slash variants, so
+    // URL-level dedup must group by CANONICAL form. Six deterministic
+    // raw variants per page group are planted (doc_id % 6 picks the
+    // variant, doc_id % 97 the page) and the production
+    // canonicalization chain (five RE2-safe scan-local rewrites) must
+    // collapse each group to ONE canonical URL. The oracle derives the
+    // canonical form independently from doc_id arithmetic (never the
+    // rewrite chain) and counts distinct planted variants — parity
+    // proves the chain normalizes exactly the variant classes and
+    // nothing else.
+    "doc_url_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+          graft.operators.Domains.synthesizeVariantUrl(col("doc_id"))
+            .as("url"))
+        .withColumn("canonical_url",
+          graft.operators.Domains.canonicalUrl(col("url")))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_forms"))
+        .orderBy("canonical_url")
+    }),
+
     // C116: encoding-damage screen — U+FFFD replacement runs, C1
     // controls (Windows-125x read as Latin-1), and the
     // UTF-8-as-Latin-1 Ã-ladder digraphs, three scan-local rlike
@@ -3034,6 +3059,17 @@ object Docs {
         |  sha256(expected) AS stripped_sha256,
         |  CAST(length(expected) AS BIGINT) AS n_chars_stripped
         |FROM exp ORDER BY doc_id""".stripMargin,
+
+    "doc_url_canonical" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 97 AS g, doc_id % 6 AS v
+        |  FROM documents)
+        |SELECT 'https://www.page' || g || '.example.com/a/' || g
+        |         AS canonical_url,
+        |       count(*) AS n_docs,
+        |       CAST(count(DISTINCT v) AS BIGINT) AS n_raw_forms
+        |FROM d GROUP BY g
+        |ORDER BY canonical_url""".stripMargin,
 
     "doc_mojibake" ->
       """SELECT doc_id,

@@ -34,6 +34,23 @@ class DomainsSpec extends SparkSpec {
     assert(regOf("a.gov.uk") === "a.gov.uk")
   }
 
+  test("canonical URL: case, ports, fragments, tracking params, slashes") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Domains.canonicalUrl(col("u")))
+        .head.getString(0)
+    assert(canon("https://Ex.COM/Path") === "https://ex.com/Path") // path case kept
+    assert(canon("https://ex.com:443/p") === "https://ex.com/p")
+    assert(canon("http://ex.com:80/p") === "http://ex.com/p")
+    assert(canon("https://ex.com:8443/p") === "https://ex.com:8443/p") // non-default kept
+    assert(canon("https://ex.com/p?utm_source=x&id=9") === "https://ex.com/p?id=9")
+    assert(canon("https://ex.com/p?id=9&utm_campaign=y") === "https://ex.com/p?id=9")
+    assert(canon("https://ex.com/p?utm_a=1&gclid=2") === "https://ex.com/p")
+    assert(canon("https://ex.com/p#frag") === "https://ex.com/p")
+    assert(canon("https://ex.com/p/") === "https://ex.com/p")
+    assert(canon("https://ex.com/") === "https://ex.com")
+    assert(canon("https://ex.com/p?keep=1#frag") === "https://ex.com/p?keep=1")
+  }
+
   test("report blocklist is a broadcast anti-join; cap uses a window group limit") {
     val docs = Tables.documents(spark, sfDir)
     val url = Domains.synthesizeUrl(col("doc_id"), col("source"))
