@@ -180,6 +180,48 @@ object Probe {
       return
     }
 
+    // Topic consumer throughput: `runMain graft.Probe _ gentopic=2000000:500000`
+    // prices the A46 broker loop end to end at each size — PRODUCE a
+    // generated changelog into the 8-partition Topic sink (routing +
+    // dense offsets + partitioned write), then TAIL it through
+    // TopicSource (footer-stats end-of-log discovery, offset-predicate
+    // scan, R offsets admitted per trigger) into a noop sink. The two
+    // timings split the broker loop's cost the way a deployment sees
+    // it: produce once, consume per subscriber.
+    if (args.length > 1 && args(1).startsWith("gentopic=")) {
+      val Array(n, r) = args(1).stripPrefix("gentopic=").split(":").map(_.toLong)
+      val topicDir = s"/tmp/graft_probe_topic_$n"
+      val log = spark.read.format("graft.sources.GenSource")
+        .option("rows", n).option("users", 99991)
+        .option("slices", cpus.toInt).load()
+        .select(col("user_id").as("key"), col("ts_us").as("commit_ts_us"),
+          col("event_id").as("seq"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_type"), (col("value_e2") / 100.0).as("value"),
+          lit(null).cast("string").as("props"))
+      time(s"topic_produce n=$n parts=8") {
+        graft.cdc.GraftSink.Topic(topicDir, numPartitions = 8).write(log)
+        n
+      }
+      val t0 = System.nanoTime()
+      val q = graft.sources.TopicSource.stream(spark, topicDir,
+          graft.sources.TopicSource.changelogTopicSchema,
+          maxOffsetsPerTrigger = r)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("topic_probe").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      println(f"$secs%8.2f s  topic_consume n=$n batch=$r " +
+        f"($batches batches, ${n / secs}%.0f rows/s)")
+      spark.stop()
+      return
+    }
+
     // Streaming-throughput mode: `runMain graft.Probe _ genstream=2000000:200000`
     // drains a GenSource micro-batch stream of N rows (R rows/batch)
     // through the A12 tumbling-window aggregation into a memory sink —
