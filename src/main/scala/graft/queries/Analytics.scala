@@ -1038,6 +1038,52 @@ object Analytics {
     // qualifying event strictly after the previous stage's first", so
     // every step is an equi-join on user_id + one partial-agg shuffle;
     // stage counts union into rows (no scalar cross-joins).
+    // B73: multi-touch conversion attribution — every purchase credits
+    // the view/click touchpoints of the SAME user in its trailing
+    // 7 days, under two standard models: LINEAR (10000/n e4 credit per
+    // touch, floor div — deterministic) and POSITIONAL (U-shaped
+    // 40/20/40: first and last touch 4000 each, middles split 2000;
+    // n=1 → 10000, n=2 → 5000/5000). The join is a per-user equi-join
+    // with a range predicate — at scale it hash-partitions on user_id
+    // and the 7-day bound keeps per-pair work windowed (the B15
+    // range-join family); per-purchase ranks are ONE window over the
+    // purchase id. Exact integer e4 ladders end to end — no float
+    // credit fractions to diverge cross-engine.
+    "q_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select("user_id", "event_type", "ts_us", "event_id")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts"),
+          col("event_id").as("p_id"))
+      val touches = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts_us").as("t_ts"),
+          col("event_type").as("touch_type"), col("event_id").as("t_id"))
+      val horizonUs = 7L * 86400000000L
+      val joined = purchases.join(touches,
+        purchases("user_id") === touches("user_id") &&
+          col("t_ts") <= col("p_ts") &&
+          col("t_ts") > col("p_ts") - horizonUs)
+      val wAll = Window.partitionBy(col("p_id"))
+      val wOrd = Window.partitionBy(col("p_id"))
+        .orderBy(col("t_ts"), col("t_id"))
+      val ranked = joined
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("r", row_number().over(wOrd))
+      val credited = ranked
+        .withColumn("linear_e4", expr("10000 div n"))
+        .withColumn("pos_e4",
+          when(col("n") === 1, 10000L)
+            .when(col("n") === 2, 5000L)
+            .when(col("r") === 1 || col("r") === col("n"), 4000L)
+            .otherwise(expr("2000 div (n - 2)")))
+      credited.groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("linear_e4")).as("linear_credit_e4"),
+          sum(col("pos_e4")).as("positional_credit_e4"))
+        .orderBy("touch_type")
+    }),
+
     "q_funnel" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("user_id", "event_type", "ts_us")
       val firstView = ev.where(col("event_type") === "view")
@@ -2418,6 +2464,35 @@ object Analytics {
 
     "q_skew_report" ->
       Skew.keyProfileSql("lineitem", "l_partkey", topK = 10),
+
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_ts, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, epoch_us(ts) AS t_ts, event_type AS touch_type,
+        |         event_id AS t_id
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT p.p_id, t.touch_type, t.t_ts, t.t_id
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |   AND t.t_ts <= p.p_ts AND t.t_ts > p.p_ts - 604800000000),
+        |r AS (
+        |  SELECT *, count(*) OVER (PARTITION BY p_id) AS n,
+        |         row_number() OVER (PARTITION BY p_id
+        |                            ORDER BY t_ts, t_id) AS rnk
+        |  FROM j),
+        |c AS (
+        |  SELECT touch_type, 10000 // n AS linear_e4,
+        |         CASE WHEN n = 1 THEN 10000
+        |              WHEN n = 2 THEN 5000
+        |              WHEN rnk = 1 OR rnk = n THEN 4000
+        |              ELSE 2000 // (n - 2) END AS pos_e4
+        |  FROM r)
+        |SELECT touch_type, count(*) AS n_touches,
+        |       CAST(sum(linear_e4) AS BIGINT) AS linear_credit_e4,
+        |       CAST(sum(pos_e4) AS BIGINT) AS positional_credit_e4
+        |FROM c GROUP BY touch_type ORDER BY touch_type""".stripMargin,
 
     "q_funnel" ->
       """WITH fv AS (

@@ -1129,6 +1129,23 @@ object Docs {
         .orderBy("canonical_url")
     }),
 
+    // C118: script-mix / homoglyph screen — per-doc Latin/Cyrillic/
+    // CJK/Arabic codepoint counts plus the MIXED-SCRIPT-WORD flag (a
+    // word mixing Latin and Cyrillic letters — the homoglyph-spoofing
+    // signature that passes whole-doc language filters). Counting is
+    // length-difference per character class, scan-local; script runs
+    // are PLANTED by doc_id over the ASCII base corpus and the oracle
+    // derives expected counts from doc_id arithmetic alone (the C116
+    // discipline) — bilingual planting (separate words) must NOT trip
+    // the homoglyph flag, the planted intra-word mix MUST.
+    "doc_script_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.withColumn("__text",
+        graft.operators.Scripts.plantScripts(col("text"), col("doc_id")))
+      graft.operators.Scripts.profile(planted, col("__text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // C116: encoding-damage screen — U+FFFD replacement runs, C1
     // controls (Windows-125x read as Latin-1), and the
     // UTF-8-as-Latin-1 Ã-ladder digraphs, three scan-local rlike
@@ -3070,6 +3087,21 @@ object Docs {
         |       CAST(count(DISTINCT v) AS BIGINT) AS n_raw_forms
         |FROM d GROUP BY g
         |ORDER BY canonical_url""".stripMargin,
+
+    "doc_script_mix" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 8 WHEN 0 THEN 6 WHEN 3 THEN 2
+        |       ELSE 0 END AS BIGINT) AS n_cyrillic,
+        |  CAST(CASE doc_id % 8 WHEN 1 THEN 4 ELSE 0 END AS BIGINT) AS n_cjk,
+        |  CAST(CASE doc_id % 8 WHEN 2 THEN 6 ELSE 0 END AS BIGINT)
+        |    AS n_arabic,
+        |  CAST(doc_id % 8 = 3 AS BIGINT) AS has_mixed_script_word,
+        |  CASE doc_id % 8 WHEN 3 THEN 'homoglyph_suspect'
+        |                  WHEN 1 THEN 'cjk'
+        |                  WHEN 0 THEN 'cyrillic'
+        |                  WHEN 2 THEN 'arabic'
+        |                  ELSE 'latin' END AS script_class
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_mojibake" ->
       """SELECT doc_id,
