@@ -114,6 +114,28 @@ class TopicSourceSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("schema-tolerant reads: a column absent in older topic files is null") {
+    // The consumer's declared schema may be AHEAD of old segments (the
+    // A47 world: the producer evolved mid-topic). Older files missing a
+    // declared column must read as null, not throw.
+    import org.apache.spark.sql.types._
+    val topic = tmp("topic_evo")
+    GraftSink.Topic(topic, numPartitions = 2).write(changelog)
+    val widened = StructType(TopicSource.changelogTopicSchema.fields :+
+      StructField("region", StringType))
+    val qn = "topic_evo_tbl"
+    val q = TopicSource.stream(spark, topic, widened)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("topic_evo_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(qn)
+    assert(got.count() === changelog.count())
+    assert(got.where(col("region").isNotNull).count() === 0L)
+    assert(got.where(col("key").isNull).count() === 0L)
+  }
+
   test("live tailing with ProcessingTime trigger follows producer flushes") {
     val log = changelog.cache()
     val cutoff = log.agg(expr("percentile_approx(commit_ts_us, 0.3)"))
