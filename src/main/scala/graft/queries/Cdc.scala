@@ -740,6 +740,26 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A49: consumer-lag / end-offset introspection — the
+    // `kafka-consumer-groups --describe` niche: log-end offsets per
+    // topic partition read from parquet FOOTER statistics only (the
+    // same metadata pass the A46 consumer polls, exposed as a
+    // relation), joined against a consumer's committed offsets to a
+    // lag report. The oracle re-derives each end offset as the dense
+    // per-partition row count — so parity proves the stats-only
+    // discovery reads the true log end without scanning data.
+    "cdc_topic_lag" -> ((s, dir) => {
+      val path = roundtripPath(dir, "topiclag")
+      GraftSink.Topic(path = path, numPartitions = 8)
+        .write(changelog(s, dir))
+      graft.sources.TopicSource.endOffsets(s, path)
+        .withColumn("committed_offset", expr("end_offset div 2"))
+        .withColumn("lag", col("end_offset") - col("committed_offset"))
+        .select(col("__partition").cast("long").as("__partition"),
+          col("end_offset"), col("committed_offset"), col("lag"))
+        .orderBy("__partition")
+    }),
+
     // A48: the reference's FULL deployment loop in one graded path —
     // producer (A23 Topic sink) → broker (hive-partitioned offset log)
     // → consumer (A46 TopicSource tail) → plugin chain (A4 filter) →
@@ -1687,6 +1707,17 @@ object Cdc {
 
     // A45+A46: compacted-topic bootstrap ≡ the shared snapshot oracle
     "cdc_topic_stream_compacted" -> snapshotOracle,
+
+    // A49: footer-stats end offsets ≡ dense per-partition row counts
+    "cdc_topic_lag" -> (logCte +
+      """,
+        |e AS (
+        |  SELECT key % 8 AS __partition, count(*) AS end_offset
+        |  FROM log GROUP BY 1)
+        |SELECT __partition, end_offset,
+        |       end_offset // 2 AS committed_offset,
+        |       end_offset - end_offset // 2 AS lag
+        |FROM e ORDER BY __partition""".stripMargin),
 
     // A48: producer→broker→consumer→chain→snapshot ≡ the batch
     // snapshot over the chain-filtered log

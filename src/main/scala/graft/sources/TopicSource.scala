@@ -102,6 +102,19 @@ object TopicSource {
     r.load(path)
   }
 
+  /** Batch end-offset discovery (A49 / the `kafka-consumer-groups
+    * --describe` niche): one row per topic partition with its log-end
+    * offset, read from parquet FOOTER `__offset` statistics only —
+    * the same metadata pass the streaming source polls, exposed as a
+    * relation so lag monitoring (end − committed) is a plain join.
+    * Driver-side |partitions| rows; no data scan at any topic size. */
+  def endOffsets(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    new TopicMicroBatchStream(changelogTopicSchema, path, Long.MaxValue)
+      .discoverEnds().toSeq.sortBy(_._1)
+      .toDF(PartitionCol, "end_offset")
+  }
+
   /** Record schema of a changelog topic as GraftSink.Topic writes it. */
   val changelogTopicSchema: StructType = StructType(Seq(
     StructField(PartitionCol, IntegerType, nullable = false),
@@ -204,6 +217,9 @@ private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
 
   override def prepareForTriggerAvailableNow(): Unit =
     fixedEnd = Some(discover())
+
+  /** [[discover]] for the batch introspection API. */
+  private[sources] def discoverEnds(): Map[Int, Long] = discover()
 
   /** List `__partition=P` dirs and compute each log-end offset from
     * footer `__offset` statistics (max + 1). Metadata-only. */
