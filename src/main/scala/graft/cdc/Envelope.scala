@@ -1,0 +1,168 @@
+package graft.cdc
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka wire-format envelope for the Topic sink (reference
+  * README.md:17, 34 — the RFC's default sink is a Kafka topic carrying
+  * a wire protocol external consumers parse; TiCDC ships canal-json /
+  * open-protocol codecs for exactly this reason).
+  *
+  * The envelope here is canal-json-SHAPED (the public Alibaba Canal
+  * JSON message format, which TiCDC adopted as its `canal-json`
+  * protocol): one JSON object per row change with `id` / `database` /
+  * `table` / `pkNames` / `isDdl` / `type` (INSERT|UPDATE|DELETE) /
+  * `es` (commit ts, ms) / `ts` / `data` (after-image) / `old`
+  * (before-image). Two documented divergences, both in canal-json's own
+  * extension spirit (TiCDC adds a `_tidb` section for its extra fields):
+  *
+  *  - `data`/`old` values keep their JSON-native types (canal stringifies
+  *    everything; typed values round-trip doubles bit-exactly, which the
+  *    cross-engine oracle requires);
+  *  - a `_graft` section carries `{key, commitTsUs, seq}` exactly —
+  *    `es` is millisecond-floored like canal's, so microsecond commit
+  *    order would not survive the wire without it.
+  *
+  * Spark-first: encode is ONE `to_json(struct(...))` projection and
+  * decode is ONE `from_json` + field re-typing — both codegen'd
+  * expressions inside the scan stage, no UDFs, so a 100 TB topic
+  * encodes/parses at parquet-scan throughput and the whole
+  * produce → broker → consume loop stays a single Catalyst plan on
+  * each side of the wire.
+  *
+  * Malformed envelopes NEVER throw: [[decodeAll]] classifies each
+  * record (`__envelope_error` null = clean) so consumers split clean
+  * rows from a dead-letter quarantine relationally — the same
+  * FAILFAST→DLQ discipline as [[PipedTransform]].
+  */
+object Envelope {
+
+  val EnvelopeCol = "envelope"
+
+  /** Canal op names for the canonical changelog ops. */
+  private val opToType: Column => Column = op =>
+    when(op === ChangeEvent.Insert, "INSERT")
+      .when(op === ChangeEvent.Update, "UPDATE")
+      .when(op === ChangeEvent.Delete, "DELETE")
+
+  private val typeToOp: Column => Column = t =>
+    when(t === "INSERT", ChangeEvent.Insert)
+      .when(t === "UPDATE", ChangeEvent.Update)
+      .when(t === "DELETE", ChangeEvent.Delete)
+
+  /** The declared wire schema (never inferred — the GraftSource
+    * discipline): canal-json envelope fields around a typed payload. */
+  def wireSchema(payload: StructType): StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("pkNames", ArrayType(StringType)),
+    StructField("isDdl", BooleanType),
+    StructField("type", StringType),
+    StructField("es", LongType),
+    StructField("ts", LongType),
+    StructField("data", ArrayType(payload)),
+    StructField("old", ArrayType(payload)),
+    StructField("_graft", StructType(Seq(
+      StructField("key", LongType),
+      StructField("commitTsUs", LongType),
+      StructField("seq", LongType))))))
+
+  /** Encode a canonical changelog into wire records: the broker
+    * metadata columns the Topic sink routes/orders on (`key`,
+    * `commit_ts_us`, `seq`, `op`) plus the JSON `envelope` value — the
+    * Kafka record shape (key + timestamp + opaque value). DELETE rows
+    * carry the deleted image in `data` (canal's convention); `old` is
+    * the optional before-image struct column (null per row when the
+    * feed doesn't carry one). */
+  def encode(changelog: DataFrame, database: String, table: String,
+             payloadCols: Seq[String],
+             beforeCol: Option[String] = None): DataFrame = {
+    val payload = struct(payloadCols.map(c => col(c).as(c)): _*)
+    val payloadType = StructType(payloadCols.map(c => changelog.schema(c)))
+    val old = beforeCol match {
+      case Some(b) => when(col(b).isNotNull, array(col(b).cast(payloadType)))
+      case None => lit(null).cast(ArrayType(payloadType))
+    }
+    changelog.select(
+      col("key"), col("commit_ts_us"), col("seq"), col("op"),
+      to_json(struct(
+        col("seq").as("id"),
+        lit(database).as("database"),
+        lit(table).as("table"),
+        array(lit("key")).as("pkNames"),
+        lit(false).as("isDdl"),
+        opToType(col("op")).as("type"),
+        // canal's es is epoch-MILLIS; exact micros ride in _graft
+        floor(col("commit_ts_us") / 1000L).cast("long").as("es"),
+        floor(col("commit_ts_us") / 1000L).cast("long").as("ts"),
+        array(payload).as("data"),
+        old.as("old"),
+        struct(
+          col("key").as("key"),
+          col("commit_ts_us").as("commitTsUs"),
+          col("seq").as("seq")).as("_graft")
+      )).as(EnvelopeCol))
+  }
+
+  /** Parse wire records back to the canonical changelog, classifying
+    * every record instead of throwing: output = canonical columns
+    * (null for bad records) + the raw envelope + `__envelope_error`
+    * (null = clean). One `from_json` against the DECLARED schema;
+    * PERMISSIVE nulls (unparseable JSON, type-mismatched fields)
+    * surface as classified reasons, so a poisoned topic drains into a
+    * quarantine instead of killing the consumer. */
+  def decodeAll(wire: DataFrame, payload: StructType,
+                database: String, table: String): DataFrame = {
+    // PERMISSIVE from_json yields an all-null struct for unparseable
+    // input — the corrupt-record column is the declared way to tell
+    // "malformed" apart from "fields legitimately absent".
+    val corrupt = "_graft_corrupt"
+    val p = from_json(col(EnvelopeCol),
+      wireSchema(payload).add(StructField(corrupt, StringType)),
+      Map("columnNameOfCorruptRecord" -> corrupt).asJava)
+    val reason =
+      when(col(EnvelopeCol).isNull, "null_envelope")
+        .when(p.isNull || p.getField(corrupt).isNotNull, "malformed_json")
+        .when(p.getField("_graft").isNull ||
+          p.getField("_graft").getField("key").isNull ||
+          p.getField("_graft").getField("commitTsUs").isNull ||
+          p.getField("_graft").getField("seq").isNull, "missing_graft_meta")
+        .when(p.getField("isDdl").isNull || p.getField("isDdl"),
+          "ddl_event_in_row_topic")
+        .when(typeToOp(p.getField("type")).isNull, "unknown_type")
+        .when(p.getField("database") =!= database ||
+          p.getField("table") =!= table, "wrong_table")
+        .when(p.getField("data").isNull || size(p.getField("data")) < 1,
+          "missing_data")
+    val g = p.getField("_graft")
+    val row = element_at(p.getField("data"), 1)
+    wire.select(
+      Seq(
+        when(reason.isNull, g.getField("key")).as("key"),
+        when(reason.isNull, g.getField("commitTsUs")).as("commit_ts_us"),
+        when(reason.isNull, g.getField("seq")).as("seq"),
+        when(reason.isNull, typeToOp(p.getField("type"))).as("op")) ++
+      payload.fields.toSeq.map(f =>
+        when(reason.isNull, row.getField(f.name)).as(f.name)) ++
+      Seq(col(EnvelopeCol), reason.as("__envelope_error")): _*)
+  }
+
+  /** Clean canonical changelog rows only (the consumer's main path). */
+  def decode(wire: DataFrame, payload: StructType,
+             database: String, table: String): DataFrame =
+    decodeAll(wire, payload, database, table)
+      .where(col("__envelope_error").isNull)
+      .drop("__envelope_error", EnvelopeCol)
+
+  /** The dead-letter split (raw envelope + reason — everything an
+    * operator needs to replay after a codec fix). */
+  def quarantine(wire: DataFrame, payload: StructType,
+                 database: String, table: String): DataFrame =
+    decodeAll(wire, payload, database, table)
+      .where(col("__envelope_error").isNotNull)
+      .select(col(EnvelopeCol), col("__envelope_error"))
+}

@@ -237,7 +237,13 @@ object Decontaminate {
       .where(col("cos_raw") >= threshold)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_bench_hits"),
-        round(max(col("cos_raw")) * 10000).cast("long").as("max_cos_e4"))
+        // floor(x*1e4 + 0.5), mirrored LITERALLY in the SQL twin: both
+        // engines floor the same double, so the HALF_UP-vs-banker's
+        // divergence of round() at exact .5 boundaries cannot occur
+        // (the scaled-integer discipline, see memory: round() is
+        // unmirrorable across engines at half boundaries).
+        floor(max(col("cos_raw")) * 10000 + 0.5).cast("long")
+          .as("max_cos_e4"))
   }
 
   /** DuckDB mirror of [[embeddingContamination]] over the embeddings
@@ -255,7 +261,7 @@ object Decontaminate {
        |  FROM c CROSS JOIN b
        |  WHERE $cos >= $threshold)
        |SELECT vec_id, count(*) AS n_bench_hits,
-       |       CAST(round(max(cos_raw) * 10000) AS BIGINT) AS max_cos_e4
+       |       CAST(floor(max(cos_raw) * 10000 + 0.5) AS BIGINT) AS max_cos_e4
        |FROM s GROUP BY 1""".stripMargin
   }
 }

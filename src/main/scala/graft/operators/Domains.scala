@@ -109,12 +109,16 @@ object Domains {
       lower(regexp_extract(url, "^([^/]*//[^/?#]*)", 1)),
       regexp_extract(url, "^[^/]*//[^/?#]*([^#]*)", 1)) // 2. drops #frag
     // 3. tracking params: remove `utm_<x>=v`, `gclid=v`, `fbclid=v`
-    //    wherever they sit, then repair separators left behind
+    //    ANCHORED on their ?/& separator (so a legitimate param named
+    //    `myutm_x` or `xgclid` is untouched), keeping the separator,
+    //    then repair the runs left behind
     val noTrack = regexp_replace(lowered,
-      "(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&?", "")
+      "([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "$1")
     val fixedSep = regexp_replace(
-      regexp_replace(noTrack, "[?&]+$", ""), // dangling ? or &
-      "\\?&", "?")                           // ?&keep=1 → ?keep=1
+      regexp_replace(
+        regexp_replace(noTrack, "&&+", "&"),   // a=1&&b=2 → a=1&b=2
+        "\\?&+", "?"),                         // ?&keep=1 → ?keep=1
+      "[?&]+$", "")                            // dangling ? or &
     // 4. default ports
     val noPort = regexp_replace(fixedSep,
       "^(https://[^/:?#]*):443(?:([/?#])|$)", "$1$2")

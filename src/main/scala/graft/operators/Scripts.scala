@@ -34,11 +34,13 @@ object Scripts {
   def nCjk(text: Column): Column = countClass(text, cjk)
   def nArabic(text: Column): Column = countClass(text, arab)
 
-  /** A single word mixing Latin and Cyrillic letters in either order —
+  /** A single word (whitespace-delimited token) containing BOTH Latin
+    * and Cyrillic letters, in either order and not necessarily
+    * adjacent (`p1а` with a digit between the scripts still trips) —
     * the homoglyph signature. Bilingual text (scripts separated by
-    * whitespace/punctuation) does NOT trip this. */
+    * whitespace) does NOT trip this. */
   def hasMixedScriptWord(text: Column): Column =
-    text.rlike("[A-Za-z]" + cyr + "|" + cyr + "[A-Za-z]")
+    text.rlike("[A-Za-z]\\S*" + cyr + "|" + cyr + "\\S*[A-Za-z]")
 
   /** Per-doc script profile + dominant class label. */
   def profile(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {

@@ -29,6 +29,16 @@ object Cdc {
   private def changelog(s: SparkSession, dir: String): DataFrame =
     Changelog.fromEvents(Tables.events(s, dir))
 
+  /** Declared wire-payload schema for the envelope codec queries (the
+    * events changelog payload — never inferred from data). */
+  private val envelopePayload = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props",
+      org.apache.spark.sql.types.StringType)))
+
   /** Time-travel point for `cdc_snapshot_asof` — mid-January 2024,
     * inside the generator's event-ts range at every SF. */
   private val asofTsUs = 1705000000000000L
@@ -650,6 +660,49 @@ object Cdc {
         .orderBy("__partition", "__offset")
     }),
 
+    // A50: Kafka wire-format envelope — the reference's default sink is
+    // a Kafka topic carrying a wire protocol external consumers parse
+    // (README.md:17, 34; TiCDC's canal-json codec). The changelog is
+    // encoded into canal-json-shaped JSON envelopes, produced through
+    // the Topic sink (routing/offsets on the broker metadata columns —
+    // the Kafka record key/timestamp), the topic read back, and the
+    // snapshot reconstructed FROM THE ENVELOPE STRING ALONE — proving
+    // the wire value carries the complete feed. Encode is one to_json
+    // projection and parse one from_json against the DECLARED wire
+    // schema, both codegen'd in the scan stage — at 100 TB the codec
+    // runs at parquet-scan throughput with no extra exchange. Must
+    // hash-match the batch snapshot oracle.
+    "cdc_topic_envelope" -> ((s, dir) => {
+      val path = roundtripPath(dir, "topicenv")
+      GraftSink.Topic(path = path, numPartitions = 8)
+        .write(Envelope.encode(changelog(s, dir), "graft", "events",
+          Seq("event_type", "value", "props")))
+      val wire = s.read.parquet(path).select(Envelope.EnvelopeCol)
+      Materialize.snapshot(
+          Envelope.decode(wire, envelopePayload, "graft", "events"))
+        .select(
+          col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // A50 codec identity: encode → decode with no broker in between is
+    // the changelog itself, column-exact (doubles round-trip bit-exact
+    // through the JSON shortest-representation — the reason data/old
+    // keep JSON-native types instead of canal's stringification).
+    "cdc_envelope_roundtrip" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      Envelope.decode(
+          Envelope.encode(log, "graft", "events",
+            Seq("event_type", "value", "props")),
+          envelopePayload, "graft", "events")
+        .select(col("key").as("user_id"), col("commit_ts_us"), col("seq"),
+          col("op"), col("event_type"), col("value"), col("props"))
+        .orderBy("user_id", "commit_ts_us", "seq")
+    }),
+
     // A23 consumer side: offset-resume topic replay — the sink written
     // hive-partitioned by __partition, then read back as a CONSUMER
     // resuming partition 3 from offset 10 (the "seek(partition,
@@ -1009,8 +1062,10 @@ object Cdc {
         val staging = Files.createTempDirectory(s"sentinel-$idx")
         sentinelPair(idx, ts).coalesce(1)
           .write.mode("overwrite").parquet(staging.toString)
-        val part = Files.list(staging)
+        val listing = Files.list(staging)
+        val part = try listing
           .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
         Files.move(part, Paths.get(inDir, f"flush-$idx%03d.parquet"),
           StandardCopyOption.ATOMIC_MOVE)
         Thread.sleep(5)
@@ -1106,8 +1161,10 @@ object Cdc {
         ranked.where(col("__rn").between(lo, hi)).drop("__rn")
           .coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(staging.toString)
-        val part = Files.list(staging)
+        val listing = Files.list(staging)
+        val part = try listing
           .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
         Files.move(part, Paths.get(inDir, f"flush-$i%03d.parquet"),
           StandardCopyOption.ATOMIC_MOVE)
         Thread.sleep(5)
@@ -1219,8 +1276,10 @@ object Cdc {
       val staging = Files.createTempDirectory(s"slice-$i")
       ranked.where(col("__rn").between(lo, hi)).drop("__rn")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val part = Files.list(staging)
+      val listing = Files.list(staging)
+      val part = try listing
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
       Files.move(part, Paths.get(out, f"flush-$i%03d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
       Thread.sleep(5)
@@ -1397,6 +1456,18 @@ object Cdc {
     // Stream ≡ batch: the streaming state machine must converge to
     // exactly the batch snapshot, so they share one oracle.
     "cdc_stream_snapshot" -> snapshotOracle,
+
+    // Wire ≡ batch: a snapshot rebuilt purely from parsed canal-json
+    // envelopes must equal the batch snapshot — same oracle.
+    "cdc_topic_envelope" -> snapshotOracle,
+
+    // Codec identity: encode → decode is the changelog, column-exact.
+    "cdc_envelope_roundtrip" -> (logCte +
+      """
+        |SELECT key AS user_id, commit_ts_us, seq, op,
+        |       event_type, value, props
+        |FROM log
+        |ORDER BY user_id, commit_ts_us, seq""".stripMargin),
 
     // The version boundary re-derived in SQL: the changelog is 1:1
     // with events and (commit_ts_us, seq) == (ts, event_id) order, so

@@ -184,22 +184,38 @@ object CdcStream {
     def read(sinkDir: String): Seq[graft.cdc.SchemaEvolution.Ddl] = {
       val d = dir(sinkDir)
       if (!Files.exists(d)) Seq.empty
-      else Files.list(d).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".ledger"))
-        .flatMap(f => Files.readAllLines(f).asScala)
-        .map { line =>
-          val p = line.split('|')
-          (graft.cdc.SchemaEvolution.ddlFromFields(
-            p(0), p(1), p(2), p(3).toLong), p(4).toLong)
-        }
-        .sortBy { case (d0, seq) => (d0.commitTsUs, seq) }
-        .map(_._1)
+      else {
+        val listing = Files.list(d)
+        // Files.list holds a directory handle until closed — one leak
+        // per micro-batch otherwise.
+        val files = try listing.iterator().asScala.toSeq finally listing.close()
+        files
+          .filter(_.getFileName.toString.endsWith(".ledger"))
+          .flatMap(f => Files.readAllLines(f).asScala)
+          .map { line =>
+            val p = line.split('|')
+            (graft.cdc.SchemaEvolution.ddlFromFields(
+              p(0), p(1), p(2), p(3).toLong), p(4).toLong)
+          }
+          .sortBy { case (d0, seq) => (d0.commitTsUs, seq) }
+          .map(_._1)
+      }
     }
 
     def append(sinkDir: String, batchId: Long,
                rows: Seq[Seq[String]]): Unit = {
       val d = dir(sinkDir)
       Files.createDirectories(d)
+      // The ledger line format is pipe-separated with NO escaping: a
+      // field containing '|' (e.g. an AddColumn default literal) or a
+      // newline would silently corrupt the parse on read-back after a
+      // restart. Reject at write time — defaults are string literals,
+      // so a loud failure here beats a wrong replayed schema history.
+      rows.foreach(_.foreach { f =>
+        require(f == null ||
+          (!f.contains('|') && !f.contains('\n') && !f.contains('\r')),
+          s"EvolveLedger field may not contain '|' or newlines: '$f'")
+      })
       val tmp = d.resolve(s".batch-$batchId.tmp")
       Files.write(tmp, rows.map(_.mkString("|")).asJava)
       Files.move(tmp, d.resolve(s"batch-$batchId.ledger"),

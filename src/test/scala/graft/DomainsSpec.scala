@@ -49,6 +49,12 @@ class DomainsSpec extends SparkSpec {
     assert(canon("https://ex.com/p/") === "https://ex.com/p")
     assert(canon("https://ex.com/") === "https://ex.com")
     assert(canon("https://ex.com/p?keep=1#frag") === "https://ex.com/p?keep=1")
+    // tracking-param strip is anchored on its ?/& separator: legitimate
+    // params that merely EMBED a tracking name survive intact
+    assert(canon("https://ex.com/p?myutm_x=1") === "https://ex.com/p?myutm_x=1")
+    assert(canon("https://ex.com/p?xgclid=5") === "https://ex.com/p?xgclid=5")
+    assert(canon("https://ex.com/p?a=1&utm_x=2&b=3") === "https://ex.com/p?a=1&b=3")
+    assert(canon("https://ex.com/p?utm_a=1&utm_b=2&keep=3") === "https://ex.com/p?keep=3")
   }
 
   test("report blocklist is a broadcast anti-join; cap uses a window group limit") {

@@ -133,4 +133,23 @@ class EvolveStreamSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(sink, "_ddl_history")) ||
       !Files.list(Paths.get(sink, "_ddl_history")).findAny().isPresent)
   }
+
+  test("ledger rejects fields that would corrupt the pipe format") {
+    val dir = tmp("evolve_ledger_guard")
+    // clean rows round-trip
+    CdcStream.EvolveLedger.append(dir, 0L,
+      Seq(Seq("add", "c1", "ok-default", "1000", "0")))
+    assert(CdcStream.EvolveLedger.read(dir).size === 1)
+    // a '|' or newline in any field is rejected LOUDLY at write time —
+    // silently corrupting the replayed DDL history would be worse
+    for (bad <- Seq("a|b", "a\nb", "a\rb")) {
+      val e = intercept[IllegalArgumentException] {
+        CdcStream.EvolveLedger.append(dir, 1L,
+          Seq(Seq("add", "c2", bad, "2000", "0")))
+      }
+      assert(e.getMessage.contains("may not contain"))
+    }
+    // the failed appends left no partial batch behind
+    assert(CdcStream.EvolveLedger.read(dir).size === 1)
+  }
 }

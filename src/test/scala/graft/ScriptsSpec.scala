@@ -19,6 +19,10 @@ class ScriptsSpec extends SparkSpec {
     assert(!mixed("hello \u043f\u0440\u0438\u0432\u0435\u0442 world")) // separate Cyrillic word
     assert(mixed("p\u0430yp\u0430l"))            // Cyrillic a inside a Latin word
     assert(mixed("\u0440ay"))                     // leading Cyrillic, Latin tail
+    // non-adjacent mixes inside ONE token still trip (digit/punct between)
+    assert(mixed("p1\u0430"))                     // digit between scripts
+    assert(mixed("\u0440-pal"))                   // hyphen between scripts
+    assert(!mixed("pay \u0440\u0443"))            // whitespace separates \u2192 clean
   }
 
   test("per-class counts are exact and independent") {
