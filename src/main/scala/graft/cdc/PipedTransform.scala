@@ -39,7 +39,15 @@ object PipedTransform {
                 strict: Boolean = true)(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val lines = spark.createDataset(df.toJSON.rdd.pipe(cmd))
+    parseLines(spark.createDataset(df.toJSON.rdd.pipe(cmd)),
+      outputSchema, strict)
+  }
+
+  /** Declared-schema re-typing of plugin output lines — shared by every
+    * out-of-process runner ([[PipedTransform]], [[HttpTransform]]). */
+  private[cdc] def parseLines(lines: org.apache.spark.sql.Dataset[String],
+                              outputSchema: StructType,
+                              strict: Boolean): DataFrame = {
     if (strict) {
       // FAILFAST: an unparseable plugin line throws in-plan, so the
       // streaming DLQ path quarantines the micro-batch (PERMISSIVE

@@ -132,6 +132,79 @@ object GraftSink {
     }
   }
 
+  /** JDBC warehouse sink (reference README.md:17, 22 — the RFC's
+    * MySQL-protocol / Doris batch-write-optimization case: a changefeed
+    * delivering into a SQL warehouse over JDBC, micro-batched and safe
+    * under at-least-once redelivery).
+    *
+    * Spark-first: the data path is Spark's own distributed JDBC writer
+    * (one connection per partition, `batchsize`-chunked inserts — the
+    * "batch write optimization" the RFC names), never a driver-side row
+    * loop. Idempotence is delete-then-append keyed by a commit-time
+    * `__batch` column: before appending, the touched batch windows are
+    * DELETEd in one statement — so replaying any micro-batch (redelivery,
+    * crash recovery, late flush) converges to exactly-once content
+    * instead of duplicating. The only driver-side work is the distinct
+    * batch-id set (|batches| rows, metadata-class) and one DELETE.
+    *
+    * At scale the batch column doubles as the warehouse's partition /
+    * rollup key (Doris-style partition-per-window), so the DELETE is a
+    * partition drop, not a table scan. Tested against embedded Derby
+    * (the sandbox's in-JVM warehouse); any JDBC URL with a registered
+    * dialect works the same.
+    *
+    * @param batchDurationUs 0 disables batching: plain append, caller
+    *                        owns idempotence */
+  final case class Jdbc(
+      url: String,
+      table: String,
+      batchDurationUs: Long,
+      tsCol: String = "commit_ts_us",
+      options: Map[String, String] = Map.empty) extends GraftSink {
+
+    private def props: java.util.Properties = {
+      val p = new java.util.Properties()
+      options.foreach { case (k, v) => p.setProperty(k, v) }
+      p
+    }
+
+    def write(df: DataFrame): Unit = {
+      val out =
+        if (batchDurationUs <= 0) df
+        else df.withColumn("__batch",
+          floor(col(tsCol) / batchDurationUs).cast("long"))
+      if (batchDurationUs > 0) {
+        // |batches| is bounded (windows, not rows) — metadata-class
+        val batches = out.select("__batch").distinct()
+          .collect().map(_.getLong(0))
+        if (batches.nonEmpty) deleteBatches(batches)
+      }
+      out.write.mode(SaveMode.Append)
+        .options(options).jdbc(url, table, props)
+    }
+
+    /** One DELETE for the replayed windows; a missing table (first
+      * write) is fine — Append creates it. */
+    private def deleteBatches(batches: Array[Long]): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        // quoted: leading-underscore identifiers need it (Spark's JDBC
+        // writer quotes column names through the dialect on its side)
+        try st.executeUpdate(s"""DELETE FROM $table WHERE "__batch" IN """ +
+          s"(${batches.mkString(",")})")
+        finally st.close()
+      } catch {
+        case e: java.sql.SQLException
+          if e.getSQLState != null && e.getSQLState.startsWith("42") => ()
+      } finally conn.close()
+    }
+
+    /** Consumer side: the warehouse table back as a DataFrame. */
+    def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.read.options(options).jdbc(url, table, props)
+  }
+
   /** Micro-batched idempotent writer: rows are bucketed into commit-time
     * windows (`__batch` = commit_ts_us / batchDurationUs) and written as
     * one hive partition per batch. Re-writing any batch — replay, late

@@ -957,6 +957,72 @@ object Cdc {
         .orderBy("bucket")
     }),
 
+    // A7/A8 warehouse leg: JDBC sink (README.md:17, 22 — the RFC's
+    // MySQL-protocol / Doris batch-write case). The snapshot is
+    // delivered into an embedded-Derby warehouse through Spark's
+    // distributed JDBC writer in commit-time batches, then the WHOLE
+    // delivery is REPLAYED (at-least-once redelivery) — the
+    // delete-then-append keyed on __batch must converge instead of
+    // duplicating — and the query returns the warehouse table read
+    // back over JDBC. Oracle = the batch snapshot SQL: parity proves
+    // the sink is exactly-once under replay and type-faithful through
+    // the warehouse round trip (BIGINT/DOUBLE/VARCHAR and back).
+    "cdc_sink_jdbc" -> ((s, dir) => {
+      val db = freshScratch(dir, "jdbcsink") + "/derby"
+      val sink = GraftSink.Jdbc(
+        url = s"jdbc:derby:$db;create=true",
+        table = "snapshot_sink",
+        batchDurationUs = 7L * 86400000000L, // weekly warehouse windows
+        tsCol = "last_ts_us")
+      val snap = Materialize.snapshot(changelog(s, dir))
+        .select(
+          col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+      sink.write(snap)
+      sink.write(snap) // replay: batches delete-then-append, converge
+      sink.read(s)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("last_event_type"), col("last_value"),
+          col("last_ts_us").cast("long").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // A51: HTTP out-of-process plugin runner (README.md:44-49 — the
+    // RFC's RPC/HTTP hook form). The changelog is posted by EVERY
+    // EXECUTOR PARTITION as ndjson batches to a plugin service (here a
+    // loopback harness endpoint; the spec drives python3 http.server),
+    // which filters 'view' events and uppercases event_type; the
+    // response lines are re-typed FAILFAST against the declared schema.
+    // The result is materialized to scratch before the server tears
+    // down, then read back. Oracle states the transform in SQL —
+    // parity proves rows survive the executor→plugin→executor loop
+    // byte-exactly (doubles, JSON-escaped props) with zero driver
+    // involvement in the data path.
+    "cdc_http_transform" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, commit_ts_us BIGINT, seq BIGINT, op STRING, " +
+          "event_type STRING, value DOUBLE, props STRING")
+      val eventTypeR = "\"event_type\":\"([a-z_]+)\"".r
+      val out = withHttpPlugin { line =>
+        // inside a JSON string every quote is \-escaped, so the raw
+        // pattern `"event_type":"..."` can only match the real field
+        if (line.contains("\"event_type\":\"view\"")) None
+        else Some(eventTypeR.replaceAllIn(line,
+          m => "\"event_type\":\"" + m.group(1).toUpperCase + "\""))
+      } { endpoint =>
+        val path = roundtripPath(dir, "httpplugin")
+        HttpTransform.transform(endpoint, schema)(changelog(s, dir))
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        path
+      }
+      s.read.parquet(out)
+        .select(col("key").as("user_id"), col("commit_ts_us"), col("seq"),
+          col("op"), col("event_type"), col("value"), col("props"))
+        .orderBy("user_id", "commit_ts_us", "seq")
+    }),
+
     // A17 (+A11 e2e): the STREAMING stateful snapshot, oracle-checked.
     // The events table is re-written as three ts-ordered flush files
     // (the harness stand-in for an upstream that keeps flushing), read
@@ -1239,6 +1305,35 @@ object Cdc {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Harness stand-in for an out-of-process HTTP plugin service (the
+    * production form is any network endpoint speaking ndjson — the
+    * spec drives a python3 http.server for the language-free claim):
+    * an in-JVM loopback server applying `handler` per line, torn down
+    * after `body` materializes its result. Port 0 = OS-assigned. */
+  private def withHttpPlugin[T](handler: String => Option[String])
+                               (body: String => T): T = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.createContext("/transform", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val in = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val out = in.linesIterator.filter(_.nonEmpty)
+          .flatMap(handler).mkString("\n")
+        val bytes = out.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, if (bytes.isEmpty) -1L else bytes.length.toLong)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.setExecutor(pool)
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/transform")
+    finally { server.stop(0); pool.shutdown() }
+  }
+
   /** [[roundtripPath]] recursively deleted and re-created — for
     * append-mode sinks that must start empty every run. */
   private[graft] def freshScratch(dir: String, tag: String): String = {
@@ -1460,6 +1555,20 @@ object Cdc {
     // Wire ≡ batch: a snapshot rebuilt purely from parsed canal-json
     // envelopes must equal the batch snapshot — same oracle.
     "cdc_topic_envelope" -> snapshotOracle,
+
+    // Warehouse ≡ batch: the snapshot delivered twice over JDBC
+    // (replayed) and read back must equal the batch snapshot.
+    "cdc_sink_jdbc" -> snapshotOracle,
+
+    // The HTTP plugin's transform stated in SQL: drop views, uppercase
+    // event_type, everything else byte-identical through the wire.
+    "cdc_http_transform" -> (logCte +
+      """
+        |SELECT key AS user_id, commit_ts_us, seq, op,
+        |       upper(event_type) AS event_type, value, props
+        |FROM log
+        |WHERE event_type <> 'view'
+        |ORDER BY user_id, commit_ts_us, seq""".stripMargin),
 
     // Codec identity: encode → decode is the changelog, column-exact.
     "cdc_envelope_roundtrip" -> (logCte +

@@ -118,6 +118,89 @@ class ChainConfigSpec extends SparkSpec {
     } finally ChainConfig.unregisterTransform("py-bad")
   }
 
+  test("transform: stage round-trips rows through an external python3 " +
+    "HTTP service — the RPC/HTTP plugin-runner form") {
+    // The RFC's RPC/HTTP hook (README.md:44-49): the plugin is a
+    // NETWORK SERVICE in a foreign runtime; executors post ndjson
+    // batches to it. The server binds port 0 and prints the real port.
+    val script =
+      """import json
+        |from http.server import BaseHTTPRequestHandler, HTTPServer
+        |class H(BaseHTTPRequestHandler):
+        |    def do_POST(self):
+        |        n = int(self.headers.get('Content-Length', 0))
+        |        body = self.rfile.read(n).decode('utf-8')
+        |        out = []
+        |        for line in body.splitlines():
+        |            if not line.strip(): continue
+        |            r = json.loads(line)
+        |            out.append(json.dumps({"seq": r["seq"], "key": r["key"],
+        |                                   "tag": "http:%d" % (r["key"] % 10)}))
+        |        data = "\n".join(out).encode('utf-8')
+        |        self.send_response(200)
+        |        self.send_header('Content-Length', str(len(data)))
+        |        self.end_headers()
+        |        self.wfile.write(data)
+        |    def log_message(self, *a): pass
+        |srv = HTTPServer(('127.0.0.1', 0), H)
+        |print(srv.server_port, flush=True)
+        |srv.serve_forever()
+        |""".stripMargin
+    val proc = new ProcessBuilder("python3", "-u", "-c", script).start()
+    try {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      val port = rd.readLine().trim.toInt
+      HttpTransform.register("http-tag",
+        s"http://127.0.0.1:$port/transform",
+        "seq BIGINT, key BIGINT, tag STRING", batchSize = 64)
+      try {
+        val out = ChainConfig.parse(
+          "op-filter:U | select:seq,key | transform:http-tag").run(log)
+        val reference = ChainConfig.parse("op-filter:U | select:seq,key")
+          .run(log)
+        assert(out.columns.toSeq === Seq("seq", "key", "tag"))
+        assert(out.count() === reference.count())
+        assert(out.where(
+          col("tag") =!= concat(lit("http:"), pmod(col("key"), lit(10L))))
+          .count() === 0)
+      } finally ChainConfig.unregisterTransform("http-tag")
+    } finally proc.destroyForcibly()
+  }
+
+  test("HTTP transform fails the batch loudly on a non-200 plugin " +
+    "response — the poison-batch DLQ trigger") {
+    val script =
+      """from http.server import BaseHTTPRequestHandler, HTTPServer
+        |class H(BaseHTTPRequestHandler):
+        |    def do_POST(self):
+        |        n = int(self.headers.get('Content-Length', 0))
+        |        self.rfile.read(n)
+        |        self.send_response(500)
+        |        self.send_header('Content-Length', '5')
+        |        self.end_headers()
+        |        self.wfile.write(b'crash')
+        |    def log_message(self, *a): pass
+        |srv = HTTPServer(('127.0.0.1', 0), H)
+        |print(srv.server_port, flush=True)
+        |srv.serve_forever()
+        |""".stripMargin
+    val proc = new ProcessBuilder("python3", "-u", "-c", script).start()
+    try {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      val port = rd.readLine().trim.toInt
+      val t = HttpTransform.transform(s"http://127.0.0.1:$port/t",
+        org.apache.spark.sql.types.StructType.fromDDL("seq BIGINT")) _
+      val e = intercept[Throwable](t(log.limit(10)).collect())
+      def messages(x: Throwable): Seq[String] =
+        if (x == null) Nil
+        else String.valueOf(x.getMessage) +: messages(x.getCause)
+      assert(messages(e).exists(_.contains("HTTP 500")),
+        s"expected an HTTP 500 failure, got: ${messages(e)}")
+    } finally proc.destroyForcibly()
+  }
+
   test("malformed configs fail loudly") {
     assert(intercept[IllegalArgumentException](
       ChainConfig.parse("nonsense:x")).getMessage.contains("unknown stage"))

@@ -157,6 +157,32 @@ class SinksSpec extends SparkSpec {
       spark.read.schema(changelog.schema).json(path))
   }
 
+  test("Jdbc sink: batch replay converges; untouched batches survive") {
+    import spark.implicits._
+    val db = tmp("sink-jdbc") + "/derby"
+    val sink = GraftSink.Jdbc(s"jdbc:derby:$db;create=true", "t",
+      batchDurationUs = 1000L, tsCol = "commit_ts_us")
+    val rows = Seq(
+      (1L, 100L, "a"), (2L, 900L, "b"),   // batch 0
+      (3L, 1500L, "c"),                   // batch 1
+      (4L, 2500L, "d")                    // batch 2
+    ).toDF("key", "commit_ts_us", "payload")
+    sink.write(rows)                      // first write creates the table
+    assert(sink.read(spark).count() === 4L)
+    // replay ONLY batch 1, with a corrected row: its window is replaced,
+    // batches 0 and 2 are untouched — exactly-once under redelivery
+    val replay = Seq((3L, 1500L, "c2")).toDF("key", "commit_ts_us", "payload")
+    sink.write(replay)
+    val back = sink.read(spark).select("key", "commit_ts_us", "payload")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1L, 100L, "a"), (2L, 900L, "b"),
+      (3L, 1500L, "c2"), (4L, 2500L, "d")))
+    // full replay is a no-op in content
+    sink.write(rows.withColumn("payload",
+      when(col("key") === 3L, "c2").otherwise(col("payload"))))
+    assert(sink.read(spark).count() === 4L)
+  }
+
   test("runTo delivers the plugin-chain output to the sink") {
     val path = tmp("sink-chain")
     Changefeed(Seq(
