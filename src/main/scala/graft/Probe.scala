@@ -222,6 +222,53 @@ object Probe {
       return
     }
 
+    // Cold-start metadata scale: `runMain graft.Probe _ gentopicmeta=2000000:500`
+    // prices the consumer's FIRST end-of-log discovery on a topic of
+    // MANY SMALL FILES (N rows at ~F rows/file): one footer read per
+    // file, batched through the bounded parallel pool. Each
+    // endOffsets call constructs a fresh stream, so every sample is a
+    // true cold start; the steady-state poll (memoized, one footer per
+    // NEW file) is covered by gentopic=.
+    if (args.length > 1 && args(1).startsWith("gentopicmeta=")) {
+      val Array(n, fpf) = args(1).stripPrefix("gentopicmeta=")
+        .split(":").map(_.toLong)
+      val topicDir = s"/tmp/graft_probe_topicmeta_${n}_$fpf"
+      val log = spark.read.format("graft.sources.GenSource")
+        .option("rows", n).option("users", 99991)
+        .option("slices", cpus.toInt).load()
+        .select(col("user_id").as("key"), col("ts_us").as("commit_ts_us"),
+          col("event_id").as("seq"), lit("U").as("op"),
+          col("event_type"), (col("value_e2") / 100.0).as("value"),
+          lit(null).cast("string").as("props"))
+      val assigned = graft.cdc.GraftSink.Topic(topicDir, numPartitions = 8)
+        .assign(log)
+      time(s"topicmeta_produce n=$n rows/file=$fpf") {
+        assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("maxRecordsPerFile", fpf)
+          .partitionBy("__partition").parquet(topicDir)
+        n
+      }
+      val nFiles = {
+        val root = new org.apache.hadoop.fs.Path(topicDir)
+        val fs = root.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        fs.listStatus(root).filter(_.isDirectory).map(d =>
+          fs.listStatus(d.getPath).count(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet"))).sum
+      }
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val ends = graft.sources.TopicSource.endOffsets(spark, topicDir)
+          .collect()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"$secs%8.2f s  topicmeta_cold_discover files=$nFiles " +
+          f"run=$i (${nFiles / secs}%.0f footers/s, " +
+          f"${ends.length} partitions)")
+      }
+      spark.stop()
+      return
+    }
+
     // Streaming-throughput mode: `runMain graft.Probe _ genstream=2000000:200000`
     // drains a GenSource micro-batch stream of N rows (R rows/batch)
     // through the A12 tumbling-window aggregation into a memory sink —

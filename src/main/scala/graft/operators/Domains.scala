@@ -45,15 +45,72 @@ object Domains {
     * flow to quarantine, never a throw in the hot path). */
   def host(url: Column): Column = lower(regexp_extract(url, hostRe, 1))
 
-  /** Second-level labels that indicate a multi-part public suffix. */
+  /** Second-level labels that indicate a multi-part public suffix
+    * (the FALLBACK heuristic for hosts matching no snapshot rule). */
   val multiPartSuffixes: Seq[String] =
     Seq("ac", "co", "com", "edu", "gov", "net", "org")
 
-  /** Registrable domain (eTLD+1 approximation): last two labels, or
-    * last three when the second-to-last is a registry class label. */
+  /** Parsed public-suffix rules, grouped by label count: exact rules,
+    * wildcard bases (`*.ck` → base `ck`), exceptions (`!www.ck`). */
+  private[operators] final case class PslRules(
+      exact: Map[Int, Seq[String]],
+      wildBase: Map[Int, Seq[String]],
+      exception: Map[Int, Seq[String]])
+
+  /** The bundled publicsuffix.org snapshot (PSL rule syntax; swap the
+    * resource for the full list at deployment — this file is DATA).
+    * Parsed once per JVM; a few hundred rules. */
+  private[operators] lazy val psl: PslRules = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")
+    require(in != null, "missing resource graft/public_suffix_snapshot.dat")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+      finally in.close()
+    val (exc, rest) = lines.partition(_.startsWith("!"))
+    val (wild, exact) = rest.partition(_.startsWith("*."))
+    def byLen(rs: Seq[String]) = rs.groupBy(_.count(_ == '.') + 1)
+      .map { case (k, v) => k -> v.distinct }
+    PslRules(
+      exact = byLen(exact),
+      wildBase = byLen(wild.map(_.stripPrefix("*."))),
+      exception = byLen(exc.map(_.stripPrefix("!"))))
+  }
+
+  /** Registrable domain (eTLD+1): PSL-matched when the host hits a
+    * snapshot rule — longest rule wins, `*.x` wildcards count one extra
+    * label, `!` exceptions shorten the suffix by their leading label
+    * (the publicsuffix.org algorithm) — with the deterministic
+    * registry-class ladder as fallback for hosts the snapshot doesn't
+    * cover. Scan-local: each rule class is one `isin` (compiled to an
+    * O(1) hash-set InSet) over the host's last-k labels; no join, no
+    * UDF, so domain extraction runs at scan throughput on 100 TB. */
   def registrable(hostCol: Column): Column = {
     val labels = split(hostCol, "\\.")
     val n = size(labels)
+    def lastK(k: Int): Column = concat_ws(".", slice(labels, -k, k))
+    // longest matching public-suffix length in labels (0 = no match)
+    val candidates =
+      psl.exact.toSeq.map { case (k, rules) =>
+        when(n >= k && lastK(k).isin(rules: _*), k).otherwise(0) } ++
+      psl.wildBase.toSeq.map { case (k, bases) =>
+        when(n >= k + 1 && lastK(k).isin(bases: _*), k + 1).otherwise(0) }
+    val best = greatest((candidates :+ (lit(0): Column)).map(_.cast("int")): _*)
+    // an exception rule prevails: its suffix is the rule minus the
+    // leading label
+    val excLen = psl.exception.toSeq.sortBy(_._1).foldLeft(lit(null).cast("int")) {
+      case (acc, (k, rules)) =>
+        when(n >= k && lastK(k).isin(rules: _*), k - 1).otherwise(acc)
+    }
+    val suffixLen = coalesce(excLen, when(best > 0, best))
+    val m = least(suffixLen + 1, n)
+    when(suffixLen.isNotNull, concat_ws(".", slice(labels, -m, m)))
+      .otherwise(ladderRegistrable(labels, n))
+  }
+
+  /** The pre-PSL heuristic: last two labels, or last three when the
+    * second-to-last is a registry-class label. */
+  private def ladderRegistrable(labels: Column, n: Column): Column = {
     val k = when(n >= 3 && array_contains(
       array(multiPartSuffixes.map(lit): _*), element_at(labels, -2)), 3)
       .otherwise(least(n, lit(2)))

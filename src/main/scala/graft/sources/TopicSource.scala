@@ -206,9 +206,49 @@ private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
 
   /** Footer max-offset memo: topic files are immutable once visible
     * (a rewrite replaces them under new names / new mtimes), so a
-    * steady-state poll re-reads no footer it has already seen. */
+    * steady-state poll re-reads no footer it has already seen. BOUNDED:
+    * every [[discover]] evicts keys whose files left the listing
+    * (compaction / rewrite), so a long-lived tailing consumer holds at
+    * most one entry per LIVE topic file, never one per file ever seen. */
   private val footerMemo =
     mutable.HashMap.empty[(String, Long, Long), Option[Long]]
+
+  /** Cold-start footer parallelism: a fresh consumer on a 100k-file
+    * topic would otherwise open 100k footers SERIALLY on the driver.
+    * Misses are read through a bounded pool (steady state — one new
+    * file per poll — stays on the calling thread, no pool spin-up). */
+  private val footerReadParallelism = 16
+
+  private def memoKey(f: FileStatus): (String, Long, Long) =
+    (f.getPath.toString, f.getLen, f.getModificationTime)
+
+  /** Memoize footers for `files`, reading misses in parallel when the
+    * miss count warrants a pool; evict memo entries for vanished files. */
+  private def memoizeFooters(files: Seq[FileStatus]): Unit = {
+    val misses = footerMemo.synchronized {
+      files.filterNot(f => footerMemo.contains(memoKey(f)))
+    }
+    if (misses.size > 3) {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(footerReadParallelism, misses.size))
+      try {
+        val futures = misses.map(f =>
+          pool.submit(new java.util.concurrent.Callable[
+              ((String, Long, Long), Option[Long])] {
+            override def call() = memoKey(f) -> readFooterMaxOffset(f)
+          }))
+        val read = futures.map(_.get())
+        footerMemo.synchronized { footerMemo ++= read }
+      } finally pool.shutdown()
+    } else if (misses.nonEmpty) {
+      val read = misses.map(f => memoKey(f) -> readFooterMaxOffset(f))
+      footerMemo.synchronized { footerMemo ++= read }
+    }
+    val live = files.map(memoKey).toSet
+    footerMemo.synchronized {
+      footerMemo.filterInPlace((k, _) => live.contains(k))
+    }
+  }
 
   /** AvailableNow fixed point: end offsets frozen at trigger start so
     * the drain terminates even under a live producer. */
@@ -221,22 +261,34 @@ private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
   /** [[discover]] for the batch introspection API. */
   private[sources] def discoverEnds(): Map[Int, Long] = discover()
 
+  /** Test hook: the memo must track LIVE files only (boundedness). */
+  private[sources] def footerMemoSize: Int =
+    footerMemo.synchronized(footerMemo.size)
+
   /** List `__partition=P` dirs and compute each log-end offset from
-    * footer `__offset` statistics (max + 1). Metadata-only. */
+    * footer `__offset` statistics (max + 1). Metadata-only; footer
+    * misses across ALL partitions are batched through one parallel
+    * read (cold start on a big topic is pool-bound, not serial). */
   private def discover(): Map[Int, Long] = {
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val out =
       if (!fs.exists(root)) Map.empty[Int, Long]
-      else fs.listStatus(root).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(TopicSource.PartitionCol + "="))
-        .flatMap { st =>
-          val pid = st.getPath.getName
-            .substring(TopicSource.PartitionCol.length + 1).toInt
-          val ends = dataFiles(fs, st.getPath).flatMap(footerMaxOffset)
+      else {
+        val byPid = fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(TopicSource.PartitionCol + "="))
+          .map { st =>
+            val pid = st.getPath.getName
+              .substring(TopicSource.PartitionCol.length + 1).toInt
+            pid -> dataFiles(fs, st.getPath)
+          }
+        memoizeFooters(byPid.flatMap(_._2))
+        byPid.flatMap { case (pid, files) =>
+          val ends = files.flatMap(footerMaxOffset)
           if (ends.isEmpty) None else Some(pid -> (ends.max + 1L))
         }.toMap
+      }
     lastDiscovered = out
     out
   }
@@ -249,9 +301,13 @@ private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
         !n.startsWith(".") && !n.startsWith("_")
     }
 
-  private def footerMaxOffset(f: FileStatus): Option[Long] = {
-    val key = (f.getPath.toString, f.getLen, f.getModificationTime)
-    footerMemo.getOrElseUpdate(key, {
+  private def footerMaxOffset(f: FileStatus): Option[Long] =
+    footerMemo.synchronized {
+      footerMemo.getOrElseUpdate(memoKey(f), readFooterMaxOffset(f))
+    }
+
+  /** The raw footer read (no memo) — one open, statistics only. */
+  private def readFooterMaxOffset(f: FileStatus): Option[Long] = {
       val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
       try {
         val maxes = rd.getFooter.getBlocks.asScala.toSeq.map { b =>
@@ -269,7 +325,6 @@ private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
         }
         if (maxes.isEmpty) None else Some(maxes.max)
       } finally rd.close()
-    })
   }
 
   override def initialOffset(): Offset =

@@ -34,6 +34,31 @@ class DomainsSpec extends SparkSpec {
     assert(regOf("a.gov.uk") === "a.gov.uk")
   }
 
+  test("PSL snapshot: multi-part suffixes, wildcards, exceptions") {
+    // exact multi-part rules across registries
+    assert(regOf("shop.example.com.au") === "example.com.au")
+    assert(regOf("x.y.example.co.uk") === "example.co.uk")
+    assert(regOf("www.example.go.jp") === "example.go.jp")
+    assert(regOf("a.b.example.com.br") === "example.com.br")
+    // wildcard rule *.ck: every 2nd-level label is a registry
+    assert(regOf("shop.pref.ck") === "shop.pref.ck")
+    assert(regOf("deep.shop.pref.ck") === "shop.pref.ck")
+    // ...except the ! exception: www.ck IS a registrable domain
+    assert(regOf("www.ck") === "www.ck")
+    assert(regOf("a.www.ck") === "www.ck")
+    // geographic jp wildcard + its city exception
+    assert(regOf("a.b.kawasaki.jp") === "a.b.kawasaki.jp")
+    assert(regOf("sub.city.kawasaki.jp") === "city.kawasaki.jp")
+    // private-section platform entries: subdomains are distinct sites
+    assert(regOf("alice.github.io") === "alice.github.io")
+    assert(regOf("a.blog.blogspot.com") === "blog.blogspot.com")
+    // a host that IS a public suffix comes back whole, never ''
+    assert(regOf("co.uk") === "co.uk")
+    // no snapshot rule → the registry-class ladder fallback
+    assert(regOf("x.example.co.zz") === "example.co.zz")
+    assert(regOf("x.example.zz") === "example.zz")
+  }
+
   test("canonical URL: case, ports, fragments, tracking params, slashes") {
     def canon(u: String): String =
       Seq(u).toDF("u").select(Domains.canonicalUrl(col("u")))

@@ -160,4 +160,25 @@ class TopicSourceSpec extends SparkSpec {
     } finally q.stop()
     log.unpersist()
   }
+
+  test("footer memo is bounded by LIVE files; cold start reads in parallel") {
+    import graft.sources.TopicSourceTestHooks
+    val topic = tmp("topic_memo")
+    val sink = GraftSink.Topic(topic, numPartitions = 4)
+    sink.write(changelog)
+    val stream = TopicSourceTestHooks.handle(
+      TopicSource.changelogTopicSchema, topic)
+    val ends1 = stream.discover()
+    val size1 = stream.memoSize
+    assert(ends1.nonEmpty && size1 > 0)
+    // a rewrite (same content, new files/mtimes) REPLACES every file:
+    // the memo must track the new listing, not accumulate both
+    // generations — a tailing consumer must not leak one entry per
+    // file ever seen
+    sink.write(changelog.withColumn("value", col("value")))
+    val ends2 = stream.discover()
+    val size2 = stream.memoSize
+    assert(ends2 === ends1, "deterministic rewrite keeps the same ends")
+    assert(size2 <= size1, s"memo grew across a rewrite: $size1 -> $size2")
+  }
 }
