@@ -53,6 +53,34 @@ object Bench {
         sentinelOnce()
         (System.nanoTime() - t0) / 1e9
       }.min
+    // STREAMING-class sentinel (VERDICT r12 ask #7): the 3-9 s
+    // streaming queries are dominated by AvailableNow micro-batch
+    // fixed cost (per-trigger planning, offset/commit log writes,
+    // state-store commits), which swings 30%+ between same-code runs
+    // and which the BATCH sentinel doesn't price. Constant work: a
+    // zero-I/O GenSource stream drained AvailableNow in exactly 3
+    // micro-batches through a stateful 64-group aggregation — same
+    // triggers, same state rows, every invocation, every round.
+    def streamSentinelOnce(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("bench_ss").toString
+      val q = spark.readStream.format("graft.sources.GenSource")
+        .option("rows", 600000).option("users", 9973).option("slices", cpus)
+        .option("rowsPerBatch", 200000).load()
+        .groupBy(pmod(col("user_id"), lit(64L)).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("value_e2")).as("s"))
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val streamSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def streamSentinelPass(): Unit =
+      streamSentinels += (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        streamSentinelOnce()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     // Optional isolation mode: bench only the named queries (comma-sep).
     // Lets a regression suspect be re-measured without the other ~170
     // queries' warmup noise polluting the box (VERDICT r8 "What's wrong" #5).
@@ -66,12 +94,13 @@ object Bench {
                 else ordered
     names.foreach(n => try run(n) catch { case _: Throwable => () }) // warmup
     sentinelOnce() // sentinel warmup (codegen + noop sink)
-    sentinelPass() // FIRST
+    streamSentinelOnce() // streaming warmup (stream planner + state store)
+    sentinelPass(); streamSentinelPass() // FIRST
     val mid = names.length / 2
     // Timed passes do NOT swallow exceptions: a crashed query must read
     // as an error in the bench JSON, not as a phantom near-zero time.
     val results = names.zipWithIndex.map { case (name, i) =>
-      if (i == mid && names.length > 1) sentinelPass() // MIDDLE
+      if (i == mid && names.length > 1) { sentinelPass(); streamSentinelPass() } // MIDDLE
       val passes = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val err = try { run(name); None } catch {
@@ -82,7 +111,7 @@ object Bench {
       name -> passes.collectFirst { case (_, Some(e)) => Left(e) }
         .getOrElse(Right(passes.map(_._1).min))
     }
-    sentinelPass() // LAST
+    sentinelPass(); streamSentinelPass() // LAST
     val qs = results.map {
       case (k, Right(sec)) => "\"" + k + "\":" + sec
       case (k, Left(err))  => "\"" + k + "\":{\"err\":\"" + err + "\"}"
@@ -92,7 +121,8 @@ object Bench {
     val errField =
       if (errs.isEmpty) ""
       else errs.mkString(",\"errors\":[\"", "\",\"", "\"]")
-    val sentinelField = sentinels.mkString(",\"sentinel_s\":[", ",", "]")
+    val sentinelField = sentinels.mkString(",\"sentinel_s\":[", ",", "]") +
+      streamSentinels.mkString(",\"stream_sentinel_s\":[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$sentinelField,"sf":"$sfDir"}"""
     println(line)

@@ -112,6 +112,46 @@ class CmsSpec extends SparkSpec {
     assert(cands === Set(1L))
   }
 
+  test("Misra-Gries candidates: superset at bounded state, even when " +
+    "distinct keys far exceed capacity") {
+    import graft.operators.Cms
+    import spark.implicits._
+    // KEY-EXPLOSIVE partitions: ~100k distinct singleton keys against a
+    // capacity of 256 counters — the exact-map seam would hold 100k
+    // entries; the summary holds ≤ 256. Heavies + at-the-floor decoys
+    // ride inside the noise.
+    val p = 4
+    val minCount = 400L // floor = 100 per partition
+    val rows =
+      Seq.fill(500)(7L) ++                    // globally heavy
+      Seq.fill(399)(11L) ++                   // just below threshold
+      Seq.fill(120)(13L) ++                   // locally heavy in 1 part'n
+      (100000L to 200000L)                    // 100k singletons
+    val df = rows.map(Tuple1(_)).toDF("k").repartition(p)
+    val mg = Cms.localHeavyCandidatesMG(df, "k", minCount, capacity = 256)
+      .collect().map(_.getLong(0)).toSet
+    // superset of every key with a partition-local count >= floor —
+    // compare against the exact-map candidate stage
+    val exact = Cms.localHeavyCandidates(df, "k", minCount)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(mg), s"MG lost candidates: ${exact -- mg}")
+    // the end-to-end heavy hitters are EXACT through the MG stage
+    val got = Cms.heavyHitters(df, "k", minCount, mgCapacity = Some(256))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("k").count().where(col("count") >= minCount)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(want.keySet === Set(7L)) // non-vacuous
+    // a capacity too small for the floor fails LOUDLY, never silently
+    // drops a candidate (d >= floorCnt would void the superset proof)
+    val e = intercept[Throwable] {
+      Cms.localHeavyCandidatesMG(df, "k", minCount, capacity = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("too small")), msgs(e).mkString("|"))
+  }
+
   test("join-size estimate is exact in a wide grid, upper bound in a tiny one") {
     // a: keys 1..20 once each; b: key k appears k%4+1 times
     val a = keysDf(1L to 20L: _*)
