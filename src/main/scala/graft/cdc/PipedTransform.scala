@@ -73,4 +73,140 @@ object PipedTransform {
                strict: Boolean = true): Unit =
     ChainConfig.registerTransform(name,
       transform(cmd, StructType.fromDDL(outputDdl), strict))
+
+  /** Resource limits for [[guarded]] — the RFC's plugin-sandboxing
+    * future work (reference README.md:125): FAILFAST→DLQ isolates a
+    * plugin's FAILURES; these bound its RESOURCE USE, so a runaway
+    * plugin cannot wedge or OOM the executor either.
+    *
+    * @param idleTimeoutSec kill the plugin if it produces no output
+    *                       line for this long while input remains — a
+    *                       hung plugin fails the task loudly instead of
+    *                       wedging the feed forever
+    * @param maxOutputRowsPerInput cap output amplification (a plugin
+    *                       looping on one input row would otherwise
+    *                       emit unboundedly)
+    * @param maxLineBytes   cap a single output line (readLine on an
+    *                       unbounded line OOMs before any schema check
+    *                       can reject it) */
+  final case class Limits(idleTimeoutSec: Long = 300,
+                          maxOutputRowsPerInput: Long = 100,
+                          maxLineBytes: Int = 1 << 20)
+
+  /** [[transform]] with the plugin process OWNED and SANDBOXED
+    * (RDD.pipe hands the process to the engine, so it can bound
+    * nothing): one process per partition via ProcessBuilder, a feeder
+    * thread streams input JSON lines, the reading side enforces
+    * [[Limits]] and destroys the process on any violation — the task
+    * fails IN-PLAN with the violated limit named, which the streaming
+    * DLQ path quarantines like any poison batch. Output parity with
+    * [[transform]] for a well-behaved plugin is spec-pinned. */
+  def guarded(cmd: Seq[String], outputSchema: StructType,
+              strict: Boolean = true, limits: Limits = Limits())
+             (df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df.toJSON.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else new GuardedProcessIterator(cmd, it, limits)
+    }
+    parseLines(lines, outputSchema, strict)
+  }
+
+  def registerGuarded(name: String, cmd: Seq[String], outputDdl: String,
+                      strict: Boolean = true,
+                      limits: Limits = Limits()): Unit =
+    ChainConfig.registerTransform(name,
+      guarded(cmd, StructType.fromDDL(outputDdl), strict, limits))
+}
+
+/** Executor-side sandboxed plugin process: feeds `input` on a daemon
+  * thread, reads bounded output lines, enforces [[PipedTransform.Limits]]
+  * (idle timeout / output amplification / line size) and kills the
+  * process on violation or early close. */
+private[cdc] class GuardedProcessIterator(
+    cmd: Seq[String], input: Iterator[String],
+    limits: PipedTransform.Limits) extends Iterator[String] {
+
+  import java.util.concurrent.atomic.AtomicLong
+
+  private val proc = new ProcessBuilder(cmd: _*)
+    .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+  private val fed = new AtomicLong(0L)
+  private val feeder = new Thread(() => {
+    val out = proc.getOutputStream
+    try {
+      input.foreach { s =>
+        out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write('\n')
+        fed.incrementAndGet()
+      }
+      out.flush()
+    } catch { case _: java.io.IOException => () } // plugin died: reader reports
+    finally { try out.close() catch { case _: java.io.IOException => () } }
+  }, "graft-plugin-feeder")
+  feeder.setDaemon(true)
+  feeder.start()
+
+  private val stream = new java.io.BufferedInputStream(proc.getInputStream)
+  private var emitted = 0L
+  private var nextLine: String = _
+  private var done = false
+
+  private def fail(what: String): Nothing = {
+    proc.destroyForcibly()
+    throw new IllegalStateException(
+      s"plugin '${cmd.headOption.getOrElse("?")}' violated its sandbox: " +
+        what + " — task fails loudly (poison batch), feed never wedges")
+  }
+
+  /** One bounded line; enforces the idle deadline without extra
+    * threads by polling available() (100 ms granularity). */
+  private def readBoundedLine(): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val deadlineNs = System.nanoTime() + limits.idleTimeoutSec * 1000000000L
+    while (true) {
+      if (stream.available() == 0 && proc.isAlive) {
+        if (System.nanoTime() > deadlineNs)
+          fail(s"no output for ${limits.idleTimeoutSec}s (idle timeout)")
+        Thread.sleep(20)
+      } else {
+        val b = stream.read()
+        if (b < 0) return if (buf.size() == 0) null else flush(buf)
+        else if (b == '\n') { if (buf.size() > 0) return flush(buf) }
+        else {
+          buf.write(b)
+          if (buf.size() > limits.maxLineBytes)
+            fail(s"output line exceeds ${limits.maxLineBytes} bytes")
+        }
+      }
+    }
+    null // unreachable
+  }
+
+  private def flush(buf: java.io.ByteArrayOutputStream): String =
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+
+  override def hasNext: Boolean = {
+    if (done) return false
+    if (nextLine != null) return true
+    nextLine = readBoundedLine()
+    if (nextLine == null) {
+      done = true
+      proc.waitFor()
+      false
+    } else {
+      emitted += 1
+      // fed >= rows the plugin has SEEN, so this cap never fires early
+      if (emitted > limits.maxOutputRowsPerInput * math.max(1L, fed.get()))
+        fail(s"output amplification beyond ${limits.maxOutputRowsPerInput}" +
+          " rows per input row")
+      true
+    }
+  }
+
+  override def next(): String = {
+    if (!hasNext) throw new NoSuchElementException
+    val l = nextLine; nextLine = null; l
+  }
 }

@@ -132,6 +132,52 @@ object GraftSink {
     }
   }
 
+  /** Messaging-broker subscription semantics over an [[Topic]] log
+    * (reference README.md:23 — Nats/Pulsar-class sink targets, whose
+    * defining behavior beyond Kafka's offset cursor is INDIVIDUAL
+    * message acknowledgement with ack-timeout redelivery and a
+    * max-redelivery dead-letter policy).
+    *
+    * The broker's redelivery scan, relationally: subscription state is
+    * two relations at (partition, offset) grain — `acks` (individually
+    * acked messages, the Pulsar model) and `deliveries`
+    * (last_delivered_us, n_deliveries). One anti-join removes acked
+    * messages, one equi-join attaches delivery state, and a CASE
+    * classifies the rest: still inside the ack window → in_flight;
+    * past it with deliveries left → redeliver (n_deliveries + 1); past
+    * the cap → dead_letter. All joins are co-partitioned on
+    * (partition, offset) and subscription-sized — at 100 TB the scan
+    * never touches message payloads beyond the unacked set.
+    *
+    * `now` is derived from the topic's newest commit plus `nowLagUs`
+    * (a 1-row broadcast, the [[Topic.compact]] cutoff pattern), so the
+    * scan is deterministic and cross-engine checkable. */
+  object TopicAcks {
+    def redeliveryScan(assigned: DataFrame, acks: DataFrame,
+                       deliveries: DataFrame, nowLagUs: Long,
+                       ackTimeoutUs: Long, maxDeliveries: Int): DataFrame = {
+      val now = assigned
+        .agg((max(col("commit_ts_us")) + nowLagUs).as("__now_us"))
+      assigned
+        .join(acks.select(col("__partition"), col("__offset")),
+          Seq("__partition", "__offset"), "left_anti")
+        .join(deliveries, Seq("__partition", "__offset"), "left")
+        .crossJoin(broadcast(now))
+        .withColumn("n_deliveries",
+          coalesce(col("n_deliveries"), lit(1L)))
+        .withColumn("age_us", col("__now_us") -
+          coalesce(col("last_delivered_us"), col("commit_ts_us")))
+        .withColumn("disposition",
+          when(col("age_us") < ackTimeoutUs, "in_flight")
+            .when(col("n_deliveries") >= maxDeliveries, "dead_letter")
+            .otherwise("redeliver"))
+        .withColumn("next_deliveries",
+          when(col("disposition") === "redeliver",
+            col("n_deliveries") + 1L).otherwise(col("n_deliveries")))
+        .drop("__now_us")
+    }
+  }
+
   /** JDBC warehouse sink (reference README.md:17, 22 — the RFC's
     * MySQL-protocol / Doris batch-write-optimization case: a changefeed
     * delivering into a SQL warehouse over JDBC, micro-batched and safe

@@ -703,6 +703,40 @@ object Cdc {
         .orderBy("user_id", "commit_ts_us", "seq")
     }),
 
+    // A53: messaging-broker ack/redelivery semantics (README.md:23 —
+    // the Nats/Pulsar sink class: INDIVIDUAL acks, ack-timeout
+    // redelivery, max-redelivery dead-lettering — the behavior beyond
+    // Kafka's offset cursor that A23/A46 model). Subscription state is
+    // planted deterministically over the assigned topic (acked iff
+    // (key+offset)%3=0; delivery age/count from offset ladders), and
+    // the broker's redelivery scan classifies every unacked message:
+    // in_flight / redeliver (count+1) / dead_letter. One anti-join +
+    // one co-partitioned equi-join + a 1-row broadcast clock — the
+    // scan is subscription-sized at any topic size. The oracle
+    // re-derives routing, offsets, the planted state, and the policy
+    // in SQL.
+    "cdc_topic_redelivery" -> ((s, dir) => {
+      val assigned = GraftSink.Topic(path = "", numPartitions = 8)
+        .assign(changelog(s, dir))
+      val acks = assigned
+        .where(pmod(col("key") + col("__offset"), lit(3L)) === 0)
+        .select(col("__partition"), col("__offset"))
+      val deliveries = assigned.select(
+        col("__partition"), col("__offset"),
+        (col("commit_ts_us") +
+          pmod(col("__offset"), lit(5L)) * 3600000000L)
+          .as("last_delivered_us"),
+        (lit(1L) + pmod(col("__offset"), lit(4L))).as("n_deliveries"))
+      GraftSink.TopicAcks.redeliveryScan(assigned, acks, deliveries,
+          nowLagUs = 6L * 3600000000L,
+          ackTimeoutUs = 8L * 3600000000L,
+          maxDeliveries = 3)
+        .select(col("__partition"), col("__offset"),
+          col("key").as("user_id"), col("n_deliveries"),
+          col("disposition"), col("next_deliveries"))
+        .orderBy("__partition", "__offset")
+    }),
+
     // A23 consumer side: offset-resume topic replay — the sink written
     // hive-partitioned by __partition, then read back as a CONSUMER
     // resuming partition 3 from offset 10 (the "seek(partition,
@@ -1559,6 +1593,34 @@ object Cdc {
     // Warehouse ≡ batch: the snapshot delivered twice over JDBC
     // (replayed) and read back must equal the batch snapshot.
     "cdc_sink_jdbc" -> snapshotOracle,
+
+    // The broker redelivery policy re-derived in SQL: routing, dense
+    // offsets, the planted ack/delivery state, and the in_flight /
+    // redeliver / dead_letter classification.
+    "cdc_topic_redelivery" -> (logCte +
+      """,
+        |topic AS (
+        |  SELECT key, commit_ts_us,
+        |         key % 8 AS p,
+        |         row_number() OVER (PARTITION BY key % 8
+        |           ORDER BY commit_ts_us, seq, key) - 1 AS o
+        |  FROM log),
+        |clock AS (SELECT max(commit_ts_us) + 21600000000 AS now_us FROM topic),
+        |unacked AS (SELECT * FROM topic WHERE (key + o) % 3 <> 0),
+        |s AS (
+        |  SELECT p, o, key,
+        |         1 + (o % 4) AS nd,
+        |         (SELECT now_us FROM clock)
+        |           - (commit_ts_us + (o % 5) * 3600000000) AS age_us
+        |  FROM unacked)
+        |SELECT CAST(p AS BIGINT) AS __partition, CAST(o AS BIGINT) AS __offset,
+        |       key AS user_id, CAST(nd AS BIGINT) AS n_deliveries,
+        |       CASE WHEN age_us < 28800000000 THEN 'in_flight'
+        |            WHEN nd >= 3 THEN 'dead_letter'
+        |            ELSE 'redeliver' END AS disposition,
+        |       CAST(CASE WHEN age_us >= 28800000000 AND nd < 3
+        |                 THEN nd + 1 ELSE nd END AS BIGINT) AS next_deliveries
+        |FROM s ORDER BY 1, 2""".stripMargin),
 
     // The HTTP plugin's transform stated in SQL: drop views, uppercase
     // event_type, everything else byte-identical through the wire.
