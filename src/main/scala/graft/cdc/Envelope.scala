@@ -165,4 +165,78 @@ object Envelope {
     decodeAll(wire, payload, database, table)
       .where(col("__envelope_error").isNotNull)
       .select(col(EnvelopeCol), col("__envelope_error"))
+
+  // ---------------------------------------------------------------------
+  // DDL on the wire (canal's isDdl:true message; the reference's
+  // EmitDDLEvent crossing the broker, README.md:63) — human-readable
+  // `sql` for warehouse operators plus a `_graft_ddl` exactness section
+  // so a consumer replays the DDL WITHOUT parsing SQL (the A47
+  // ledger-field form, shipped in-band).
+  // ---------------------------------------------------------------------
+
+  private val ddlWireSchema: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("isDdl", BooleanType),
+    StructField("type", StringType),
+    StructField("es", LongType),
+    StructField("ts", LongType),
+    StructField("sql", StringType),
+    StructField("_graft_ddl", StructType(Seq(
+      StructField("kind", StringType),
+      StructField("a", StringType),
+      StructField("b", StringType),
+      StructField("ts", LongType))))))
+
+  /** Render one DDL event envelope. Fields follow the A47 ledger form
+    * (kind ∈ add|drop|rename; `a`/`b` operands — the add default is a
+    * string literal, the only default a schema-less event carries
+    * faithfully). */
+  def encodeDdl(spark: org.apache.spark.sql.SparkSession,
+                ddls: Seq[(String, String, String, Long)],
+                database: String, table: String): DataFrame = {
+    import spark.implicits._
+    val canalType = Map("add" -> "ALTER", "drop" -> "ALTER",
+      "rename" -> "ALTER")
+    val rows = ddls.map { case (kind, a, b, ts) =>
+      val sql = kind match {
+        case "add" => s"ALTER TABLE $table ADD COLUMN $a VARCHAR DEFAULT '$b'"
+        case "drop" => s"ALTER TABLE $table DROP COLUMN $a"
+        case "rename" => s"ALTER TABLE $table RENAME COLUMN $a TO $b"
+        case other => throw new IllegalArgumentException(
+          s"unknown DDL kind: $other")
+      }
+      (kind, a, b, ts, sql, canalType(kind))
+    }
+    rows.toDF("kind", "a", "b", "ts_us", "sql", "canal_type")
+      .select(col("ts_us").as("commit_ts_us"),
+        to_json(struct(
+          lit(database).as("database"),
+          lit(table).as("table"),
+          lit(true).as("isDdl"),
+          col("canal_type").as("type"),
+          floor(col("ts_us") / 1000L).cast("long").as("es"),
+          floor(col("ts_us") / 1000L).cast("long").as("ts"),
+          col("sql").as("sql"),
+          struct(col("kind"), col("a"), col("b"),
+            col("ts_us").as("ts")).as("_graft_ddl")
+        )).as(EnvelopeCol))
+  }
+
+  /** Extract DDL events from a mixed wire stream: isDdl envelopes →
+    * the (kind, a, b, ts_us) fields [[graft.cdc.SchemaEvolution]]
+    * replays; row envelopes and garbage pass through untouched (they
+    * belong to [[decodeAll]]). */
+  def ddlEvents(wire: DataFrame): DataFrame = {
+    val p = from_json(col(EnvelopeCol), ddlWireSchema)
+    wire
+      .where(p.getField("isDdl").isNotNull && p.getField("isDdl") &&
+        p.getField("_graft_ddl").isNotNull)
+      .select(
+        p.getField("_graft_ddl").getField("kind").as("kind"),
+        p.getField("_graft_ddl").getField("a").as("a"),
+        p.getField("_graft_ddl").getField("b").as("b"),
+        p.getField("_graft_ddl").getField("ts").as("ts_us"),
+        p.getField("sql").as("sql"))
+  }
 }

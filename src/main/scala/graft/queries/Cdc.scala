@@ -688,6 +688,47 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A50 streaming half: the WIRE loop end to end — envelopes
+    // produced through the Topic sink, the topic TAILED by the A46
+    // TopicSource consumer (admission-controlled micro-batches), each
+    // batch's envelope strings parsed mid-stream with the declared
+    // wire schema, and the snapshot rebuilt from what the CONSUMER
+    // decoded. Oracle = the batch snapshot SQL: parity proves the
+    // canal-json codec survives the broker AND the streaming consumer
+    // path, not just a batch file read.
+    "cdc_topic_envelope_stream" -> ((s, dir) => withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val path = roundtripPath(dir, "topicenvstream")
+      GraftSink.Topic(path = path, numPartitions = 8)
+        .write(Envelope.encode(changelog(s, dir), "graft", "events",
+          Seq("event_type", "value", "props")))
+      val wireSchema = StructType(Seq(
+        StructField("__partition", IntegerType, nullable = false),
+        StructField("__offset", LongType, nullable = false),
+        StructField(Envelope.EnvelopeCol, StringType)))
+      val qn = "topic_env_stream_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = Envelope.decode(
+          graft.sources.TopicSource.stream(s, path, wireSchema,
+            maxOffsetsPerTrigger = 8192)
+            .select(Envelope.EnvelopeCol),
+          envelopePayload, "graft", "events")
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckptenv").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Materialize.snapshot(s.table(qn))
+        .select(
+          col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // A50 codec identity: encode → decode with no broker in between is
     // the changelog itself, column-exact (doubles round-trip bit-exact
     // through the JSON shortest-representation — the reason data/old
@@ -1587,8 +1628,10 @@ object Cdc {
     "cdc_stream_snapshot" -> snapshotOracle,
 
     // Wire ≡ batch: a snapshot rebuilt purely from parsed canal-json
-    // envelopes must equal the batch snapshot — same oracle.
+    // envelopes must equal the batch snapshot — same oracle. The
+    // _stream form proves the same through the A46 streaming consumer.
     "cdc_topic_envelope" -> snapshotOracle,
+    "cdc_topic_envelope_stream" -> snapshotOracle,
 
     // Warehouse ≡ batch: the snapshot delivered twice over JDBC
     // (replayed) and read back must equal the batch snapshot.

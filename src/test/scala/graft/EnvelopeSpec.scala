@@ -72,6 +72,35 @@ class EnvelopeSpec extends SparkSpec {
     assert(!ins.contains("\"old\""))
   }
 
+  test("DDL events cross the wire: sql for humans, _graft_ddl for replay") {
+    val ddls = Seq(
+      ("add", "c_new", "dflt", 5000L),
+      ("drop", "c_old", null, 6000L),
+      ("rename", "c_a", "c_b", 7000L))
+    val wire = graft.cdc.Envelope.encodeDdl(spark, ddls, "db", "t")
+    val env = wire.orderBy("commit_ts_us")
+      .select(graft.cdc.Envelope.EnvelopeCol).as[String].collect()
+    assert(env(0).contains("\"isDdl\":true"))
+    assert(env(0).contains("ADD COLUMN c_new VARCHAR DEFAULT 'dflt'"))
+    assert(env(2).contains("RENAME COLUMN c_a TO c_b"))
+    // replay side: fields come back exactly, ready for SchemaEvolution
+    val back = graft.cdc.Envelope.ddlEvents(wire)
+      .orderBy("ts_us")
+      .select("kind", "a", "b", "ts_us")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(back === ddls.map { case (k, a, b, ts) => (k, a, b, ts) })
+    // the DDL extractor ignores row envelopes; the row decoder
+    // quarantines DDL envelopes (pinned below) — a mixed topic splits
+    val rowWire = graft.cdc.Envelope.encode(log, "db", "t",
+      Seq("event_type", "value", "props")).select(graft.cdc.Envelope.EnvelopeCol)
+    val mixed = rowWire.unionAll(wire.select(graft.cdc.Envelope.EnvelopeCol))
+    assert(graft.cdc.Envelope.ddlEvents(mixed).count() === 3L)
+    val split = graft.cdc.Envelope.decodeAll(mixed, payload, "db", "t")
+    assert(split.where(col("__envelope_error").isNull).count() === log.count())
+    assert(split.where(col("__envelope_error") === "ddl_event_in_row_topic")
+      .count() === 3L)
+  }
+
   test("malformed envelopes quarantine with classified reasons") {
     val envs = Envelope.encode(log, "db", "t",
         Seq("event_type", "value", "props"))
