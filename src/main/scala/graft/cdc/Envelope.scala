@@ -120,19 +120,30 @@ object Envelope {
     // PERMISSIVE from_json yields an all-null struct for unparseable
     // input — the corrupt-record column is the declared way to tell
     // "malformed" apart from "fields legitimately absent".
+    //
+    // PARSE ONCE: every Column reference below would otherwise clone
+    // the whole JsonToStructs expression, and predicate pushdown /
+    // project collapse re-inline the alias into every consumer — the
+    // envelope was measured re-parsed ~15-25× per row without the
+    // [[graft.functions.OptimizerBarrier]] (10-25× slower at sf0.1).
+    // The barrier pins exactly one parse per row in its own projection.
     val corrupt = "_graft_corrupt"
-    val p = from_json(col(EnvelopeCol),
-      wireSchema(payload).add(StructField(corrupt, StringType)),
-      Map("columnNameOfCorruptRecord" -> corrupt).asJava)
+    val parsed = wire.select(col(EnvelopeCol),
+      graft.functions.Barrier.once(from_json(col(EnvelopeCol),
+        wireSchema(payload).add(StructField(corrupt, StringType)),
+        Map("columnNameOfCorruptRecord" -> corrupt).asJava)).as("__p"))
+    val p = col("__p")
     val reason =
       when(col(EnvelopeCol).isNull, "null_envelope")
         .when(p.isNull || p.getField(corrupt).isNotNull, "malformed_json")
+        // DDL classification BEFORE the _graft check: a DDL envelope
+        // legitimately has no row _graft section (it carries _graft_ddl)
+        .when(p.getField("isDdl").isNull || p.getField("isDdl"),
+          "ddl_event_in_row_topic")
         .when(p.getField("_graft").isNull ||
           p.getField("_graft").getField("key").isNull ||
           p.getField("_graft").getField("commitTsUs").isNull ||
           p.getField("_graft").getField("seq").isNull, "missing_graft_meta")
-        .when(p.getField("isDdl").isNull || p.getField("isDdl"),
-          "ddl_event_in_row_topic")
         .when(typeToOp(p.getField("type")).isNull, "unknown_type")
         .when(p.getField("database") =!= database ||
           p.getField("table") =!= table, "wrong_table")
@@ -140,7 +151,7 @@ object Envelope {
           "missing_data")
     val g = p.getField("_graft")
     val row = element_at(p.getField("data"), 1)
-    wire.select(
+    parsed.select(
       Seq(
         when(reason.isNull, g.getField("key")).as("key"),
         when(reason.isNull, g.getField("commitTsUs")).as("commit_ts_us"),
@@ -228,8 +239,12 @@ object Envelope {
     * replays; row envelopes and garbage pass through untouched (they
     * belong to [[decodeAll]]). */
   def ddlEvents(wire: DataFrame): DataFrame = {
-    val p = from_json(col(EnvelopeCol), ddlWireSchema)
-    wire
+    // parse once behind its own projection (see decodeAll)
+    val parsed = wire.select(
+      graft.functions.Barrier.once(
+        from_json(col(EnvelopeCol), ddlWireSchema)).as("__p"))
+    val p = col("__p")
+    parsed
       .where(p.getField("isDdl").isNotNull && p.getField("isDdl") &&
         p.getField("_graft_ddl").isNotNull)
       .select(

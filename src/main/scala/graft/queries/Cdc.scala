@@ -711,7 +711,7 @@ object Cdc {
         java.util.UUID.randomUUID.toString.replace("-", "")
       val q = Envelope.decode(
           graft.sources.TopicSource.stream(s, path, wireSchema,
-            maxOffsetsPerTrigger = 8192)
+            maxOffsetsPerTrigger = 32768)
             .select(Envelope.EnvelopeCol),
           envelopePayload, "graft", "events")
         .writeStream.format("memory").queryName(qn)
@@ -729,15 +729,22 @@ object Cdc {
         .orderBy("user_id")
     }),
 
-    // A50 codec identity: encode → decode with no broker in between is
-    // the changelog itself, column-exact (doubles round-trip bit-exact
-    // through the JSON shortest-representation — the reason data/old
-    // keep JSON-native types instead of canal's stringification).
+    // A50 codec identity: encode → wire → decode is the changelog
+    // itself, column-exact (doubles round-trip bit-exact through the
+    // JSON shortest-representation — the reason data/old keep
+    // JSON-native types instead of canal's stringification). The wire
+    // is MATERIALIZED between the two halves, as a wire is: fusing
+    // encode+decode into one plan lets predicate pushdown inline the
+    // whole codec chain into a Filter and re-parse per operator —
+    // measured 10× slower than parsing a real wire once.
     "cdc_envelope_roundtrip" -> ((s, dir) => {
       val log = changelog(s, dir)
-      Envelope.decode(
-          Envelope.encode(log, "graft", "events",
-            Seq("event_type", "value", "props")),
+      val wirePath = roundtripPath(dir, "envwire")
+      Envelope.encode(log, "graft", "events",
+          Seq("event_type", "value", "props"))
+        .select(Envelope.EnvelopeCol)
+        .write.mode(SaveMode.Overwrite).parquet(wirePath)
+      Envelope.decode(s.read.parquet(wirePath),
           envelopePayload, "graft", "events")
         .select(col("key").as("user_id"), col("commit_ts_us"), col("seq"),
           col("op"), col("event_type"), col("value"), col("props"))
@@ -1043,6 +1050,15 @@ object Cdc {
     // the sink is exactly-once under replay and type-faithful through
     // the warehouse round trip (BIGINT/DOUBLE/VARCHAR and back).
     "cdc_sink_jdbc" -> ((s, dir) => {
+      // Derby keeps a booted database LIVE in the JVM: deleting its
+      // files without a shutdown (as a re-run of this query does via
+      // freshScratch) corrupts the next boot. Shut it down first; a
+      // successful shutdown (08006) and a never-booted db (XJ004)
+      // both surface as the expected SQLException.
+      val dbPath = roundtripPath(dir, "jdbcsink") + "/derby"
+      try java.sql.DriverManager.getConnection(
+        s"jdbc:derby:$dbPath;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
       val db = freshScratch(dir, "jdbcsink") + "/derby"
       val sink = GraftSink.Jdbc(
         url = s"jdbc:derby:$db;create=true",
@@ -1088,7 +1104,8 @@ object Cdc {
           m => "\"event_type\":\"" + m.group(1).toUpperCase + "\""))
       } { endpoint =>
         val path = roundtripPath(dir, "httpplugin")
-        HttpTransform.transform(endpoint, schema)(changelog(s, dir))
+        HttpTransform.transform(endpoint, schema, batchSize = 4096)(
+            changelog(s, dir))
           .write.mode(SaveMode.Overwrite).parquet(path)
         path
       }

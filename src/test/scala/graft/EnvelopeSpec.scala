@@ -101,6 +101,23 @@ class EnvelopeSpec extends SparkSpec {
       .count() === 3L)
   }
 
+  test("decode parses each envelope exactly ONCE (optimizer barrier)") {
+    // Without the OptimizerBarrier, predicate pushdown + project
+    // collapse inline the parse alias into every consumer: ~15-25
+    // from_json copies per row, measured 10-25× slower at sf0.1. The
+    // barrier pins exactly one parse in its own projection.
+    // parquet-backed input (a local Seq constant-folds the whole plan)
+    val events = Changelog.fromEvents(Tables.events(spark, sfDir))
+    val wire = Envelope.encode(events, "db", "t",
+      Seq("event_type", "value", "props")).select(Envelope.EnvelopeCol)
+    val decoded = Envelope.decode(wire, payload, "db", "t")
+      .where(col("op") =!= "D") // a pushable consumer-side filter
+    val optimized = decoded.queryExecution.optimizedPlan.toString
+    val nParses = "from_json".r.findAllIn(optimized).length
+    assert(nParses === 1, s"expected exactly 1 from_json, got $nParses:\n" +
+      optimized.take(2000))
+  }
+
   test("malformed envelopes quarantine with classified reasons") {
     val envs = Envelope.encode(log, "db", "t",
         Seq("event_type", "value", "props"))
