@@ -1088,6 +1088,37 @@ object Docs {
         .orderBy("domain")
     }),
 
+    // C119: PSL eTLD+1 extraction graded cross-engine — the planted
+    // corpus (C114's wrapper discipline) drives every PSL rule CLASS:
+    // plain TLDs, multi-part exact suffixes (co.uk/com.au/go.jp),
+    // private-section platform entries (github.io), the *.ck WILDCARD
+    // (every 2nd-level label is a registry → keep three labels), and
+    // the !www.ck EXCEPTION (www.ck is registrable despite the
+    // wildcard). The oracle derives the EXPECTED registrable domain
+    // independently from (doc_id) arithmetic — a hash match proves
+    // the longest-rule/wildcard/exception algorithm, not that two
+    // engines ran the same lookup. Matching is per-length InSet
+    // membership on the host's last-k labels: scan-local at any size.
+    "doc_domain_psl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = col("doc_id") % 13
+      val v = col("doc_id") % 8
+      val host = concat(
+        when(v === 0, concat(lit("www.site"), n, lit(".com")))
+          .when(v === 1, concat(lit("a.b.site"), n, lit(".co.uk")))
+          .when(v === 2, concat(lit("site"), n, lit(".com.au")))
+          .when(v === 3, concat(lit("x.site"), n, lit(".go.jp")))
+          .when(v === 4, concat(lit("site"), n, lit(".github.io")))
+          .when(v === 5, concat(lit("shop.site"), n, lit(".ck")))
+          .when(v === 6, lit("a.www.ck"))
+          .otherwise(concat(lit("x.y.site"), n, lit(".de"))))
+      val url = concat(lit("https://"), host, lit("/p/"), col("doc_id"))
+      docs.select(
+          graft.operators.Domains.domainOf(url).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    }),
+
     // C115: per-domain cap — the "no domain dominates" rule: keep at
     // most 5 docs per registrable domain in deterministic md5 order.
     // The rnk<=k filter over the domain-partitioned row_number is
@@ -3137,6 +3168,23 @@ object Docs {
         |FROM d
         |WHERE domain NOT IN ('site3.com', 'site7.co.uk')
         |GROUP BY domain ORDER BY domain""".stripMargin),
+
+    "doc_domain_psl" ->
+      """WITH d AS (
+        |  SELECT doc_id % 13 AS n, doc_id % 8 AS v FROM documents),
+        |e AS (
+        |  SELECT CASE v
+        |    WHEN 0 THEN 'site' || n || '.com'
+        |    WHEN 1 THEN 'site' || n || '.co.uk'
+        |    WHEN 2 THEN 'site' || n || '.com.au'
+        |    WHEN 3 THEN 'site' || n || '.go.jp'
+        |    WHEN 4 THEN 'site' || n || '.github.io'
+        |    WHEN 5 THEN 'shop.site' || n || '.ck'
+        |    WHEN 6 THEN 'www.ck'
+        |    ELSE 'site' || n || '.de' END AS domain
+        |  FROM d)
+        |SELECT domain, count(*) AS n_docs
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "doc_domain_cap" ->
       (s"""WITH d AS (
