@@ -116,7 +116,14 @@ object Envelope {
     * surface as classified reasons, so a poisoned topic drains into a
     * quarantine instead of killing the consumer. */
   def decodeAll(wire: DataFrame, payload: StructType,
-                database: String, table: String): DataFrame = {
+                database: String, table: String): DataFrame =
+    decodeAll(wire, payload, database, table, includeBefore = false)
+
+  /** [[decodeAll]], optionally surfacing the canal `old` before-image
+    * as a `before` struct column (null when the event carried none). */
+  def decodeAll(wire: DataFrame, payload: StructType,
+                database: String, table: String,
+                includeBefore: Boolean): DataFrame = {
     // PERMISSIVE from_json yields an all-null struct for unparseable
     // input — the corrupt-record column is the declared way to tell
     // "malformed" apart from "fields legitimately absent".
@@ -159,13 +166,18 @@ object Envelope {
         when(reason.isNull, typeToOp(p.getField("type"))).as("op")) ++
       payload.fields.toSeq.map(f =>
         when(reason.isNull, row.getField(f.name)).as(f.name)) ++
+      (if (includeBefore)
+        Seq(when(reason.isNull,
+          element_at(p.getField("old"), 1)).as("before"))
+      else Nil) ++
       Seq(col(EnvelopeCol), reason.as("__envelope_error")): _*)
   }
 
   /** Clean canonical changelog rows only (the consumer's main path). */
   def decode(wire: DataFrame, payload: StructType,
-             database: String, table: String): DataFrame =
-    decodeAll(wire, payload, database, table)
+             database: String, table: String,
+             includeBefore: Boolean = false): DataFrame =
+    decodeAll(wire, payload, database, table, includeBefore)
       .where(col("__envelope_error").isNull)
       .drop("__envelope_error", EnvelopeCol)
 

@@ -1582,6 +1582,23 @@ object Analytics {
         .orderBy(desc("n_items"), col("l_partkey"))
     }),
 
+    // B58 at BOUNDED candidate state (VERDICT r12 ask #8 graded
+    // cross-engine): the same exact heavy hitters, but the pigeonhole
+    // candidate stage runs as a Misra-Gries summary of ≤32k counters
+    // per partition — O(capacity) memory however key-explosive the
+    // partition (capacity ≥ partitionRows/floor keeps the
+    // per-partition losslessness check green: ~600k rows / floor 45
+    // needs ≥14k at sf0.1; 32k holds to sf1). Output is EXACT either
+    // way, so the oracle is q_cms_heavy's: parity proves the bounded
+    // summary loses no candidate on real data.
+    "q_cms_heavy_mg" -> ((s, dir) => {
+      Cms.heavyHitters(
+          Tables.lineitem(s, dir).select(col("l_partkey")),
+          "l_partkey", minCount = 45L, mgCapacity = Some(1 << 15))
+        .select(col("l_partkey"), col("n").as("n_items"))
+        .orderBy(desc("n_items"), col("l_partkey"))
+    }),
+
     // B61: event-type transition matrix — first-order Markov counts +
     // row-normalized probabilities over each user's ts-ordered stream
     // (the journey model behind next-event prediction and funnel
@@ -2752,6 +2769,14 @@ object Analytics {
         widthE = 1000L, ps = Seq(0.5, 0.9, 0.99)) + "\nORDER BY grp"),
 
     "q_cms_heavy" ->
+      """SELECT l_partkey, count(*) AS n_items
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING count(*) >= 45
+        |ORDER BY n_items DESC, l_partkey""".stripMargin,
+
+    // exact output through the bounded Misra-Gries candidate stage —
+    // same ground truth as q_cms_heavy
+    "q_cms_heavy_mg" ->
       """SELECT l_partkey, count(*) AS n_items
         |FROM lineitem GROUP BY l_partkey
         |HAVING count(*) >= 45

@@ -729,6 +729,29 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A50 × A15: before-images cross the wire in canal's `old` field —
+    // the feed's prior payloads (one lag window, A15) ride each UPDATE
+    // envelope, and the CONSUMER reconstructs the update-diff view
+    // purely from the wire (element_at(old, 1), no window on its
+    // side — the point of shipping before-images). Oracle = the A15
+    // lag SQL: parity proves `old` carries the exact prior payload,
+    // nulls where no prior image exists.
+    "cdc_envelope_before_image" -> ((s, dir) => {
+      val log = Changelog.withBeforeImages(changelog(s, dir),
+        Seq("event_type", "value", "props"))
+      val wirePath = roundtripPath(dir, "envbefore")
+      Envelope.encode(log, "graft", "events",
+          Seq("event_type", "value", "props"), beforeCol = Some("before"))
+        .select(Envelope.EnvelopeCol)
+        .write.mode(SaveMode.Overwrite).parquet(wirePath)
+      Envelope.decode(s.read.parquet(wirePath), envelopePayload,
+          "graft", "events", includeBefore = true)
+        .select(col("seq"), col("key").as("user_id"), col("op"),
+          col("before").getField("value").as("before_value"),
+          col("value").as("after_value"), col("commit_ts_us"))
+        .orderBy("seq")
+    }),
+
     // A50 codec identity: encode → wire → decode is the changelog
     // itself, column-exact (doubles round-trip bit-exact through the
     // JSON shortest-representation — the reason data/old keep
@@ -1112,6 +1135,42 @@ object Cdc {
       s.read.parquet(out)
         .select(col("key").as("user_id"), col("commit_ts_us"), col("seq"),
           col("op"), col("event_type"), col("value"), col("props"))
+        .orderBy("user_id", "commit_ts_us", "seq")
+    }),
+
+    // A51 source side: partitioned parallel warehouse EXTRACT — the
+    // reverse leg of the JDBC sink (initial snapshot load of a
+    // changefeed FROM a warehouse). The changelog's purchase slice is
+    // loaded into Derby, then read back as 8 RANGE-PARTITIONED JDBC
+    // queries (partitionColumn=key → one remote query per executor
+    // slice, the distributed-extract contract; bounds don't clip —
+    // stragglers land in the edge partitions) with the value>50
+    // predicate PUSHED into each remote WHERE, so the warehouse
+    // filters before a row crosses the wire. Oracle = the same slice
+    // in SQL over events.
+    "cdc_source_jdbc" -> ((s, dir) => {
+      val dbPath = roundtripPath(dir, "jdbcsrc") + "/derby"
+      try java.sql.DriverManager.getConnection(
+        s"jdbc:derby:$dbPath;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+      val db = freshScratch(dir, "jdbcsrc") + "/derby"
+      val url = s"jdbc:derby:$db;create=true"
+      val purchases = changelog(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("key"), col("commit_ts_us"), col("seq"),
+          col("op"), col("value"))
+      purchases.write.mode(SaveMode.Append)
+        .jdbc(url, "changelog_src", new java.util.Properties())
+      s.read
+        .option("partitionColumn", "key")
+        .option("numPartitions", 8)
+        .option("lowerBound", 0L)
+        .option("upperBound", 1000000L)
+        .jdbc(url, "changelog_src", new java.util.Properties())
+        .where(col("value") > 50)
+        .select(col("key").cast("long").as("user_id"),
+          col("commit_ts_us").cast("long").as("commit_ts_us"),
+          col("seq").cast("long").as("seq"), col("op"), col("value"))
         .orderBy("user_id", "commit_ts_us", "seq")
     }),
 
@@ -1650,9 +1709,27 @@ object Cdc {
     "cdc_topic_envelope" -> snapshotOracle,
     "cdc_topic_envelope_stream" -> snapshotOracle,
 
+    // before-images through the wire ≡ the A15 lag window
+    "cdc_envelope_before_image" -> (logCte +
+      """
+        |SELECT seq, key AS user_id, op,
+        |       CASE WHEN op <> 'I' THEN lag(value) OVER (
+        |         PARTITION BY key ORDER BY commit_ts_us, seq) END AS before_value,
+        |       value AS after_value, commit_ts_us
+        |FROM log ORDER BY seq""".stripMargin),
+
     // Warehouse ≡ batch: the snapshot delivered twice over JDBC
     // (replayed) and read back must equal the batch snapshot.
     "cdc_sink_jdbc" -> snapshotOracle,
+
+    // the partitioned JDBC extract with its pushed predicate ≡ the
+    // same slice stated directly over events
+    "cdc_source_jdbc" -> (logCte +
+      """
+        |SELECT key AS user_id, commit_ts_us, seq, op, value
+        |FROM log
+        |WHERE event_type = 'purchase' AND value > 50
+        |ORDER BY user_id, commit_ts_us, seq""".stripMargin),
 
     // The broker redelivery policy re-derived in SQL: routing, dense
     // offsets, the planted ack/delivery state, and the in_flight /
