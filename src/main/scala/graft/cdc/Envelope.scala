@@ -152,8 +152,11 @@ object Envelope {
           p.getField("_graft").getField("commitTsUs").isNull ||
           p.getField("_graft").getField("seq").isNull, "missing_graft_meta")
         .when(typeToOp(p.getField("type")).isNull, "unknown_type")
-        .when(p.getField("database") =!= database ||
-          p.getField("table") =!= table, "wrong_table")
+        // null-safe: an ABSENT database/table field is wrong_table too
+        // (=!= would yield null and let the envelope decode clean —
+        // ADVICE r13)
+        .when(!(p.getField("database") <=> database) ||
+          !(p.getField("table") <=> table), "wrong_table")
         .when(p.getField("data").isNull || size(p.getField("data")) < 1,
           "missing_data")
     val g = p.getField("_graft")

@@ -48,12 +48,32 @@ object HttpTransform {
 
   /** POST one ndjson batch, returning response lines. Retries only
     * IO-class failures; an HTTP error status is a plugin bug and
-    * throws immediately (the batch poisons → DLQ upstream). */
+    * throws immediately (the batch poisons → DLQ upstream).
+    *
+    * ==At-least-once delivery / the idempotence contract==
+    *
+    * An IOException retry can re-deliver a batch the plugin ALREADY
+    * processed (the response was lost mid-read, not the request) — and
+    * beyond this client, Spark itself re-runs whole tasks (speculation,
+    * executor loss), re-posting every batch of the partition. A plugin
+    * endpoint therefore observes AT-LEAST-ONCE batch delivery and must
+    * be stateless-per-batch (a pure transform — the normal case) or
+    * dedup on the `X-Graft-Batch-Id` header: a deterministic
+    * content-derived id (UUIDv3 over the request body), identical on
+    * every redelivery of the same batch and distinct across batches, so
+    * a side-effecting endpoint can make itself exactly-once with one
+    * seen-set lookup (ChainConfigSpec pins id stability across
+    * redelivery). */
+  private[graft] def batchId(body: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+
   private def post(endpoint: String, body: String, timeoutSec: Long,
                    maxRetries: Int): Iterator[String] = {
     val req = HttpRequest.newBuilder(URI.create(endpoint))
       .timeout(Duration.ofSeconds(timeoutSec))
       .header("Content-Type", "application/x-ndjson")
+      .header("X-Graft-Batch-Id", batchId(body))
       .POST(HttpRequest.BodyPublishers.ofString(body))
       .build()
     var attempt = 0

@@ -123,7 +123,14 @@ object PipedTransform {
 /** Executor-side sandboxed plugin process: feeds `input` on a daemon
   * thread, reads bounded output lines, enforces [[PipedTransform.Limits]]
   * (idle timeout / output amplification / line size) and kills the
-  * process on violation or early close. */
+  * process on violation or early close. "Early close" is enforced via
+  * the task lifecycle, not a Closeable the caller must remember: a
+  * completion + failure listener on the owning [[org.apache.spark.TaskContext]]
+  * destroys the process and joins the feeder whenever the task ends
+  * with the iterator unexhausted (downstream limit/take, task kill, an
+  * exception between batches) — without it a zombie plugin process and
+  * feeder thread leak per abandoned partition until JVM exit (ADVICE
+  * r13; PipedGuardSpec pins the abandoned-iterator kill). */
 private[cdc] class GuardedProcessIterator(
     cmd: Seq[String], input: Iterator[String],
     limits: PipedTransform.Limits) extends Iterator[String] {
@@ -132,6 +139,22 @@ private[cdc] class GuardedProcessIterator(
 
   private val proc = new ProcessBuilder(cmd: _*)
     .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+
+  // Registered BEFORE any row flows: if the task dies or finishes with
+  // this iterator mid-stream, the plugin process must die with it.
+  // destroyForcibly on an already-exited process is a no-op, so the
+  // normal-exhaustion path (waitFor in hasNext) is unaffected; closing
+  // the pipes also unblocks the feeder (its write fails), so the join
+  // cannot hang.
+  Option(org.apache.spark.TaskContext.get()).foreach { tc =>
+    tc.addTaskCompletionListener[Unit](_ => shutdown())
+    tc.addTaskFailureListener((_, _) => shutdown())
+  }
+
+  private def shutdown(): Unit = {
+    if (proc.isAlive) proc.destroyForcibly()
+    feeder.join(5000)
+  }
   private val fed = new AtomicLong(0L)
   private val feeder = new Thread(() => {
     val out = proc.getOutputStream

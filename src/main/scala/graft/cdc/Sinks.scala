@@ -229,21 +229,60 @@ object GraftSink {
         .options(options).jdbc(url, table, props)
     }
 
-    /** One DELETE for the replayed windows; a missing table (first
-      * write) is fine — Append creates it. */
-    private def deleteBatches(batches: Array[Long]): Unit = {
-      val conn = java.sql.DriverManager.getConnection(url)
+    /** One DELETE for the replayed windows. The connection carries the
+      * configured options (user/password/ssl — the same Properties the
+      * distributed writer uses) and the `__batch` identifier is quoted
+      * through the url's registered [[org.apache.spark.sql.jdbc.JdbcDialect]]
+      * (leading-underscore identifiers are a syntax error unquoted on
+      * several warehouses, and quote STYLE is dialect-specific —
+      * backticks on MySQL, double quotes ANSI). A missing table (first
+      * write — Append creates it) is detected by an explicit metadata
+      * probe, NOT by swallowing SQLState classes: any real DELETE
+      * failure (syntax, auth, lock) propagates loudly, because a
+      * silently skipped delete turns replay into duplication (ADVICE
+      * r13).
+      *
+      * Visibility note (the delete-then-append convergence contract):
+      * the DELETE commits before the distributed append starts, so a
+      * concurrent reader can observe a replayed batch window EMPTY (or,
+      * while the append's per-partition connections commit, partial)
+      * until the rewrite completes. The sink converges — replaying any
+      * prefix of crash points (after DELETE, mid-append, after append)
+      * and re-running `write` yields exactly-once content, pinned in
+      * SinksSpec — but it is eventually-consistent per window, the same
+      * window a warehouse partition-overwrite exposes. Readers needing
+      * a consistent view should read windows below the feed's
+      * resolved-ts ([[graft.cdc.Materialize.feedLag]] reports it). */
+    private[graft] def deleteBatches(batches: Array[Long]): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url, props)
       try {
-        val st = conn.createStatement()
-        // quoted: leading-underscore identifiers need it (Spark's JDBC
-        // writer quotes column names through the dialect on its side)
-        try st.executeUpdate(s"""DELETE FROM $table WHERE "__batch" IN """ +
-          s"(${batches.mkString(",")})")
-        finally st.close()
-      } catch {
-        case e: java.sql.SQLException
-          if e.getSQLState != null && e.getSQLState.startsWith("42") => ()
+        if (tableExists(conn)) {
+          val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+          val st = conn.createStatement()
+          try st.executeUpdate(
+            s"DELETE FROM $table WHERE ${dialect.quoteIdentifier("__batch")}" +
+              s" IN (${batches.mkString(",")})")
+          finally st.close()
+        }
       } finally conn.close()
+    }
+
+    /** Metadata-probe for `table` (unqualified or `schema.table`).
+      * Unquoted identifiers case-fold per-warehouse (Derby/Oracle up,
+      * Postgres down), so the match is case-insensitive. */
+    private def tableExists(conn: java.sql.Connection): Boolean = {
+      val (schemaPat, tablePat) = table.lastIndexOf('.') match {
+        case -1 => (null, table)
+        case i => (table.substring(0, i), table.substring(i + 1))
+      }
+      val md = conn.getMetaData
+      val rs = md.getTables(null, schemaPat, "%", null)
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(tablePat)
+        found
+      } finally rs.close()
     }
 
     /** Consumer side: the warehouse table back as a DataFrame. */

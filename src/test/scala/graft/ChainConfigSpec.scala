@@ -201,6 +201,59 @@ class ChainConfigSpec extends SparkSpec {
     } finally proc.destroyForcibly()
   }
 
+  test("HTTP batch ids are content-derived: identical on redelivery of " +
+    "the same batch, distinct across batches — the dedup key a " +
+    "side-effecting endpoint needs for exactly-once") {
+    // the pure function first: deterministic + discriminating
+    assert(HttpTransform.batchId("a\nb") === HttpTransform.batchId("a\nb"))
+    assert(HttpTransform.batchId("a\nb") !== HttpTransform.batchId("a\nc"))
+    // end to end: the server tags every row with the batch id it saw;
+    // two full deliveries of the same frame must observe the SAME id
+    // per batch (redelivery is invisible to an id-keyed seen-set).
+    val script =
+      """import json
+        |from http.server import BaseHTTPRequestHandler, HTTPServer
+        |class H(BaseHTTPRequestHandler):
+        |    def do_POST(self):
+        |        n = int(self.headers.get('Content-Length', 0))
+        |        bid = self.headers.get('X-Graft-Batch-Id', 'MISSING')
+        |        body = self.rfile.read(n).decode('utf-8')
+        |        out = []
+        |        for line in body.splitlines():
+        |            if not line.strip(): continue
+        |            r = json.loads(line)
+        |            out.append(json.dumps({"seq": r["seq"], "bid": bid}))
+        |        data = "\n".join(out).encode('utf-8')
+        |        self.send_response(200)
+        |        self.send_header('Content-Length', str(len(data)))
+        |        self.end_headers()
+        |        self.wfile.write(data)
+        |    def log_message(self, *a): pass
+        |srv = HTTPServer(('127.0.0.1', 0), H)
+        |print(srv.server_port, flush=True)
+        |srv.serve_forever()
+        |""".stripMargin
+    val proc = new ProcessBuilder("python3", "-u", "-c", script).start()
+    try {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      val port = rd.readLine().trim.toInt
+      val in = log.where(col("op") === "U").select("seq", "key")
+        .orderBy("seq").limit(100).coalesce(1)
+      val t = HttpTransform.transform(s"http://127.0.0.1:$port/t",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "seq BIGINT, bid STRING"), batchSize = 32) _
+      val first = t(in).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val second = t(in).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(first.nonEmpty)
+      assert(first.values.forall(_ != "MISSING"))
+      assert(first === second,
+        "batch ids drifted across an identical redelivery")
+      assert(first.values.toSet.size > 1,
+        "distinct batches must carry distinct ids")
+    } finally proc.destroyForcibly()
+  }
+
   test("malformed configs fail loudly") {
     assert(intercept[IllegalArgumentException](
       ChainConfig.parse("nonsense:x")).getMessage.contains("unknown stage"))

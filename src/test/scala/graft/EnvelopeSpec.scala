@@ -126,6 +126,10 @@ class EnvelopeSpec extends SparkSpec {
     val ddl = good.replace("\"isDdl\":false", "\"isDdl\":true")
     val badType = good.replace("\"type\":\"INSERT\"", "\"type\":\"TRUNCATE\"")
     val wrongTable = good.replace("\"table\":\"t\"", "\"table\":\"other\"")
+    // ABSENT table field must also be wrong_table — =!= would yield
+    // null and let the envelope decode clean (ADVICE r13 null-safety)
+    val noTable = good.replace("\"table\":\"t\",", "")
+    assert(noTable !== good, "noTable surgery must change the envelope")
     val noGraft = good.replaceAll(",\"_graft\":\\{[^}]*\\}", "")
     // the DELETE row's payload has no nested braces (null props), so a
     // flat regex can hollow out its data array
@@ -140,6 +144,7 @@ class EnvelopeSpec extends SparkSpec {
       (ddl, "ddl_event_in_row_topic"),
       (badType, "unknown_type"),
       (wrongTable, "wrong_table"),
+      (noTable, "wrong_table"),
       (noData, "missing_data"),
       (null.asInstanceOf[String], "null_envelope"))
     val wire = cases.map(_._1).toDF(Envelope.EnvelopeCol)

@@ -75,6 +75,34 @@ class PipedGuardSpec extends SparkSpec {
     assert(secs < 60, s"timeout took ${secs}s — the guard didn't bound it")
   }
 
+  test("an abandoned iterator (downstream limit) kills the plugin " +
+    "process — no zombie per abandoned partition") {
+    val marker =
+      "graftmark" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val echo =
+      s"""import sys, json
+         |MARKER = "$marker"
+         |for line in sys.stdin:
+         |    r = json.loads(line)
+         |    print(json.dumps({"seq": r["seq"], "key": r["key"],
+         |                      "tag": "t"}))
+         |""".stripMargin
+    val got = PipedTransform.guarded(Seq("python3", "-u", "-c", echo),
+      StructType.fromDDL(outDdl))(log).limit(1).collect()
+    assert(got.length === 1)
+    def alive(): Boolean = {
+      import scala.jdk.StreamConverters._
+      ProcessHandle.allProcesses().toScala(Seq).exists(p =>
+        p.info().commandLine()
+          .map[Boolean](_.contains(marker)).orElse(false))
+    }
+    // the TaskCompletionListener fires as the limit-satisfied task ends
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    while (alive() && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(!alive(),
+      "plugin process leaked after the task abandoned the iterator")
+  }
+
   test("a line bomb trips the per-line byte cap before it can OOM") {
     val lineBomb =
       """import sys

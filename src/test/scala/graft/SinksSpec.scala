@@ -183,6 +183,36 @@ class SinksSpec extends SparkSpec {
     assert(sink.read(spark).count() === 4L)
   }
 
+  test("Jdbc sink: a crash BETWEEN the delete and the append still " +
+    "converges on replay — every crash point is replay-safe") {
+    import spark.implicits._
+    val db = tmp("sink-jdbc-crash") + "/derby"
+    val sink = GraftSink.Jdbc(s"jdbc:derby:$db;create=true", "t2",
+      batchDurationUs = 1000L, tsCol = "commit_ts_us")
+    val rows = Seq(
+      (1L, 100L, "a"), (2L, 1500L, "b"), (3L, 2500L, "c")
+    ).toDF("key", "commit_ts_us", "payload")
+    sink.write(rows)
+    // simulate the writer crashing AFTER its DELETE committed but
+    // BEFORE any append row landed: batch window 1 is now a transient
+    // hole (the documented visibility window)
+    sink.deleteBatches(Array(1L))
+    assert(sink.read(spark).count() === 2L)
+    // the redelivered write must refill exactly that window
+    sink.write(rows)
+    val back = sink.read(spark).select("key", "payload")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("Jdbc deleteBatches before the table exists is a clean no-op " +
+    "(first delivery), and the delete connection honors options") {
+    val db = tmp("sink-jdbc-fresh") + "/derby"
+    val sink = GraftSink.Jdbc(s"jdbc:derby:$db;create=true", "nope",
+      batchDurationUs = 1000L)
+    sink.deleteBatches(Array(0L)) // must not throw: Append will create it
+  }
+
   test("runTo delivers the plugin-chain output to the sink") {
     val path = tmp("sink-chain")
     Changefeed(Seq(
