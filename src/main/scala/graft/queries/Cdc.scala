@@ -1103,6 +1103,43 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A54: the GUARDED out-of-process plugin runner, graded
+    // cross-engine (README.md:125 — plugin resource sandboxing). The
+    // same python3 plugin shape as the A52 HTTP form (drop 'view'
+    // events, uppercase event_type via line surgery — never
+    // re-serializing JSON, so doubles stay byte-exact) runs through
+    // PipedTransform.guarded: the plugin process is OWNED by the
+    // executor, fed by a daemon thread, and every [[PipedTransform.Limits]]
+    // bound (idle timeout / output amplification / line bytes) is
+    // enforced on the read side. Oracle = the transform stated in SQL:
+    // parity proves the sandbox machinery is RESULT-INVISIBLE for a
+    // well-behaved plugin — the violation paths (kill + loud task
+    // failure) stay PipedGuardSpec-pinned, where they belong.
+    "cdc_piped_guarded" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, commit_ts_us BIGINT, seq BIGINT, op STRING, " +
+          "event_type STRING, value DOUBLE, props STRING")
+      val plugin =
+        """import sys, re
+          |pat = re.compile(r'"event_type":"([a-z_]+)"')
+          |up = lambda m: '"event_type":"%s"' % m.group(1).upper()
+          |for line in sys.stdin:
+          |    line = line.rstrip("\n")
+          |    if not line or '"event_type":"view"' in line:
+          |        continue
+          |    sys.stdout.write(pat.sub(up, line) + "\n")
+          |""".stripMargin
+      PipedTransform.guarded(
+          Seq("python3", "-u", "-c", plugin), schema,
+          limits = PipedTransform.Limits(
+            idleTimeoutSec = 120, maxOutputRowsPerInput = 2,
+            maxLineBytes = 1 << 20))(
+          changelog(s, dir))
+        .select(col("key").as("user_id"), col("commit_ts_us"), col("seq"),
+          col("op"), col("event_type"), col("value"), col("props"))
+        .orderBy("user_id", "commit_ts_us", "seq")
+    }),
+
     // A51: HTTP out-of-process plugin runner (README.md:44-49 — the
     // RFC's RPC/HTTP hook form). The changelog is posted by EVERY
     // EXECUTOR PARTITION as ndjson batches to a plugin service (here a
@@ -1758,6 +1795,16 @@ object Cdc {
         |       CAST(CASE WHEN age_us >= 28800000000 AND nd < 3
         |                 THEN nd + 1 ELSE nd END AS BIGINT) AS next_deliveries
         |FROM s ORDER BY 1, 2""".stripMargin),
+
+    // The guarded pipe runner's transform stated in SQL — identical
+    // contract to the HTTP form: the sandbox must be result-invisible.
+    "cdc_piped_guarded" -> (logCte +
+      """
+        |SELECT key AS user_id, commit_ts_us, seq, op,
+        |       upper(event_type) AS event_type, value, props
+        |FROM log
+        |WHERE event_type <> 'view'
+        |ORDER BY user_id, commit_ts_us, seq""".stripMargin),
 
     // The HTTP plugin's transform stated in SQL: drop views, uppercase
     // event_type, everything else byte-identical through the wire.
