@@ -729,6 +729,54 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A47 × A50: wire-DDL evolution through the consumer — the RFC's
+    // EmitDDLEvent (README.md:63) flowing through its default Kafka
+    // sink (README.md:17). isDdl:true canal envelopes (rename / add /
+    // drop) are PRODUCED INTO the row topic mid-log; the A46 TopicSource
+    // consumer tails it, classifies each batch's envelopes once (clean
+    // rows / DDL / quarantine), gates the decoded DDLs through the A43
+    // compat classifier, records them in the sink's _ddl_history
+    // ledger, and CONFORMS every subsequent batch — no restart. The
+    // read-back splices the mixed-schema segments. Oracle = the batch
+    // A9 splice SQL (shared with cdc_stream_schema_evolution): a feed
+    // evolved over the wire must converge to exactly the spliced batch
+    // result.
+    "cdc_topic_envelope_evolution" -> ((s, dir) => withStreamPartitions(s) {
+      import org.apache.spark.sql.types._
+      val path = roundtripPath(dir, "topicenvevolve")
+      val rowWire = Envelope.encode(changelog(s, dir), "graft", "events",
+        Seq("event_type", "value", "props"))
+      // DDLs are serialized upstream (one source executing ALTERs in
+      // order), so distinct producer ts — the wire ledger's order key
+      val ddlWire = Envelope.encodeDdl(s, Seq(
+          ("rename", "value", "amount", asofTsUs),
+          ("add", "region", "unassigned", asofTsUs + 1),
+          ("drop", "props", null, asofTsUs + 2)),
+          "graft", "events")
+        .withColumn("key", lit(-1L))
+        .withColumn("seq", col("commit_ts_us"))
+        .withColumn("op", lit("DDL"))
+      GraftSink.Topic(path = path, numPartitions = 8)
+        .write(rowWire.unionByName(ddlWire))
+      val wireSchema = StructType(Seq(
+        StructField("__partition", IntegerType, nullable = false),
+        StructField("__offset", LongType, nullable = false),
+        StructField(Envelope.EnvelopeCol, StringType)))
+      val sinkDir = freshScratch(dir, "topicenvevolve_sink")
+      val dlqDir = freshScratch(dir, "topicenvevolve_dlq")
+      val q = CdcStream.deliverEvolvingWire(
+        graft.sources.TopicSource.stream(s, path, wireSchema,
+            maxOffsetsPerTrigger = 8192)
+          .select(Envelope.EnvelopeCol),
+        envelopePayload, "graft", "events", sinkDir, dlqDir,
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      q.awaitTermination()
+      Materialize.snapshot(CdcStream.readEvolved(s, sinkDir))
+        .select(col("key").as("user_id"), col("event_type"),
+          col("amount"), col("region"), col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // A50 × A15: before-images cross the wire in canal's `old` field —
     // the feed's prior payloads (one lag window, A15) ride each UPDATE
     // envelope, and the CONSUMER reconstructs the update-diff view
@@ -2239,6 +2287,21 @@ object Cdc {
     // A47: a feed evolved MID-STREAM must converge to the batch A9
     // splice — same oracle text
     "cdc_stream_schema_evolution" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id, event_type, value AS amount,
+        |       'unassigned' AS region, commit_ts_us AS last_ts_us
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
+
+    // Wire-DDL ≡ batch splice: the same A9 oracle — a feed evolved by
+    // isDdl canal envelopes through the topic consumer must converge
+    // to exactly what the in-feed DDL stream (and the batch splice)
+    // produce.
+    "cdc_topic_envelope_evolution" -> (logCte +
       """,
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY key

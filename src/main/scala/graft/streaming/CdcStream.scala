@@ -108,7 +108,6 @@ object CdcStream {
                       checkpointDir: String): StreamingQuery = {
     val fn: (Dataset[Row], Long) => Unit = (batch, id) => {
       val frame = batch.toDF()
-      val history = EvolveLedger.read(sinkDir)
       val ddlRows = frame.where(col("op") === "DDL")
         .select(
           get_json_object(col("props"), "$.ddl").as("kind"),
@@ -120,40 +119,117 @@ object CdcStream {
         .orderBy("commit_ts_us", "seq")
         .collect() // |DDL events in this flush| rows — metadata-bounded
         .toSeq
-      val newDdls = ddlRows.map(r => graft.cdc.SchemaEvolution
-        .ddlFromFields(r.getString(0), r.getString(1), r.getString(2),
-          r.getLong(3)))
-      val data = frame.where(col("op") =!= "DDL")
-      val payload = data.schema.fields.toSeq
-        .filterNot(f => graft.cdc.ChangeEvent.metaColumns.contains(f.name))
-        .map(f => f.name -> graft.cdc.SchemaEvolution.dialectType(f.dataType))
-      val before = history.foldLeft(payload)(
-        graft.cdc.SchemaEvolution.applyToCols)
-      val after = newDdls.foldLeft(before)(
-        graft.cdc.SchemaEvolution.applyToCols)
-      val verdicts = graft.cdc.SchemaEvolution
-        .compatVerdictsLocal(before, after)
-      val breaking = verdicts.filter(_._3.startsWith("breaking"))
-      val applied =
-        if (newDdls.isEmpty || breaking.nonEmpty) history
-        else {
-          EvolveLedger.append(sinkDir, id, ddlRows.map(r =>
-            Seq(r.getString(0), r.getString(1), r.getString(2),
-              r.getLong(3).toString, r.getLong(4).toString)))
-          history ++ newDdls
-        }
-      if (breaking.nonEmpty) {
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      evolveBatch(frame.where(col("op") =!= "DDL"), ddlRows, sinkDir, id,
         // quarantine the DDL (not the data): the feed keeps flowing
         // under the old schema, the operator replays the fixed DDL
-        frame.where(col("op") === "DDL")
-          .withColumn("__dlq_reason", lit(breaking.map {
-            case (c, ch, v) => s"$ch $c: $v" }.mkString("; ").take(200)))
-          .write.mode("overwrite").parquet(s"$dlqDir/ddl-batch-$id")
-      }
-      graft.cdc.SchemaEvolution.evolve(data, applied)
-        .write.mode("overwrite").parquet(s"$sinkDir/__batch=$id")
+        reason => frame.where(col("op") === "DDL")
+          .withColumn("__dlq_reason", lit(reason))
+          .write.mode("overwrite").parquet(s"$dlqDir/ddl-batch-$id"))
     }
     stream.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The shared per-micro-batch evolution step behind
+    * [[deliverEvolving]] (in-feed op='DDL' rows) and
+    * [[deliverEvolvingWire]] (isDdl canal envelopes): recover the
+    * ledgered history, gate this batch's DDLs through the A43 compat
+    * classifier, quarantine breaking DDLs via `quarantine(reason)`
+    * (the feed continues under the old schema), append compat-green
+    * DDLs to the ledger, and write the batch's data conformed to the
+    * applied history as an idempotent `__batch=<id>` partition.
+    * `ddlRows` are (kind, a, b, commitTsUs, seq), already in apply
+    * order. */
+  private def evolveBatch(data: DataFrame,
+                          ddlRows: Seq[(String, String, String, Long, Long)],
+                          sinkDir: String, id: Long,
+                          quarantine: String => Unit): Unit = {
+    val history = EvolveLedger.read(sinkDir)
+    val newDdls = ddlRows.map { case (k, a, b, ts, _) =>
+      graft.cdc.SchemaEvolution.ddlFromFields(k, a, b, ts) }
+    val payload = data.schema.fields.toSeq
+      .filterNot(f => graft.cdc.ChangeEvent.metaColumns.contains(f.name))
+      .map(f => f.name -> graft.cdc.SchemaEvolution.dialectType(f.dataType))
+    val before = history.foldLeft(payload)(
+      graft.cdc.SchemaEvolution.applyToCols)
+    val after = newDdls.foldLeft(before)(
+      graft.cdc.SchemaEvolution.applyToCols)
+    val verdicts = graft.cdc.SchemaEvolution
+      .compatVerdictsLocal(before, after)
+    val breaking = verdicts.filter(_._3.startsWith("breaking"))
+    val applied =
+      if (newDdls.isEmpty || breaking.nonEmpty) history
+      else {
+        EvolveLedger.append(sinkDir, id, ddlRows.map { case (k, a, b, ts, seq) =>
+          Seq(k, a, b, ts.toString, seq.toString) })
+        history ++ newDdls
+      }
+    if (breaking.nonEmpty)
+      quarantine(breaking.map {
+        case (c, ch, v) => s"$ch $c: $v" }.mkString("; ").take(200))
+    graft.cdc.SchemaEvolution.evolve(data, applied)
+      .write.mode("overwrite").parquet(s"$sinkDir/__batch=$id")
+  }
+
+  /** [[deliverEvolving]] over the WIRE (A47 × A50 — the RFC's
+    * EmitDDLEvent, README.md:63, flowing through its default Kafka
+    * sink, README.md:17): the feed is a topic of canal-json envelopes;
+    * an `isDdl:true` envelope arriving MID-STREAM drives the same
+    * compat gate + `_ddl_history` ledger + conformed segments as the
+    * in-feed form — no restart, and a RESTARTED consumer resumes under
+    * the evolved schema because the sink ledger is the state
+    * (EvolveStreamSpec pins both, over this wire path).
+    *
+    * Per micro-batch, the envelope batch is classified ONCE
+    * ([[graft.cdc.Envelope.decodeAll]], one barrier-pinned from_json):
+    * clean rows → the canonical changelog; `ddl_event_in_row_topic`
+    * records → relational DDL extraction ([[graft.cdc.Envelope.ddlEvents]],
+    * |DDL|-bounded collect); anything else → the envelope DLQ with its
+    * classified reason (a poisoned topic drains into quarantine, the
+    * consumer never wedges). Wire DDls carry no row seq; their
+    * exactness ts (`_graft_ddl.ts`, producer-side microseconds) is the
+    * ledger order key, so producers must stamp DDLs with distinct ts —
+    * which a real serialized DDL stream (one upstream executing ALTERs
+    * in order) does by construction. */
+  def deliverEvolvingWire(wire: DataFrame,
+                          payload: StructType, database: String, table: String,
+                          sinkDir: String, dlqDir: String,
+                          checkpointDir: String): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit = (batch, id) => {
+      val all = graft.cdc.Envelope
+        .decodeAll(batch.toDF(), payload, database, table)
+        .persist() // one classification pass feeds the three splits
+      try {
+        val ddlRows = graft.cdc.Envelope.ddlEvents(
+            all.where(col("__envelope_error") === "ddl_event_in_row_topic")
+              .select(col(graft.cdc.Envelope.EnvelopeCol)))
+          .orderBy("ts_us")
+          .collect() // |DDL events in this batch| — metadata-bounded
+          .toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getLong(3)))
+        val bad = all.where(col("__envelope_error").isNotNull &&
+          col("__envelope_error") =!= "ddl_event_in_row_topic")
+        if (!bad.isEmpty)
+          bad.select(col(graft.cdc.Envelope.EnvelopeCol),
+              col("__envelope_error").as("__dlq_reason"))
+            .write.mode("overwrite").parquet(s"$dlqDir/envelope-batch-$id")
+        val data = all.where(col("__envelope_error").isNull)
+          .drop("__envelope_error", graft.cdc.Envelope.EnvelopeCol)
+        evolveBatch(data, ddlRows, sinkDir, id,
+          reason => all
+            .where(col("__envelope_error") === "ddl_event_in_row_topic")
+            .select(col(graft.cdc.Envelope.EnvelopeCol))
+            .withColumn("__dlq_reason", lit(reason))
+            .write.mode("overwrite").parquet(s"$dlqDir/ddl-batch-$id"))
+      } finally all.unpersist()
+    }
+    wire.writeStream
       .foreachBatch(fn)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

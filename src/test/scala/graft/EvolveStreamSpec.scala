@@ -134,6 +134,69 @@ class EvolveStreamSpec extends SparkSpec {
       !Files.list(Paths.get(sink, "_ddl_history")).findAny().isPresent)
   }
 
+  test("wire path: DDL envelopes mid-topic evolve the sink, and a " +
+    "RESTARTED consumer resumes under the evolved schema") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.{Envelope, GraftSink}
+    val payload = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val wireSchema = StructType(Seq(
+      StructField("__partition", IntegerType, nullable = false),
+      StructField("__offset", LongType, nullable = false),
+      StructField(Envelope.EnvelopeCol, StringType)))
+    val ddlWire = Envelope.encodeDdl(spark, Seq(
+        ("rename", "value", "amount", ddlTs),
+        ("add", "region", "unassigned", ddlTs + 1),
+        ("drop", "props", null, ddlTs + 2)), "graft", "events")
+      .withColumn("key", lit(-1L))
+      .withColumn("seq", col("commit_ts_us"))
+      .withColumn("op", lit("DDL"))
+    def topicOf(rows: DataFrame): DataFrame =
+      Envelope.encode(rows, "graft", "events",
+        Seq("event_type", "value", "props")).unionByName(ddlWire)
+    val log = changelog
+    val path = tmp("wire_topic")
+    val sink = tmp("wire_sink"); val dlq = tmp("wire_dlq")
+    val ckpt = tmp("wire_ckpt")
+    // run 1's topic: rows strictly before the DDLs (so the later
+    // EXTENSION appends — deterministic assignment keeps committed
+    // offsets valid, the A46 rewrite-is-append contract)
+    GraftSink.Topic(path = path, numPartitions = 8)
+      .write(topicOf(log.where(col("commit_ts_us") < ddlTs)))
+    def drainWire(): Unit =
+      CdcStream.deliverEvolvingWire(
+        graft.sources.TopicSource.stream(spark, path, wireSchema)
+          .select(Envelope.EnvelopeCol),
+        payload, "graft", "events", sink, dlq, ckpt).awaitTermination()
+    drainWire() // run 1: prefix + the DDL envelopes
+    assert(Files.exists(Paths.get(sink, "_ddl_history")),
+      "the wire DDL batch must have ledgered the history")
+    GraftSink.Topic(path = path, numPartitions = 8).write(topicOf(log))
+    drainWire() // run 2: FRESH query, same checkpoint — tail only
+    val streamed = snapshotOf(CdcStream.readEvolved(spark, sink))
+    val batch = snapshotOf(SchemaEvolution.evolve(log, Seq(
+      SchemaEvolution.RenameColumn("value", "amount"),
+      SchemaEvolution.AddColumn("region", lit("unassigned")),
+      SchemaEvolution.DropColumn("props"))))
+    assert(streamed.count() === batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+    // run 2's tail segment was written EVOLVED — the ledger, not the
+    // dead run-1 closure, carried the schema across the restart
+    import scala.jdk.CollectionConverters._
+    val batchDirs = Files.list(Paths.get(sink)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("__batch=")).toSeq
+    assert(batchDirs.size >= 2, s"expected segments from both runs: $batchDirs")
+    val tail = spark.read.parquet(
+      sink + "/" + batchDirs.maxBy(_.stripPrefix("__batch=").toInt))
+    assert(tail.columns.contains("amount") && !tail.columns.contains("value"))
+    // nothing quarantined on the clean path
+    assert(!Files.exists(Paths.get(dlq)) ||
+      !Files.list(Paths.get(dlq)).findAny().isPresent)
+  }
+
   test("ledger rejects fields that would corrupt the pipe format") {
     val dir = tmp("evolve_ledger_guard")
     // clean rows round-trip
