@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *  - `select:a,b,c`            — projection
   *  - `transform:<name>`        — a transform REGISTERED at runtime via
   *                                [[registerTransform]] (see below)
+  *  - `script:<stmts>`          — in-process scripted plugin
+  *                                ([[ScriptTransform]]): ;-separated
+  *                                set/keep/drop statements compiled to
+  *                                Catalyst expressions at Prepare time
   *  - `sql:<SELECT ... FROM __input__>` — arbitrary SQL over the chain's
   *                                current frame (see below)
   *
@@ -95,6 +99,11 @@ object ChainConfig {
             s"ChainConfig.registerTransform(\"$arg\", ...) before running the chain")
         fn(df)
       })
+      // in-process scripted plugin (README.md:39-43): the script
+      // compiles HERE — Prepare-time validation; a limit/grammar
+      // violation rejects the chain before anything is scheduled
+      case "script" => TransformPlugin(s"script[$arg]",
+        ScriptTransform.compile(arg))
       case "sql" => TransformPlugin(s"sql[$arg]", df => {
         val view = s"__chain_input_${sqlViewSeq.incrementAndGet()}"
         df.createOrReplaceTempView(view)

@@ -1151,6 +1151,28 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A55: the in-process SCRIPTED plugin form (README.md:39-43 —
+    // completing the RFC's plugin-form matrix: in-process script /
+    // out-of-process pipe / out-of-process HTTP). The chain stage
+    // `script:` compiles ;-separated set/keep/drop statements over the
+    // row struct into CATALYST EXPRESSIONS at Prepare time — the whole
+    // scripted plugin fuses into one codegen'd plan (zero per-row
+    // interpreter, zero exchange), and sandboxing is by construction:
+    // whitelisted total functions only, no loops, compile-time
+    // byte/statement/depth limits. Oracle states the script in SQL.
+    "cdc_script_transform" -> ((s, dir) => {
+      ChainConfig.parse(
+        "script:keep event_type != 'view' and value > 10; " +
+          "set tier = if(value > 500, 'high', 'low'); " +
+          "set tag = concat(upper(event_type), '_', tier); " +
+          "drop props")
+        .run(changelog(s, dir))
+        .select(col("seq"), col("key").as("user_id"), col("op"),
+          col("event_type"), col("value"), col("tier"), col("tag"),
+          col("commit_ts_us"))
+        .orderBy("seq")
+    }),
+
     // A54: the GUARDED out-of-process plugin runner, graded
     // cross-engine (README.md:125 — plugin resource sandboxing). The
     // same python3 plugin shape as the A52 HTTP form (drop 'view'
@@ -1843,6 +1865,19 @@ object Cdc {
         |       CAST(CASE WHEN age_us >= 28800000000 AND nd < 3
         |                 THEN nd + 1 ELSE nd END AS BIGINT) AS next_deliveries
         |FROM s ORDER BY 1, 2""".stripMargin),
+
+    // The scripted plugin stated in SQL: the compiled script must
+    // behave exactly like its relational statement.
+    "cdc_script_transform" -> (logCte +
+      """
+        |SELECT seq, key AS user_id, op, event_type, value,
+        |       CASE WHEN value > 500 THEN 'high' ELSE 'low' END AS tier,
+        |       upper(event_type) || '_' ||
+        |         (CASE WHEN value > 500 THEN 'high' ELSE 'low' END) AS tag,
+        |       commit_ts_us
+        |FROM log
+        |WHERE event_type <> 'view' AND value > 10
+        |ORDER BY seq""".stripMargin),
 
     // The guarded pipe runner's transform stated in SQL — identical
     // contract to the HTTP form: the sandbox must be result-invisible.
