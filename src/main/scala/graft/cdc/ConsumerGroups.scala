@@ -1,0 +1,82 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Consumer-group assignment over a topic (reference README.md:17-23 —
+  * the Kafka consumer side of the RFC's default sink: N cooperating
+  * consumers divide the topic's partitions, rebalance on membership
+  * change, and commit per-partition offsets; `kafka-consumer-groups
+  * --describe` is exactly the (consumer, partition, end, committed,
+  * lag) relation this module derives).
+  *
+  * Assignment is a PURE FUNCTION of (sorted members, strategy,
+  * partition id) — Kafka's eager assignors, re-run from scratch at
+  * each rebalance generation:
+  *
+  *  - '''range''': partitions split into contiguous runs; with
+  *    P partitions and N consumers the first P mod N members own
+  *    ⌈P/N⌉ partitions, the rest ⌊P/N⌋ (RangeAssignor);
+  *  - '''roundrobin''': partition p → member p mod N
+  *    (RoundRobinAssignor).
+  *
+  * Spark-first it is a scan-local CASE expression over the partition
+  * column — assignment metadata never needs a shuffle or a driver
+  * loop, and composes with [[graft.sources.TopicSource]]'s
+  * `partitions` option (each member streams ONLY its assigned
+  * directories — 1/N of the listing/footer I/O, not a filter after
+  * the fact; TopicSourceSpec pins that disjoint members drain the
+  * topic exactly once).
+  */
+object ConsumerGroups {
+
+  /** 0-based owning-consumer index for partition `p` (a non-negative
+    * int/long column) under `strategy` with `numConsumers` members of
+    * a `numPartitions` topic. */
+  def ownerIndex(strategy: String, numPartitions: Int, numConsumers: Int,
+                 p: Column): Column = {
+    require(numConsumers >= 1, "a group needs at least one member")
+    strategy match {
+      case "roundrobin" => pmod(p, lit(numConsumers)).cast("long")
+      case "range" =>
+        val quota = numPartitions / numConsumers
+        val extra = numPartitions % numConsumers
+        val boundary = extra.toLong * (quota + 1)
+        // quota can be 0 (more members than partitions): then every
+        // p < boundary = P and the otherwise-branch is unreachable;
+        // max(quota,1) keeps its constant fold division-safe anyway
+        when(p < boundary, floor(p / (quota + 1)))
+          .otherwise(floor((p - boundary) / math.max(quota, 1)) + extra)
+          .cast("long")
+      case other => throw new IllegalArgumentException(
+        s"unknown assignment strategy '$other' (range | roundrobin)")
+    }
+  }
+
+  /** Owning-consumer NAME: members are sorted before indexing
+    * (Kafka's assignors sort member ids, so assignment is independent
+    * of join order). */
+  def owner(strategy: String, numPartitions: Int, members: Seq[String],
+            p: Column): Column = {
+    val sorted = members.sorted
+    element_at(array(sorted.map(lit): _*),
+      (ownerIndex(strategy, numPartitions, sorted.size, p) + 1).cast("int"))
+  }
+
+  /** The `--describe` relation for one rebalance generation:
+    * (strategy, generation, consumer, __partition, end_offset,
+    * committed_offset, lag) from a per-partition ends frame
+    * (`__partition`, `end_offset`) and a committed-offset column. */
+  def describe(ends: DataFrame, committed: Column, strategy: String,
+               generation: Long, numPartitions: Int,
+               members: Seq[String]): DataFrame =
+    ends.select(
+      lit(strategy).as("strategy"),
+      lit(generation).as("generation"),
+      owner(strategy, numPartitions, members, col("__partition"))
+        .as("consumer"),
+      col("__partition"),
+      col("end_offset"),
+      committed.as("committed_offset"),
+      (col("end_offset") - committed).as("lag"))
+}

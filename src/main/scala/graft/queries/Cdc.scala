@@ -966,6 +966,33 @@ object Cdc {
         .orderBy("__partition")
     }),
 
+    // A56: consumer-GROUP assignment + rebalance + per-consumer lag —
+    // the full `kafka-consumer-groups --describe` picture over the A23
+    // topic (README.md:17-23's consumer side). Assignment is Kafka's
+    // eager assignors as scan-local CASE arithmetic (range contiguous
+    // runs / round-robin mod), re-run per rebalance GENERATION
+    // (generation 2 drops member c1 — the rebalance); committed
+    // offsets are planted deterministically per partition and lag =
+    // end − committed. Four generations × strategies in one relation;
+    // the oracle re-derives routing, dense offsets, ends, the planted
+    // commits, and BOTH assignor formulas in SQL. Everything after the
+    // |partitions|-row ends frame is metadata-scale.
+    "cdc_topic_groups" -> ((s, dir) => {
+      val ends = GraftSink.Topic(path = "", numPartitions = 8)
+        .assign(changelog(s, dir))
+        .groupBy(col("__partition").cast("long").as("__partition"))
+        .agg((max(col("__offset")) + 1L).as("end_offset"))
+      val committed = expr("(end_offset * (__partition + 1)) div 10")
+      val gen1 = Seq("c0", "c1", "c2")
+      val gen2 = Seq("c0", "c2") // c1 left: eager rebalance
+      Seq(("range", 1L, gen1), ("range", 2L, gen2),
+          ("roundrobin", 1L, gen1), ("roundrobin", 2L, gen2))
+        .map { case (st, g, members) =>
+          ConsumerGroups.describe(ends, committed, st, g, 8, members) }
+        .reduce(_ unionAll _)
+        .orderBy("strategy", "generation", "__partition")
+    }),
+
     // A48: the reference's FULL deployment loop in one graded path —
     // producer (A23 Topic sink) → broker (hive-partitioned offset log)
     // → consumer (A46 TopicSource tail) → plugin chain (A4 filter) →
@@ -2227,6 +2254,39 @@ object Cdc {
         |       end_offset // 2 AS committed_offset,
         |       end_offset - end_offset // 2 AS lag
         |FROM e ORDER BY __partition""".stripMargin),
+
+    // The full consumer-group describe re-derived in SQL: routing,
+    // dense offsets, ends, planted commits, and both eager assignors
+    // (range contiguous runs, round-robin mod) across two rebalance
+    // generations. Members: gen 1 = c0,c1,c2; gen 2 = c0,c2.
+    "cdc_topic_groups" -> (logCte +
+      """,
+        |e AS (
+        |  SELECT key % 8 AS p, count(*) AS end_offset
+        |  FROM log GROUP BY 1),
+        |base AS (
+        |  SELECT p, end_offset,
+        |         (end_offset * (p + 1)) // 10 AS committed
+        |  FROM e),
+        |gens AS (SELECT * FROM (VALUES
+        |  ('range', 1, 3), ('range', 2, 2),
+        |  ('roundrobin', 1, 3), ('roundrobin', 2, 2))
+        |  g(strategy, generation, n)),
+        |asg AS (
+        |  SELECT strategy, generation, n, p, end_offset, committed,
+        |         CASE WHEN strategy = 'roundrobin' THEN p % n
+        |              WHEN p < (8 % n) * ((8 // n) + 1)
+        |                THEN p // ((8 // n) + 1)
+        |              ELSE (p - (8 % n) * ((8 // n) + 1)) // (8 // n)
+        |                   + (8 % n) END AS ci
+        |  FROM base CROSS JOIN gens)
+        |SELECT strategy, CAST(generation AS BIGINT) AS generation,
+        |       CASE WHEN generation = 1 THEN 'c' || ci
+        |            WHEN ci = 0 THEN 'c0' ELSE 'c2' END AS consumer,
+        |       CAST(p AS BIGINT) AS __partition, end_offset,
+        |       committed AS committed_offset,
+        |       end_offset - committed AS lag
+        |FROM asg ORDER BY strategy, generation, __partition""".stripMargin),
 
     // A48: producer→broker→consumer→chain→snapshot ≡ the batch
     // snapshot over the chain-filtered log

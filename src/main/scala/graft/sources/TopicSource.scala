@@ -92,13 +92,21 @@ object TopicSource {
   val PartitionCol = "__partition"
   val OffsetCol = "__offset"
 
-  /** Consumer stream over a Topic-sink directory. */
+  /** Consumer stream over a Topic-sink directory. `partitions`
+    * restricts the consumer to an ASSIGNED partition subset (the
+    * consumer-group member contract, A56): discovery, admission and
+    * planning never touch unassigned partition directories — a member
+    * of an N-consumer group does 1/N of the listing/footer I/O, not a
+    * post-hoc filter over all of it. */
   def stream(spark: SparkSession, path: String, schema: StructType,
-             maxOffsetsPerTrigger: Long = Long.MaxValue): DataFrame = {
+             maxOffsetsPerTrigger: Long = Long.MaxValue,
+             partitions: Seq[Int] = Nil): DataFrame = {
     var r = spark.readStream.format(classOf[TopicSource].getName)
       .schema(schema)
     if (maxOffsetsPerTrigger != Long.MaxValue)
       r = r.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+    if (partitions.nonEmpty)
+      r = r.option("partitions", partitions.mkString(","))
     r.load(path)
   }
 
@@ -152,7 +160,9 @@ private[sources] class TopicTable(schema0: StructType,
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new TopicScanBuilder(schema0, opt(opts, "path"),
       Option(opt(opts, "maxOffsetsPerTrigger"))
-        .map(_.toLong).getOrElse(Long.MaxValue))
+        .map(_.toLong).getOrElse(Long.MaxValue),
+      Option(opt(opts, "partitions"))
+        .map(_.split(',').map(_.trim.toInt).toSet))
 
   private def opt(opts: CaseInsensitiveStringMap, k: String): String =
     if (opts.containsKey(k)) opts.get(k)
@@ -163,7 +173,8 @@ private[sources] class TopicTable(schema0: StructType,
 }
 
 private[sources] class TopicScanBuilder(schema: StructType, path: String,
-                                        maxOffsetsPerTrigger: Long)
+                                        maxOffsetsPerTrigger: Long,
+                                        assigned: Option[Set[Int]] = None)
     extends ScanBuilder with Scan {
 
   override def build(): Scan = this
@@ -171,7 +182,7 @@ private[sources] class TopicScanBuilder(schema: StructType, path: String,
   override def description(): String = s"GraftTopic($path)"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TopicMicroBatchStream(schema, path, maxOffsetsPerTrigger)
+    new TopicMicroBatchStream(schema, path, maxOffsetsPerTrigger, assigned)
 }
 
 /** Per-partition next-offset map, serialized as sorted compact JSON. */
@@ -197,7 +208,8 @@ private[sources] case class TopicInputPartition(
     extends InputPartition
 
 private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
-                                             maxOffsetsPerTrigger: Long)
+                                             maxOffsetsPerTrigger: Long,
+                                             assigned: Option[Set[Int]] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -281,8 +293,12 @@ private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
           .map { st =>
             val pid = st.getPath.getName
               .substring(TopicSource.PartitionCol.length + 1).toInt
-            pid -> dataFiles(fs, st.getPath)
+            pid -> st.getPath
           }
+          // group-member assignment prunes BEFORE any file listing or
+          // footer read — 1/N of the metadata I/O per member
+          .filter { case (pid, _) => assigned.forall(_.contains(pid)) }
+          .map { case (pid, p) => pid -> dataFiles(fs, p) }
         memoizeFooters(byPid.flatMap(_._2))
         byPid.flatMap { case (pid, files) =>
           val ends = files.flatMap(footerMaxOffset)

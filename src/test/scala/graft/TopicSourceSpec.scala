@@ -59,6 +59,43 @@ class TopicSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === total)
   }
 
+  test("consumer-group members with disjoint assignments drain the " +
+    "topic exactly once, each touching only its own partitions") {
+    import graft.cdc.ConsumerGroups
+    val topic = tmp("topic_grp")
+    GraftSink.Topic(topic, numPartitions = 8).write(changelog)
+    // range-assign 8 partitions across 2 members (c0: 0-3, c1: 4-7) —
+    // the same assignor arithmetic cdc_topic_groups grades
+    val assignedTo = (0 until 8).groupBy { p =>
+      spark.range(1).select(ConsumerGroups.ownerIndex("range", 8, 2,
+        lit(p.toLong))).head.getLong(0)
+    }
+    assert(assignedTo.keySet === Set(0L, 1L))
+    val outs = assignedTo.toSeq.sortBy(_._1).map { case (m, pids) =>
+      val out = tmp(s"topic_grp_out$m"); val ckpt = tmp(s"topic_grp_ckpt$m")
+      val q = TopicSource.stream(spark, topic,
+          TopicSource.changelogTopicSchema, partitions = pids)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (pids.toSet, spark.read.parquet(out))
+    }
+    // each member saw ONLY its assigned partitions
+    for ((pids, df) <- outs)
+      assert(df.select("__partition").distinct().collect()
+        .map(_.getInt(0)).toSet === pids)
+    // the union is the topic, exactly once
+    val union = outs.map(_._2).reduce(_ unionByName _)
+    val batch = spark.read.parquet(topic)
+      .select(TopicSource.changelogTopicSchema.fieldNames.map(col): _*)
+    assert(union.count() === batch.count())
+    assert(union.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(union).count() === 0L)
+  }
+
   test("restart after a topic rewrite-extension: exactly the new tail, no dups") {
     // The producer contract: offset assignment is deterministic, so a
     // topic REWRITE from a longer changelog extends the log in place
