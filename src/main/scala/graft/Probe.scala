@@ -180,6 +180,130 @@ object Probe {
       return
     }
 
+    // Misra-Gries adversarial curve: `runMain graft.Probe _ genmg=2000000,8000000`
+    // prices the BOUNDED candidate stage on its worst-case mix — a
+    // capacity-wide live head (64k keys × 6) followed by N distinct
+    // singletons, ALL in one partition — the input whose naive
+    // decrement-all sweep is O(N·capacity). The lazy-debt bucket form
+    // (r14) must show a LINEAR law: rows/s flat across sizes.
+    if (args.length > 1 && args(1).startsWith("genmg=")) {
+      val sizes = args(1).stripPrefix("genmg=").split(",").map(_.toLong)
+      val capacity = 1 << 16
+      def mix(n: Long) = spark.range(0, capacity.toLong * 6)
+        .select((col("id") % capacity).as("k"))
+        .unionAll(spark.range(0, n)
+          .select((col("id") + 4000000000L).as("k")))
+        .coalesce(1)
+      mix(100000L).count() // warm
+      sizes.foreach { n =>
+        time(s"mg_candidates flood=$n capacity=$capacity (1 partition)") {
+          operators.Cms.localHeavyCandidatesMG(mix(n), "k",
+            minCount = 2L * n, capacity = capacity).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // Envelope codec curve: `runMain graft.Probe _ genenvelope=2000000,8000000`
+    // prices the A50 canal-json codec at each size over the zero-I/O
+    // GenSource changelog: (a) ENCODE — one to_json projection — into
+    // a materialized wire (as a wire is); (b) DECODE+snapshot — one
+    // barrier-pinned from_json + the A2 max_by — from the wire. Proves
+    // the OptimizerBarrier single-parse fix holds at scale (a re-parse
+    // regression shows as a super-linear decode law, the r13 22×).
+    if (args.length > 1 && args(1).startsWith("genenvelope=")) {
+      val sizes = args(1).stripPrefix("genenvelope=").split(",").map(_.toLong)
+      val payload = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType)))
+      def log(n: Long) = spark.read.format("graft.sources.GenSource")
+        .option("rows", n).option("users", 99991)
+        .option("slices", cpus.toInt).load()
+        .select(col("user_id").as("key"), col("ts_us").as("commit_ts_us"),
+          col("event_id").as("seq"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_type"), (col("value_e2") / 100.0).as("value"),
+          concat(lit("{\"k\":"), col("user_id"), lit("}")).as("props"))
+      sizes.foreach { n =>
+        val wireDir = s"/tmp/graft_probe_envelope_$n"
+        graft.cdc.Envelope.encode(log(math.min(n, 100000L)), "graft",
+          "events", Seq("event_type", "value", "props"))
+          .agg(count(lit(1))).first() // warm codegen/planner
+        time(s"envelope_encode n=$n") {
+          graft.cdc.Envelope.encode(log(n), "graft", "events",
+              Seq("event_type", "value", "props"))
+            .select(graft.cdc.Envelope.EnvelopeCol)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(wireDir)
+          n
+        }
+        time(s"envelope_decode_snapshot n=$n") {
+          graft.cdc.Materialize.snapshot(
+            graft.cdc.Envelope.decode(spark.read.parquet(wireDir),
+              payload, "graft", "events")).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // JDBC extract curve: `runMain graft.Probe _ genjdbc=2000000:1,2000000:8`
+    // prices the A51 range-partitioned warehouse extract at each
+    // (rows, numPartitions): the generated changelog is loaded into an
+    // embedded-Derby table once per size, then extracted with
+    // partitionColumn=key across P remote queries — the law is the
+    // parallel-extract speedup P buys until the single-JVM warehouse
+    // saturates.
+    if (args.length > 1 && args(1).startsWith("genjdbc=")) {
+      val specs = args(1).stripPrefix("genjdbc=").split(",")
+        .map { s => val Array(n, p) = s.split(":").map(_.toLong); (n, p.toInt) }
+      var loaded = -1L
+      var url = ""
+      specs.foreach { case (n, p) =>
+        if (n != loaded) {
+          val db = s"/tmp/graft_probe_jdbc_$n/derby"
+          try java.sql.DriverManager.getConnection(
+            s"jdbc:derby:$db;shutdown=true")
+          catch { case _: java.sql.SQLException => () }
+          val dir = java.nio.file.Paths.get(s"/tmp/graft_probe_jdbc_$n")
+          if (java.nio.file.Files.exists(dir)) {
+            java.nio.file.Files.walk(dir)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.delete(f))
+          }
+          url = s"jdbc:derby:$db;create=true"
+          val log = spark.read.format("graft.sources.GenSource")
+            .option("rows", n).option("users", 99991)
+            .option("slices", cpus.toInt).load()
+            .select(col("user_id").as("key"), col("ts_us").as("commit_ts_us"),
+              col("event_id").as("seq"), (col("value_e2") / 100.0).as("value"))
+          time(s"jdbc_load n=$n") {
+            log.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .jdbc(url, "probe_src", new java.util.Properties())
+            n
+          }
+          loaded = n
+        }
+        time(s"jdbc_extract n=$n partitions=$p") {
+          spark.read
+            .option("partitionColumn", "key")
+            .option("numPartitions", p)
+            .option("lowerBound", 0L)
+            .option("upperBound", 99991L)
+            .jdbc(url, "probe_src", new java.util.Properties())
+            .count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Topic consumer throughput: `runMain graft.Probe _ gentopic=2000000:500000`
     // prices the A46 broker loop end to end at each size — PRODUCE a
     // generated changelog into the 8-partition Topic sink (routing +

@@ -190,8 +190,22 @@ object Cms {
     * — a small multiple of the candidate bound itself — guarantees the
     * check passes; the default suits partitions up to ~512M rows at
     * the `q_cms_heavy` floor. State: ≤ capacity counters regardless of
-    * key cardinality; amortized O(1) per row (each decrement round
-    * cancels ≥ capacity+1 prior increments). */
+    * key cardinality.
+    *
+    * AMORTIZED O(1) per row (VERDICT r13 ask #3 — the naive
+    * decrement-all round is an O(capacity) sweep, and an adversarial
+    * mix of a capacity-wide head plus a singleton flood triggers it
+    * per flood row: O(rows·capacity)): the global decrement is a LAZY
+    * DEBT counter `d` — a counter's logical value is `stored - d`, so
+    * "decrement everything" is `d += 1`, O(1) — and eviction uses a
+    * value-bucket index (stored value → key set; an increment moves
+    * its key up one bucket, O(1)). The inductive invariant: every
+    * live stored value is ≥ d+1, so after `d += 1` EXACTLY bucket `d`
+    * holds the logical zeros — one O(|evicted|) drain paid for by
+    * those keys' own inserts. Emission: logical + d = stored, so the
+    * candidate floor test is simply `stored >= floorCnt`. The
+    * q_cms_heavy_mg bench row and the Probe `genmg` curve pin the
+    * linear row scaling. */
   def localHeavyCandidatesMG(df: DataFrame, keyCol: String, minCount: Long,
                              capacity: Int = 1 << 17): DataFrame = {
     val keyDf = df.select(col(keyCol))
@@ -199,17 +213,28 @@ object Cms {
       val ctx = org.apache.spark.TaskContext.get()
       val p = if (ctx == null) 1 else math.max(1, ctx.numPartitions())
       val floorCnt = math.max(1L, (minCount + p - 1) / p)
-      val counts = scala.collection.mutable.HashMap.empty[Any, Long]
+      val stored = scala.collection.mutable.HashMap.empty[Any, Long]
+      val buckets =
+        scala.collection.mutable.HashMap.empty[Long,
+          scala.collection.mutable.HashSet[Any]]
       var d = 0L
       it.foreach { r =>
         val k = r.get(0)
-        counts.get(k) match {
-          case Some(c) => counts.update(k, c + 1L)
-          case None if counts.size < capacity => counts.update(k, 1L)
-          case None =>
-            d += 1L // decrement round: every counter down 1, zeros evict
-            counts.filterInPlace { (_, c) => c > 1L }
-              .mapValuesInPlace { (_, c) => c - 1L }
+        stored.get(k) match {
+          case Some(v) => // logical increment: move up one bucket
+            stored.update(k, v + 1L)
+            val b = buckets(v)
+            b.remove(k)
+            if (b.isEmpty) buckets.remove(v)
+            buckets.getOrElseUpdate(v + 1L,
+              scala.collection.mutable.HashSet.empty[Any]) += k
+          case None if stored.size < capacity => // insert at logical 1
+            stored.update(k, d + 1L)
+            buckets.getOrElseUpdate(d + 1L,
+              scala.collection.mutable.HashSet.empty[Any]) += k
+          case None => // decrement round: advance the debt, drain zeros
+            d += 1L
+            buckets.remove(d).foreach(_.foreach(stored.remove))
         }
       }
       require(d < floorCnt,
@@ -217,8 +242,9 @@ object Cms {
           s"candidate floor of $floorCnt (saw $d decrement rounds): an " +
           "absent key could reach the floor — raise capacity to " +
           "~partitionRows/floorCnt")
-      counts.iterator.collect {
-        case (k, c) if c + d >= floorCnt => org.apache.spark.sql.Row(k)
+      // logical + d == stored: the floor test needs no subtraction
+      stored.iterator.collect {
+        case (k, v) if v >= floorCnt => org.apache.spark.sql.Row(k)
       }
     }(org.apache.spark.sql.Encoders.row(keyDf.schema))
       .distinct()

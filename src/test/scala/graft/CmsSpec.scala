@@ -152,6 +152,29 @@ class CmsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("too small")), msgs(e).mkString("|"))
   }
 
+  test("Misra-Gries adversarial mix (capacity-wide head + singleton " +
+    "flood) runs in bounded time — the decrement is amortized O(1)") {
+    import graft.operators.Cms
+    // The naive decrement-all form sweeps O(capacity) per flood row
+    // once the table is full of live head counters: 500k floods ×
+    // 65536 counters ≈ 3e10 map ops — minutes-to-hours. The lazy-debt
+    // bucket form pays O(1) amortized; this completes in seconds.
+    val capacity = 1 << 16
+    val head = spark.range(0, capacity.toLong * 6)
+      .select((col("id") % capacity).as("k"))
+    val flood = spark.range(0, 500000L)
+      .select((col("id") + 1000000000L).as("k"))
+    val df = head.unionAll(flood).coalesce(1) // one worst-case partition
+    val t0 = System.nanoTime()
+    // floor = 600k (1 partition): d ≈ 434k stays under it — lossless
+    val n = Cms.localHeavyCandidatesMG(df, "k", minCount = 600000L,
+      capacity = capacity).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n === 0L) // nothing reaches the floor; the POINT is the time
+    assert(secs < 60, f"adversarial MG took $secs%.1f s — the decrement " +
+      "sweep is back")
+  }
+
   test("join-size estimate is exact in a wide grid, upper bound in a tiny one") {
     // a: keys 1..20 once each; b: key k appears k%4+1 times
     val a = keysDf(1L to 20L: _*)
