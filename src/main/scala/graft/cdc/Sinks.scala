@@ -107,6 +107,37 @@ object GraftSink {
         .partitionBy("__partition")
         .parquet(path)
 
+    /** Producer FENCING (A57 — Kafka's zombie-producer epoch contract:
+      * when a new producer session registers a higher epoch, the
+      * broker REJECTS every subsequent write from older epochs, so a
+      * partitioned-away "zombie" producer that keeps flushing cannot
+      * corrupt the log its successor owns). Relationally: a row
+      * survives iff its epoch equals the RUNNING MAX epoch over its
+      * topic partition in arrival order — once a higher epoch lands in
+      * a partition, older-epoch rows arriving after it are ignored;
+      * everything the zombie wrote BEFORE the takeover stands (it was
+      * legitimately the leader then). Survivors then get the dense
+      * per-partition offsets of [[assign]].
+      *
+      * Scale shape: ONE hash exchange on `__partition` feeds both
+      * windows (running-max fence, then offsets over survivors — the
+      * filter preserves partitioning and order, so no second exchange
+      * or sort), exactly the [[assign]] plan plus a scan-local fence
+      * compare. */
+    def assignFenced(df: DataFrame, epochCol: String = "epoch"): DataFrame = {
+      val w = Window.partitionBy(col("__partition"))
+        .orderBy(orderCols.map(col): _*)
+      val routed = df
+        .withColumn("__partition", Route(strategy, numPartitions, df))
+        .repartition(numPartitions, col("__partition"))
+      routed
+        .withColumn("__fence", max(col(epochCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col(epochCol) === col("__fence"))
+        .drop("__fence")
+        .withColumn("__offset", row_number().over(w).cast("long") - 1)
+    }
+
     /** Kafka-style LOG COMPACTION of an [[assign]]ed topic (A45): per
       * key the LATEST record is retained AT ITS ORIGINAL OFFSET —
       * consumers see offset GAPS, the defining compacted-topic

@@ -966,6 +966,29 @@ object Cdc {
         .orderBy("__partition")
     }),
 
+    // A57: producer FENCING — Kafka's zombie-producer epoch contract
+    // over the A23 topic. Producer A (epoch 1) keeps flushing the whole
+    // feed after a failover; producer B (epoch 2) takes over from
+    // asof-ts. The fenced log keeps every row whose epoch equals the
+    // RUNNING MAX epoch of its partition in arrival order: A's rows
+    // before B's first write stand, A's rows after it are rejected,
+    // all of B's stand — then dense offsets over the survivors. One
+    // hash exchange feeds fence + offsets (the assign plan plus a
+    // scan-local compare). The oracle re-derives routing, the running
+    // max, and the surviving log in SQL.
+    "cdc_topic_fenced" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      val a = log.withColumn("epoch", lit(1L))
+      val b = log.where(col("commit_ts_us") > asofTsUs)
+        .withColumn("epoch", lit(2L))
+        .withColumn("seq", col("seq") + 4000000000000000000L)
+      GraftSink.Topic(path = "", numPartitions = 8)
+        .assignFenced(a.unionByName(b))
+        .select(col("__partition"), col("__offset"), col("epoch"),
+          col("key").as("user_id"), col("seq"), col("commit_ts_us"))
+        .orderBy("__partition", "__offset")
+    }),
+
     // A56: consumer-GROUP assignment + rebalance + per-consumer lag —
     // the full `kafka-consumer-groups --describe` picture over the A23
     // topic (README.md:17-23's consumer side). Assignment is Kafka's
@@ -2254,6 +2277,32 @@ object Cdc {
         |       end_offset // 2 AS committed_offset,
         |       end_offset - end_offset // 2 AS lag
         |FROM e ORDER BY __partition""".stripMargin),
+
+    // The fenced log re-derived in SQL: both producers' unions, keymod
+    // routing, the running-max epoch fence in arrival order, dense
+    // offsets over survivors.
+    "cdc_topic_fenced" -> (logCte +
+      s""",
+        |producers AS (
+        |  SELECT key, commit_ts_us, seq, 1 AS epoch FROM log
+        |  UNION ALL
+        |  SELECT key, commit_ts_us, seq + 4000000000000000000 AS seq,
+        |         2 AS epoch
+        |  FROM log WHERE commit_ts_us > $asofTsUs),
+        |routed AS (
+        |  SELECT *, key % 8 AS p FROM producers),
+        |f AS (
+        |  SELECT *, max(epoch) OVER (PARTITION BY p
+        |    ORDER BY commit_ts_us, seq, key
+        |    ROWS UNBOUNDED PRECEDING) AS fence
+        |  FROM routed),
+        |s AS (SELECT * FROM f WHERE epoch = fence)
+        |SELECT p AS __partition,
+        |       CAST(row_number() OVER (PARTITION BY p
+        |         ORDER BY commit_ts_us, seq, key) - 1 AS BIGINT) AS __offset,
+        |       CAST(epoch AS BIGINT) AS epoch, key AS user_id, seq,
+        |       commit_ts_us
+        |FROM s ORDER BY __partition, __offset""".stripMargin),
 
     // The full consumer-group describe re-derived in SQL: routing,
     // dense offsets, ends, planted commits, and both eager assignors

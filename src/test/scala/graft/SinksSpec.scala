@@ -138,6 +138,31 @@ class SinksSpec extends SparkSpec {
     assertSameRows(snapKeys, replayKeys)
   }
 
+  test("Topic.assignFenced: zombie-epoch writes after the takeover are " +
+    "rejected; earlier ones and untouched partitions stand") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, 100L, 1L, 1L), // A before the takeover — survives
+      (0L, 200L, 2L, 2L), // B takes partition 0 at ts 200
+      (0L, 300L, 3L, 1L), // zombie A after it — fenced out
+      (0L, 400L, 4L, 2L), // B — survives
+      (1L, 150L, 5L, 1L), // partition 1: no takeover, A keeps the lease
+      (1L, 500L, 6L, 1L)
+    ).toDF("key", "commit_ts_us", "seq", "epoch")
+    val fenced = GraftSink.Topic(path = "", numPartitions = 2)
+      .assignFenced(rows)
+    val got = fenced.select("seq", "__partition", "__offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 0L, 0L), (2L, 0L, 1L), (4L, 0L, 2L),
+      (5L, 1L, 0L), (6L, 1L, 1L)),
+      s"fence kept the wrong rows / offsets: $got")
+    // one hash exchange feeds fence AND offsets — the assign plan plus
+    // a scan-local compare, never a second shuffle
+    val plan = fenced.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly 1 exchange:\n${plan.take(1500)}")
+  }
+
   test("SinkConfig: uris compile to the right sinks and round-trip") {
     val parsed = SinkConfig.parse(
       "parquet:/out/x?partitionBy=__partition,op&maxRecords=5000&mode=append")
