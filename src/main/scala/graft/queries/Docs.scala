@@ -1082,7 +1082,8 @@ object Docs {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val blocked = Seq("site3.com", "site7.co.uk").toDF("domain")
-      graft.operators.Domains.report(docs,
+      // distinct-host form (r14): PSL probing on |hosts|, not |rows|
+      graft.operators.Domains.reportByHost(docs,
           graft.operators.Domains.synthesizeUrl(col("doc_id"), col("source")),
           col("text"), col("n_chars"), blocked)
         .orderBy("domain")
@@ -1113,9 +1114,14 @@ object Docs {
           .when(v === 6, lit("a.www.ck"))
           .otherwise(concat(lit("x.y.site"), n, lit(".de"))))
       val url = concat(lit("https://"), host, lit("/p/"), col("doc_id"))
-      docs.select(
-          graft.operators.Domains.domainOf(url).as("domain"))
-        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      // host-first aggregation (r14): the PSL ladder runs once per
+      // DISTINCT host (|hosts| ≪ |rows| on any crawl), not per row —
+      // group by host (map-side combined), extract, re-group by domain
+      docs.select(graft.operators.Domains.host(url).as("__host"))
+        .groupBy("__host").agg(count(lit(1)).as("n"))
+        .select(graft.operators.Domains.registrable(col("__host"))
+          .as("domain"), col("n"))
+        .groupBy("domain").agg(sum(col("n")).as("n_docs"))
         .orderBy("domain")
     }),
 
@@ -1128,7 +1134,8 @@ object Docs {
     // the independent domain derivation.
     "doc_domain_cap" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      graft.operators.Domains.cap(docs,
+      // distinct-host form (r14): the host→domain map broadcasts back
+      graft.operators.Domains.capByHost(docs,
           graft.operators.Domains.synthesizeUrl(col("doc_id"), col("source")),
           col("doc_id"), k = 5)
         .select(col("domain"), col("doc_id"), col("rnk"))

@@ -82,6 +82,24 @@ class DomainsSpec extends SparkSpec {
     assert(canon("https://ex.com/p?utm_a=1&utm_b=2&keep=3") === "https://ex.com/p?keep=3")
   }
 
+  test("distinct-host forms ≡ scan-local forms: reportByHost/capByHost " +
+    "return exactly report/cap (PSL on |hosts|, not |rows|)") {
+    val docs = Tables.documents(spark, sfDir)
+    val url = Domains.synthesizeUrl(col("doc_id"), col("source"))
+    val blocked = Seq("site3.com", "site7.co.uk").toDF("domain")
+    val a = Domains.report(docs, url, col("text"), col("n_chars"), blocked)
+    val b = Domains.reportByHost(docs, url, col("text"), col("n_chars"),
+      blocked)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    assert(a.count() > 0)
+    val c = Domains.cap(docs, url, col("doc_id"), k = 5)
+      .select("domain", "doc_id", "rnk")
+    val d = Domains.capByHost(docs, url, col("doc_id"), k = 5)
+      .select("domain", "doc_id", "rnk")
+    assert(c.exceptAll(d).count() === 0 && d.exceptAll(c).count() === 0)
+    assert(c.count() > 0)
+  }
+
   test("report blocklist is a broadcast anti-join; cap uses a window group limit") {
     val docs = Tables.documents(spark, sfDir)
     val url = Domains.synthesizeUrl(col("doc_id"), col("source"))
