@@ -766,7 +766,7 @@ object Cdc {
       val dlqDir = freshScratch(dir, "topicenvevolve_dlq")
       val q = CdcStream.deliverEvolvingWire(
         graft.sources.TopicSource.stream(s, path, wireSchema,
-            maxOffsetsPerTrigger = 8192)
+            maxOffsetsPerTrigger = 32768)
           .select(Envelope.EnvelopeCol),
         envelopePayload, "graft", "events", sinkDir, dlqDir,
         java.nio.file.Files.createTempDirectory("ckpt").toString)
