@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,41 @@ object GraftSink {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__partition")
         .parquet(path)
+
+    /** Time-based LOG RETENTION (A59 — Kafka's log.retention.ms: the
+      * broker reclaims log prefixes older than the retention window,
+      * the partition's LOG-START OFFSET advances past them, and a
+      * consumer whose committed offset fell below it gets an
+      * OffsetOutOfRange reset to earliest — it resumes at log-start,
+      * not at its stale cursor). The topic's offsets are commit-ts
+      * monotone within a partition by construction (orderCols leads
+      * with the commit ts), so the retained set is exactly
+      * `commit_ts_us >= cutoff` and log-start = min retained offset —
+      * one scan-local filter against a 1-row broadcast cutoff (the
+      * [[compact]] pattern), then a |partitions|-row min/max agg for
+      * the offset report. Nothing scales with reclaimed history.
+      * Returns (retained, report) where report has per partition:
+      * log_start_offset, end_offset, and for `committedCol` planted
+      * cursors the effective resume offset
+      * greatest(committed, log_start). */
+    def retain(assigned: DataFrame, retentionUs: Long,
+               committed: Column): (DataFrame, DataFrame) = {
+      val cutoff = assigned
+        .agg((max(col("commit_ts_us")) - retentionUs).as("__cutoff"))
+      val retained = assigned.crossJoin(broadcast(cutoff))
+        .where(col("commit_ts_us") >= col("__cutoff"))
+        .drop("__cutoff")
+      val report = retained
+        .groupBy(col("__partition"))
+        .agg(min(col("__offset")).as("log_start_offset"),
+          (max(col("__offset")) + 1L).as("end_offset"))
+        .withColumn("committed_offset", committed)
+        .withColumn("effective_resume",
+          greatest(col("committed_offset"), col("log_start_offset")))
+        .withColumn("reset_to_earliest",
+          (col("committed_offset") < col("log_start_offset")).cast("long"))
+      (retained, report)
+    }
 
     /** Producer FENCING (A57 — Kafka's zombie-producer epoch contract:
       * when a new producer session registers a higher epoch, the

@@ -966,6 +966,29 @@ object Cdc {
         .orderBy("__partition")
     }),
 
+    // A59: time-based LOG RETENTION — Kafka's log.retention.ms over
+    // the A23 topic: the broker reclaims the prefix older than 10
+    // days of a 30-day feed (relative to the newest commit — a 1-row
+    // broadcast cutoff),
+    // each partition's LOG-START OFFSET advances past it, and planted
+    // consumer cursors show BOTH OffsetOutOfRange outcomes by
+    // construction (even partitions committed below log-start → reset
+    // to earliest; odd ones above → resume at their cursor). Offsets
+    // are commit-ts monotone within a partition, so retention is one
+    // scan-local filter; the report is |partitions| rows. Oracle
+    // re-derives routing, offsets, the cutoff, log-start, and the
+    // reset rule in SQL.
+    "cdc_topic_retention" -> ((s, dir) => {
+      val assigned = GraftSink.Topic(path = "", numPartitions = 8)
+        .assign(changelog(s, dir))
+      val committed = expr(
+        "CASE WHEN __partition % 2 = 0 THEN log_start_offset div 2 " +
+          "ELSE (log_start_offset + end_offset) div 2 END")
+      val (_, report) = GraftSink.Topic(path = "", numPartitions = 8)
+        .retain(assigned, retentionUs = 10L * 86400000000L, committed)
+      report.orderBy("__partition")
+    }),
+
     // A57: producer FENCING — Kafka's zombie-producer epoch contract
     // over the A23 topic. Producer A (epoch 1) keeps flushing the whole
     // feed after a failover; producer B (epoch 2) takes over from
@@ -2277,6 +2300,36 @@ object Cdc {
         |       end_offset // 2 AS committed_offset,
         |       end_offset - end_offset // 2 AS lag
         |FROM e ORDER BY __partition""".stripMargin),
+
+    // The retention report re-derived in SQL: routing, dense offsets,
+    // the newest-commit-relative cutoff, per-partition log-start, the
+    // planted cursors, and the OffsetOutOfRange reset rule.
+    "cdc_topic_retention" -> (logCte +
+      """,
+        |topic AS (
+        |  SELECT key, commit_ts_us, key % 8 AS p,
+        |         row_number() OVER (PARTITION BY key % 8
+        |           ORDER BY commit_ts_us, seq, key) - 1 AS o
+        |  FROM log),
+        |cut AS (
+        |  SELECT max(commit_ts_us) - 10 * 86400000000 AS c FROM topic),
+        |r AS (SELECT * FROM topic WHERE commit_ts_us >= (SELECT c FROM cut)),
+        |rep AS (
+        |  SELECT p, CAST(min(o) AS BIGINT) AS log_start_offset,
+        |         CAST(max(o) + 1 AS BIGINT) AS end_offset
+        |  FROM r GROUP BY 1),
+        |cur AS (
+        |  SELECT *, CASE WHEN p % 2 = 0 THEN log_start_offset // 2
+        |                 ELSE (log_start_offset + end_offset) // 2 END
+        |            AS committed_offset
+        |  FROM rep)
+        |SELECT p AS __partition, log_start_offset, end_offset,
+        |       committed_offset,
+        |       greatest(committed_offset, log_start_offset)
+        |         AS effective_resume,
+        |       CAST(committed_offset < log_start_offset AS BIGINT)
+        |         AS reset_to_earliest
+        |FROM cur ORDER BY __partition""".stripMargin),
 
     // The fenced log re-derived in SQL: both producers' unions, keymod
     // routing, the running-max epoch fence in arrival order, dense
