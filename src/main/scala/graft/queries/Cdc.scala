@@ -800,6 +800,45 @@ object Cdc {
         .orderBy("seq")
     }),
 
+    // A50 quarantine path graded at corpus scale: a DETERMINISTICALLY
+    // POISONED wire (five disjoint corruption classes by seq mod —
+    // truncation, wrong table, unknown op type, stray DDL, stripped
+    // _graft meta — applied to real envelopes, then materialized as a
+    // wire) drains through the classified decode; the query is the
+    // per-reason census. The oracle derives each record's EXPECTED
+    // reason from seq arithmetic alone — independent of the codec —
+    // so parity proves the classifier assigns exactly the right
+    // reason to every poison class and passes exactly the clean rows,
+    // not merely that decode doesn't throw (EnvelopeSpec pins the
+    // per-envelope cases; this grades the census cross-engine).
+    "cdc_envelope_quarantine" -> ((s, dir) => {
+      val wirePath = roundtripPath(dir, "envquarantine")
+      val e = col(Envelope.EnvelopeCol)
+      Envelope.encode(changelog(s, dir), "graft", "events",
+          Seq("event_type", "value", "props"))
+        .withColumn(Envelope.EnvelopeCol,
+          when(col("seq") % 7 === 0, expr(
+            s"substring(${Envelope.EnvelopeCol}, 1, " +
+              s"length(${Envelope.EnvelopeCol}) - 5)"))
+            .when(col("seq") % 7 === 1, regexp_replace(e,
+              "\"table\":\"events\"", "\"table\":\"other\""))
+            .when(col("seq") % 7 === 2, regexp_replace(e,
+              "\"type\":\"(INSERT|UPDATE|DELETE)\"", "\"type\":\"TRUNCATE\""))
+            .when(col("seq") % 7 === 3, regexp_replace(e,
+              "\"isDdl\":false", "\"isDdl\":true"))
+            .when(col("seq") % 7 === 4, regexp_replace(e,
+              ",\"_graft\":\\{[^}]*\\}", ""))
+            .otherwise(e))
+        .select(Envelope.EnvelopeCol)
+        .write.mode(SaveMode.Overwrite).parquet(wirePath)
+      Envelope.decodeAll(s.read.parquet(wirePath), envelopePayload,
+          "graft", "events")
+        .groupBy(coalesce(col("__envelope_error"), lit("clean"))
+          .as("reason"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("reason")
+    }),
+
     // A50 codec identity: encode → wire → decode is the changelog
     // itself, column-exact (doubles round-trip bit-exact through the
     // JSON shortest-representation — the reason data/old keep
@@ -1971,6 +2010,20 @@ object Cdc {
         |FROM log
         |WHERE event_type <> 'view'
         |ORDER BY user_id, commit_ts_us, seq""".stripMargin),
+
+    // The poison census re-derived from seq arithmetic alone — the
+    // classifier's reason per corruption class, never the codec.
+    "cdc_envelope_quarantine" -> (logCte +
+      """
+        |SELECT CASE seq % 7
+        |         WHEN 0 THEN 'malformed_json'
+        |         WHEN 1 THEN 'wrong_table'
+        |         WHEN 2 THEN 'unknown_type'
+        |         WHEN 3 THEN 'ddl_event_in_row_topic'
+        |         WHEN 4 THEN 'missing_graft_meta'
+        |         ELSE 'clean' END AS reason,
+        |       count(*) AS n
+        |FROM log GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Codec identity: encode → decode is the changelog, column-exact.
     "cdc_envelope_roundtrip" -> (logCte +
