@@ -63,6 +63,46 @@ object ConsumerGroups {
       (ownerIndex(strategy, numPartitions, sorted.size, p) + 1).cast("int"))
   }
 
+  /** STICKY rebalance (the KIP-54 objective, deterministically): when
+    * members leave, SURVIVORS KEEP every partition they own — zero
+    * unnecessary movement, the property the eager assignors lack (an
+    * eager round-robin re-deals almost everything) — and only the
+    * departed members' partitions redistribute, round-robin over
+    * survivors ordered by (inherited load asc, member id), so the
+    * result is balanced to within one partition and independent of
+    * evaluation order. `prev` is the prior assignment relation
+    * (consumer, __partition, …extras ride along); adds `moved`
+    * (1 = reassigned — exactly the departed members' partitions).
+    * Every frame here is |partitions|-sized metadata; the windows and
+    * the broadcast survivor-order join cost nothing at any data
+    * scale. */
+  def stickyRebalance(prev: DataFrame, survivors: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(survivors.nonEmpty, "a group needs at least one member")
+    val surv = survivors.sorted
+    val spark = prev.sparkSession
+    import spark.implicits._
+    val kept = prev.where(col("consumer").isin(surv: _*))
+    val loads = kept.groupBy(col("consumer"))
+      .agg(count(lit(1)).as("__load"))
+    val order = surv.toDF("consumer")
+      .join(loads, Seq("consumer"), "left")
+      .withColumn("__load", coalesce(col("__load"), lit(0L)))
+      .withColumn("__idx", row_number().over(
+        Window.orderBy(col("__load"), col("consumer"))).cast("long") - 1)
+      .select(col("consumer"), col("__idx"))
+    val orphans = prev.where(!col("consumer").isin(surv: _*))
+      .drop("consumer")
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__partition"))).cast("long") - 1)
+      .withColumn("__idx", col("__r") % surv.size)
+    kept.withColumn("moved", lit(0L))
+      .unionByName(
+        orphans.join(broadcast(order), Seq("__idx"))
+          .drop("__r", "__idx")
+          .withColumn("moved", lit(1L)))
+  }
+
   /** The `--describe` relation for one rebalance generation:
     * (strategy, generation, consumer, __partition, end_offset,
     * committed_offset, lag) from a per-partition ends frame

@@ -1078,6 +1078,28 @@ object Cdc {
         .orderBy("strategy", "generation", "__partition")
     }),
 
+    // A56 sticky half: the KIP-54 STICKY rebalance over the same
+    // topic — member c1 leaves a 3-member range assignment; survivors
+    // KEEP every partition they own (moved=0 — the zero-unnecessary-
+    // movement property the eager assignors lack) and only c1's
+    // partitions redistribute, round-robin over survivors ordered by
+    // (inherited load, member id), balanced within one. Oracle
+    // re-derives the gen-1 range formula, the orphan set, the
+    // load-ordered survivor ring, and the moved flags in SQL.
+    "cdc_topic_groups_sticky" -> ((s, dir) => {
+      val ends = GraftSink.Topic(path = "", numPartitions = 8)
+        .assign(changelog(s, dir))
+        .groupBy(col("__partition").cast("long").as("__partition"))
+        .agg((max(col("__offset")) + 1L).as("end_offset"))
+      val gen1 = ends.select(col("__partition"), col("end_offset"),
+        ConsumerGroups.owner("range", 8, Seq("c0", "c1", "c2"),
+          col("__partition")).as("consumer"))
+      ConsumerGroups.stickyRebalance(gen1, survivors = Seq("c0", "c2"))
+        .select(col("consumer"), col("__partition"), col("end_offset"),
+          col("moved"))
+        .orderBy("__partition")
+    }),
+
     // A48: the reference's FULL deployment loop in one graded path —
     // producer (A23 Topic sink) → broker (hive-partitioned offset log)
     // → consumer (A46 TopicSource tail) → plugin chain (A4 filter) →
@@ -2353,6 +2375,38 @@ object Cdc {
         |       end_offset // 2 AS committed_offset,
         |       end_offset - end_offset // 2 AS lag
         |FROM e ORDER BY __partition""".stripMargin),
+
+    // The sticky rebalance re-derived in SQL: gen-1 range formula,
+    // orphans of the departed member, the (load, id)-ordered survivor
+    // ring, round-robin orphan placement, moved flags.
+    "cdc_topic_groups_sticky" -> (logCte +
+      """,
+        |e AS (
+        |  SELECT key % 8 AS p, count(*) AS end_offset
+        |  FROM log GROUP BY 1),
+        |g1 AS (
+        |  SELECT p, end_offset,
+        |         CASE WHEN p < (8 % 3) * ((8 // 3) + 1)
+        |              THEN p // ((8 // 3) + 1)
+        |              ELSE (p - (8 % 3) * ((8 // 3) + 1)) // (8 // 3)
+        |                   + (8 % 3) END AS ci
+        |  FROM e),
+        |kept AS (SELECT * FROM g1 WHERE ci <> 1),
+        |loads AS (SELECT ci, count(*) AS load FROM kept GROUP BY 1),
+        |surv AS (
+        |  SELECT ci, row_number() OVER (ORDER BY load, ci) - 1 AS idx
+        |  FROM loads),
+        |orph AS (
+        |  SELECT p, end_offset, row_number() OVER (ORDER BY p) - 1 AS r
+        |  FROM g1 WHERE ci = 1),
+        |assigned AS (
+        |  SELECT ci, p, end_offset, 0 AS moved FROM kept
+        |  UNION ALL
+        |  SELECT s.ci, o.p, o.end_offset, 1
+        |  FROM orph o JOIN surv s ON o.r % 2 = s.idx)
+        |SELECT 'c' || ci AS consumer, CAST(p AS BIGINT) AS __partition,
+        |       end_offset, CAST(moved AS BIGINT) AS moved
+        |FROM assigned ORDER BY __partition""".stripMargin),
 
     // The retention report re-derived in SQL: routing, dense offsets,
     // the newest-commit-relative cutoff, per-partition log-start, the

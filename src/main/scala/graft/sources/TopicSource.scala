@@ -309,21 +309,33 @@ private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
     out
   }
 
+  /** A partition directory can VANISH TRANSIENTLY under a live
+    * producer: GraftSink.Topic rewrites are dynamic partition
+    * overwrites, whose commit briefly replaces each directory. A
+    * missing dir mid-poll is therefore "nothing visible right now",
+    * never an error — the next poll (or the bounded re-list in
+    * [[planInputPartitions]]) sees the rewritten files. */
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
                         dir: Path): Seq[FileStatus] =
-    fs.listStatus(dir).toSeq.filter { f =>
+    try fs.listStatus(dir).toSeq.filter { f =>
       val n = f.getPath.getName
       f.isFile && n.endsWith(".parquet") &&
         !n.startsWith(".") && !n.startsWith("_")
-    }
+    } catch { case _: java.io.FileNotFoundException => Seq.empty }
 
   private def footerMaxOffset(f: FileStatus): Option[Long] =
     footerMemo.synchronized {
       footerMemo.getOrElseUpdate(memoKey(f), readFooterMaxOffset(f))
     }
 
-  /** The raw footer read (no memo) — one open, statistics only. */
-  private def readFooterMaxOffset(f: FileStatus): Option[Long] = {
+  /** The raw footer read (no memo) — one open, statistics only. A file
+    * REPLACED between listing and open (live-producer rewrite) reads
+    * as absent; its successor is discovered on the next poll. */
+  private def readFooterMaxOffset(f: FileStatus): Option[Long] =
+    try readFooterMaxOffset0(f)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  private def readFooterMaxOffset0(f: FileStatus): Option[Long] = {
       val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
       try {
         val maxes = rd.getFooter.getBlocks.asScala.toSeq.map { b =>
@@ -389,11 +401,32 @@ private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
         val dir = new Path(root, s"${TopicSource.PartitionCol}=$pid")
         // footer stats prune whole files outside [from, until) at PLAN
         // time; the row-group/record filter inside the reader finishes
-        // the job (so a tail read opens only tail files)
-        val files = dataFiles(fs, dir).filter { f =>
+        // the job (so a tail read opens only tail files).
+        //
+        // The listing must COVER the admitted end: between admission
+        // (latestOffset's footer discovery) and planning, a live
+        // producer's dynamic-overwrite commit can transiently hide the
+        // directory or a file. Reading a partial listing would SILENTLY
+        // DROP rows of a committed range — so re-list briefly until
+        // offset until-1 is visible again (rewrite commits are
+        // milliseconds), and fail LOUDLY if it never reappears (a
+        // truncated topic is an operator error, not a skippable gap).
+        def list() = dataFiles(fs, dir).filter { f =>
           footerMaxOffset(f).exists(_ >= from)
-        }.map(_.getPath.toString)
-        Some(TopicInputPartition(pid, files, from, until): InputPartition)
+        }
+        var files = list()
+        val deadline = System.nanoTime() + 10L * 1000000000L
+        while (!files.flatMap(footerMaxOffset).exists(_ >= until - 1) &&
+            System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          files = list()
+        }
+        require(files.flatMap(footerMaxOffset).exists(_ >= until - 1),
+          s"$dir: admitted offsets [$from, $until) are not covered by " +
+            "any visible file after 10s — the topic was truncated or " +
+            "rewritten non-deterministically under this consumer")
+        Some(TopicInputPartition(pid, files.map(_.getPath.toString),
+          from, until): InputPartition)
       }
     }.toArray
   }

@@ -96,6 +96,32 @@ class TopicSourceSpec extends SparkSpec {
     assert(batch.exceptAll(union).count() === 0L)
   }
 
+  test("sticky rebalance: survivors keep every partition (zero " +
+    "unnecessary movement), orphans balance within one") {
+    import graft.cdc.ConsumerGroups
+    import spark.implicits._
+    val gen1 = (0L to 7L).map(p =>
+      (p, spark.range(1).select(ConsumerGroups.owner("range", 8,
+        Seq("c0", "c1", "c2"), lit(p))).head.getString(0)))
+      .toDF("__partition", "consumer")
+    val gen2 = ConsumerGroups.stickyRebalance(gen1, Seq("c0", "c2"))
+      .collect().map(r => (r.getAs[Long]("__partition"),
+        r.getAs[String]("consumer"), r.getAs[Long]("moved"))).toSeq
+    val prev = gen1.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every unmoved partition kept its gen-1 owner; every moved one
+    // belonged to the departed member
+    for ((p, c, moved) <- gen2)
+      if (moved == 0L) assert(prev(p) === c, s"p$p moved unnecessarily")
+      else assert(prev(p) === "c1", s"p$p moved but c1 didn't own it")
+    assert(gen2.count(_._3 == 1L) === gen2.count { case (p, _, _) =>
+      prev(p) == "c1" })
+    // balance within one partition of optimal
+    val sizes = gen2.groupBy(_._2).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
+    assert(gen2.map(_._1).sorted === (0L to 7L)) // total, no dup/loss
+  }
+
   test("restart after a topic rewrite-extension: exactly the new tail, no dups") {
     // The producer contract: offset assignment is deterministic, so a
     // topic REWRITE from a longer changelog extends the log in place
