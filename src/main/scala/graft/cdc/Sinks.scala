@@ -107,6 +107,54 @@ object GraftSink {
         .partitionBy("__partition")
         .parquet(path)
 
+    /** TRANSACTIONAL reads (A60 — Kafka's read_committed isolation +
+      * LAST STABLE OFFSET): producers write records under transaction
+      * ids; a read_committed consumer sees non-transactional records
+      * and records of COMMITTED transactions, skips ABORTED ones, and
+      * never reads past the partition's LSO — the first offset still
+      * covered by an OPEN transaction (Kafka exposes exactly this
+      * fence so consumers cannot observe a transaction's records
+      * before its fate is decided).
+      *
+      * Relationally: `txns` is the (txn_id, status ∈
+      * committed|aborted|open) side — transaction-coordinator state,
+      * tiny, broadcast; the LSO is one grouped min over open-txn
+      * records; the visible set is a scan-local status CASE + one
+      * offset compare against the broadcast LSO. Returns (visible,
+      * report) — the report per partition: end_offset, lso,
+      * n_read_committed, n_aborted_skipped, n_beyond_lso. Nothing
+      * here scales past the topic scan + |txns| + |partitions|. */
+    def readCommitted(assigned: DataFrame, txns: DataFrame)
+        : (DataFrame, DataFrame) = {
+      val joined = assigned.join(broadcast(txns), Seq("txn_id"), "left")
+        .withColumn("__status",
+          when(col("txn_id").isNull, "committed") // non-transactional
+            .otherwise(coalesce(col("status"), lit("open"))))
+      val lso = joined
+        .groupBy(col("__partition").as("__lso_p"))
+        .agg(min(when(col("__status") === "open", col("__offset")))
+          .as("__open_min"),
+          (max(col("__offset")) + 1L).as("__end"))
+        .withColumn("lso", coalesce(col("__open_min"), col("__end")))
+      val staged = joined.join(broadcast(lso),
+        col("__partition") === col("__lso_p"))
+      val visible = staged
+        .where(col("__status") === "committed" && col("__offset") < col("lso"))
+        .drop("__lso_p", "__open_min", "__end", "__status", "status", "lso")
+      val report = staged
+        .groupBy(col("__partition"))
+        .agg(
+          max(col("__end")).as("end_offset"),
+          max(col("lso")).as("lso"),
+          count(when(col("__status") === "committed" &&
+            col("__offset") < col("lso"), 1)).as("n_read_committed"),
+          count(when(col("__status") === "aborted", 1))
+            .as("n_aborted_skipped"),
+          count(when(col("__status") === "committed" &&
+            col("__offset") >= col("lso"), 1)).as("n_beyond_lso"))
+      (visible, report)
+    }
+
     /** Time-based LOG RETENTION (A59 — Kafka's log.retention.ms: the
       * broker reclaims log prefixes older than the retention window,
       * the partition's LOG-START OFFSET advances past them, and a

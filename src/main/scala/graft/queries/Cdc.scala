@@ -1005,6 +1005,33 @@ object Cdc {
         .orderBy("__partition")
     }),
 
+    // A60: TRANSACTIONAL reads — Kafka's read_committed isolation and
+    // LAST STABLE OFFSET over the A23 topic. Records are planted under
+    // 101 interleaved transactions (every 5th record non-transactional);
+    // the coordinator side knows 95 of them (aborted / open / committed
+    // by txn arithmetic) and the 6 UNKNOWN ids default to open — the
+    // coalesce path a real coordinator outage exercises. The consumer
+    // sees committed + non-transactional records BELOW the partition's
+    // LSO (the first offset still covered by an open transaction);
+    // aborted records are skipped, committed ones past the LSO are
+    // fenced. One broadcast txn join + one grouped min; the report is
+    // |partitions| rows. Oracle re-derives routing, offsets, txn
+    // planting, statuses, LSO, and all three censuses in SQL.
+    "cdc_topic_txn" -> ((s, dir) => {
+      val assigned = GraftSink.Topic(path = "", numPartitions = 8)
+        .assign(changelog(s, dir))
+        .withColumn("txn_id",
+          when(col("seq") % 5 === 0, lit(null).cast("long"))
+            .otherwise(col("seq") % 101))
+      val txns = s.range(0, 95).select(col("id").as("txn_id"),
+        when(col("id") % 7 === 0, "aborted")
+          .when(col("id") % 7 === 1, "open")
+          .otherwise("committed").as("status"))
+      val (_, report) = GraftSink.Topic(path = "", numPartitions = 8)
+        .readCommitted(assigned, txns)
+      report.orderBy("__partition")
+    }),
+
     // A59: time-based LOG RETENTION — Kafka's log.retention.ms over
     // the A23 topic: the broker reclaims the prefix older than 10
     // days of a 30-day feed (relative to the newest commit — a 1-row
@@ -2407,6 +2434,43 @@ object Cdc {
         |SELECT 'c' || ci AS consumer, CAST(p AS BIGINT) AS __partition,
         |       end_offset, CAST(moved AS BIGINT) AS moved
         |FROM assigned ORDER BY __partition""".stripMargin),
+
+    // The read_committed/LSO report re-derived in SQL: routing, dense
+    // offsets, the txn planting, coordinator statuses (unknown → open),
+    // per-partition LSO, and the three censuses.
+    "cdc_topic_txn" -> (logCte +
+      """,
+        |topic AS (
+        |  SELECT key, seq, key % 8 AS p,
+        |         row_number() OVER (PARTITION BY key % 8
+        |           ORDER BY commit_ts_us, seq, key) - 1 AS o
+        |  FROM log),
+        |t AS (
+        |  SELECT *, CASE WHEN seq % 5 = 0 THEN NULL
+        |                 ELSE seq % 101 END AS txn_id
+        |  FROM topic),
+        |st AS (
+        |  SELECT *, CASE WHEN txn_id IS NULL THEN 'committed'
+        |                 WHEN txn_id >= 95 THEN 'open'
+        |                 WHEN txn_id % 7 = 0 THEN 'aborted'
+        |                 WHEN txn_id % 7 = 1 THEN 'open'
+        |                 ELSE 'committed' END AS status
+        |  FROM t),
+        |l AS (
+        |  SELECT p,
+        |         CAST(coalesce(min(CASE WHEN status = 'open' THEN o END),
+        |                       max(o) + 1) AS BIGINT) AS lso,
+        |         CAST(max(o) + 1 AS BIGINT) AS end_offset
+        |  FROM st GROUP BY 1)
+        |SELECT p AS __partition, end_offset, lso,
+        |       count(CASE WHEN status = 'committed' AND o < lso THEN 1 END)
+        |         AS n_read_committed,
+        |       count(CASE WHEN status = 'aborted' THEN 1 END)
+        |         AS n_aborted_skipped,
+        |       count(CASE WHEN status = 'committed' AND o >= lso THEN 1 END)
+        |         AS n_beyond_lso
+        |FROM st JOIN l USING (p)
+        |GROUP BY 1, 2, 3 ORDER BY __partition""".stripMargin),
 
     // The retention report re-derived in SQL: routing, dense offsets,
     // the newest-commit-relative cutoff, per-partition log-start, the

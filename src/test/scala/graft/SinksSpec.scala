@@ -163,6 +163,33 @@ class SinksSpec extends SparkSpec {
     assert(exchanges === 1, s"expected exactly 1 exchange:\n${plan.take(1500)}")
   }
 
+  test("Topic.readCommitted: aborted skipped, open fences the LSO, " +
+    "unknown txns default open, non-transactional always visible") {
+    import spark.implicits._
+    // one partition (key 0), offsets 0..5 by commit order
+    val rows = Seq(
+      (0L, 100L, 1L, Option.empty[Long]), // o0: non-txn     → visible
+      (0L, 200L, 2L, Some(10L)),          // o1: committed   → visible
+      (0L, 300L, 3L, Some(11L)),          // o2: aborted     → skipped
+      (0L, 400L, 4L, Some(12L)),          // o3: OPEN        → LSO = 3
+      (0L, 500L, 5L, Some(10L)),          // o4: committed but ≥ LSO
+      (0L, 600L, 6L, Some(99L))           // o5: UNKNOWN txn → open
+    ).toDF("key", "commit_ts_us", "seq", "txn_id")
+    val txns = Seq((10L, "committed"), (11L, "aborted"), (12L, "open"))
+      .toDF("txn_id", "status")
+    val topic = GraftSink.Topic(path = "", numPartitions = 1)
+    val (visible, report) =
+      topic.readCommitted(topic.assign(rows), txns)
+    assert(visible.select("__offset").collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L))
+    val r = report.head
+    assert(r.getAs[Long]("end_offset") === 6L)
+    assert(r.getAs[Long]("lso") === 3L)
+    assert(r.getAs[Long]("n_read_committed") === 2L)
+    assert(r.getAs[Long]("n_aborted_skipped") === 1L)
+    assert(r.getAs[Long]("n_beyond_lso") === 1L)
+  }
+
   test("SinkConfig: uris compile to the right sinks and round-trip") {
     val parsed = SinkConfig.parse(
       "parquet:/out/x?partitionBy=__partition,op&maxRecords=5000&mode=append")
