@@ -1005,6 +1005,46 @@ object Cdc {
         .orderBy("__partition")
     }),
 
+    // A61: the OFFSETS TOPIC — Kafka's own __consumer_offsets design,
+    // composed from A23+A45: offset COMMITS are themselves a keyed
+    // COMPACTED topic (key = (group, partition); value = the committed
+    // offset), so group cursors are bootstrapped in O(|group×partition|)
+    // records however many commits ever happened. Two groups commit a
+    // 3-step ladder per data partition (planted from the data topic's
+    // ends); the commits flow through Topic.assign + Topic.compact and
+    // the surviving latest-per-key records, joined back to the data
+    // ends, are the `--describe` cursor/lag view. The oracle states
+    // the DESIGNED final cursor directly ((end·3) div 4) — parity
+    // proves the whole route+offset+compact pipeline converges to
+    // exactly the last commit per key.
+    "cdc_topic_offsets_topic" -> ((s, dir) => {
+      import s.implicits._
+      val ends = GraftSink.Topic(path = "", numPartitions = 8)
+        .assign(changelog(s, dir))
+        .groupBy(col("__partition").cast("long").as("p"))
+        .agg((max(col("__offset")) + 1L).as("end_offset"))
+      val groups = Seq(("g0", 0L), ("g1", 1L)).toDF("consumer_group", "gidx")
+      val ladder = s.range(1, 4).select(col("id").as("k"))
+      val commits = ends.crossJoin(groups).crossJoin(ladder)
+        .select(
+          (col("gidx") * 8 + col("p")).as("key"), // (group, partition)
+          (lit(1700000000000000L) + col("k") * 1000000L).as("commit_ts_us"),
+          ((col("gidx") * 8 + col("p")) * 10 + col("k")).as("seq"),
+          lit("U").as("op"),
+          col("consumer_group"), col("p").as("data_partition"),
+          expr("(end_offset * k) div 4").as("committed_offset"))
+      val offsetsTopic = GraftSink.Topic(path = "", numPartitions = 4)
+      val cursors = offsetsTopic.compact(
+          offsetsTopic.assign(commits), retentionUs = Long.MaxValue / 2)
+        .select(col("consumer_group"), col("data_partition").as("__partition"),
+          col("committed_offset"))
+      cursors.join(ends, col("__partition") === col("p"))
+        .select(col("consumer_group"), col("__partition"),
+          col("committed_offset"), col("end_offset"),
+          (col("end_offset") - col("committed_offset")).as("lag"))
+        .orderBy("consumer_group", "__partition")
+    }),
+
     // A60: TRANSACTIONAL reads — Kafka's read_committed isolation and
     // LAST STABLE OFFSET over the A23 topic. Records are planted under
     // 101 interleaved transactions (every 5th record non-transactional);
@@ -2434,6 +2474,21 @@ object Cdc {
         |SELECT 'c' || ci AS consumer, CAST(p AS BIGINT) AS __partition,
         |       end_offset, CAST(moved AS BIGINT) AS moved
         |FROM assigned ORDER BY __partition""".stripMargin),
+
+    // The offsets-topic cursors stated directly: the DESIGNED last
+    // commit per (group, partition) — parity proves route+offset+
+    // compact converge to it.
+    "cdc_topic_offsets_topic" -> (logCte +
+      """,
+        |e AS (
+        |  SELECT key % 8 AS p, count(*) AS end_offset
+        |  FROM log GROUP BY 1),
+        |g AS (SELECT * FROM (VALUES ('g0'), ('g1')) t(consumer_group))
+        |SELECT consumer_group, CAST(p AS BIGINT) AS __partition,
+        |       (end_offset * 3) // 4 AS committed_offset, end_offset,
+        |       end_offset - (end_offset * 3) // 4 AS lag
+        |FROM e CROSS JOIN g
+        |ORDER BY consumer_group, __partition""".stripMargin),
 
     // The read_committed/LSO report re-derived in SQL: routing, dense
     // offsets, the txn planting, coordinator statuses (unknown → open),
