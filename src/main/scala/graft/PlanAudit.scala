@@ -48,6 +48,7 @@ object PlanAudit {
     "cdc_topic_compacted", // 1-row delete.retention cutoff broadcast (Topic.compact)
     "cdc_topic_redelivery", // 1-row broker-clock broadcast (TopicAcks.redeliveryScan, the compact() cutoff shape)
     "cdc_topic_retention", // 1-row retention-cutoff broadcast (Topic.retain, the compact() cutoff shape)
+    "cdc_topic_offsets_topic", // 1-row tombstone-retention cutoff broadcast (Topic.compact) + the 2-row group × 3-row ladder spine crossJoins (|groups×k| commit planting, metadata-sized)
     "doc_dup_triangles", // 1-row n_edges × 1-row n_nodes summary crossJoin (Graph.triangles)
     "doc_source_pagerank", // 1-row dangling-mass × 1-row |V| broadcast per PR iteration (Graph.pagerank)
     "doc_prefix_jaccard", // 1-row max-posting guard broadcast (PrefixJoin fail-fast, the Similarity.neardupPairs shape)
