@@ -269,4 +269,27 @@ object Envelope {
         p.getField("_graft_ddl").getField("ts").as("ts_us"),
         p.getField("sql").as("sql"))
   }
+
+  /** The DDL-candidate complement of [[ddlEvents]]: envelopes a
+    * consumer classified `ddl_event_in_row_topic` (isDdl absent or
+    * true) that [[ddlEvents]] would NOT consume — isDdl null (the flag
+    * itself is missing, so the record is neither a row nor a replayable
+    * DDL) or isDdl:true with no `_graft_ddl` exactness section (a
+    * native canal DDL whose change this consumer cannot replay without
+    * parsing SQL). They must drain into the envelope DLQ with their own
+    * reason: dropping them silently would violate the poisoned-topic
+    * quarantine contract (ADVICE r14). Returns (envelope, __dlq_reason). */
+  def ddlRejects(wire: DataFrame): DataFrame = {
+    val parsed = wire.select(col(EnvelopeCol),
+      graft.functions.Barrier.once(
+        from_json(col(EnvelopeCol), ddlWireSchema)).as("__p"))
+    val p = col("__p")
+    parsed
+      .where(p.getField("isDdl").isNull || !p.getField("isDdl") ||
+        p.getField("_graft_ddl").isNull)
+      .select(col(EnvelopeCol),
+        when(p.getField("isDdl").isNull, "ddl_flag_missing")
+          .when(!p.getField("isDdl"), "ddl_flag_false")
+          .otherwise("ddl_missing_graft_section").as("__dlq_reason"))
+  }
 }

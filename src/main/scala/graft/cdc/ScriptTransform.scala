@@ -139,8 +139,17 @@ object ScriptTransform {
           out += src.substring(j, i)
         } else if (c.isDigit) {
           val j = i
-          while (i < src.length && (src.charAt(i).isDigit ||
-            src.charAt(i) == '.')) i += 1
+          // at most one '.' per number token: '1.2.3' must fail loudly
+          // at tokenize time (a second dot would otherwise reach
+          // toDouble and throw a context-free NumberFormatException)
+          var seenDot = false
+          var inNumber = true
+          while (inNumber && i < src.length) {
+            val d = src.charAt(i)
+            if (d.isDigit) i += 1
+            else if (d == '.' && !seenDot) { seenDot = true; i += 1 }
+            else inNumber = false
+          }
           out += src.substring(j, i)
         } else if ((c == '!' || c == '<' || c == '>') &&
             i + 1 < src.length && src.charAt(i + 1) == '=') {

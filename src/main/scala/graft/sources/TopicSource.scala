@@ -394,6 +394,10 @@ private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
     val e = end.asInstanceOf[TopicOffset].next
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
+    // ONE deadline shared across all partitions (ADVICE r14): a
+    // truncated 8-partition topic fails in ~10s total, not 10s each —
+    // the happy path never waits, so sharing costs nothing.
+    val deadline = System.nanoTime() + 10L * 1000000000L
     e.toSeq.sortBy(_._1).flatMap { case (pid, until) =>
       val from = s.getOrElse(pid, 0L)
       if (until <= from) None
@@ -406,25 +410,41 @@ private[sources] class TopicMicroBatchStream(schema: StructType, path: String,
         // The listing must COVER the admitted end: between admission
         // (latestOffset's footer discovery) and planning, a live
         // producer's dynamic-overwrite commit can transiently hide the
-        // directory or a file. Reading a partial listing would SILENTLY
-        // DROP rows of a committed range — so re-list briefly until
-        // offset until-1 is visible again (rewrite commits are
-        // milliseconds), and fail LOUDLY if it never reappears (a
-        // truncated topic is an operator error, not a skippable gap).
+        // directory or a file. A tail-only check ("some file reaches
+        // until-1") is NOT enough — a mid-commit partial listing can
+        // include the tail file yet miss an earlier one, silently
+        // dropping committed rows (ADVICE r14). So planning requires
+        // TWO CONSECUTIVE IDENTICAL listings that cover the admitted
+        // tail: topic files are immutable once visible, so a torn
+        // listing differs from its re-list, while a complete committed
+        // directory lists identically forever. Fail LOUDLY if no
+        // stable covering listing appears before the shared deadline
+        // (a truncated topic is an operator error, not a skippable gap).
         def list() = dataFiles(fs, dir).filter { f =>
           footerMaxOffset(f).exists(_ >= from)
         }
+        def ident(fs2: Seq[FileStatus]) = fs2.map(memoKey).toSet
+        def covered(fs2: Seq[FileStatus]) =
+          fs2.flatMap(footerMaxOffset).exists(_ >= until - 1)
         var files = list()
-        val deadline = System.nanoTime() + 10L * 1000000000L
-        while (!files.flatMap(footerMaxOffset).exists(_ >= until - 1) &&
-            System.nanoTime() < deadline) {
-          Thread.sleep(50)
-          files = list()
+        var prev = ident(files)
+        var stable = covered(files) && {
+          val again = list()
+          val same = ident(again) == prev
+          if (!same) { files = again; prev = ident(again) }
+          same && covered(files)
         }
-        require(files.flatMap(footerMaxOffset).exists(_ >= until - 1),
+        while (!stable && System.nanoTime() < deadline) {
+          Thread.sleep(25)
+          val again = list()
+          val same = ident(again) == prev
+          if (!same) { files = again; prev = ident(again) }
+          stable = same && covered(files)
+        }
+        require(stable,
           s"$dir: admitted offsets [$from, $until) are not covered by " +
-            "any visible file after 10s — the topic was truncated or " +
-            "rewritten non-deterministically under this consumer")
+            "a stable file listing after 10s — the topic was truncated " +
+            "or rewritten non-deterministically under this consumer")
         Some(TopicInputPartition(pid, files.map(_.getPath.toString),
           from, until): InputPartition)
       }

@@ -205,20 +205,27 @@ object CdcStream {
         .decodeAll(batch.toDF(), payload, database, table)
         .persist() // one classification pass feeds the three splits
       try {
-        val ddlRows = graft.cdc.Envelope.ddlEvents(
-            all.where(col("__envelope_error") === "ddl_event_in_row_topic")
-              .select(col(graft.cdc.Envelope.EnvelopeCol)))
+        val ddlCandidates = all
+          .where(col("__envelope_error") === "ddl_event_in_row_topic")
+          .select(col(graft.cdc.Envelope.EnvelopeCol))
+        val ddlRows = graft.cdc.Envelope.ddlEvents(ddlCandidates)
           .orderBy("ts_us")
           .collect() // |DDL events in this batch| — metadata-bounded
           .toSeq
           .map(r => (r.getString(0), r.getString(1), r.getString(2),
             r.getLong(3), r.getLong(3)))
+        // bad = every classified reason EXCEPT the DDL candidates,
+        // PLUS the DDL candidates ddlEvents will not consume (isDdl
+        // null, or isDdl:true without _graft_ddl — e.g. a native canal
+        // DDL): those land in neither data, ledger, nor the compat
+        // quarantine, so without this leg they would vanish (ADVICE r14)
         val bad = all.where(col("__envelope_error").isNotNull &&
-          col("__envelope_error") =!= "ddl_event_in_row_topic")
+            col("__envelope_error") =!= "ddl_event_in_row_topic")
+          .select(col(graft.cdc.Envelope.EnvelopeCol),
+            col("__envelope_error").as("__dlq_reason"))
+          .unionByName(graft.cdc.Envelope.ddlRejects(ddlCandidates))
         if (!bad.isEmpty)
-          bad.select(col(graft.cdc.Envelope.EnvelopeCol),
-              col("__envelope_error").as("__dlq_reason"))
-            .write.mode("overwrite").parquet(s"$dlqDir/envelope-batch-$id")
+          bad.write.mode("overwrite").parquet(s"$dlqDir/envelope-batch-$id")
         val data = all.where(col("__envelope_error").isNull)
           .drop("__envelope_error", graft.cdc.Envelope.EnvelopeCol)
         evolveBatch(data, ddlRows, sinkDir, id,

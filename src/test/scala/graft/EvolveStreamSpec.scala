@@ -197,6 +197,65 @@ class EvolveStreamSpec extends SparkSpec {
       !Files.list(Paths.get(dlq)).findAny().isPresent)
   }
 
+  test("wire path: DDL-flagged envelopes ddlEvents cannot consume drain " +
+    "into the envelope DLQ, never silently vanish") {
+    import org.apache.spark.sql.types._
+    import graft.cdc.{Envelope, GraftSink}
+    val payload = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val wireSchema = StructType(Seq(
+      StructField("__partition", IntegerType, nullable = false),
+      StructField("__offset", LongType, nullable = false),
+      StructField(Envelope.EnvelopeCol, StringType)))
+    val rows = changelog.limit(200)
+    // a native canal DDL (isDdl:true, sql only — NO _graft_ddl section)
+    // and an envelope with no isDdl field at all: both classify as
+    // ddl_event_in_row_topic but ddlEvents cannot replay either
+    val poisoned = Seq(
+      (-1L, ddlTs, seqBase + 1, "DDL",
+        """{"database":"graft","table":"events","isDdl":true,""" +
+          """"type":"ALTER","es":1705000000000,"ts":1705000000000,""" +
+          """"sql":"ALTER TABLE events ADD COLUMN region VARCHAR"}"""),
+      (-1L, ddlTs, seqBase + 2, "DDL",
+        """{"database":"graft","table":"events","type":"INSERT",""" +
+          """"es":1705000000000,"ts":1705000000000,"data":[{}]}"""))
+    import spark.implicits._
+    val wire = Envelope.encode(rows, "graft", "events",
+        Seq("event_type", "value", "props"))
+      .unionByName(poisoned
+        .toDF("key", "commit_ts_us", "seq", "op", Envelope.EnvelopeCol)
+        .select(col("key"), col("commit_ts_us"), col("seq"), col("op"),
+          col(Envelope.EnvelopeCol)))
+    val path = tmp("wire_reject_topic")
+    GraftSink.Topic(path = path, numPartitions = 4).write(wire)
+    val sink = tmp("wire_reject_sink"); val dlq = tmp("wire_reject_dlq")
+    CdcStream.deliverEvolvingWire(
+      graft.sources.TopicSource.stream(spark, path, wireSchema)
+        .select(Envelope.EnvelopeCol),
+      payload, "graft", "events", sink, dlq,
+      tmp("wire_reject_ckpt")).awaitTermination()
+    // both poisoned envelopes are in the envelope DLQ with their reasons
+    import scala.jdk.CollectionConverters._
+    val dlqDirs = Files.list(Paths.get(dlq)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("envelope-batch-"))
+      .toSeq
+    assert(dlqDirs.nonEmpty, "unconsumable DDL envelopes were dropped")
+    val quarantined = spark.read.parquet(dlqDirs.map(dlq + "/" + _): _*)
+    val reasons = quarantined.select("__dlq_reason").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(reasons === Seq("ddl_flag_missing", "ddl_missing_graft_section"),
+      reasons.toString)
+    // the data rows all delivered; no schema change was applied
+    val delivered = CdcStream.readEvolved(spark, sink)
+    assert(delivered.count() === rows.count())
+    assert(delivered.columns.contains("value") &&
+      !delivered.columns.contains("region"))
+    assert(!Files.exists(Paths.get(sink, "_ddl_history")) ||
+      !Files.list(Paths.get(sink, "_ddl_history")).findAny().isPresent)
+  }
+
   test("ledger rejects fields that would corrupt the pipe format") {
     val dir = tmp("evolve_ledger_guard")
     // clean rows round-trip

@@ -107,6 +107,19 @@ class ScriptTransformSpec extends SparkSpec {
       .getMessage.contains("unterminated"))
   }
 
+  test("a malformed number (two dots) fails at tokenize time with token " +
+    "context, never a raw NumberFormatException") {
+    val e = intercept[IllegalArgumentException](
+      ScriptTransform.compile("set x = 1.2.3"))
+    assert(e.getMessage.contains("illegal character"), e.getMessage)
+    // a single dot still parses as a double; trailing dot is 1.0
+    val df = Seq(1).toDF("k")
+    val r = ScriptTransform.compile("set a = 1.5 * 2; set b = 3. + 1")(df)
+      .collect()
+    assert(r(0).getDouble(1) === 3.0)
+    assert(r(0).getDouble(2) === 4.0)
+  }
+
   test("a script binding a MISSING column poisons its micro-batch into " +
     "the DLQ — the feed survives (violation → DLQ)") {
     import java.nio.file.Files

@@ -224,6 +224,32 @@ class TopicSourceSpec extends SparkSpec {
     log.unpersist()
   }
 
+  test("truncated topic fails loudly under ONE shared deadline, not " +
+    "one per partition") {
+    import graft.sources.TopicSourceTestHooks
+    val topic = tmp("topic_trunc")
+    GraftSink.Topic(topic, numPartitions = 4).write(changelog)
+    val stream = TopicSourceTestHooks.handle(
+      TopicSource.changelogTopicSchema, topic)
+    val ends = stream.discover()
+    assert(ends.size === 4)
+    // happy path: planning the true range needs no wait and covers all
+    assert(stream.plan(ends.map { case (p, _) => p -> 0L }, ends) === 4)
+    // "truncation": admit offsets past every partition's real end — the
+    // self-heal re-list can never cover them, so planning must fail
+    // loudly, and in ~one 10s deadline TOTAL across all 4 partitions
+    // (the serial-per-partition form took ~40s here — ADVICE r14)
+    val beyond = ends.map { case (p, e) => p -> (e + 100L) }
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] {
+      stream.plan(ends.map { case (p, _) => p -> 0L }, beyond)
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(e.getMessage.contains("not covered"), e.getMessage)
+    assert(secs < 20.0,
+      s"shared-deadline failure took ${secs}s — deadline is per-partition?")
+  }
+
   test("footer memo is bounded by LIVE files; cold start reads in parallel") {
     import graft.sources.TopicSourceTestHooks
     val topic = tmp("topic_memo")

@@ -10,6 +10,9 @@ object TopicSourceTestHooks {
   final class StreamHandle private[sources] (s: TopicMicroBatchStream) {
     def discover(): Map[Int, Long] = s.discoverEnds()
     def memoSize: Int = s.footerMemoSize
+    /** Drive planInputPartitions directly (the coverage/self-heal path). */
+    def plan(start: Map[Int, Long], end: Map[Int, Long]): Int =
+      s.planInputPartitions(TopicOffset(start), TopicOffset(end)).length
   }
 
   def handle(schema: StructType, path: String): StreamHandle =
