@@ -202,23 +202,157 @@ object GraftSink {
       * legitimately the leader then). Survivors then get the dense
       * per-partition offsets of [[assign]].
       *
+      * `producerCol` scopes the fence to a producer identity (Kafka's
+      * transactional.id): epochs of INDEPENDENT producers never fence
+      * each other — only a producer's own higher epoch rejects its
+      * zombie (the A60-produce composition). null = single-producer
+      * topic, the original A57 shape.
+      *
       * Scale shape: ONE hash exchange on `__partition` feeds both
-      * windows (running-max fence, then offsets over survivors — the
-      * filter preserves partitioning and order, so no second exchange
-      * or sort), exactly the [[assign]] plan plus a scan-local fence
-      * compare. */
-    def assignFenced(df: DataFrame, epochCol: String = "epoch"): DataFrame = {
+      * windows (the producer-scoped fence window clusters by
+      * (__partition, producer) — hash on the coarser __partition
+      * satisfies it, so no second exchange; the offsets window re-sorts
+      * within the same partitions), exactly the [[assign]] plan plus a
+      * scan-local fence compare. */
+    def assignFenced(df: DataFrame, epochCol: String = "epoch",
+                     producerCol: String = null): DataFrame = {
       val w = Window.partitionBy(col("__partition"))
         .orderBy(orderCols.map(col): _*)
+      val fenceW =
+        (if (producerCol == null) Window.partitionBy(col("__partition"))
+         else Window.partitionBy(col("__partition"), col(producerCol)))
+          .orderBy(orderCols.map(col): _*)
       val routed = df
         .withColumn("__partition", Route(strategy, numPartitions, df))
         .repartition(numPartitions, col("__partition"))
       routed
         .withColumn("__fence", max(col(epochCol)).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          fenceW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .where(col(epochCol) === col("__fence"))
         .drop("__fence")
         .withColumn("__offset", row_number().over(w).cast("long") - 1)
+    }
+
+    /** Transactional PRODUCE (the write half of A60 — Kafka's
+      * control-batch design): a producer ends each transaction by
+      * writing one COMMIT/ABORT MARKER record into EVERY topic
+      * partition (Kafka's WriteTxnMarkers — control batches live IN
+      * the log, so a consumer resolves transaction fates from the log
+      * alone, no coordinator lookup). Data rows carry
+      * (producer, epoch, txn_id, __control=null); markers carry
+      * __control ∈ commit|abort. The union is fenced PER PRODUCER
+      * ([[assignFenced]] with producerCol): a zombie session's late
+      * markers are rejected exactly like its late data — the A57
+      * composition the protocol needs (an un-fenced zombie COMMIT
+      * would resurrect a transaction its successor already aborted).
+      *
+      * Markers are built RELATIONALLY: arrival ts = (global max data
+      * ts) + the marker's `slot`, via a 1-row broadcast — so the whole
+      * produce is one Catalyst plan, deterministic, and replayable
+      * (same sessions → identical log, the Topic idempotence
+      * contract). Marker keys are the partition ids themselves
+      * (KeyMod routes key p to partition p); marker seq =
+      * 6e18 + slot·P + p keeps (ts, seq, key) a total order. */
+    def transactionalLog(data: DataFrame, markers: Seq[TxnMarker]): DataFrame = {
+      require(strategy == Route.KeyMod,
+        "transactionalLog plants markers by key = partition id, which " +
+          "routes correctly under KeyMod only")
+      val dataC = data.withColumn("__control", lit(null).cast("string"))
+      val spark = data.sparkSession
+      val tsMax = data.agg(max(col("commit_ts_us")).as("__ts_max"))
+      val specDf = {
+        import spark.implicits._
+        markers.map(m => (m.producer, m.epoch, m.txnId, m.outcome, m.slot))
+          .toDF("producer", "epoch", "txn_id", "__control", "__slot")
+      }
+      val fixed = Set("key", "commit_ts_us", "seq",
+        "producer", "epoch", "txn_id", "__control")
+      val markerRows = spark.range(numPartitions).toDF("__p")
+        .crossJoin(specDf).crossJoin(broadcast(tsMax))
+        .select(dataC.schema.fields.toSeq.map { f =>
+          f.name match {
+            case "key" => col("__p").cast(f.dataType).as("key")
+            case "commit_ts_us" => (col("__ts_max") + col("__slot"))
+              .cast(f.dataType).as("commit_ts_us")
+            case "seq" => (lit(6000000000000000000L) +
+              col("__slot") * numPartitions + col("__p"))
+              .cast(f.dataType).as("seq")
+            case n if fixed.contains(n) => col(n).cast(f.dataType).as(n)
+            case n => lit(null).cast(f.dataType).as(n)
+          }
+        }: _*)
+      assignFenced(dataC.unionByName(markerRows),
+        epochCol = "epoch", producerCol = "producer")
+    }
+
+    /** [[transactionalLog]] over whole producer sessions. */
+    def transactionalLog(sessions: Seq[TxnProducer]): DataFrame = {
+      val legs = sessions.flatMap(_.legs)
+      require(legs.nonEmpty, "no producer sent any data")
+      transactionalLog(legs.reduce(_ unionByName _),
+        sessions.flatMap(_.markers))
+    }
+
+    /** read_committed over a [[transactionalLog]] — A60's isolation
+      * with transaction fates derived FROM THE LOG'S OWN MARKERS
+      * instead of a planted coordinator relation: per (partition,
+      * txn) the surviving marker decides committed/aborted; a
+      * markerless transaction is OPEN (its producer crashed — Kafka's
+      * undecided txn) and caps the partition's LAST STABLE OFFSET.
+      * Consumers see non-transactional + committed data records below
+      * the LSO; markers themselves are control records, never
+      * delivered. Returns (visible, report); the report adds the
+      * marker/open censuses to A60's columns.
+      *
+      * Scale shape: the fates frame is |partitions × txns| rows —
+      * broadcast; LSO is one grouped min; everything else is
+      * scan-local CASE arithmetic on the topic scan. */
+    def readCommittedFromLog(assigned: DataFrame): (DataFrame, DataFrame) = {
+      val fates = assigned.where(col("__control").isNotNull)
+        .groupBy(col("__partition").as("__fp"), col("txn_id").as("__ft"))
+        // at most one marker survives fencing per (p, txn); min_by
+        // keeps the EARLIEST if a malformed produce planted two
+        // (Kafka: the first end-txn decides)
+        .agg(min_by(col("__control"), col("__offset")).as("__marker"))
+        // marker verbs → the A60 status vocabulary
+        .withColumn("__outcome",
+          when(col("__marker") === "commit", "committed")
+            .otherwise("aborted"))
+        .drop("__marker")
+      val joined = assigned.join(broadcast(fates),
+          col("__partition") === col("__fp") &&
+            col("txn_id") <=> col("__ft"), "left")
+        .withColumn("__status",
+          when(col("__control").isNotNull, lit(null).cast("string"))
+            .when(col("txn_id").isNull, "committed") // non-transactional
+            .otherwise(coalesce(col("__outcome"), lit("open"))))
+      val lso = joined
+        .groupBy(col("__partition").as("__lso_p"))
+        .agg(min(when(col("__status") === "open", col("__offset")))
+          .as("__open_min"),
+          (max(col("__offset")) + 1L).as("__end"))
+        .withColumn("lso", coalesce(col("__open_min"), col("__end")))
+      val staged = joined.join(broadcast(lso),
+        col("__partition") === col("__lso_p"))
+      val visible = staged
+        .where(col("__control").isNull &&
+          col("__status") === "committed" && col("__offset") < col("lso"))
+        .drop("__fp", "__ft", "__outcome", "__status",
+          "__lso_p", "__open_min", "__end", "lso", "__control")
+      val report = staged
+        .groupBy(col("__partition"))
+        .agg(
+          max(col("__end")).as("end_offset"),
+          max(col("lso")).as("lso"),
+          count(when(col("__status") === "committed" &&
+            col("__offset") < col("lso"), 1)).as("n_read_committed"),
+          count(when(col("__status") === "aborted", 1))
+            .as("n_aborted_skipped"),
+          count(when(col("__status") === "committed" &&
+            col("__offset") >= col("lso"), 1)).as("n_beyond_lso"),
+          count(when(col("__status") === "open", 1)).as("n_open_pending"),
+          count(when(col("__control").isNotNull, 1)).as("n_markers"))
+      (visible, report)
     }
 
     /** Kafka-style LOG COMPACTION of an [[assign]]ed topic (A45): per
@@ -244,6 +378,73 @@ object GraftSink {
         .where(col("op") =!= "D" || col("commit_ts_us") >= col("__cutoff"))
         .drop("__cutoff")
     }
+  }
+
+  /** One transaction-control marker: the producer session that wrote
+    * it (its transactional.id + epoch — fencing applies to markers
+    * exactly as to data), the transaction it ends, its outcome
+    * (commit | abort), and its arrival `slot`: the marker lands at
+    * (global max data ts) + slot, so distinct slots give markers a
+    * deterministic total arrival order after all data. */
+  final case class TxnMarker(producer: String, epoch: Long, txnId: Long,
+                             outcome: String, slot: Long) {
+    require(outcome == "commit" || outcome == "abort",
+      s"marker outcome must be commit|abort, got '$outcome'")
+  }
+
+  /** Kafka-shaped transactional producer session over a [[Topic]]
+    * (initTransactions → beginTransaction → send… →
+    * commitTransaction/abortTransaction): accumulates tagged data
+    * legs and marker specs; [[Topic.transactionalLog]] composes any
+    * number of sessions into one fenced log. A session that never
+    * ends its transaction models the CRASHED producer (markerless →
+    * the txn reads as open and caps the LSO); a session kept at an
+    * old epoch after a higher-epoch session of the SAME producer id
+    * exists models the ZOMBIE (its late data AND markers are fenced).
+    * Everything stays declarative — `legs`/`markers` feed one
+    * Catalyst plan, no per-row callbacks. */
+  final class TxnProducer(producer: String, epoch: Long) {
+    private var openTxn: Option[Long] = None
+    private val dataLegs = scala.collection.mutable.Buffer.empty[DataFrame]
+    private val markerSpecs = scala.collection.mutable.Buffer.empty[TxnMarker]
+
+    private def tag(df: DataFrame, txnId: Column): DataFrame =
+      df.withColumn("producer", lit(producer))
+        .withColumn("epoch", lit(epoch))
+        .withColumn("txn_id", txnId)
+
+    def begin(txnId: Long): this.type = {
+      require(openTxn.isEmpty,
+        s"producer '$producer' already has txn ${openTxn.get} open — " +
+          "a transactional producer runs one transaction at a time")
+      openTxn = Some(txnId); this
+    }
+
+    /** Send rows inside the open transaction (requires [[begin]]). */
+    def send(df: DataFrame): this.type = {
+      val t = openTxn.getOrElse(throw new IllegalStateException(
+        s"producer '$producer': send without an open transaction — " +
+          "begin(txnId) first, or use sendNonTransactional"))
+      dataLegs += tag(df, lit(t)); this
+    }
+
+    /** Non-transactional produce (txn_id null — always visible). */
+    def sendNonTransactional(df: DataFrame): this.type = {
+      dataLegs += tag(df, lit(null).cast("long")); this
+    }
+
+    def commit(slot: Long): this.type = end("commit", slot)
+    def abort(slot: Long): this.type = end("abort", slot)
+
+    private def end(outcome: String, slot: Long): this.type = {
+      val t = openTxn.getOrElse(throw new IllegalStateException(
+        s"producer '$producer': $outcome without an open transaction"))
+      markerSpecs += TxnMarker(producer, epoch, t, outcome, slot)
+      openTxn = None; this
+    }
+
+    def legs: Seq[DataFrame] = dataLegs.toSeq
+    def markers: Seq[TxnMarker] = markerSpecs.toSeq
   }
 
   /** Messaging-broker subscription semantics over an [[Topic]] log
@@ -382,19 +583,43 @@ object GraftSink {
     }
 
     /** Metadata-probe for `table` (unqualified or `schema.table`).
-      * Unquoted identifiers case-fold per-warehouse (Derby/Oracle up,
-      * Postgres down), so the match is case-insensitive. */
+      * Unquoted identifiers case-fold per-warehouse (Derby/Oracle store
+      * upper, Postgres lower), and `getTables`' schemaPattern is a
+      * CASE-SENSITIVE LIKE pattern — so the qualifier is folded to the
+      * warehouse's stored case BEFORE being passed as the pattern
+      * (verbatim 'myschema' would miss Derby's 'MYSCHEMA', skip the
+      * DELETE, and let a replayed batch append duplicates — ADVICE
+      * r14). The name match itself compares TABLE_SCHEM too when the
+      * name is qualified, and stays case-insensitive as a fallback for
+      * warehouses that report neither fold. */
     private def tableExists(conn: java.sql.Connection): Boolean = {
-      val (schemaPat, tablePat) = table.lastIndexOf('.') match {
+      val (schemaName, tableName) = table.lastIndexOf('.') match {
         case -1 => (null, table)
         case i => (table.substring(0, i), table.substring(i + 1))
       }
       val md = conn.getMetaData
-      val rs = md.getTables(null, schemaPat, "%", null)
+      val fold: String => String = s =>
+        if (s == null) null
+        else if (md.storesUpperCaseIdentifiers()) s.toUpperCase
+        else if (md.storesLowerCaseIdentifiers()) s.toLowerCase
+        else s
+      // an UNQUALIFIED name resolves to the connection's current
+      // schema, so the probe must too — a same-named table in another
+      // schema would otherwise read as "exists" and turn the skipped
+      // DELETE into a loud failure on the real one
+      val effSchema = fold(schemaName) match {
+        case null => try conn.getSchema catch { case _: Throwable => null }
+        case s => s
+      }
+      val rs = md.getTables(null, effSchema, "%", null)
       try {
         var found = false
-        while (!found && rs.next())
-          found = rs.getString("TABLE_NAME").equalsIgnoreCase(tablePat)
+        while (!found && rs.next()) {
+          val nameOk = rs.getString("TABLE_NAME").equalsIgnoreCase(tableName)
+          val schemaOk = effSchema == null ||
+            effSchema.equalsIgnoreCase(rs.getString("TABLE_SCHEM"))
+          found = nameOk && schemaOk
+        }
         found
       } finally rs.close()
     }

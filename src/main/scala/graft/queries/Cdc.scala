@@ -50,6 +50,110 @@ object Cdc {
   private val genSnapshotRows: Long =
     sys.env.get("SPARK_GRAFT_GEN_ROWS").map(_.toLong).getOrElse(2000000L)
 
+  /** The `cdc_topic_txn_produce` scenario (A60's write half): five
+    * producer sessions composed into one fenced transactional log, read
+    * back under read_committed with fates derived from in-log markers.
+    * Legs are seq%5 classes; txn 3 starts only after Jan 20 so the LSO
+    * sits ~2/3 into each partition (both below- and beyond-LSO censuses
+    * non-vacuous at every SF). Returns (visible, report). */
+  private def txnProducedTopic(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val log = changelog(s, dir)
+    val t2 = 1705708800000000L // 2024-01-20
+    val cls = col("seq") % 5
+    val raw = new GraftSink.TxnProducer("raw", 1)
+      .sendNonTransactional(log.where(cls === 0 ||
+        (cls === 3 && col("commit_ts_us") <= t2)))
+    val pa = new GraftSink.TxnProducer("pa", 1)
+      .begin(1).send(log.where(cls === 1)).commit(slot = 1)
+    val pb = new GraftSink.TxnProducer("pb", 1)
+      .begin(2).send(log.where(cls === 2)).abort(slot = 2)
+    val pc = new GraftSink.TxnProducer("pc", 1)
+      .begin(3).send(log.where(cls === 3 && col("commit_ts_us") > t2))
+    // pc never ends txn 3 — the crashed producer; markerless = open
+    val pdZombie = new GraftSink.TxnProducer("pd", 1)
+      .begin(4).send(log.where(cls === 4))
+      .commit(slot = 6) // the LATE zombie commit — fenced by epoch 2
+    val pdNew = new GraftSink.TxnProducer("pd", 2)
+      .begin(4).abort(slot = 4) // recovery aborts the in-flight txn
+      .begin(5).send(log.where(cls === 4 && col("commit_ts_us") > asofTsUs)
+        .withColumn("seq", col("seq") + 4000000000000000000L))
+      .commit(slot = 5)
+    val topic = GraftSink.Topic(path = "", numPartitions = 8)
+    topic.readCommittedFromLog(topic.transactionalLog(
+      Seq(raw, pa, pb, pc, pdZombie, pdNew)))
+  }
+
+  /** Shared CTE chain for the two `cdc_topic_txn_produce*` oracles:
+    * re-derives the five producer legs, the relational markers
+    * (ts = global max + slot, seq = 6e18 + slot·8 + p, key = p), the
+    * per-(partition, producer) running-max epoch fence, dense offsets
+    * over survivors, per-(partition, txn) fates from SURVIVING markers
+    * (the zombie's late commit is fenced before this step), and the
+    * LSO. (lazy: logCte initializes later in this object) */
+  private lazy val txnProduceCtes: String = logCte +
+    s""",
+      |mx AS (SELECT max(commit_ts_us) AS m FROM log),
+      |d AS (
+      |  SELECT key, commit_ts_us, seq, 'raw' AS producer, 1 AS epoch,
+      |         CAST(NULL AS BIGINT) AS txn_id, CAST(NULL AS VARCHAR) AS ctrl
+      |  FROM log
+      |  WHERE seq % 5 = 0
+      |     OR (seq % 5 = 3 AND commit_ts_us <= 1705708800000000)
+      |  UNION ALL
+      |  SELECT key, commit_ts_us, seq, 'pa', 1, 1, NULL
+      |  FROM log WHERE seq % 5 = 1
+      |  UNION ALL
+      |  SELECT key, commit_ts_us, seq, 'pb', 1, 2, NULL
+      |  FROM log WHERE seq % 5 = 2
+      |  UNION ALL
+      |  SELECT key, commit_ts_us, seq, 'pc', 1, 3, NULL
+      |  FROM log WHERE seq % 5 = 3 AND commit_ts_us > 1705708800000000
+      |  UNION ALL
+      |  SELECT key, commit_ts_us, seq, 'pd', 1, 4, NULL
+      |  FROM log WHERE seq % 5 = 4
+      |  UNION ALL
+      |  SELECT key, commit_ts_us, seq + 4000000000000000000, 'pd', 2, 5,
+      |         NULL
+      |  FROM log WHERE seq % 5 = 4 AND commit_ts_us > $asofTsUs),
+      |mk AS (
+      |  SELECT g.p AS key, mx.m + s.slot AS commit_ts_us,
+      |         6000000000000000000 + s.slot * 8 + g.p AS seq,
+      |         s.producer, s.epoch, s.txn, s.ctrl
+      |  FROM generate_series(0, 7) g(p), mx,
+      |       (VALUES ('pa', 1, 1, 'commit', 1), ('pb', 1, 2, 'abort', 2),
+      |               ('pd', 2, 4, 'abort', 4), ('pd', 2, 5, 'commit', 5),
+      |               ('pd', 1, 4, 'commit', 6))
+      |         s(producer, epoch, txn, ctrl, slot)),
+      |rec AS (SELECT * FROM d UNION ALL SELECT * FROM mk),
+      |routed AS (SELECT *, key % 8 AS p FROM rec),
+      |f AS (
+      |  SELECT *, max(epoch) OVER (PARTITION BY p, producer
+      |    ORDER BY commit_ts_us, seq, key
+      |    ROWS UNBOUNDED PRECEDING) AS fence
+      |  FROM routed),
+      |o AS (
+      |  SELECT *, row_number() OVER (PARTITION BY p
+      |    ORDER BY commit_ts_us, seq, key) - 1 AS ofs
+      |  FROM f WHERE epoch = fence),
+      |fate AS (
+      |  SELECT p, txn_id,
+      |         CASE arg_min(ctrl, ofs) WHEN 'commit' THEN 'committed'
+      |              ELSE 'aborted' END AS outcome
+      |  FROM o WHERE ctrl IS NOT NULL GROUP BY 1, 2),
+      |st AS (
+      |  SELECT o.*, CASE WHEN o.ctrl IS NOT NULL THEN NULL
+      |                   WHEN o.txn_id IS NULL THEN 'committed'
+      |                   ELSE coalesce(fate.outcome, 'open') END AS status
+      |  FROM o LEFT JOIN fate
+      |    ON o.p = fate.p AND o.txn_id IS NOT DISTINCT FROM fate.txn_id),
+      |l AS (
+      |  SELECT p,
+      |         CAST(coalesce(min(CASE WHEN status = 'open' THEN ofs END),
+      |                       max(ofs) + 1) AS BIGINT) AS lso,
+      |         CAST(max(ofs) + 1 AS BIGINT) AS end_offset
+      |  FROM st GROUP BY 1)""".stripMargin
+
   /** The changelog derivation (SURVEY.md §3) as a DuckDB CTE. */
   val logCte: String =
     """WITH log AS (
@@ -1070,6 +1174,38 @@ object Cdc {
       val (_, report) = GraftSink.Topic(path = "", numPartitions = 8)
         .readCommitted(assigned, txns)
       report.orderBy("__partition")
+    }),
+
+    // A60 write half: transactional PRODUCE — begin/commit/abort MARKER
+    // records written INTO the log by the producer API (Kafka's
+    // control-batch / WriteTxnMarkers design), composing A57's epoch
+    // fencing: transaction fates, LSO, and the read_committed visible
+    // set are all re-derived FROM THE LOG ALONE, no planted coordinator
+    // relation. The cast: 'pa' commits txn 1; 'pb' aborts txn 2
+    // mid-flight; 'pc' crashes with txn 3 uncommitted (markerless →
+    // open → caps each partition's LSO); 'pd' epoch 1 is the zombie —
+    // its successor (epoch 2) aborts the in-flight txn 4 (Kafka's
+    // InitProducerId recovery), resends the post-takeover payload as
+    // committed txn 5, and the zombie's LATE COMMIT marker for txn 4 is
+    // FENCED — without fencing, txn 4 would resurrect as committed.
+    // The oracle re-derives legs, markers, the per-producer running-max
+    // fence, offsets, fates, LSO, and all five censuses in SQL.
+    "cdc_topic_txn_produce" -> ((s, dir) => {
+      val (_, report) = txnProducedTopic(s, dir)
+      report.orderBy("__partition")
+    }),
+
+    // The read_committed VISIBLE SET of the same produced log —
+    // non-transactional + committed-below-LSO data records, markers
+    // excluded (consumers never see control records). Hash parity over
+    // the full visible relation proves the consumer view, not just the
+    // censuses.
+    "cdc_topic_txn_produce_visible" -> ((s, dir) => {
+      val (visible, _) = txnProducedTopic(s, dir)
+      visible.select(col("__partition"), col("__offset"),
+          col("key").as("user_id"), col("seq"), col("producer"),
+          col("epoch"), col("txn_id"), col("commit_ts_us"))
+        .orderBy("__partition", "__offset")
     }),
 
     // A59: time-based LOG RETENTION — Kafka's log.retention.ms over
@@ -2526,6 +2662,36 @@ object Cdc {
         |         AS n_beyond_lso
         |FROM st JOIN l USING (p)
         |GROUP BY 1, 2, 3 ORDER BY __partition""".stripMargin),
+
+    // A60 write half: the whole transactional produce re-derived in
+    // SQL — legs, relational markers, per-producer running-max fence,
+    // dense offsets over survivors, fates from surviving markers, LSO,
+    // and the censuses. The report…
+    "cdc_topic_txn_produce" -> (txnProduceCtes +
+      """
+        |SELECT st.p AS __partition, l.end_offset, l.lso,
+        |       count(CASE WHEN status = 'committed' AND ofs < lso
+        |                  THEN 1 END) AS n_read_committed,
+        |       count(CASE WHEN status = 'aborted' THEN 1 END)
+        |         AS n_aborted_skipped,
+        |       count(CASE WHEN status = 'committed' AND ofs >= lso
+        |                  THEN 1 END) AS n_beyond_lso,
+        |       count(CASE WHEN status = 'open' THEN 1 END)
+        |         AS n_open_pending,
+        |       count(CASE WHEN ctrl IS NOT NULL THEN 1 END) AS n_markers
+        |FROM st JOIN l USING (p)
+        |GROUP BY 1, 2, 3 ORDER BY __partition""".stripMargin),
+
+    // …and the full visible relation (non-txn + committed below LSO,
+    // markers excluded).
+    "cdc_topic_txn_produce_visible" -> (txnProduceCtes +
+      """
+        |SELECT st.p AS __partition, CAST(ofs AS BIGINT) AS __offset,
+        |       key AS user_id, seq, producer,
+        |       CAST(epoch AS BIGINT) AS epoch, txn_id, commit_ts_us
+        |FROM st JOIN l USING (p)
+        |WHERE ctrl IS NULL AND status = 'committed' AND ofs < lso
+        |ORDER BY __partition, __offset""".stripMargin),
 
     // The retention report re-derived in SQL: routing, dense offsets,
     // the newest-commit-relative cutoff, per-partition log-start, the

@@ -190,6 +190,66 @@ class SinksSpec extends SparkSpec {
     assert(r.getAs[Long]("n_beyond_lso") === 1L)
   }
 
+  test("Topic.transactionalLog: in-log markers decide fates; a zombie's " +
+    "late commit marker is fenced; independent producers never fence " +
+    "each other; a crashed producer's txn stays open and caps the LSO") {
+    import spark.implicits._
+    def rows(keys: Seq[Long], ts0: Long): DataFrame =
+      keys.zipWithIndex.map { case (k, i) => (k, ts0 + i * 10L, ts0 + i) }
+        .toDF("key", "commit_ts_us", "seq")
+    val topic = GraftSink.Topic(path = "", numPartitions = 2)
+    // pa commits txn 1; pb (independent, epoch 5!) aborts txn 2 —
+    // pb's higher epoch must NOT fence pa (per-producer fence)
+    val pa = new GraftSink.TxnProducer("pa", 1)
+      .begin(1).send(rows(Seq(0L, 1L), 100L)).commit(slot = 1)
+    val pb = new GraftSink.TxnProducer("pb", 5)
+      .begin(2).send(rows(Seq(0L, 1L), 200L)).abort(slot = 2)
+    // pc crashes with txn 3 open (no marker) — only on partition 1
+    val pc = new GraftSink.TxnProducer("pc", 1)
+      .begin(3).send(rows(Seq(1L), 300L))
+    // pd zombie (epoch 1) late-commits txn 4 after its epoch-2
+    // successor aborted it — the late marker must be fenced
+    val pdZ = new GraftSink.TxnProducer("pd", 1)
+      .begin(4).send(rows(Seq(0L, 1L), 400L)).commit(slot = 5)
+    val pdN = new GraftSink.TxnProducer("pd", 2)
+      .begin(4).abort(slot = 3)
+      .begin(5).send(rows(Seq(0L), 500L)).commit(slot = 4)
+    val log = topic.transactionalLog(Seq(pa, pb, pc, pdZ, pdN))
+    // the zombie's commit marker (slot 5, epoch 1) is NOT in the log
+    assert(log.where(col("__control") === "commit" &&
+      col("txn_id") === 4L).count() === 0L, "zombie marker survived")
+    // pa's data+marker survived pb's higher epoch (independent fence)
+    assert(log.where(col("producer") === "pa").count() === 2L + 2L)
+    val (visible, report) = topic.readCommittedFromLog(log)
+    val vis = visible.select("producer", "txn_id").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // txn 1 (committed) visible; txn 2 aborted; txn 4 aborted by the
+    // recovery; txn 5 committed and visible on partition 0 (no open
+    // txn there); txn 3 open on partition 1 — but it STARTS at ts 300,
+    // so txn 1/2 rows below it are still judged, and nothing at or
+    // past the partition-1 LSO is visible
+    assert(vis.nonEmpty && vis.forall { case (_, t) => t == 1L || t == 5L },
+      s"unexpected visible rows: ${vis.toSeq}")
+    // exactly: txn1 on both partitions (3 rows total? no — txn1 wrote
+    // one row per key) and txn5's single committed row on partition 0
+    assert(vis.count(_._2 == 1L) === 2 && vis.count(_._2 == 5L) === 1,
+      s"wrong visible census: ${vis.toSeq}")
+    val rep = report.collect().map(r =>
+      r.getAs[Long]("__partition") -> r).toMap
+    assert(rep(1L).getAs[Long]("n_open_pending") === 1L)
+    assert(rep(0L).getAs[Long]("n_open_pending") === 0L)
+    // partition 0 has no open txn → lso = end
+    assert(rep(0L).getAs[Long]("lso") === rep(0L).getAs[Long]("end_offset"))
+    assert(rep(1L).getAs[Long]("lso") < rep(1L).getAs[Long]("end_offset"))
+    // aborted census: pb's txn 2 + pd's txn 4 data rows per partition
+    assert(rep(0L).getAs[Long]("n_aborted_skipped") === 2L)
+    assert(rep(1L).getAs[Long]("n_aborted_skipped") === 2L)
+    // replay determinism: the same sessions rebuild the identical log
+    val log2 = topic.transactionalLog(Seq(pa, pb, pc, pdZ, pdN))
+    assert(log.exceptAll(log2).count() === 0L)
+    assert(log2.exceptAll(log).count() === 0L)
+  }
+
   test("SinkConfig: uris compile to the right sinks and round-trip") {
     val parsed = SinkConfig.parse(
       "parquet:/out/x?partitionBy=__partition,op&maxRecords=5000&mode=append")
