@@ -103,6 +103,106 @@ object ConsumerGroups {
           .withColumn("moved", lit(1L)))
   }
 
+  /** Group LIVENESS (Kafka's session.timeout.ms contract): the
+    * coordinator evicts a member whose last heartbeat is older than
+    * the session timeout, then bumps the generation and rebalances.
+    * `heartbeats` is the raw (consumer, hb_ts_us) relation (the A42
+    * lag-window shape); "now" is the group's NEWEST heartbeat — the
+    * coordinator clock derived from the relation itself, a 1-row
+    * broadcast, so the audit is deterministic and cross-engine
+    * checkable. Returns (consumer, last_hb_us, gap_us, evicted).
+    * |members|-grain metadata at any scale. */
+  def evictions(heartbeats: DataFrame, sessionTimeoutUs: Long): DataFrame = {
+    val last = heartbeats.groupBy(col("consumer"))
+      .agg(max(col("hb_ts_us")).as("last_hb_us"))
+    val now = last.agg(max(col("last_hb_us")).as("__now_us"))
+    last.crossJoin(broadcast(now))
+      .withColumn("gap_us", col("__now_us") - col("last_hb_us"))
+      .withColumn("evicted",
+        (col("gap_us") > sessionTimeoutUs).cast("long"))
+      .drop("__now_us")
+  }
+
+  /** The full liveness→rebalance composition (Kafka's missed-heartbeat
+    * path, end to end): members past the session timeout are evicted
+    * and the generation's assignment is STICKY-rebalanced over the
+    * survivors ([[stickyRebalance]] — survivors keep every partition,
+    * only the evicted members' partitions move). The survivor list is
+    * |group members| rows — metadata-bounded driver state, exactly the
+    * coordinator's own bookkeeping. */
+  def rebalanceOnLiveness(prev: DataFrame, heartbeats: DataFrame,
+                          sessionTimeoutUs: Long): DataFrame = {
+    val survivors = evictions(heartbeats, sessionTimeoutUs)
+      .where(col("evicted") === 0L)
+      .select(col("consumer"))
+      .collect().map(_.getString(0)).toSeq // |members| — metadata
+    stickyRebalance(prev, survivors)
+  }
+
+  /** COOPERATIVE (incremental) rebalance — the KIP-429 objective,
+    * deterministically: on a membership change, generation g revokes
+    * ONLY the partitions that must move (members keep serving the
+    * rest — no stop-the-world), and generation g+1 assigns the
+    * revoked+orphaned pool to under-target members. Targets are
+    * ⌈P/N⌉ for the first P mod N members and ⌊P/N⌋ for the rest,
+    * granted heaviest-current-owner-first so movement is minimal;
+    * each over-target member revokes its HIGHEST-numbered partitions
+    * down to target; the pool fills deficits in (member id) order.
+    * Handles joins (newcomers have load 0) and leaves (a departed
+    * member's partitions join the pool) in one pass. Adds `moved`
+    * (1 = revoked-and-reassigned — the partitions eager would have
+    * moved are a strict superset whenever the change is a join).
+    * Every frame is |partitions|-sized metadata. */
+  def cooperativeRebalance(prev: DataFrame, members: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(members.nonEmpty, "a group needs at least one member")
+    val ms = members.sorted
+    val spark = prev.sparkSession
+    import spark.implicits._
+    val p = prev.count() // |partitions| rows — metadata
+    val n = ms.size
+    val quota = p / n
+    val extra = (p % n).toInt
+    val kept0 = prev.where(col("consumer").isin(ms: _*))
+    val loads = ms.toDF("consumer")
+      .join(kept0.groupBy(col("consumer"))
+        .agg(count(lit(1)).as("__load")), Seq("consumer"), "left")
+      .withColumn("__load", coalesce(col("__load"), lit(0L)))
+    val targets = loads
+      .withColumn("__ti", row_number().over(
+        Window.orderBy(desc("__load"), col("consumer"))).cast("long") - 1)
+      .withColumn("__target",
+        lit(quota) + when(col("__ti") < extra, 1L).otherwise(0L))
+      .select(col("consumer"), col("__load"), col("__target"))
+    val ranked = kept0
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("consumer"))
+          .orderBy(col("__partition"))).cast("long"))
+      .join(broadcast(targets), Seq("consumer"))
+    val retained = ranked.where(col("__rk") <= col("__target"))
+      .drop("__rk", "__load", "__target")
+      .withColumn("moved", lit(0L))
+    val revoked = ranked.where(col("__rk") > col("__target"))
+      .drop("__rk", "__load", "__target")
+    val orphans = prev.where(!col("consumer").isin(ms: _*))
+    val pool = revoked.drop("consumer")
+      .unionByName(orphans.drop("consumer"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__partition"))).cast("long") - 1)
+    val slots = targets
+      .withColumn("__deficit",
+        col("__target") - least(col("__load"), col("__target")))
+      .where(col("__deficit") > 0)
+      .select(col("consumer"),
+        explode(sequence(lit(1L), col("__deficit"))).as("__j"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("consumer"), col("__j"))).cast("long") - 1)
+      .select(col("consumer"), col("__r"))
+    retained.unionByName(
+      pool.join(broadcast(slots), Seq("__r")).drop("__r")
+        .withColumn("moved", lit(1L)))
+  }
+
   /** The `--describe` relation for one rebalance generation:
     * (strategy, generation, consumer, __partition, end_offset,
     * committed_offset, lag) from a per-partition ends frame

@@ -1303,6 +1303,72 @@ object Cdc {
         .orderBy("__partition")
     }),
 
+    // A56 cooperative half: KIP-429 INCREMENTAL rebalance — member c3
+    // JOINS a 3-member range assignment. Generation g revokes ONLY the
+    // two partitions that must move (the over-target members' highest;
+    // everyone keeps serving the rest), generation g+1 hands them to
+    // the newcomer. The same relation carries the EAGER gen-2 range
+    // assignment: cooperative moves 2 partitions where eager moves 5 —
+    // the oracle re-derives BOTH and the comparison columns, so parity
+    // pins the strictly-smaller moved set, not just the final owners.
+    "cdc_topic_groups_coop" -> ((s, dir) => {
+      val ends = GraftSink.Topic(path = "", numPartitions = 8)
+        .assign(changelog(s, dir))
+        .groupBy(col("__partition").cast("long").as("__partition"))
+        .agg((max(col("__offset")) + 1L).as("end_offset"))
+      val gen1 = ends.select(col("__partition"), col("end_offset"),
+        ConsumerGroups.owner("range", 8, Seq("c0", "c1", "c2"),
+          col("__partition")).as("consumer"))
+      val coop = ConsumerGroups
+        .cooperativeRebalance(gen1, Seq("c0", "c1", "c2", "c3"))
+        .select(col("__partition"), col("end_offset"),
+          col("consumer").as("owner_coop"), col("moved").as("moved_coop"))
+      gen1.select(col("__partition"), col("consumer").as("owner_gen1"))
+        .join(coop, Seq("__partition"))
+        .withColumn("owner_eager",
+          ConsumerGroups.owner("range", 8, Seq("c0", "c1", "c2", "c3"),
+            col("__partition")))
+        .withColumn("moved_eager",
+          (col("owner_eager") =!= col("owner_gen1")).cast("long"))
+        .select(col("__partition"), col("end_offset"), col("owner_gen1"),
+          col("owner_coop"), col("moved_coop"), col("owner_eager"),
+          col("moved_eager"))
+        .orderBy("__partition")
+    }),
+
+    // A56 liveness half: heartbeat-derived REBALANCE — Kafka's
+    // session.timeout.ms contract composed end to end: members send
+    // heartbeat ladders (the A42 shape); the coordinator clock is the
+    // group's newest heartbeat; c1's 50s gap exceeds the 30s session
+    // timeout → evicted, generation bumps, and the STICKY rebalance
+    // (A56) redistributes ONLY c1's partitions over the survivors.
+    // The oracle re-derives the ladders, last-heartbeat gaps, the
+    // eviction rule, and the full sticky ring replay in SQL.
+    "cdc_topic_group_liveness" -> ((s, dir) => {
+      import s.implicits._
+      val ends = GraftSink.Topic(path = "", numPartitions = 8)
+        .assign(changelog(s, dir))
+        .groupBy(col("__partition").cast("long").as("__partition"))
+        .agg((max(col("__offset")) + 1L).as("end_offset"))
+      val gen1 = ends.select(col("__partition"), col("end_offset"),
+        ConsumerGroups.owner("range", 8, Seq("c0", "c1", "c2"),
+          col("__partition")).as("consumer"))
+      val hb = Seq(("c0", 9L), ("c1", 4L), ("c2", 8L)).toDF("consumer", "ks")
+        .select(col("consumer"),
+          explode(sequence(lit(0L), col("ks"))).as("k"))
+        .select(col("consumer"),
+          (lit(1706000000000000L) + col("k") * 10000000L).as("hb_ts_us"))
+      val timeoutUs = 30000000L
+      val gen2 = ConsumerGroups.rebalanceOnLiveness(gen1, hb, timeoutUs)
+      val audit = ConsumerGroups.evictions(hb, timeoutUs)
+      gen2.join(broadcast(
+          audit.select(col("consumer"), col("last_hb_us"), col("gap_us"))),
+          Seq("consumer"))
+        .select(col("consumer"), col("__partition"), col("end_offset"),
+          col("moved"), col("last_hb_us"), col("gap_us"))
+        .orderBy("__partition")
+    }),
+
     // A48: the reference's FULL deployment loop in one graded path —
     // producer (A23 Topic sink) → broker (hive-partitioned offset log)
     // → consumer (A46 TopicSource tail) → plugin chain (A4 filter) →
@@ -2610,6 +2676,129 @@ object Cdc {
         |SELECT 'c' || ci AS consumer, CAST(p AS BIGINT) AS __partition,
         |       end_offset, CAST(moved AS BIGINT) AS moved
         |FROM assigned ORDER BY __partition""".stripMargin),
+
+    // The cooperative rebalance re-derived in SQL: gen-1 range owners,
+    // heaviest-first targets, highest-numbered revocations, deficit
+    // slots in member order, plus the eager gen-2 formula and both
+    // moved flags.
+    "cdc_topic_groups_coop" -> (logCte +
+      """,
+        |e AS (
+        |  SELECT key % 8 AS p, count(*) AS end_offset
+        |  FROM log GROUP BY 1),
+        |g1 AS (
+        |  SELECT p, end_offset,
+        |         'c' || (CASE WHEN p < (8 % 3) * ((8 // 3) + 1)
+        |              THEN p // ((8 // 3) + 1)
+        |              ELSE (p - (8 % 3) * ((8 // 3) + 1)) // (8 // 3)
+        |                   + (8 % 3) END) AS consumer
+        |  FROM e),
+        |members AS (
+        |  SELECT * FROM (VALUES ('c0'), ('c1'), ('c2'), ('c3')) m(consumer)),
+        |loads AS (
+        |  SELECT m.consumer, coalesce(l.n, 0) AS load
+        |  FROM members m LEFT JOIN
+        |    (SELECT consumer, count(*) AS n FROM g1 GROUP BY 1) l
+        |    USING (consumer)),
+        |targets AS (
+        |  SELECT consumer, load,
+        |         (8 // 4) + CASE WHEN row_number() OVER
+        |             (ORDER BY load DESC, consumer) - 1 < (8 % 4)
+        |           THEN 1 ELSE 0 END AS target
+        |  FROM loads),
+        |ranked AS (
+        |  SELECT g1.*, t.target,
+        |         row_number() OVER (PARTITION BY g1.consumer
+        |           ORDER BY g1.p) AS rk
+        |  FROM g1 JOIN targets t USING (consumer)),
+        |retained AS (
+        |  SELECT consumer, p, end_offset, 0 AS moved
+        |  FROM ranked WHERE rk <= target),
+        |pool AS (
+        |  SELECT p, end_offset, row_number() OVER (ORDER BY p) - 1 AS r
+        |  FROM ranked WHERE rk > target),
+        |slots AS (
+        |  SELECT consumer,
+        |         row_number() OVER (ORDER BY consumer, j) - 1 AS r
+        |  FROM (SELECT consumer,
+        |               unnest(generate_series(1,
+        |                 target - least(load, target))) AS j
+        |        FROM targets
+        |        WHERE target - least(load, target) > 0)),
+        |coop AS (
+        |  SELECT * FROM retained
+        |  UNION ALL
+        |  SELECT s.consumer, pl.p, pl.end_offset, 1
+        |  FROM pool pl JOIN slots s USING (r)),
+        |eager AS (
+        |  SELECT p, 'c' || (CASE WHEN p < (8 % 4) * ((8 // 4) + 1)
+        |              THEN p // ((8 // 4) + 1)
+        |              ELSE (p - (8 % 4) * ((8 // 4) + 1)) // (8 // 4)
+        |                   + (8 % 4) END) AS owner_eager
+        |  FROM e)
+        |SELECT CAST(c.p AS BIGINT) AS __partition, c.end_offset,
+        |       g1.consumer AS owner_gen1, c.consumer AS owner_coop,
+        |       CAST(c.moved AS BIGINT) AS moved_coop,
+        |       eg.owner_eager,
+        |       CAST(eg.owner_eager <> g1.consumer AS BIGINT) AS moved_eager
+        |FROM coop c
+        |JOIN g1 ON c.p = g1.p
+        |JOIN eager eg ON c.p = eg.p
+        |ORDER BY __partition""".stripMargin),
+
+    // The liveness rebalance re-derived in SQL: heartbeat ladders,
+    // coordinator-clock gaps, the session-timeout eviction, and the
+    // sticky replay (kept partitions unmoved, the evicted member's
+    // partitions round-robin over the load-ordered survivor ring).
+    "cdc_topic_group_liveness" -> (logCte +
+      """,
+        |e AS (
+        |  SELECT key % 8 AS p, count(*) AS end_offset
+        |  FROM log GROUP BY 1),
+        |g1 AS (
+        |  SELECT p, end_offset,
+        |         CASE WHEN p < (8 % 3) * ((8 // 3) + 1)
+        |              THEN p // ((8 // 3) + 1)
+        |              ELSE (p - (8 % 3) * ((8 // 3) + 1)) // (8 // 3)
+        |                   + (8 % 3) END AS ci
+        |  FROM e),
+        |hb AS (
+        |  SELECT consumer,
+        |         1706000000000000 + unnest(generate_series(0, ks))
+        |           * 10000000 AS hb_ts_us
+        |  FROM (VALUES ('c0', 9), ('c1', 4), ('c2', 8)) m(consumer, ks)),
+        |lasth AS (
+        |  SELECT consumer, max(hb_ts_us) AS last_hb_us FROM hb GROUP BY 1),
+        |nowt AS (SELECT max(last_hb_us) AS n FROM lasth),
+        |audit AS (
+        |  SELECT consumer, last_hb_us, n - last_hb_us AS gap_us,
+        |         CAST(n - last_hb_us > 30000000 AS BIGINT) AS evicted
+        |  FROM lasth, nowt),
+        |kept AS (
+        |  SELECT g1.* FROM g1
+        |  JOIN audit ON 'c' || g1.ci = audit.consumer
+        |  WHERE audit.evicted = 0),
+        |loads AS (SELECT ci, count(*) AS load FROM kept GROUP BY 1),
+        |surv AS (
+        |  SELECT ci, row_number() OVER (ORDER BY load, ci) - 1 AS idx
+        |  FROM loads),
+        |orph AS (
+        |  SELECT g1.p, g1.end_offset,
+        |         row_number() OVER (ORDER BY g1.p) - 1 AS r
+        |  FROM g1
+        |  JOIN audit ON 'c' || g1.ci = audit.consumer
+        |  WHERE audit.evicted = 1),
+        |assigned AS (
+        |  SELECT ci, p, end_offset, 0 AS moved FROM kept
+        |  UNION ALL
+        |  SELECT s.ci, o.p, o.end_offset, 1
+        |  FROM orph o JOIN surv s
+        |    ON o.r % (SELECT count(*) FROM surv) = s.idx)
+        |SELECT 'c' || ci AS consumer, CAST(p AS BIGINT) AS __partition,
+        |       end_offset, CAST(moved AS BIGINT) AS moved,
+        |       a.last_hb_us, a.gap_us
+        |FROM assigned JOIN audit a ON 'c' || ci = a.consumer
+        |ORDER BY __partition""".stripMargin),
 
     // The offsets-topic cursors stated directly: the DESIGNED last
     // commit per (group, partition) — parity proves route+offset+

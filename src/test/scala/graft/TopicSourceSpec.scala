@@ -122,6 +122,117 @@ class TopicSourceSpec extends SparkSpec {
     assert(gen2.map(_._1).sorted === (0L to 7L)) // total, no dup/loss
   }
 
+  test("liveness rebalance: a member past its session timeout stops " +
+    "being served; survivors cover the topic exactly once") {
+    import graft.cdc.ConsumerGroups
+    import spark.implicits._
+    val topic = tmp("topic_live_grp")
+    GraftSink.Topic(topic, numPartitions = 8).write(changelog)
+    val gen1 = (0L to 7L).map(p =>
+      (p, spark.range(1).select(ConsumerGroups.owner("range", 8,
+        Seq("c0", "c1", "c2"), lit(p))).head.getString(0)))
+      .toDF("__partition", "consumer")
+    // c1's last heartbeat is 50s old vs a 30s session timeout
+    val hb = Seq(("c0", 100L), ("c1", 50L), ("c2", 90L))
+      .toDF("consumer", "sec")
+      .select(col("consumer"), (col("sec") * 1000000L).as("hb_ts_us"))
+    val gen2 = ConsumerGroups.rebalanceOnLiveness(gen1, hb, 30000000L)
+      .collect().map(r => r.getAs[String]("consumer") ->
+        r.getAs[Long]("__partition")).toSeq
+    // the timed-out member owns nothing in the new generation
+    assert(!gen2.exists(_._1 == "c1"), s"evicted member still owns: $gen2")
+    assert(gen2.map(_._2).sorted === (0L to 7L))
+    // each survivor streams ONLY its assigned partitions; the union
+    // drains the topic exactly once — c1 is never served
+    val outs = gen2.groupBy(_._1).toSeq.sortBy(_._1).map { case (m, ps) =>
+      val out = tmp(s"live_grp_out_$m")
+      val q = TopicSource.stream(spark, topic,
+          TopicSource.changelogTopicSchema,
+          partitions = ps.map(_._2.toInt))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tmp(s"live_grp_ckpt_$m"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out)
+    }
+    val union = outs.reduce(_ unionByName _)
+    val batch = spark.read.parquet(topic)
+      .select(TopicSource.changelogTopicSchema.fieldNames.map(col): _*)
+    assert(union.count() === batch.count())
+    assert(union.exceptAll(batch).count() === 0L)
+  }
+
+  test("cooperative rebalance: non-moving partitions are served " +
+    "continuously across the generation bump (same checkpoint, no dups)") {
+    import graft.cdc.ConsumerGroups
+    import spark.implicits._
+    val log = changelog.cache()
+    val cutoff = log.agg(expr("percentile_approx(commit_ts_us, 0.5)"))
+      .head.getLong(0)
+    val topic = tmp("topic_coop")
+    val sink = GraftSink.Topic(topic, numPartitions = 8)
+    sink.write(log.where(col("commit_ts_us") <= cutoff))
+    val gen1 = (0L to 7L).map(p =>
+      (p, spark.range(1).select(ConsumerGroups.owner("range", 8,
+        Seq("c0", "c1", "c2"), lit(p))).head.getString(0)))
+      .toDF("__partition", "consumer")
+    val gen2 = ConsumerGroups
+      .cooperativeRebalance(gen1, Seq("c0", "c1", "c2", "c3"))
+      .collect().map(r => (r.getAs[String]("consumer"),
+        r.getAs[Long]("__partition"), r.getAs[Long]("moved"))).toSeq
+    // cooperative moves strictly fewer than eager on the same join
+    val eagerMoved = (0L to 7L).count { p =>
+      spark.range(1).select(ConsumerGroups.owner("range", 8,
+        Seq("c0", "c1", "c2", "c3"), lit(p))).head.getString(0) !=
+        gen1.where(col("__partition") === p).head.getString(1)
+    }
+    assert(gen2.count(_._3 == 1L) < eagerMoved,
+      s"cooperative moved ${gen2.count(_._3 == 1L)} vs eager $eagerMoved")
+    // c0 drains its gen-1 assignment, then CONTINUES on the SAME
+    // checkpoint with its post-rebalance (non-moving) partitions while
+    // the producer extends the log — the retained partitions must
+    // deliver exactly the appended tail, never a re-read
+    val c0Gen1 = gen1.where(col("consumer") === "c0")
+      .collect().map(_.getLong(0).toInt).toSeq
+    val c0Gen2 = gen2.filter(r => r._1 == "c0" && r._3 == 0L)
+      .map(_._2.toInt)
+    assert(c0Gen2.nonEmpty && c0Gen2.toSet.subsetOf(c0Gen1.toSet))
+    val out = tmp("coop_out"); val ckpt = tmp("coop_ckpt")
+    def drainAs(pids: Seq[Int]): Unit = {
+      val q = TopicSource.stream(spark, topic,
+          TopicSource.changelogTopicSchema, partitions = pids)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainAs(c0Gen1)                          // generation 1
+    sink.write(log)                          // producer extends the log
+    drainAs(c0Gen2)                          // generation 2: retained only
+    val got = spark.read.parquet(out)
+    // retained partitions: full log, exactly once (continuity across
+    // the bump); revoked partition: only the gen-1 prefix (it moved)
+    val full = spark.read.parquet(topic)
+      .select(TopicSource.changelogTopicSchema.fieldNames.map(col): _*)
+    for (p <- c0Gen2) {
+      val g = got.where(col("__partition") === p)
+      val f = full.where(col("__partition") === p)
+      assert(g.count() === f.count(), s"partition $p not continuous")
+      assert(g.select("__offset").distinct().count() === g.count(),
+        s"partition $p re-delivered across the bump")
+    }
+    val revoked = (c0Gen1.toSet -- c0Gen2.toSet).toSeq
+    for (p <- revoked)
+      assert(got.where(col("__partition") === p).count() <
+        full.where(col("__partition") === p).count(),
+        s"revoked partition $p kept being served")
+    log.unpersist()
+  }
+
   test("restart after a topic rewrite-extension: exactly the new tail, no dups") {
     // The producer contract: offset assignment is deterministic, so a
     // topic REWRITE from a longer changelog extends the log in place
