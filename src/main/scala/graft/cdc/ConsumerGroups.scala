@@ -53,6 +53,27 @@ object ConsumerGroups {
     }
   }
 
+  /** [[ownerIndex]] as plain driver-side arithmetic — assignment
+    * metadata for WIRING a member's consumer (which partitions to pass
+    * to TopicSource), where no Spark plan exists yet. Must stay the
+    * exact formula of [[ownerIndex]] (TopicSourceSpec pins parity
+    * across strategies, member counts, and partition counts). */
+  def ownerIndexLocal(strategy: String, numPartitions: Int,
+                      numConsumers: Int, p: Int): Int = {
+    require(numConsumers >= 1, "a group needs at least one member")
+    strategy match {
+      case "roundrobin" => p % numConsumers
+      case "range" =>
+        val quota = numPartitions / numConsumers
+        val extra = numPartitions % numConsumers
+        val boundary = extra * (quota + 1)
+        if (p < boundary) p / (quota + 1)
+        else (p - boundary) / math.max(quota, 1) + extra
+      case other => throw new IllegalArgumentException(
+        s"unknown assignment strategy '$other' (range | roundrobin)")
+    }
+  }
+
   /** Owning-consumer NAME: members are sorted before indexing
     * (Kafka's assignors sort member ids, so assignment is independent
     * of join order). */

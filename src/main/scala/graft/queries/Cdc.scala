@@ -1407,6 +1407,51 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A48 at GROUP SCALE (A48 × A56): the same producer→broker→
+    // consumer→chain→snapshot loop, but the consumer is a THREE-MEMBER
+    // GROUP — each member tails ONLY its range-assigned partitions
+    // (discovery/admission/planning never touch the others: 1/3 of the
+    // metadata I/O each, the RFC's processor scale-out), runs the A4
+    // chain and its own per-key snapshot state machine (keys are
+    // routing-disjoint across members, so per-member state composes
+    // losslessly), and the union of the members' outputs rebuilds the
+    // snapshot. Oracle = the batch snapshot SQL over the filtered log:
+    // parity proves the group genuinely PARTITIONS the work.
+    "cdc_topic_group_e2e" -> ((s, dir) => withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = roundtripPath(dir, "topicgroupe2e")
+      GraftSink.Topic(path = path, numPartitions = 8)
+        .write(changelog(s, dir))
+      val members = Seq("c0", "c1", "c2")
+      val assigned = (0 until 8).groupBy(p =>
+        ConsumerGroups.ownerIndexLocal("range", 8, members.size, p))
+      val tables = assigned.toSeq.sortBy(_._1).map { case (m, pids) =>
+        val consumed = graft.sources.TopicSource.stream(s, path,
+            graft.sources.TopicSource.changelogTopicSchema,
+            maxOffsetsPerTrigger = 8192, partitions = pids)
+          .drop("__partition", "__offset")
+        val chained = EventTypeFilter(
+          Set("signup", "click", "purchase", "error"))(consumed)
+        val qn = s"topic_group_e2e_${m}_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = CdcStream.snapshotUpdates(chained).toDF().writeStream
+          .format("memory").queryName(qn).outputMode("update")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"ckptgrp$m").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qn)
+      }
+      Materialize.snapshot(tables.reduce(_ unionByName _))
+        .select(
+          col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // A21: semi-structured payload extraction — JSON props parsed in the
     // scan projection (codegen'd get_json_object; no UDF)
     "cdc_json_extract" -> ((s, dir) => {
@@ -2970,6 +3015,22 @@ object Cdc {
         |       committed AS committed_offset,
         |       end_offset - committed AS lag
         |FROM asg ORDER BY strategy, generation, __partition""".stripMargin),
+
+    // A48 × A56: the three-member group union must equal the SAME
+    // batch snapshot — the group partitions the work, it doesn't
+    // change the answer
+    "cdc_topic_group_e2e" -> (logCte +
+      """,
+        |f AS (SELECT * FROM log
+        |      WHERE event_type IN ('signup','click','purchase','error')),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM f)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
 
     // A48: producer→broker→consumer→chain→snapshot ≡ the batch
     // snapshot over the chain-filtered log

@@ -122,6 +122,20 @@ class TopicSourceSpec extends SparkSpec {
     assert(gen2.map(_._1).sorted === (0L to 7L)) // total, no dup/loss
   }
 
+  test("ownerIndexLocal ≡ the ownerIndex Column formula for every " +
+    "(strategy, P, N, p)") {
+    import graft.cdc.ConsumerGroups
+    for (st <- Seq("range", "roundrobin"); pTot <- Seq(1, 3, 8, 13);
+         n <- 1 to 5) {
+      val viaColumn = spark.range(pTot)
+        .select(ConsumerGroups.ownerIndex(st, pTot, n, col("id")))
+        .collect().map(_.getLong(0).toInt).toSeq
+      val viaLocal = (0 until pTot)
+        .map(p => ConsumerGroups.ownerIndexLocal(st, pTot, n, p))
+      assert(viaColumn === viaLocal, s"diverged for ($st, $pTot, $n)")
+    }
+  }
+
   test("liveness rebalance: a member past its session timeout stops " +
     "being served; survivors cover the topic exactly once") {
     import graft.cdc.ConsumerGroups
