@@ -1452,6 +1452,38 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // Lakehouse ACID sink: VERSIONED TABLE with manifest-per-commit —
+    // two appends then one OVERWRITE, each publishing an atomic
+    // manifest; reads at v1/v2/v3 resolve each manifest chain
+    // (snapshot isolation + time travel: v2 still reads the
+    // pre-overwrite content AFTER v3 replaced the table). The graded
+    // relation is all three versions read back and profiled; the
+    // oracle re-states each version's content from the commit-boundary
+    // ts arithmetic alone.
+    "cdc_table_versions" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tableversions")
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(root, true) // deterministic rebuild per run
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L // 2024-01-10
+      val t2 = 1705708800000000L // 2024-01-20
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.where(col("commit_ts_us") <= t1))
+      table.commit(log.where(
+        col("commit_ts_us") > t1 && col("commit_ts_us") <= t2))
+      table.commit(log.where(col("commit_ts_us") > t2), overwrite = true)
+      Seq(1L, 2L, 3L)
+        .map(v => table.readVersion(s, v).withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .groupBy(col("version"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sumCents("value").as("sum_value_e2"),
+          min(col("commit_ts_us")).as("min_ts_us"),
+          max(col("commit_ts_us")).as("max_ts_us"))
+        .orderBy("version", "event_type")
+    }),
+
     // A21: semi-structured payload extraction — JSON props parsed in the
     // scan projection (codegen'd get_json_object; no UDF)
     "cdc_json_extract" -> ((s, dir) => {
@@ -3015,6 +3047,24 @@ object Cdc {
         |       committed AS committed_offset,
         |       end_offset - committed AS lag
         |FROM asg ORDER BY strategy, generation, __partition""".stripMargin),
+
+    // The versioned table's three snapshots re-stated from commit
+    // boundaries: v1 = first append, v2 = v1 ∪ second append,
+    // v3 = the overwrite only.
+    "cdc_table_versions" -> (logCte +
+      s""",
+        |v AS (
+        |  SELECT 1 AS version, * FROM log
+        |  WHERE commit_ts_us <= 1704844800000000
+        |  UNION ALL
+        |  SELECT 2, * FROM log WHERE commit_ts_us <= 1705708800000000
+        |  UNION ALL
+        |  SELECT 3, * FROM log WHERE commit_ts_us > 1705708800000000)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |       count(*) AS n_events, $sumCentsSql AS sum_value_e2,
+        |       min(commit_ts_us) AS min_ts_us,
+        |       max(commit_ts_us) AS max_ts_us
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // A48 × A56: the three-member group union must equal the SAME
     // batch snapshot — the group partitions the work, it doesn't

@@ -250,6 +250,47 @@ class SinksSpec extends SparkSpec {
     assert(log2.exceptAll(log).count() === 0L)
   }
 
+  test("VersionedTable: snapshot isolation, time travel, atomic commit " +
+    "point, orphan data files invisible") {
+    import spark.implicits._
+    val path = tmp("vtable")
+    val vt = GraftSink.VersionedTable(path)
+    def slice(tag: String, n: Int): DataFrame =
+      (1 to n).map(i => (tag, i.toLong)).toDF("tag", "v")
+    assert(vt.commit(slice("a", 5)) === 1L)
+    assert(vt.commit(slice("b", 3)) === 2L)
+    assert(vt.readVersion(spark, 1).count() === 5L)
+    assert(vt.read(spark).count() === 8L) // v2 = append
+    // a reader HOLDING v2 sees identical content across the overwrite —
+    // the JDBC delete→append visibility window, closed properly
+    val readerAtV2 = vt.readVersion(spark, 2)
+    assert(vt.commit(slice("c", 2), overwrite = true) === 3L)
+    assert(readerAtV2.count() === 8L)
+    assert(readerAtV2.where(col("tag") === "c").count() === 0L)
+    // latest = the overwrite only; time travel still serves v1/v2
+    assert(vt.read(spark).count() === 2L)
+    assert(vt.readVersion(spark, 2).count() === 8L)
+    assert(vt.readVersion(spark, 1).count() === 5L)
+    // a crash BEFORE the manifest rename = orphan data files, invisible
+    slice("orphan", 99).write.mode("overwrite")
+      .parquet(s"$path/_data/commit-crashed")
+    assert(vt.read(spark).count() === 2L)
+    assert(vt.currentVersion(spark) === 3L)
+    // a manifest slot taken by a concurrent writer: the next commit
+    // publishes PAST it instead of clobbering (optimistic concurrency)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val m3 = new org.apache.hadoop.fs.Path(path, "_manifests/v3.manifest")
+    val m4 = new org.apache.hadoop.fs.Path(path, "_manifests/v4.manifest")
+    org.apache.hadoop.fs.FileUtil.copy(fs, m3, fs, m4, false,
+      spark.sessionState.newHadoopConf())
+    assert(vt.commit(slice("d", 1)) === 5L)
+    assert(vt.read(spark).count() === 3L) // v5 = v4 (=v3 content) + d
+    // a version that was never committed fails loudly
+    val e = intercept[IllegalArgumentException](vt.readVersion(spark, 99))
+    assert(e.getMessage.contains("never committed"))
+  }
+
   test("SinkConfig: uris compile to the right sinks and round-trip") {
     val parsed = SinkConfig.parse(
       "parquet:/out/x?partitionBy=__partition,op&maxRecords=5000&mode=append")
