@@ -1,0 +1,83 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Re-ingestion of a dead-letter quarantine after a fix (reference
+  * README.md:17, 23 — a sink's poisoned records must be recoverable,
+  * not just counted: the quarantine census queries tell an operator
+  * WHAT went bad; this operator is how the rows get back).
+  *
+  * The contract is the CrawlIngest ledger-before-corpus discipline
+  * applied to DLQ drainage: replay must CONVERGE with the main path —
+  * after a repair, (clean-path rows) ∪ (replayed rows) ≡ the feed as
+  * if it had never been poisoned, and replaying the same DLQ twice
+  * delivers nothing the second time (idempotence against the
+  * delivered ledger, so a crashed replay job can simply be re-run).
+  *
+  * Spark-first mechanics, all inside one Catalyst plan:
+  *
+  *  - `repair` is a Column → Column ENVELOPE fixer (string surgery,
+  *    `from_json` re-wrap, whatever the codec fix needs) — a scan-local
+  *    codegen'd expression, zero shuffle, applied only to the
+  *    DLQ-sized frame, never the corpus;
+  *  - re-classification is [[Envelope.decodeAll]] itself — the SAME
+  *    classifier as the main path, so "repaired" means exactly
+  *    "would now take the main path", not a second opinion;
+  *  - idempotence is a `left_anti` join of the (small) repaired frame
+  *    against the delivered ledger on the identity triple
+  *    `(key, commit_ts_us, seq)`. At deployment scale the ledger is
+  *    the sink's time-batched output (A7's `__batch` windows): pass
+  *    the ledger SLICE covering the DLQ's commit-ts range — the batch
+  *    partitioning prunes the scan, so the join is DLQ-sized on both
+  *    sides, not corpus-sized;
+  *  - what the repair did NOT fix lands in `residual` with BOTH
+  *    reasons (first classification + post-repair classification), so
+  *    a second repair iteration has everything it needs. Envelopes are
+  *    unique per record (`seq` rides inside), which is what lets the
+  *    residual re-attach its pre-repair form relationally.
+  */
+object DlqReplay {
+
+  /** Replay outcome: `recovered` = canonical changelog rows now clean
+    * and not already delivered; `residual` = still-quarantined
+    * envelopes as (envelope, __dlq_first_reason, __dlq_replay_reason),
+    * carrying the ORIGINAL (pre-repair) envelope for the next repair
+    * iteration. */
+  final case class Replayed(recovered: DataFrame, residual: DataFrame)
+
+  /** Drain `dlq` (the [[Envelope.quarantine]] shape:
+    * `envelope`, `__envelope_error`) through `repair` and the main-path
+    * classifier. `delivered`, when given, is the idempotence ledger —
+    * any relation carrying `key`, `commit_ts_us`, `seq` of rows the
+    * sink already holds (the clean-path output, a prior replay's
+    * recovered rows, or the sink's own batch slice). */
+  def replay(dlq: DataFrame, repair: Column => Column,
+             payload: StructType, database: String, table: String,
+             delivered: Option[DataFrame] = None): Replayed = {
+    val env = col(Envelope.EnvelopeCol)
+    val repaired = dlq.select(
+      repair(env).as(Envelope.EnvelopeCol),
+      env.as("__dlq_envelope"),
+      col("__envelope_error").as("__dlq_first_reason"))
+    // decodeAll keeps only canonical cols + envelope + reason, so the
+    // repaired envelope string is the join identity back to the
+    // pre-repair form (unique: seq rides inside every envelope).
+    val dec = Envelope.decodeAll(repaired, payload, database, table)
+    val clean = dec.where(col("__envelope_error").isNull)
+      .drop(Envelope.EnvelopeCol, "__envelope_error")
+    val recovered = delivered match {
+      case Some(ledger) => clean.join(
+        ledger.select(col("key"), col("commit_ts_us"), col("seq")),
+        Seq("key", "commit_ts_us", "seq"), "left_anti")
+      case None => clean
+    }
+    val residual = dec.where(col("__envelope_error").isNotNull)
+      .select(env, col("__envelope_error").as("__dlq_replay_reason"))
+      .join(repaired, Seq(Envelope.EnvelopeCol))
+      .select(col("__dlq_envelope").as(Envelope.EnvelopeCol),
+        col("__dlq_first_reason"), col("__dlq_replay_reason"))
+    Replayed(recovered, residual)
+  }
+}

@@ -100,6 +100,37 @@ object GraftSink {
         .withColumn("__offset", row_number().over(w).cast("long") - 1)
     }
 
+    /** APPENDING produce: extend each partition's dense offsets from
+      * its current end WITHOUT re-sorting history — the broker's real
+      * append path. [[assign]] re-derives the whole log (correct and
+      * idempotent for replay, but it re-sorts the full history per
+      * produce); at a standing deployment the log is already assigned
+      * and only the new rows need routing + offsets. Here the
+      * established `log` contributes ONE grouped max per partition
+      * (metadata-sized, broadcast) and only `incoming` is sorted —
+      * per-produce work is O(|incoming|) at any log size.
+      *
+      * Contract (SinksSpec-pinned): when every incoming row follows
+      * the log's rows under `orderCols` within its partition — the
+      * deterministic-extension property a monotone changelog feed
+      * gives for free — `append(assign(head), tail)` is row-identical
+      * to `assign(head ∪ tail)`, and appending in N slices associates.
+      * A partition unseen in `log` starts at offset 0. */
+    def append(log: DataFrame, incoming: DataFrame): DataFrame = {
+      val ends = log.groupBy(col("__partition").as("__end_p"))
+        .agg((max(col("__offset")) + 1L).as("__base"))
+      val w = Window.partitionBy(col("__partition"))
+        .orderBy(orderCols.map(col): _*)
+      val assigned = incoming
+        .withColumn("__partition", Route(strategy, numPartitions, incoming))
+        .repartition(numPartitions, col("__partition"))
+        .join(broadcast(ends), col("__partition") === col("__end_p"), "left")
+        .withColumn("__offset", coalesce(col("__base"), lit(0L)) +
+          row_number().over(w).cast("long") - 1)
+        .drop("__end_p", "__base")
+      log.unionByName(assigned)
+    }
+
     def write(df: DataFrame): Unit =
       assign(df)
         .write.mode(SaveMode.Overwrite)

@@ -745,6 +745,25 @@ object Cdc {
         .orderBy("__partition", "__offset")
     }),
 
+    // A23 appending produce path: the established log (everything
+    // before the asof point) is assigned once; the newer rows arrive
+    // as a produce and APPEND — history contributes one grouped max
+    // per partition (broadcast) and is never re-sorted, so per-produce
+    // work is O(|incoming|) at any standing log size. The oracle is
+    // the SAME whole-feed assignment as `cdc_topic` — hash parity
+    // proves append ≡ full re-assign (the deterministic-extension
+    // contract); slice associativity is SinksSpec-pinned.
+    "cdc_topic_append" -> ((s, dir) => {
+      val topic = GraftSink.Topic(path = "", numPartitions = 8)
+      val log = changelog(s, dir)
+      topic.append(
+          topic.assign(log.where(col("commit_ts_us") < asofTsUs)),
+          log.where(col("commit_ts_us") >= asofTsUs))
+        .select(col("__partition"), col("__offset"), col("seq"),
+          col("key").as("user_id"), col("commit_ts_us"), col("event_type"))
+        .orderBy("__partition", "__offset")
+    }),
+
     // A45: Kafka-style compacted topic — per key only the LATEST record
     // survives AT ITS ORIGINAL OFFSET (consumers see offset gaps, the
     // defining compacted-topic property; A19's changelog compaction has
@@ -941,6 +960,57 @@ object Cdc {
           .as("reason"))
         .agg(count(lit(1)).as("n"))
         .orderBy("reason")
+    }),
+
+    // A62: quarantine REPLAY — the census (cdc_envelope_quarantine)
+    // tells an operator WHAT went bad; this is how the rows get back.
+    // Three REPAIRABLE poison classes by seq mod (typo'd table name,
+    // junk-prefixed op type, flipped isDdl — each a deterministic
+    // producer-side bug an operator can undo with string surgery) are
+    // materialized as a wire; the main path delivers the clean rows
+    // and quarantines the rest; DlqReplay drains the DLQ through the
+    // repair + the SAME classifier, anti-joined against the delivered
+    // ledger for idempotence. Graded: delivered ∪ recovered, each row
+    // flagged with the path it took — the oracle re-derives the flag
+    // from seq arithmetic and the payload from the never-poisoned
+    // feed, so hash parity proves replay CONVERGES (repaired rows are
+    // byte-identical to never-poisoned ones, nothing lost, nothing
+    // double-delivered). Residual carry-both-reasons and second-replay
+    // idempotence are DlqReplaySpec-pinned.
+    "cdc_dlq_replay" -> ((s, dir) => {
+      val wirePath = roundtripPath(dir, "dlqreplay")
+      val e = col(Envelope.EnvelopeCol)
+      Envelope.encode(changelog(s, dir), "graft", "events",
+          Seq("event_type", "value", "props"))
+        .withColumn(Envelope.EnvelopeCol,
+          when(col("seq") % 7 === 1, regexp_replace(e,
+            "\"table\":\"events\"", "\"table\":\"evnts\""))
+            .when(col("seq") % 7 === 2, regexp_replace(e,
+              "\"type\":\"", "\"type\":\"x"))
+            .when(col("seq") % 7 === 3, regexp_replace(e,
+              "\"isDdl\":false", "\"isDdl\":true"))
+            .otherwise(e))
+        .select(Envelope.EnvelopeCol)
+        .write.mode(SaveMode.Overwrite).parquet(wirePath)
+      val dec = Envelope.decodeAll(s.read.parquet(wirePath),
+        envelopePayload, "graft", "events")
+      val delivered = dec.where(col("__envelope_error").isNull)
+        .drop(Envelope.EnvelopeCol, "__envelope_error")
+      val dlq = dec.where(col("__envelope_error").isNotNull)
+        .select(e, col("__envelope_error"))
+      val repair: Column => Column = env =>
+        regexp_replace(regexp_replace(regexp_replace(env,
+          "\"table\":\"evnts\"", "\"table\":\"events\""),
+          "\"type\":\"x", "\"type\":\""),
+          "\"isDdl\":true", "\"isDdl\":false")
+      val recovered = DlqReplay.replay(dlq, repair, envelopePayload,
+        "graft", "events", delivered = Some(delivered)).recovered
+      delivered.withColumn("replayed", lit(false))
+        .unionAll(recovered.withColumn("replayed", lit(true)))
+        .select(col("key").as("user_id"), col("commit_ts_us"),
+          col("seq"), col("op"), col("event_type"), col("value"),
+          col("props"), col("replayed"))
+        .orderBy("seq")
     }),
 
     // A50 codec identity: encode → wire → decode is the changelog
@@ -2393,6 +2463,17 @@ object Cdc {
         |       count(*) AS n
         |FROM log GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Replay convergence: the union of clean-path and repaired-replayed
+    // rows is the never-poisoned changelog; the path flag is pure seq
+    // arithmetic (the three repairable poison classes).
+    "cdc_dlq_replay" -> (logCte +
+      """
+        |SELECT key AS user_id, commit_ts_us, seq, op,
+        |       event_type, value, props,
+        |       seq % 7 IN (1, 2, 3) AS replayed
+        |FROM log
+        |ORDER BY seq""".stripMargin),
+
     // Codec identity: encode → decode is the changelog, column-exact.
     "cdc_envelope_roundtrip" -> (logCte +
       """
@@ -2666,6 +2747,18 @@ object Cdc {
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cdc_topic" -> (logCte +
+      """
+        |SELECT key % 8 AS __partition,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY key % 8
+        |         ORDER BY commit_ts_us, seq, key) - 1 AS BIGINT) AS __offset,
+        |       seq, key AS user_id, commit_ts_us, event_type
+        |FROM log
+        |ORDER BY 1, 2""".stripMargin),
+
+    // Append ≡ full re-assign: the oracle is the whole-feed
+    // assignment, same as cdc_topic's.
+    "cdc_topic_append" -> (logCte +
       """
         |SELECT key % 8 AS __partition,
         |       CAST(row_number() OVER (

@@ -2682,6 +2682,31 @@ object Docs {
         .orderBy("media_id")
     }),
 
+    // C12e: fourth REAL codec — the first COMPRESSED format. Png.synth
+    // builds valid 24-bit non-interlaced PNGs (signature → IHDR →
+    // planted ancillary chunk → zlib stream SPLIT across two IDAT
+    // chunks → IEND, real CRC-32 per chunk, every scanline filtered
+    // with (id+y)%5 so all five PNG filters are live); PngCodec
+    // REALLY parses them — chunk walk + CRC verify + IDAT reassembly
+    // + JDK Inflater + Sub/Up/Average/Paeth reversal — through the
+    // production mapPartitions seam. The oracle re-derives per-window
+    // mean intensity from the pixel FORMULA (it never models
+    // deflate), so a hash match proves the whole decode PIPELINE
+    // agrees with the encoder. n_bytes is not formula-computable
+    // (deflate output size), so the grade rides entirely on features.
+    "media_png_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Png, PngCodec}
+      val media = s.range(0, 500).as[Long]
+        .map(id => (id, "image", Png.synth(id)))
+        .toDF("media_id", "kind", "content")
+      graft.multimodal.Media.decodeFeatures(media, dim = 8, codec = PngCodec)
+        .select(col("media_id"),
+          graft.multimodal.Media.featuresCsv(col("features"))
+            .as("features_csv"))
+        .orderBy("media_id")
+    }),
+
     "media_neardup" -> ((s, dir) => {
       val m = graft.multimodal.Media.fromDocuments(Tables.documents(s, dir))
       val feats = graft.multimodal.Media.decodeFeatures(m, dim = 16)
@@ -4383,6 +4408,32 @@ object Docs {
         |         AS n_bytes,
         |       features_csv
         |FROM m JOIN feats USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    "media_png_roundtrip" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |         CAST(8 + i % 9 AS BIGINT) AS w,
+        |         CAST(4 + i % 5 AS BIGINT) AS h
+        |  FROM generate_series(0, 499) t(i)),
+        |ps AS (
+        |  SELECT media_id, w, h, unnest(range(w * h)) AS p FROM m),
+        |s AS (
+        |  SELECT media_id, CAST((p * 8) // (w * h) AS INTEGER) AS win,
+        |         (media_id * 7 + p * 3) % 256
+        |           + (media_id * 7 + p * 3 + 11) % 256
+        |           + (media_id * 7 + p * 3 + 22) % 256 AS a
+        |  FROM ps),
+        |wf AS (
+        |  SELECT media_id, win, CAST(sum(a) AS DOUBLE) AS sa,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM s GROUP BY 1, 2)
+        |SELECT media_id,
+        |       array_to_string(list(
+        |         CAST(floor(CAST(CAST(sa / (c * 765.0) AS REAL) AS DOUBLE)
+        |              * 281474976710656) AS BIGINT) ORDER BY win), ',')
+        |         AS features_csv
+        |FROM wf GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
 
     "doc_vocab" ->

@@ -231,6 +231,71 @@ class MediaSpec extends SparkSpec {
     intercept[IllegalArgumentException](AviCodec.decode("video", lie, 8))
   }
 
+  test("PngCodec: chunk walk, IDAT reassembly, inflate, all five " +
+    "filter reversals decode exactly") {
+    import graft.multimodal.{Png, PngCodec}
+    // id 4: h = 8 → scanline filters (4+y)%5 cover all five types;
+    // id 0: split point 1 (degenerate 1-byte first IDAT); id 12: junk 4
+    for (id <- Seq(4L, 0L, 12L, 7L)) {
+      val bytes = Png.synth(id)
+      val feats = PngCodec.decode("image", bytes, 8)
+      val w = Png.width(id); val h = Png.height(id)
+      val sums = new Array[Long](8); val cnts = new Array[Long](8)
+      for (p <- 0L until w.toLong * h) {
+        val win = (p * 8 / (w * h)).toInt
+        sums(win) += (0 until 3).map(Png.channel(id, p, _)).sum
+        cnts(win) += 1
+      }
+      (0 until 8).foreach { i =>
+        assert(feats(i) ===
+          (sums(i).toDouble / (cnts(i).toDouble * 765.0)).toFloat,
+          s"id=$id window $i")
+      }
+    }
+  }
+
+  test("PngCodec: malformed payloads are rejected, not misread") {
+    import graft.multimodal.{Png, PngCodec}
+    val good = Png.synth(9L)
+    // broken signature
+    val notPng = good.clone(); notPng(0) = 'X'.toByte
+    intercept[IllegalArgumentException](PngCodec.decode("image", notPng, 8))
+    // trap (d): a flipped byte inside the first IDAT payload breaks
+    // that chunk's CRC — must throw, not decode garbage. IHDR chunk is
+    // 12+13 bytes, grFt is 12+junkLen(9)=12+1; first IDAT data starts
+    // at 8 + 25 + 13 + 8.
+    val flip = good.clone(); flip(8 + 25 + 13 + 8) = (flip(54) ^ 0x40).toByte
+    intercept[IllegalArgumentException](PngCodec.decode("image", flip, 8))
+    // truncation mid-IDAT
+    intercept[IllegalArgumentException](
+      PngCodec.decode("image", good.take(good.length - 16), 8))
+    // an unknown CRITICAL chunk must be refused, not skipped: rewrite
+    // the ancillary grFt type to GrFt (uppercase = critical) with a
+    // recomputed CRC so only the criticality bit distinguishes it
+    val crit = good.clone()
+    crit(8 + 25 + 4) = 'G'.toByte
+    val crc = new java.util.zip.CRC32
+    crc.update(crit, 8 + 25 + 4, 4 + 1) // type + 1 junk byte (id 9)
+    val cv = crc.getValue.toInt
+    crit(8 + 25 + 8 + 1) = ((cv >> 24) & 0xff).toByte
+    crit(8 + 25 + 8 + 2) = ((cv >> 16) & 0xff).toByte
+    crit(8 + 25 + 8 + 3) = ((cv >> 8) & 0xff).toByte
+    crit(8 + 25 + 8 + 4) = (cv & 0xff).toByte
+    intercept[IllegalArgumentException](PngCodec.decode("image", crit, 8))
+  }
+
+  test("PngCodec: the filter and split traps are live — every image " +
+    "with h >= 5 uses all five filters and two IDAT chunks") {
+    import graft.multimodal.Png
+    val id = 4L // h = 8
+    assert((0 until Png.height(id)).map(y => ((id + y) % 5).toInt)
+      .toSet === Set(0, 1, 2, 3, 4))
+    // the zlib stream really is split: count IDAT type markers
+    val bytes = Png.synth(id)
+    val s = new String(bytes.map(b => if (b >= 32 && b < 127) b.toChar else '.'))
+    assert("IDAT".r.findAllIn(s).length === 2)
+  }
+
   test("BmpCodec: malformed payloads are rejected, not misread") {
     import graft.multimodal.{Bmp, BmpCodec}
     val good = Bmp.synth(9L)

@@ -95,6 +95,40 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === n1)
   }
 
+  test("Topic.append: extends dense offsets per partition ≡ full " +
+    "re-assign, associates over slices, and never re-sorts history") {
+    val topic = GraftSink.Topic(path = "", numPartitions = 4)
+    val log = changelog
+    val full = topic.assign(log)
+    // three time slices (orderCols lead with commit_ts_us, so each
+    // slice strictly follows the previous one inside every partition)
+    val cuts = log.stat.approxQuantile("commit_ts_us",
+      Array(0.33, 0.66), 0.0).map(_.toLong)
+    val s0 = log.where(col("commit_ts_us") < cuts(0))
+    val s1 = log.where(col("commit_ts_us") >= cuts(0) &&
+      col("commit_ts_us") < cuts(1))
+    val s2 = log.where(col("commit_ts_us") >= cuts(1))
+    // established log is MATERIALIZED (a standing deployment's state)
+    val base = topic.assign(s0).localCheckpoint()
+    val appended = topic.append(topic.append(base, s1), s2)
+    assertSameRows(full, appended)
+    // history is never re-sorted: the append plan carries exactly one
+    // Window (over the incoming slice) — the checkpointed base
+    // contributes only the grouped-max ends
+    val one = topic.append(base, s1)
+    val nWindows = one.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(nWindows === 1)
+    // a partition unseen in the base starts at offset 0
+    val tiny = topic.assign(log.where(col("key") % 4 === 0)
+      .limit(50)).localCheckpoint()
+    val other = topic.append(tiny, log.where(col("key") % 4 === 1).limit(7))
+    val fresh = other.where(col("__partition") === 1)
+    assert(fresh.agg(min("__offset")).head().getLong(0) === 0L)
+    assert(fresh.count() === 7)
+  }
+
   test("Topic.compact: latest-per-key at ORIGINAL offsets, tombstone " +
     "retention, replay bootstraps the snapshot") {
     val topic = GraftSink.Topic(path = "", numPartitions = 8)
