@@ -640,6 +640,163 @@ object GraftSink {
       require(v > 0, s"$path: no committed versions")
       readVersion(spark, v)
     }
+
+    /** MERGE commit (the Delta `MERGE INTO` / warehouse-upsert shape):
+      * apply a changelog batch to the LATEST snapshot and publish the
+      * result as one new version — per key the batch's newest record
+      * wins (ordered by `orderCols`), a 'D' tombstone deletes, an
+      * unmatched key inserts, and snapshot rows the batch never touched
+      * carry over unchanged. The batch's `opCol` is consumed (the
+      * table stores post-images, not ops).
+      *
+      * Scale shape: ONE key-hash exchange on each side of one
+      * anti-join — the same work Delta does when it rewrites matched
+      * files; the batch side first collapses to latest-per-key
+      * (partial-agg-friendly window over the batch only, never the
+      * snapshot). Readers are snapshot-isolated throughout: the merge
+      * is invisible until its manifest lands (the JDBC delete-window
+      * hole, solved by the commit design). Returns the new version. */
+    def merge(batch: DataFrame, keyCols: Seq[String],
+              orderCols: Seq[String], opCol: String = "op"): Long = {
+      val spark = batch.sparkSession
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(c => col(c).desc): _*)
+      val latest = batch
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+      val current =
+        if (currentVersion(spark) == 0L)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              latest.drop(opCol).schema.fields))
+        else read(spark)
+      val merged = current
+        .join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(latest.where(col(opCol) =!= "D").drop(opCol))
+      commit(merged, overwrite = true)
+    }
+
+    /** CHANGE DATA FEED between versions (Delta's `table_changes`):
+      * rows that entered the table in (fromV, toV], each tagged
+      * `_change_type` + `_commit_version`.
+      *
+      * An APPEND-ONLY range never scans old data and never shuffles:
+      * each version's manifest is a superset of its parent's, so the
+      * per-version file-set difference IS the change set — the feed is
+      * a union of file-pruned scans of exactly the added files (this
+      * is why the manifest stores file lists: CDF costs O(|changes|),
+      * not O(|table|)). A range crossing an overwrite/merge commit
+      * falls back to a keyed snapshot diff (one full-outer join:
+      * insert / update_postimage / delete), attributed to `toV`. */
+    def changes(spark: org.apache.spark.sql.SparkSession,
+                fromV: Long, toV: Long,
+                keyCols: Seq[String] = Nil): DataFrame = {
+      require(fromV < toV, s"empty version range ($fromV, $toV]")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val sets = (fromV to toV)
+        .map(v => v -> (if (v == 0) Set.empty[String]
+                        else manifestFiles(fs, v).toSet)).toMap
+      val appendOnly = (fromV + 1 to toV)
+        .forall(v => sets(v - 1).subsetOf(sets(v)))
+      if (appendOnly) {
+        (fromV + 1 to toV).map { v =>
+          val added = (sets(v) -- sets(v - 1)).toSeq.sorted
+          if (added.isEmpty) None
+          else Some(spark.read.parquet(added.map(rel => s"$path/$rel"): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        }.flatten.reduceOption(_ unionByName _)
+          .getOrElse(spark.emptyDataFrame)
+      } else {
+        require(keyCols.nonEmpty,
+          s"($fromV, $toV] crosses an overwrite commit: the keyed diff " +
+            "fallback needs keyCols")
+        val before = readVersion(spark, fromV)
+        val after = readVersion(spark, toV)
+        val payload = after.columns.filterNot(keyCols.contains).toSeq
+        def tagged(df: DataFrame, side: String) = df.select(
+          keyCols.map(col) :+
+            struct(payload.map(col): _*).as(s"__p_$side"): _*)
+        tagged(after, "a").join(tagged(before, "b"), keyCols, "full_outer")
+          .withColumn("_change_type",
+            when(col("__p_b").isNull, "insert")
+              .when(col("__p_a").isNull, "delete")
+              .when(!(col("__p_a") <=> col("__p_b")), "update_postimage"))
+          .where(col("_change_type").isNotNull)
+          // post-image for insert/update, pre-image for delete — chosen
+          // by SIDE, never per-field coalesce (a legitimately-null
+          // post-image field must not resurrect the pre-image value)
+          .select(keyCols.map(col) ++
+            payload.map(c => when(col("_change_type") === "delete",
+              col(s"__p_b.$c")).otherwise(col(s"__p_a.$c")).as(c)) ++
+            Seq(col("_change_type"), lit(toV).as("_commit_version")): _*)
+      }
+    }
+
+    /** OPTIMIZE: republish the CURRENT content bin-packed into
+      * `targetRecordsPerFile`-sized files as a new version —
+      * content-identical (SinksSpec pins row equality), file-count
+      * reduced; readers of prior versions are untouched because their
+      * manifests still name the old files (until [[vacuum]]). The
+      * rewrite is one distributed pass (repartition to the packed
+      * file count — the C88 planner's bin count, never a driver loop).
+      * Returns (newVersion, filesBefore, filesAfter). */
+    def optimize(spark: org.apache.spark.sql.SparkSession,
+                 targetRecordsPerFile: Long): (Long, Int, Int) = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      require(v > 0, s"$path: nothing to optimize")
+      val before = manifestFiles(fs, v)
+      val current = readVersion(spark, v)
+      val n = current.count()
+      val files = math.max(1, math.ceil(
+        n.toDouble / targetRecordsPerFile).toInt)
+      val newV = commit(current.repartition(files), overwrite = true)
+      (newV, before.size, manifestFiles(fs, newV).size)
+    }
+
+    /** VACUUM: retire time travel below a horizon — keep the newest
+      * `retainLast` versions, delete every older manifest and every
+      * data file no retained manifest references. Reading a vacuumed
+      * version fails LOUDLY (its manifest is gone — the require in
+      * manifestFiles), retained versions read byte-identically, and
+      * uncommitted orphan data dirs (a writer that died before its
+      * rename) are reclaimed too. Driver work is manifest-sized.
+      * Returns (dataFilesDeleted, manifestsDeleted). */
+    def vacuum(spark: org.apache.spark.sql.SparkSession,
+               retainLast: Int): (Int, Int) = {
+      require(retainLast >= 1, "must retain at least the latest version")
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      val horizon = math.max(1L, v - retainLast + 1)
+      val keep = (horizon to v)
+        .flatMap(kv => manifestFiles(fs, kv)).toSet
+      // every file under _data/ not referenced by a retained manifest
+      val dataRoot = new org.apache.hadoop.fs.Path(root, "_data")
+      var dataDeleted = 0
+      if (fs.exists(dataRoot)) {
+        for (dir <- fs.listStatus(dataRoot); f <- fs.listStatus(dir.getPath)) {
+          val rel = s"_data/${dir.getPath.getName}/${f.getPath.getName}"
+          if (!keep.contains(rel)) {
+            fs.delete(f.getPath, false); dataDeleted += 1
+          }
+        }
+        // drop now-empty commit dirs
+        fs.listStatus(dataRoot).filter(d => fs.listStatus(d.getPath).isEmpty)
+          .foreach(d => fs.delete(d.getPath, false))
+      }
+      var manifestsDeleted = 0
+      for (kv <- 1L until horizon) {
+        val m = new org.apache.hadoop.fs.Path(root,
+          s"_manifests/v$kv.manifest")
+        if (fs.exists(m)) { fs.delete(m, false); manifestsDeleted += 1 }
+      }
+      (dataDeleted, manifestsDeleted)
+    }
   }
 
   /** JDBC warehouse sink (reference README.md:17, 22 — the RFC's

@@ -1554,6 +1554,89 @@ object Cdc {
         .orderBy("version", "event_type")
     }),
 
+    // A66 MERGE commits (the Delta MERGE / warehouse-upsert shape):
+    // three time-slices of the changelog applied as successive merge
+    // commits — per key the batch's newest record wins, 'D' tombstones
+    // delete, untouched rows carry over; each merge is ONE new version
+    // (snapshot-isolated while it builds). The final read must equal
+    // the batch snapshot of the whole feed — the oracle is the SAME
+    // snapshot SQL as cdc_snapshot, so parity proves incremental
+    // merges converge to the full-feed state (A28's upsert law, now
+    // through the versioned-table commit protocol).
+    "cdc_table_merge" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablemerge")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L // 2024-01-10
+      val t2 = 1705708800000000L // 2024-01-20
+      val table = GraftSink.VersionedTable(path)
+      Seq(
+        log.where(col("commit_ts_us") <= t1),
+        log.where(col("commit_ts_us") > t1 && col("commit_ts_us") <= t2),
+        log.where(col("commit_ts_us") > t2)
+      ).foreach(slice => table.merge(slice, Seq("key"),
+        Seq("commit_ts_us", "seq")))
+      table.read(s)
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // A66 CHANGE DATA FEED, append-only leg: three append commits,
+    // then changes(0 → 3) — the manifest file-set differences ARE the
+    // change set (zero shuffle, zero old-version scan; CDF costs
+    // O(|changes|) not O(|table|)), each row tagged with the commit
+    // version that introduced it. Oracle re-derives the version
+    // attribution from the slice boundaries.
+    "cdc_table_cdf" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablecdf")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.where(col("commit_ts_us") <= t1))
+      table.commit(log.where(
+        col("commit_ts_us") > t1 && col("commit_ts_us") <= t2))
+      table.commit(log.where(col("commit_ts_us") > t2))
+      table.changes(s, 0L, 3L)
+        .select(col("seq"), col("key").as("user_id"), col("op"),
+          col("event_type"), col("commit_ts_us"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("seq")
+    }),
+
+    // A66 CDF keyed-diff leg: the range crosses an OVERWRITE commit
+    // (v1 = the snapshot as of 2024-01-10, v2 = overwritten with the
+    // snapshot as of 2024-01-20), so the feed falls back to one
+    // full-outer keyed diff — keys that appeared are inserts, keys
+    // whose latest event moved are update_postimage (post-image
+    // emitted), keys whose latest-by-t2 is a delete tombstone are
+    // deletes (pre-image emitted). The oracle re-derives both
+    // snapshots and the three-way classification in SQL; seq equality
+    // is the change test (no two events share a seq).
+    "cdc_table_cdf_diff" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablecdfdiff")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.commit(Materialize.snapshot(log.where(col("commit_ts_us") <= t1)))
+      table.commit(Materialize.snapshot(log.where(col("commit_ts_us") <= t2)),
+        overwrite = true)
+      table.changes(s, 1L, 2L, keyCols = Seq("key"))
+        .select(col("key").as("user_id"), col("_change_type"),
+          col("seq"), col("event_type"), col("value"),
+          col("commit_ts_us"), col("_commit_version"))
+        .orderBy("user_id")
+    }),
+
     // A21: semi-structured payload extraction — JSON props parsed in the
     // scan projection (codegen'd get_json_object; no UDF)
     "cdc_json_extract" -> ((s, dir) => {
@@ -3158,6 +3241,54 @@ object Cdc {
         |       min(commit_ts_us) AS min_ts_us,
         |       max(commit_ts_us) AS max_ts_us
         |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Incremental merges converge to the full-feed snapshot.
+    "cdc_table_merge" -> snapshotOracle,
+
+    // Append-only CDF: every row is an insert attributed to the
+    // commit whose time slice introduced it.
+    "cdc_table_cdf" -> (logCte +
+      """
+        |SELECT seq, key AS user_id, op, event_type, commit_ts_us,
+        |       'insert' AS _change_type,
+        |       CAST(CASE WHEN commit_ts_us <= 1704844800000000 THEN 1
+        |                 WHEN commit_ts_us <= 1705708800000000 THEN 2
+        |                 ELSE 3 END AS BIGINT) AS _commit_version
+        |FROM log
+        |ORDER BY seq""".stripMargin),
+
+    // Keyed-diff CDF across an overwrite: both snapshots re-derived,
+    // three-way classification by presence + seq movement (no two
+    // events share a seq, so seq equality == row identity).
+    "cdc_table_cdf_diff" -> (logCte +
+      """,
+        |s1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |    FROM log WHERE commit_ts_us <= 1704844800000000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |s2 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |    FROM log WHERE commit_ts_us <= 1705708800000000)
+        |  WHERE rn = 1 AND op <> 'D')
+        |SELECT COALESCE(s2.key, s1.key) AS user_id,
+        |       CASE WHEN s1.key IS NULL THEN 'insert'
+        |            WHEN s2.key IS NULL THEN 'delete'
+        |            ELSE 'update_postimage' END AS _change_type,
+        |       CASE WHEN s2.key IS NULL THEN s1.seq ELSE s2.seq END AS seq,
+        |       CASE WHEN s2.key IS NULL THEN s1.event_type
+        |            ELSE s2.event_type END AS event_type,
+        |       CASE WHEN s2.key IS NULL THEN s1.value
+        |            ELSE s2.value END AS value,
+        |       CASE WHEN s2.key IS NULL THEN s1.commit_ts_us
+        |            ELSE s2.commit_ts_us END AS commit_ts_us,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM s2 FULL OUTER JOIN s1 ON s2.key = s1.key
+        |WHERE s1.key IS NULL OR s2.key IS NULL OR s1.seq <> s2.seq
+        |ORDER BY user_id""".stripMargin),
 
     // A48 × A56: the three-member group union must equal the SAME
     // batch snapshot — the group partitions the work, it doesn't

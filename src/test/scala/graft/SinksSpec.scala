@@ -325,6 +325,119 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("never committed"))
   }
 
+  test("VersionedTable.merge: upsert/delete/insert legs, snapshot " +
+    "convergence, and batch-latest-wins within one merge") {
+    import spark.implicits._
+    val path = tmp("vtable-merge")
+    val vt = GraftSink.VersionedTable(path)
+    def batch(rows: (Long, Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("key", "seq", "op", "payload")
+    // bootstrap merge into an empty table = insert all non-D
+    vt.merge(batch((1L, 1L, "I", "a"), (2L, 2L, "I", "b"),
+      (3L, 3L, "I", "c"), (3L, 4L, "D", "c")), Seq("key"), Seq("seq"))
+    assert(vt.read(spark).select("key").as[Long].collect().sorted ===
+      Array(1L, 2L)) // key 3's newest in-batch record is the tombstone
+    // second merge: update 1, delete 2, insert 4; untouched rows carry
+    vt.merge(batch((1L, 5L, "U", "a2"), (2L, 6L, "D", "b"),
+      (4L, 7L, "I", "d")), Seq("key"), Seq("seq"))
+    val out = vt.read(spark).orderBy("key")
+      .select("key", "payload").as[(Long, String)].collect()
+    assert(out === Array((1L, "a2"), (4L, "d")))
+    assert(vt.currentVersion(spark) === 2L)
+    // time travel: v1 still shows the pre-merge state
+    assert(vt.readVersion(spark, 1).select("key")
+      .as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("VersionedTable.changes: append-only ranges are file-level (no " +
+    "shuffle, no old-version scan); a range crossing an overwrite " +
+    "falls back to the keyed diff") {
+    import spark.implicits._
+    val path = tmp("vtable-cdf")
+    val vt = GraftSink.VersionedTable(path)
+    def slice(tag: String, ks: Seq[Long]): DataFrame =
+      ks.map(k => (k, tag)).toDF("key", "tag")
+    vt.commit(slice("a", Seq(1, 2)))
+    vt.commit(slice("b", Seq(3)))
+    vt.commit(slice("c", Seq(4, 5)))
+    val feed = vt.changes(spark, 1L, 3L)
+    assert(feed.orderBy("key").select("key", "_change_type",
+      "_commit_version").as[(Long, String, Long)].collect() ===
+      Array((3L, "insert", 2L), (4L, "insert", 3L), (5L, "insert", 3L)))
+    // file-level: zero exchanges in the physical plan
+    val exchanges = feed.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty)
+    // overwrite with key 1 updated (new tag), key 2 gone, key 9 new
+    vt.commit(Seq((1L, "a2"), (3L, "b"), (4L, "c"), (5L, "c"),
+      (9L, "z")).toDF("key", "tag"), overwrite = true)
+    val diff = vt.changes(spark, 3L, 4L, keyCols = Seq("key"))
+      .orderBy("key")
+      .select("key", "_change_type", "tag")
+      .as[(Long, String, String)].collect()
+    assert(diff === Array((1L, "update_postimage", "a2"),
+      (2L, "delete", "a"), (9L, "insert", "z")))
+    // the fallback requires keys — loudly
+    val e = intercept[IllegalArgumentException](vt.changes(spark, 2L, 4L))
+    assert(e.getMessage.contains("keyCols"))
+  }
+
+  test("VersionedTable.optimize + vacuum: content-identical rewrite, " +
+    "fewer files; vacuum retires time travel below the horizon and " +
+    "reclaims unreferenced data + orphans") {
+    import spark.implicits._
+    val path = tmp("vtable-opt")
+    val vt = GraftSink.VersionedTable(path)
+    // many tiny commits = many small files
+    (1 to 4).foreach(i => vt.commit(
+      Seq.tabulate(50)(j => (i.toLong * 100 + j, s"t$i"))
+        .toDF("key", "tag").repartition(4)))
+    val contentBefore = vt.read(spark).orderBy("key").collect()
+    val (optV, nBefore, nAfter) = vt.optimize(spark, 1000L)
+    assert(optV === 5L)
+    assert(nAfter < nBefore)
+    assert(vt.read(spark).orderBy("key").collect() === contentBefore)
+    // old versions still read (their files are still on disk)
+    assert(vt.readVersion(spark, 2).count() === 100L)
+    // plant an orphan (writer died pre-rename), then vacuum to last 1
+    Seq((0L, "orphan")).toDF("key", "tag").write.mode("overwrite")
+      .parquet(s"$path/_data/commit-crashed")
+    val (dataGone, manifestsGone) = vt.vacuum(spark, retainLast = 1)
+    assert(manifestsGone === 4)
+    assert(dataGone > 0)
+    // latest reads byte-identically; vacuumed versions fail loudly
+    assert(vt.read(spark).orderBy("key").collect() === contentBefore)
+    val e = intercept[IllegalArgumentException](vt.readVersion(spark, 2))
+    assert(e.getMessage.contains("vacuumed"))
+    // the orphan dir is gone too
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      path, "_data/commit-crashed")))
+  }
+
+  test("VersionedTable: two RACING writers both land — the rename race " +
+    "loser retries at the next version with its data intact") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = tmp("vtable-race")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit(Seq((0L, "base")).toDF("key", "tag"))
+    val fs = Seq("w1", "w2", "w3").map(tag => Future {
+      vt.commit(Seq((tag.hashCode.toLong, tag)).toDF("key", "tag"))
+    })
+    val versions = Await.result(Future.sequence(fs), 120.seconds)
+    // all three landed at distinct versions 2..4
+    assert(versions.sorted === Seq(2L, 3L, 4L))
+    // the final table holds base + all three writers' rows
+    assert(vt.read(spark).count() === 4L)
+    assert(vt.read(spark).select("tag").as[String].collect().toSet ===
+      Set("base", "w1", "w2", "w3"))
+  }
+
   test("SinkConfig: uris compile to the right sinks and round-trip") {
     val parsed = SinkConfig.parse(
       "parquet:/out/x?partitionBy=__partition,op&maxRecords=5000&mode=append")
