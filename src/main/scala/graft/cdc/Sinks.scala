@@ -138,6 +138,32 @@ object GraftSink {
         .partitionBy("__partition")
         .parquet(path)
 
+    /** IDEMPOTENT produce (Kafka's enable.idempotence): every producer
+      * stamps its records with (producer id, per-partition SEQUENCE
+      * number); a retried batch re-sends the same sequence numbers and
+      * the broker keeps only the FIRST arrival of each (pid, partition,
+      * seq) — retries can never duplicate, without transactions.
+      * Survivors then take A23's dense offsets.
+      *
+      * Scale shape: routing, the dedup window, and the offset window
+      * all run inside ONE partition exchange (the dedup key refines
+      * the topic partition, so no second shuffle); arrival order
+      * breaks ties deterministically. */
+    def assignIdempotent(df: DataFrame, pidCol: String = "pid",
+                         pseqCol: String = "pseq",
+                         arrivalCol: String = "arrival"): DataFrame = {
+      val dedup = Window
+        .partitionBy(col("__partition"), col(pidCol), col(pseqCol))
+        .orderBy(col(arrivalCol))
+      val w = Window.partitionBy(col("__partition"))
+        .orderBy(orderCols.map(col): _*)
+      df.withColumn("__partition", Route(strategy, numPartitions, df))
+        .repartition(numPartitions, col("__partition"))
+        .withColumn("__dup_rn", row_number().over(dedup))
+        .where(col("__dup_rn") === 1).drop("__dup_rn")
+        .withColumn("__offset", row_number().over(w).cast("long") - 1)
+    }
+
     /** TRANSACTIONAL reads (A60 — Kafka's read_committed isolation +
       * LAST STABLE OFFSET): producers write records under transaction
       * ids; a read_committed consumer sees non-transactional records
@@ -384,6 +410,53 @@ object GraftSink {
           count(when(col("__status") === "open", 1)).as("n_open_pending"),
           count(when(col("__control").isNotNull, 1)).as("n_markers"))
       (visible, report)
+    }
+
+    /** MIRROR replication + offset syncs (MirrorMaker 2's
+      * replication flow): re-produce the VISIBLE records of a source
+      * topic into a mirror, 1:1 by partition with per-partition order
+      * preserved — but the mirror's offsets are dense from 0 over
+      * what it actually received, so they DIVERGE from the source's
+      * wherever the source holds records a replicator never emits
+      * (aborted/open transactions, control markers, retention gaps):
+      * a failing-over consumer can NOT reuse its source cursor. The
+      * source offset rides along as `__src_offset` — the offset-sync
+      * mapping MM2 maintains for exactly this reason. One window over
+      * the partitioning the source already has; no extra exchange. */
+    def mirror(visible: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__partition"))
+        .orderBy(col("__src_offset"))
+      visible.withColumnRenamed("__offset", "__src_offset")
+        .withColumn("__offset", row_number().over(w).cast("long") - 1)
+    }
+
+    /** Checkpoint translation (MM2's checkpoint topic): for each
+      * consumer group's committed SOURCE offset, the mirror offset
+      * from which resuming consumes exactly the records not yet
+      * consumed upstream = the COUNT of mirrored records below the
+      * source cursor (mirror offsets are dense, so count = offset).
+      * `cursors`: (group_id, __partition, src_committed) —
+      * coordinator-sized, broadcast; the mirror log is scanned once.
+      * A partition the mirror never received resumes at 0. */
+    def translateCheckpoints(mirrored: DataFrame,
+                             cursors: DataFrame): DataFrame = {
+      val ends = mirrored.groupBy(col("__partition"))
+        .agg((max(col("__offset")) + 1L).as("dst_end"))
+      val counts = mirrored
+        .select(col("__partition"), col("__src_offset"))
+        .join(broadcast(cursors), Seq("__partition"))
+        .where(col("__src_offset") < col("src_committed"))
+        .groupBy(col("group_id"), col("__partition"),
+          col("src_committed"))
+        .agg(count(lit(1)).as("dst_committed"))
+      cursors
+        .join(counts, Seq("group_id", "__partition", "src_committed"),
+          "left")
+        .join(ends, Seq("__partition"), "left")
+        .select(col("group_id"), col("__partition"),
+          col("src_committed"),
+          coalesce(col("dst_committed"), lit(0L)).as("dst_committed"),
+          coalesce(col("dst_end"), lit(0L)).as("dst_end"))
     }
 
     /** Kafka-style LOG COMPACTION of an [[assign]]ed topic (A45): per

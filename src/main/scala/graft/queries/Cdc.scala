@@ -96,30 +96,38 @@ object Cdc {
       |mx AS (SELECT max(commit_ts_us) AS m FROM log),
       |d AS (
       |  SELECT key, commit_ts_us, seq, 'raw' AS producer, 1 AS epoch,
-      |         CAST(NULL AS BIGINT) AS txn_id, CAST(NULL AS VARCHAR) AS ctrl
+      |         CAST(NULL AS BIGINT) AS txn_id, CAST(NULL AS VARCHAR) AS ctrl,
+      |         op, event_type, value
       |  FROM log
       |  WHERE seq % 5 = 0
       |     OR (seq % 5 = 3 AND commit_ts_us <= 1705708800000000)
       |  UNION ALL
-      |  SELECT key, commit_ts_us, seq, 'pa', 1, 1, NULL
+      |  SELECT key, commit_ts_us, seq, 'pa', 1, 1, NULL,
+      |         op, event_type, value
       |  FROM log WHERE seq % 5 = 1
       |  UNION ALL
-      |  SELECT key, commit_ts_us, seq, 'pb', 1, 2, NULL
+      |  SELECT key, commit_ts_us, seq, 'pb', 1, 2, NULL,
+      |         op, event_type, value
       |  FROM log WHERE seq % 5 = 2
       |  UNION ALL
-      |  SELECT key, commit_ts_us, seq, 'pc', 1, 3, NULL
+      |  SELECT key, commit_ts_us, seq, 'pc', 1, 3, NULL,
+      |         op, event_type, value
       |  FROM log WHERE seq % 5 = 3 AND commit_ts_us > 1705708800000000
       |  UNION ALL
-      |  SELECT key, commit_ts_us, seq, 'pd', 1, 4, NULL
+      |  SELECT key, commit_ts_us, seq, 'pd', 1, 4, NULL,
+      |         op, event_type, value
       |  FROM log WHERE seq % 5 = 4
       |  UNION ALL
       |  SELECT key, commit_ts_us, seq + 4000000000000000000, 'pd', 2, 5,
-      |         NULL
+      |         NULL, op, event_type, value
       |  FROM log WHERE seq % 5 = 4 AND commit_ts_us > $asofTsUs),
       |mk AS (
       |  SELECT g.p AS key, mx.m + s.slot AS commit_ts_us,
       |         6000000000000000000 + s.slot * 8 + g.p AS seq,
-      |         s.producer, s.epoch, s.txn, s.ctrl
+      |         s.producer, s.epoch, s.txn, s.ctrl,
+      |         CAST(NULL AS VARCHAR) AS op,
+      |         CAST(NULL AS VARCHAR) AS event_type,
+      |         CAST(NULL AS DOUBLE) AS value
       |  FROM generate_series(0, 7) g(p), mx,
       |       (VALUES ('pa', 1, 1, 'commit', 1), ('pb', 1, 2, 'abort', 2),
       |               ('pd', 2, 4, 'abort', 4), ('pd', 2, 5, 'commit', 5),
@@ -742,6 +750,84 @@ object Cdc {
         .assign(changelog(s, dir))
         .select(col("__partition"), col("__offset"), col("seq"),
           col("key").as("user_id"), col("commit_ts_us"), col("event_type"))
+        .orderBy("__partition", "__offset")
+    }),
+
+    // A70 cross-cluster MIRROR + offset translation (MirrorMaker 2's
+    // offset-syncs + checkpoint topics): the A62 transactional source
+    // log is replicated read_committed into a mirror — the mirror
+    // never receives aborted/open records or control markers, so its
+    // dense offsets DIVERGE from the source's and a failing-over
+    // consumer group cannot reuse its source cursor. Two groups'
+    // planted source cursors (1/2 and 3/4 of each partition's end)
+    // are translated: dst_committed = count of mirrored records below
+    // the source cursor. The oracle re-derives the produced log,
+    // fencing, fates, LSO, the visible set, both cursor ladders, and
+    // the translation in SQL — parity proves a consumer resuming at
+    // the translated offset skips exactly what it already consumed.
+    "cdc_topic_mirror" -> ((s, dir) => {
+      val (visible, report) = txnProducedTopic(s, dir)
+      val topic = GraftSink.Topic(path = "", numPartitions = 8)
+      val mirrored = topic.mirror(visible)
+      val cursors = report.select(col("__partition"), col("end_offset"))
+        .withColumn("group_id", explode(array(lit("g1"), lit("g2"))))
+        .withColumn("src_committed",
+          when(col("group_id") === "g1",
+            (col("end_offset") / 2).cast("long"))
+            .otherwise((col("end_offset") * 3 / 4).cast("long")))
+        .drop("end_offset")
+      topic.translateCheckpoints(mirrored, cursors)
+        .orderBy("group_id", "__partition")
+    }),
+
+    // A71 exactly-once E2E: the full transactional chain — five
+    // producer sessions write a fenced transactional log (A62), a
+    // read_committed consumer derives the visible set from in-log
+    // markers (A60), and the visible changelog lands in a versioned
+    // table via ONE merge commit (A66). The final table state must
+    // equal the snapshot of exactly the committed-below-LSO records —
+    // the oracle re-derives the produce, fencing, fates, LSO,
+    // visibility, and the snapshot in SQL. Aborted, open, fenced, and
+    // beyond-LSO records leave no trace in the table.
+    "cdc_txn_e2e" -> ((s, dir) => {
+      val (visible, _) = txnProducedTopic(s, dir)
+      val path = roundtripPath(dir, "txne2e")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val table = GraftSink.VersionedTable(path)
+      table.merge(
+        visible.select(col("key"), col("commit_ts_us"), col("seq"),
+          col("op"), col("event_type"), col("value")),
+        Seq("key"), Seq("commit_ts_us", "seq"))
+      table.read(s)
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // A69 idempotent produce (Kafka's enable.idempotence, the EOS
+    // half below transactions): four producers stamp (pid, pseq) on
+    // their records; every third record is RETRIED (same pid+pseq,
+    // later arrival, attempt marker 2) — the broker keeps only the
+    // first arrival per (pid, partition, pseq), so the assigned log is
+    // byte-identical to the never-retried feed with every surviving
+    // row carrying attempt 1. The oracle is the clean whole-feed
+    // assignment with arrival pinned to 1 — parity proves retries can
+    // never duplicate AND the dedup keeps the first attempt, not an
+    // arbitrary one.
+    "cdc_topic_idempotent" -> ((s, dir) => {
+      val topic = GraftSink.Topic(path = "", numPartitions = 8)
+      val log = changelog(s, dir)
+        .withColumn("pid", pmod(col("seq"), lit(4L)))
+        .withColumn("pseq", col("seq"))
+      val firstSend = log.withColumn("arrival", lit(1L))
+      val retries = log.where(col("seq") % 3 === 0)
+        .withColumn("arrival", lit(2L))
+      topic.assignIdempotent(firstSend.unionByName(retries))
+        .select(col("__partition"), col("__offset"), col("seq"),
+          col("key").as("user_id"), col("commit_ts_us"), col("arrival"))
         .orderBy("__partition", "__offset")
     }),
 
@@ -2839,6 +2925,19 @@ object Cdc {
         |FROM log
         |ORDER BY 1, 2""".stripMargin),
 
+    // Idempotent produce: the deduped retried feed is the clean
+    // whole-feed assignment, every survivor from attempt 1.
+    "cdc_topic_idempotent" -> (logCte +
+      """
+        |SELECT key % 8 AS __partition,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY key % 8
+        |         ORDER BY commit_ts_us, seq, key) - 1 AS BIGINT) AS __offset,
+        |       seq, key AS user_id, commit_ts_us,
+        |       CAST(1 AS BIGINT) AS arrival
+        |FROM log
+        |ORDER BY 1, 2""".stripMargin),
+
     // Append ≡ full re-assign: the oracle is the whole-feed
     // assignment, same as cdc_topic's.
     "cdc_topic_append" -> (logCte +
@@ -3134,6 +3233,48 @@ object Cdc {
         |FROM st JOIN l USING (p)
         |WHERE ctrl IS NULL AND status = 'committed' AND ofs < lso
         |ORDER BY __partition, __offset""".stripMargin),
+
+    // Exactly-once E2E: snapshot of exactly the committed-below-LSO
+    // records, re-derived through produce/fence/fate/LSO in SQL.
+    "cdc_txn_e2e" -> (txnProduceCtes +
+      """,
+        |vis AS (
+        |  SELECT key, commit_ts_us, seq, op, event_type, value
+        |  FROM st JOIN l USING (p)
+        |  WHERE ctrl IS NULL AND status = 'committed' AND ofs < lso),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM vis)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
+
+    // Mirror checkpoint translation: visible set below each planted
+    // source cursor, counted per (group, partition).
+    "cdc_topic_mirror" -> (txnProduceCtes +
+      """,
+        |vis AS (
+        |  SELECT st.p, ofs FROM st JOIN l USING (p)
+        |  WHERE ctrl IS NULL AND status = 'committed' AND ofs < lso),
+        |de AS (SELECT p, count(*) AS dst_end FROM vis GROUP BY 1),
+        |cur AS (
+        |  SELECT g.grp, l.p,
+        |         CASE WHEN g.grp = 'g1' THEN l.end_offset // 2
+        |              ELSE (l.end_offset * 3) // 4 END AS src_committed
+        |  FROM l, (VALUES ('g1'), ('g2')) g(grp)),
+        |tr AS (
+        |  SELECT cur.grp, cur.p, cur.src_committed,
+        |         (SELECT count(*) FROM vis
+        |          WHERE vis.p = cur.p
+        |            AND vis.ofs < cur.src_committed) AS dst_committed
+        |  FROM cur)
+        |SELECT tr.grp AS group_id, tr.p AS __partition,
+        |       tr.src_committed, tr.dst_committed,
+        |       COALESCE(de.dst_end, 0) AS dst_end
+        |FROM tr LEFT JOIN de ON tr.p = de.p
+        |ORDER BY 1, 2""".stripMargin),
 
     // The retention report re-derived in SQL: routing, dense offsets,
     // the newest-commit-relative cutoff, per-partition log-start, the

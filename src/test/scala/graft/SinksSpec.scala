@@ -284,6 +284,54 @@ class SinksSpec extends SparkSpec {
     assert(log2.exceptAll(log).count() === 0L)
   }
 
+  test("Topic.assignIdempotent: a retried batch never duplicates and " +
+    "the FIRST arrival survives; distinct pseqs from one pid coexist") {
+    import spark.implicits._
+    val topic = GraftSink.Topic(path = "", numPartitions = 2)
+    val rows = Seq(
+      // (key, commit_ts_us, seq, pid, pseq, arrival, attempt)
+      (0L, 10L, 1L, 7L, 1L, 1L, "first"),
+      (0L, 10L, 1L, 7L, 1L, 2L, "retry"), // retried — must lose
+      (0L, 20L, 2L, 7L, 2L, 1L, "first"), // same pid, next pseq — kept
+      (2L, 30L, 3L, 9L, 1L, 1L, "first"), // other pid reuses pseq 1 — kept
+      (1L, 40L, 4L, 7L, 1L, 1L, "first") // other PARTITION, same (pid,pseq)
+    ).toDF("key", "commit_ts_us", "seq", "pid", "pseq", "arrival", "attempt")
+    val out = topic.assignIdempotent(rows).orderBy("__partition", "__offset")
+      .select("key", "__offset", "attempt")
+      .as[(Long, Long, String)].collect()
+    assert(out === Array((0L, 0L, "first"), (0L, 1L, "first"),
+      (2L, 2L, "first"), (1L, 0L, "first")))
+  }
+
+  test("Topic.mirror + translateCheckpoints: dense mirror offsets over " +
+    "visible records only; cursors translate by count-below; a cursor " +
+    "at source end resumes at mirror end") {
+    import spark.implicits._
+    val topic = GraftSink.Topic(path = "", numPartitions = 2)
+    // source partition 0: offsets 0..4, but 1 and 3 invisible (aborted)
+    val visible = Seq(
+      (0, 0L, "a"), (0, 2L, "b"), (0, 4L, "c"),
+      (1, 0L, "x"), (1, 1L, "y")
+    ).toDF("__partition", "__offset", "payload")
+    val m = topic.mirror(visible)
+    assert(m.orderBy("__partition", "__offset")
+      .select("__partition", "__src_offset", "__offset")
+      .as[(Int, Long, Long)].collect() ===
+      Array((0, 0L, 0L), (0, 2L, 1L), (0, 4L, 2L),
+        (1, 0L, 0L), (1, 1L, 1L)))
+    val cursors = Seq(
+      ("g", 0, 3L), // consumed src 0..2 → mirrored records below 3: 2
+      ("g", 1, 2L), // at src end → all of the mirror: 2
+      ("h", 0, 0L) // nothing consumed → resume at 0
+    ).toDF("group_id", "__partition", "src_committed")
+    val t = topic.translateCheckpoints(m, cursors)
+      .orderBy("group_id", "__partition")
+      .select("group_id", "__partition", "dst_committed", "dst_end")
+      .as[(String, Int, Long, Long)].collect()
+    assert(t === Array(("g", 0, 2L, 3L), ("g", 1, 2L, 2L),
+      ("h", 0, 0L, 3L)))
+  }
+
   test("VersionedTable: snapshot isolation, time travel, atomic commit " +
     "point, orphan data files invisible") {
     import spark.implicits._
