@@ -57,6 +57,14 @@ object Png {
   def channel(id: Long, p: Long, chan: Int): Int =
     ((id * 7 + p * 3 + chan * 11) % 256).toInt
 
+  /** TEXTURED channel formula for the perceptual-hash corpus: the p²
+    * and id·p cross terms give every image its own high-frequency
+    * gradient structure, so distinct ids hash far apart (the linear
+    * [[channel]] ramp makes all images dHash-similar — useless for a
+    * near-dup demo). Same integer-exact shape, oracle-derivable. */
+  def texChannel(id: Long, p: Long, chan: Int): Int =
+    ((id * 7 + p * p * 31 + id * p * 13 + chan * 11) % 256).toInt
+
   private val Signature =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -108,8 +116,21 @@ object Png {
 
   /** A valid 24-bit non-interlaced PNG for `id`: signature → IHDR →
     * planted ancillary `grFt` chunk → the deflated filtered scanlines
-    * split across TWO IDAT chunks → IEND. */
-  def synth(id: Long): Array[Byte] = {
+    * split across TWO IDAT chunks → IEND.
+    *
+    * `delta` perturbs ONLY pixel 0's R channel (mod 256) — the
+    * near-duplicate knob: a nonzero delta yields an image whose dHash
+    * differs from the original's in at most a couple of gradient bits
+    * (the `media_phash_neardup` planting). */
+  def synth(id: Long, delta: Int = 0): Array[Byte] =
+    synthWith(id, delta, channel)
+
+  /** [[synth]] over [[texChannel]] — the perceptual-hash corpus. */
+  def synthTextured(id: Long, delta: Int = 0): Array[Byte] =
+    synthWith(id, delta, texChannel)
+
+  private def synthWith(id: Long, delta: Int,
+                        chan: (Long, Long, Int) => Int): Array[Byte] = {
     val w = width(id); val h = height(id)
     // IHDR: w, h, bit depth 8, color type 2 (truecolor), deflate,
     // adaptive filtering, no interlace
@@ -124,9 +145,10 @@ object Png {
       var x = 0
       while (x < w) {
         val p = y.toLong * w + x
-        row(3 * x) = channel(id, p, 0).toByte
-        row(3 * x + 1) = channel(id, p, 1).toByte
-        row(3 * x + 2) = channel(id, p, 2).toByte
+        val d = if (p == 0) delta else 0
+        row(3 * x) = ((chan(id, p, 0) + d) % 256).toByte
+        row(3 * x + 1) = chan(id, p, 1).toByte
+        row(3 * x + 2) = chan(id, p, 2).toByte
         x += 1
       }
       val f = ((id + y) % 5).toInt
@@ -164,7 +186,12 @@ object PngCodec extends MediaCodec {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** Parse + unfilter to raw pixels: (w, h, raw, stride) — raw holds
+    * h scanlines of [filterByte, RGB×w] with filters already reversed
+    * (pixel (x,y)'s R at raw(y·stride + 1 + 3x)). The shared front
+    * half of [[decode]] and [[PHash.dHashPng]]. */
+  private[multimodal] def decodePixels(bytes: Array[Byte])
+      : (Int, Int, Array[Byte], Int) = {
     require(bytes.length >= 8, s"truncated PNG: ${bytes.length} bytes")
     require((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
       bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte,
@@ -256,12 +283,17 @@ object PngCodec extends MediaCodec {
       }
       y += 1
     }
+    (w, h, raw, stride)
+  }
+
+  def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+    val (w, h, raw, stride) = decodePixels(bytes)
     // the BmpCodec feature ladder: windowed integer sums, one double
     // division, round to float
     val sums = new Array[Long](dim)
     val counts = new Array[Long](dim)
     val total = w.toLong * h
-    y = 0
+    var y = 0
     while (y < h) {
       val base = y * stride + 1
       var x = 0

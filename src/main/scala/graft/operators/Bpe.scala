@@ -119,4 +119,49 @@ object Bpe {
     }
     docs.withColumn("bpe_tokens", toks)
   }
+
+  /** DuckDB mirror of `learnMerges(n) + tokenize`: n unrolled
+    * learn+apply rounds over a PARENTHESIZED token representation —
+    * "(a)(b)(c)" — where plain left-to-right non-overlapping
+    * `replace('(l)(r)' → '(l+r)')` is exactly [[applyMerge]]'s greedy
+    * fold (adjacent matches never share boundary characters, so
+    * "a a a a" under (a,a) merges to two pairs in both engines).
+    * Requires `(`, `)`, [[Joiner]] absent from the corpus alphabet. */
+  def encodeSql(table: String, idCol: String, textCol: String,
+                nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH r0 AS (
+         |  SELECT $idCol AS doc_id,
+         |         '(' || replace($textCol, ' ', ')(') || ')' AS rep
+         |  FROM $table)""".stripMargin)
+    for (i <- 0 until nMerges) {
+      sb.append(
+        s""",
+           |t$i AS (
+           |  SELECT doc_id, rep,
+           |         string_split(substring(rep, 2, length(rep) - 2),
+           |                      ')(') AS lst
+           |  FROM r$i),
+           |p$i AS (
+           |  SELECT lst[pos] AS l, lst[pos + 1] AS r, count(*) AS cnt
+           |  FROM (SELECT lst, generate_subscripts(lst, 1) AS pos FROM t$i)
+           |  WHERE pos < len(lst) GROUP BY 1, 2),
+           |m$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |r${i + 1} AS (
+           |  SELECT doc_id,
+           |         replace(rep, '(' || l || ')(' || r || ')',
+           |                 '(' || l || '$Joiner' || r || ')') AS rep
+           |  FROM t$i, m$i)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT doc_id,
+         |       len(string_split(substring(rep, 2, length(rep) - 2),
+         |                        ')(')) AS n_tokens,
+         |       replace(substring(rep, 2, length(rep) - 2), ')(', ' ')
+         |         AS bpe_text
+         |FROM r$nMerges""".stripMargin)
+    sb.toString
+  }
 }

@@ -533,6 +533,28 @@ object Docs {
     // anti-join) admits each content exactly once, through a real
     // stream → ledger → corpus cycle. (The near-dup variant A34 is
     // oracle-backed by doc_crawl_neardup below.)
+    // C120: crawl-frontier politeness scheduler — the batch planner
+    // feeding C43's crawl ingestion: discovered URLs minus the crawl
+    // ledger (doc_id%5=0 already fetched — one anti-join), hosts from
+    // the C117 url synthesis (97 hosts), priority = longest-first
+    // (n_chars desc, doc_id), per-host politeness delay 5+(host%7)s,
+    // budget 4 pages per host per 3600 s cycle. One window per host +
+    // scan-local CASE arithmetic — the shuffle-by-host is also the
+    // fetcher fleet's partitioning (host-affine connections). The
+    // oracle re-derives ledger, ranks, cycles, and fetch times in SQL.
+    "doc_crawl_frontier" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pending = d.where(col("doc_id") % 5 =!= 0)
+        .withColumn("host", col("doc_id") % 97)
+        .withColumn("delay_s", lit(5L) + col("host") % 7)
+      graft.operators.Frontier.schedule(pending, "host", "delay_s",
+          orderCols = Seq(col("n_chars").desc, col("doc_id")),
+          budgetPerCycle = 4, cyclePeriodS = 3600L)
+        .select(col("doc_id"), col("host"), col("fetch_rank"),
+          col("fetch_cycle"), col("fetch_at_s"))
+        .orderBy("doc_id")
+    }),
+
     "doc_crawl_ingest" -> ((s, dir) => CdcQ.withStreamPartitions(s) {
       val d = Tables.documents(s, dir)
       val inDir = CdcQ.streamSliceDir(s, d, dir, slices = 3,
@@ -1273,6 +1295,28 @@ object Docs {
         Tables.documents(s, dir).select(split(col("text"), " ").as("toks")),
         "toks")
         .orderBy("left", "right")
+    }),
+
+    // C60 APPLICATION leg: the full tokenizer loop — LEARN six merges
+    // from the corpus (argmax pair per round, count-desc/lexicographic
+    // ties), then TOKENIZE every document with the learned sequence
+    // (greedy left-to-right merge passes as scan-local folds, no UDF).
+    // The oracle replays all six learn+apply rounds in SQL: documents
+    // as parenthesized token strings, where plain left-to-right
+    // replace('(l)(r)' → '(l+r)') is EXACTLY the greedy
+    // non-overlapping merge fold (boundaries aren't shared, so "a a a
+    // a" merges to two pairs in both engines). Hash parity proves the
+    // learned sequence AND every document's tokenization agree
+    // cross-engine — the inference-side pass C60's pair counts only
+    // implied.
+    "doc_bpe_encode" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val merges = Bpe.learnMerges(d, "text", nMerges = 6, minCount = 1L)
+      Bpe.tokenize(d, "text", merges)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_tokens"),
+          array_join(col("bpe_tokens"), " ").as("bpe_text"))
+        .orderBy("doc_id")
     }),
 
     // C62: corpus snapshot diff — crawl N vs a deterministically
@@ -2707,6 +2751,44 @@ object Docs {
         .orderBy("media_id")
     }),
 
+    // C121: perceptual image hashing (dHash) through the REAL PNG
+    // decoder — the image-side twin of C3's SimHash. 550 PNGs (500
+    // base + 50 near-duplicates planted by perturbing ONE pixel's R
+    // channel, which survives the whole encode→deflate→decode loop)
+    // hash to 64 exact-integer gradient bits (8×9 area-binned
+    // grayscale grid, cross-product brightness compares — no floats);
+    // the oracle re-derives every bit from the pixel FORMULA, so
+    // parity proves decode + binning + compare agree bit-for-bit.
+    "media_phash" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{PHash, Png}
+      val base = s.range(0, 500).as[Long]
+        .map(id => (id, Png.synthTextured(id)))
+      val planted = s.range(0, 500).as[Long].filter(_ % 10 == 0)
+        .map(id => (id + 100000L, Png.synthTextured(id, delta = 120)))
+      PHash.dHashFrame(base.union(planted).toDF("media_id", "content"))
+        .orderBy("media_id")
+    }),
+
+    // C121 near-dup leg: 4×16-bit pigeonhole banding (lossless to
+    // hamming 6) + exact bit_count verification — candidates are
+    // band-bucket joins, the 550² all-pairs square never forms. The
+    // planted (id, id+100000) pairs differ in at most a couple of
+    // gradient bits and must all surface; the oracle replays banding
+    // and verification from the formula-derived hashes.
+    "media_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{PHash, Png}
+      val base = s.range(0, 500).as[Long]
+        .map(id => (id, Png.synthTextured(id)))
+      val planted = s.range(0, 500).as[Long].filter(_ % 10 == 0)
+        .map(id => (id + 100000L, Png.synthTextured(id, delta = 120)))
+      PHash.neardupPairs(
+          PHash.dHashFrame(base.union(planted).toDF("media_id", "content")),
+          maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
     "media_neardup" -> ((s, dir) => {
       val m = graft.multimodal.Media.fromDocuments(Tables.documents(s, dir))
       val feats = graft.multimodal.Media.decodeFeatures(m, dim = 16)
@@ -2816,7 +2898,113 @@ object Docs {
     sys.props("java.io.tmpdir") + "/graft_rt_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Shared CTE chain for the two `media_phash*` oracles: the planted
+    * media ladder (500 base + 50 delta-perturbed near-dups), pixels
+    * from the [[graft.multimodal.Png.texChannel]] formula, 8×9 area
+    * binning with empty cells as (0,0), cross-product gradient bits,
+    * and the 32-bit hash halves. */
+  private val pHashCtes: String =
+    """WITH m AS (
+      |  SELECT i AS media_id, i AS pid, 0 AS delta
+      |  FROM generate_series(0, 499) t(i)
+      |  UNION ALL
+      |  SELECT 100000 + i, i, 120 FROM generate_series(0, 499) t(i)
+      |  WHERE i % 10 = 0),
+      |px AS (
+      |  SELECT media_id, pid, delta,
+      |         CAST(8 + pid % 9 AS BIGINT) AS w,
+      |         CAST(4 + pid % 5 AS BIGINT) AS h
+      |  FROM m),
+      |ps AS (
+      |  SELECT media_id, pid, delta, w, h, unnest(range(w * h)) AS p
+      |  FROM px),
+      |g AS (
+      |  SELECT media_id,
+      |         ((p % w) * 9) // w AS gx, ((p // w) * 8) // h AS gy,
+      |         (pid * 7 + p * p * 31 + pid * p * 13
+      |            + CASE WHEN p = 0 THEN delta ELSE 0 END) % 256
+      |           + (pid * 7 + p * p * 31 + pid * p * 13 + 11) % 256
+      |           + (pid * 7 + p * p * 31 + pid * p * 13 + 22) % 256 AS a
+      |  FROM ps),
+      |cells0 AS (
+      |  SELECT media_id, gy, gx, sum(a) AS s, count(*) AS c
+      |  FROM g GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT md.media_id, gy.gy, gx.gx
+      |  FROM (SELECT DISTINCT media_id FROM m) md,
+      |       generate_series(0, 7) gy(gy), generate_series(0, 8) gx(gx)),
+      |cells AS (
+      |  SELECT grid.media_id, grid.gy, grid.gx,
+      |         COALESCE(c0.s, 0) AS s, COALESCE(c0.c, 0) AS c
+      |  FROM grid LEFT JOIN cells0 c0
+      |    ON grid.media_id = c0.media_id AND grid.gy = c0.gy
+      |   AND grid.gx = c0.gx),
+      |bits AS (
+      |  SELECT l.media_id, l.gy, l.gx,
+      |         CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS bit
+      |  FROM cells l JOIN cells r
+      |    ON l.media_id = r.media_id AND l.gy = r.gy
+      |   AND r.gx = l.gx + 1
+      |  WHERE l.gx < 8),
+      |hashes AS (
+      |  SELECT media_id,
+      |         CAST(sum(CASE WHEN gy < 4
+      |           THEN bit * (1::BIGINT << (gy * 8 + gx))
+      |           ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |         CAST(sum(CASE WHEN gy >= 4
+      |           THEN bit * (1::BIGINT << ((gy - 4) * 8 + gx))
+      |           ELSE 0 END) AS BIGINT) AS dhash_lo
+      |  FROM bits GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    // Every dHash bit re-derived from the pixel formula.
+    "media_phash" -> (pHashCtes +
+      """
+        |SELECT media_id, dhash_hi, dhash_lo FROM hashes
+        |ORDER BY media_id""".stripMargin),
+
+    // Banding + exact-hamming verification replayed from the
+    // formula-derived hashes.
+    "media_phash_neardup" -> (pHashCtes +
+      """,
+        |bands AS (
+        |  SELECT media_id, dhash_hi, dhash_lo, unnest([
+        |    dhash_hi % 65536,
+        |    (dhash_hi // 65536) + 65536,
+        |    (dhash_lo % 65536) + 131072,
+        |    (dhash_lo // 65536) + 196608]) AS band
+        |  FROM hashes),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |         a.dhash_hi AS ha, a.dhash_lo AS la,
+        |         b.dhash_hi AS hb, b.dhash_lo AS lb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.media_id < b.media_id)
+        |SELECT id_a, id_b,
+        |       CAST(bit_count(xor(ha, hb))
+        |            + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Frontier: ledger anti-join, per-host longest-first ranks,
+    // budget cycles, politeness arithmetic — all restated in SQL.
+    "doc_crawl_frontier" ->
+      """WITH pending AS (
+        |  SELECT doc_id, n_chars, doc_id % 97 AS host,
+        |         5 + (doc_id % 97) % 7 AS delay_s
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY host
+        |    ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS fetch_rank
+        |  FROM pending)
+        |SELECT doc_id, host, fetch_rank,
+        |       fetch_rank // 4 AS fetch_cycle,
+        |       (fetch_rank // 4) * 3600 + (fetch_rank % 4) * delay_s
+        |         AS fetch_at_s
+        |FROM ranked
+        |ORDER BY doc_id""".stripMargin,
 
     // With id-ordered arrival, "accepted by the streaming ledger
     // protocol" == "min doc_id per distinct text" — stated directly.
@@ -3109,6 +3297,12 @@ object Docs {
     "doc_bpe_pairs" ->
       (Bpe.pairCountsSql("documents", "text") +
         "\nORDER BY \"left\", \"right\""),
+
+    // Six learn+apply rounds replayed in SQL over the parenthesized
+    // representation (see Bpe.encodeSql).
+    "doc_bpe_encode" ->
+      (Bpe.encodeSql("documents", "doc_id", "text", nMerges = 6) +
+        "\nORDER BY doc_id"),
 
     "doc_dup_spans" ->
       (Dedup.duplicatedSpansSql("documents", "doc_id", "text",

@@ -296,6 +296,40 @@ class MediaSpec extends SparkSpec {
     assert("IDAT".r.findAllIn(s).length === 2)
   }
 
+  test("PHash: banded near-dup == brute-force pairs at hamming ≤ 6 " +
+    "(the 4×16 pigeonhole is lossless), planted perturbations surface") {
+    import spark.implicits._
+    import graft.multimodal.{PHash, Png}
+    val media = spark.range(0, 120).as[Long]
+      .map(id => (id, Png.synthTextured(id)))
+      .union(spark.range(0, 120).as[Long].filter(_ % 10 == 0)
+        .map(id => (id + 100000L, Png.synthTextured(id, delta = 120))))
+      .toDF("media_id", "content")
+    val hashes = PHash.dHashFrame(media)
+    val rows = hashes.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force ground truth
+    val brute = (for {
+      (ia, ha, la) <- rows; (ib, hb, lb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 6
+    } yield (ia, ib, d.toLong)).toSet
+    val banded = PHash.neardupPairs(hashes, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute)
+    // every planted (id, id+100000) pair is found, at distance ≤ 1
+    val planted = banded.filter(p => p._2 == p._1 + 100000L)
+    assert(planted.size === 12)
+    assert(planted.forall(_._3 <= 1L))
+    // the hash is a pure function of pixels: re-synthesis re-hashes
+    val (h1, l1) = PHash.dHashPng(Png.synthTextured(37L))
+    val (h2, l2) = PHash.dHashPng(Png.synthTextured(37L))
+    assert((h1, l1) === (h2, l2))
+    // a threshold past the pigeonhole guarantee is refused loudly
+    intercept[IllegalArgumentException](
+      PHash.neardupPairs(hashes, maxHamming = 7))
+  }
+
   test("BmpCodec: malformed payloads are rejected, not misread") {
     import graft.multimodal.{Bmp, BmpCodec}
     val good = Bmp.synth(9L)

@@ -102,6 +102,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Frontier.schedule: per-host politeness spacing, budget cycles, " +
+    "and priority order; a giant host cannot starve the cycle") {
+    import spark.implicits._
+    import graft.operators.Frontier
+    val pending = (
+      (1 to 10).map(i => (s"u$i", "big.com", 7L, 1000L - i)) ++ // 10 urls
+        Seq(("v1", "tiny.org", 5L, 50L))
+      ).toDF("url", "host", "delay_s", "priority")
+    val out = Frontier.schedule(pending, "host", "delay_s",
+        orderCols = Seq(col("priority").desc, col("url")),
+        budgetPerCycle = 4, cyclePeriodS = 3600L)
+      .select("url", "host", "fetch_rank", "fetch_cycle", "fetch_at_s")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // highest priority (u1) fetches first on its host at t=0
+    assert(out.find(_._1 == "u1").get._3 === 0L)
+    // big.com's 10 urls span ceil(10/4)=3 cycles — bounded per cycle
+    val big = out.filter(_._2 == "big.com")
+    assert(big.map(_._4).distinct.sorted === Seq(0L, 1L, 2L))
+    assert(big.count(_._4 == 0L) === 4)
+    // politeness: within a cycle, consecutive fetches are delay apart
+    val cycle0 = big.filter(_._4 == 0L).sortBy(_._3).map(_._5)
+    assert(cycle0 === Seq(0L, 7L, 14L, 21L))
+    // tiny.org is untouched by big.com's queue — cycle 0, t=0
+    assert(out.find(_._1 == "v1").get._5 === 0L)
+  }
+
   test("Sessionize.stats aggregates per session") {
     import spark.implicits._
     val ev = Seq((1L, 0L, 1L, 2.0), (1L, 10L, 2L, 3.0), (1L, 5000L, 3L, 4.0))
