@@ -630,8 +630,11 @@ object GraftSink {
     def write(df: DataFrame): Unit = { commit(df); () }
 
     /** Commit `df` as the next version; returns the version published.
-      * `overwrite` replaces the table content instead of appending. */
-    def commit(df: DataFrame, overwrite: Boolean = false): Long = {
+      * `overwrite` replaces the table content instead of appending.
+      * `meta` key=value pairs ride in the manifest header (`#k=v`
+      * lines) — commit-level metadata like the streaming batch id. */
+    def commit(df: DataFrame, overwrite: Boolean = false,
+               meta: Map[String, String] = Map.empty): Long = {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(
         df.sparkSession.sessionState.newHadoopConf())
@@ -654,8 +657,13 @@ object GraftSink {
         fs.mkdirs(manifestDir)
         val tmp = new org.apache.hadoop.fs.Path(manifestDir,
           s".v$v-${java.util.UUID.randomUUID}.tmp")
+        val header = meta.toSeq.sortBy(_._1).map { case (k, v) =>
+          require(!k.contains("=") && !(k + v).exists(c => c == '\n'),
+            s"manifest meta must be line-safe: $k=$v")
+          s"#$k=$v"
+        }
         val out = fs.create(tmp, false)
-        try out.write((base ++ newFiles).mkString("\n")
+        try out.write((header ++ base ++ newFiles).mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         val dest = new org.apache.hadoop.fs.Path(manifestDir, s"v$v.manifest")
@@ -690,8 +698,54 @@ object GraftSink {
         "(or its manifest was vacuumed)")
       val in = fs.open(m)
       try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
+        .getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toList
       finally in.close()
+    }
+
+    /** Manifest-header metadata of version `v` (the `#k=v` lines). */
+    def manifestMeta(spark: org.apache.spark.sql.SparkSession,
+                     v: Long): Map[String, String] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      manifestMeta(fs, v)
+    }
+
+    private def manifestMeta(fs: org.apache.hadoop.fs.FileSystem,
+                             v: Long): Map[String, String] = {
+      val m = new org.apache.hadoop.fs.Path(path, s"_manifests/v$v.manifest")
+      require(fs.exists(m), s"$path: version $v was never committed " +
+        "(or its manifest was vacuumed)")
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.startsWith("#"))
+        .map { l =>
+          val i = l.indexOf('=')
+          l.substring(1, i) -> l.substring(i + 1)
+        }.toMap
+      finally in.close()
+    }
+
+    /** EXACTLY-ONCE streaming commit: publish `df` as the next version
+      * with the micro-batch id in the manifest header — and SKIP the
+      * commit entirely when any retained manifest already carries that
+      * id (the foreachBatch redelivery after a crash between commit
+      * and checkpoint). The committed-ids scan is |versions| manifest
+      * headers on the driver — metadata-class. Single-writer per
+      * checkpoint, like any structured-streaming sink. Returns the
+      * published version, or None when the batch was already in. */
+    def commitBatch(df: DataFrame, batchId: Long): Option[Long] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      // vacuumed manifests are skipped: a batch id old enough to have
+      // been vacuumed is also old enough to be past the checkpoint
+      val seen = (1L to v).exists { kv =>
+        fs.exists(new org.apache.hadoop.fs.Path(path,
+          s"_manifests/v$kv.manifest")) &&
+          manifestMeta(fs, kv).get("batch").contains(batchId.toString)
+      }
+      if (seen) None
+      else Some(commit(df, meta = Map("batch" -> batchId.toString)))
     }
 
     /** Snapshot-isolated read of version `v` — exactly the files its

@@ -98,7 +98,9 @@ object WavCodec extends MediaCodec {
   private def tag(b: Array[Byte], off: Int): String =
     new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** Parse to raw signed 16-bit PCM samples — the shared front half
+    * of [[decode]] and [[Audio.frameFeatures]]. */
+  private[multimodal] def samples(bytes: Array[Byte]): Array[Int] = {
     require(bytes.length >= 44, s"truncated WAV: ${bytes.length} bytes")
     require(tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
       "not a RIFF/WAVE payload")
@@ -130,15 +132,26 @@ object WavCodec extends MediaCodec {
       "missing or truncated data chunk")
     val n = dataLen / 2
     require(n > 0, "empty data chunk")
+    val out = new Array[Int](n)
+    var t = 0
+    while (t < n) {
+      // little-endian signed 16-bit
+      out(t) = ((bytes(dataOff + 2 * t) & 0xff)
+        | (bytes(dataOff + 2 * t + 1) << 8)).toShort.toInt
+      t += 1
+    }
+    out
+  }
+
+  def decode(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+    val pcm = samples(bytes)
+    val n = pcm.length
     val sums = new Array[Long](dim)
     val counts = new Array[Long](dim)
     var t = 0
     while (t < n) {
-      // little-endian signed 16-bit
-      val s = ((bytes(dataOff + 2 * t) & 0xff)
-        | (bytes(dataOff + 2 * t + 1) << 8)).toShort.toInt
       val w = (t * dim / n).min(dim - 1)
-      sums(w) += math.abs(s)
+      sums(w) += math.abs(pcm(t))
       counts(w) += 1
       t += 1
     }

@@ -1723,6 +1723,39 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A66 streaming leg: the changelog arrives as three ts-ordered
+    // flushes through a STREAMING query (AvailableNow, one file per
+    // trigger) and lands in the versioned table via exactly-once
+    // batch commits — one version per micro-batch, batch id in the
+    // manifest header, a redelivered batch skipped by id (spec-pinned;
+    // here the deterministic slice→version mapping is graded). The
+    // oracle re-derives each version's content from the same
+    // rank-thirds slicing the dlq-quarantine oracle models.
+    "cdc_stream_table_versions" -> ((s, dir) => withStreamPartitions(s) {
+      val ev = Tables.events(s, dir)
+      val inDir = streamSliceDir(s, ev, dir, slices = 3,
+        tag = "vtable_in")
+      val path = roundtripPath(dir, "streamtable")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val table = GraftSink.VersionedTable(path)
+      val q = CdcStream.deliverVersioned(
+        CdcStream.fromParquetDir(s, inDir, ev.schema),
+        Changefeed(Seq(TransformPlugin("to-changelog",
+          Changelog.fromEvents))),
+        table,
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      q.awaitTermination()
+      Seq(1L, 2L, 3L)
+        .map(v => table.readVersion(s, v).withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .groupBy(col("version"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sumCents("value").as("sum_value_e2"),
+          min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
+        .orderBy("version", "event_type")
+    }),
+
     // A21: semi-structured payload extraction — JSON props parsed in the
     // scan projection (codegen'd get_json_object; no UDF)
     "cdc_json_extract" -> ((s, dir) => {
@@ -3385,6 +3418,27 @@ object Cdc {
 
     // Incremental merges converge to the full-feed snapshot.
     "cdc_table_merge" -> snapshotOracle,
+
+    // Streaming append commits: version v = ts-ordered rank-third
+    // slices 1..v (same slicing the dlq-quarantine oracle models).
+    "cdc_stream_table_versions" ->
+      s"""WITH ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER () AS total
+        |  FROM events),
+        |sliced AS (
+        |  SELECT *, CASE WHEN rn <= total // 3 THEN 1
+        |                 WHEN rn <= (2 * total) // 3 THEN 2
+        |                 ELSE 3 END AS slice
+        |  FROM ranked),
+        |vv AS (
+        |  SELECT g.v AS version, s.event_type, s.value, s.event_id
+        |  FROM sliced s JOIN (VALUES (1), (2), (3)) g(v)
+        |    ON s.slice <= g.v)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |       count(*) AS n_events, $sumCentsSql AS sum_value_e2,
+        |       min(event_id) AS min_seq, max(event_id) AS max_seq
+        |FROM vv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Append-only CDF: every row is an insert attributed to the
     // commit whose time slice introduced it.

@@ -2678,6 +2678,24 @@ object Docs {
         .orderBy("media_id")
     }),
 
+    // C122: frame-level audio analysis over REAL decoded PCM — per
+    // 64-sample tumbling frame, exact-integer energy (Σ|s|) and
+    // zero-crossing count (sign flips between consecutive in-frame
+    // samples), the features an audio-curation pass filters on
+    // (silence/clipping/speech screens). One scan-local pass per
+    // payload through the real RIFF walk; the oracle re-derives every
+    // frame from the sample FORMULA, so parity proves decode, framing,
+    // and both feature kernels sample-for-sample.
+    "media_wav_features" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Audio, Wav}
+      val media = s.range(0, 500).as[Long]
+        .map(id => (id, Wav.synth(id)))
+        .toDF("media_id", "content")
+      Audio.frameFeatures(media, frameSize = 64)
+        .orderBy("media_id", "frame")
+    }),
+
     // C12c: second REAL image codec round-trip — Bmp.synth builds VALID
     // 24-bit BMP payloads (bottom-up row order, 4-byte row padding, and
     // a junk gap before the pixel array addressed only through the
@@ -4490,6 +4508,29 @@ object Docs {
 
     "media_neardup" ->
       graft.multimodal.Media.neardupOracleSql("documents"),
+
+    // Frame features re-derived from the sample formula: tumbling
+    // 64-sample frames, integer energy, frame-local sign flips.
+    "media_wav_features" ->
+      """WITH m AS (
+        |  SELECT i AS media_id, CAST(256 + i % 256 AS BIGINT) AS n
+        |  FROM generate_series(0, 499) t(i)),
+        |ts AS (SELECT media_id, unnest(range(n)) AS t FROM m),
+        |v AS (
+        |  SELECT media_id, t, t // 64 AS frame,
+        |         (media_id * 31 + t * 17) % 8192 - 4096 AS s
+        |  FROM ts),
+        |w AS (
+        |  SELECT *, lag(s) OVER (PARTITION BY media_id, frame
+        |                         ORDER BY t) AS prev
+        |  FROM v)
+        |SELECT media_id, frame, count(*) AS n_samples,
+        |       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |       CAST(count(CASE WHEN prev IS NOT NULL
+        |                   AND ((s < 0) <> (prev < 0)) THEN 1 END)
+        |            AS BIGINT) AS n_zero_cross
+        |FROM w GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // formula-side re-derivation of the decoded WAV features: windows,
     // integer |sample| sums, and the single DOUBLE→REAL division mirror

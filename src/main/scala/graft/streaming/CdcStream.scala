@@ -49,6 +49,26 @@ object CdcStream {
       .start()
   }
 
+  /** [[deliver]] into a [[GraftSink.VersionedTable]] with EXACTLY-ONCE
+    * commits: each micro-batch publishes one versioned commit carrying
+    * its batch id in the manifest header, and a batch REDELIVERED
+    * after a crash between commit and checkpoint is skipped by id
+    * (GraftSink.VersionedTable.commitBatch) — the streaming half of
+    * the lakehouse sink: readers are snapshot-isolated during every
+    * commit, time travel sees one version per micro-batch, and a
+    * restarted query resumes without duplicating. */
+  def deliverVersioned(stream: DataFrame, chain: Changefeed,
+                       table: GraftSink.VersionedTable,
+                       checkpointDir: String): StreamingQuery = {
+    val fn: (Dataset[Row], Long) => Unit =
+      (batch, id) => { table.commitBatch(chain.run(batch.toDF()), id); () }
+    stream.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** [[deliver]] with a dead-letter quarantine (the RFC's "a bad
     * plugin must not crash the feed" at RUNTIME, complementing
     * Prepare-time validation): a micro-batch whose chain or sink write

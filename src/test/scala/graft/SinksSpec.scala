@@ -465,6 +465,29 @@ class SinksSpec extends SparkSpec {
       path, "_data/commit-crashed")))
   }
 
+  test("VersionedTable.commitBatch: a redelivered batch id is skipped " +
+    "(exactly-once under foreachBatch crash-replay); meta survives in " +
+    "the manifest header and never leaks into the file list") {
+    import spark.implicits._
+    val path = tmp("vtable-batch")
+    val vt = GraftSink.VersionedTable(path)
+    assert(vt.commitBatch(Seq((1L, "a")).toDF("key", "tag"), 0L) ===
+      Some(1L))
+    assert(vt.commitBatch(Seq((2L, "b")).toDF("key", "tag"), 1L) ===
+      Some(2L))
+    // the crash-replay: batch 1 redelivered — no new version, no dupes
+    assert(vt.commitBatch(Seq((2L, "b")).toDF("key", "tag"), 1L) === None)
+    assert(vt.currentVersion(spark) === 2L)
+    assert(vt.read(spark).count() === 2L)
+    assert(vt.manifestMeta(spark, 2L) === Map("batch" -> "1"))
+    // header lines are metadata, not files: time travel still exact
+    assert(vt.readVersion(spark, 1).count() === 1L)
+    // line-unsafe meta is refused loudly
+    intercept[IllegalArgumentException](
+      vt.commit(Seq((3L, "c")).toDF("key", "tag"),
+        meta = Map("k" -> "bad\nline")))
+  }
+
   test("VersionedTable: two RACING writers both land — the rename race " +
     "loser retries at the next version with its data intact") {
     import spark.implicits._
