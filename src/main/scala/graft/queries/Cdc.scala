@@ -1099,6 +1099,53 @@ object Cdc {
         .orderBy("seq")
     }),
 
+    // A72 SCHEMA REGISTRY (the Confluent piece a wire deployment pairs
+    // with the broker): three schema generations register under
+    // BACKWARD compatibility (v2 adds region; v3 drops props; the
+    // narrowing attempt is RegistrySpec-rejected), producers stamp
+    // each record's SCHEMA ID as wire framing (outside the payload,
+    // Confluent's magic-byte design), and the consumer resolves the
+    // mixed-id wire: each record decodes under the schema it was
+    // WRITTEN with (one scan per registered id — registry-bounded),
+    // then conforms to the latest (absent columns surface NULL,
+    // dropped columns vanish). The oracle re-derives the whole
+    // spliced feed from time-slice arithmetic.
+    "cdc_schema_registry" -> ((s, dir) => {
+      val wirePath = roundtripPath(dir, "schemaregistry")
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val reg = new SchemaRegistry.Registry("BACKWARD")
+      val v1 = Seq("event_type" -> "VARCHAR", "value" -> "DOUBLE",
+        "props" -> "VARCHAR")
+      val v2 = v1 :+ ("region" -> "VARCHAR")
+      val v3 = Seq("event_type" -> "VARCHAR", "value" -> "DOUBLE",
+        "region" -> "VARCHAR")
+      Seq(v1, v2, v3).foreach(f =>
+        reg.register("events", f).fold(sys.error, identity))
+      val withRegion = log.withColumn("region",
+        concat(lit("r"), pmod(col("key"), lit(5L))))
+      Seq(
+        (1, log.where(col("commit_ts_us") <= t1),
+          Seq("event_type", "value", "props")),
+        (2, withRegion.where(
+          col("commit_ts_us") > t1 && col("commit_ts_us") <= t2),
+          Seq("event_type", "value", "props", "region")),
+        (3, withRegion.where(col("commit_ts_us") > t2),
+          Seq("event_type", "value", "region"))
+      ).map { case (id, leg, cols) =>
+        Envelope.encode(leg, "graft", "events", cols)
+          .select(lit(id).as("schema_id"), col(Envelope.EnvelopeCol))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(wirePath)
+      SchemaRegistry.resolve(s.read.parquet(wirePath), reg, "events",
+          "graft", "events")
+        .select(col("key").as("user_id"), col("commit_ts_us"),
+          col("seq"), col("op"), col("event_type"), col("value"),
+          col("region"))
+        .orderBy("seq")
+    }),
+
     // A50 codec identity: encode → wire → decode is the changelog
     // itself, column-exact (doubles round-trip bit-exact through the
     // JSON shortest-representation — the reason data/old keep
@@ -2211,6 +2258,50 @@ object Cdc {
         .orderBy("disposition")
     }),
 
+    // A67 streaming leg: poison-BATCH requeue. The A29 scenario runs
+    // first (the flush holding the globally-minimal event_id poisons
+    // its chain and quarantines RAW), then the operator's fix ships —
+    // the chain without the poison — and DlqReplay.requeue drains the
+    // quarantine through it into the SAME sink. Graded: the final sink
+    // content is the never-poisoned changelog, each row flagged with
+    // whether it traveled the requeue path (derived by joining the
+    // sink back to the quarantine ledger); the oracle re-derives the
+    // poisoned slice from the same rank-thirds + min-event_id rule as
+    // the A29 oracle.
+    "cdc_dlq_requeue" -> ((s, dir) => withStreamPartitions(s) {
+      val ev = Tables.events(s, dir)
+      val inDir = streamSliceDir(s, ev, dir, slices = 3, tag = "requeue_in")
+      val poisonId = ev.agg(min("event_id")).head().getLong(0)
+      val chain = Changefeed(Seq(
+        TransformPlugin("to-changelog", Changelog.fromEvents),
+        TransformPlugin("poison-detector", df => {
+          if (df.where(col("seq") === poisonId).limit(1).count() > 0)
+            sys.error(s"poison event $poisonId")
+          df
+        })))
+      val outDir = freshScratch(dir, "requeue_out")
+      val dlqDir = freshScratch(dir, "requeue_q")
+      val q = CdcStream.deliverWithDlq(
+        CdcStream.fromParquetDir(s, inDir, ev.schema), chain,
+        GraftSink.Files(outDir, saveMode = SaveMode.Append),
+        name => GraftSink.Files(s"$dlqDir/$name"),
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      q.awaitTermination()
+      // the fix: same chain minus the poison; requeue into the sink
+      DlqReplay.requeue(s, s"$dlqDir/*",
+        Changefeed(Seq(TransformPlugin("to-changelog",
+          Changelog.fromEvents))),
+        GraftSink.Files(outDir, saveMode = SaveMode.Append))
+      val quarantinedIds = s.read.option("mergeSchema", "true")
+        .parquet(s"$dlqDir/*").select(col("event_id").as("__dlq_id"))
+      s.read.parquet(outDir)
+        .join(quarantinedIds, col("seq") === col("__dlq_id"), "left")
+        .select(col("seq"), col("key").as("user_id"), col("op"),
+          col("commit_ts_us"), col("event_type"), col("value"),
+          col("__dlq_id").isNotNull.as("requeued"))
+        .orderBy("seq")
+    }),
+
     // A22: 2PC rollout, oracle-checked end-to-end — four ts-ordered
     // flushes; the feed drains 0-1 under chain v1 (redact mask), then
     // Prepare→Pause→Commit swaps in v2 (sha256 mask) over the SAME
@@ -2676,6 +2767,16 @@ object Cdc {
         |FROM log
         |ORDER BY seq""".stripMargin),
 
+    // Registry resolution: the spliced feed from slice arithmetic —
+    // region exists from the v2 boundary on, props is gone everywhere.
+    "cdc_schema_registry" -> (logCte +
+      """
+        |SELECT key AS user_id, commit_ts_us, seq, op, event_type, value,
+        |       CASE WHEN commit_ts_us > 1704844800000000
+        |            THEN 'r' || (key % 5) ELSE NULL END AS region
+        |FROM log
+        |ORDER BY seq""".stripMargin),
+
     // Codec identity: encode → decode is the changelog, column-exact.
     "cdc_envelope_roundtrip" -> (logCte +
       """
@@ -2703,6 +2804,27 @@ object Cdc {
         |       THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT)
         |       END AS chain_version
         |FROM ranked ORDER BY key, seq""".stripMargin),
+
+    // Requeue convergence: the full changelog, the poisoned slice
+    // flagged (same rank-thirds + min-event_id rule as A29's oracle).
+    "cdc_dlq_requeue" ->
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER () AS total
+        |  FROM events),
+        |sliced AS (
+        |  SELECT *, CASE WHEN rn <= total // 3 THEN 0
+        |                 WHEN rn <= (2 * total) // 3 THEN 1
+        |                 ELSE 2 END AS slice
+        |  FROM ranked),
+        |pslice AS (SELECT slice FROM sliced ORDER BY event_id LIMIT 1)
+        |SELECT event_id AS seq, user_id,
+        |       CASE event_type WHEN 'signup' THEN 'I'
+        |                       WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+        |       epoch_us(ts) AS commit_ts_us, event_type, value,
+        |       s.slice = (SELECT slice FROM pslice) AS requeued
+        |FROM sliced s
+        |ORDER BY seq""".stripMargin,
 
     // The DLQ split re-derived in SQL: slice thirds by the same
     // rank/floor-division formula as the slicer, quarantine = the
