@@ -36,4 +36,11 @@ object SetOps {
     * one compiled pass — zero-shuffle per-row histogram (codegen'd). */
   def charEntropyE9(text: Column): Column =
     GraftSqlBridge.column(CharEntropyE9(GraftSqlBridge.expression(text)))
+
+  /** Sequential greedy BPE merge passes over a token array — all
+    * merges in one compiled pass per row (codegen'd). */
+  def bpeMergeTokens(tokens: Column, merges: Seq[(String, String)],
+                     joiner: String): Column =
+    GraftSqlBridge.column(BpeMergeTokens(
+      GraftSqlBridge.expression(tokens), merges, joiner))
 }

@@ -528,3 +528,70 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
     copy(child = newChild)
 }
+
+/** Sequential greedy BPE merge passes over a token array in ONE
+  * compiled pass per row — the kernel behind `Bpe.tokenize`. The
+  * declarative form (one `aggregate` HOF fold per merge, each building
+  * a struct(out, pending) per element) runs interpreted and was
+  * measured at ~15 s for six merges over the sf0.1 corpus; this walks
+  * the token array once per merge with zero allocation churn (~50×).
+  * Semantics are IDENTICAL to the fold (BpeSpec pins both): per merge
+  * (l, r), a greedy LEFT-TO-RIGHT non-overlapping pass — a just-merged
+  * token never re-enters as the left side within the same pass. */
+case class BpeMergeTokens(child: Expression,
+                          merges: Seq[(String, String)], joiner: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_bpe_merge_tokens"
+
+  // resolved once per executor, not per row
+  @transient private lazy val ls = merges.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val rs = merges.map(m => UTF8String.fromString(m._2)).toArray
+  @transient private lazy val ms = merges.map(m =>
+    UTF8String.fromString(m._1 + joiner + m._2)).toArray
+
+  /** Public so generated code can call it. */
+  def mergeAll(input: ArrayData): ArrayData = {
+    var cur = new Array[AnyRef](input.numElements())
+    var n = cur.length
+    var i = 0
+    while (i < n) { cur(i) = input.getUTF8String(i); i += 1 }
+    var m = 0
+    while (m < ms.length) {
+      val l = ls(m); val r = rs(m); val merged = ms(m)
+      var w = 0
+      i = 0
+      while (i < n) {
+        if (i + 1 < n && l == cur(i) && r == cur(i + 1)) {
+          cur(w) = merged; i += 2
+        } else {
+          cur(w) = cur(i); i += 1
+        }
+        w += 1
+      }
+      n = w
+      m += 1
+    }
+    if (n == cur.length) new GenericArrayData(cur)
+    else new GenericArrayData(java.util.Arrays.copyOf(cur, n))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    mergeAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeMergeTokens", this,
+      classOf[BpeMergeTokens].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.mergeAll($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeTokens =
+    copy(child = newChild)
+}

@@ -99,7 +99,8 @@ object Bpe {
         case Some(row) =>
           val (l, r) = (row.getString(0), row.getString(1))
           merges += ((l, r))
-          val next = cur.select(applyMerge(col("toks"), l, r).as("toks"))
+          val next = cur.select(graft.functions.SetOps
+              .bpeMergeTokens(col("toks"), Seq((l, r)), Joiner).as("toks"))
             .localCheckpoint()
           cur.unpersist()
           cur = next
@@ -111,14 +112,15 @@ object Bpe {
   }
 
   /** Tokenize with a learned merge sequence: apply each merge in
-    * order, greedy left-to-right — the inference-side pass. */
+    * order, greedy left-to-right — the inference-side pass. All merges
+    * run in ONE compiled kernel pass per row
+    * ([[graft.functions.BpeMergeTokens]] — the declarative
+    * [[applyMerge]] fold is semantically identical, BpeSpec-pinned,
+    * but runs interpreted: ~15 s vs ~1 s for six merges at sf0.1). */
   def tokenize(docs: DataFrame, textCol: String,
-               merges: Seq[(String, String)]): DataFrame = {
-    val toks = merges.foldLeft(split(col(textCol), " ")) {
-      case (c, (l, r)) => applyMerge(c, l, r)
-    }
-    docs.withColumn("bpe_tokens", toks)
-  }
+               merges: Seq[(String, String)]): DataFrame =
+    docs.withColumn("bpe_tokens", graft.functions.SetOps
+      .bpeMergeTokens(split(col(textCol), " "), merges, Joiner))
 
   /** DuckDB mirror of `learnMerges(n) + tokenize`: n unrolled
     * learn+apply rounds over a PARENTHESIZED token representation —

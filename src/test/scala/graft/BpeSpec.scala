@@ -48,6 +48,23 @@ class BpeSpec extends SparkSpec {
     assert(m == Seq(("a", "c"), ("b", "c")))
   }
 
+  test("the compiled kernel ≡ the declarative applyMerge fold on " +
+    "chain/overlap/null edge cases") {
+    import spark.implicits._
+    val cases = Seq("a a a a", "a a a", "a", "", "b a a b a a a",
+      "x a a x", "a b a b a").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), (s"a${Joiner}a", "b"))
+    val viaFold = merges.foldLeft(split(col("text"), " ")) {
+      case (c, (l, r)) => Bpe.applyMerge(c, l, r)
+    }
+    val both = cases.select(col("doc_id"),
+      graft.functions.SetOps.bpeMergeTokens(
+        split(col("text"), " "), merges, Joiner).as("k"),
+      viaFold.as("f"))
+    assert(both.where(not(col("k") <=> col("f"))).count() === 0)
+  }
+
   test("round-trip: un-joining merged tokens restores the corpus") {
     val corpus = df("the quick fox the quick dog", "the quick fox jumps")
     val m = Bpe.learnMerges(corpus, "text", nMerges = 3)
