@@ -205,6 +205,51 @@ object Probe {
       return
     }
 
+    // Appending-produce curve: `runMain graft.Probe _ genappend=2000000,8000000,32000000`
+    // prices the A68 produce path against a STANDING topic of each
+    // size: (a) ends-derivation — the column-pruned grouped max over
+    // the standing log's __offset (the O(|log| I/O) fallback append()
+    // pays); (b) the produce itself via appendWithEnds — routing +
+    // one window over ONLY the 200k incoming rows (the deployment
+    // path, where ends are broker metadata). The law to pin: (b) is
+    // FLAT in the standing size; (a) grows with the log but stays
+    // one-column cheap.
+    if (args.length > 1 && args(1).startsWith("genappend=")) {
+      val sizes = args(1).stripPrefix("genappend=").split(",").map(_.toLong)
+      def log(n: Long, idOffset: Long = 0L) =
+        spark.read.format("graft.sources.GenSource")
+          .option("rows", n).option("users", 99991)
+          .option("slices", cpus.toInt).load()
+          .select(col("user_id").as("key"),
+            (col("ts_us") + idOffset).as("commit_ts_us"),
+            (col("event_id") + idOffset).as("seq"),
+            col("event_type"))
+      val topic = graft.cdc.GraftSink.Topic(path = "", numPartitions = 32)
+      sizes.foreach { n =>
+        val standingDir = s"/tmp/graft_probe_append_$n"
+        topic.assign(log(n))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("__partition").parquet(standingDir)
+        val standing = spark.read.parquet(standingDir)
+        var ends: org.apache.spark.sql.DataFrame = null
+        time(s"append_ends_scan standing=$n") {
+          ends = standing.groupBy(col("__partition").as("__end_p"))
+            .agg((max(col("__offset")) + 1L).as("__base"))
+            .localCheckpoint()
+          ends.count()
+        }
+        // the incoming produce strictly follows the standing log
+        val incoming = log(200000L, idOffset = 4000000000000000L)
+        time(s"append_produce standing=$n incoming=200k") {
+          topic.appendWithEnds(ends, incoming)
+            .agg(count(lit(1)), max(col("__offset"))).first()
+          200000L
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Envelope codec curve: `runMain graft.Probe _ genenvelope=2000000,8000000`
     // prices the A50 canal-json codec at each size over the zero-I/O
     // GenSource changelog: (a) ENCODE — one to_json projection — into

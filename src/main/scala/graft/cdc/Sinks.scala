@@ -117,18 +117,30 @@ object GraftSink {
       * to `assign(head ∪ tail)`, and appending in N slices associates.
       * A partition unseen in `log` starts at offset 0. */
     def append(log: DataFrame, incoming: DataFrame): DataFrame = {
+      // deriving ends from the log is a column-pruned partial-agg scan
+      // of ONE long column (cheap, but still O(|log|) I/O); a standing
+      // deployment holds end offsets as broker metadata and should
+      // pass them via [[appendWithEnds]] for O(|incoming|) produces
       val ends = log.groupBy(col("__partition").as("__end_p"))
         .agg((max(col("__offset")) + 1L).as("__base"))
+      log.unionByName(appendWithEnds(ends, incoming))
+    }
+
+    /** The deployment-scale produce: `ends` is the broker's
+      * per-partition end-offset metadata — (`__end_p`, `__base`),
+      * \|partitions\| rows — so a produce never touches the standing
+      * log at all (returns ONLY the newly assigned rows; the log is
+      * already on disk). A partition absent from `ends` starts at 0. */
+    def appendWithEnds(ends: DataFrame, incoming: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("__partition"))
         .orderBy(orderCols.map(col): _*)
-      val assigned = incoming
+      incoming
         .withColumn("__partition", Route(strategy, numPartitions, incoming))
         .repartition(numPartitions, col("__partition"))
         .join(broadcast(ends), col("__partition") === col("__end_p"), "left")
         .withColumn("__offset", coalesce(col("__base"), lit(0L)) +
           row_number().over(w).cast("long") - 1)
         .drop("__end_p", "__base")
-      log.unionByName(assigned)
     }
 
     def write(df: DataFrame): Unit =

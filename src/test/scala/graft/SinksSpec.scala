@@ -127,6 +127,14 @@ class SinksSpec extends SparkSpec {
     val fresh = other.where(col("__partition") === 1)
     assert(fresh.agg(min("__offset")).head().getLong(0) === 0L)
     assert(fresh.count() === 7)
+    // the broker-metadata path: passing ends explicitly produces the
+    // SAME assignment as deriving them from the log (deployment ≡
+    // fallback), returning only the new rows
+    val ends = base.groupBy(col("__partition").as("__end_p"))
+      .agg((max(col("__offset")) + 1L).as("__base"))
+    assertSameRows(
+      topic.appendWithEnds(ends, s1),
+      topic.append(base, s1).exceptAll(base))
   }
 
   test("Topic.compact: latest-per-key at ORIGINAL offsets, tombstone " +
