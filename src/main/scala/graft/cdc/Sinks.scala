@@ -816,6 +816,101 @@ object GraftSink {
       commit(merged, overwrite = true)
     }
 
+    /** Deterministic key-bucket of a row — shared by the bucketed
+      * writer and merger (xxhash64 is a fixed algorithm: stable across
+      * sessions, executors, and Spark versions). */
+    private def bucketOf(keyCols: Seq[String], numBuckets: Int): Column =
+      pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong))
+
+    /** Bucket id encoded in a manifest path, when the file was written
+      * by a bucketed commit. */
+    private def pathBucket(rel: String): Option[Long] =
+      "__bucket=(\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toLong)
+
+    /** FILE-PRUNED merge (Delta's real MERGE shape): the table's data
+      * files are hive-partitioned by a deterministic key bucket, so a
+      * merge batch REWRITES ONLY the buckets its keys hash into and
+      * CARRIES every other file into the new manifest untouched — per-
+      * merge work is O(|touched buckets|), never O(|table|) ([[merge]]
+      * rewrites everything; fine for full-feed batches, wrong for a
+      * 100 TB table taking small upserts). Files from plain (non-
+      * bucketed) commits carry no bucket in their path and may hold
+      * any key, so they always join the rewrite — a table converges to
+      * fully-bucketed after one merge. Semantics are identical to
+      * [[merge]] (SinksSpec pins row equality).
+      *
+      * Single-writer: the carried file list is derived from the
+      * version this merge read, so losing the manifest race must FAIL
+      * LOUDLY (re-run re-reads the winner's state) rather than retry
+      * with a stale carryover that would drop the winner's files. */
+    def mergeBucketed(batch: DataFrame, keyCols: Seq[String],
+                      orderCols: Seq[String], opCol: String = "op",
+                      numBuckets: Int = 64,
+                      meta: Map[String, String] = Map.empty): Long = {
+      val spark = batch.sparkSession
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(c => col(c).desc): _*)
+      val latest = batch
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+      val touched = latest
+        .select(bucketOf(keyCols, numBuckets).as("__b")).distinct()
+        .collect().map(_.getLong(0)).toSet // ≤ numBuckets rows
+      val (touchedFiles, carried) =
+        if (v == 0) (Seq.empty[String], Seq.empty[String])
+        else manifestFiles(fs, v).partition(rel =>
+          pathBucket(rel).forall(touched.contains))
+      val current =
+        if (touchedFiles.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              latest.drop(opCol).schema.fields))
+        else spark.read.parquet(touchedFiles.map(rel => s"$path/$rel"): _*)
+      val merged = current
+        .join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(latest.where(col(opCol) =!= "D").drop(opCol))
+        .withColumn("__bucket", bucketOf(keyCols, numBuckets))
+      // write the rewrite hive-partitioned by bucket, then publish
+      // carried ∪ new in ONE manifest attempt at v+1
+      val newV = v + 1
+      val dataRel = s"_data/commit-$newV-${java.util.UUID.randomUUID}"
+      val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy("__bucket").parquet(dataDir.toString)
+      val newFiles = for {
+        d <- fs.listStatus(dataDir).toSeq if d.isDirectory
+        f <- fs.listStatus(d.getPath)
+        if f.isFile && f.getPath.getName.endsWith(".parquet")
+      } yield s"$dataRel/${d.getPath.getName}/${f.getPath.getName}"
+      val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
+      fs.mkdirs(manifestDir)
+      val header = meta.toSeq.sortBy(_._1).map { case (k, mv) =>
+        require(!k.contains("=") && !(k + mv).exists(_ == '\n'),
+          s"manifest meta must be line-safe: $k=$mv")
+        s"#$k=$mv"
+      }
+      val tmp = new org.apache.hadoop.fs.Path(manifestDir,
+        s".v$newV-${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write((header ++ carried ++ newFiles).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dest = new org.apache.hadoop.fs.Path(manifestDir,
+        s"v$newV.manifest")
+      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(s"$path: concurrent commit took " +
+          s"v$newV while this merge was writing — re-run the merge " +
+          "against the new current version (the carried file list is " +
+          "stale)")
+      }
+      newV
+    }
+
     /** CHANGE DATA FEED between versions (Delta's `table_changes`):
       * rows that entered the table in (fromV, toV], each tagged
       * `_change_type` + `_commit_version`.
@@ -915,18 +1010,28 @@ object GraftSink {
       val keep = (horizon to v)
         .flatMap(kv => manifestFiles(fs, kv)).toSet
       // every file under _data/ not referenced by a retained manifest
+      // (recursive: bucketed commits nest files under __bucket=k/)
       val dataRoot = new org.apache.hadoop.fs.Path(root, "_data")
       var dataDeleted = 0
       if (fs.exists(dataRoot)) {
-        for (dir <- fs.listStatus(dataRoot); f <- fs.listStatus(dir.getPath)) {
-          val rel = s"_data/${dir.getPath.getName}/${f.getPath.getName}"
+        def walk(p: org.apache.hadoop.fs.Path)
+            : Seq[org.apache.hadoop.fs.FileStatus] =
+          fs.listStatus(p).toSeq.flatMap(s =>
+            if (s.isDirectory) walk(s.getPath) else Seq(s))
+        val rootUri = root.toUri.getPath.stripSuffix("/")
+        for (f <- walk(dataRoot)) {
+          val rel = f.getPath.toUri.getPath.stripPrefix(rootUri + "/")
           if (!keep.contains(rel)) {
             fs.delete(f.getPath, false); dataDeleted += 1
           }
         }
-        // drop now-empty commit dirs
-        fs.listStatus(dataRoot).filter(d => fs.listStatus(d.getPath).isEmpty)
-          .foreach(d => fs.delete(d.getPath, false))
+        // drop now-empty dirs bottom-up (bucket dirs, then commit dirs)
+        def prune(p: org.apache.hadoop.fs.Path): Unit = {
+          fs.listStatus(p).foreach(s => if (s.isDirectory) prune(s.getPath))
+          if (p != dataRoot && fs.listStatus(p).isEmpty)
+            fs.delete(p, false)
+        }
+        prune(dataRoot)
       }
       var manifestsDeleted = 0
       for (kv <- 1L until horizon) {

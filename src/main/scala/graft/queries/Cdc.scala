@@ -1718,6 +1718,35 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A66 FILE-PRUNED merge (Delta's real MERGE shape): the same three
+    // incremental merges, but through the bucketed path — data files
+    // hive-partitioned by key bucket, each merge rewriting ONLY the
+    // buckets its batch hashes into and CARRYING every other file
+    // verbatim (per-merge work O(|touched|), never O(|table|) — the
+    // 100 TB upsert answer; SinksSpec pins the carried-files claim).
+    // Same snapshot oracle: pruning must not change the answer.
+    "cdc_table_merge_bucketed" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablemergebucketed")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      Seq(
+        log.where(col("commit_ts_us") <= t1),
+        log.where(col("commit_ts_us") > t1 && col("commit_ts_us") <= t2),
+        log.where(col("commit_ts_us") > t2)
+      ).foreach(slice => table.mergeBucketed(slice, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16))
+      table.read(s)
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // A66 CHANGE DATA FEED, append-only leg: three append commits,
     // then changes(0 → 3) — the manifest file-set differences ARE the
     // change set (zero shuffle, zero old-version scan; CDF costs
@@ -3540,6 +3569,9 @@ object Cdc {
 
     // Incremental merges converge to the full-feed snapshot.
     "cdc_table_merge" -> snapshotOracle,
+
+    // File pruning must not change the answer.
+    "cdc_table_merge_bucketed" -> snapshotOracle,
 
     // Streaming append commits: version v = ts-ordered rank-third
     // slices 1..v (same slicing the dlq-quarantine oracle models).

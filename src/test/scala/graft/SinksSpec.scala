@@ -439,6 +439,69 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("keyCols"))
   }
 
+  test("VersionedTable.mergeBucketed: only touched buckets rewrite — " +
+    "untouched files carry VERBATIM into the new manifest; semantics " +
+    "equal the full merge; a lost manifest race fails loudly") {
+    import spark.implicits._
+    val path = tmp("vtable-bmerge")
+    val vt = GraftSink.VersionedTable(path)
+    def batch(rows: (Long, Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("key", "seq", "op", "payload")
+    // bootstrap: 64 keys spread over 8 buckets
+    vt.mergeBucketed(batch((0L until 64L).map(k =>
+      (k, k, "I", s"v$k")): _*), Seq("key"), Seq("seq"), numBuckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifest(v: Long): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        path, s"_manifests/v$v.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+      finally in.close()
+    }
+    val m1 = manifest(1)
+    assert(m1.forall(_.contains("__bucket=")))
+    // one-key upsert: exactly one bucket rewrites
+    vt.mergeBucketed(batch((7L, 100L, "U", "v7b")),
+      Seq("key"), Seq("seq"), numBuckets = 8)
+    val m2 = manifest(2)
+    val carried = m2.toSet intersect m1.toSet
+    val rewritten1 = m1.toSet -- m2.toSet
+    val buckets = rewritten1.flatMap(
+      "__bucket=(\\d+)/".r.findFirstMatchIn(_).map(_.group(1)))
+    assert(buckets.size === 1) // exactly one bucket's files replaced
+    assert(carried.nonEmpty) // the other buckets carried verbatim
+    // content: equal to the plain full merge on the same feed
+    val full = GraftSink.VersionedTable(tmp("vtable-fmerge"))
+    full.merge(batch((0L until 64L).map(k =>
+      (k, k, "I", s"v$k")): _*), Seq("key"), Seq("seq"))
+    full.merge(batch((7L, 100L, "U", "v7b")), Seq("key"), Seq("seq"))
+    assertSameRows(vt.read(spark), full.read(spark))
+    // deletes prune rows; untouched buckets still intact
+    vt.mergeBucketed(batch((7L, 101L, "D", "x")),
+      Seq("key"), Seq("seq"), numBuckets = 8)
+    assert(vt.read(spark).where(col("key") === 7L).count() === 0)
+    assert(vt.read(spark).count() === 63L)
+    // a manifest slot another writer already took is simply the new
+    // current: the next merge reads v4's state and publishes past it,
+    // carrying v4's files (the loud IllegalStateException guards only
+    // the true mid-merge race, where the slot appears AFTER the
+    // carried list was derived)
+    val m3 = new org.apache.hadoop.fs.Path(path, "_manifests/v3.manifest")
+    val m4 = new org.apache.hadoop.fs.Path(path, "_manifests/v4.manifest")
+    org.apache.hadoop.fs.FileUtil.copy(fs, m3, fs, m4, false,
+      spark.sessionState.newHadoopConf())
+    assert(vt.mergeBucketed(batch((1L, 200L, "U", "z")),
+      Seq("key"), Seq("seq"), numBuckets = 8) === 5L)
+    assert(vt.read(spark).where(col("key") === 1L)
+      .select("payload").as[String].head() === "z")
+    assert(vt.read(spark).count() === 63L)
+    // vacuum understands the two-level bucketed layout
+    val (dataGone, _) = vt.vacuum(spark, retainLast = 1)
+    assert(dataGone > 0)
+    assert(vt.read(spark).count() === 63L)
+  }
+
   test("VersionedTable.optimize + vacuum: content-identical rewrite, " +
     "fewer files; vacuum retires time travel below the horizon and " +
     "reclaims unreferenced data + orphans") {
