@@ -250,6 +250,43 @@ object Probe {
       return
     }
 
+    // Versioned-table merge curve: `runMain graft.Probe _ gentable=2000000,8000000`
+    // prices the A66 merge forms against a STANDING bucketed table of
+    // each size: (a) mergeBucketed of a 10k-key batch confined to ONE
+    // bucket — must cost O(|bucket| + |batch|), i.e. ~1/64 of the
+    // table; (b) the plain full merge of the same batch — O(|table|)
+    // rewrite, the contrast that justifies the bucketed path at scale.
+    if (args.length > 1 && args(1).startsWith("gentable=")) {
+      val sizes = args(1).stripPrefix("gentable=").split(",").map(_.toLong)
+      import graft.cdc.GraftSink
+      sizes.foreach { n =>
+        val dir = s"/tmp/graft_probe_table_$n"
+        val root = new org.apache.hadoop.fs.Path(dir)
+        root.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(root, true)
+        val vt = GraftSink.VersionedTable(dir)
+        def rows(r: org.apache.spark.sql.DataFrame) = r.select(
+          col("id").as("key"), col("id").as("seq"), lit("I").as("op"),
+          concat(lit("p"), col("id")).as("payload"))
+        time(s"table_bootstrap standing=$n") {
+          vt.mergeBucketed(rows(spark.range(n).toDF()), Seq("key"), Seq("seq"))
+          n
+        }
+        // 10k NEW keys all hashing into bucket 0 (of the default 64)
+        val batch = rows(spark.range(n, n + 4000000L).toDF()
+          .where(pmod(xxhash64(col("id")), lit(64L)) === 0).limit(10000))
+          .localCheckpoint()
+        time(s"bucketed_merge standing=$n batch=10k one-bucket") {
+          vt.mergeBucketed(batch, Seq("key"), Seq("seq")); 10000L
+        }
+        time(s"full_merge standing=$n batch=10k") {
+          vt.merge(batch, Seq("key"), Seq("seq")); 10000L
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Envelope codec curve: `runMain graft.Probe _ genenvelope=2000000,8000000`
     // prices the A50 canal-json codec at each size over the zero-I/O
     // GenSource changelog: (a) ENCODE — one to_json projection — into

@@ -911,6 +911,35 @@ object GraftSink {
       newV
     }
 
+    /** Point lookup by key — the READ-side payoff of bucketed merges:
+      * the requested keys hash to their buckets driver-side (|keys|
+      * rows), the manifest prunes to ONLY those buckets' files (plus
+      * any unbucketed plain-commit files, which can hold any key), and
+      * one broadcast semi-join filters rows. A 1-key lookup on a
+      * fully-bucketed table reads 1/numBuckets of the data at any
+      * table size. */
+    def lookup(spark: org.apache.spark.sql.SparkSession,
+               keyCols: Seq[String], keys: Seq[Seq[Any]],
+               numBuckets: Int = 64): DataFrame = {
+      require(keys.nonEmpty, "lookup needs at least one key")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      require(v > 0, s"$path: no committed versions")
+      val keyDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          keys.map(org.apache.spark.sql.Row.fromSeq), 1),
+        org.apache.spark.sql.types.StructType(keyCols.map(c =>
+          read(spark).schema(c))))
+      val wanted = keyDf.select(bucketOf(keyCols, numBuckets).as("__b"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val files = manifestFiles(fs, v).filter(rel =>
+        pathBucket(rel).forall(wanted.contains))
+      if (files.isEmpty) return read(spark).limit(0)
+      spark.read.parquet(files.map(rel => s"$path/$rel"): _*)
+        .join(broadcast(keyDf), keyCols, "left_semi")
+    }
+
     /** CHANGE DATA FEED between versions (Delta's `table_changes`):
       * rows that entered the table in (fromV, toV], each tagged
       * `_change_type` + `_commit_version`.

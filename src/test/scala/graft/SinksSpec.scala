@@ -496,6 +496,22 @@ class SinksSpec extends SparkSpec {
     assert(vt.read(spark).where(col("key") === 1L)
       .select("payload").as[String].head() === "z")
     assert(vt.read(spark).count() === 63L)
+    // point lookup prunes to the key's bucket: the scan reads only
+    // that bucket's files (verified by input_file_name census)
+    val hit = vt.lookup(spark, Seq("key"), Seq(Seq(1L)), numBuckets = 8)
+    assert(hit.select("payload").as[String].collect() === Array("z"))
+    val filesRead = hit.select(input_file_name()).distinct().count()
+    val latestManifest = manifest(vt.currentVersion(spark))
+    val oneBucketFiles = latestManifest.count(_.contains(
+      "__bucket=" + latestManifest.find(_.contains("__bucket="))
+        .map(_ => // bucket of key 1 under 8 buckets, recomputed
+          spark.range(1).select(pmod(xxhash64(lit(1L)), lit(8L)))
+            .head().getLong(0)).get + "/"))
+    assert(filesRead <= oneBucketFiles)
+    assert(filesRead < latestManifest.size) // strictly pruned
+    // a key that exists nowhere returns empty, table-schemed
+    assert(vt.lookup(spark, Seq("key"), Seq(Seq(999999L)),
+      numBuckets = 8).isEmpty)
     // vacuum understands the two-level bucketed layout
     val (dataGone, _) = vt.vacuum(spark, retainLast = 1)
     assert(dataGone > 0)
