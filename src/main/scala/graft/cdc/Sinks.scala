@@ -745,7 +745,8 @@ object GraftSink {
       * headers on the driver — metadata-class. Single-writer per
       * checkpoint, like any structured-streaming sink. Returns the
       * published version, or None when the batch was already in. */
-    def commitBatch(df: DataFrame, batchId: Long): Option[Long] = {
+    def commitBatch(df: DataFrame, batchId: Long,
+                    tsCol: Option[String] = None): Option[Long] = {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
       val v = currentVersion(fs)
@@ -757,7 +758,12 @@ object GraftSink {
           manifestMeta(fs, kv).get("batch").contains(batchId.toString)
       }
       if (seen) None
-      else Some(commit(df, meta = Map("batch" -> batchId.toString)))
+      else {
+        val wm = tsCol.map { c =>
+          "max_ts" -> df.agg(max(col(c))).head().getLong(0).toString
+        }
+        Some(commit(df, meta = Map("batch" -> batchId.toString) ++ wm))
+      }
     }
 
     /** Snapshot-isolated read of version `v` — exactly the files its
@@ -909,6 +915,39 @@ object GraftSink {
           "stale)")
       }
       newV
+    }
+
+    /** Time travel by EVENT TIME (`AS OF TIMESTAMP` with deterministic
+      * semantics): commits record their data's max event timestamp in
+      * the manifest header (`#max_ts=`, written by [[commitWithWatermark]]
+      * / the streaming sink), and a read as of T resolves to the
+      * HIGHEST version whose watermark ≤ T — event-time, so the answer
+      * is a pure function of the data, not of when jobs happened to
+      * run (wall-clock AS OF, Delta's, is irreproducible by design).
+      * Versions without a watermark (plain commits) are skipped.
+      * Driver work is |versions| manifest headers. */
+    def readAsOfTs(spark: org.apache.spark.sql.SparkSession,
+                   tsUs: Long): DataFrame = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      val hit = (1L to v).reverse.find { kv =>
+        fs.exists(new org.apache.hadoop.fs.Path(path,
+          s"_manifests/v$kv.manifest")) &&
+          manifestMeta(fs, kv).get("max_ts").exists(_.toLong <= tsUs)
+      }
+      readVersion(spark, hit.getOrElse(throw new IllegalArgumentException(
+        s"$path: no version has watermark <= $tsUs")))
+    }
+
+    /** [[commit]] stamping the data's max `tsCol` as the version's
+      * event-time watermark (one cheap extra aggregate over the batch
+      * — the batch is being written anyway). */
+    def commitWithWatermark(df: DataFrame, tsCol: String,
+                            overwrite: Boolean = false,
+                            meta: Map[String, String] = Map.empty): Long = {
+      val maxTs = df.agg(max(col(tsCol))).head().getLong(0)
+      commit(df, overwrite, meta + ("max_ts" -> maxTs.toString))
     }
 
     /** Point lookup by key — the READ-side payoff of bucketed merges:

@@ -1718,6 +1718,39 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A66 event-time time travel (AS OF TIMESTAMP, deterministically):
+    // each commit stamps its data's max commit_ts_us as the version's
+    // watermark; a read as of T resolves to the highest version whose
+    // watermark ≤ T — a pure function of the DATA, reproducible on any
+    // rerun (wall-clock AS OF is not). Three watermarked appends, read
+    // back as of the two slice boundaries and the far future; the
+    // oracle re-derives each as-of's cumulative content from ts
+    // arithmetic.
+    "cdc_table_asof_ts" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tableasof")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      Seq(
+        log.where(col("commit_ts_us") <= t1),
+        log.where(col("commit_ts_us") > t1 && col("commit_ts_us") <= t2),
+        log.where(col("commit_ts_us") > t2)
+      ).foreach(slice =>
+        table.commitWithWatermark(slice, "commit_ts_us"))
+      Seq((1L, t1), (2L, t2), (3L, Long.MaxValue))
+        .map { case (i, ts) =>
+          table.readAsOfTs(s, ts).withColumn("asof_idx", lit(i)) }
+        .reduce(_ unionByName _)
+        .groupBy(col("asof_idx"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sumCents("value").as("sum_value_e2"),
+          max(col("commit_ts_us")).as("max_ts_us"))
+        .orderBy("asof_idx", "event_type")
+    }),
+
     // A66 FILE-PRUNED merge (Delta's real MERGE shape): the same three
     // incremental merges, but through the bucketed path — data files
     // hive-partitioned by key bucket, each merge rewriting ONLY the
@@ -3572,6 +3605,20 @@ object Cdc {
 
     // File pruning must not change the answer.
     "cdc_table_merge_bucketed" -> snapshotOracle,
+
+    // Event-time as-of: cumulative content at each boundary.
+    "cdc_table_asof_ts" -> (logCte +
+      s""",
+        |vv AS (
+        |  SELECT g.i AS asof_idx, l.event_type, l.value, l.commit_ts_us
+        |  FROM log l JOIN (VALUES (1, 1704844800000000),
+        |                          (2, 1705708800000000),
+        |                          (3, 9223372036854775807)) g(i, cut)
+        |    ON l.commit_ts_us <= g.cut)
+        |SELECT CAST(asof_idx AS BIGINT) AS asof_idx, event_type,
+        |       count(*) AS n_events, $sumCentsSql AS sum_value_e2,
+        |       max(commit_ts_us) AS max_ts_us
+        |FROM vv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Streaming append commits: version v = ts-ordered rank-third
     // slices 1..v (same slicing the dlq-quarantine oracle models).

@@ -59,9 +59,12 @@ object CdcStream {
     * restarted query resumes without duplicating. */
   def deliverVersioned(stream: DataFrame, chain: Changefeed,
                        table: GraftSink.VersionedTable,
-                       checkpointDir: String): StreamingQuery = {
+                       checkpointDir: String,
+                       watermarkCol: Option[String] = None): StreamingQuery = {
     val fn: (Dataset[Row], Long) => Unit =
-      (batch, id) => { table.commitBatch(chain.run(batch.toDF()), id); () }
+      (batch, id) => {
+        table.commitBatch(chain.run(batch.toDF()), id, watermarkCol); ()
+      }
     stream.writeStream
       .foreachBatch(fn)
       .option("checkpointLocation", checkpointDir)

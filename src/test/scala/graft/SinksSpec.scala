@@ -575,6 +575,32 @@ class SinksSpec extends SparkSpec {
         meta = Map("k" -> "bad\nline")))
   }
 
+  test("VersionedTable.readAsOfTs: event-time time travel resolves to " +
+    "the highest watermarked version <= T; unwatermarked versions are " +
+    "skipped; below-all fails loudly") {
+    import spark.implicits._
+    val path = tmp("vtable-asof")
+    val vt = GraftSink.VersionedTable(path)
+    def slice(tag: String, ts: Long): DataFrame =
+      Seq((tag, ts)).toDF("tag", "commit_ts_us")
+    vt.commitWithWatermark(slice("a", 100L), "commit_ts_us")
+    vt.commit(slice("wall", 5000L)) // no watermark — a plain commit
+    vt.commitWithWatermark(slice("b", 200L), "commit_ts_us")
+    assert(vt.manifestMeta(spark, 3L) === Map("max_ts" -> "200"))
+    // as-of 150 → v1 (v2 has no watermark, v3's is 200 > 150)
+    assert(vt.readAsOfTs(spark, 150L).select("tag")
+      .as[String].collect() === Array("a"))
+    // as-of 200 → v3 (append semantics: a + wall + b)
+    assert(vt.readAsOfTs(spark, 200L).count() === 3L)
+    val e = intercept[IllegalArgumentException](vt.readAsOfTs(spark, 50L))
+    assert(e.getMessage.contains("watermark"))
+    // the streaming batch commit stamps watermark + batch id together
+    assert(vt.commitBatch(slice("c", 300L), 9L,
+      tsCol = Some("commit_ts_us")) === Some(4L))
+    assert(vt.manifestMeta(spark, 4L) ===
+      Map("batch" -> "9", "max_ts" -> "300"))
+  }
+
   test("VersionedTable: two RACING writers both land — the rename race " +
     "loser retries at the next version with its data intact") {
     import spark.implicits._
