@@ -73,8 +73,15 @@ object DlqReplay {
         Seq("key", "commit_ts_us", "seq"), "left_anti")
       case None => clean
     }
+    // the re-attach join is grouped to ONE row per repaired string
+    // first: a non-injective repair (two distinct poisoned envelopes
+    // mapped to the same repaired string) would otherwise multiply
+    // residual rows through the equi-join, producing spurious
+    // (envelope, reason) combinations (ADVICE r15). Classification is
+    // a pure function of the string, so the grouped reason is exact.
     val residual = dec.where(col("__envelope_error").isNotNull)
-      .select(env, col("__envelope_error").as("__dlq_replay_reason"))
+      .groupBy(env)
+      .agg(first(col("__envelope_error")).as("__dlq_replay_reason"))
       .join(repaired, Seq(Envelope.EnvelopeCol))
       .select(col("__dlq_envelope").as(Envelope.EnvelopeCol),
         col("__dlq_first_reason"), col("__dlq_replay_reason"))

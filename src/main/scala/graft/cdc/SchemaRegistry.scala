@@ -138,10 +138,15 @@ object SchemaRegistry {
     val entries = registry.all.filter(_.subject == subject)
     require(entries.nonEmpty, s"no schemas registered for $subject")
     val known = entries.map(_.id.toLong)
+    // isNull is checked explicitly: a NULL schema_id would make the
+    // isin predicate NULL and bypass the guard, then be silently
+    // dropped by every per-id filter below — null framing must fail
+    // as loudly as a forged id (ADVICE r15)
     val unknown = wire
-      .where(!col("schema_id").isin(known: _*)).limit(1).count()
+      .where(col("schema_id").isNull ||
+        !col("schema_id").isin(known: _*)).limit(1).count()
     require(unknown == 0L,
-      s"wire carries a schema id never registered for $subject")
+      s"wire carries a null or never-registered schema id for $subject")
     val latestFields = entries.last.fields.map(_._1)
     entries.map { e =>
       val dec = Envelope.decode(

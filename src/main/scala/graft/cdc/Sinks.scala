@@ -164,9 +164,12 @@ object GraftSink {
     def assignIdempotent(df: DataFrame, pidCol: String = "pid",
                          pseqCol: String = "pseq",
                          arrivalCol: String = "arrival"): DataFrame = {
+      // orderCols after arrival: two arrivals of the same (pid,
+      // partition, pseq) with EQUAL arrival values would otherwise
+      // leave the survivor nondeterministic across runs (ADVICE r15)
       val dedup = Window
         .partitionBy(col("__partition"), col(pidCol), col(pseqCol))
-        .orderBy(col(arrivalCol))
+        .orderBy(col(arrivalCol) +: orderCols.map(col): _*)
       val w = Window.partitionBy(col("__partition"))
         .orderBy(orderCols.map(col): _*)
       df.withColumn("__partition", Route(strategy, numPartitions, df))
@@ -644,7 +647,19 @@ object GraftSink {
     /** Commit `df` as the next version; returns the version published.
       * `overwrite` replaces the table content instead of appending.
       * `meta` key=value pairs ride in the manifest header (`#k=v`
-      * lines) — commit-level metadata like the streaming batch id. */
+      * lines) — commit-level metadata like the streaming batch id.
+      *
+      * Every manifest additionally records the commit's KIND
+      * (`#kind=append|overwrite`, overridable via `meta` for the
+      * merge/optimize paths, which publish their own manifests) and
+      * the commit's SCHEMA (`#schema=` the Spark schema JSON) — the
+      * change-data feed classifies versions by kind, and readers
+      * resolve each version under the schema it was committed with
+      * (schema evolution: old files null-fill added columns, dropped
+      * columns vanish). Committing a schema that CHANGES the type of
+      * a column the previous version carries fails loudly — the
+      * BACKWARD gate (A72's vocabulary): adds and drops evolve,
+      * type clashes corrupt old-file reads and are refused. */
     def commit(df: DataFrame, overwrite: Boolean = false,
                meta: Map[String, String] = Map.empty): Long = {
       val root = new org.apache.hadoop.fs.Path(path)
@@ -659,33 +674,96 @@ object GraftSink {
       val newFiles = fs.listStatus(dataDir).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(f => s"$dataRel/${f.getPath.getName}")
+      val kind = meta.getOrElse("kind",
+        if (overwrite) "overwrite" else "append")
       var committed = false
       while (!committed) {
+        // the gate re-checks per attempt: a lost race means a NEW
+        // previous version, whose schema is the one that matters
+        schemaGate(fs, v - 1, df.schema)
         val base =
           if (overwrite) Nil
           else if (v == 1) Nil
           else manifestFiles(fs, v - 1)
-        val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
-        fs.mkdirs(manifestDir)
-        val tmp = new org.apache.hadoop.fs.Path(manifestDir,
-          s".v$v-${java.util.UUID.randomUUID}.tmp")
-        val header = meta.toSeq.sortBy(_._1).map { case (k, v) =>
-          require(!k.contains("=") && !(k + v).exists(c => c == '\n'),
-            s"manifest meta must be line-safe: $k=$v")
-          s"#$k=$v"
-        }
-        val out = fs.create(tmp, false)
-        try out.write((header ++ base ++ newFiles).mkString("\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        val dest = new org.apache.hadoop.fs.Path(manifestDir, s"v$v.manifest")
-        // rename-without-overwrite is the atomic commit point; losing
-        // the race (dest exists) = another writer took v → retry at v+1
-        // against ITS published state (optimistic concurrency)
-        if (!fs.exists(dest) && fs.rename(tmp, dest)) committed = true
-        else { fs.delete(tmp, false); v = currentVersion(fs) + 1 }
+        val header = headerLines(meta + ("kind" -> kind) +
+          ("schema" -> df.schema.json))
+        if (tryPublish(fs, v, header ++ base ++ newFiles)) committed = true
+        else v = currentVersion(fs) + 1
       }
       v
+    }
+
+    /** Render `#k=v` header lines (sorted, line-safety enforced). */
+    private def headerLines(meta: Map[String, String]): Seq[String] =
+      meta.toSeq.sortBy(_._1).map { case (k, mv) =>
+        require(!k.contains("=") && !(k + mv).exists(_ == '\n'),
+          s"manifest meta must be line-safe: $k=$mv")
+        s"#$k=$mv"
+      }
+
+    /** One atomic manifest-publish attempt at version `v`:
+      * write-to-temp + rename-without-overwrite is the commit point.
+      * Returns false when another writer took `v` first. */
+    private def tryPublish(fs: org.apache.hadoop.fs.FileSystem, v: Long,
+                           lines: Seq[String]): Boolean = {
+      val manifestDir = new org.apache.hadoop.fs.Path(path, "_manifests")
+      fs.mkdirs(manifestDir)
+      val tmp = new org.apache.hadoop.fs.Path(manifestDir,
+        s".v$v-${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(lines.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dest = new org.apache.hadoop.fs.Path(manifestDir, s"v$v.manifest")
+      if (!fs.exists(dest) && fs.rename(tmp, dest)) true
+      else { fs.delete(tmp, false); false }
+    }
+
+    /** All-nullable view of a schema (recursive) — stamped schemas are
+      * applied to MIXED file sets where older files null-fill added
+      * columns, so read-side nullability must not over-promise. */
+    private def asNullable(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+
+    /** The stamped schema of version `v`, when it carries one. */
+    private def versionSchema(fs: org.apache.hadoop.fs.FileSystem, v: Long)
+        : Option[org.apache.spark.sql.types.StructType] =
+      manifestMeta(fs, v).get("schema").map(j =>
+        asNullable(org.apache.spark.sql.types.DataType.fromJson(j))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+    /** BACKWARD schema-evolution gate against version `prevV`: columns
+      * COMMON to both schemas must keep their type — adds (old files
+      * read null) and drops (readers stop projecting) evolve freely;
+      * a type change would corrupt every old file the new manifest
+      * still lists, so it fails loudly. Unstamped/vacuumed previous
+      * versions skip the gate (nothing to compare against). */
+    private def schemaGate(fs: org.apache.hadoop.fs.FileSystem, prevV: Long,
+                           next: org.apache.spark.sql.types.StructType)
+        : Unit = {
+      if (prevV < 1) return
+      val m = new org.apache.hadoop.fs.Path(path,
+        s"_manifests/v$prevV.manifest")
+      if (!fs.exists(m)) return
+      versionSchema(fs, prevV).foreach { prev =>
+        val prevTypes = prev.fields.map(f =>
+          f.name -> asNullable(f.dataType)).toMap
+        val clashes = next.fields.toSeq.flatMap(f =>
+          prevTypes.get(f.name).filter(_ != asNullable(f.dataType)).map(ot =>
+            s"${f.name}: ${ot.simpleString} -> ${f.dataType.simpleString}"))
+        require(clashes.isEmpty, s"$path: BACKWARD schema gate — a commit " +
+          "may add or drop columns but never change a carried column's " +
+          s"type (old files would read corrupt): ${clashes.mkString("; ")}")
+      }
     }
 
     /** Latest published version (0 = no commits yet). */
@@ -759,22 +837,48 @@ object GraftSink {
       }
       if (seen) None
       else {
-        val wm = tsCol.map { c =>
-          "max_ts" -> df.agg(max(col(c))).head().getLong(0).toString
+        // an empty micro-batch (or all-null tsCol) has no watermark:
+        // commit it without the max_ts entry instead of NPE-ing the
+        // stream on Row.getLong(null) — empty batches are a normal
+        // occurrence when the chain filters all rows (ADVICE r15)
+        val wm = tsCol.flatMap { c =>
+          val r = df.agg(max(col(c))).head()
+          if (r.isNullAt(0)) None
+          else Some("max_ts" -> r.getLong(0).toString)
         }
         Some(commit(df, meta = Map("batch" -> batchId.toString) ++ wm))
       }
     }
 
     /** Snapshot-isolated read of version `v` — exactly the files its
-      * manifest lists, however the table has moved since. */
+      * manifest lists, however the table has moved since. The read is
+      * planned under the VERSION'S stamped schema: files an append
+      * carried from before a column was added null-fill it, and files
+      * still carrying a since-dropped column stop projecting it —
+      * per-version schema resolution, the lakehouse-evolution read. */
     def readVersion(spark: org.apache.spark.sql.SparkSession,
                     v: Long): DataFrame = {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      val files = manifestFiles(fs, v).map(rel => s"$path/$rel")
-      if (files.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(files: _*)
+      readFiles(spark, fs, manifestFiles(fs, v), versionSchema(fs, v))
+    }
+
+    /** Read explicit manifest-relative files, under `schema` when the
+      * version stamped one (empty file list → typed empty relation). */
+    private def readFiles(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          rels: Seq[String],
+                          schema: Option[org.apache.spark.sql.types.StructType])
+        : DataFrame = {
+      if (rels.isEmpty)
+        schema.map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+          .getOrElse(spark.emptyDataFrame)
+      else {
+        val paths = rels.map(rel => s"$path/$rel")
+        schema.map(s => spark.read.schema(s).parquet(paths: _*))
+          .getOrElse(spark.read.parquet(paths: _*))
+      }
     }
 
     /** The table at its latest version. */
@@ -845,18 +949,41 @@ object GraftSink {
       * fully-bucketed after one merge. Semantics are identical to
       * [[merge]] (SinksSpec pins row equality).
       *
-      * Single-writer: the carried file list is derived from the
-      * version this merge read, so losing the manifest race must FAIL
-      * LOUDLY (re-run re-reads the winner's state) rather than retry
-      * with a stale carryover that would drop the winner's files. */
+      * Bucket spec is TABLE metadata (ADVICE r15): the merge stamps
+      * `#buckets=numBuckets` in its manifest, and every later
+      * mergeBucketed/[[lookup]] must pass the SAME count — a mismatch
+      * would silently mis-prune (a key's old row sitting in a carried
+      * file whose old-scheme path-bucket is outside the new-scheme
+      * touched set survives as a duplicate), so it fails loudly.
+      *
+      * Concurrency (Delta-style conflict resolution): losing the
+      * manifest rename race no longer always fails — when the winner
+      * is itself a bucketed merge with the SAME bucket spec whose
+      * touched buckets are DISJOINT from ours (and the base version
+      * held no unbucketed may-hold-any-key files), the loser REBASES:
+      * its carryover is recomputed from the winner's manifest (the
+      * winner carried our buckets' files verbatim, so dropping our
+      * touched buckets' files from the winner's list and adding our
+      * rewrite is exactly the serial result) and the rename retries at
+      * the next version — bounded attempts, nothing rewritten twice.
+      * Overlapping buckets, plain/overwrite winners, or mixed
+      * unbucketed state still FAIL LOUDLY (re-run re-reads the
+      * winner's state). `beforePublish` is a test seam: runs after the
+      * rewrite lands in `_data/` and before the first rename attempt
+      * (where a concurrent merge is injected deterministically). */
     def mergeBucketed(batch: DataFrame, keyCols: Seq[String],
                       orderCols: Seq[String], opCol: String = "op",
                       numBuckets: Int = 64,
-                      meta: Map[String, String] = Map.empty): Long = {
+                      meta: Map[String, String] = Map.empty,
+                      beforePublish: () => Unit = () => ()): Long = {
       val spark = batch.sparkSession
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val v = currentVersion(fs)
+      bucketSpec(fs).foreach(b => require(b == numBuckets,
+        s"$path: table is bucketed into $b buckets (manifest #buckets); " +
+          s"mergeBucketed called with $numBuckets would silently " +
+          "mis-prune carried files — pass the table's spec"))
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(orderCols.map(c => col(c).desc): _*)
       val latest = batch
@@ -869,20 +996,19 @@ object GraftSink {
         if (v == 0) (Seq.empty[String], Seq.empty[String])
         else manifestFiles(fs, v).partition(rel =>
           pathBucket(rel).forall(touched.contains))
-      val current =
-        if (touchedFiles.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(
-              latest.drop(opCol).schema.fields))
-        else spark.read.parquet(touchedFiles.map(rel => s"$path/$rel"): _*)
+      val outSchema = org.apache.spark.sql.types.StructType(
+        latest.drop(opCol).schema.fields)
+      schemaGate(fs, v, outSchema)
+      val current = readFiles(spark, fs, touchedFiles,
+        Some(asNullable(outSchema)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
       val merged = current
         .join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(latest.where(col(opCol) =!= "D").drop(opCol))
         .withColumn("__bucket", bucketOf(keyCols, numBuckets))
       // write the rewrite hive-partitioned by bucket, then publish
-      // carried ∪ new in ONE manifest attempt at v+1
-      val newV = v + 1
+      // carried ∪ new manifests with optimistic disjoint-merge rebase
+      var newV = v + 1
       val dataRel = s"_data/commit-$newV-${java.util.UUID.randomUUID}"
       val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
       merged.write.mode(SaveMode.Overwrite)
@@ -892,29 +1018,62 @@ object GraftSink {
         f <- fs.listStatus(d.getPath)
         if f.isFile && f.getPath.getName.endsWith(".parquet")
       } yield s"$dataRel/${d.getPath.getName}/${f.getPath.getName}"
-      val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
-      fs.mkdirs(manifestDir)
-      val header = meta.toSeq.sortBy(_._1).map { case (k, mv) =>
-        require(!k.contains("=") && !(k + mv).exists(_ == '\n'),
-          s"manifest meta must be line-safe: $k=$mv")
-        s"#$k=$mv"
-      }
-      val tmp = new org.apache.hadoop.fs.Path(manifestDir,
-        s".v$newV-${java.util.UUID.randomUUID}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write((header ++ carried ++ newFiles).mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val dest = new org.apache.hadoop.fs.Path(manifestDir,
-        s"v$newV.manifest")
-      if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-        fs.delete(tmp, false)
-        throw new IllegalStateException(s"$path: concurrent commit took " +
-          s"v$newV while this merge was writing — re-run the merge " +
-          "against the new current version (the carried file list is " +
-          "stale)")
+      val header = headerLines(meta +
+        ("kind" -> "merge") +
+        ("buckets" -> numBuckets.toString) +
+        ("touched" -> touched.toSeq.sorted.mkString(",")) +
+        ("schema" -> outSchema.json))
+      beforePublish()
+      var carriedNow = carried
+      var attempts = 0
+      while (!tryPublish(fs, newV, header ++ carriedNow ++ newFiles)) {
+        attempts += 1
+        // inspect the winner that took newV: rebase only when its
+        // merge provably did not touch our buckets (serial-equivalent)
+        val wMeta = manifestMeta(fs, newV)
+        val wTouched = wMeta.get("touched").map(
+          _.split(',').filter(_.nonEmpty).map(_.toLong).toSet)
+        val rebasable = attempts <= 8 &&
+          wMeta.get("kind").contains("merge") &&
+          wMeta.get("buckets").contains(numBuckets.toString) &&
+          wTouched.exists(_.intersect(touched).isEmpty) &&
+          touchedFiles.forall(rel => pathBucket(rel).isDefined)
+        if (!rebasable)
+          throw new IllegalStateException(s"$path: concurrent commit took " +
+            s"v$newV while this merge was writing, and its changes are " +
+            "not a disjoint-bucket merge (or rebase attempts exhausted) " +
+            "— re-run the merge against the new current version (the " +
+            "carried file list is stale)")
+        carriedNow = manifestFiles(fs, newV).filterNot(rel =>
+          pathBucket(rel).exists(touched.contains))
+        newV += 1
       }
       newV
+    }
+
+    /** The table's persisted bucket spec: the newest manifest carrying
+      * `#buckets=` below any full-overwrite reset. Driver work is
+      * |versions| header reads (vacuumed manifests skipped). */
+    private def bucketSpec(fs: org.apache.hadoop.fs.FileSystem)
+        : Option[Int] = {
+      val v = currentVersion(fs)
+      var kv = v
+      while (kv >= 1) {
+        val m = new org.apache.hadoop.fs.Path(path,
+          s"_manifests/v$kv.manifest")
+        if (fs.exists(m)) {
+          val meta = manifestMeta(fs, kv)
+          meta.get("buckets") match {
+            case Some(b) => return Some(b.toInt)
+            case None =>
+              // a plain full overwrite replaced the whole layout —
+              // nothing older than it is live
+              if (meta.get("kind").contains("overwrite")) return None
+          }
+        }
+        kv -= 1
+      }
+      None
     }
 
     /** Time travel by EVENT TIME (`AS OF TIMESTAMP` with deterministic
@@ -930,15 +1089,20 @@ object GraftSink {
                    tsUs: Long): DataFrame = {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      val v = currentVersion(fs)
-      val hit = (1L to v).reverse.find { kv =>
+      readVersion(spark, resolveAsOfTs(fs, tsUs).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: no version has watermark <= $tsUs")))
+    }
+
+    /** Highest version whose `#max_ts` watermark ≤ `tsUs` (None when
+      * no watermarked version qualifies). |versions| header reads. */
+    private def resolveAsOfTs(fs: org.apache.hadoop.fs.FileSystem,
+                              tsUs: Long): Option[Long] =
+      (1L to currentVersion(fs)).reverse.find { kv =>
         fs.exists(new org.apache.hadoop.fs.Path(path,
           s"_manifests/v$kv.manifest")) &&
           manifestMeta(fs, kv).get("max_ts").exists(_.toLong <= tsUs)
       }
-      readVersion(spark, hit.getOrElse(throw new IllegalArgumentException(
-        s"$path: no version has watermark <= $tsUs")))
-    }
 
     /** [[commit]] stamping the data's max `tsCol` as the version's
       * event-time watermark (one cheap extra aggregate over the batch
@@ -946,8 +1110,13 @@ object GraftSink {
     def commitWithWatermark(df: DataFrame, tsCol: String,
                             overwrite: Boolean = false,
                             meta: Map[String, String] = Map.empty): Long = {
-      val maxTs = df.agg(max(col(tsCol))).head().getLong(0)
-      commit(df, overwrite, meta + ("max_ts" -> maxTs.toString))
+      // empty/all-null batch → commit without a watermark (the version
+      // is then invisible to readAsOfTs, correctly: it carries no
+      // event time) instead of an NPE (ADVICE r15)
+      val r = df.agg(max(col(tsCol))).head()
+      val wm = if (r.isNullAt(0)) Map.empty[String, String]
+               else Map("max_ts" -> r.getLong(0).toString)
+      commit(df, overwrite, meta ++ wm)
     }
 
     /** Point lookup by key — the READ-side payoff of bucketed merges:
@@ -965,6 +1134,10 @@ object GraftSink {
         .getFileSystem(spark.sessionState.newHadoopConf())
       val v = currentVersion(fs)
       require(v > 0, s"$path: no committed versions")
+      bucketSpec(fs).foreach(b => require(b == numBuckets,
+        s"$path: table is bucketed into $b buckets (manifest #buckets); " +
+          s"lookup with $numBuckets would prune the wrong buckets and " +
+          "silently miss rows — pass the table's spec"))
       val keyDf = spark.createDataFrame(
         spark.sparkContext.parallelize(
           keys.map(org.apache.spark.sql.Row.fromSeq), 1),
@@ -980,17 +1153,25 @@ object GraftSink {
     }
 
     /** CHANGE DATA FEED between versions (Delta's `table_changes`):
-      * rows that entered the table in (fromV, toV], each tagged
-      * `_change_type` + `_commit_version`.
+      * rows that entered/changed/left the table in (fromV, toV], each
+      * tagged `_change_type` + `_commit_version`. Versions are
+      * classified INDIVIDUALLY by their manifest's `#kind`:
       *
-      * An APPEND-ONLY range never scans old data and never shuffles:
-      * each version's manifest is a superset of its parent's, so the
-      * per-version file-set difference IS the change set — the feed is
-      * a union of file-pruned scans of exactly the added files (this
-      * is why the manifest stores file lists: CDF costs O(|changes|),
-      * not O(|table|)). A range crossing an overwrite/merge commit
-      * falls back to a keyed snapshot diff (one full-outer join:
-      * insert / update_postimage / delete), attributed to `toV`. */
+      *  - an APPEND version never scans old data and never shuffles:
+      *    its manifest is a superset of its parent's, so the file-set
+      *    difference IS the change set — a file-pruned scan of exactly
+      *    the added files (this is why the manifest stores file lists:
+      *    CDF costs O(|changes|), not O(|table|));
+      *  - a MERGE version diffs ONLY its removed ∪ added files — the
+      *    rewritten buckets; files the merge carried verbatim are
+      *    byte-identical on both sides and provably changeless, so
+      *    they are never read (the r15 fallback re-diffed the whole
+      *    table; per-version work is now O(|touched buckets|));
+      *  - an OPTIMIZE version is a content-identical republish —
+      *    zero changes, zero reads;
+      *  - an OVERWRITE (or unstamped non-superset) version falls back
+      *    to the keyed full-snapshot diff — inherent: an overwrite
+      *    carries no row-level lineage. */
     def changes(spark: org.apache.spark.sql.SparkSession,
                 fromV: Long, toV: Long,
                 keyCols: Seq[String] = Nil): DataFrame = {
@@ -1000,41 +1181,73 @@ object GraftSink {
       val sets = (fromV to toV)
         .map(v => v -> (if (v == 0) Set.empty[String]
                         else manifestFiles(fs, v).toSet)).toMap
-      val appendOnly = (fromV + 1 to toV)
-        .forall(v => sets(v - 1).subsetOf(sets(v)))
-      if (appendOnly) {
-        (fromV + 1 to toV).map { v =>
-          val added = (sets(v) -- sets(v - 1)).toSeq.sorted
+      def kindOf(v: Long): Option[String] =
+        if (v == 0) None else manifestMeta(fs, v).get("kind")
+      (fromV + 1 to toV).flatMap { v =>
+        val added = (sets(v) -- sets(v - 1)).toSeq.sorted
+        val removed = (sets(v - 1) -- sets(v)).toSeq.sorted
+        val kind = kindOf(v)
+        if (kind.contains("optimize")) None // content-identical republish
+        else if (sets(v - 1).subsetOf(sets(v))) {
           if (added.isEmpty) None
-          else Some(spark.read.parquet(added.map(rel => s"$path/$rel"): _*)
+          else Some(readFiles(spark, fs, added, versionSchema(fs, v))
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
-        }.flatten.reduceOption(_ unionByName _)
-          .getOrElse(spark.emptyDataFrame)
-      } else {
-        require(keyCols.nonEmpty,
-          s"($fromV, $toV] crosses an overwrite commit: the keyed diff " +
-            "fallback needs keyCols")
-        val before = readVersion(spark, fromV)
-        val after = readVersion(spark, toV)
-        val payload = after.columns.filterNot(keyCols.contains).toSeq
-        def tagged(df: DataFrame, side: String) = df.select(
-          keyCols.map(col) :+
-            struct(payload.map(col): _*).as(s"__p_$side"): _*)
-        tagged(after, "a").join(tagged(before, "b"), keyCols, "full_outer")
-          .withColumn("_change_type",
-            when(col("__p_b").isNull, "insert")
-              .when(col("__p_a").isNull, "delete")
-              .when(!(col("__p_a") <=> col("__p_b")), "update_postimage"))
-          .where(col("_change_type").isNotNull)
-          // post-image for insert/update, pre-image for delete — chosen
-          // by SIDE, never per-field coalesce (a legitimately-null
-          // post-image field must not resurrect the pre-image value)
-          .select(keyCols.map(col) ++
-            payload.map(c => when(col("_change_type") === "delete",
-              col(s"__p_b.$c")).otherwise(col(s"__p_a.$c")).as(c)) ++
-            Seq(col("_change_type"), lit(toV).as("_commit_version")): _*)
-      }
+        } else {
+          require(keyCols.nonEmpty,
+            s"($fromV, $toV] crosses an overwrite commit: the keyed diff " +
+              "fallback needs keyCols")
+          val schema = versionSchema(fs, v)
+          val (before, after) =
+            if (kind.contains("merge"))
+              // file-pruned: only the rewritten buckets' files move
+              (readFiles(spark, fs, removed, schema),
+                readFiles(spark, fs, added, schema))
+            else (readVersion(spark, v - 1), readVersion(spark, v))
+          Some(keyedDiff(before, after, keyCols, v))
+        }
+      }.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
+    }
+
+    /** Full-outer keyed diff of two relations, tagged insert /
+      * update_postimage / delete and attributed to version `v`. */
+    private def keyedDiff(before: DataFrame, after: DataFrame,
+                          keyCols: Seq[String], v: Long): DataFrame = {
+      val payload = after.columns.filterNot(keyCols.contains).toSeq
+      def tagged(df: DataFrame, side: String) = df.select(
+        keyCols.map(col) :+
+          struct(payload.map(col): _*).as(s"__p_$side"): _*)
+      tagged(after, "a").join(tagged(before, "b"), keyCols, "full_outer")
+        .withColumn("_change_type",
+          when(col("__p_b").isNull, "insert")
+            .when(col("__p_a").isNull, "delete")
+            .when(!(col("__p_a") <=> col("__p_b")), "update_postimage"))
+        .where(col("_change_type").isNotNull)
+        // post-image for insert/update, pre-image for delete — chosen
+        // by SIDE, never per-field coalesce (a legitimately-null
+        // post-image field must not resurrect the pre-image value)
+        .select(keyCols.map(col) ++
+          payload.map(c => when(col("_change_type") === "delete",
+            col(s"__p_b.$c")).otherwise(col(s"__p_a.$c")).as(c)) ++
+          Seq(col("_change_type"), lit(v).as("_commit_version")): _*)
+    }
+
+    /** [[changes]] between two EVENT TIMES: each boundary resolves to
+      * the highest version whose `#max_ts` watermark ≤ the timestamp
+      * (the [[readAsOfTs]] rule — a pure function of the data), then
+      * the CDF runs file-pruned between those versions. A `fromTsUs`
+      * before every watermark means "from the beginning" (version 0);
+      * `toTsUs` must resolve. */
+    def changesAsOfTs(spark: org.apache.spark.sql.SparkSession,
+                      fromTsUs: Long, toTsUs: Long,
+                      keyCols: Seq[String] = Nil): DataFrame = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val fromV = resolveAsOfTs(fs, fromTsUs).getOrElse(0L)
+      val toV = resolveAsOfTs(fs, toTsUs).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: no version has watermark <= $toTsUs"))
+      changes(spark, fromV, toV, keyCols)
     }
 
     /** OPTIMIZE: republish the CURRENT content bin-packed into
@@ -1042,23 +1255,96 @@ object GraftSink {
       * content-identical (SinksSpec pins row equality), file-count
       * reduced; readers of prior versions are untouched because their
       * manifests still name the old files (until [[vacuum]]). The
-      * rewrite is one distributed pass (repartition to the packed
-      * file count — the C88 planner's bin count, never a driver loop).
-      * Returns (newVersion, filesBefore, filesAfter). */
+      * manifest is stamped `#kind=optimize`, so the change-data feed
+      * crosses it for free (zero changes by construction).
+      *
+      * BUCKET-PRESERVING (the r15 finding: the old full-repartition
+      * rewrite silently destroyed the `__bucket=` layout, forfeiting
+      * [[lookup]] pruning and O(|touched|) merges): when the table is
+      * bucketed, each row keeps the bucket its FILE PATH encodes
+      * (scan-local `input_file_name` parse — the bucket is a pure
+      * function of the key, so no key re-hash is even needed), the
+      * rewrite repartitions BY BUCKET (each bucket bin-packs inside
+      * one task; `maxRecordsPerFile` splits oversized ones), and the
+      * hive layout + `#buckets` spec republish intact. Rows from
+      * unbucketed plain-commit files keep a null bucket (hive default
+      * partition — still may-hold-any-key, same as before) unless
+      * `keyCols` is passed, in which case they are ASSIGNED buckets:
+      * optimize then converges a mixed table to fully-bucketed.
+      *
+      * Sizing reads NO data: the unbucketed path takes the row count
+      * from parquet FOOTER statistics (|files| driver metadata reads,
+      * the manifest-stats class — not a count() scan, r15 nit); the
+      * bucketed path needs no count at all (`maxRecordsPerFile` is
+      * enforced by the writer). Returns (newVersion, filesBefore,
+      * filesAfter). */
     def optimize(spark: org.apache.spark.sql.SparkSession,
-                 targetRecordsPerFile: Long): (Long, Int, Int) = {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
+                 targetRecordsPerFile: Long,
+                 keyCols: Seq[String] = Nil): (Long, Int, Int) = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val v = currentVersion(fs)
       require(v > 0, s"$path: nothing to optimize")
       val before = manifestFiles(fs, v)
-      val current = readVersion(spark, v)
-      val n = current.count()
-      val files = math.max(1, math.ceil(
-        n.toDouble / targetRecordsPerFile).toInt)
-      val newV = commit(current.repartition(files), overwrite = true)
+      val spec = bucketSpec(fs).filter(_ =>
+        before.exists(rel => pathBucket(rel).isDefined))
+      val newV = spec match {
+        case None =>
+          val n = footerRecordCount(fs, before)
+          val files = math.max(1, math.ceil(
+            n.toDouble / targetRecordsPerFile).toInt)
+          commit(readVersion(spark, v).repartition(files),
+            overwrite = true, meta = Map("kind" -> "optimize"))
+        case Some(nb) =>
+          val current = readVersion(spark, v)
+          val pathB = regexp_extract(input_file_name(),
+            "__bucket=(\\d+)/", 1)
+          val fromPath = when(pathB =!= "", pathB.cast("long"))
+          val bucket =
+            if (keyCols.isEmpty) fromPath
+            else coalesce(fromPath, bucketOf(keyCols, nb))
+          val packed = current.withColumn("__bucket", bucket)
+            .repartition(col("__bucket"))
+          val outSchema = org.apache.spark.sql.types.StructType(
+            current.schema.fields)
+          val dataRel = s"_data/commit-${v + 1}-${java.util.UUID.randomUUID}"
+          val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
+          packed.write.mode(SaveMode.Overwrite)
+            .partitionBy("__bucket")
+            .option("maxRecordsPerFile", targetRecordsPerFile)
+            .parquet(dataDir.toString)
+          val newFiles = for {
+            d <- fs.listStatus(dataDir).toSeq if d.isDirectory
+            f <- fs.listStatus(d.getPath)
+            if f.isFile && f.getPath.getName.endsWith(".parquet")
+          } yield s"$dataRel/${d.getPath.getName}/${f.getPath.getName}"
+          val nv = v + 1
+          val header = headerLines(Map(
+            "kind" -> "optimize",
+            "buckets" -> nb.toString,
+            "schema" -> outSchema.json))
+          // an optimize rewrite holds the WHOLE table content, so a
+          // concurrent append/merge landing first makes this rewrite
+          // stale — fail loudly rather than drop the winner's rows
+          if (!tryPublish(fs, nv, header ++ newFiles))
+            throw new IllegalStateException(s"$path: concurrent commit " +
+              s"took v$nv while optimize was writing — re-run optimize " +
+              "against the new current version")
+          nv
+      }
       (newV, before.size, manifestFiles(fs, newV).size)
     }
+
+    /** Exact row count from parquet footers — |files| driver-side
+      * metadata reads (block row counts only, no column I/O). */
+    private def footerRecordCount(fs: org.apache.hadoop.fs.FileSystem,
+                                  rels: Seq[String]): Long =
+      rels.map { rel =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(path, rel), fs.getConf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
 
     /** VACUUM: retire time travel below a horizon — keep the newest
       * `retainLast` versions, delete every older manifest and every

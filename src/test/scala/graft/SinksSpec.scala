@@ -552,6 +552,222 @@ class SinksSpec extends SparkSpec {
       path, "_data/commit-crashed")))
   }
 
+  test("VersionedTable.changes across a bucketed merge is FILE-PRUNED: " +
+    "only the merge's removed ∪ added files are diffed — carried-" +
+    "verbatim files are never planned (inputFiles census); attribution " +
+    "is per-version") {
+    import spark.implicits._
+    val path = tmp("vtable-cdfmerge")
+    val vt = GraftSink.VersionedTable(path)
+    def batch(rows: (Long, Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("key", "seq", "op", "payload")
+    vt.mergeBucketed(batch((0L until 64L).map(k =>
+      (k, k, "I", s"v$k")): _*), Seq("key"), Seq("seq"), numBuckets = 8)
+    vt.mergeBucketed(batch((7L, 100L, "U", "v7b")),
+      Seq("key"), Seq("seq"), numBuckets = 8)
+    vt.mergeBucketed(batch((9L, 101L, "D", "x")),
+      Seq("key"), Seq("seq"), numBuckets = 8)
+    // v2: one update; v3: one delete (pre-image) — per-version rows
+    val feed = vt.changes(spark, 1L, 3L, keyCols = Seq("key"))
+    assert(feed.orderBy("_commit_version")
+      .select("key", "payload", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect() ===
+      Array((7L, "v7b", "update_postimage", 2L),
+        (9L, "v9", "delete", 3L)))
+    // census: the planned scan reads ONLY files of the two touched
+    // buckets (each version's removed ∪ added) — never a carried file
+    val b7 = spark.range(1).select(pmod(xxhash64(lit(7L)), lit(8L)))
+      .head().getLong(0)
+    val b9 = spark.range(1).select(pmod(xxhash64(lit(9L)), lit(8L)))
+      .head().getLong(0)
+    val okBuckets = Set(b7, b9).map(b => s"__bucket=$b/")
+    val planned = feed.inputFiles.toSeq
+    assert(planned.nonEmpty)
+    assert(planned.forall(f => okBuckets.exists(f.contains)),
+      s"carried file leaked into the CDF scan: $planned")
+    // a whole-history CDF still works: v1's bootstrap is a superset
+    // commit (nothing removed) → pure file-level inserts
+    assert(vt.changes(spark, 0L, 3L, keyCols = Seq("key"))
+      .where(col("_commit_version") === 1L).count() === 64L)
+  }
+
+  test("VersionedTable.optimize preserves the bucket layout: content " +
+    "identical, fewer files, lookup still prunes, a post-optimize " +
+    "merge rewrites only touched buckets, and CDF crosses optimize as " +
+    "zero changes") {
+    import spark.implicits._
+    val path = tmp("vtable-bopt")
+    val vt = GraftSink.VersionedTable(path)
+    def batch(rows: (Long, Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("key", "seq", "op", "payload")
+    vt.mergeBucketed(batch((0L until 64L).map(k =>
+      (k, k, "I", s"v$k")): _*), Seq("key"), Seq("seq"), numBuckets = 8)
+    vt.mergeBucketed(batch((7L, 100L, "U", "v7b")),
+      Seq("key"), Seq("seq"), numBuckets = 8)
+    val contentBefore = vt.read(spark).orderBy("key").collect()
+    val (optV, nBefore, nAfter) = vt.optimize(spark, 10000L)
+    assert(optV === 3L)
+    assert(nAfter < nBefore) // merge writes task×bucket files; packed
+    assert(nAfter <= 8) // at most one file per bucket at this size
+    assert(vt.read(spark).orderBy("key").collect() === contentBefore)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifest(v: Long): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        path, s"_manifests/v$v.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+      finally in.close()
+    }
+    // the hive layout survived the rewrite
+    assert(manifest(optV).forall(_.contains("__bucket=")))
+    assert(vt.manifestMeta(spark, optV).get("buckets") === Some("8"))
+    // lookup still prunes to one bucket
+    val hit = vt.lookup(spark, Seq("key"), Seq(Seq(7L)), numBuckets = 8)
+    assert(hit.select("payload").as[String].collect() === Array("v7b"))
+    val b7 = spark.range(1).select(pmod(xxhash64(lit(7L)), lit(8L)))
+      .head().getLong(0)
+    assert(hit.inputFiles.forall(_.contains(s"__bucket=$b7/")))
+    // a post-optimize merge still rewrites ONLY touched buckets
+    val mOpt = manifest(optV).toSet
+    vt.mergeBucketed(batch((3L, 200L, "U", "v3b")),
+      Seq("key"), Seq("seq"), numBuckets = 8)
+    val mNext = manifest(vt.currentVersion(spark)).toSet
+    val rewrittenBuckets = (mOpt -- mNext).flatMap(
+      "__bucket=(\\d+)/".r.findFirstMatchIn(_).map(_.group(1)))
+    assert(rewrittenBuckets.size === 1)
+    assert((mOpt intersect mNext).nonEmpty) // carried verbatim
+    // CDF across the optimize commit: zero changes by construction
+    assert(vt.changes(spark, optV - 1, optV,
+      keyCols = Seq("key")).count() === 0L)
+    // ... and a range SPANNING it sees only the real merges
+    assert(vt.changes(spark, 1L, vt.currentVersion(spark),
+      keyCols = Seq("key")).select("key")
+      .as[Long].collect().sorted === Array(3L, 7L))
+  }
+
+  test("VersionedTable.mergeBucketed conflict resolution: a concurrent " +
+    "DISJOINT-bucket merge rebases the carryover and both land; an " +
+    "overlapping-bucket race still fails loudly; bucket-spec mismatch " +
+    "is refused") {
+    import spark.implicits._
+    val path = tmp("vtable-race-merge")
+    val vt = GraftSink.VersionedTable(path)
+    def batch(rows: (Long, Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("key", "seq", "op", "payload")
+    vt.mergeBucketed(batch((0L until 64L).map(k =>
+      (k, k, "I", s"v$k")): _*), Seq("key"), Seq("seq"), numBuckets = 8)
+    // pick a key in a DIFFERENT bucket than key 7's
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(8L))).head().getLong(0)
+    val other = (8L until 64L).find(k => bucketOf(k) != bucketOf(7L)).get
+    // inject the disjoint merge INSIDE the first merge's publish
+    // window: the first merge loses the rename race and must rebase
+    val v = vt.mergeBucketed(batch((7L, 100L, "U", "v7b")),
+      Seq("key"), Seq("seq"), numBuckets = 8,
+      beforePublish = () => {
+        vt.mergeBucketed(batch((other, 101L, "U", "vOther")),
+          Seq("key"), Seq("seq"), numBuckets = 8)
+        ()
+      })
+    assert(v === 3L) // injected winner took v2; loser rebased to v3
+    val out = vt.read(spark)
+    assert(out.count() === 64L)
+    assert(out.where(col("key") === 7L).select("payload")
+      .as[String].head() === "v7b")
+    assert(out.where(col("key") === other).select("payload")
+      .as[String].head() === "vOther")
+    // overlapping buckets (same key): the rebase is NOT serial-
+    // equivalent — the loser fails loudly
+    val e = intercept[IllegalStateException](
+      vt.mergeBucketed(batch((7L, 200L, "U", "late")),
+        Seq("key"), Seq("seq"), numBuckets = 8,
+        beforePublish = () => {
+          vt.mergeBucketed(batch((7L, 201L, "U", "winner")),
+            Seq("key"), Seq("seq"), numBuckets = 8)
+          ()
+        }))
+    assert(e.getMessage.contains("disjoint"))
+    assert(vt.read(spark).where(col("key") === 7L).select("payload")
+      .as[String].head() === "winner")
+    // the persisted #buckets spec refuses a mismatched caller loudly
+    val e2 = intercept[IllegalArgumentException](
+      vt.mergeBucketed(batch((1L, 300L, "U", "x")),
+        Seq("key"), Seq("seq"), numBuckets = 16))
+    assert(e2.getMessage.contains("bucket"))
+    val e3 = intercept[IllegalArgumentException](
+      vt.lookup(spark, Seq("key"), Seq(Seq(1L)), numBuckets = 16))
+    assert(e3.getMessage.contains("bucket"))
+  }
+
+  test("VersionedTable schema evolution: adds null-fill old files, " +
+    "drops stop projecting, per-version schemas resolve on time " +
+    "travel, and a type change is refused (BACKWARD gate)") {
+    import spark.implicits._
+    val path = tmp("vtable-schema")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit(Seq((1L, "a1"), (2L, "a2")).toDF("key", "a"))
+    // v2 ADDS column b: v1's files null-fill it under v2's schema
+    vt.commit(Seq((3L, "a3", 30L)).toDF("key", "a", "b"))
+    val v2 = vt.readVersion(spark, 2)
+    assert(v2.columns === Array("key", "a", "b"))
+    assert(v2.where(col("b").isNull).count() === 2L)
+    assert(v2.where(col("b") === 30L).count() === 1L)
+    // v3 DROPS column a: old files stop projecting it
+    vt.commit(Seq((4L, 40L)).toDF("key", "b"))
+    val v3 = vt.read(spark)
+    assert(v3.columns === Array("key", "b"))
+    assert(v3.count() === 4L)
+    assert(v3.where(col("b").isNotNull).count() === 2L)
+    // time travel resolves each version under ITS schema
+    assert(vt.readVersion(spark, 1).columns === Array("key", "a"))
+    assert(vt.readVersion(spark, 2).columns === Array("key", "a", "b"))
+    // a type change on a carried column is refused loudly
+    val e = intercept[IllegalArgumentException](
+      vt.commit(Seq((5L, "not-a-long")).toDF("key", "b")))
+    assert(e.getMessage.contains("BACKWARD"))
+    assert(vt.currentVersion(spark) === 3L)
+  }
+
+  test("VersionedTable.changesAsOfTs: event-time CDF — boundaries " +
+    "resolve through watermarks, then the feed is the file-pruned " +
+    "changes between those versions") {
+    import spark.implicits._
+    val path = tmp("vtable-cdfasof")
+    val vt = GraftSink.VersionedTable(path)
+    def slice(k: Long, ts: Long): DataFrame =
+      Seq((k, ts)).toDF("key", "commit_ts_us")
+    vt.commitWithWatermark(slice(1L, 100L), "commit_ts_us")
+    vt.commitWithWatermark(slice(2L, 200L), "commit_ts_us")
+    vt.commitWithWatermark(slice(3L, 300L), "commit_ts_us")
+    val feed = vt.changesAsOfTs(spark, 100L, 250L)
+    assert(feed.select("key", "_commit_version")
+      .as[(Long, Long)].collect().sorted === Array((2L, 2L)))
+    // from-below-all means "since the beginning"
+    assert(vt.changesAsOfTs(spark, 0L, 300L).count() === 3L)
+    // an unresolvable upper bound fails loudly
+    val e = intercept[IllegalArgumentException](
+      vt.changesAsOfTs(spark, 0L, 50L))
+    assert(e.getMessage.contains("watermark"))
+  }
+
+  test("VersionedTable: empty micro-batches commit without a watermark " +
+    "instead of crashing the stream (ADVICE r15)") {
+    import spark.implicits._
+    val path = tmp("vtable-emptywm")
+    val vt = GraftSink.VersionedTable(path)
+    val empty = Seq.empty[(Long, Long)].toDF("key", "commit_ts_us")
+    assert(vt.commitBatch(empty, 0L, tsCol = Some("commit_ts_us")) ===
+      Some(1L))
+    assert(!vt.manifestMeta(spark, 1L).contains("max_ts"))
+    vt.commitWithWatermark(empty, "commit_ts_us")
+    assert(!vt.manifestMeta(spark, 2L).contains("max_ts"))
+    // a later real batch watermarks normally
+    assert(vt.commitBatch(Seq((1L, 500L)).toDF("key", "commit_ts_us"),
+      1L, tsCol = Some("commit_ts_us")) === Some(3L))
+    assert(vt.manifestMeta(spark, 3L).get("max_ts") === Some("500"))
+  }
+
   test("VersionedTable.commitBatch: a redelivered batch id is skipped " +
     "(exactly-once under foreachBatch crash-replay); meta survives in " +
     "the manifest header and never leaks into the file list") {
@@ -566,7 +782,12 @@ class SinksSpec extends SparkSpec {
     assert(vt.commitBatch(Seq((2L, "b")).toDF("key", "tag"), 1L) === None)
     assert(vt.currentVersion(spark) === 2L)
     assert(vt.read(spark).count() === 2L)
-    assert(vt.manifestMeta(spark, 2L) === Map("batch" -> "1"))
+    // kind + schema are standing stamps on every manifest now; the
+    // batch id is the meta under test
+    val m2 = vt.manifestMeta(spark, 2L)
+    assert(m2.get("batch") === Some("1"))
+    assert(m2.get("kind") === Some("append"))
+    assert(m2.contains("schema"))
     // header lines are metadata, not files: time travel still exact
     assert(vt.readVersion(spark, 1).count() === 1L)
     // line-unsafe meta is refused loudly
@@ -586,7 +807,7 @@ class SinksSpec extends SparkSpec {
     vt.commitWithWatermark(slice("a", 100L), "commit_ts_us")
     vt.commit(slice("wall", 5000L)) // no watermark — a plain commit
     vt.commitWithWatermark(slice("b", 200L), "commit_ts_us")
-    assert(vt.manifestMeta(spark, 3L) === Map("max_ts" -> "200"))
+    assert(vt.manifestMeta(spark, 3L).get("max_ts") === Some("200"))
     // as-of 150 → v1 (v2 has no watermark, v3's is 200 > 150)
     assert(vt.readAsOfTs(spark, 150L).select("tag")
       .as[String].collect() === Array("a"))
@@ -597,8 +818,9 @@ class SinksSpec extends SparkSpec {
     // the streaming batch commit stamps watermark + batch id together
     assert(vt.commitBatch(slice("c", 300L), 9L,
       tsCol = Some("commit_ts_us")) === Some(4L))
-    assert(vt.manifestMeta(spark, 4L) ===
-      Map("batch" -> "9", "max_ts" -> "300"))
+    val m4 = vt.manifestMeta(spark, 4L)
+    assert(m4.get("batch") === Some("9"))
+    assert(m4.get("max_ts") === Some("300"))
   }
 
   test("VersionedTable: two RACING writers both land — the rename race " +
