@@ -1051,6 +1051,31 @@ object GraftSink {
       newV
     }
 
+    /** EXACTLY-ONCE bucketed merge: [[mergeBucketed]] with the
+      * [[commitBatch]] idempotence contract — the micro-batch id rides
+      * in the manifest header and a REDELIVERED batch (foreachBatch
+      * crash-replay between commit and checkpoint) is skipped instead
+      * of re-merged. This is the Kafka→lakehouse landing leg: a
+      * read_committed consumer's batches land at O(|touched buckets|)
+      * per merge and replay-safe. Returns the published version, or
+      * None when the batch was already in. */
+    def mergeBucketedBatch(batch: DataFrame, keyCols: Seq[String],
+                           orderCols: Seq[String], opCol: String = "op",
+                           numBuckets: Int = 64,
+                           batchId: Long): Option[Long] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      val seen = (1L to v).exists { kv =>
+        fs.exists(new org.apache.hadoop.fs.Path(path,
+          s"_manifests/v$kv.manifest")) &&
+          manifestMeta(fs, kv).get("batch").contains(batchId.toString)
+      }
+      if (seen) None
+      else Some(mergeBucketed(batch, keyCols, orderCols, opCol,
+        numBuckets, meta = Map("batch" -> batchId.toString)))
+    }
+
     /** The table's persisted bucket spec: the newest manifest carrying
       * `#buckets=` below any full-overwrite reset. Driver work is
       * |versions| header reads (vacuumed manifests skipped). */

@@ -1832,6 +1832,171 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A66 FILE-PRUNED CDF across MERGE commits (the r15 top ask): a
+    // bootstrap bucketed merge then two incremental ones; changes(1,3)
+    // diffs each merge's removed ∪ added files ONLY — the carried-
+    // verbatim buckets are never planned (SinksSpec pins the file
+    // census; per-version work is O(|touched buckets|), never two full
+    // scans + a full-table shuffle). The oracle re-derives per-version
+    // change attribution from the three snapshot cutoffs: v2 = what
+    // moved between the t1- and t2-snapshots, v3 = between t2 and the
+    // full feed; seq equality is the change test.
+    "cdc_table_cdf_merge" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablecdfmerge")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir).select(col("key"), col("commit_ts_us"),
+        col("seq"), col("op"), col("event_type"), col("value"))
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      Seq(
+        log.where(col("commit_ts_us") <= t1),
+        log.where(col("commit_ts_us") > t1 && col("commit_ts_us") <= t2),
+        log.where(col("commit_ts_us") > t2)
+      ).foreach(slice => table.mergeBucketed(slice, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16))
+      table.changes(s, 1L, 3L, keyCols = Seq("key"))
+        .select(col("key").as("user_id"), col("_change_type"),
+          col("seq"), col("event_type"), col("value"),
+          col("commit_ts_us"), col("_commit_version"))
+        .orderBy("_commit_version", "user_id")
+    }),
+
+    // A66 merge CONCURRENCY: two bucketed merges race — the second is
+    // injected inside the first's publish window (the deterministic
+    // race seam), touching a DISJOINT bucket set (the feed split by
+    // key-bucket parity). The loser detects the winner's manifest,
+    // rebases its carryover, and retries: BOTH land, and the final
+    // table must equal the full-feed snapshot — the serial answer
+    // (oracle = the same snapshot SQL; Delta-style optimistic
+    // concurrency instead of the r14 single-writer fail).
+    "cdc_table_merge_racing" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablemergerace")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.mergeBucketed(log.where(col("commit_ts_us") <= t1),
+        Seq("key"), Seq("commit_ts_us", "seq"), numBuckets = 16)
+      val rest = log.where(col("commit_ts_us") > t1)
+      val bucket = pmod(xxhash64(col("key")), lit(16L))
+      table.mergeBucketed(rest.where(bucket < 8),
+        Seq("key"), Seq("commit_ts_us", "seq"), numBuckets = 16,
+        beforePublish = () => {
+          table.mergeBucketed(rest.where(bucket >= 8),
+            Seq("key"), Seq("commit_ts_us", "seq"), numBuckets = 16)
+          ()
+        })
+      table.read(s)
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // A66 lakehouse SCHEMA EVOLUTION (A72's gate composed into the
+    // table): v2 ADDS value_e2 (exact cents), v3 DROPS event_type —
+    // each commit stamps its schema in the manifest, and every read
+    // resolves under ITS version's schema: v1 files null-fill the
+    // added column under v2+, and stop projecting event_type under v3
+    // even though the files still carry it. The graded relation
+    // profiles all three version reads; the oracle re-derives every
+    // count from slice arithmetic (n_event_type collapses to 0 at v3
+    // BECAUSE the column left the schema, not the files).
+    "cdc_table_schema_evolution" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tableschemaevo")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val cents = (dec182("value") * 100).cast("long")
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.where(col("commit_ts_us") <= t1)
+        .select(col("key"), col("event_type"), col("value"),
+          col("commit_ts_us")))
+      table.commit(log.where(
+        col("commit_ts_us") > t1 && col("commit_ts_us") <= t2)
+        .select(col("key"), col("event_type"), col("value"),
+          col("commit_ts_us"), cents.as("value_e2")))
+      table.commit(log.where(col("commit_ts_us") > t2)
+        .select(col("key"), col("value"), col("commit_ts_us"),
+          cents.as("value_e2")))
+      Seq(1L, 2L, 3L).map { v =>
+        val df = table.readVersion(s, v)
+        val et = if (df.columns.contains("event_type")) col("event_type")
+                 else lit(null).cast("string")
+        val ve = if (df.columns.contains("value_e2")) col("value_e2")
+                 else lit(null).cast("long")
+        df.agg(count(lit(1)).as("n_rows"),
+          count(et).as("n_event_type"),
+          count(ve).as("n_value_e2"),
+          coalesce(sum(ve), lit(0L)).cast("long").as("sum_value_e2"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_rows"), col("n_event_type"),
+          col("n_value_e2"), col("sum_value_e2"))
+        .orderBy("version")
+    }),
+
+    // A66 event-time travel × CDF: the boundaries are WATERMARK
+    // timestamps, not versions — changesAsOfTs resolves each through
+    // the #max_ts rule (highest version ≤ T, a pure function of the
+    // data) and then runs the file-pruned feed between them. Grades
+    // the composition of the r15 as-of rule with the CDF.
+    "cdc_table_cdf_asof" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablecdfasof")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      Seq(
+        log.where(col("commit_ts_us") <= t1),
+        log.where(col("commit_ts_us") > t1 && col("commit_ts_us") <= t2),
+        log.where(col("commit_ts_us") > t2)
+      ).foreach(slice => table.commitWithWatermark(slice, "commit_ts_us"))
+      table.changesAsOfTs(s, t1, Long.MaxValue)
+        .select(col("seq"), col("key").as("user_id"), col("op"),
+          col("event_type"), col("commit_ts_us"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("seq")
+    }),
+
+    // A71 × A66 bucketed: the full exactly-once chain LANDING AT
+    // O(|touched|) — transactional produce (A62), read_committed from
+    // in-log markers (A60), and ONE bucketed merge with the batch id
+    // in the manifest header; the crash-replay REDELIVERY of the same
+    // batch is skipped by id (table_version stays 1 — the graded
+    // witness that the skip happened). Content = the committed-below-
+    // LSO snapshot, same as cdc_txn_e2e.
+    "cdc_txn_e2e_bucketed" -> ((s, dir) => {
+      val (visible, _) = txnProducedTopic(s, dir)
+      val path = roundtripPath(dir, "txne2ebucketed")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val table = GraftSink.VersionedTable(path)
+      val batch = visible.select(col("key"), col("commit_ts_us"),
+        col("seq"), col("op"), col("event_type"), col("value"))
+      val first = table.mergeBucketedBatch(batch, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16, batchId = 7L)
+      require(first.contains(1L), s"first merge must publish v1: $first")
+      val replay = table.mergeBucketedBatch(batch, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16, batchId = 7L)
+      require(replay.isEmpty, s"redelivered batch must be skipped: $replay")
+      table.read(s)
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .withColumn("table_version", lit(table.currentVersion(s)))
+        .orderBy("user_id")
+    }),
+
     // A66 streaming leg: the changelog arrives as three ts-ordered
     // flushes through a STREAMING query (AvailableNow, one file per
     // trigger) and lands in the versioned table via exactly-once
@@ -3684,6 +3849,119 @@ object Cdc {
         |       CAST(2 AS BIGINT) AS _commit_version
         |FROM s2 FULL OUTER JOIN s1 ON s2.key = s1.key
         |WHERE s1.key IS NULL OR s2.key IS NULL OR s1.seq <> s2.seq
+        |ORDER BY user_id""".stripMargin),
+
+    // File-pruned CDF across two merge commits: per-version change
+    // attribution re-derived as two successive snapshot diffs (v2 =
+    // t1→t2 snapshot movement, v3 = t2→full); seq equality is the
+    // change test (no two events share a seq).
+    "cdc_table_cdf_merge" -> (logCte +
+      """,
+        |s1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |    FROM log WHERE commit_ts_us <= 1704844800000000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |s2 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |    FROM log WHERE commit_ts_us <= 1705708800000000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |s3 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |    FROM log)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |d2 AS (
+        |  SELECT COALESCE(s2.key, s1.key) AS user_id,
+        |         CASE WHEN s1.key IS NULL THEN 'insert'
+        |              WHEN s2.key IS NULL THEN 'delete'
+        |              ELSE 'update_postimage' END AS _change_type,
+        |         CASE WHEN s2.key IS NULL THEN s1.seq ELSE s2.seq END AS seq,
+        |         CASE WHEN s2.key IS NULL THEN s1.event_type
+        |              ELSE s2.event_type END AS event_type,
+        |         CASE WHEN s2.key IS NULL THEN s1.value
+        |              ELSE s2.value END AS value,
+        |         CASE WHEN s2.key IS NULL THEN s1.commit_ts_us
+        |              ELSE s2.commit_ts_us END AS commit_ts_us,
+        |         CAST(2 AS BIGINT) AS _commit_version
+        |  FROM s2 FULL OUTER JOIN s1 ON s2.key = s1.key
+        |  WHERE s1.key IS NULL OR s2.key IS NULL OR s1.seq <> s2.seq),
+        |d3 AS (
+        |  SELECT COALESCE(s3.key, s2.key) AS user_id,
+        |         CASE WHEN s2.key IS NULL THEN 'insert'
+        |              WHEN s3.key IS NULL THEN 'delete'
+        |              ELSE 'update_postimage' END AS _change_type,
+        |         CASE WHEN s3.key IS NULL THEN s2.seq ELSE s3.seq END AS seq,
+        |         CASE WHEN s3.key IS NULL THEN s2.event_type
+        |              ELSE s3.event_type END AS event_type,
+        |         CASE WHEN s3.key IS NULL THEN s2.value
+        |              ELSE s3.value END AS value,
+        |         CASE WHEN s3.key IS NULL THEN s2.commit_ts_us
+        |              ELSE s3.commit_ts_us END AS commit_ts_us,
+        |         CAST(3 AS BIGINT) AS _commit_version
+        |  FROM s3 FULL OUTER JOIN s2 ON s3.key = s2.key
+        |  WHERE s2.key IS NULL OR s3.key IS NULL OR s2.seq <> s3.seq)
+        |SELECT * FROM (SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+        |ORDER BY _commit_version, user_id""".stripMargin),
+
+    // Racing disjoint merges must converge to the serial answer —
+    // the full-feed snapshot.
+    "cdc_table_merge_racing" -> snapshotOracle,
+
+    // Lakehouse schema evolution: per-version profile re-derived from
+    // slice arithmetic — value_e2 exists only for slice-2/3 rows under
+    // v>=2 schemas, event_type leaves the schema at v3.
+    "cdc_table_schema_evolution" -> (logCte +
+      """,
+        |b AS (
+        |  SELECT CASE WHEN commit_ts_us <= 1704844800000000 THEN 1
+        |              WHEN commit_ts_us <= 1705708800000000 THEN 2
+        |              ELSE 3 END AS sl,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS ve
+        |  FROM log)
+        |SELECT CAST(g.v AS BIGINT) AS version,
+        |       count(*) AS n_rows,
+        |       CAST(CASE WHEN g.v = 3 THEN 0
+        |                 ELSE count(*) END AS BIGINT) AS n_event_type,
+        |       count(CASE WHEN b.sl >= 2 AND g.v >= 2 THEN 1 END)
+        |         AS n_value_e2,
+        |       CAST(COALESCE(sum(CASE WHEN b.sl >= 2 AND g.v >= 2
+        |                               THEN ve END), 0) AS BIGINT)
+        |         AS sum_value_e2
+        |FROM b JOIN (VALUES (1), (2), (3)) g(v) ON b.sl <= g.v
+        |GROUP BY g.v ORDER BY version""".stripMargin),
+
+    // Event-time CDF: everything after the t1 watermark, attributed
+    // to the version whose slice introduced it.
+    "cdc_table_cdf_asof" -> (logCte +
+      """
+        |SELECT seq, key AS user_id, op, event_type, commit_ts_us,
+        |       'insert' AS _change_type,
+        |       CAST(CASE WHEN commit_ts_us <= 1705708800000000 THEN 2
+        |                 ELSE 3 END AS BIGINT) AS _commit_version
+        |FROM log WHERE commit_ts_us > 1704844800000000
+        |ORDER BY seq""".stripMargin),
+
+    // Exactly-once bucketed landing: same visible-set snapshot as
+    // cdc_txn_e2e; table_version 1 witnesses the replay skip.
+    "cdc_txn_e2e_bucketed" -> (txnProduceCtes +
+      """,
+        |vis AS (
+        |  SELECT key, commit_ts_us, seq, op, event_type, value
+        |  FROM st JOIN l USING (p)
+        |  WHERE ctrl IS NULL AND status = 'committed' AND ofs < lso),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM vis)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us,
+        |       CAST(1 AS BIGINT) AS table_version
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
         |ORDER BY user_id""".stripMargin),
 
     // A48 × A56: the three-member group union must equal the SAME
