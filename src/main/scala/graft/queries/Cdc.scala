@@ -2030,6 +2030,48 @@ object Cdc {
         .orderBy("version", "event_type")
     }),
 
+    // A66 STREAMING CDF source (the table-side A46; Delta's
+    // readChangeFeed stream): three append commits land in the
+    // versioned table, then a readStream over the MANIFEST CHAIN
+    // drains them — offsets are versions (the manifest rename is the
+    // commit point, so admission is atomic by construction), each
+    // micro-batch reads ONLY its versions' added files (one version
+    // per trigger here — the A46 admission discipline), and every row
+    // arrives tagged with the _commit_version that introduced it. The
+    // oracle re-derives the slice→version attribution from ts
+    // arithmetic alone.
+    "cdc_stream_table_cdf" -> ((s, dir) => {
+      val path = roundtripPath(dir, "streamtablecdf")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.where(col("commit_ts_us") <= t1))
+      table.commit(log.where(
+        col("commit_ts_us") > t1 && col("commit_ts_us") <= t2))
+      table.commit(log.where(col("commit_ts_us") > t2))
+      import org.apache.spark.sql.streaming.Trigger
+      val qn = "stream_table_cdf_sink"
+      val q = graft.sources.TableCdfSource
+        .stream(s, path, log.schema, maxVersionsPerTrigger = 1)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckptcdf").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .groupBy(col("_commit_version").as("version"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("_change_type") === "insert", 1))
+            .as("n_inserts"),
+          sumCents("value").as("sum_value_e2"),
+          min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
+        .orderBy("version", "event_type")
+    }),
+
     // A21: semi-structured payload extraction — JSON props parsed in the
     // scan projection (codegen'd get_json_object; no UDF)
     "cdc_json_extract" -> ((s, dir) => {
@@ -3805,6 +3847,21 @@ object Cdc {
         |       count(*) AS n_events, $sumCentsSql AS sum_value_e2,
         |       min(event_id) AS min_seq, max(event_id) AS max_seq
         |FROM vv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Streaming CDF: per-version slice content, version attributed by
+    // the slice boundaries (every row an insert — append-only feed).
+    "cdc_stream_table_cdf" -> (logCte +
+      s""",
+        |vv AS (
+        |  SELECT CASE WHEN commit_ts_us <= 1704844800000000 THEN 1
+        |              WHEN commit_ts_us <= 1705708800000000 THEN 2
+        |              ELSE 3 END AS version, *
+        |  FROM log)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |       count(*) AS n_events, count(*) AS n_inserts,
+        |       $sumCentsSql AS sum_value_e2,
+        |       min(seq) AS min_seq, max(seq) AS max_seq
+        |FROM vv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Append-only CDF: every row is an insert attributed to the
     // commit whose time slice introduced it.

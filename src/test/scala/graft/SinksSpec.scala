@@ -768,6 +768,49 @@ class SinksSpec extends SparkSpec {
     assert(vt.manifestMeta(spark, 3L).get("max_ts") === Some("500"))
   }
 
+  test("TableCdfSource: streams versions as they land — one version " +
+    "per trigger, optimize commits contribute nothing, and a merge " +
+    "version fails the stream loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("vtable-streamcdf")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit(Seq((1L, "a"), (2L, "a")).toDF("key", "tag"))
+    vt.commit(Seq((3L, "b")).toDF("key", "tag"))
+    vt.optimize(spark, 1000L) // v3: content-identical republish
+    vt.commit(Seq((4L, "c")).toDF("key", "tag"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    val q = graft.sources.TableCdfSource
+      .stream(spark, path, schema, maxVersionsPerTrigger = 1)
+      .writeStream.format("memory").queryName("cdf_src_test")
+      .option("checkpointLocation", tmp("ckpt-cdf"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cdf_src_test")
+      .select("key", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted
+    // v3 (optimize) emits nothing; v4's append is attributed to 4
+    assert(got === Array((1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 2L), (4L, "insert", 4L)))
+    // a merge version cannot stream as file-level inserts — loud
+    vt.mergeBucketed(Seq((1L, 10L, "U", "a2")).toDF("key", "seq", "op",
+      "tag").select(col("key"), col("seq"), col("op"), col("tag")),
+      Seq("key"), Seq("seq"), numBuckets = 4)
+    val q2 = graft.sources.TableCdfSource
+      .stream(spark, path, schema, maxVersionsPerTrigger = 10)
+      .writeStream.format("memory").queryName("cdf_src_test2")
+      .option("checkpointLocation", tmp("ckpt-cdf2"))
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q2.awaitTermination())
+    assert(e.getMessage.contains("append") ||
+      Option(e.getCause).exists(_.getMessage.contains("append")))
+  }
+
   test("VersionedTable.commitBatch: a redelivered batch id is skipped " +
     "(exactly-once under foreachBatch crash-replay); meta survives in " +
     "the manifest header and never leaks into the file list") {
