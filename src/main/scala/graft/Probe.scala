@@ -279,6 +279,27 @@ object Probe {
         time(s"bucketed_merge standing=$n batch=10k one-bucket") {
           vt.mergeBucketed(batch, Seq("key"), Seq("seq")); 10000L
         }
+        // (c) CDF across that merge commit: diffs ONLY the rewritten
+        // bucket's removed ∪ added files — must stay ~flat (the r15
+        // fallback re-diffed the whole table keyed, O(|table|))
+        val vMerge = vt.currentVersion(spark)
+        time(s"cdf_merge_pruned standing=$n") {
+          vt.changes(spark, vMerge - 1, vMerge, keyCols = Seq("key"))
+            .agg(count(lit(1))).first()
+          10000L
+        }
+        // (d) OPTIMIZE bin-packs WITHIN buckets (O(|table|) rewrite,
+        // inherent), and the merge AFTER it must still be on the flat
+        // curve — the r15 finding was optimize destroying the layout
+        time(s"optimize_bucketed standing=$n") {
+          vt.optimize(spark, 2000000L); n
+        }
+        val batch2 = rows(spark.range(n + 4000000L, n + 8000000L).toDF()
+          .where(pmod(xxhash64(col("id")), lit(64L)) === 0).limit(10000))
+          .localCheckpoint()
+        time(s"bucketed_merge_post_optimize standing=$n batch=10k one-bucket") {
+          vt.mergeBucketed(batch2, Seq("key"), Seq("seq")); 10000L
+        }
         time(s"full_merge standing=$n batch=10k") {
           vt.merge(batch, Seq("key"), Seq("seq")); 10000L
         }

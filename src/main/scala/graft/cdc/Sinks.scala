@@ -1,5 +1,7 @@
 package graft.cdc
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -671,9 +673,9 @@ object GraftSink {
       val dataRel = s"_data/commit-$v-${java.util.UUID.randomUUID}"
       val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
       df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-      val newFiles = fs.listStatus(dataDir).toSeq
+      val newFiles = statsLines(fs, fs.listStatus(dataDir).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(f => s"$dataRel/${f.getPath.getName}")
+        .map(f => s"$dataRel/${f.getPath.getName}"))
       val kind = meta.getOrElse("kind",
         if (overwrite) "overwrite" else "append")
       var committed = false
@@ -684,7 +686,7 @@ object GraftSink {
         val base =
           if (overwrite) Nil
           else if (v == 1) Nil
-          else manifestFiles(fs, v - 1)
+          else manifestRawLines(fs, v - 1) // stats ride along verbatim
         val header = headerLines(meta + ("kind" -> kind) +
           ("schema" -> df.schema.json))
         if (tryPublish(fs, v, header ++ base ++ newFiles)) committed = true
@@ -781,8 +783,12 @@ object GraftSink {
         .foldLeft(0L)(math.max)
     }
 
-    private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
-                              v: Long): Seq[String] = {
+    /** Raw manifest FILE LINES of version `v` — `rel` or
+      * `rel<TAB>stats-json` (per-file footer statistics, written at
+      * commit time and carried VERBATIM by merges/appends: a file is
+      * immutable, so its stats line is too). */
+    private def manifestRawLines(fs: org.apache.hadoop.fs.FileSystem,
+                                 v: Long): Seq[String] = {
       val m = new org.apache.hadoop.fs.Path(path, s"_manifests/v$v.manifest")
       require(fs.exists(m), s"$path: version $v was never committed " +
         "(or its manifest was vacuumed)")
@@ -790,6 +796,117 @@ object GraftSink {
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toList
       finally in.close()
+    }
+
+    /** The path part of a manifest file line (stats suffix dropped). */
+    private def stripStats(line: String): String = {
+      val i = line.indexOf('\t')
+      if (i < 0) line else line.substring(0, i)
+    }
+
+    private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+                              v: Long): Seq[String] =
+      manifestRawLines(fs, v).map(stripStats)
+
+    /** One manifest file line for a freshly written file: the relative
+      * path plus its footer statistics —
+      * `{"rows":N,"cols":{"c":[min,max],…}}` for top-level NUMERIC
+      * columns (min/max across row groups). This is Delta's per-file
+      * stats design: data skipping and row counts become manifest
+      * metadata, so reads prune files and OPTIMIZE sizes bins without
+      * touching data. One driver footer read per new file — the same
+      * metadata class as the directory listing the write already did. */
+    private def statsLine(fs: org.apache.hadoop.fs.FileSystem,
+                          rel: String): String = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path, rel), fs.getConf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val mins = scala.collection.mutable.Map.empty[String, BigDecimal]
+        val maxs = scala.collection.mutable.Map.empty[String, BigDecimal]
+        for (b <- blocks; c <- b.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          if (!name.contains('.') && st != null && st.hasNonNullValue) {
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Number, mx: java.lang.Number)
+                  if !mn.isInstanceOf[java.lang.Byte] =>
+                val (dn, dx) = (BigDecimal(mn.toString),
+                  BigDecimal(mx.toString))
+                mins(name) = mins.get(name).map(_.min(dn)).getOrElse(dn)
+                maxs(name) = maxs.get(name).map(_.max(dx)).getOrElse(dx)
+              case _ => () // binary/boolean columns carry no range stats
+            }
+          }
+        }
+        val cols = mins.keys.toSeq.sorted.map(c =>
+          s""""$c":[${mins(c)},${maxs(c)}]""").mkString(",")
+        s"""$rel\t{"rows":$rows,"cols":{$cols}}"""
+      } finally rd.close()
+    }
+
+    /** [[statsLine]] over many fresh files — footer reads through a
+      * bounded pool (a bucketed merge can write task×bucket files;
+      * serial driver opens would dominate small merges). */
+    private def statsLines(fs: org.apache.hadoop.fs.FileSystem,
+                           rels: Seq[String]): Seq[String] = {
+      if (rels.size <= 4) rels.map(statsLine(fs, _))
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(16, rels.size))
+        try rels.map(rel => pool.submit(
+            new java.util.concurrent.Callable[String] {
+              override def call(): String = statsLine(fs, rel)
+            })).map(_.get())
+        finally pool.shutdown()
+      }
+    }
+
+    /** Parse a line's stats range for `column` (None = no stats — the
+      * file may hold anything and must be kept). */
+    private def statsRange(line: String, column: String)
+        : Option[(BigDecimal, BigDecimal)] = {
+      val i = line.indexOf('\t')
+      if (i < 0) None
+      else ("\"" + java.util.regex.Pattern.quote(column) +
+        "\":\\[([^,\\]]+),([^\\]]+)\\]").r
+        .findFirstMatchIn(line.substring(i + 1))
+        .map(m => (BigDecimal(m.group(1)), BigDecimal(m.group(2))))
+    }
+
+    /** A line's stats row count (None = stats-less legacy line). */
+    private def statsRows(line: String): Option[Long] = {
+      val i = line.indexOf('\t')
+      if (i < 0) None
+      else "\"rows\":(\\d+)".r.findFirstMatchIn(line.substring(i + 1))
+        .map(_.group(1).toLong)
+    }
+
+    /** DATA-SKIPPING read (Delta's file-stats pruning): the latest
+      * version filtered to `lo <= column <= hi`, planning ONLY files
+      * whose manifest stats range overlaps the bound — at 100 TB a
+      * time-range read over an event-time-clustered table touches the
+      * matching files, not the table. Stats-less files (legacy or
+      * non-numeric column) are kept — pruning is an optimization,
+      * never a correctness dependency; the residual row filter always
+      * applies. */
+    def readRange(spark: org.apache.spark.sql.SparkSession,
+                  column: String, lo: Long, hi: Long): DataFrame = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      require(v > 0, s"$path: no committed versions")
+      val (blo, bhi) = (BigDecimal(lo), BigDecimal(hi))
+      val keep = manifestRawLines(fs, v).filter { l =>
+        statsRange(l, column) match {
+          case Some((mn, mx)) => mx >= blo && mn <= bhi
+          case None => true
+        }
+      }.map(stripStats)
+      readFiles(spark, fs, keep, versionSchema(fs, v))
+        .where(col(column) >= lo && col(column) <= hi)
     }
 
     /** Manifest-header metadata of version `v` (the `#k=v` lines). */
@@ -992,10 +1109,11 @@ object GraftSink {
       val touched = latest
         .select(bucketOf(keyCols, numBuckets).as("__b")).distinct()
         .collect().map(_.getLong(0)).toSet // ≤ numBuckets rows
-      val (touchedFiles, carried) =
+      val (touchedLines, carried) =
         if (v == 0) (Seq.empty[String], Seq.empty[String])
-        else manifestFiles(fs, v).partition(rel =>
-          pathBucket(rel).forall(touched.contains))
+        else manifestRawLines(fs, v).partition(l =>
+          pathBucket(stripStats(l)).forall(touched.contains))
+      val touchedFiles = touchedLines.map(stripStats)
       val outSchema = org.apache.spark.sql.types.StructType(
         latest.drop(opCol).schema.fields)
       schemaGate(fs, v, outSchema)
@@ -1013,11 +1131,11 @@ object GraftSink {
       val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(dataDir.toString)
-      val newFiles = for {
+      val newFiles = statsLines(fs, for {
         d <- fs.listStatus(dataDir).toSeq if d.isDirectory
         f <- fs.listStatus(d.getPath)
         if f.isFile && f.getPath.getName.endsWith(".parquet")
-      } yield s"$dataRel/${d.getPath.getName}/${f.getPath.getName}"
+      } yield s"$dataRel/${d.getPath.getName}/${f.getPath.getName}")
       val header = headerLines(meta +
         ("kind" -> "merge") +
         ("buckets" -> numBuckets.toString) +
@@ -1044,8 +1162,8 @@ object GraftSink {
             "not a disjoint-bucket merge (or rebase attempts exhausted) " +
             "— re-run the merge against the new current version (the " +
             "carried file list is stale)")
-        carriedNow = manifestFiles(fs, newV).filterNot(rel =>
-          pathBucket(rel).exists(touched.contains))
+        carriedNow = manifestRawLines(fs, newV).filterNot(l =>
+          pathBucket(stripStats(l)).exists(touched.contains))
         newV += 1
       }
       newV
@@ -1203,14 +1321,17 @@ object GraftSink {
       require(fromV < toV, s"empty version range ($fromV, $toV]")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
+      // set algebra on RAW manifest lines: files are immutable and
+      // carried verbatim (stats suffix included), so line identity is
+      // file identity; paths are stripped only at read time
       val sets = (fromV to toV)
         .map(v => v -> (if (v == 0) Set.empty[String]
-                        else manifestFiles(fs, v).toSet)).toMap
+                        else manifestRawLines(fs, v).toSet)).toMap
       def kindOf(v: Long): Option[String] =
         if (v == 0) None else manifestMeta(fs, v).get("kind")
       (fromV + 1 to toV).flatMap { v =>
-        val added = (sets(v) -- sets(v - 1)).toSeq.sorted
-        val removed = (sets(v - 1) -- sets(v)).toSeq.sorted
+        val added = (sets(v) -- sets(v - 1)).toSeq.sorted.map(stripStats)
+        val removed = (sets(v - 1) -- sets(v)).toSeq.sorted.map(stripStats)
         val kind = kindOf(v)
         if (kind.contains("optimize")) None // content-identical republish
         else if (sets(v - 1).subsetOf(sets(v))) {
@@ -1315,7 +1436,11 @@ object GraftSink {
         before.exists(rel => pathBucket(rel).isDefined))
       val newV = spec match {
         case None =>
-          val n = footerRecordCount(fs, before)
+          // row count from manifest stats (free); footer reads only
+          // for stats-less legacy lines
+          val n = manifestRawLines(fs, v).map(l =>
+            statsRows(l).getOrElse(
+              footerRecordCount(fs, Seq(stripStats(l))))).sum
           val files = math.max(1, math.ceil(
             n.toDouble / targetRecordsPerFile).toInt)
           commit(readVersion(spark, v).repartition(files),
@@ -1338,11 +1463,11 @@ object GraftSink {
             .partitionBy("__bucket")
             .option("maxRecordsPerFile", targetRecordsPerFile)
             .parquet(dataDir.toString)
-          val newFiles = for {
+          val newFiles = statsLines(fs, for {
             d <- fs.listStatus(dataDir).toSeq if d.isDirectory
             f <- fs.listStatus(d.getPath)
             if f.isFile && f.getPath.getName.endsWith(".parquet")
-          } yield s"$dataRel/${d.getPath.getName}/${f.getPath.getName}"
+          } yield s"$dataRel/${d.getPath.getName}/${f.getPath.getName}")
           val nv = v + 1
           val header = headerLines(Map(
             "kind" -> "optimize",

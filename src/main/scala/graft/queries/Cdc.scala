@@ -2030,6 +2030,41 @@ object Cdc {
         .orderBy("version", "event_type")
     }),
 
+    // A66 DATA SKIPPING (Delta's per-file stats pruning): every commit
+    // stamps each new file's footer min/max/rows into its manifest
+    // line, and a range read plans ONLY the files whose stats overlap
+    // the bound — at 100 TB a time-range query over an event-time-
+    // clustered table touches the matching slice's files, not the
+    // table (the lakehouse read-side law beside lookup's bucket
+    // pruning). Three ts-sliced appends; readRange over the middle
+    // slice must hash-equal the plain SQL filter, and the graded
+    // pruned_scan witness pins that the plan read STRICTLY fewer files
+    // than the table holds (SinksSpec pins exact file censuses).
+    "cdc_table_skipping" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tableskipping")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.where(col("commit_ts_us") <= t1))
+      table.commit(log.where(
+        col("commit_ts_us") > t1 && col("commit_ts_us") <= t2))
+      table.commit(log.where(col("commit_ts_us") > t2))
+      val pruned = table.readRange(s, "commit_ts_us", t1 + 1, t2)
+      val witness =
+        pruned.inputFiles.length < table.read(s).inputFiles.length
+      pruned
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sumCents("value").as("sum_value_e2"),
+          min(col("commit_ts_us")).as("min_ts_us"),
+          max(col("commit_ts_us")).as("max_ts_us"))
+        .withColumn("pruned_scan", lit(witness))
+        .orderBy("event_type")
+    }),
+
     // A66 STREAMING CDF source (the table-side A46; Delta's
     // readChangeFeed stream): three append commits land in the
     // versioned table, then a readStream over the MANIFEST CHAIN
@@ -3847,6 +3882,20 @@ object Cdc {
         |       count(*) AS n_events, $sumCentsSql AS sum_value_e2,
         |       min(event_id) AS min_seq, max(event_id) AS max_seq
         |FROM vv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Data skipping: the middle slice's content, re-derived as a plain
+    // filter; pruned_scan TRUE = the plan read strictly fewer files.
+    "cdc_table_skipping" -> (logCte +
+      s"""
+        |SELECT event_type, count(*) AS n_events,
+        |       $sumCentsSql AS sum_value_e2,
+        |       min(commit_ts_us) AS min_ts_us,
+        |       max(commit_ts_us) AS max_ts_us,
+        |       TRUE AS pruned_scan
+        |FROM log
+        |WHERE commit_ts_us > 1704844800000000
+        |  AND commit_ts_us <= 1705708800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Streaming CDF: per-version slice content, version attributed by
     // the slice boundaries (every row an insert — append-only feed).

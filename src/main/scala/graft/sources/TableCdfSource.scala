@@ -202,8 +202,15 @@ private[sources] class CdfMicroBatchStream(schema: StructType, path: String,
           s"$path: version $v is not an append (kind=${kind(v)
             .getOrElse("?")}) — a streaming CDF reads added files only; " +
             "use VersionedTable.changes for merge/overwrite ranges")
+        // a line is `rel` or `rel<TAB>stats-json` (the manifest's
+        // per-file footer stats); line identity is file identity —
+        // strip the stats only to build the read path
         (cur -- prev).toSeq.sorted
-          .map(rel => CdfInputPartition(s"$path/$rel", v): InputPartition)
+          .map { line =>
+            val i = line.indexOf('\t')
+            val rel = if (i < 0) line else line.substring(0, i)
+            CdfInputPartition(s"$path/$rel", v): InputPartition
+          }
       }
     }.toArray
   }

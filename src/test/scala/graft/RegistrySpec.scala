@@ -93,6 +93,14 @@ class RegistrySpec extends SparkSpec {
     val forged = wire.withColumn("schema_id", lit(99))
     val e = intercept[IllegalArgumentException](
       SchemaRegistry.resolve(forged, reg, "t", "db", "t").count())
-    assert(e.getMessage.contains("never registered"))
+    assert(e.getMessage.contains("never-registered"))
+    // NULL framing must fail as loudly as a forged id — a null
+    // schema_id would otherwise NULL the isin guard and then be
+    // silently dropped by every per-id filter (ADVICE r15)
+    val nullFramed = wire.withColumn("schema_id",
+      lit(null).cast("int"))
+    val e2 = intercept[IllegalArgumentException](
+      SchemaRegistry.resolve(nullFramed, reg, "t", "db", "t").count())
+    assert(e2.getMessage.contains("null or never-registered"))
   }
 }

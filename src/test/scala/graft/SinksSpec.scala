@@ -768,6 +768,48 @@ class SinksSpec extends SparkSpec {
     assert(vt.manifestMeta(spark, 3L).get("max_ts") === Some("500"))
   }
 
+  test("VersionedTable.readRange data skipping: manifest per-file " +
+    "stats prune a range read to overlapping files only; stats ride " +
+    "merge carries verbatim; correctness never depends on stats") {
+    import spark.implicits._
+    val path = tmp("vtable-skip")
+    val vt = GraftSink.VersionedTable(path)
+    def slice(lo: Long, hi: Long): DataFrame =
+      (lo until hi).map(k => (k, s"p$k")).toDF("key", "tag")
+        .repartition(1)
+    vt.commit(slice(0, 100))
+    vt.commit(slice(100, 200))
+    vt.commit(slice(200, 300))
+    val pruned = vt.readRange(spark, "key", 120L, 180L)
+    assertSameRows(pruned,
+      vt.read(spark).where(col("key").between(120, 180)))
+    // the scan plans ONLY the middle slice's file
+    assert(pruned.inputFiles.length === 1)
+    assert(vt.read(spark).inputFiles.length === 3)
+    // a column with no stats (strings) keeps every file — pruning is
+    // an optimization, never a correctness dependency
+    assert(vt.readRange(spark, "tag", 0L, 1L).inputFiles.length === 3)
+    // stats survive the bucketed-merge carry: untouched buckets'
+    // lines (stats included) move verbatim, and the rewritten
+    // bucket's new files get fresh footer stats
+    val bpath = tmp("vtable-skip-merge")
+    val bvt = GraftSink.VersionedTable(bpath)
+    def batch(rows: (Long, Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("key", "seq", "op", "payload")
+    bvt.mergeBucketed(batch((0L until 64L).map(k =>
+      (k, k, "I", s"v$k")): _*), Seq("key"), Seq("seq"), numBuckets = 8)
+    bvt.mergeBucketed(batch((7L, 100L, "U", "v7b")),
+      Seq("key"), Seq("seq"), numBuckets = 8)
+    // seq 100 lives only in key 7's rewritten bucket: the range read
+    // prunes to that bucket's files
+    val hit = bvt.readRange(spark, "seq", 100L, 100L)
+    assert(hit.select("payload").as[String].collect() === Array("v7b"))
+    val b7 = spark.range(1).select(pmod(xxhash64(lit(7L)), lit(8L)))
+      .head().getLong(0)
+    assert(hit.inputFiles.forall(_.contains(s"__bucket=$b7/")))
+    assert(hit.inputFiles.length < bvt.read(spark).inputFiles.length)
+  }
+
   test("TableCdfSource: streams versions as they land — one version " +
     "per trigger, optimize commits contribute nothing, and a merge " +
     "version fails the stream loudly") {
