@@ -2065,6 +2065,51 @@ object Cdc {
         .orderBy("event_type")
     }),
 
+    // A66 Z-ORDER clustering (Delta's OPTIMIZE ZORDER BY): the whole
+    // changelog lands in ONE hash-scattered commit — every file spans
+    // the full ts AND key range, so no range read can prune — then
+    // optimizeZorder(key, commit_ts_us) rewrites along the Morton
+    // curve of per-column quantile buckets: the SAME readRange calls
+    // now prune on EITHER dimension (two graded strictly-fewer-files
+    // witnesses against the scattered baseline), while the content is
+    // bit-identical (the profile hash-equals the plain SQL filter —
+    // layout must never change an answer). The multi-dimensional
+    // companion to cdc_table_skipping's slice-clustered case.
+    "cdc_table_zorder" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablezorder")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir).select(col("key"), col("commit_ts_us"),
+        col("seq"), col("event_type"), col("value"))
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.repartition(32)) // scattered: nothing prunes
+      // key probe = the lowest fifth of the id space (SF-relative:
+      // user ids are dense 0..users-1, and users scales with SF)
+      val keyHi = log.agg(max(col("key"))).head().getLong(0) / 5
+      val beforeTs = table.readRange(s, "commit_ts_us", t1 + 1, t2)
+        .inputFiles.length
+      val beforeKey = table.readRange(s, "key", 0L, keyHi)
+        .inputFiles.length
+      val n = log.count()
+      table.optimizeZorder(s, Seq("key", "commit_ts_us"),
+        math.max(1L, n / 32))
+      val tsScan = table.readRange(s, "commit_ts_us", t1 + 1, t2)
+      val keyScan = table.readRange(s, "key", 0L, keyHi)
+      val witnessTs = tsScan.inputFiles.length < beforeTs
+      val witnessKey = keyScan.inputFiles.length < beforeKey
+      tsScan
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sumCents("value").as("sum_value_e2"),
+          min(col("commit_ts_us")).as("min_ts_us"),
+          max(col("commit_ts_us")).as("max_ts_us"))
+        .withColumn("pruned_ts_scan", lit(witnessTs))
+        .withColumn("pruned_key_scan", lit(witnessKey))
+        .orderBy("event_type")
+    }),
+
     // A66 STREAMING CDF source (the table-side A46; Delta's
     // readChangeFeed stream): three append commits land in the
     // versioned table, then a readStream over the MANIFEST CHAIN
@@ -3882,6 +3927,22 @@ object Cdc {
         |       count(*) AS n_events, $sumCentsSql AS sum_value_e2,
         |       min(event_id) AS min_seq, max(event_id) AS max_seq
         |FROM vv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Z-order: layout never changes an answer — the ts-range profile
+    // is the plain filter; both witnesses must be TRUE (the zordered
+    // scan read strictly fewer files than the scattered baseline on
+    // EACH dimension).
+    "cdc_table_zorder" -> (logCte +
+      s"""
+        |SELECT event_type, count(*) AS n_events,
+        |       $sumCentsSql AS sum_value_e2,
+        |       min(commit_ts_us) AS min_ts_us,
+        |       max(commit_ts_us) AS max_ts_us,
+        |       TRUE AS pruned_ts_scan, TRUE AS pruned_key_scan
+        |FROM log
+        |WHERE commit_ts_us > 1704844800000000
+        |  AND commit_ts_us <= 1705708800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Data skipping: the middle slice's content, re-derived as a plain
     // filter; pruned_scan TRUE = the plan read strictly fewer files.

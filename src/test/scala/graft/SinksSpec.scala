@@ -810,6 +810,46 @@ class SinksSpec extends SparkSpec {
     assert(hit.inputFiles.length < bvt.read(spark).inputFiles.length)
   }
 
+  test("VersionedTable.optimizeZorder: content-identical Morton-curve " +
+    "rewrite makes range reads prune on EVERY zorder dimension; " +
+    "bucketed tables are refused") {
+    import spark.implicits._
+    val path = tmp("vtable-zorder")
+    val vt = GraftSink.VersionedTable(path)
+    // full 32×32 grid, hash-scattered: every file spans both dims
+    val grid = spark.range(1024).select(
+      (col("id") / 32).cast("long").as("a"),
+      (col("id") % 32).as("b"),
+      concat(lit("p"), col("id")).as("tag"))
+      .repartition(8)
+    vt.commit(grid)
+    val contentBefore = vt.read(spark).orderBy("a", "b").collect()
+    // scattered: a narrow range on either dim plans every file
+    assert(vt.readRange(spark, "a", 0L, 3L).inputFiles.length === 8)
+    val (zV, _, nAfter) = vt.optimizeZorder(spark, Seq("a", "b"), 64L)
+    assert(zV === 2L)
+    assert(nAfter >= 8) // 1024 rows / 64-row files = ~16
+    assert(vt.read(spark).orderBy("a", "b").collect() === contentBefore)
+    // zordered: BOTH dimensions prune
+    val aScan = vt.readRange(spark, "a", 0L, 3L)
+    val bScan = vt.readRange(spark, "b", 0L, 3L)
+    assertSameRows(aScan, vt.read(spark).where(col("a").between(0, 3)))
+    assertSameRows(bScan, vt.read(spark).where(col("b").between(0, 3)))
+    assert(aScan.inputFiles.length < nAfter)
+    assert(bScan.inputFiles.length < nAfter)
+    // CDF crosses the zorder commit as zero changes
+    assert(vt.changes(spark, 1L, 2L, keyCols = Seq("a", "b"))
+      .count() === 0L)
+    // a bucketed table refuses zorder — buckets ARE its clustering
+    val bpath = tmp("vtable-zorder-bucketed")
+    val bvt = GraftSink.VersionedTable(bpath)
+    bvt.mergeBucketed(Seq((1L, 1L, "I", "x")).toDF("key", "seq", "op",
+      "tag"), Seq("key"), Seq("seq"), numBuckets = 4)
+    val e = intercept[IllegalArgumentException](
+      bvt.optimizeZorder(spark, Seq("seq"), 100L))
+    assert(e.getMessage.contains("bucketed"))
+  }
+
   test("TableCdfSource: streams versions as they land — one version " +
     "per trigger, optimize commits contribute nothing, and a merge " +
     "version fails the stream loudly") {
