@@ -944,15 +944,7 @@ object GraftSink {
                     tsCol: Option[String] = None): Option[Long] = {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      val v = currentVersion(fs)
-      // vacuumed manifests are skipped: a batch id old enough to have
-      // been vacuumed is also old enough to be past the checkpoint
-      val seen = (1L to v).exists { kv =>
-        fs.exists(new org.apache.hadoop.fs.Path(path,
-          s"_manifests/v$kv.manifest")) &&
-          manifestMeta(fs, kv).get("batch").contains(batchId.toString)
-      }
-      if (seen) None
+      if (batchSeen(fs, batchId)) None
       else {
         // an empty micro-batch (or all-null tsCol) has no watermark:
         // commit it without the max_ts entry instead of NPE-ing the
@@ -963,8 +955,44 @@ object GraftSink {
           if (r.isNullAt(0)) None
           else Some("max_ts" -> r.getLong(0).toString)
         }
-        Some(commit(df, meta = Map("batch" -> batchId.toString) ++ wm))
+        Some(commit(df, meta = Map("batch" -> batchId.toString,
+          "batch_hi" -> math.max(batchId, batchHi(fs)).toString) ++ wm))
       }
+    }
+
+    /** Redelivery check in O(1) manifest reads, not O(|versions|):
+      * structured streaming's foreachBatch ids are MONOTONE per
+      * checkpoint (Delta leans on the same invariant in its `txn`
+      * action), so every batch commit carries a `#batch_hi`
+      * high-water mark and a redelivered id is simply `<= batch_hi`.
+      * Without the mark a 100k-batch stream would re-scan 100k
+      * manifest headers per commit — O(n²) over its life. The
+      * backscan below the newest mark only walks PLAIN commits that
+      * interleaved since the last batch commit (usually zero) and
+      * stops at the first marked manifest. */
+    private def batchSeen(fs: org.apache.hadoop.fs.FileSystem,
+                          batchId: Long): Boolean =
+      batchId <= batchHi(fs)
+
+    /** Highest batch id any retained commit carries (-1 = none). */
+    private def batchHi(fs: org.apache.hadoop.fs.FileSystem): Long = {
+      var kv = currentVersion(fs)
+      while (kv >= 1) {
+        val m = new org.apache.hadoop.fs.Path(path,
+          s"_manifests/v$kv.manifest")
+        // vacuumed manifests are skipped: a batch id old enough to
+        // have been vacuumed is also old enough to be past the
+        // checkpoint
+        if (fs.exists(m)) {
+          val meta = manifestMeta(fs, kv)
+          meta.get("batch_hi").orElse(meta.get("batch")) match {
+            case Some(b) => return b.toLong
+            case None => ()
+          }
+        }
+        kv -= 1
+      }
+      -1L
     }
 
     /** Snapshot-isolated read of version `v` — exactly the files its
@@ -1183,15 +1211,10 @@ object GraftSink {
                            batchId: Long): Option[Long] = {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-      val v = currentVersion(fs)
-      val seen = (1L to v).exists { kv =>
-        fs.exists(new org.apache.hadoop.fs.Path(path,
-          s"_manifests/v$kv.manifest")) &&
-          manifestMeta(fs, kv).get("batch").contains(batchId.toString)
-      }
-      if (seen) None
+      if (batchSeen(fs, batchId)) None
       else Some(mergeBucketed(batch, keyCols, orderCols, opCol,
-        numBuckets, meta = Map("batch" -> batchId.toString)))
+        numBuckets, meta = Map("batch" -> batchId.toString,
+          "batch_hi" -> math.max(batchId, batchHi(fs)).toString)))
     }
 
     /** The table's persisted bucket spec: the newest manifest carrying
