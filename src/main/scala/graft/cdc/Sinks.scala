@@ -687,8 +687,12 @@ object GraftSink {
           if (overwrite) Nil
           else if (v == 1) Nil
           else manifestRawLines(fs, v - 1) // stats ride along verbatim
+        // an append keeps the previous version's deletion vector live
+        // (its files are still listed); an overwrite starts clean
+        val dvCarry =
+          if (overwrite) None else dvRelOf(fs, v - 1)
         val header = headerLines(meta + ("kind" -> kind) +
-          ("schema" -> df.schema.json))
+          ("schema" -> df.schema.json) ++ dvCarry.map("dv" -> _))
         if (tryPublish(fs, v, header ++ base ++ newFiles)) committed = true
         else v = currentVersion(fs) + 1
       }
@@ -905,7 +909,7 @@ object GraftSink {
           case None => true
         }
       }.map(stripStats)
-      readFiles(spark, fs, keep, versionSchema(fs, v))
+      readFiles(spark, fs, keep, versionSchema(fs, v), dvRelOf(fs, v))
         .where(col(column) >= lo && col(column) <= hi)
     }
 
@@ -1005,15 +1009,21 @@ object GraftSink {
                     v: Long): DataFrame = {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      readFiles(spark, fs, manifestFiles(fs, v), versionSchema(fs, v))
+      readFiles(spark, fs, manifestFiles(fs, v), versionSchema(fs, v),
+        dvRelOf(fs, v))
     }
 
     /** Read explicit manifest-relative files, under `schema` when the
-      * version stamped one (empty file list → typed empty relation). */
+      * version stamped one (empty file list → typed empty relation);
+      * `dv` is the version's deletion-vector sidecar — its
+      * (file, row_index) positions are anti-joined out at the scan
+      * (`_metadata` row addressing: parquet row order is as immutable
+      * as the file, so positions are exact forever). */
     private def readFiles(spark: org.apache.spark.sql.SparkSession,
                           fs: org.apache.hadoop.fs.FileSystem,
                           rels: Seq[String],
-                          schema: Option[org.apache.spark.sql.types.StructType])
+                          schema: Option[org.apache.spark.sql.types.StructType],
+                          dv: Option[String] = None)
         : DataFrame = {
       if (rels.isEmpty)
         schema.map(s => spark.createDataFrame(
@@ -1021,9 +1031,101 @@ object GraftSink {
           .getOrElse(spark.emptyDataFrame)
       else {
         val paths = rels.map(rel => s"$path/$rel")
-        schema.map(s => spark.read.schema(s).parquet(paths: _*))
+        val base = schema.map(s => spark.read.schema(s).parquet(paths: _*))
           .getOrElse(spark.read.parquet(paths: _*))
+        dv match {
+          case None => base
+          case Some(rel) =>
+            val cols = base.columns.toSeq
+            base
+              .withColumn("__dv_file", col("_metadata.file_path"))
+              .withColumn("__dv_row", col("_metadata.row_index"))
+              .join(spark.read.parquet(s"$path/$rel")
+                  .withColumnRenamed("file", "__dv_file")
+                  .withColumnRenamed("row_index", "__dv_row"),
+                Seq("__dv_file", "__dv_row"), "left_anti")
+              .select(cols.map(col): _*)
+        }
       }
+    }
+
+    /** The deletion-vector sidecar ref of version `v`, if any
+      * (vacuumed/absent manifests read as none). */
+    private def dvRelOf(fs: org.apache.hadoop.fs.FileSystem,
+                        v: Long): Option[String] = {
+      if (v < 1) return None
+      val m = new org.apache.hadoop.fs.Path(path,
+        s"_manifests/v$v.manifest")
+      if (!fs.exists(m)) None else manifestMeta(fs, v).get("dv")
+    }
+
+    /** DELETION-VECTOR delete (Delta's deletion vectors — row-level
+      * deletes WITHOUT rewriting a single data file): the rows
+      * matching `cond` in the current version are recorded by POSITION
+      * — (file, row_index), exact forever because parquet row order is
+      * as immutable as the file — in a `_dv/` sidecar, and the new
+      * manifest republishes the SAME file lines with `#kind=delete` +
+      * `#dv=`. Every read path (readVersion / readRange / lookup /
+      * merge inputs / CDF legs) anti-joins the version's vector out at
+      * the scan. Cost is O(|matching rows|) + one table scan to FIND
+      * them — never a rewrite: on a 100 TB table a GDPR-erasure of a
+      * handful of rows is a kilobyte sidecar, where even the bucketed
+      * merge would rewrite whole buckets.
+      *
+      * The position scan is DV-filtered itself, so re-deleting
+      * already-dead rows is a no-op and vectors never accumulate
+      * duplicates; the vector is REWRITTEN CUMULATIVELY per delete
+      * (one small sidecar per version — time travel reads each
+      * version's own vector). OPTIMIZE/overwrite commits materialize
+      * the filtered content and DROP the vector — a routine compaction
+      * also physically erases deleted rows (the GDPR hard-delete
+      * step). Losing the publish race fails loudly (positions were
+      * derived from the version this delete read). Returns
+      * (newVersion, rowsDeleted). */
+    def deleteWhere(spark: org.apache.spark.sql.SparkSession,
+                    cond: Column): (Long, Long) = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      require(v > 0, s"$path: no committed versions")
+      val rels = manifestFiles(fs, v)
+      val schema = versionSchema(fs, v)
+      val prevDv = dvRelOf(fs, v)
+      val paths = rels.map(rel => s"$path/$rel")
+      val base = schema.map(s => spark.read.schema(s).parquet(paths: _*))
+        .getOrElse(spark.read.parquet(paths: _*))
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_row", col("_metadata.row_index"))
+      val alive = prevDv match {
+        case None => base
+        case Some(rel) => base.join(
+          spark.read.parquet(s"$path/$rel")
+            .withColumnRenamed("file", "__dv_file")
+            .withColumnRenamed("row_index", "__dv_row"),
+          Seq("__dv_file", "__dv_row"), "left_anti")
+      }
+      val newDead = alive.where(cond)
+        .select(col("__dv_file").as("file"), col("__dv_row").as("row_index"))
+      val merged = prevDv.map(rel =>
+        spark.read.parquet(s"$path/$rel").unionByName(newDead))
+        .getOrElse(newDead)
+      val newV = v + 1
+      val dvOut = s"_dv/v$newV-${java.util.UUID.randomUUID}"
+      merged.repartition(1).write
+        .mode(SaveMode.Overwrite).parquet(s"$path/$dvOut")
+      val total = spark.read.parquet(s"$path/$dvOut").count()
+      val prevN = prevDv.map(rel =>
+        spark.read.parquet(s"$path/$rel").count()).getOrElse(0L)
+      val header = headerLines(Map(
+        "kind" -> "delete", "dv" -> dvOut) ++
+        manifestMeta(fs, v).get("schema").map("schema" -> _))
+      if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v))) {
+        fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
+        throw new IllegalStateException(s"$path: concurrent commit took " +
+          s"v$newV while this delete was scanning — its row positions " +
+          "are stale; re-run against the new current version")
+      }
+      (newV, total - prevN)
     }
 
     /** The table at its latest version. */
@@ -1147,7 +1249,8 @@ object GraftSink {
       schemaGate(fs, v, outSchema)
       val current = readFiles(spark, fs, touchedFiles,
         Some(asNullable(outSchema)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]),
+        dvRelOf(fs, v))
       val merged = current
         .join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(latest.where(col(opCol) =!= "D").drop(opCol))
@@ -1164,11 +1267,15 @@ object GraftSink {
         f <- fs.listStatus(d.getPath)
         if f.isFile && f.getPath.getName.endsWith(".parquet")
       } yield s"$dataRel/${d.getPath.getName}/${f.getPath.getName}")
+      // carried files keep their deleted positions; the rewritten
+      // buckets' rows were DV-filtered above (stale entries for
+      // dropped files match nothing)
       val header = headerLines(meta +
         ("kind" -> "merge") +
         ("buckets" -> numBuckets.toString) +
         ("touched" -> touched.toSeq.sorted.mkString(",")) +
-        ("schema" -> outSchema.json))
+        ("schema" -> outSchema.json) ++
+        dvRelOf(fs, v).map("dv" -> _))
       beforePublish()
       var carriedNow = carried
       var attempts = 0
@@ -1314,7 +1421,7 @@ object GraftSink {
       val files = manifestFiles(fs, v).filter(rel =>
         pathBucket(rel).forall(wanted.contains))
       if (files.isEmpty) return read(spark).limit(0)
-      spark.read.parquet(files.map(rel => s"$path/$rel"): _*)
+      readFiles(spark, fs, files, versionSchema(fs, v), dvRelOf(fs, v))
         .join(broadcast(keyDf), keyCols, "left_semi")
     }
 
@@ -1357,7 +1464,36 @@ object GraftSink {
         val removed = (sets(v - 1) -- sets(v)).toSeq.sorted.map(stripStats)
         val kind = kindOf(v)
         if (kind.contains("optimize")) None // content-identical republish
-        else if (sets(v - 1).subsetOf(sets(v))) {
+        else if (kind.contains("delete")) {
+          // a DV delete changes no files: the change set is exactly
+          // the positions fresh in this version's vector — read ONLY
+          // those rows back (semi-join on row address), tag delete
+          val dvNew = spark.read.parquet(
+            s"$path/${dvRelOf(fs, v).get}")
+          val fresh = dvRelOf(fs, v - 1) match {
+            case None => dvNew
+            case Some(old) => dvNew.join(
+              spark.read.parquet(s"$path/$old"),
+              Seq("file", "row_index"), "left_anti")
+          }
+          val rels = manifestFiles(fs, v)
+          val schema = versionSchema(fs, v)
+          val paths = rels.map(rel => s"$path/$rel")
+          val base = schema
+            .map(sc => spark.read.schema(sc).parquet(paths: _*))
+            .getOrElse(spark.read.parquet(paths: _*))
+          val cols = base.columns.toSeq
+          Some(base
+            .withColumn("__dv_file", col("_metadata.file_path"))
+            .withColumn("__dv_row", col("_metadata.row_index"))
+            .join(fresh
+                .withColumnRenamed("file", "__dv_file")
+                .withColumnRenamed("row_index", "__dv_row"),
+              Seq("__dv_file", "__dv_row"), "left_semi")
+            .select(cols.map(col): _*)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        } else if (sets(v - 1).subsetOf(sets(v))) {
           if (added.isEmpty) None
           else Some(readFiles(spark, fs, added, versionSchema(fs, v))
             .withColumn("_change_type", lit("insert"))
@@ -1369,9 +1505,10 @@ object GraftSink {
           val schema = versionSchema(fs, v)
           val (before, after) =
             if (kind.contains("merge"))
-              // file-pruned: only the rewritten buckets' files move
-              (readFiles(spark, fs, removed, schema),
-                readFiles(spark, fs, added, schema))
+              // file-pruned: only the rewritten buckets' files move —
+              // each side under ITS version's deletion vector
+              (readFiles(spark, fs, removed, schema, dvRelOf(fs, v - 1)),
+                readFiles(spark, fs, added, schema, dvRelOf(fs, v)))
             else (readVersion(spark, v - 1), readVersion(spark, v))
           Some(keyedDiff(before, after, keyCols, v))
         }
@@ -1469,17 +1606,36 @@ object GraftSink {
           commit(readVersion(spark, v).repartition(files),
             overwrite = true, meta = Map("kind" -> "optimize"))
         case Some(nb) =>
-          val current = readVersion(spark, v)
-          val pathB = regexp_extract(input_file_name(),
+          // the bucket is derived from the row's FILE PATH via
+          // _metadata (input_file_name would not survive the DV
+          // anti-join below — metadata columns bind at the scan)
+          val rels = manifestFiles(fs, v)
+          val schema = versionSchema(fs, v)
+          val paths = rels.map(rel => s"$path/$rel")
+          val base = schema
+            .map(sc => spark.read.schema(sc).parquet(paths: _*))
+            .getOrElse(spark.read.parquet(paths: _*))
+            .withColumn("__dv_file", col("_metadata.file_path"))
+            .withColumn("__dv_row", col("_metadata.row_index"))
+          val alive = dvRelOf(fs, v) match {
+            case None => base
+            case Some(rel) => base.join(
+              spark.read.parquet(s"$path/$rel")
+                .withColumnRenamed("file", "__dv_file")
+                .withColumnRenamed("row_index", "__dv_row"),
+              Seq("__dv_file", "__dv_row"), "left_anti")
+          }
+          val pathB = regexp_extract(col("__dv_file"),
             "__bucket=(\\d+)/", 1)
           val fromPath = when(pathB =!= "", pathB.cast("long"))
           val bucket =
             if (keyCols.isEmpty) fromPath
             else coalesce(fromPath, bucketOf(keyCols, nb))
-          val packed = current.withColumn("__bucket", bucket)
-            .repartition(col("__bucket"))
+          val current = alive.withColumn("__bucket", bucket)
+            .drop("__dv_file", "__dv_row")
+          val packed = current.repartition(col("__bucket"))
           val outSchema = org.apache.spark.sql.types.StructType(
-            current.schema.fields)
+            current.drop("__bucket").schema.fields)
           val dataRel = s"_data/commit-${v + 1}-${java.util.UUID.randomUUID}"
           val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
           packed.write.mode(SaveMode.Overwrite)
@@ -1627,6 +1783,19 @@ object GraftSink {
             fs.delete(p, false)
         }
         prune(dataRoot)
+      }
+      // deletion-vector sidecars: keep exactly the vectors retained
+      // manifests reference, reclaim the rest (each delete commit
+      // rewrites the cumulative vector, so old sidecars age out with
+      // their versions)
+      val keepDv = (horizon to v).flatMap(kv => dvRelOf(fs, kv)).toSet
+      val dvRoot = new org.apache.hadoop.fs.Path(root, "_dv")
+      if (fs.exists(dvRoot)) {
+        for (d <- fs.listStatus(dvRoot)) {
+          if (!keepDv.contains(s"_dv/${d.getPath.getName}")) {
+            fs.delete(d.getPath, true); dataDeleted += 1
+          }
+        }
       }
       var manifestsDeleted = 0
       for (kv <- 1L until horizon) {

@@ -2065,6 +2065,58 @@ object Cdc {
         .orderBy("event_type")
     }),
 
+    // A66 DELETION VECTORS (Delta's row-level deletes): the snapshot
+    // lands in one merge commit, then deleteWhere records the matching
+    // rows BY POSITION in a _dv sidecar and republishes the SAME file
+    // lines — zero data files rewritten (the graded files_unchanged
+    // witness), every read anti-joins the vector at the scan. On a
+    // 100 TB table a GDPR erasure is a kilobyte sidecar where even
+    // the bucketed merge would rewrite whole buckets. The oracle is
+    // the snapshot minus the predicate.
+    "cdc_table_delete_vectors" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tabledv")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val table = GraftSink.VersionedTable(path)
+      table.merge(log, Seq("key"), Seq("commit_ts_us", "seq"))
+      // data files only: the post-delete plan also scans the _dv
+      // sidecar, which is exactly the point — the DATA files are
+      // untouched
+      def dataFiles = table.read(s).inputFiles
+        .filter(_.contains("/_data/")).toSet
+      val before = dataFiles
+      val (_, nDel) = table.deleteWhere(s, pmod(col("key"), lit(7L)) === 0)
+      require(nDel > 0, "the delete predicate must match rows at every SF")
+      val witness = dataFiles == before
+      table.read(s)
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .withColumn("files_unchanged", lit(witness))
+        .orderBy("user_id")
+    }),
+
+    // A66 DV × CDF: the delete version changes NO files, so its change
+    // set is exactly the positions fresh in its vector — changes()
+    // reads ONLY those rows back (semi-join on row address) and tags
+    // them delete. Oracle: the snapshot rows the predicate matched.
+    "cdc_table_dv_cdf" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tabledvcdf")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val table = GraftSink.VersionedTable(path)
+      table.merge(log, Seq("key"), Seq("commit_ts_us", "seq"))
+      table.deleteWhere(s, pmod(col("key"), lit(7L)) === 0)
+      table.changes(s, 1L, 2L)
+        .select(col("key").as("user_id"), col("event_type"),
+          col("value"), col("commit_ts_us"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("user_id")
+    }),
+
     // A66 Z-ORDER clustering (Delta's OPTIMIZE ZORDER BY): the whole
     // changelog lands in ONE hash-scattered commit — every file spans
     // the full ts AND key range, so no range read can prune — then
@@ -3927,6 +3979,34 @@ object Cdc {
         |       count(*) AS n_events, $sumCentsSql AS sum_value_e2,
         |       min(event_id) AS min_seq, max(event_id) AS max_seq
         |FROM vv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Deletion vectors: snapshot minus the predicate; files_unchanged
+    // TRUE = the delete rewrote zero data files.
+    "cdc_table_delete_vectors" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us,
+        |       TRUE AS files_unchanged
+        |FROM ranked WHERE rn = 1 AND op <> 'D' AND key % 7 <> 0
+        |ORDER BY user_id""".stripMargin),
+
+    // DV × CDF: exactly the snapshot rows the predicate matched,
+    // tagged delete and attributed to the delete version.
+    "cdc_table_dv_cdf" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id, event_type, value, commit_ts_us,
+        |       'delete' AS _change_type,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM ranked WHERE rn = 1 AND op <> 'D' AND key % 7 = 0
+        |ORDER BY user_id""".stripMargin),
 
     // Z-order: layout never changes an answer — the ts-range profile
     // is the plain filter; both witnesses must be TRUE (the zordered

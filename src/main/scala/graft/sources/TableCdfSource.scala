@@ -198,6 +198,13 @@ private[sources] class CdfMicroBatchStream(schema: StructType, path: String,
       val cur = files(v)
       if (kind(v).contains("optimize")) Nil // content-identical
       else {
+        // a deletion-vector version changes no files but DOES change
+        // content — silently treating it as an empty append would
+        // diverge every downstream materialization
+        require(!kind(v).contains("delete"),
+          s"$path: version $v is a deletion-vector delete — a " +
+            "streaming CDF reads added files only; use " +
+            "VersionedTable.changes for delete ranges")
         require(prev.subsetOf(cur),
           s"$path: version $v is not an append (kind=${kind(v)
             .getOrElse("?")}) — a streaming CDF reads added files only; " +

@@ -850,6 +850,103 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("bucketed"))
   }
 
+  test("VersionedTable.deleteWhere deletion vectors: row-level deletes " +
+    "rewrite NO data files; every read path filters them; CDF emits " +
+    "exactly the fresh deletions; optimize materializes the filter " +
+    "and drops the vector; vacuum reclaims stale sidecars") {
+    import spark.implicits._
+    val path = tmp("vtable-dv")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit((0L until 100L).map(k => (k, s"p$k")).toDF("key", "tag")
+      .repartition(4))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifestLines(v: Long): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        path, s"_manifests/v$v.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+      finally in.close()
+    }
+    val (v2, nDel) = vt.deleteWhere(spark, col("key") % 10 === 0)
+    assert(v2 === 2L && nDel === 10L)
+    // ZERO data files rewritten: identical file lines
+    assert(manifestLines(2) === manifestLines(1))
+    assert(vt.read(spark).count() === 90L)
+    assert(vt.read(spark).where(col("key") % 10 === 0).count() === 0L)
+    // time travel: v1 still has everything
+    assert(vt.readVersion(spark, 1).count() === 100L)
+    // re-deleting the same rows is a no-op (the scan is DV-filtered)
+    val (v3, nDel2) = vt.deleteWhere(spark, col("key") % 10 === 0)
+    assert(v3 === 3L && nDel2 === 0L)
+    // a second delete merges cumulatively
+    val (v4, nDel3) = vt.deleteWhere(spark, col("key") < 5)
+    assert(v4 === 4L && nDel3 === 4L) // 0 already dead
+    assert(vt.read(spark).count() === 86L)
+    // CDF: the delete version emits exactly the FRESH deletions
+    val feed = vt.changes(spark, 3L, 4L)
+    assert(feed.select("key").as[Long].collect().sorted ===
+      Array(1L, 2L, 3L, 4L))
+    assert(feed.select("_change_type").distinct()
+      .as[String].collect() === Array("delete"))
+    // appends keep the vector live
+    vt.commit(Seq((200L, "new")).toDF("key", "tag"))
+    assert(vt.read(spark).count() === 87L)
+    // readRange respects the vector
+    assert(vt.readRange(spark, "key", 0L, 9L).count() === 5L) // 5,6,7,8,9
+    // optimize materializes the filtered content and DROPS the vector
+    val (optV, _, _) = vt.optimize(spark, 1000L)
+    assert(!vt.manifestMeta(spark, optV).contains("dv"))
+    assert(vt.read(spark).count() === 87L)
+    assert(vt.read(spark).where(col("key") < 5 && col("key") >= 0)
+      .count() === 0L)
+    // vacuum reclaims the now-unreferenced sidecars
+    val dvRoot = new org.apache.hadoop.fs.Path(path, "_dv")
+    assert(fs.listStatus(dvRoot).length === 3)
+    vt.vacuum(spark, retainLast = 1)
+    assert(!fs.exists(dvRoot) || fs.listStatus(dvRoot).isEmpty)
+    assert(vt.read(spark).count() === 87L)
+  }
+
+  test("VersionedTable.deleteWhere composes with the bucketed merge: " +
+    "deleted rows never resurrect through a carried file, and the " +
+    "merge-crossing CDF stays DV-aware") {
+    import spark.implicits._
+    val path = tmp("vtable-dv-merge")
+    val vt = GraftSink.VersionedTable(path)
+    def batch(rows: (Long, Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("key", "seq", "op", "payload")
+    vt.mergeBucketed(batch((0L until 64L).map(k =>
+      (k, k, "I", s"v$k")): _*), Seq("key"), Seq("seq"), numBuckets = 8)
+    vt.deleteWhere(spark, col("key") === 7L || col("key") === 9L)
+    assert(vt.read(spark).count() === 62L)
+    // a merge touching ANOTHER bucket carries key 7/9's files — the
+    // vector must ride the carry (no resurrection)
+    val other = (10L until 64L).find { k =>
+      val b = spark.range(1)
+        .select(pmod(xxhash64(lit(k)), lit(8L))).head().getLong(0)
+      val b7 = spark.range(1)
+        .select(pmod(xxhash64(lit(7L)), lit(8L))).head().getLong(0)
+      b != b7
+    }.get
+    vt.mergeBucketed(batch((other, 100L, "U", "upd")),
+      Seq("key"), Seq("seq"), numBuckets = 8)
+    assert(vt.read(spark).count() === 62L)
+    assert(vt.read(spark).where(col("key").isin(7L, 9L)).count() === 0L)
+    // a merge touching the DELETED key's own bucket reads DV-filtered
+    // current state: key 7 re-inserts as a fresh row
+    vt.mergeBucketed(batch((7L, 200L, "I", "back")),
+      Seq("key"), Seq("seq"), numBuckets = 8)
+    assert(vt.read(spark).where(col("key") === 7L)
+      .select("payload").as[String].collect() === Array("back"))
+    assert(vt.read(spark).count() === 63L)
+    // merge-crossing CDF across that version: key 7 is an INSERT
+    // (its old row was already dead at the delete version)
+    val feed = vt.changes(spark, 3L, 4L, keyCols = Seq("key"))
+    assert(feed.select("key", "_change_type").as[(Long, String)]
+      .collect() === Array((7L, "insert")))
+  }
+
   test("TableCdfSource: streams versions as they land — one version " +
     "per trigger, optimize commits contribute nothing, and a merge " +
     "version fails the stream loudly") {
