@@ -2204,6 +2204,41 @@ object Cdc {
         .orderBy("version", "event_type")
     }),
 
+    // A66 × A17 streaming BUCKETED-MERGE delivery — the standing-
+    // deployment lakehouse loop: the changelog arrives as three
+    // ts-ordered streaming flushes and each micro-batch UPSERTS into
+    // the versioned table as ONE mergeBucketedBatch commit (work
+    // O(|touched buckets|) per flush, exactly-once by batch id; three
+    // flushes → exactly three versions, the graded table_version
+    // witness). The table must converge to the full-feed snapshot —
+    // same oracle as cdc_snapshot, now through the streaming
+    // Kafka→lakehouse landing path.
+    "cdc_stream_table_merge" -> ((s, dir) => withStreamPartitions(s) {
+      val ev = Tables.events(s, dir)
+      val inDir = streamSliceDir(s, ev, dir, slices = 3,
+        tag = "vtablemerge_in")
+      val path = roundtripPath(dir, "streamtablemerge")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val table = GraftSink.VersionedTable(path)
+      val q = CdcStream.deliverVersionedMerge(
+        CdcStream.fromParquetDir(s, inDir, ev.schema),
+        Changefeed(Seq(TransformPlugin("to-changelog",
+          Changelog.fromEvents))),
+        table,
+        java.nio.file.Files.createTempDirectory("ckptvm").toString,
+        keyCols = Seq("key"), orderCols = Seq("commit_ts_us", "seq"),
+        numBuckets = 16)
+      q.awaitTermination()
+      table.read(s)
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .withColumn("table_version", lit(table.currentVersion(s)))
+        .orderBy("user_id")
+    }),
+
     // A21: semi-structured payload extraction — JSON props parsed in the
     // scan projection (codegen'd get_json_object; no UDF)
     "cdc_json_extract" -> ((s, dir) => {
@@ -3979,6 +4014,21 @@ object Cdc {
         |       count(*) AS n_events, $sumCentsSql AS sum_value_e2,
         |       min(event_id) AS min_seq, max(event_id) AS max_seq
         |FROM vv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Streaming bucketed-merge delivery: incremental ts-ordered
+    // upserts converge to the full-feed snapshot; exactly one version
+    // per flush.
+    "cdc_stream_table_merge" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us,
+        |       CAST(3 AS BIGINT) AS table_version
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
 
     // Deletion vectors: snapshot minus the predicate; files_unchanged
     // TRUE = the delete rewrote zero data files.
