@@ -1128,6 +1128,77 @@ object GraftSink {
       (newV, total - prevN)
     }
 
+    /** KEYED deletion-vector delete on a BUCKETED table — the GDPR
+      * path at scale: the requested keys hash to their buckets
+      * driver-side and the position scan reads ONLY those buckets'
+      * files (the [[lookup]] pruning), so erasing a handful of keys
+      * from a 100 TB table scans 1/numBuckets of it and rewrites
+      * nothing ([[deleteWhere]] scans the whole table — inherent for
+      * an arbitrary predicate; a keyed erasure is the common case and
+      * deserves the pruned plan). Semantics = deleteWhere(key ∈ keys);
+      * SinksSpec pins the file census. */
+    def deleteKeys(spark: org.apache.spark.sql.SparkSession,
+                   keyCols: Seq[String], keys: Seq[Seq[Any]],
+                   numBuckets: Int = 64): (Long, Long) = {
+      require(keys.nonEmpty, "deleteKeys needs at least one key")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      require(v > 0, s"$path: no committed versions")
+      bucketSpec(fs).foreach(b => require(b == numBuckets,
+        s"$path: table is bucketed into $b buckets (manifest #buckets); " +
+          s"deleteKeys with $numBuckets would prune the wrong buckets " +
+          "and silently miss rows — pass the table's spec"))
+      val schema = versionSchema(fs, v)
+      val keyDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          keys.map(org.apache.spark.sql.Row.fromSeq), 1),
+        org.apache.spark.sql.types.StructType(keyCols.map(c =>
+          read(spark).schema(c))))
+      val wanted = keyDf.select(bucketOf(keyCols, numBuckets).as("__b"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val rels = manifestRawLines(fs, v).map(stripStats).filter(rel =>
+        pathBucket(rel).forall(wanted.contains))
+      if (rels.isEmpty) return (v, 0L) // keys hash to empty buckets
+      val prevDv = dvRelOf(fs, v)
+      val paths = rels.map(rel => s"$path/$rel")
+      val base = schema.map(s => spark.read.schema(s).parquet(paths: _*))
+        .getOrElse(spark.read.parquet(paths: _*))
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_row", col("_metadata.row_index"))
+      val alive = prevDv match {
+        case None => base
+        case Some(rel) => base.join(
+          spark.read.parquet(s"$path/$rel")
+            .withColumnRenamed("file", "__dv_file")
+            .withColumnRenamed("row_index", "__dv_row"),
+          Seq("__dv_file", "__dv_row"), "left_anti")
+      }
+      val newDead = alive.join(broadcast(keyDf), keyCols, "left_semi")
+        .select(col("__dv_file").as("file"),
+          col("__dv_row").as("row_index"))
+      val merged = prevDv.map(rel =>
+        spark.read.parquet(s"$path/$rel").unionByName(newDead))
+        .getOrElse(newDead)
+      val newV = v + 1
+      val dvOut = s"_dv/v$newV-${java.util.UUID.randomUUID}"
+      merged.repartition(1).write
+        .mode(SaveMode.Overwrite).parquet(s"$path/$dvOut")
+      val total = spark.read.parquet(s"$path/$dvOut").count()
+      val prevN = prevDv.map(rel =>
+        spark.read.parquet(s"$path/$rel").count()).getOrElse(0L)
+      val header = headerLines(Map(
+        "kind" -> "delete", "dv" -> dvOut) ++
+        manifestMeta(fs, v).get("schema").map("schema" -> _))
+      if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v))) {
+        fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
+        throw new IllegalStateException(s"$path: concurrent commit took " +
+          s"v$newV while this delete was scanning — its row positions " +
+          "are stale; re-run against the new current version")
+      }
+      (newV, total - prevN)
+    }
+
     /** The table at its latest version. */
     def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
       val fs = new org.apache.hadoop.fs.Path(path)

@@ -2117,6 +2117,35 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A66 KEYED DV erasure on the bucketed table — the GDPR path at
+    // scale: the requested keys hash to their buckets driver-side and
+    // the position scan reads ONLY those buckets' files (lookup's
+    // pruning composed with A76's vectors), so erasing three users
+    // from a 100 TB table scans ~3/16 of it and rewrites NOTHING
+    // (files_unchanged witness). Oracle: snapshot minus the keys.
+    "cdc_table_delete_keys" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tabledvkeys")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val table = GraftSink.VersionedTable(path)
+      table.mergeBucketed(log, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16)
+      def dataFiles = table.read(s).inputFiles
+        .filter(_.contains("/_data/")).toSet
+      val before = dataFiles
+      table.deleteKeys(s, Seq("key"), Seq(Seq(0L), Seq(1L), Seq(2L)),
+        numBuckets = 16)
+      val witness = dataFiles == before
+      table.read(s)
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .withColumn("files_unchanged", lit(witness))
+        .orderBy("user_id")
+    }),
+
     // A66 Z-ORDER clustering (Delta's OPTIMIZE ZORDER BY): the whole
     // changelog lands in ONE hash-scattered commit — every file spans
     // the full ts AND key range, so no range read can prune — then
@@ -4042,6 +4071,19 @@ object Cdc {
         |       value AS last_value, commit_ts_us AS last_ts_us,
         |       TRUE AS files_unchanged
         |FROM ranked WHERE rn = 1 AND op <> 'D' AND key % 7 <> 0
+        |ORDER BY user_id""".stripMargin),
+
+    // Keyed DV erasure: snapshot minus the erased keys.
+    "cdc_table_delete_keys" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us,
+        |       TRUE AS files_unchanged
+        |FROM ranked WHERE rn = 1 AND op <> 'D' AND key NOT IN (0, 1, 2)
         |ORDER BY user_id""".stripMargin),
 
     // DV × CDF: exactly the snapshot rows the predicate matched,

@@ -945,6 +945,31 @@ class SinksSpec extends SparkSpec {
     val feed = vt.changes(spark, 3L, 4L, keyCols = Seq("key"))
     assert(feed.select("key", "_change_type").as[(Long, String)]
       .collect() === Array((7L, "insert")))
+    // deleteKeys: the KEYED erasure prunes the position scan to the
+    // key's bucket — on a fresh table, every recorded position lives
+    // in that bucket's files
+    val kpath = tmp("vtable-dv-keys")
+    val kvt = GraftSink.VersionedTable(kpath)
+    kvt.mergeBucketed(batch((0L until 64L).map(k =>
+      (k, k, "I", s"v$k")): _*), Seq("key"), Seq("seq"), numBuckets = 8)
+    val (v2k, nDel) = kvt.deleteKeys(spark, Seq("key"), Seq(Seq(11L)),
+      numBuckets = 8)
+    assert(nDel === 1L)
+    assert(kvt.read(spark).where(col("key") === 11L).count() === 0L)
+    assert(kvt.read(spark).count() === 63L)
+    val dvRel = kvt.manifestMeta(spark, v2k)("dv")
+    val b11 = spark.range(1)
+      .select(pmod(xxhash64(lit(11L)), lit(8L))).head().getLong(0)
+    val posFiles = spark.read.parquet(s"$kpath/$dvRel")
+      .select("file").distinct().as[String].collect()
+    assert(posFiles.nonEmpty)
+    assert(posFiles.forall(_.contains(s"__bucket=$b11/")))
+    // re-deleting is a no-op; a bucket-spec mismatch fails loudly
+    assert(kvt.deleteKeys(spark, Seq("key"), Seq(Seq(11L)),
+      numBuckets = 8)._2 === 0L)
+    val e = intercept[IllegalArgumentException](
+      kvt.deleteKeys(spark, Seq("key"), Seq(Seq(12L)), numBuckets = 16))
+    assert(e.getMessage.contains("bucket"))
   }
 
   test("TableCdfSource: streams versions as they land — one version " +
