@@ -1518,7 +1518,18 @@ object GraftSink {
       *    carries no row-level lineage. */
     def changes(spark: org.apache.spark.sql.SparkSession,
                 fromV: Long, toV: Long,
-                keyCols: Seq[String] = Nil): DataFrame = {
+                keyCols: Seq[String] = Nil): DataFrame =
+      changes(spark, fromV, toV, keyCols, emitPreimages = false)
+
+    /** [[changes]] optionally emitting `update_preimage` rows beside
+      * each `update_postimage` (Delta's CDF shape): the pre-image is
+      * what incremental view maintenance RETRACTS — with preimages a
+      * downstream aggregate is maintainable from the feed alone
+      * (+post − pre), without re-reading the table. */
+    def changes(spark: org.apache.spark.sql.SparkSession,
+                fromV: Long, toV: Long,
+                keyCols: Seq[String],
+                emitPreimages: Boolean): DataFrame = {
       require(fromV < toV, s"empty version range ($fromV, $toV]")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1581,32 +1592,55 @@ object GraftSink {
               (readFiles(spark, fs, removed, schema, dvRelOf(fs, v - 1)),
                 readFiles(spark, fs, added, schema, dvRelOf(fs, v)))
             else (readVersion(spark, v - 1), readVersion(spark, v))
-          Some(keyedDiff(before, after, keyCols, v))
+          Some(keyedDiff(before, after, keyCols, v, emitPreimages))
         }
       }.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
     }
 
     /** Full-outer keyed diff of two relations, tagged insert /
-      * update_postimage / delete and attributed to version `v`. */
+      * update_postimage / delete (plus `update_preimage` when asked —
+      * the retraction row IVM needs) and attributed to version `v`. */
     private def keyedDiff(before: DataFrame, after: DataFrame,
-                          keyCols: Seq[String], v: Long): DataFrame = {
+                          keyCols: Seq[String], v: Long,
+                          emitPreimages: Boolean = false): DataFrame = {
       val payload = after.columns.filterNot(keyCols.contains).toSeq
       def tagged(df: DataFrame, side: String) = df.select(
         keyCols.map(col) :+
           struct(payload.map(col): _*).as(s"__p_$side"): _*)
-      tagged(after, "a").join(tagged(before, "b"), keyCols, "full_outer")
+      val joined = tagged(after, "a")
+        .join(tagged(before, "b"), keyCols, "full_outer")
         .withColumn("_change_type",
           when(col("__p_b").isNull, "insert")
             .when(col("__p_a").isNull, "delete")
             .when(!(col("__p_a") <=> col("__p_b")), "update_postimage"))
         .where(col("_change_type").isNotNull)
-        // post-image for insert/update, pre-image for delete — chosen
-        // by SIDE, never per-field coalesce (a legitimately-null
-        // post-image field must not resurrect the pre-image value)
-        .select(keyCols.map(col) ++
-          payload.map(c => when(col("_change_type") === "delete",
-            col(s"__p_b.$c")).otherwise(col(s"__p_a.$c")).as(c)) ++
-          Seq(col("_change_type"), lit(v).as("_commit_version")): _*)
+      // one (side, tag) element per emitted row: post-image for
+      // insert/update, pre-image for delete — chosen by SIDE, never
+      // per-field coalesce (a legitimately-null post-image field must
+      // not resurrect the pre-image value); updates additionally
+      // explode their pre-image when asked
+      val emitted =
+        if (!emitPreimages)
+          joined.withColumn("__img",
+            when(col("_change_type") === "delete", col("__p_b"))
+              .otherwise(col("__p_a")))
+        else joined
+          .withColumn("__pair", explode(
+            when(col("_change_type") === "update_postimage",
+              array(struct(col("__p_b").as("img"),
+                  lit("update_preimage").as("tag")),
+                struct(col("__p_a").as("img"),
+                  lit("update_postimage").as("tag"))))
+              .when(col("_change_type") === "delete",
+                array(struct(col("__p_b").as("img"),
+                  lit("delete").as("tag"))))
+              .otherwise(array(struct(col("__p_a").as("img"),
+                lit("insert").as("tag"))))))
+          .withColumn("__img", col("__pair.img"))
+          .withColumn("_change_type", col("__pair.tag"))
+      emitted.select(keyCols.map(col) ++
+        payload.map(c => col(s"__img.$c").as(c)) ++
+        Seq(col("_change_type"), lit(v).as("_commit_version")): _*)
     }
 
     /** [[changes]] between two EVENT TIMES: each boundary resolves to

@@ -1863,6 +1863,43 @@ object Cdc {
         .orderBy("_commit_version", "user_id")
     }),
 
+    // A35 × A66: INCREMENTAL VIEW MAINTENANCE from the table's own
+    // change feed — changes(…, emitPreimages=true) emits Delta's full
+    // CDF shape (update_preimage beside update_postimage), so a
+    // downstream aggregate maintains itself from the feed alone:
+    // +post −pre per group, never re-reading the table. The graded
+    // relation is the MAINTAINED view; the oracle computes the DIRECT
+    // aggregate over the final snapshot — parity proves the feed
+    // carries exactly the deltas (retractions included) that close
+    // the loop.
+    "cdc_table_ivm" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tableivm")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir).select(col("key"), col("commit_ts_us"),
+        col("seq"), col("op"), col("event_type"), col("value"))
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      Seq(
+        log.where(col("commit_ts_us") <= t1),
+        log.where(col("commit_ts_us") > t1 && col("commit_ts_us") <= t2),
+        log.where(col("commit_ts_us") > t2)
+      ).foreach(slice => table.mergeBucketed(slice, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16))
+      val feed = table.changes(s, 0L, 3L, Seq("key"),
+        emitPreimages = true)
+      val sgn = when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      feed
+        .groupBy(col("event_type"))
+        .agg(sum(sgn).as("n_live"),
+          sum((dec182("value") * 100).cast("decimal(38,0)") * sgn)
+            .cast("long").as("sum_value_e2"))
+        .where(col("n_live") > 0)
+        .orderBy("event_type")
+    }),
+
     // A66 merge CONCURRENCY: two bucketed merges race — the second is
     // injected inside the first's publish window (the deterministic
     // race seam), touching a DISJOINT bucket set (the feed split by
@@ -4250,6 +4287,19 @@ object Cdc {
     // Racing disjoint merges must converge to the serial answer —
     // the full-feed snapshot.
     "cdc_table_merge_racing" -> snapshotOracle,
+
+    // IVM from the CDF: the maintained view must equal the DIRECT
+    // aggregate over the final snapshot.
+    "cdc_table_ivm" -> (logCte +
+      s""",
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log),
+        |snap AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+        |SELECT event_type, count(*) AS n_live,
+        |       $sumCentsSql AS sum_value_e2
+        |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Lakehouse schema evolution: per-version profile re-derived from
     // slice arithmetic — value_e2 exists only for slice-2/3 rows under

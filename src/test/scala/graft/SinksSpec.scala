@@ -589,6 +589,14 @@ class SinksSpec extends SparkSpec {
     // commit (nothing removed) → pure file-level inserts
     assert(vt.changes(spark, 0L, 3L, keyCols = Seq("key"))
       .where(col("_commit_version") === 1L).count() === 64L)
+    // emitPreimages: the update emits its retraction beside the
+    // post-image (Delta's CDF shape — what IVM consumes)
+    val pre = vt.changes(spark, 1L, 2L, keyCols = Seq("key"),
+      emitPreimages = true)
+      .select("key", "payload", "_change_type")
+      .as[(Long, String, String)].collect().sortBy(_._3)
+    assert(pre === Array(
+      (7L, "v7b", "update_postimage"), (7L, "v7", "update_preimage")))
   }
 
   test("VersionedTable.optimize preserves the bucket layout: content " +
