@@ -1395,9 +1395,39 @@ object GraftSink {
           "batch_hi" -> math.max(batchId, batchHi(fs)).toString)))
     }
 
+    /** RESTORE (Delta's `RESTORE TABLE … TO VERSION`): republish
+      * version `v`'s exact state — file lines, schema, deletion
+      * vector, bucket spec, all verbatim — as a NEW version. History
+      * stays linear and intact: the rolled-back versions remain time-
+      * travelable (vacuum ages them out later), and the restore
+      * itself is one manifest write — zero data moves, whatever the
+      * table size. CDF across a restore is a keyed diff (content
+      * reverted arbitrarily — same class as an overwrite). */
+    def restore(spark: org.apache.spark.sql.SparkSession,
+                v: Long): Long = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val cur = currentVersion(fs)
+      require(v >= 1 && v <= cur,
+        s"$path: cannot restore to v$v (current is v$cur)")
+      val meta = manifestMeta(fs, v)
+      val header = headerLines(Map(
+        "kind" -> "restore", "restored_from" -> v.toString) ++
+        meta.get("schema").map("schema" -> _) ++
+        meta.get("dv").map("dv" -> _) ++
+        meta.get("buckets").map("buckets" -> _))
+      val newV = cur + 1
+      if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v)))
+        throw new IllegalStateException(s"$path: concurrent commit took " +
+          s"v$newV while this restore was publishing — re-check and " +
+          "re-run against the new current version")
+      newV
+    }
+
     /** The table's persisted bucket spec: the newest manifest carrying
-      * `#buckets=` below any full-overwrite reset. Driver work is
-      * |versions| header reads (vacuumed manifests skipped). */
+      * `#buckets=` below any layout reset (a full overwrite, or a
+      * restore to an unbucketed version). Driver work is |versions|
+      * header reads (vacuumed manifests skipped). */
     private def bucketSpec(fs: org.apache.hadoop.fs.FileSystem)
         : Option[Int] = {
       val v = currentVersion(fs)
@@ -1410,9 +1440,11 @@ object GraftSink {
           meta.get("buckets") match {
             case Some(b) => return Some(b.toInt)
             case None =>
-              // a plain full overwrite replaced the whole layout —
-              // nothing older than it is live
-              if (meta.get("kind").contains("overwrite")) return None
+              // a full overwrite (or a restore to an unbucketed
+              // version — it would have stamped #buckets otherwise)
+              // replaced the whole layout — nothing older is live
+              if (meta.get("kind").exists(k =>
+                k == "overwrite" || k == "restore")) return None
           }
         }
         kv -= 1
@@ -1546,6 +1578,16 @@ object GraftSink {
         val removed = (sets(v - 1) -- sets(v)).toSeq.sorted.map(stripStats)
         val kind = kindOf(v)
         if (kind.contains("optimize")) None // content-identical republish
+        else if (kind.contains("restore")) {
+          // a restore can share (or superset) its parent's file lines
+          // while REVERTING content (dv included) — never file-level;
+          // always the keyed diff, each side under its own vector
+          require(keyCols.nonEmpty,
+            s"($fromV, $toV] crosses a restore commit: the keyed diff " +
+              "needs keyCols")
+          Some(keyedDiff(readVersion(spark, v - 1), readVersion(spark, v),
+            keyCols, v, emitPreimages))
+        }
         else if (kind.contains("delete")) {
           // a DV delete changes no files: the change set is exactly
           // the positions fresh in this version's vector — read ONLY

@@ -201,10 +201,10 @@ private[sources] class CdfMicroBatchStream(schema: StructType, path: String,
         // a deletion-vector version changes no files but DOES change
         // content — silently treating it as an empty append would
         // diverge every downstream materialization
-        require(!kind(v).contains("delete"),
-          s"$path: version $v is a deletion-vector delete — a " +
-            "streaming CDF reads added files only; use " +
-            "VersionedTable.changes for delete ranges")
+        require(!kind(v).exists(k => k == "delete" || k == "restore"),
+          s"$path: version $v is a ${kind(v).get} commit — it changes " +
+            "content without adding files; a streaming CDF reads added " +
+            "files only; use VersionedTable.changes for such ranges")
         require(prev.subsetOf(cur),
           s"$path: version $v is not an append (kind=${kind(v)
             .getOrElse("?")}) — a streaming CDF reads added files only; " +

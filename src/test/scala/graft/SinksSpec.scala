@@ -980,6 +980,40 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("bucket"))
   }
 
+  test("VersionedTable.restore: time-travel rollback as a new version " +
+    "— zero data moves, history intact, dv/bucket state carried; CDF " +
+    "across it is the keyed diff") {
+    import spark.implicits._
+    val path = tmp("vtable-restore")
+    val vt = GraftSink.VersionedTable(path)
+    def slice(tag: String, ks: Seq[Long]): DataFrame =
+      ks.map(k => (k, tag)).toDF("key", "tag")
+    vt.commit(slice("a", Seq(1, 2)))
+    vt.commit(slice("b", Seq(3)))
+    vt.commit(slice("z", Seq(9)), overwrite = true)
+    assert(vt.restore(spark, 2L) === 4L)
+    // content = v2 exactly; the overwritten v3 remains time-travelable
+    assert(vt.read(spark).select("key").as[Long].collect().sorted ===
+      Array(1L, 2L, 3L))
+    assert(vt.readVersion(spark, 3).select("key")
+      .as[Long].collect() === Array(9L))
+    // CDF across the restore: keyed diff (9 deleted, 1/2/3 inserted)
+    val feed = vt.changes(spark, 3L, 4L, keyCols = Seq("key"))
+    assert(feed.orderBy("key").select("key", "_change_type")
+      .as[(Long, String)].collect() ===
+      Array((1L, "insert"), (2L, "insert"), (3L, "insert"),
+        (9L, "delete")))
+    // a restore to a pre-delete version revives the rows (dv carried
+    // per-version), and restoring the DELETED version re-kills them
+    vt.deleteWhere(spark, col("key") === 1L) // v5
+    assert(vt.read(spark).count() === 2L)
+    vt.restore(spark, 4L) // v6: pre-delete
+    assert(vt.read(spark).count() === 3L)
+    vt.restore(spark, 5L) // v7: the deleted state, dv ref carried
+    assert(vt.read(spark).count() === 2L)
+    assert(vt.read(spark).where(col("key") === 1L).count() === 0L)
+  }
+
   test("TableCdfSource: streams versions as they land — one version " +
     "per trigger, optimize commits contribute nothing, and a merge " +
     "version fails the stream loudly") {
