@@ -2335,6 +2335,47 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A13 STREAMING leg: gap-based sessionization as a STATEFUL
+    // streaming aggregation — Structured Streaming's session_window
+    // merges a user's events into gap-bounded sessions ACROSS
+    // micro-batches (the ts-ordered slices split sessions mid-flight,
+    // so the state-store merge is genuinely exercised). The gap is
+    // 30min+1µs because session_window starts a new session at
+    // diff ≥ gap while the batch law (A13) starts at diff > gap —
+    // the +1µs makes the two laws identical, so the oracle is the
+    // SAME SQL as cdc_sessionize: streaming must not change the
+    // answer. Complete mode grades the full session set; the
+    // watermark-fenced append discipline is exercised by the
+    // interval-join queries (A30/A44).
+    "cdc_stream_sessionize" -> ((s, dir) => withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, dir)
+      val inDir = streamSliceDir(s, ev, dir, slices = 3, tag = "sess_in")
+      val qn = "stream_sessionize_sink"
+      val q = CdcStream.fromParquetDir(s, inDir, ev.schema)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "1800000001 microseconds"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          sumCents("value").as("sum_value_e2"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckptsess").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("session_start_us"))
+      s.table(qn)
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start_us"), col("session_end_us"),
+          col("sum_value_e2"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // A21: semi-structured payload extraction — JSON props parsed in the
     // scan projection (codegen'd get_json_object; no UDF)
     "cdc_json_extract" -> ((s, dir) => {
@@ -4527,6 +4568,25 @@ object Cdc {
         |       'unassigned' AS region, commit_ts_us AS last_ts_us
         |FROM ranked WHERE rn = 1 AND op <> 'D'
         |ORDER BY user_id""".stripMargin),
+
+    // Streaming sessionization must equal the batch law exactly.
+    "cdc_stream_sessionize" ->
+      s"""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |d AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |            ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |            AS session_id
+        |  FROM d)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |       $sumCentsSql AS sum_value_e2
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cdc_sessionize" ->
       s"""WITH e AS (
