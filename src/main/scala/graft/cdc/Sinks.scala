@@ -830,6 +830,7 @@ object GraftSink {
         val rows = blocks.map(_.getRowCount).sum
         val mins = scala.collection.mutable.Map.empty[String, BigDecimal]
         val maxs = scala.collection.mutable.Map.empty[String, BigDecimal]
+        val bad = scala.collection.mutable.Set.empty[String]
         for (b <- blocks; c <- b.getColumns.asScala) {
           val name = c.getPath.toDotString
           val st = c.getStatistics
@@ -837,15 +838,23 @@ object GraftSink {
             (st.genericGetMin, st.genericGetMax) match {
               case (mn: java.lang.Number, mx: java.lang.Number)
                   if !mn.isInstanceOf[java.lang.Byte] =>
-                val (dn, dx) = (BigDecimal(mn.toString),
-                  BigDecimal(mx.toString))
-                mins(name) = mins.get(name).map(_.min(dn)).getOrElse(dn)
-                maxs(name) = maxs.get(name).map(_.max(dx)).getOrElse(dx)
+                // NaN/Infinity bounds are unusable (and must never
+                // crash a commit): such a column goes stats-less for
+                // the WHOLE file — readers keep it, correctness
+                // unaffected
+                try {
+                  val (dn, dx) = (BigDecimal(mn.toString),
+                    BigDecimal(mx.toString))
+                  mins(name) = mins.get(name).map(_.min(dn)).getOrElse(dn)
+                  maxs(name) = maxs.get(name).map(_.max(dx)).getOrElse(dx)
+                } catch {
+                  case _: NumberFormatException => bad += name
+                }
               case _ => () // binary/boolean columns carry no range stats
             }
           }
         }
-        val cols = mins.keys.toSeq.sorted.map(c =>
+        val cols = (mins.keySet -- bad).toSeq.sorted.map(c =>
           s""""$c":[${mins(c)},${maxs(c)}]""").mkString(",")
         s"""$rel\t{"rows":$rows,"cols":{$cols}}"""
       } finally rd.close()
