@@ -2184,6 +2184,33 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A66 bucket-pruned point LOOKUP — the read-side payoff of the
+    // bucketed layout, driver-graded: the requested keys hash to
+    // their buckets driver-side and the scan plans ONLY those
+    // buckets' files (1/numBuckets of the table at any size; the
+    // pruned_scan witness pins strictly-fewer files, SinksSpec pins
+    // the exact census). Oracle: the snapshot restricted to the keys.
+    "cdc_table_lookup" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablelookup")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val table = GraftSink.VersionedTable(path)
+      table.mergeBucketed(log, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16)
+      val hit = table.lookup(s, Seq("key"),
+        Seq(Seq(0L), Seq(1L), Seq(2L)), numBuckets = 16)
+      val witness =
+        hit.inputFiles.length < table.read(s).inputFiles.length
+      hit
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .withColumn("pruned_scan", lit(witness))
+        .orderBy("user_id")
+    }),
+
     // A66 KEYED DV erasure on the bucketed table — the GDPR path at
     // scale: the requested keys hash to their buckets driver-side and
     // the position scan reads ONLY those buckets' files (lookup's
@@ -4179,6 +4206,20 @@ object Cdc {
         |       value AS last_value, commit_ts_us AS last_ts_us,
         |       TRUE AS files_unchanged
         |FROM ranked WHERE rn = 1 AND op <> 'D' AND key % 7 <> 0
+        |ORDER BY user_id""".stripMargin),
+
+    // Bucket-pruned lookup: the snapshot restricted to the keys; the
+    // witness pins the pruned plan.
+    "cdc_table_lookup" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id, event_type AS last_event_type,
+        |       value AS last_value, commit_ts_us AS last_ts_us,
+        |       TRUE AS pruned_scan
+        |FROM ranked WHERE rn = 1 AND op <> 'D' AND key IN (0, 1, 2)
         |ORDER BY user_id""".stripMargin),
 
     // Keyed DV erasure: snapshot minus the erased keys.
