@@ -131,14 +131,33 @@ private[sources] class CdfMicroBatchStream(schema: StructType, path: String,
   override def prepareForTriggerAvailableNow(): Unit =
     fixedEnd = Some(currentVersion())
 
-  /** Latest PUBLISHED version — one `_manifests/` listing; the
-    * manifest rename is atomic, so every version ≤ this is fully
-    * readable (no torn state to heal). */
+  /** Latest PUBLISHED version — `_last_checkpoint` hint + forward
+    * existence probes (the VersionedTable resolution law: the hint is
+    * written after each publish, so it is never ahead, and a stale
+    * hint only costs extra probes); the full `_manifests/` listing
+    * survives as the hint-less fallback. The manifest rename is
+    * atomic, so every version ≤ this is fully readable. */
   private def currentVersion(): Long = {
     val dir = new Path(path, "_manifests")
     val fs = dir.getFileSystem(conf)
+    val hint: Long = try {
+      val hp = new Path(dir, "_last_checkpoint")
+      if (!fs.exists(hp)) -1L
+      else {
+        val in = fs.open(hp)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        val h = s.toLong
+        if (h >= 1 && fs.exists(new Path(dir, s"v$h.manifest"))) h else -1L
+      }
+    } catch { case _: Exception => -1L }
     val out =
-      if (!fs.exists(dir)) 0L
+      if (hint >= 0) {
+        var v = hint
+        while (fs.exists(new Path(dir, s"v${v + 1}.manifest"))) v += 1
+        v
+      }
+      else if (!fs.exists(dir)) 0L
       else fs.listStatus(dir).toSeq
         .map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
