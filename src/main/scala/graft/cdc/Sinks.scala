@@ -690,7 +690,7 @@ object GraftSink {
         // an append keeps the previous version's deletion vector live
         // (its files are still listed); an overwrite starts clean
         val dvCarry =
-          if (overwrite) None else dvRelOf(fs, v - 1)
+          if (overwrite) None else dvMetaOf(fs, v - 1)
         val header = headerLines(meta + ("kind" -> kind) +
           ("schema" -> df.schema.json) ++ dvCarry.map("dv" -> _))
         if (tryPublish(fs, v, header ++ base ++ newFiles)) committed = true
@@ -1001,7 +1001,7 @@ object GraftSink {
           case None => true
         }
       }.map(stripStats)
-      readFiles(spark, fs, keep, versionSchema(fs, v), dvRelOf(fs, v))
+      readFiles(spark, fs, keep, versionSchema(fs, v), dvSlicesOf(fs, v))
         .where(col(column) >= lo && col(column) <= hi)
     }
 
@@ -1102,12 +1102,89 @@ object GraftSink {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       readFiles(spark, fs, manifestFiles(fs, v), versionSchema(fs, v),
-        dvRelOf(fs, v))
+        dvSlicesOf(fs, v))
+    }
+
+    /** The row's data file as a MANIFEST-RELATIVE path — everything
+      * after the table root's `/_data/` marker. Deletion vectors key
+      * rows by this (never the absolute `_metadata.file_path` URI):
+      * relocating the table or reading through a different
+      * scheme/authority must not silently un-delete DV'd rows
+      * (ADVICE r16) — the same move-safety the manifests have. */
+    private def relFileCol: Column =
+      concat(lit("_data/"),
+        substring_index(col("_metadata.file_path"), "/_data/", -1))
+
+    /** The version's deletion-vector SLICES (manifest `#dv=`, comma-
+      * separated): each slice holds one key-bucket's dead positions
+      * (`__dvb=-1` = positions in unbucketed files), so a delete
+      * rewrites only the buckets it touches and a pruned read loads
+      * only its buckets' vectors. */
+    private def dvSlicesOf(fs: org.apache.hadoop.fs.FileSystem,
+                           v: Long): Seq[String] =
+      dvMetaOf(fs, v).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+
+    /** Raw `#dv=` header value of version `v`, carried verbatim by
+      * commits that keep the vector live. */
+    private def dvMetaOf(fs: org.apache.hadoop.fs.FileSystem,
+                         v: Long): Option[String] = {
+      if (v < 1) return None
+      val m = new org.apache.hadoop.fs.Path(path,
+        s"_manifests/v$v.manifest")
+      if (!fs.exists(m)) None else manifestMeta(fs, v).get("dv")
+    }
+
+    /** The key bucket a DV slice covers (-1 = unbucketed files). */
+    private def sliceBucket(slice: String): Long =
+      "__dvb=(-?\\d+)".r.findFirstMatchIn(slice)
+        .map(_.group(1).toLong).getOrElse(-1L)
+
+    /** Dead positions (file: manifest-relative STRING, row_index: LONG)
+      * across `slices` (empty → typed empty relation). */
+    private def readDv(spark: org.apache.spark.sql.SparkSession,
+                       slices: Seq[String]): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("row_index",
+          org.apache.spark.sql.types.LongType)))
+      if (slices.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(slices.map(s => s"$path/$s"): _*)
+    }
+
+    /** Explicit-file read that KEEPS row addresses: the data columns
+      * plus `__dv_file` (manifest-relative path) and `__dv_row`, with
+      * the deletion vector already anti-joined out. DV slices are
+      * PRUNED to the buckets the `rels` being read can hold — a
+      * bucket-pruned lookup loads 1/numBuckets of the vector exactly
+      * as it reads 1/numBuckets of the data. */
+    private def readFilesAddr(spark: org.apache.spark.sql.SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              rels: Seq[String],
+                              schema: Option[org.apache.spark.sql.types.StructType],
+                              dv: Seq[String])
+        : DataFrame = {
+      val paths = rels.map(rel => s"$path/$rel")
+      val base = schema.map(s => spark.read.schema(s).parquet(paths: _*))
+        .getOrElse(spark.read.parquet(paths: _*))
+        .withColumn("__dv_file", relFileCol)
+        .withColumn("__dv_row", col("_metadata.row_index"))
+      val relBuckets = rels.map(rel =>
+        pathBucket(rel).getOrElse(-1L)).toSet
+      val needed = dv.filter(s => relBuckets.contains(sliceBucket(s)))
+      if (needed.isEmpty) base
+      else base.join(readDv(spark, needed)
+          .withColumnRenamed("file", "__dv_file")
+          .withColumnRenamed("row_index", "__dv_row"),
+        Seq("__dv_file", "__dv_row"), "left_anti")
     }
 
     /** Read explicit manifest-relative files, under `schema` when the
       * version stamped one (empty file list → typed empty relation);
-      * `dv` is the version's deletion-vector sidecar — its
+      * `dv` is the version's deletion-vector slice list — dead
       * (file, row_index) positions are anti-joined out at the scan
       * (`_metadata` row addressing: parquet row order is as immutable
       * as the file, so positions are exact forever). */
@@ -1115,40 +1192,18 @@ object GraftSink {
                           fs: org.apache.hadoop.fs.FileSystem,
                           rels: Seq[String],
                           schema: Option[org.apache.spark.sql.types.StructType],
-                          dv: Option[String] = None)
+                          dv: Seq[String] = Nil)
         : DataFrame = {
       if (rels.isEmpty)
         schema.map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
           .getOrElse(spark.emptyDataFrame)
       else {
-        val paths = rels.map(rel => s"$path/$rel")
-        val base = schema.map(s => spark.read.schema(s).parquet(paths: _*))
-          .getOrElse(spark.read.parquet(paths: _*))
-        dv match {
-          case None => base
-          case Some(rel) =>
-            val cols = base.columns.toSeq
-            base
-              .withColumn("__dv_file", col("_metadata.file_path"))
-              .withColumn("__dv_row", col("_metadata.row_index"))
-              .join(spark.read.parquet(s"$path/$rel")
-                  .withColumnRenamed("file", "__dv_file")
-                  .withColumnRenamed("row_index", "__dv_row"),
-                Seq("__dv_file", "__dv_row"), "left_anti")
-              .select(cols.map(col): _*)
-        }
+        val addr = readFilesAddr(spark, fs, rels, schema, dv)
+        addr.select(addr.columns.toSeq
+          .filterNot(c => c == "__dv_file" || c == "__dv_row")
+          .map(col): _*)
       }
-    }
-
-    /** The deletion-vector sidecar ref of version `v`, if any
-      * (vacuumed/absent manifests read as none). */
-    private def dvRelOf(fs: org.apache.hadoop.fs.FileSystem,
-                        v: Long): Option[String] = {
-      if (v < 1) return None
-      val m = new org.apache.hadoop.fs.Path(path,
-        s"_manifests/v$v.manifest")
-      if (!fs.exists(m)) None else manifestMeta(fs, v).get("dv")
     }
 
     /** DELETION-VECTOR delete (Delta's deletion vectors — row-level
@@ -1166,10 +1221,15 @@ object GraftSink {
       *
       * The position scan is DV-filtered itself, so re-deleting
       * already-dead rows is a no-op and vectors never accumulate
-      * duplicates; the vector is REWRITTEN CUMULATIVELY per delete
-      * (one small sidecar per version — time travel reads each
-      * version's own vector). OPTIMIZE/overwrite commits materialize
-      * the filtered content and DROP the vector — a routine compaction
+      * duplicates. The vector is SLICED PER KEY BUCKET (`__dvb=` hive
+      * dirs; −1 = unbucketed files): a delete rewrites only the
+      * buckets its positions land in and carries every other slice
+      * verbatim into the new `#dv=` list — per-delete work is O(|its
+      * buckets' dead positions|), never O(|all rows ever deleted|)
+      * through one task (the r16 weak leg: the old cumulative single-
+      * partition sidecar grew without bound and serialized every
+      * GDPR erasure). OPTIMIZE/overwrite commits materialize the
+      * filtered content and DROP the vector — a routine compaction
       * also physically erases deleted rows (the GDPR hard-delete
       * step). Losing the publish race fails loudly (positions were
       * derived from the version this delete read). Returns
@@ -1180,45 +1240,76 @@ object GraftSink {
         .getFileSystem(spark.sessionState.newHadoopConf())
       val v = currentVersion(fs)
       require(v > 0, s"$path: no committed versions")
-      val rels = manifestFiles(fs, v)
-      val schema = versionSchema(fs, v)
-      val prevDv = dvRelOf(fs, v)
-      val paths = rels.map(rel => s"$path/$rel")
-      val base = schema.map(s => spark.read.schema(s).parquet(paths: _*))
-        .getOrElse(spark.read.parquet(paths: _*))
-        .withColumn("__dv_file", col("_metadata.file_path"))
-        .withColumn("__dv_row", col("_metadata.row_index"))
-      val alive = prevDv match {
-        case None => base
-        case Some(rel) => base.join(
-          spark.read.parquet(s"$path/$rel")
-            .withColumnRenamed("file", "__dv_file")
-            .withColumnRenamed("row_index", "__dv_row"),
-          Seq("__dv_file", "__dv_row"), "left_anti")
-      }
+      val alive = readFilesAddr(spark, fs, manifestFiles(fs, v),
+        versionSchema(fs, v), dvSlicesOf(fs, v))
       val newDead = alive.where(cond)
         .select(col("__dv_file").as("file"), col("__dv_row").as("row_index"))
-      val merged = prevDv.map(rel =>
-        spark.read.parquet(s"$path/$rel").unionByName(newDead))
-        .getOrElse(newDead)
-      val newV = v + 1
-      val dvOut = s"_dv/v$newV-${java.util.UUID.randomUUID}"
-      merged.repartition(1).write
-        .mode(SaveMode.Overwrite).parquet(s"$path/$dvOut")
-      val total = spark.read.parquet(s"$path/$dvOut").count()
-      val prevN = prevDv.map(rel =>
-        spark.read.parquet(s"$path/$rel").count()).getOrElse(0L)
-      val header = headerLines(Map(
-        "kind" -> "delete", "dv" -> dvOut) ++
-        manifestMeta(fs, v).get("schema").map("schema" -> _))
-      if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v))) {
-        fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
-        throw new IllegalStateException(s"$path: concurrent commit took " +
-          s"v$newV while this delete was scanning — its row positions " +
-          "are stale; re-run against the new current version")
-      }
-      (newV, total - prevN)
+      publishDelete(spark, fs, v, newDead)
     }
+
+    /** The DV slice bucket of a dead position — its file's `__bucket=`
+      * (−1 for unbucketed files, which may hold any key). */
+    private def dvBucketCol(file: Column): Column = {
+      val b = regexp_extract(file, "__bucket=(\\d+)/", 1)
+      coalesce(when(b =!= "", b.cast("long")), lit(-1L))
+    }
+
+    /** Slice-wise deletion-vector publish shared by [[deleteWhere]] /
+      * [[deleteKeys]]: `newDead` is the freshly dead (file, row_index)
+      * set, file paths manifest-relative. Only the TOUCHED buckets'
+      * slices are rewritten (merged with their previous content);
+      * untouched slices carry verbatim. Row accounting comes from
+      * parquet footers — zero counting jobs (r16 nit: the old path
+      * paid two count() scans just to report rowsDeleted). */
+    private def publishDelete(spark: org.apache.spark.sql.SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              v: Long, newDead: DataFrame): (Long, Long) = {
+      val prevSlices = dvSlicesOf(fs, v)
+      val bucketed = newDead
+        .withColumn("__dvb", dvBucketCol(col("file"))).persist()
+      try {
+        // one cached pass finds the touched buckets (≤ numBuckets+1
+        // rows — metadata-bounded); the write below reuses the cache
+        val touched = bucketed.select("__dvb").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val (prevTouched, prevCarried) = prevSlices.partition(s =>
+          touched.contains(sliceBucket(s)))
+        val newV = v + 1
+        val dvOut = s"_dv/v$newV-${java.util.UUID.randomUUID}"
+        bucketed
+          .unionByName(readDv(spark, prevTouched)
+            .withColumn("__dvb", dvBucketCol(col("file"))))
+          .repartition(col("__dvb"))
+          .write.mode(SaveMode.Overwrite).partitionBy("__dvb")
+          .parquet(s"$path/$dvOut")
+        val newSlices = fs.listStatus(
+            new org.apache.hadoop.fs.Path(path, dvOut)).toSeq
+          .filter(_.isDirectory)
+          .map(d => s"$dvOut/${d.getPath.getName}").sorted
+        val dvList = (prevCarried ++ newSlices).mkString(",")
+        val header = headerLines(Map(
+          "kind" -> "delete", "dv" -> dvList) ++
+          manifestMeta(fs, v).get("schema").map("schema" -> _))
+        if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v))) {
+          fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
+          throw new IllegalStateException(s"$path: concurrent commit took " +
+            s"v$newV while this delete was scanning — its row positions " +
+            "are stale; re-run against the new current version")
+        }
+        (newV, sliceRecordCount(fs, newSlices) -
+          sliceRecordCount(fs, prevTouched))
+      } finally bucketed.unpersist()
+    }
+
+    /** Footer row counts across DV slice dirs — driver metadata. */
+    private def sliceRecordCount(fs: org.apache.hadoop.fs.FileSystem,
+                                 slices: Seq[String]): Long =
+      slices.map { s =>
+        footerRecordCount(fs, fs.listStatus(
+            new org.apache.hadoop.fs.Path(path, s)).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"$s/${f.getPath.getName}"))
+      }.sum
 
     /** KEYED deletion-vector delete on a BUCKETED table — the GDPR
       * path at scale: the requested keys hash to their buckets
@@ -1252,43 +1343,14 @@ object GraftSink {
       val rels = manifestRawLines(fs, v).map(stripStats).filter(rel =>
         pathBucket(rel).forall(wanted.contains))
       if (rels.isEmpty) return (v, 0L) // keys hash to empty buckets
-      val prevDv = dvRelOf(fs, v)
-      val paths = rels.map(rel => s"$path/$rel")
-      val base = schema.map(s => spark.read.schema(s).parquet(paths: _*))
-        .getOrElse(spark.read.parquet(paths: _*))
-        .withColumn("__dv_file", col("_metadata.file_path"))
-        .withColumn("__dv_row", col("_metadata.row_index"))
-      val alive = prevDv match {
-        case None => base
-        case Some(rel) => base.join(
-          spark.read.parquet(s"$path/$rel")
-            .withColumnRenamed("file", "__dv_file")
-            .withColumnRenamed("row_index", "__dv_row"),
-          Seq("__dv_file", "__dv_row"), "left_anti")
-      }
+      // readFilesAddr prunes the DV slices to the wanted buckets too —
+      // the erasure loads 1/numBuckets of the vector, not all of it
+      val alive = readFilesAddr(spark, fs, rels, schema,
+        dvSlicesOf(fs, v))
       val newDead = alive.join(broadcast(keyDf), keyCols, "left_semi")
         .select(col("__dv_file").as("file"),
           col("__dv_row").as("row_index"))
-      val merged = prevDv.map(rel =>
-        spark.read.parquet(s"$path/$rel").unionByName(newDead))
-        .getOrElse(newDead)
-      val newV = v + 1
-      val dvOut = s"_dv/v$newV-${java.util.UUID.randomUUID}"
-      merged.repartition(1).write
-        .mode(SaveMode.Overwrite).parquet(s"$path/$dvOut")
-      val total = spark.read.parquet(s"$path/$dvOut").count()
-      val prevN = prevDv.map(rel =>
-        spark.read.parquet(s"$path/$rel").count()).getOrElse(0L)
-      val header = headerLines(Map(
-        "kind" -> "delete", "dv" -> dvOut) ++
-        manifestMeta(fs, v).get("schema").map("schema" -> _))
-      if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v))) {
-        fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
-        throw new IllegalStateException(s"$path: concurrent commit took " +
-          s"v$newV while this delete was scanning — its row positions " +
-          "are stale; re-run against the new current version")
-      }
-      (newV, total - prevN)
+      publishDelete(spark, fs, v, newDead)
     }
 
     /** The table at its latest version. */
@@ -1413,7 +1475,7 @@ object GraftSink {
       val current = readFiles(spark, fs, touchedFiles,
         Some(asNullable(outSchema)
           .asInstanceOf[org.apache.spark.sql.types.StructType]),
-        dvRelOf(fs, v))
+        dvSlicesOf(fs, v))
       val merged = current
         .join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(latest.where(col(opCol) =!= "D").drop(opCol))
@@ -1430,15 +1492,22 @@ object GraftSink {
         f <- fs.listStatus(d.getPath)
         if f.isFile && f.getPath.getName.endsWith(".parquet")
       } yield s"$dataRel/${d.getPath.getName}/${f.getPath.getName}")
-      // carried files keep their deleted positions; the rewritten
-      // buckets' rows were DV-filtered above (stale entries for
-      // dropped files match nothing)
+      // carried files keep their deleted positions — their buckets'
+      // DV slices carry verbatim; the rewritten (touched) buckets'
+      // rows were DV-filtered above, so THEIR slices are DROPPED from
+      // the new version (a merge physically ages the vector out,
+      // bucket by bucket — the unbucketed −1 slice too: unbucketed
+      // files always join the rewrite)
+      val dvCarry = dvSlicesOf(fs, v).filterNot { s =>
+        val b = sliceBucket(s); b == -1L || touched.contains(b)
+      }
       val header = headerLines(meta +
         ("kind" -> "merge") +
         ("buckets" -> numBuckets.toString) +
         ("touched" -> touched.toSeq.sorted.mkString(",")) +
         ("schema" -> outSchema.json) ++
-        dvRelOf(fs, v).map("dv" -> _))
+        (if (dvCarry.nonEmpty) Some("dv" -> dvCarry.mkString(","))
+         else None))
       beforePublish()
       var carriedNow = carried
       var attempts = 0
@@ -1628,7 +1697,7 @@ object GraftSink {
       val files = manifestFiles(fs, v).filter(rel =>
         pathBucket(rel).forall(wanted.contains))
       if (files.isEmpty) return read(spark).limit(0)
-      readFiles(spark, fs, files, versionSchema(fs, v), dvRelOf(fs, v))
+      readFiles(spark, fs, files, versionSchema(fs, v), dvSlicesOf(fs, v))
         .join(broadcast(keyDf), keyCols, "left_semi")
     }
 
@@ -1694,33 +1763,41 @@ object GraftSink {
         }
         else if (kind.contains("delete")) {
           // a DV delete changes no files: the change set is exactly
-          // the positions fresh in this version's vector — read ONLY
-          // those rows back (semi-join on row address), tag delete
-          val dvNew = spark.read.parquet(
-            s"$path/${dvRelOf(fs, v).get}")
-          val fresh = dvRelOf(fs, v - 1) match {
-            case None => dvNew
-            case Some(old) => dvNew.join(
-              spark.read.parquet(s"$path/$old"),
-              Seq("file", "row_index"), "left_anti")
+          // the positions fresh in this version's vector. Slices are
+          // carried verbatim, so fresh positions live ONLY in the
+          // slices NEW in v (list-level diff), minus the previous
+          // content of those buckets' slices — and only THOSE
+          // buckets' data files need reading back (semi-join on row
+          // address), tagged delete.
+          val prevSet = dvSlicesOf(fs, v - 1).toSet
+          val newSlices = dvSlicesOf(fs, v).filterNot(prevSet.contains)
+          if (newSlices.isEmpty) None // the delete matched no rows
+          else {
+            val newBuckets = newSlices.map(sliceBucket).toSet
+            val oldTouched = prevSet.toSeq.filter(s =>
+              newBuckets.contains(sliceBucket(s)))
+            val fresh = readDv(spark, newSlices).join(
+              readDv(spark, oldTouched), Seq("file", "row_index"),
+              "left_anti")
+            val rels = manifestFiles(fs, v).filter(rel =>
+              newBuckets.contains(pathBucket(rel).getOrElse(-1L)))
+            val schema = versionSchema(fs, v)
+            val paths = rels.map(rel => s"$path/$rel")
+            val base = schema
+              .map(sc => spark.read.schema(sc).parquet(paths: _*))
+              .getOrElse(spark.read.parquet(paths: _*))
+            val cols = base.columns.toSeq
+            Some(base
+              .withColumn("__dv_file", relFileCol)
+              .withColumn("__dv_row", col("_metadata.row_index"))
+              .join(fresh
+                  .withColumnRenamed("file", "__dv_file")
+                  .withColumnRenamed("row_index", "__dv_row"),
+                Seq("__dv_file", "__dv_row"), "left_semi")
+              .select(cols.map(col): _*)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
           }
-          val rels = manifestFiles(fs, v)
-          val schema = versionSchema(fs, v)
-          val paths = rels.map(rel => s"$path/$rel")
-          val base = schema
-            .map(sc => spark.read.schema(sc).parquet(paths: _*))
-            .getOrElse(spark.read.parquet(paths: _*))
-          val cols = base.columns.toSeq
-          Some(base
-            .withColumn("__dv_file", col("_metadata.file_path"))
-            .withColumn("__dv_row", col("_metadata.row_index"))
-            .join(fresh
-                .withColumnRenamed("file", "__dv_file")
-                .withColumnRenamed("row_index", "__dv_row"),
-              Seq("__dv_file", "__dv_row"), "left_semi")
-            .select(cols.map(col): _*)
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v)))
         } else if (sets(v - 1).subsetOf(sets(v))) {
           if (added.isEmpty) None
           else Some(readFiles(spark, fs, added, versionSchema(fs, v))
@@ -1735,8 +1812,8 @@ object GraftSink {
             if (kind.contains("merge"))
               // file-pruned: only the rewritten buckets' files move —
               // each side under ITS version's deletion vector
-              (readFiles(spark, fs, removed, schema, dvRelOf(fs, v - 1)),
-                readFiles(spark, fs, added, schema, dvRelOf(fs, v)))
+              (readFiles(spark, fs, removed, schema, dvSlicesOf(fs, v - 1)),
+                readFiles(spark, fs, added, schema, dvSlicesOf(fs, v)))
             else (readVersion(spark, v - 1), readVersion(spark, v))
           Some(keyedDiff(before, after, keyCols, v, emitPreimages))
         }
@@ -1862,20 +1939,8 @@ object GraftSink {
           // anti-join below — metadata columns bind at the scan)
           val rels = manifestFiles(fs, v)
           val schema = versionSchema(fs, v)
-          val paths = rels.map(rel => s"$path/$rel")
-          val base = schema
-            .map(sc => spark.read.schema(sc).parquet(paths: _*))
-            .getOrElse(spark.read.parquet(paths: _*))
-            .withColumn("__dv_file", col("_metadata.file_path"))
-            .withColumn("__dv_row", col("_metadata.row_index"))
-          val alive = dvRelOf(fs, v) match {
-            case None => base
-            case Some(rel) => base.join(
-              spark.read.parquet(s"$path/$rel")
-                .withColumnRenamed("file", "__dv_file")
-                .withColumnRenamed("row_index", "__dv_row"),
-              Seq("__dv_file", "__dv_row"), "left_anti")
-          }
+          val alive = readFilesAddr(spark, fs, rels, schema,
+            dvSlicesOf(fs, v))
           val pathB = regexp_extract(col("__dv_file"),
             "__bucket=(\\d+)/", 1)
           val fromPath = when(pathB =!= "", pathB.cast("long"))
@@ -2066,16 +2131,23 @@ object GraftSink {
         }
         prune(dataRoot)
       }
-      // deletion-vector sidecars: keep exactly the vectors retained
-      // manifests reference, reclaim the rest (each delete commit
-      // rewrites the cumulative vector, so old sidecars age out with
-      // their versions)
-      val keepDv = (horizon to v).flatMap(kv => dvRelOf(fs, kv)).toSet
+      // deletion-vector sidecars: keep exactly the SLICES retained
+      // manifests reference, reclaim the rest (a delete rewrites only
+      // its touched buckets' slices and merges drop rewritten
+      // buckets' slices, so slices age out per bucket)
+      val keepDv = (horizon to v).flatMap(kv => dvSlicesOf(fs, kv)).toSet
       val dvRoot = new org.apache.hadoop.fs.Path(root, "_dv")
       if (fs.exists(dvRoot)) {
         for (d <- fs.listStatus(dvRoot)) {
-          if (!keepDv.contains(s"_dv/${d.getPath.getName}")) {
-            fs.delete(d.getPath, true); dataDeleted += 1
+          val top = s"_dv/${d.getPath.getName}"
+          for (sl <- fs.listStatus(d.getPath) if sl.isDirectory) {
+            if (!keepDv.contains(s"$top/${sl.getPath.getName}")) {
+              fs.delete(sl.getPath, true); dataDeleted += 1
+            }
+          }
+          if (fs.listStatus(d.getPath)
+            .forall(s => !s.isDirectory)) { // only _SUCCESS etc left
+            fs.delete(d.getPath, true)
           }
         }
       }

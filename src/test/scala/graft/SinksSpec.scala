@@ -980,6 +980,106 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("bucket"))
   }
 
+  test("VersionedTable deletion vectors are PER-BUCKET SLICES keyed by " +
+    "RELATIVE path: a second delete rewrites only its buckets' slices " +
+    "(the first's carries verbatim), a merge drops its touched buckets' " +
+    "slices, and a MOVED table still reads its deletes") {
+    import spark.implicits._
+    val path = tmp("vtable-dv-slices")
+    val vt = GraftSink.VersionedTable(path)
+    def batch(rows: (Long, Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("key", "seq", "op", "payload")
+    vt.mergeBucketed(batch((0L until 64L).map(k =>
+      (k, k, "I", s"v$k")): _*), Seq("key"), Seq("seq"), numBuckets = 8)
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(8L))).head().getLong(0)
+    val k1 = 3L
+    val k2 = (4L until 64L).find(k => bucketOf(k) != bucketOf(k1)).get
+    val (v2, n1) = vt.deleteKeys(spark, Seq("key"), Seq(Seq(k1)),
+      numBuckets = 8)
+    assert(n1 === 1L)
+    val dv2 = vt.manifestMeta(spark, v2)("dv").split(',').toSeq
+    assert(dv2.size === 1 &&
+      dv2.head.contains(s"__dvb=${bucketOf(k1)}"))
+    val (v3, n2) = vt.deleteKeys(spark, Seq("key"), Seq(Seq(k2)),
+      numBuckets = 8)
+    assert(n2 === 1L)
+    val dv3 = vt.manifestMeta(spark, v3)("dv").split(',').toSeq
+    // the first delete's slice carries VERBATIM — same path, never
+    // rewritten; the second adds exactly one slice for ITS bucket
+    assert(dv3.size === 2 && dv3.contains(dv2.head))
+    val freshSlice = dv3.filterNot(dv2.contains)
+    assert(freshSlice.size === 1 &&
+      freshSlice.head.contains(s"__dvb=${bucketOf(k2)}"))
+    assert(vt.read(spark).count() === 62L)
+    // DV rows are RELATIVE paths (move-safety, ADVICE r16)
+    val dvFiles = spark.read.parquet(s"$path/${dv3.head}")
+      .select("file").as[String].collect()
+    assert(dvFiles.forall(f => f.startsWith("_data/")))
+    // a merge into k1's bucket DROPS that bucket's slice (the rewrite
+    // materialized the filter) and carries k2's verbatim
+    vt.mergeBucketed(batch((k1, 100L, "I", "back")),
+      Seq("key"), Seq("seq"), numBuckets = 8)
+    val dv4 = vt.manifestMeta(spark, 4L).get("dv")
+      .toSeq.flatMap(_.split(','))
+    assert(dv4 === freshSlice)
+    assert(vt.read(spark).count() === 63L)
+    // MOVE the table: relative DV paths keep deleted rows dead
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val moved = tmp("vtable-dv-moved") + "/t"
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(moved)))
+    val mvt = GraftSink.VersionedTable(moved)
+    assert(mvt.read(spark).count() === 63L)
+    assert(mvt.read(spark).where(col("key") === k2).count() === 0L)
+    assert(mvt.read(spark).where(col("key") === k1)
+      .select("payload").as[String].collect() === Array("back"))
+  }
+
+  test("VersionedTable resolves the current version from " +
+    "_last_checkpoint + forward probes — steady-state reads never " +
+    "LIST _manifests/; stale hints heal, torn hints fall back") {
+    import spark.implicits._
+    val path = tmp("vtable-ckpt")
+    val vt = GraftSink.VersionedTable(path)
+    for (i <- 1 to 5)
+      vt.commit(Seq((i.toLong, s"t$i")).toDF("key", "tag"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hintP = new org.apache.hadoop.fs.Path(path,
+      s"_manifests/${GraftSink.VersionedTable.LastCheckpoint}")
+    def hint(): String = {
+      val in = fs.open(hintP)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    def putHint(s: String): Unit = {
+      val out = fs.create(hintP, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    assert(fs.exists(hintP) && hint() === "5")
+    // steady state: version resolution + reads never LIST the dir
+    val before = GraftSink.VersionedTable.fallbackLists.get()
+    assert(vt.currentVersion(spark) === 5L)
+    assert(vt.read(spark).count() === 5L)
+    assert(vt.readVersion(spark, 3L).count() === 3L) // time travel fine
+    assert(GraftSink.VersionedTable.fallbackLists.get() === before)
+    // STALE hint (a crash between rename and hint write): forward
+    // probes heal it without a listing
+    putHint("3")
+    assert(vt.currentVersion(spark) === 5L)
+    assert(GraftSink.VersionedTable.fallbackLists.get() === before)
+    // torn/garbled hint: the full-listing fallback still resolves
+    putHint("not-a-version")
+    assert(vt.currentVersion(spark) === 5L)
+    assert(GraftSink.VersionedTable.fallbackLists.get() === before + 1)
+    // the next commit restores the hint
+    vt.commit(Seq((6L, "t6")).toDF("key", "tag"))
+    assert(hint() === "6")
+    assert(vt.currentVersion(spark) === 6L)
+  }
+
   test("VersionedTable.restore: time-travel rollback as a new version " +
     "— zero data moves, history intact, dv/bucket state carried; CDF " +
     "across it is the keyed diff") {
