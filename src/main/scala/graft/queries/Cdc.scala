@@ -2327,6 +2327,83 @@ object Cdc {
         .orderBy("version", "event_type")
     }),
 
+    // A73 STREAMING CDF over MERGE versions — the piece that closes
+    // A77's standing-deployment loop (upsert table → streaming
+    // materializer; VERDICT r16's top ask): three bucketed merges
+    // land, then the stream drains them one version per trigger. v1
+    // (merge from empty — a file-set superset) serves as plain
+    // inserts; v2/v3 serve the SAME file-pruned keyed diff the batch
+    // changes() computes, decomposed ONE PARTITION PER TOUCHED BUCKET
+    // (reader state = one bucket of one version; carried-verbatim
+    // files are never planned — SinksSpec census). Oracle: the batch
+    // CDF SQL with the v1 insert leg unioned in.
+    "cdc_stream_table_cdf_merge" -> ((s, dir) => {
+      val path = roundtripPath(dir, "streamtablecdfmerge")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir).select(col("key"), col("commit_ts_us"),
+        col("seq"), col("op"), col("event_type"), col("value"))
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      Seq(
+        log.where(col("commit_ts_us") <= t1),
+        log.where(col("commit_ts_us") > t1 && col("commit_ts_us") <= t2),
+        log.where(col("commit_ts_us") > t2)
+      ).foreach(slice => table.mergeBucketed(slice, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16))
+      import org.apache.spark.sql.streaming.Trigger
+      val qn = "stream_table_cdf_merge_sink"
+      val q = graft.sources.TableCdfSource
+        .stream(s, path, table.read(s).schema,
+          maxVersionsPerTrigger = 1, keyCols = Seq("key"))
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckptcdfm").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("key").as("user_id"), col("_change_type"),
+          col("seq"), col("event_type"), col("value"),
+          col("commit_ts_us"), col("_commit_version"))
+        .orderBy("_commit_version", "user_id")
+    }),
+
+    // A73 × A76 STREAMING CDF over DELETION-VECTOR versions: the
+    // bucketed snapshot lands, a predicate erasure publishes a DV
+    // version (zero files moved), and the stream serves its freshly
+    // dead rows as delete events — one partition per fresh slice,
+    // each reading back exactly the positions its bucket's vector
+    // added. Oracle: the snapshot rows the predicate matched.
+    "cdc_stream_table_cdf_dv" -> ((s, dir) => {
+      val path = roundtripPath(dir, "streamtablecdfdv")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val table = GraftSink.VersionedTable(path)
+      table.mergeBucketed(log, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16)
+      table.deleteWhere(s, pmod(col("key"), lit(7L)) === 0)
+      import org.apache.spark.sql.streaming.Trigger
+      val qn = "stream_table_cdf_dv_sink"
+      val q = graft.sources.TableCdfSource
+        .stream(s, path, table.read(s).schema,
+          maxVersionsPerTrigger = 1, keyCols = Seq("key"))
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckptcdfd").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .where(col("_change_type") === "delete")
+        .select(col("key").as("user_id"), col("event_type"),
+          col("value"), col("commit_ts_us"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("user_id")
+    }),
+
     // A66 × A17 streaming BUCKETED-MERGE delivery — the standing-
     // deployment lakehouse loop: the changelog arrives as three
     // ts-ordered streaming flushes and each micro-batch UPSERTS into
@@ -4395,6 +4472,82 @@ object Cdc {
         |  WHERE s2.key IS NULL OR s3.key IS NULL OR s2.seq <> s3.seq)
         |SELECT * FROM (SELECT * FROM d2 UNION ALL SELECT * FROM d3)
         |ORDER BY _commit_version, user_id""".stripMargin),
+
+    // Streaming merge-CDF: the batch CDF answer (d2 ∪ d3) with the
+    // v1 leg unioned in — v1 is a merge FROM EMPTY, a file-set
+    // superset, so the stream serves its content as plain inserts.
+    "cdc_stream_table_cdf_merge" -> (logCte +
+      """,
+        |s1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |    FROM log WHERE commit_ts_us <= 1704844800000000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |s2 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |    FROM log WHERE commit_ts_us <= 1705708800000000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |s3 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |    FROM log)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |d1 AS (
+        |  SELECT key AS user_id, 'insert' AS _change_type, seq,
+        |         event_type, value, commit_ts_us,
+        |         CAST(1 AS BIGINT) AS _commit_version
+        |  FROM s1),
+        |d2 AS (
+        |  SELECT COALESCE(s2.key, s1.key) AS user_id,
+        |         CASE WHEN s1.key IS NULL THEN 'insert'
+        |              WHEN s2.key IS NULL THEN 'delete'
+        |              ELSE 'update_postimage' END AS _change_type,
+        |         CASE WHEN s2.key IS NULL THEN s1.seq ELSE s2.seq END AS seq,
+        |         CASE WHEN s2.key IS NULL THEN s1.event_type
+        |              ELSE s2.event_type END AS event_type,
+        |         CASE WHEN s2.key IS NULL THEN s1.value
+        |              ELSE s2.value END AS value,
+        |         CASE WHEN s2.key IS NULL THEN s1.commit_ts_us
+        |              ELSE s2.commit_ts_us END AS commit_ts_us,
+        |         CAST(2 AS BIGINT) AS _commit_version
+        |  FROM s2 FULL OUTER JOIN s1 ON s2.key = s1.key
+        |  WHERE s1.key IS NULL OR s2.key IS NULL OR s1.seq <> s2.seq),
+        |d3 AS (
+        |  SELECT COALESCE(s3.key, s2.key) AS user_id,
+        |         CASE WHEN s2.key IS NULL THEN 'insert'
+        |              WHEN s3.key IS NULL THEN 'delete'
+        |              ELSE 'update_postimage' END AS _change_type,
+        |         CASE WHEN s3.key IS NULL THEN s2.seq ELSE s3.seq END AS seq,
+        |         CASE WHEN s3.key IS NULL THEN s2.event_type
+        |              ELSE s3.event_type END AS event_type,
+        |         CASE WHEN s3.key IS NULL THEN s2.value
+        |              ELSE s3.value END AS value,
+        |         CASE WHEN s3.key IS NULL THEN s2.commit_ts_us
+        |              ELSE s3.commit_ts_us END AS commit_ts_us,
+        |         CAST(3 AS BIGINT) AS _commit_version
+        |  FROM s3 FULL OUTER JOIN s2 ON s3.key = s2.key
+        |  WHERE s2.key IS NULL OR s3.key IS NULL OR s2.seq <> s3.seq)
+        |SELECT * FROM (SELECT * FROM d1 UNION ALL
+        |               SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+        |ORDER BY _commit_version, user_id""".stripMargin),
+
+    // Streaming DV-CDF: exactly the snapshot rows the erasure
+    // predicate matched, tagged delete at the delete version.
+    "cdc_stream_table_cdf_dv" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id, event_type, value, commit_ts_us,
+        |       'delete' AS _change_type,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM ranked WHERE rn = 1 AND op <> 'D' AND key % 7 = 0
+        |ORDER BY user_id""".stripMargin),
 
     // Racing disjoint merges must converge to the serial answer —
     // the full-feed snapshot.

@@ -34,15 +34,30 @@ import org.apache.spark.util.SerializableConfiguration
   * the topic source needs (reference README.md:21-26 motivates the
   * sink; the manifest chain is what makes its feed streamable).
   *
-  *  - Each micro-batch reads ONLY the files its versions ADDED
+  *  - An APPEND micro-batch reads ONLY the files its versions ADDED
   *    (manifest file-set difference — the CDF O(|changes|) law), rows
   *    tagged `_change_type='insert'` + `_commit_version`.
+  *  - A MERGE version (the A77 standing-upsert deployment) serves the
+  *    SAME file-pruned keyed diff the batch `changes()` computes:
+  *    each touched bucket becomes one input partition holding its
+  *    removed ∪ added files (carried-verbatim files are NEVER
+  *    planned), the reader keys the removed side in memory (state is
+  *    one bucket of one version — the layout's own granularity) and
+  *    streams the added side against it, emitting insert /
+  *    update_postimage / delete (+`update_preimage` rows with
+  *    `preimages=true`). Requires the `keyCols` option; a merge over
+  *    a table still holding UNBUCKETED files collapses to one
+  *    partition for that version (a key's before/after rows then
+  *    cannot be bucket-aligned).
+  *  - A DELETION-VECTOR version changes no files: each slice FRESH in
+  *    its `#dv=` list becomes one partition; the reader subtracts the
+  *    bucket's previous dead positions and reads back exactly the
+  *    freshly dead rows, tagged `delete`.
   *  - `#kind=optimize` versions are content-identical republishes —
   *    skipped (zero files, zero rows).
-  *  - A merge/overwrite version FAILS LOUDLY: its change set is a
-  *    keyed diff, not a file read — that is batch [[graft.cdc
-  *    .GraftSink.VersionedTable.changes]] territory; a streaming
-  *    consumer of an upsert table should read the topic feeding it.
+  *  - An OVERWRITE or RESTORE version FAILS LOUDLY: it carries no
+  *    row-level lineage — that is batch [[graft.cdc.GraftSink
+  *    .VersionedTable.changes]] keyed-full-diff territory.
   *  - `maxVersionsPerTrigger` bounds each micro-batch (admission
   *    control); AvailableNow freezes the end version at trigger start
   *    so the drain terminates under a live writer.
@@ -67,9 +82,13 @@ object TableCdfSource {
   val ChangeTypeCol = "_change_type"
 
   /** The readStream, assembled: `dataSchema` is the table's row shape
-    * (the CDF columns are appended here). */
+    * (the CDF columns are appended here). `keyCols` enables serving
+    * MERGE versions as per-bucket keyed diffs; `preimages` adds
+    * `update_preimage` rows beside each post-image. */
   def stream(spark: SparkSession, path: String, dataSchema: StructType,
-             maxVersionsPerTrigger: Long = Long.MaxValue): DataFrame = {
+             maxVersionsPerTrigger: Long = Long.MaxValue,
+             keyCols: Seq[String] = Nil,
+             preimages: Boolean = false): DataFrame = {
     val schema = StructType(dataSchema.fields.toSeq :+
       StructField(ChangeTypeCol, StringType, nullable = false) :+
       StructField(VersionCol, LongType, nullable = false))
@@ -77,6 +96,8 @@ object TableCdfSource {
       .schema(schema).option("path", path)
     if (maxVersionsPerTrigger != Long.MaxValue)
       r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger)
+    if (keyCols.nonEmpty) r = r.option("keyCols", keyCols.mkString(","))
+    if (preimages) r = r.option("preimages", "true")
     r.load()
   }
 }
@@ -94,29 +115,52 @@ private[sources] class CdfTable(schema0: StructType,
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new CdfScanBuilder(schema0, opts.get("path"),
       Option(opts.get("maxVersionsPerTrigger"))
-        .map(_.toLong).getOrElse(Long.MaxValue))
+        .map(_.toLong).getOrElse(Long.MaxValue),
+      Option(opts.get("keyCols")).toSeq
+        .flatMap(_.split(',')).filter(_.nonEmpty),
+      Option(opts.get("preimages")).exists(_.toBoolean))
 }
 
 private[sources] class CdfScanBuilder(schema: StructType, path: String,
-                                      maxVersionsPerTrigger: Long)
+                                      maxVersionsPerTrigger: Long,
+                                      keyCols: Seq[String],
+                                      preimages: Boolean)
     extends ScanBuilder with Scan {
   override def build(): Scan = this
   override def readSchema(): StructType = schema
   override def description(): String = s"GraftTableCdf($path)"
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new CdfMicroBatchStream(schema, path, maxVersionsPerTrigger)
+    new CdfMicroBatchStream(schema, path, maxVersionsPerTrigger,
+      keyCols, preimages)
 }
 
-private[sources] case class CdfOffset(version: Long) extends Offset {
+private[graft] case class CdfOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-private[sources] case class CdfInputPartition(
+/** One ADDED file of one append version. */
+private[graft] case class CdfInputPartition(
     file: String, version: Long) extends InputPartition
 
-private[sources] class CdfMicroBatchStream(schema: StructType, path: String,
-                                           maxVersionsPerTrigger: Long)
+/** One touched BUCKET of one merge version: the file-pruned keyed
+  * diff's inputs — removed/added files (manifest-relative) plus each
+  * side's deletion-vector slices for this bucket. */
+private[graft] case class CdfMergePartition(
+    root: String, removed: Seq[String], added: Seq[String],
+    beforeDv: Seq[String], afterDv: Seq[String],
+    version: Long) extends InputPartition
+
+/** One FRESH deletion-vector slice of one delete version, plus the
+  * bucket's previous slices (their positions were already dead). */
+private[graft] case class CdfDeletePartition(
+    root: String, freshSlices: Seq[String], oldSlices: Seq[String],
+    version: Long) extends InputPartition
+
+private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
+                                         maxVersionsPerTrigger: Long,
+                                         keyCols: Seq[String] = Nil,
+                                         preimages: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -185,6 +229,27 @@ private[sources] class CdfMicroBatchStream(schema: StructType, path: String,
     manifestLines(v).find(_.startsWith("#kind="))
       .map(_.stripPrefix("#kind="))
 
+  /** The version's deletion-vector slice list (`#dv=`, comma-sep). */
+  private def dvOf(v: Long): Seq[String] =
+    if (v == 0) Nil
+    else manifestLines(v).find(_.startsWith("#dv="))
+      .toSeq.flatMap(_.stripPrefix("#dv=").split(','))
+      .filter(_.nonEmpty)
+
+  /** A manifest line is `rel` or `rel<TAB>stats-json` — line identity
+    * is file identity; the stats drop only to build read paths. */
+  private def stripStats(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
+  private def pathBucket(rel: String): Option[Long] =
+    "__bucket=(\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toLong)
+
+  private def sliceBucket(slice: String): Long =
+    "__dvb=(-?\\d+)".r.findFirstMatchIn(slice)
+      .map(_.group(1).toLong).getOrElse(-1L)
+
   override def initialOffset(): Offset = CdfOffset(0L)
 
   override def getDefaultReadLimit: ReadLimit =
@@ -215,50 +280,159 @@ private[sources] class CdfMicroBatchStream(schema: StructType, path: String,
     (s + 1 to e).flatMap { v =>
       val prev = files(v - 1)
       val cur = files(v)
-      if (kind(v).contains("optimize")) Nil // content-identical
-      else {
-        // a deletion-vector version changes no files but DOES change
-        // content — silently treating it as an empty append would
-        // diverge every downstream materialization
-        require(!kind(v).exists(k => k == "delete" || k == "restore"),
-          s"$path: version $v is a ${kind(v).get} commit — it changes " +
-            "content without adding files; a streaming CDF reads added " +
-            "files only; use VersionedTable.changes for such ranges")
-        require(prev.subsetOf(cur),
-          s"$path: version $v is not an append (kind=${kind(v)
-            .getOrElse("?")}) — a streaming CDF reads added files only; " +
-            "use VersionedTable.changes for merge/overwrite ranges")
-        // a line is `rel` or `rel<TAB>stats-json` (the manifest's
-        // per-file footer stats); line identity is file identity —
-        // strip the stats only to build the read path
-        (cur -- prev).toSeq.sorted
-          .map { line =>
-            val i = line.indexOf('\t')
-            val rel = if (i < 0) line else line.substring(0, i)
-            CdfInputPartition(s"$path/$rel", v): InputPartition
-          }
+      val k = kind(v)
+      if (k.contains("optimize")) Nil // content-identical republish
+      else if (k.contains("delete")) {
+        // a DV delete changes no files: fresh slices (list-level diff
+        // — carried slices are verbatim) are the change set, one
+        // partition per touched bucket
+        val prevDv = dvOf(v - 1)
+        val prevSet = prevDv.toSet
+        dvOf(v).filterNot(prevSet.contains).map { sl =>
+          val b = sliceBucket(sl)
+          CdfDeletePartition(path, Seq(sl),
+            prevDv.filter(o => sliceBucket(o) == b), v): InputPartition
+        }
       }
+      else if (k.contains("restore"))
+        throw new IllegalArgumentException(
+          s"$path: version $v is a restore commit — it reverts content " +
+            "without row-level lineage; use VersionedTable.changes for " +
+            "ranges crossing it")
+      else if (prev.subsetOf(cur)) {
+        (cur -- prev).toSeq.sorted.map { line =>
+          CdfInputPartition(s"$path/${stripStats(line)}", v): InputPartition
+        }
+      }
+      else if (k.contains("merge")) {
+        require(keyCols.nonEmpty,
+          s"$path: version $v is a merge commit — serving its keyed " +
+            "diff needs the keyCols option (TableCdfSource.stream(..., " +
+            "keyCols = ...))")
+        val removed = (prev -- cur).toSeq.sorted.map(stripStats)
+        val added = (cur -- prev).toSeq.sorted.map(stripStats)
+        val beforeDv = dvOf(v - 1)
+        val afterDv = dvOf(v)
+        if ((removed ++ added).forall(r => pathBucket(r).isDefined)) {
+          // per-bucket decomposition: the bucket is a pure function of
+          // the key, so a key's before and after rows share a bucket —
+          // reader state is ONE bucket of ONE version
+          val buckets = (removed ++ added).flatMap(pathBucket).distinct
+          buckets.sorted.map { b =>
+            CdfMergePartition(path,
+              removed.filter(r => pathBucket(r).contains(b)),
+              added.filter(a => pathBucket(a).contains(b)),
+              beforeDv.filter(sl => sliceBucket(sl) == b),
+              afterDv.filter(sl => sliceBucket(sl) == b),
+              v): InputPartition
+          }
+        } else
+          // unbucketed files may hold any key — the diff cannot be
+          // bucket-aligned; one partition for the version (the first
+          // merge over a plain table, before the layout converges)
+          Seq(CdfMergePartition(path, removed, added,
+            beforeDv, afterDv, v): InputPartition)
+      }
+      else throw new IllegalArgumentException(
+        s"$path: version $v is not an append (kind=${k.getOrElse("?")}) " +
+          "— it carries no row-level lineage; use VersionedTable.changes " +
+          "for overwrite ranges")
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema, new SerializableConfiguration(conf))
+    new CdfReaderFactory(schema, keyCols, preimages,
+      new SerializableConfiguration(conf))
 
   override def stop(): Unit = ()
 }
 
 private[sources] class CdfReaderFactory(schema: StructType,
+                                        keyCols: Seq[String],
+                                        preimages: Boolean,
                                         conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new CdfPartitionReader(p.asInstanceOf[CdfInputPartition], schema,
-      conf.value)
+    p match {
+      case ap: CdfInputPartition =>
+        new CdfPartitionReader(ap, schema, conf.value)
+      case mp: CdfMergePartition =>
+        new CdfMergeReader(mp, schema, keyCols, preimages, conf.value)
+      case dp: CdfDeletePartition =>
+        new CdfDeleteReader(dp, schema, conf.value)
+    }
 }
 
-/** Reads one ADDED file of one version: declared columns map
-  * Group → InternalRow (a column absent in the file — schema
-  * evolution — reads as null); the CDF columns come from the
-  * partition, not the file. */
+/** Parquet example-Group decode shared by the CDF readers: declared
+  * columns map Group → JVM values (a column absent in a file — schema
+  * evolution — reads null). */
+private[sources] object GroupDecode {
+
+  def value(g: Group, name: String, dt: DataType): Any = {
+    val t = g.getType
+    if (!t.containsField(name)) null
+    else {
+      val i = t.getFieldIndex(name)
+      if (g.getFieldRepetitionCount(i) == 0) null
+      else dt match {
+        case LongType => g.getLong(i, 0)
+        case IntegerType => g.getInteger(i, 0)
+        case DoubleType => g.getDouble(i, 0)
+        case FloatType => g.getFloat(i, 0)
+        case BooleanType => g.getBoolean(i, 0)
+        case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+        case other => throw new UnsupportedOperationException(
+          s"TableCdfSource: unsupported column type ${other.simpleString}")
+      }
+    }
+  }
+
+  def row(g: Group, fields: Seq[StructField]): Array[Any] =
+    fields.map(f => value(g, f.name, f.dataType)).toArray
+
+  /** Iterate a parquet file's records with their ROW INDEX (parquet
+    * row order is as immutable as the file — DV addressing). */
+  def foreach(file: Path, conf: Configuration)
+             (f: (Group, Long) => Unit): Unit = {
+    val r = ParquetReader.builder(new GroupReadSupport(), file)
+      .withConf(conf).build()
+    try {
+      var idx = 0L
+      var g = r.read()
+      while (g != null) { f(g, idx); idx += 1; g = r.read() }
+    } finally r.close()
+  }
+
+  /** Dead positions across DV slice dirs, per manifest-relative data
+    * file — slice-sized state (one bucket's dead positions). */
+  def positions(root: String, slices: Seq[String], conf: Configuration)
+      : scala.collection.mutable.HashMap[String,
+        scala.collection.mutable.HashSet[Long]] = {
+    val out = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.HashSet[Long]]
+    for (s <- slices) {
+      val dir = new Path(root, s)
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        for (st <- fs.listStatus(dir)
+             if st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          foreach(st.getPath, conf) { (g, _) =>
+            val t = g.getType
+            val file = g.getBinary(t.getFieldIndex("file"), 0)
+              .toStringUsingUTF8
+            val ri = g.getLong(t.getFieldIndex("row_index"), 0)
+            out.getOrElseUpdate(file,
+              scala.collection.mutable.HashSet.empty[Long]) += ri
+          }
+        }
+      }
+    }
+    out
+  }
+}
+
+/** Reads one ADDED file of one append version; the CDF columns come
+  * from the partition, not the file. */
 private[sources] class CdfPartitionReader(part: CdfInputPartition,
                                           schema: StructType,
                                           conf: Configuration)
@@ -278,29 +452,121 @@ private[sources] class CdfPartitionReader(part: CdfInputPartition,
 
   override def get(): InternalRow = {
     val g = current
-    val t = g.getType
     InternalRow.fromSeq(schema.fields.toSeq.map { f =>
       if (f.name == TableCdfSource.VersionCol) part.version
       else if (f.name == TableCdfSource.ChangeTypeCol)
         UTF8String.fromString("insert")
-      else if (!t.containsField(f.name)) null
-      else {
-        val i = t.getFieldIndex(f.name)
-        if (g.getFieldRepetitionCount(i) == 0) null
-        else f.dataType match {
-          case LongType => g.getLong(i, 0)
-          case IntegerType => g.getInteger(i, 0)
-          case DoubleType => g.getDouble(i, 0)
-          case FloatType => g.getFloat(i, 0)
-          case BooleanType => g.getBoolean(i, 0)
-          case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-          case dt => throw new UnsupportedOperationException(
-            s"TableCdfSource: unsupported column type ${dt.simpleString}")
-        }
-      }
+      else GroupDecode.value(g, f.name, f.dataType)
     })
   }
 
   override def close(): Unit =
     if (reader != null) { reader.close(); reader = null }
+}
+
+/** Buffered change-row reader shared by the merge/delete readers:
+  * subclasses fill `out` once; `slots` maps schema positions to data
+  * indices (−1 = version, −2 = change type). */
+private[sources] abstract class CdfBufferedReader(schema: StructType,
+                                                  version: Long)
+    extends PartitionReader[InternalRow] {
+
+  protected val dataFields: Seq[StructField] = schema.fields.toSeq
+    .filterNot(f => f.name == TableCdfSource.VersionCol ||
+      f.name == TableCdfSource.ChangeTypeCol)
+  private val slots: Array[Int] = schema.fields.map { f =>
+    if (f.name == TableCdfSource.VersionCol) -1
+    else if (f.name == TableCdfSource.ChangeTypeCol) -2
+    else dataFields.indexWhere(_.name == f.name)
+  }
+  protected val out =
+    scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+
+  protected def emit(vals: Array[Any], tag: String): Unit =
+    out += InternalRow.fromSeq(slots.toSeq.map {
+      case -1 => version
+      case -2 => UTF8String.fromString(tag)
+      case i => vals(i)
+    })
+
+  private lazy val it: Iterator[InternalRow] = { fill(); out.iterator }
+  protected def fill(): Unit
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** One touched bucket of one MERGE version, diffed exactly like the
+  * batch `changes()`: the removed side (under the before-version's
+  * vector) keys in memory — state is ONE BUCKET of one version, the
+  * granularity the bucketed layout exists to bound — and the added
+  * side (under the after-vector) streams against it. Equal-payload
+  * rows are the carried rows a merge rewrote verbatim: no change. */
+private[sources] class CdfMergeReader(p: CdfMergePartition,
+                                      schema: StructType,
+                                      keyCols: Seq[String],
+                                      preimages: Boolean,
+                                      conf: Configuration)
+    extends CdfBufferedReader(schema, p.version) {
+
+  protected def fill(): Unit = {
+    val keyIdx = keyCols.map(k => dataFields.indexWhere(_.name == k))
+    require(keyIdx.forall(_ >= 0),
+      s"keyCols ${keyCols.mkString(",")} must appear in the stream schema")
+    val beforeDead = GroupDecode.positions(p.root, p.beforeDv, conf)
+    val afterDead = GroupDecode.positions(p.root, p.afterDv, conf)
+    val before =
+      scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+    for (rel <- p.removed) {
+      val dead = beforeDead.getOrElse(rel,
+        scala.collection.mutable.HashSet.empty[Long])
+      GroupDecode.foreach(new Path(p.root, rel), conf) { (g, i) =>
+        if (!dead.contains(i)) {
+          val vals = GroupDecode.row(g, dataFields)
+          before(keyIdx.map(vals(_)).toList) = vals
+        }
+      }
+    }
+    for (rel <- p.added) {
+      val dead = afterDead.getOrElse(rel,
+        scala.collection.mutable.HashSet.empty[Long])
+      GroupDecode.foreach(new Path(p.root, rel), conf) { (g, i) =>
+        if (!dead.contains(i)) {
+          val vals = GroupDecode.row(g, dataFields)
+          before.remove(keyIdx.map(vals(_)).toList) match {
+            case None => emit(vals, "insert")
+            case Some(old) =>
+              if (!old.sameElements(vals)) {
+                if (preimages) emit(old, "update_preimage")
+                emit(vals, "update_postimage")
+              } // byte-equal carried row: provably changeless
+          }
+        }
+      }
+    }
+    before.valuesIterator.foreach(old => emit(old, "delete"))
+  }
+}
+
+/** One fresh DV slice of one DELETE version: its positions minus the
+  * bucket's previously dead ones, read back from exactly the files
+  * they address, tagged delete. */
+private[sources] class CdfDeleteReader(p: CdfDeletePartition,
+                                       schema: StructType,
+                                       conf: Configuration)
+    extends CdfBufferedReader(schema, p.version) {
+
+  protected def fill(): Unit = {
+    val fresh = GroupDecode.positions(p.root, p.freshSlices, conf)
+    val old = GroupDecode.positions(p.root, p.oldSlices, conf)
+    for ((f, dead) <- old; set <- fresh.get(f)) set --= dead
+    for ((rel, set) <- fresh.toSeq.sortBy(_._1) if set.nonEmpty) {
+      GroupDecode.foreach(new Path(p.root, rel), conf) { (g, i) =>
+        if (set.contains(i)) emit(GroupDecode.row(g, dataFields), "delete")
+      }
+    }
+  }
 }

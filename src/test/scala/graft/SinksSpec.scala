@@ -1142,7 +1142,8 @@ class SinksSpec extends SparkSpec {
     // v3 (optimize) emits nothing; v4's append is attributed to 4
     assert(got === Array((1L, "insert", 1L), (2L, "insert", 1L),
       (3L, "insert", 2L), (4L, "insert", 4L)))
-    // a merge version cannot stream as file-level inserts — loud
+    // a merge version cannot stream WITHOUT keyCols — loud, with the
+    // fix named (pass keyCols to serve the keyed diff)
     vt.mergeBucketed(Seq((1L, 10L, "U", "a2")).toDF("key", "seq", "op",
       "tag").select(col("key"), col("seq"), col("op"), col("tag")),
       Seq("key"), Seq("seq"), numBuckets = 4)
@@ -1153,8 +1154,90 @@ class SinksSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
       q2.awaitTermination())
-    assert(e.getMessage.contains("append") ||
-      Option(e.getCause).exists(_.getMessage.contains("append")))
+    assert(e.getMessage.contains("keyCols") ||
+      Option(e.getCause).exists(_.getMessage.contains("keyCols")))
+  }
+
+  test("TableCdfSource serves MERGE versions as the file-pruned keyed " +
+    "diff — one partition per touched bucket, carried-verbatim files " +
+    "NEVER planned (census) — and DV-delete versions as fresh-position " +
+    "deletes; preimages on demand") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("vtable-streamcdf-merge")
+    val vt = GraftSink.VersionedTable(path)
+    def batch(rows: (Long, Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("key", "seq", "op", "tag")
+    def bucketOf(k: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(8L))).head().getLong(0)
+    vt.mergeBucketed(batch((0L until 64L).map(k =>
+      (k, k, "I", s"a$k")): _*), Seq("key"), Seq("seq"), numBuckets = 8)
+    // v2: update key 5, tombstone key 6, insert key 100
+    vt.mergeBucketed(batch((5L, 100L, "U", "b5"), (6L, 101L, "D", "x"),
+      (100L, 102L, "I", "new")), Seq("key"), Seq("seq"), numBuckets = 8)
+    // v3: DV-erase key 7
+    vt.deleteKeys(spark, Seq("key"), Seq(Seq(7L)), numBuckets = 8)
+    val dataSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    val fullSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType))
+    // ---- census: plan v2 directly and pin the file-pruning law
+    val mbs = new graft.sources.CdfMicroBatchStream(fullSchema, path,
+      Long.MaxValue, Seq("key"), false)
+    val parts = mbs.planInputPartitions(
+      graft.sources.CdfOffset(1L), graft.sources.CdfOffset(2L))
+    val mps = parts.toSeq.map(_.asInstanceOf[graft.sources.CdfMergePartition])
+    val touched = Set(5L, 6L, 100L).map(bucketOf)
+    assert(mps.size === touched.size) // one partition per touched bucket
+    def manifestFiles(v: Long): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        path, s"_manifests/v$v.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(l => { val i = l.indexOf('\t'); if (i < 0) l
+          else l.substring(0, i) }).toSet
+      finally in.close()
+    }
+    val (f1, f2) = (manifestFiles(1L), manifestFiles(2L))
+    val planned = mps.flatMap(m => m.removed ++ m.added).toSet
+    assert(planned === (f1 -- f2) ++ (f2 -- f1)) // exactly the diff
+    assert(planned.intersect(f1.intersect(f2)).isEmpty) // no carried file
+    // v3 plans as delete partitions reading ONLY key 7's bucket slice
+    val dparts = mbs.planInputPartitions(
+      graft.sources.CdfOffset(2L), graft.sources.CdfOffset(3L))
+    val dps = dparts.toSeq
+      .map(_.asInstanceOf[graft.sources.CdfDeletePartition])
+    assert(dps.size === 1 &&
+      dps.head.freshSlices.head.contains(s"__dvb=${bucketOf(7L)}"))
+    // ---- the stream end-to-end, preimages on
+    val q = graft.sources.TableCdfSource
+      .stream(spark, path, dataSchema, maxVersionsPerTrigger = 1,
+        keyCols = Seq("key"), preimages = true)
+      .writeStream.format("memory").queryName("cdf_merge_src_test")
+      .option("checkpointLocation", tmp("ckpt-cdfm"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cdf_merge_src_test")
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    val v1Rows = (0L until 64L)
+      .map(k => (k, k, s"a$k", "insert", 1L)).toSet
+    assert(got === v1Rows ++ Set(
+      (5L, 5L, "a5", "update_preimage", 2L),
+      (5L, 100L, "b5", "update_postimage", 2L),
+      (6L, 6L, "a6", "delete", 2L),
+      (100L, 102L, "new", "insert", 2L),
+      (7L, 7L, "a7", "delete", 3L)))
   }
 
   test("VersionedTable.commitBatch: a redelivered batch id is skipped " +
