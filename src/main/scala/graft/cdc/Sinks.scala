@@ -668,11 +668,21 @@ object GraftSink {
       val fs = root.getFileSystem(
         df.sparkSession.sessionState.newHadoopConf())
       var v = currentVersion(fs) + 1
+      // an append under a column-mapped table writes PHYSICAL names
+      // (the stamped #schema stays logical); an overwrite materializes
+      // the logical view and RESETS the map
+      val renameMap =
+        if (overwrite) Map.empty[String, String] else renameOf(fs, v - 1)
+      // gate BEFORE writing too: a refused schema (type clash,
+      // suspected rename, held physical name) must not leave orphan
+      // data files — the loop below re-checks per publish attempt
+      if (!overwrite) schemaGate(fs, v - 1, df.schema)
       // uuid-suffixed so two racing writers never share a data dir —
       // the loser's retry re-publishes THESE files under the next v
       val dataRel = s"_data/commit-$v-${java.util.UUID.randomUUID}"
       val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
-      df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      toPhysical(df, renameMap).write
+        .mode(SaveMode.Overwrite).parquet(dataDir.toString)
       val newFiles = statsLines(fs, fs.listStatus(dataDir).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(f => s"$dataRel/${f.getPath.getName}"))
@@ -682,7 +692,11 @@ object GraftSink {
       while (!committed) {
         // the gate re-checks per attempt: a lost race means a NEW
         // previous version, whose schema is the one that matters
-        schemaGate(fs, v - 1, df.schema)
+        schemaGate(fs, v - 1, df.schema, carried = !overwrite)
+        if (!overwrite) require(renameOf(fs, v - 1) == renameMap,
+          s"$path: a concurrent RENAME landed while this commit was " +
+            "writing — its files were translated under the old column " +
+            "map; re-run against the new current version")
         val base =
           if (overwrite) Nil
           else if (v == 1) Nil
@@ -692,12 +706,22 @@ object GraftSink {
         val dvCarry =
           if (overwrite) None else dvMetaOf(fs, v - 1)
         val header = headerLines(meta + ("kind" -> kind) +
-          ("schema" -> df.schema.json) ++ dvCarry.map("dv" -> _))
+          ("schema" -> df.schema.json) ++ dvCarry.map("dv" -> _) ++
+          (if (renameMap.nonEmpty)
+            Some("rename" -> encodeRename(renameMap)) else None))
         if (tryPublish(fs, v, header ++ base ++ newFiles)) committed = true
         else v = currentVersion(fs) + 1
       }
       v
     }
+
+    /** Logical → physical column translation for a write under a
+      * column-mapped table (identity when no renames are live). */
+    private def toPhysical(df: DataFrame,
+                           rename: Map[String, String]): DataFrame =
+      if (rename.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        col(c).as(rename.getOrElse(c, c))): _*)
 
     /** Render `#k=v` header lines (sorted, line-safety enforced). */
     private def headerLines(meta: Map[String, String]): Seq[String] =
@@ -760,6 +784,77 @@ object GraftSink {
         asNullable(org.apache.spark.sql.types.DataType.fromJson(j))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+    /** COLUMN-MAPPING name map of version `v` (`#rename=`, Delta's
+      * column-mapping idea): logical → PHYSICAL column name, listed
+      * only where they differ. Data files always store physical names
+      * — a file's physical name is fixed at first appearance and a
+      * rename edits only this map, so a rename is one manifest write
+      * that never touches a file; writes after a rename translate
+      * back to physical, reads translate forward to logical. */
+    private def renameOf(fs: org.apache.hadoop.fs.FileSystem,
+                         v: Long): Map[String, String] = {
+      if (v < 1) return Map.empty
+      val m = new org.apache.hadoop.fs.Path(path,
+        s"_manifests/v$v.manifest")
+      if (!fs.exists(m)) Map.empty
+      else manifestMeta(fs, v).get("rename").map(_.split(',')
+        .filter(_.nonEmpty).map { pair =>
+          val i = pair.indexOf(':')
+          pair.substring(0, i) -> pair.substring(i + 1)
+        }.toMap).getOrElse(Map.empty)
+    }
+
+    private def encodeRename(map: Map[String, String]): String =
+      map.toSeq.sorted.map { case (l, p) =>
+        require(!(l + p).exists(c => c == ':' || c == ',' ||
+          c == '=' || c == '\n'),
+          s"column names in a rename must be [:,=\\n]-free: $l -> $p")
+        s"$l:$p"
+      }.mkString(",")
+
+    /** RENAME a column (lakehouse schema evolution's third verb beside
+      * add/drop — A43's `suspected_rename` verdict made explicit):
+      * publishes a new version with the SAME file lines, the schema
+      * field renamed, and the `#rename=` column map updated — one
+      * manifest write, zero data moved at any table size. Per-version
+      * time travel reads every version under ITS OWN names. Dropping
+      * `from` and adding `to` instead would orphan the old files'
+      * column (they'd read null); the map keeps them readable. */
+    def renameColumn(spark: org.apache.spark.sql.SparkSession,
+                     from: String, to: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      require(v > 0, s"$path: no committed versions")
+      val schema = versionSchema(fs, v).getOrElse(throw
+        new IllegalArgumentException(s"$path: version $v stamped no " +
+          "schema — rename needs the column-mapping metadata"))
+      require(schema.fieldNames.contains(from),
+        s"$path: no column '$from' to rename")
+      require(!schema.fieldNames.contains(to),
+        s"$path: column '$to' already exists")
+      val prevMap = renameOf(fs, v)
+      val physical = prevMap.getOrElse(from, from)
+      val newMap = (prevMap - from + (to -> physical))
+        .filter { case (l, p) => l != p }
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      val meta = manifestMeta(fs, v)
+      val header = headerLines(Map(
+        "kind" -> "rename", "schema" -> newSchema.json) ++
+        (if (newMap.nonEmpty) Some("rename" -> encodeRename(newMap))
+         else None) ++
+        meta.get("dv").map("dv" -> _) ++
+        meta.get("buckets").map("buckets" -> _))
+      val newV = v + 1
+      if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v)))
+        throw new IllegalStateException(s"$path: concurrent commit took " +
+          s"v$newV while this rename was publishing — re-run against " +
+          "the new current version")
+      newV
+    }
+
     /** Stamped-schema type map of one version, cached per instance —
       * a version's manifest is immutable, so its schema is too. */
     @transient private lazy val originTypeCache =
@@ -788,7 +883,8 @@ object GraftSink {
       * origin is checked (one cached manifest-header read per origin).
       * Unstamped/vacuumed versions skip — nothing to compare against. */
     private def schemaGate(fs: org.apache.hadoop.fs.FileSystem, prevV: Long,
-                           next: org.apache.spark.sql.types.StructType)
+                           next: org.apache.spark.sql.types.StructType,
+                           carried: Boolean = true)
         : Unit = {
       if (prevV < 1) return
       val m = new org.apache.hadoop.fs.Path(path,
@@ -806,6 +902,36 @@ object GraftSink {
           "may add or drop columns but never change a carried column's " +
           s"type (files written at v$ov would read corrupt): " +
           clashes.mkString("; "))
+      }
+      // the two rename-shaped guards only bind when the commit CARRIES
+      // the previous files (an overwrite drops them — reshaping freely
+      // is its point)
+      if (carried) versionSchema(fs, prevV).foreach { prev =>
+        // column-mapping guard: a NEW logical column may not claim a
+        // PHYSICAL name some renamed column still holds — the old
+        // files' physical column is taken
+        val taken = renameOf(fs, prevV).values.toSet
+        val newCols = next.fields.toSeq.filterNot(f =>
+          prev.fieldNames.contains(f.name))
+        newCols.find(f => taken.contains(f.name)).foreach(f =>
+          throw new IllegalArgumentException(s"$path: column " +
+            s"'${f.name}' cannot be added — its physical name is held " +
+            "by a renamed column (old files still store it); pick " +
+            "another name or optimize first"))
+        // A43's suspected_rename verdict as a gate: dropping one
+        // column and adding one of the IDENTICAL type in the same
+        // commit is almost always a rename — drop+add would orphan
+        // the old files' data (they'd read null); renameColumn keeps
+        // it readable through the column map
+        val dropped = prev.fields.toSeq.filterNot(f =>
+          next.fieldNames.contains(f.name))
+        if (dropped.size == 1 && newCols.size == 1 &&
+          asNullable(dropped.head.dataType) ==
+            asNullable(newCols.head.dataType))
+          throw new IllegalArgumentException(s"$path: suspected RENAME " +
+            s"— this commit drops '${dropped.head.name}' and adds " +
+            s"'${newCols.head.name}' of the identical type; use " +
+            "renameColumn (drop+add orphans the old files' values)")
       }
     }
 
@@ -995,13 +1121,18 @@ object GraftSink {
       val v = currentVersion(fs)
       require(v > 0, s"$path: no committed versions")
       val (blo, bhi) = (BigDecimal(lo), BigDecimal(hi))
+      // manifest stats carry PHYSICAL names (they come from written
+      // files); a renamed column's stats keep pruning
+      val rename = renameOf(fs, v)
+      val physCol = rename.getOrElse(column, column)
       val keep = manifestRawLines(fs, v).filter { l =>
-        statsRange(l, column) match {
+        statsRange(l, physCol) match {
           case Some((mn, mx)) => mx >= blo && mn <= bhi
           case None => true
         }
       }.map(stripStats)
-      readFiles(spark, fs, keep, versionSchema(fs, v), dvSlicesOf(fs, v))
+      readFiles(spark, fs, keep, versionSchema(fs, v), dvSlicesOf(fs, v),
+        rename)
         .where(col(column) >= lo && col(column) <= hi)
     }
 
@@ -1102,7 +1233,7 @@ object GraftSink {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       readFiles(spark, fs, manifestFiles(fs, v), versionSchema(fs, v),
-        dvSlicesOf(fs, v))
+        dvSlicesOf(fs, v), renameOf(fs, v))
     }
 
     /** The row's data file as a MANIFEST-RELATIVE path — everything
@@ -1165,13 +1296,24 @@ object GraftSink {
                               fs: org.apache.hadoop.fs.FileSystem,
                               rels: Seq[String],
                               schema: Option[org.apache.spark.sql.types.StructType],
-                              dv: Seq[String])
+                              dv: Seq[String],
+                              rename: Map[String, String] = Map.empty)
         : DataFrame = {
       val paths = rels.map(rel => s"$path/$rel")
-      val base = schema.map(s => spark.read.schema(s).parquet(paths: _*))
+      // files store PHYSICAL names: plan the scan under the physical
+      // schema, then project back to the version's logical names
+      val physSchema = schema.map(s =>
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          f.copy(name = rename.getOrElse(f.name, f.name)))))
+      val raw = physSchema.map(s => spark.read.schema(s).parquet(paths: _*))
         .getOrElse(spark.read.parquet(paths: _*))
         .withColumn("__dv_file", relFileCol)
         .withColumn("__dv_row", col("_metadata.row_index"))
+      val base =
+        if (rename.isEmpty) raw
+        else raw.select(schema.get.fields.toSeq.map(f =>
+          col(rename.getOrElse(f.name, f.name)).as(f.name)) ++
+          Seq(col("__dv_file"), col("__dv_row")): _*)
       val relBuckets = rels.map(rel =>
         pathBucket(rel).getOrElse(-1L)).toSet
       val needed = dv.filter(s => relBuckets.contains(sliceBucket(s)))
@@ -1192,14 +1334,15 @@ object GraftSink {
                           fs: org.apache.hadoop.fs.FileSystem,
                           rels: Seq[String],
                           schema: Option[org.apache.spark.sql.types.StructType],
-                          dv: Seq[String] = Nil)
+                          dv: Seq[String] = Nil,
+                          rename: Map[String, String] = Map.empty)
         : DataFrame = {
       if (rels.isEmpty)
         schema.map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
           .getOrElse(spark.emptyDataFrame)
       else {
-        val addr = readFilesAddr(spark, fs, rels, schema, dv)
+        val addr = readFilesAddr(spark, fs, rels, schema, dv, rename)
         addr.select(addr.columns.toSeq
           .filterNot(c => c == "__dv_file" || c == "__dv_row")
           .map(col): _*)
@@ -1241,7 +1384,7 @@ object GraftSink {
       val v = currentVersion(fs)
       require(v > 0, s"$path: no committed versions")
       val alive = readFilesAddr(spark, fs, manifestFiles(fs, v),
-        versionSchema(fs, v), dvSlicesOf(fs, v))
+        versionSchema(fs, v), dvSlicesOf(fs, v), renameOf(fs, v))
       val newDead = alive.where(cond)
         .select(col("__dv_file").as("file"), col("__dv_row").as("row_index"))
       publishDelete(spark, fs, v, newDead)
@@ -1289,7 +1432,8 @@ object GraftSink {
         val dvList = (prevCarried ++ newSlices).mkString(",")
         val header = headerLines(Map(
           "kind" -> "delete", "dv" -> dvList) ++
-          manifestMeta(fs, v).get("schema").map("schema" -> _))
+          manifestMeta(fs, v).get("schema").map("schema" -> _) ++
+          manifestMeta(fs, v).get("rename").map("rename" -> _))
         if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v))) {
           fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
           throw new IllegalStateException(s"$path: concurrent commit took " +
@@ -1346,7 +1490,7 @@ object GraftSink {
       // readFilesAddr prunes the DV slices to the wanted buckets too —
       // the erasure loads 1/numBuckets of the vector, not all of it
       val alive = readFilesAddr(spark, fs, rels, schema,
-        dvSlicesOf(fs, v))
+        dvSlicesOf(fs, v), renameOf(fs, v))
       val newDead = alive.join(broadcast(keyDf), keyCols, "left_semi")
         .select(col("__dv_file").as("file"),
           col("__dv_row").as("row_index"))
@@ -1472,10 +1616,11 @@ object GraftSink {
       val outSchema = org.apache.spark.sql.types.StructType(
         latest.drop(opCol).schema.fields)
       schemaGate(fs, v, outSchema)
+      val renameMap = renameOf(fs, v)
       val current = readFiles(spark, fs, touchedFiles,
         Some(asNullable(outSchema)
           .asInstanceOf[org.apache.spark.sql.types.StructType]),
-        dvSlicesOf(fs, v))
+        dvSlicesOf(fs, v), renameMap)
       val merged = current
         .join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(latest.where(col(opCol) =!= "D").drop(opCol))
@@ -1485,7 +1630,7 @@ object GraftSink {
       var newV = v + 1
       val dataRel = s"_data/commit-$newV-${java.util.UUID.randomUUID}"
       val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
-      merged.write.mode(SaveMode.Overwrite)
+      toPhysical(merged, renameMap).write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(dataDir.toString)
       val newFiles = statsLines(fs, for {
         d <- fs.listStatus(dataDir).toSeq if d.isDirectory
@@ -1507,7 +1652,9 @@ object GraftSink {
         ("touched" -> touched.toSeq.sorted.mkString(",")) +
         ("schema" -> outSchema.json) ++
         (if (dvCarry.nonEmpty) Some("dv" -> dvCarry.mkString(","))
-         else None))
+         else None) ++
+        (if (renameMap.nonEmpty)
+          Some("rename" -> encodeRename(renameMap)) else None))
       beforePublish()
       var carriedNow = carried
       var attempts = 0
@@ -1580,6 +1727,7 @@ object GraftSink {
         "kind" -> "restore", "restored_from" -> v.toString) ++
         meta.get("schema").map("schema" -> _) ++
         meta.get("dv").map("dv" -> _) ++
+        meta.get("rename").map("rename" -> _) ++
         bucketSpecAsOf(fs, v).map(b => "buckets" -> b.toString))
       val newV = cur + 1
       if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v)))
@@ -1697,7 +1845,8 @@ object GraftSink {
       val files = manifestFiles(fs, v).filter(rel =>
         pathBucket(rel).forall(wanted.contains))
       if (files.isEmpty) return read(spark).limit(0)
-      readFiles(spark, fs, files, versionSchema(fs, v), dvSlicesOf(fs, v))
+      readFiles(spark, fs, files, versionSchema(fs, v), dvSlicesOf(fs, v),
+        renameOf(fs, v))
         .join(broadcast(keyDf), keyCols, "left_semi")
     }
 
@@ -1800,7 +1949,8 @@ object GraftSink {
           }
         } else if (sets(v - 1).subsetOf(sets(v))) {
           if (added.isEmpty) None
-          else Some(readFiles(spark, fs, added, versionSchema(fs, v))
+          else Some(readFiles(spark, fs, added, versionSchema(fs, v),
+              Nil, renameOf(fs, v))
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         } else {
@@ -1812,8 +1962,13 @@ object GraftSink {
             if (kind.contains("merge"))
               // file-pruned: only the rewritten buckets' files move —
               // each side under ITS version's deletion vector
-              (readFiles(spark, fs, removed, schema, dvSlicesOf(fs, v - 1)),
-                readFiles(spark, fs, added, schema, dvSlicesOf(fs, v)))
+              // both sides read under v's schema + column map
+              // (physical names never change, so v's map covers the
+              // before files too)
+              (readFiles(spark, fs, removed, schema,
+                dvSlicesOf(fs, v - 1), renameOf(fs, v)),
+                readFiles(spark, fs, added, schema,
+                  dvSlicesOf(fs, v), renameOf(fs, v)))
             else (readVersion(spark, v - 1), readVersion(spark, v))
           Some(keyedDiff(before, after, keyCols, v, emitPreimages))
         }
@@ -1939,8 +2094,10 @@ object GraftSink {
           // anti-join below — metadata columns bind at the scan)
           val rels = manifestFiles(fs, v)
           val schema = versionSchema(fs, v)
+          // optimize rewrites EVERY file with logical names, so the
+          // rename map resets (no old physical files survive)
           val alive = readFilesAddr(spark, fs, rels, schema,
-            dvSlicesOf(fs, v))
+            dvSlicesOf(fs, v), renameOf(fs, v))
           val pathB = regexp_extract(col("__dv_file"),
             "__bucket=(\\d+)/", 1)
           val fromPath = when(pathB =!= "", pathB.cast("long"))
@@ -2172,6 +2329,107 @@ object GraftSink {
       * the hint alone (zero listings), the object-store scaling law. */
     private[graft] val fallbackLists =
       new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** CROSS-TABLE SYNCPOINT (A40's consistent snapshot composed onto
+    * the A66 lakehouse; VERDICT r16 ask 9): a coordinator directory
+    * whose numbered syncpoint manifests each pin ONE VERSION OF EVERY
+    * PARTICIPATING TABLE. A cross-table transaction commits its
+    * tables individually (each an ordinary atomic manifest publish),
+    * then publishes one syncpoint naming the resulting versions;
+    * readers resolve the LATEST syncpoint and read each table AT its
+    * pinned version — a transaction is never half-visible, however
+    * long the window between the table commits (a reader inside that
+    * window resolves the previous syncpoint; the half-committed
+    * versions exist but are not pinned). The publish is the same
+    * write-temp + rename-without-overwrite commit point the tables
+    * use; a lost rename race converges by re-pinning each table at
+    * the MAX of both transactions' versions (both fully committed
+    * their tables before racing on the pin — max is the serial
+    * state) and retrying at the next syncpoint number.
+    *
+    * Scale shape: a syncpoint is |tables| lines of driver metadata;
+    * reads stay snapshot-isolated through the tables' own manifests.
+    * Vacuum discipline: retain at least as many table versions as the
+    * oldest syncpoint any reader may still resolve. */
+  object Syncpoint {
+    private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                     path: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+
+    /** Latest published syncpoint number (0 = none yet). */
+    def current(spark: org.apache.spark.sql.SparkSession,
+                path: String): Long = {
+      val fs = fsOf(spark, path)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("sp-") && n.endsWith(".syncpoint"))
+        .map(_.stripPrefix("sp-").stripSuffix(".syncpoint").toLong)
+        .foldLeft(0L)(math.max)
+    }
+
+    /** Publish `pins` (table name → version) as the next syncpoint. */
+    def publish(spark: org.apache.spark.sql.SparkSession,
+                path: String, pins: Map[String, Long]): Long = {
+      require(pins.nonEmpty, "a syncpoint must pin at least one table")
+      val fs = fsOf(spark, path)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      fs.mkdirs(dir)
+      var merged = pins
+      var n = current(spark, path) + 1
+      while (true) {
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".sp-$n-${java.util.UUID.randomUUID}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(merged.toSeq.sorted.map { case (t, v) =>
+          require(!t.contains("=") && !t.contains("\n"),
+            s"table name must be line-safe: $t")
+          s"$t=$v"
+        }.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val dest = new org.apache.hadoop.fs.Path(dir, s"sp-$n.syncpoint")
+        if (!fs.exists(dest) && fs.rename(tmp, dest)) return n
+        fs.delete(tmp, false)
+        // lost race: the winner's transaction also fully committed
+        // its tables — converge on the per-table max and retry
+        val winner = resolve(spark, path)._2
+        merged = (merged.keySet ++ winner.keySet).map(k =>
+          k -> math.max(merged.getOrElse(k, 0L),
+            winner.getOrElse(k, 0L))).toMap
+        n = current(spark, path) + 1
+      }
+      n // unreachable
+    }
+
+    /** The latest syncpoint: (number, table → pinned version). */
+    def resolve(spark: org.apache.spark.sql.SparkSession,
+                path: String): (Long, Map[String, Long]) = {
+      val n = current(spark, path)
+      require(n > 0, s"$path: no syncpoint published yet")
+      val fs = fsOf(spark, path)
+      val in = fs.open(new org.apache.hadoop.fs.Path(path,
+        s"sp-$n.syncpoint"))
+      val pins = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('=')
+          l.substring(0, i) -> l.substring(i + 1).toLong
+        }.toMap
+      finally in.close()
+      (n, pins)
+    }
+
+    /** Consistent read of one participant AT the latest syncpoint. */
+    def readAt(spark: org.apache.spark.sql.SparkSession, path: String,
+               name: String, table: VersionedTable): DataFrame = {
+      val pins = resolve(spark, path)._2
+      table.readVersion(spark, pins.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"$path: latest syncpoint pins no table '$name'")))
+    }
   }
 
   /** JDBC warehouse sink (reference README.md:17, 22 — the RFC's

@@ -1863,6 +1863,82 @@ object Cdc {
         .orderBy("_commit_version", "user_id")
     }),
 
+    // A40 × A66 CROSS-TABLE SYNCPOINT: a two-table transaction (even
+    // keys → table A, odd → table B) commits each table individually,
+    // then pins both versions in ONE coordinator syncpoint — readers
+    // resolve the pin set, so a transaction is never half-visible. A
+    // third transaction is left TORN (A committed, no syncpoint): the
+    // reader's profile must be exactly transactions 1-2, and the
+    // torn_invisible witness pins that A's newer version exists but
+    // is not read. Oracle: the ≤t2 slice profile.
+    "cdc_table_syncpoint" -> ((s, dir) => {
+      val base = roundtripPath(dir, "tablesyncpoint")
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val ta = GraftSink.VersionedTable(s"$base/a")
+      val tb = GraftSink.VersionedTable(s"$base/b")
+      val coord = s"$base/_syncpoints"
+      def txn(slice: DataFrame): Unit = {
+        val va = ta.commit(slice.where(pmod(col("key"), lit(2L)) === 0))
+        val vb = tb.commit(slice.where(pmod(col("key"), lit(2L)) === 1))
+        GraftSink.Syncpoint.publish(s, coord, Map("a" -> va, "b" -> vb))
+      }
+      txn(log.where(col("commit_ts_us") <= t1))
+      txn(log.where(col("commit_ts_us") > t1 && col("commit_ts_us") <= t2))
+      // the TORN transaction: A lands, the syncpoint never does
+      ta.commit(log.where(col("commit_ts_us") > t2)
+        .where(pmod(col("key"), lit(2L)) === 0))
+      val (_, pins) = GraftSink.Syncpoint.resolve(s, coord)
+      val torn = ta.currentVersion(s) == pins("a") + 1
+      GraftSink.Syncpoint.readAt(s, coord, "a", ta)
+        .unionByName(GraftSink.Syncpoint.readAt(s, coord, "b", tb))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sumCents("value").as("sum_value_e2"),
+          max(col("commit_ts_us")).as("max_ts_us"))
+        .withColumn("torn_invisible", lit(torn))
+        .orderBy("event_type")
+    }),
+
+    // A66 COLUMN-MAPPING RENAME (Delta's column mapping; VERDICT r16
+    // ask 4): value→amount lands mid-history as ONE manifest write —
+    // data files keep their PHYSICAL column, the #rename= map keeps
+    // them readable, and a post-rename append writes under the
+    // logical name while translating back to physical. Per-version
+    // time travel reads EACH version under its own names (v1 says
+    // value, v2/v3 say amount — the named_amount witness), and the
+    // sums prove old files' data flows through the map (a drop+add
+    // would have nulled it; the gate refuses that shape outright).
+    "cdc_table_rename" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablerename")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir).select(col("key"), col("commit_ts_us"),
+        col("seq"), col("event_type"), col("value"))
+      val t1 = 1704844800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.where(col("commit_ts_us") <= t1))
+      table.renameColumn(s, "value", "amount")
+      table.commit(log.where(col("commit_ts_us") > t1)
+        .withColumnRenamed("value", "amount"))
+      Seq(1L, 2L, 3L).map { v =>
+        val df = table.readVersion(s, v)
+        val named = df.columns.contains("amount")
+        val amt = if (named) "amount" else "value"
+        df.agg(count(lit(1)).as("n_rows"),
+            sum((dec182(amt) * 100).cast("decimal(38,0)")).cast("long")
+              .as("sum_amount_e2"))
+          .withColumn("version", lit(v))
+          .withColumn("named_amount", lit(named))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_rows"), col("sum_amount_e2"),
+          col("named_amount"))
+        .orderBy("version")
+    }),
+
     // A66 RESTORE (Delta's RESTORE TO VERSION): after a bad overwrite
     // clobbers the table, restore(2) republishes v2's exact state as
     // v4 — ONE manifest write, zero data moved at any table size,
@@ -4552,6 +4628,35 @@ object Cdc {
     // Racing disjoint merges must converge to the serial answer —
     // the full-feed snapshot.
     "cdc_table_merge_racing" -> snapshotOracle,
+
+    // Cross-table syncpoint: the consistent pair = transactions 1-2
+    // (slices ≤ t2); the torn third transaction is invisible.
+    "cdc_table_syncpoint" -> (logCte +
+      s"""
+        |SELECT event_type, count(*) AS n_events,
+        |       $sumCentsSql AS sum_value_e2,
+        |       max(commit_ts_us) AS max_ts_us,
+        |       TRUE AS torn_invisible
+        |FROM log WHERE commit_ts_us <= 1705708800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Column-mapping rename: v1 = slice-1 under the old name, v2 =
+    // the rename (same content, new name), v3 = the full feed — the
+    // sums prove the old files' column flows through the map.
+    "cdc_table_rename" -> (logCte +
+      s""",
+        |b AS (
+        |  SELECT CASE WHEN commit_ts_us <= 1704844800000000 THEN 1
+        |              ELSE 3 END AS sl,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |              AS DECIMAL(38,0)) AS ve
+        |  FROM log)
+        |SELECT CAST(g.v AS BIGINT) AS version,
+        |       count(*) AS n_rows,
+        |       CAST(sum(ve) AS BIGINT) AS sum_amount_e2,
+        |       g.v >= 2 AS named_amount
+        |FROM b JOIN (VALUES (1), (2), (3)) g(v) ON b.sl <= g.v
+        |GROUP BY g.v ORDER BY version""".stripMargin),
 
     // Restore: the pre-overwrite cumulative content, at version 4.
     "cdc_table_restore" -> (logCte +

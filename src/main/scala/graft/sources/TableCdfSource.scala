@@ -139,23 +139,26 @@ private[graft] case class CdfOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-/** One ADDED file of one append version. */
+/** One ADDED file of one append version (`rename` = the version's
+  * logical → physical column map: files store physical names). */
 private[graft] case class CdfInputPartition(
-    file: String, version: Long) extends InputPartition
+    file: String, version: Long,
+    rename: Map[String, String] = Map.empty) extends InputPartition
 
 /** One touched BUCKET of one merge version: the file-pruned keyed
   * diff's inputs — removed/added files (manifest-relative) plus each
   * side's deletion-vector slices for this bucket. */
 private[graft] case class CdfMergePartition(
     root: String, removed: Seq[String], added: Seq[String],
-    beforeDv: Seq[String], afterDv: Seq[String],
-    version: Long) extends InputPartition
+    beforeDv: Seq[String], afterDv: Seq[String], version: Long,
+    rename: Map[String, String] = Map.empty) extends InputPartition
 
 /** One FRESH deletion-vector slice of one delete version, plus the
   * bucket's previous slices (their positions were already dead). */
 private[graft] case class CdfDeletePartition(
     root: String, freshSlices: Seq[String], oldSlices: Seq[String],
-    version: Long) extends InputPartition
+    version: Long,
+    rename: Map[String, String] = Map.empty) extends InputPartition
 
 private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
                                          maxVersionsPerTrigger: Long,
@@ -236,6 +239,16 @@ private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
       .toSeq.flatMap(_.stripPrefix("#dv=").split(','))
       .filter(_.nonEmpty)
 
+  /** The version's logical → physical column map (`#rename=`). */
+  private def renameOf(v: Long): Map[String, String] =
+    if (v == 0) Map.empty
+    else manifestLines(v).find(_.startsWith("#rename="))
+      .map(_.stripPrefix("#rename=").split(',').filter(_.nonEmpty)
+        .map { pair =>
+          val i = pair.indexOf(':')
+          pair.substring(0, i) -> pair.substring(i + 1)
+        }.toMap).getOrElse(Map.empty)
+
   /** A manifest line is `rel` or `rel<TAB>stats-json` — line identity
     * is file identity; the stats drop only to build read paths. */
   private def stripStats(line: String): String = {
@@ -291,7 +304,8 @@ private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
         dvOf(v).filterNot(prevSet.contains).map { sl =>
           val b = sliceBucket(sl)
           CdfDeletePartition(path, Seq(sl),
-            prevDv.filter(o => sliceBucket(o) == b), v): InputPartition
+            prevDv.filter(o => sliceBucket(o) == b), v,
+            renameOf(v)): InputPartition
         }
       }
       else if (k.contains("restore"))
@@ -301,7 +315,8 @@ private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
             "ranges crossing it")
       else if (prev.subsetOf(cur)) {
         (cur -- prev).toSeq.sorted.map { line =>
-          CdfInputPartition(s"$path/${stripStats(line)}", v): InputPartition
+          CdfInputPartition(s"$path/${stripStats(line)}", v,
+            renameOf(v)): InputPartition
         }
       }
       else if (k.contains("merge")) {
@@ -324,14 +339,14 @@ private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
               added.filter(a => pathBucket(a).contains(b)),
               beforeDv.filter(sl => sliceBucket(sl) == b),
               afterDv.filter(sl => sliceBucket(sl) == b),
-              v): InputPartition
+              v, renameOf(v)): InputPartition
           }
         } else
           // unbucketed files may hold any key — the diff cannot be
           // bucket-aligned; one partition for the version (the first
           // merge over a plain table, before the layout converges)
           Seq(CdfMergePartition(path, removed, added,
-            beforeDv, afterDv, v): InputPartition)
+            beforeDv, afterDv, v, renameOf(v)): InputPartition)
       }
       else throw new IllegalArgumentException(
         s"$path: version $v is not an append (kind=${k.getOrElse("?")}) " +
@@ -387,8 +402,10 @@ private[sources] object GroupDecode {
     }
   }
 
-  def row(g: Group, fields: Seq[StructField]): Array[Any] =
-    fields.map(f => value(g, f.name, f.dataType)).toArray
+  def row(g: Group, fields: Seq[StructField],
+          rename: Map[String, String] = Map.empty): Array[Any] =
+    fields.map(f =>
+      value(g, rename.getOrElse(f.name, f.name), f.dataType)).toArray
 
   /** Iterate a parquet file's records with their ROW INDEX (parquet
     * row order is as immutable as the file — DV addressing). */
@@ -456,7 +473,8 @@ private[sources] class CdfPartitionReader(part: CdfInputPartition,
       if (f.name == TableCdfSource.VersionCol) part.version
       else if (f.name == TableCdfSource.ChangeTypeCol)
         UTF8String.fromString("insert")
-      else GroupDecode.value(g, f.name, f.dataType)
+      else GroupDecode.value(g,
+        part.rename.getOrElse(f.name, f.name), f.dataType)
     })
   }
 
@@ -525,7 +543,7 @@ private[sources] class CdfMergeReader(p: CdfMergePartition,
         scala.collection.mutable.HashSet.empty[Long])
       GroupDecode.foreach(new Path(p.root, rel), conf) { (g, i) =>
         if (!dead.contains(i)) {
-          val vals = GroupDecode.row(g, dataFields)
+          val vals = GroupDecode.row(g, dataFields, p.rename)
           before(keyIdx.map(vals(_)).toList) = vals
         }
       }
@@ -535,7 +553,7 @@ private[sources] class CdfMergeReader(p: CdfMergePartition,
         scala.collection.mutable.HashSet.empty[Long])
       GroupDecode.foreach(new Path(p.root, rel), conf) { (g, i) =>
         if (!dead.contains(i)) {
-          val vals = GroupDecode.row(g, dataFields)
+          val vals = GroupDecode.row(g, dataFields, p.rename)
           before.remove(keyIdx.map(vals(_)).toList) match {
             case None => emit(vals, "insert")
             case Some(old) =>
@@ -565,7 +583,8 @@ private[sources] class CdfDeleteReader(p: CdfDeletePartition,
     for ((f, dead) <- old; set <- fresh.get(f)) set --= dead
     for ((rel, set) <- fresh.toSeq.sortBy(_._1) if set.nonEmpty) {
       GroupDecode.foreach(new Path(p.root, rel), conf) { (g, i) =>
-        if (set.contains(i)) emit(GroupDecode.row(g, dataFields), "delete")
+        if (set.contains(i))
+          emit(GroupDecode.row(g, dataFields, p.rename), "delete")
       }
     }
   }

@@ -1037,6 +1037,76 @@ class SinksSpec extends SparkSpec {
       .select("payload").as[String].collect() === Array("back"))
   }
 
+  test("VersionedTable.renameColumn: column mapping — one manifest " +
+    "write, old files read through the map, per-version names on time " +
+    "travel, writes translate to the stable physical name, and the " +
+    "gate demands the API for drop+add-same-type") {
+    import spark.implicits._
+    val path = tmp("vtable-rename")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("key", "tag", "qty"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifestFiles(v: Long): Set[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        path, s"_manifests/v$v.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(l => { val i = l.indexOf('\t')
+          if (i < 0) l else l.substring(0, i) }).toSet
+      finally in.close()
+    }
+    assert(vt.renameColumn(spark, "qty", "amount") === 2L)
+    // zero data moves: identical file lines
+    assert(manifestFiles(2L) === manifestFiles(1L))
+    // the current read speaks the NEW name, old files' data intact
+    assert(vt.read(spark).columns.toSeq === Seq("key", "tag", "amount"))
+    assert(vt.read(spark).agg(sum("amount")).head().getLong(0) === 30L)
+    // per-version names: v1 still reads under its own schema
+    assert(vt.readVersion(spark, 1L).columns.toSeq ===
+      Seq("key", "tag", "qty"))
+    // a post-rename append speaks logical, stores PHYSICAL
+    vt.commit(Seq((3L, "c", 30L)).toDF("key", "tag", "amount"))
+    assert(vt.read(spark).agg(sum("amount")).head().getLong(0) === 60L)
+    val v3File = (manifestFiles(3L) -- manifestFiles(2L)).head
+    val raw3 = spark.read.parquet(s"$path/$v3File")
+    assert(raw3.columns.contains("qty") && !raw3.columns.contains("amount"))
+    // manifest stats carry physical names — range reads still prune
+    // and filter on the LOGICAL name
+    assert(vt.readRange(spark, "amount", 25L, 35L)
+      .select("key").as[Long].collect() === Array(3L))
+    // chained rename composes through the map (amount -> qty2, still
+    // physically qty)
+    assert(vt.renameColumn(spark, "amount", "qty2") === 4L)
+    assert(vt.read(spark).columns.toSeq === Seq("key", "tag", "qty2"))
+    // the gate: drop+add of the identical type is a suspected rename
+    val e = intercept[IllegalArgumentException](
+      vt.commit(Seq((4L, "d", 40L)).toDF("key", "tag", "qty3")))
+    assert(e.getMessage.contains("suspected RENAME"))
+    // the gate: a new column may not claim a HELD physical name
+    val e2 = intercept[IllegalArgumentException](
+      vt.commit(Seq((4L, "d", 40L, 1L))
+        .toDF("key", "tag", "qty2", "qty")))
+    assert(e2.getMessage.contains("physical"))
+    // a bucketed merge under the map: carried files read through it,
+    // the rewrite stores physical, the map rides the manifest
+    vt.mergeBucketed(
+      Seq((1L, 1L, "U", "a2", 11L)).toDF("key", "seq", "op", "tag", "qty2"),
+      Seq("key"), Seq("seq"), numBuckets = 4)
+    assert(vt.read(spark).agg(sum("qty2")).head().getLong(0) === 61L)
+    val mergedFile = vt.read(spark).inputFiles
+      .filter(_.contains("__bucket=")).head
+    val rawM = spark.read.parquet(mergedFile)
+    assert(rawM.columns.contains("qty") && !rawM.columns.contains("qty2"))
+    // optimize materializes the logical view and RESETS the map
+    val (optV, _, _) = vt.optimize(spark, 1000L, keyCols = Seq("key"))
+    assert(!vt.manifestMeta(spark, optV).contains("rename"))
+    val rawOpt = spark.read.parquet(vt.read(spark).inputFiles.head)
+    assert(rawOpt.columns.contains("qty2") && !rawOpt.columns.contains("qty"))
+    assert(vt.read(spark).agg(sum("qty2")).head().getLong(0) === 61L)
+  }
+
   test("VersionedTable resolves the current version from " +
     "_last_checkpoint + forward probes — steady-state reads never " +
     "LIST _manifests/; stale hints heal, torn hints fall back") {
@@ -1314,6 +1384,43 @@ class SinksSpec extends SparkSpec {
     assert(vt.read(spark).count() === 4L)
     assert(vt.read(spark).select("tag").as[String].collect().toSet ===
       Set("base", "w1", "w2", "w3"))
+  }
+
+  test("Syncpoint: a reader INSIDE the cross-table commit window " +
+    "still resolves the previous consistent pair; the pin moves only " +
+    "when the syncpoint publishes; racing publishes converge on max") {
+    import spark.implicits._
+    val base = tmp("vtable-syncpoint")
+    val ta = GraftSink.VersionedTable(s"$base/a")
+    val tb = GraftSink.VersionedTable(s"$base/b")
+    val coord = s"$base/_sp"
+    // txn 1
+    val va1 = ta.commit(Seq((1L, "a1")).toDF("key", "tag"))
+    val vb1 = tb.commit(Seq((2L, "b1")).toDF("key", "tag"))
+    GraftSink.Syncpoint.publish(spark, coord,
+      Map("a" -> va1, "b" -> vb1))
+    // txn 2 HALF-committed: A has landed, the syncpoint has not —
+    // the reader in this window sees txn 1 exactly
+    val va2 = ta.commit(Seq((3L, "a2")).toDF("key", "tag"))
+    assert(GraftSink.Syncpoint.readAt(spark, coord, "a", ta)
+      .count() === 1L)
+    assert(GraftSink.Syncpoint.resolve(spark, coord)._2 ===
+      Map("a" -> va1, "b" -> vb1))
+    // ... even though A's newer version physically exists
+    assert(ta.currentVersion(spark) === va2)
+    // txn 2 completes: B lands, the syncpoint publishes, both move
+    val vb2 = tb.commit(Seq((4L, "b2")).toDF("key", "tag"))
+    GraftSink.Syncpoint.publish(spark, coord,
+      Map("a" -> va2, "b" -> vb2))
+    assert(GraftSink.Syncpoint.readAt(spark, coord, "a", ta)
+      .count() === 2L)
+    assert(GraftSink.Syncpoint.readAt(spark, coord, "b", tb)
+      .count() === 2L)
+    // a publish pinning only ONE table merges with the standing pins
+    // of a racing... (serial here): resolve always names both tables
+    val n = GraftSink.Syncpoint.publish(spark, coord,
+      Map("a" -> va2, "b" -> vb2))
+    assert(GraftSink.Syncpoint.resolve(spark, coord)._1 === n)
   }
 
   test("SinkConfig: uris compile to the right sinks and round-trip") {
