@@ -300,6 +300,26 @@ object Probe {
         time(s"bucketed_merge_post_optimize standing=$n batch=10k one-bucket") {
           vt.mergeBucketed(batch2, Seq("key"), Seq("seq")); 10000L
         }
+        // (e,f) REPEATED keyed DV erasures — the r16 weak leg: the old
+        // cumulative single-partition sidecar priced delete k at
+        // O(|all rows ever deleted|) through one task; per-bucket
+        // slices must price EACH delete at O(|its buckets|), flat in
+        // both table size and delete history (the repeat must not be
+        // slower than the first)
+        time(s"dv_delete_first standing=$n keys=100") {
+          vt.deleteKeys(spark, Seq("key"),
+            (0L until 100L).map(k => Seq[Any](k))); 100L
+        }
+        time(s"dv_delete_repeat standing=$n keys=100") {
+          vt.deleteKeys(spark, Seq("key"),
+            (100L until 200L).map(k => Seq[Any](k))); 100L
+        }
+        // (g) CDF across the delete version: fresh slices only
+        val vDel = vt.currentVersion(spark)
+        time(s"cdf_delete_pruned standing=$n") {
+          vt.changes(spark, vDel - 1, vDel, keyCols = Seq("key"))
+            .agg(count(lit(1))).first(); 100L
+        }
         time(s"full_merge standing=$n batch=10k") {
           vt.merge(batch, Seq("key"), Seq("seq")); 10000L
         }

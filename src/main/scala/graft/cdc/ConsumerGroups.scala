@@ -180,11 +180,18 @@ object ConsumerGroups {
     val ms = members.sorted
     val spark = prev.sparkSession
     import spark.implicits._
-    val p = prev.count() // |partitions| rows — metadata
+    // the protocol input is the coordinator's own bookkeeping —
+    // |partitions| rows of metadata. Materialize it ONCE: `prev` is
+    // reused half a dozen times below (count, kept, loads, orphans),
+    // and without this each reuse re-derives the caller's upstream,
+    // often a full topic assignment (the r16 bench mover
+    // cdc_topic_groups_coop paid ~6 topic-window re-derivations)
+    val prevM = prev.localCheckpoint()
+    val p = prevM.count() // |partitions| rows — metadata
     val n = ms.size
     val quota = p / n
     val extra = (p % n).toInt
-    val kept0 = prev.where(col("consumer").isin(ms: _*))
+    val kept0 = prevM.where(col("consumer").isin(ms: _*))
     val loads = ms.toDF("consumer")
       .join(kept0.groupBy(col("consumer"))
         .agg(count(lit(1)).as("__load")), Seq("consumer"), "left")
@@ -205,7 +212,7 @@ object ConsumerGroups {
       .withColumn("moved", lit(0L))
     val revoked = ranked.where(col("__rk") > col("__target"))
       .drop("__rk", "__load", "__target")
-    val orphans = prev.where(!col("consumer").isin(ms: _*))
+    val orphans = prevM.where(!col("consumer").isin(ms: _*))
     val pool = revoked.drop("consumer")
       .unionByName(orphans.drop("consumer"))
       .withColumn("__r", row_number().over(

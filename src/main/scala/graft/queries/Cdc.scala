@@ -1519,9 +1519,13 @@ object Cdc {
         .assign(changelog(s, dir))
         .groupBy(col("__partition").cast("long").as("__partition"))
         .agg((max(col("__offset")) + 1L).as("end_offset"))
+      // generation-1 state is coordinator metadata (8 rows): derive
+      // the topic window ONCE — the frame feeds both the rebalance
+      // and the comparison join (r16 bench mover re-pin)
       val gen1 = ends.select(col("__partition"), col("end_offset"),
         ConsumerGroups.owner("range", 8, Seq("c0", "c1", "c2"),
           col("__partition")).as("consumer"))
+        .localCheckpoint()
       val coop = ConsumerGroups
         .cooperativeRebalance(gen1, Seq("c0", "c1", "c2", "c3"))
         .select(col("__partition"), col("end_offset"),
