@@ -674,9 +674,17 @@ object GraftSink {
       val renameMap =
         if (overwrite) Map.empty[String, String] else renameOf(fs, v - 1)
       // gate BEFORE writing too: a refused schema (type clash,
-      // suspected rename, held physical name) must not leave orphan
-      // data files — the loop below re-checks per publish attempt
-      if (!overwrite) schemaGate(fs, v - 1, df.schema)
+      // suspected rename, held physical name) or a violated CHECK
+      // must not leave orphan data files — the schema gate below
+      // re-checks per publish attempt
+      if (!overwrite) {
+        schemaGate(fs, v - 1, df.schema)
+        checksOf(fs, v - 1).foreach { case (n, sqlTxt) =>
+          require(df.where(!expr(sqlTxt)).limit(1).count() == 0,
+            s"$path: CHECK constraint '$n' ($sqlTxt) violated by this " +
+              "commit's rows — nothing was written")
+        }
+      }
       // uuid-suffixed so two racing writers never share a data dir —
       // the loser's retry re-publishes THESE files under the next v
       val dataRel = s"_data/commit-$v-${java.util.UUID.randomUUID}"
@@ -705,10 +713,14 @@ object GraftSink {
         // (its files are still listed); an overwrite starts clean
         val dvCarry =
           if (overwrite) None else dvMetaOf(fs, v - 1)
+        val checksCarry =
+          if (overwrite) Map.empty[String, String] else checksOf(fs, v - 1)
         val header = headerLines(meta + ("kind" -> kind) +
           ("schema" -> df.schema.json) ++ dvCarry.map("dv" -> _) ++
           (if (renameMap.nonEmpty)
-            Some("rename" -> encodeRename(renameMap)) else None))
+            Some("rename" -> encodeRename(renameMap)) else None) ++
+          (if (checksCarry.nonEmpty)
+            Some("checks" -> encodeChecks(checksCarry)) else None))
         if (tryPublish(fs, v, header ++ base ++ newFiles)) committed = true
         else v = currentVersion(fs) + 1
       }
@@ -846,6 +858,7 @@ object GraftSink {
         (if (newMap.nonEmpty) Some("rename" -> encodeRename(newMap))
          else None) ++
         meta.get("dv").map("dv" -> _) ++
+        meta.get("checks").map("checks" -> _) ++
         meta.get("buckets").map("buckets" -> _))
       val newV = v + 1
       if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v)))
@@ -1407,6 +1420,33 @@ object GraftSink {
     private def publishDelete(spark: org.apache.spark.sql.SparkSession,
                               fs: org.apache.hadoop.fs.FileSystem,
                               v: Long, newDead: DataFrame): (Long, Long) = {
+      val newV = v + 1
+      val dvOut = s"_dv/v$newV-${java.util.UUID.randomUUID}"
+      val (dvList, newSlices, prevTouched) =
+        writeDvSlices(spark, fs, v, newDead, dvOut)
+      val header = headerLines(Map(
+        "kind" -> "delete", "dv" -> dvList.mkString(",")) ++
+        manifestMeta(fs, v).get("schema").map("schema" -> _) ++
+        manifestMeta(fs, v).get("rename").map("rename" -> _) ++
+        manifestMeta(fs, v).get("checks").map("checks" -> _))
+      if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v))) {
+        fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
+        throw new IllegalStateException(s"$path: concurrent commit took " +
+          s"v$newV while this delete was scanning — its row positions " +
+          "are stale; re-run against the new current version")
+      }
+      (newV, sliceRecordCount(fs, newSlices) -
+        sliceRecordCount(fs, prevTouched))
+    }
+
+    /** Write the new deletion-vector slices for `newDead` (merging the
+      * previously touched buckets' slices) under `dvOut`; returns
+      * (the new #dv= slice list, the new slices, the prior touched
+      * slices) — shared by delete and update publishes. */
+    private def writeDvSlices(spark: org.apache.spark.sql.SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              v: Long, newDead: DataFrame, dvOut: String)
+        : (Seq[String], Seq[String], Seq[String]) = {
       val prevSlices = dvSlicesOf(fs, v)
       val bucketed = newDead
         .withColumn("__dvb", dvBucketCol(col("file"))).persist()
@@ -1417,8 +1457,6 @@ object GraftSink {
           .collect().map(_.getLong(0)).toSet
         val (prevTouched, prevCarried) = prevSlices.partition(s =>
           touched.contains(sliceBucket(s)))
-        val newV = v + 1
-        val dvOut = s"_dv/v$newV-${java.util.UUID.randomUUID}"
         bucketed
           .unionByName(readDv(spark, prevTouched)
             .withColumn("__dvb", dvBucketCol(col("file"))))
@@ -1429,19 +1467,7 @@ object GraftSink {
             new org.apache.hadoop.fs.Path(path, dvOut)).toSeq
           .filter(_.isDirectory)
           .map(d => s"$dvOut/${d.getPath.getName}").sorted
-        val dvList = (prevCarried ++ newSlices).mkString(",")
-        val header = headerLines(Map(
-          "kind" -> "delete", "dv" -> dvList) ++
-          manifestMeta(fs, v).get("schema").map("schema" -> _) ++
-          manifestMeta(fs, v).get("rename").map("rename" -> _))
-        if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v))) {
-          fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
-          throw new IllegalStateException(s"$path: concurrent commit took " +
-            s"v$newV while this delete was scanning — its row positions " +
-            "are stale; re-run against the new current version")
-        }
-        (newV, sliceRecordCount(fs, newSlices) -
-          sliceRecordCount(fs, prevTouched))
+        (prevCarried ++ newSlices, newSlices, prevTouched)
       } finally bucketed.unpersist()
     }
 
@@ -1495,6 +1521,178 @@ object GraftSink {
         .select(col("__dv_file").as("file"),
           col("__dv_row").as("row_index"))
       publishDelete(spark, fs, v, newDead)
+    }
+
+    /** UPDATE … WHERE … SET (merge-on-read — Delta's UPDATE without
+      * the file rewrite): the rows matching `cond` are DV-KILLED at
+      * their positions AND re-appended transformed by `set`, in ONE
+      * `#kind=update` commit carrying both the new slices and the new
+      * files. Cost = one scan to find the matches + O(|matches|)
+      * writes — no standing file is rewritten (a targeted correction
+      * on a 100 TB table costs its matches, not its files). The
+      * schema is unchanged by construction: each SET expression is
+      * cast to its column's existing type. On a bucketed table the
+      * re-appended rows land unbucketed (the update does not know the
+      * key columns) — they may hold any key, so later merges rewrite
+      * them and the table re-converges; run optimize(keyCols) to
+      * re-bucket eagerly. CDF serves the version as update_postimage
+      * rows (the added files) plus update_preimage rows (the fresh
+      * positions) when preimages are requested. Losing the publish
+      * race fails loudly. Returns (newVersion, rowsUpdated). */
+    def updateWhere(spark: org.apache.spark.sql.SparkSession,
+                    cond: Column, set: Map[String, Column]): (Long, Long) = {
+      require(set.nonEmpty, "updateWhere needs at least one SET column")
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      require(v > 0, s"$path: no committed versions")
+      val schema = versionSchema(fs, v)
+      val rename = renameOf(fs, v)
+      val alive = readFilesAddr(spark, fs, manifestFiles(fs, v),
+        schema, dvSlicesOf(fs, v), rename)
+      val dataCols = alive.columns.toSeq
+        .filterNot(c => c == "__dv_file" || c == "__dv_row")
+      set.keys.foreach(k => require(dataCols.contains(k),
+        s"$path: SET names unknown column '$k'"))
+      val matching = alive.where(cond).persist()
+      try {
+        val pre = matching.select(dataCols.map(col): _*)
+        val updated = pre.select(dataCols.map(c =>
+          set.get(c).map(_.cast(pre.schema(c).dataType).as(c))
+            .getOrElse(col(c))): _*)
+        checksOf(fs, v).foreach { case (n, sqlTxt) =>
+          require(updated.where(!expr(sqlTxt)).limit(1).count() == 0,
+            s"$path: CHECK constraint '$n' ($sqlTxt) violated by the " +
+              "updated rows")
+        }
+        val newV = v + 1
+        val dataRel = s"_data/commit-$newV-${java.util.UUID.randomUUID}"
+        val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
+        toPhysical(updated, rename).write
+          .mode(SaveMode.Overwrite).parquet(dataDir.toString)
+        val newFiles = statsLines(fs, fs.listStatus(dataDir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"$dataRel/${f.getPath.getName}"))
+        val dvOut = s"_dv/v$newV-${java.util.UUID.randomUUID}"
+        val newDead = matching.select(col("__dv_file").as("file"),
+          col("__dv_row").as("row_index"))
+        val (dvList, newSlices, prevTouched) =
+          writeDvSlices(spark, fs, v, newDead, dvOut)
+        val header = headerLines(Map(
+          "kind" -> "update", "dv" -> dvList.mkString(",")) ++
+          manifestMeta(fs, v).get("schema").map("schema" -> _) ++
+          manifestMeta(fs, v).get("rename").map("rename" -> _) ++
+          manifestMeta(fs, v).get("checks").map("checks" -> _))
+        if (!tryPublish(fs, newV,
+          header ++ manifestRawLines(fs, v) ++ newFiles)) {
+          fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
+          fs.delete(dataDir, true)
+          throw new IllegalStateException(s"$path: concurrent commit " +
+            s"took v$newV while this update was scanning — its row " +
+            "positions are stale; re-run against the new current version")
+        }
+        (newV, sliceRecordCount(fs, newSlices) -
+          sliceRecordCount(fs, prevTouched))
+      } finally matching.unpersist()
+    }
+
+    /** CHECK constraints of version `v` (`#checks=`, carried by every
+      * content commit; `name::sql` pairs joined by `;;`). */
+    private def checksOf(fs: org.apache.hadoop.fs.FileSystem,
+                         v: Long): Map[String, String] = {
+      if (v < 1) return Map.empty
+      val m = new org.apache.hadoop.fs.Path(path,
+        s"_manifests/v$v.manifest")
+      if (!fs.exists(m)) Map.empty
+      else manifestMeta(fs, v).get("checks").map(_.split(";;")
+        .filter(_.nonEmpty).map { pair =>
+          val i = pair.indexOf("::")
+          pair.substring(0, i) -> pair.substring(i + 2)
+        }.toMap).getOrElse(Map.empty)
+    }
+
+    private def encodeChecks(checks: Map[String, String]): String =
+      checks.toSeq.sorted.map { case (n, sqlTxt) =>
+        require(n.matches("[A-Za-z0-9_]+"),
+          s"constraint name must be [A-Za-z0-9_]+: $n")
+        require(!sqlTxt.contains(";;") && !sqlTxt.contains("\n"),
+          s"constraint SQL must be line-safe and ';;'-free: $sqlTxt")
+        s"$n::$sqlTxt"
+      }.mkString(";;")
+
+    /** ADD a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`):
+      * validates the EXISTING content first (one short-circuited scan
+      * — a constraint that does not hold today is refused), then
+      * publishes a `#kind=constraint` version carrying the check in
+      * its header; every later append / merge / update validates its
+      * incoming rows against all standing checks BEFORE writing (one
+      * limit-1 aggregation per check per commit — batch-sized, and a
+      * violation leaves no orphan files). Overwrites reset constraints
+      * with the rest of the table metadata. */
+    def addConstraint(spark: org.apache.spark.sql.SparkSession,
+                      name: String, conditionSql: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      require(v > 0, s"$path: no committed versions")
+      val prev = checksOf(fs, v)
+      require(!prev.contains(name),
+        s"$path: constraint '$name' already exists")
+      require(read(spark).where(!expr(conditionSql)).limit(1).count() == 0,
+        s"$path: existing rows violate CHECK '$name' ($conditionSql) — " +
+          "a constraint must hold over the standing content")
+      val meta = manifestMeta(fs, v)
+      val header = headerLines(Map(
+        "kind" -> "constraint",
+        "checks" -> encodeChecks(prev + (name -> conditionSql))) ++
+        meta.get("schema").map("schema" -> _) ++
+        meta.get("dv").map("dv" -> _) ++
+        meta.get("rename").map("rename" -> _))
+      val newV = v + 1
+      if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v)))
+        throw new IllegalStateException(s"$path: concurrent commit took " +
+          s"v$newV while this constraint was publishing — re-run " +
+          "against the new current version")
+      newV
+    }
+
+    /** DESCRIBE HISTORY: one row per retained version — (version,
+      * kind, n_files, n_dv_slices, batch, restored_from) from the
+      * manifest headers. Driver work is |versions| header reads;
+      * vacuumed versions are skipped. */
+    def history(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val v = currentVersion(fs)
+      val rows = (1L to v).flatMap { kv =>
+        val m = new org.apache.hadoop.fs.Path(path,
+          s"_manifests/v$kv.manifest")
+        if (!fs.exists(m)) None
+        else {
+          val meta = manifestMeta(fs, kv)
+          Some(org.apache.spark.sql.Row(kv,
+            meta.getOrElse("kind", null),
+            manifestFiles(fs, kv).size.toLong,
+            dvSlicesOf(fs, kv).size.toLong,
+            meta.get("batch").map(_.toLong).orNull,
+            meta.get("restored_from").map(_.toLong).orNull))
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_dv_slices",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("restored_from",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
     }
 
     /** The table at its latest version. */
@@ -1616,6 +1814,13 @@ object GraftSink {
       val outSchema = org.apache.spark.sql.types.StructType(
         latest.drop(opCol).schema.fields)
       schemaGate(fs, v, outSchema)
+      val standingChecks = checksOf(fs, v)
+      standingChecks.foreach { case (n, sqlTxt) =>
+        require(latest.where(col(opCol) =!= "D").drop(opCol)
+          .where(!expr(sqlTxt)).limit(1).count() == 0,
+          s"$path: CHECK constraint '$n' ($sqlTxt) violated by this " +
+            "merge batch — nothing was written")
+      }
       val renameMap = renameOf(fs, v)
       val current = readFiles(spark, fs, touchedFiles,
         Some(asNullable(outSchema)
@@ -1654,7 +1859,9 @@ object GraftSink {
         (if (dvCarry.nonEmpty) Some("dv" -> dvCarry.mkString(","))
          else None) ++
         (if (renameMap.nonEmpty)
-          Some("rename" -> encodeRename(renameMap)) else None))
+          Some("rename" -> encodeRename(renameMap)) else None) ++
+        (if (standingChecks.nonEmpty)
+          Some("checks" -> encodeChecks(standingChecks)) else None))
       beforePublish()
       var carriedNow = carried
       var attempts = 0
@@ -1728,6 +1935,7 @@ object GraftSink {
         meta.get("schema").map("schema" -> _) ++
         meta.get("dv").map("dv" -> _) ++
         meta.get("rename").map("rename" -> _) ++
+        meta.get("checks").map("checks" -> _) ++
         bucketSpecAsOf(fs, v).map(b => "buckets" -> b.toString))
       val newV = cur + 1
       if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v)))
@@ -1910,43 +2118,24 @@ object GraftSink {
           Some(keyedDiff(readVersion(spark, v - 1), readVersion(spark, v),
             keyCols, v, emitPreimages))
         }
-        else if (kind.contains("delete")) {
+        else if (kind.contains("delete"))
           // a DV delete changes no files: the change set is exactly
-          // the positions fresh in this version's vector. Slices are
-          // carried verbatim, so fresh positions live ONLY in the
-          // slices NEW in v (list-level diff), minus the previous
-          // content of those buckets' slices — and only THOSE
-          // buckets' data files need reading back (semi-join on row
-          // address), tagged delete.
-          val prevSet = dvSlicesOf(fs, v - 1).toSet
-          val newSlices = dvSlicesOf(fs, v).filterNot(prevSet.contains)
-          if (newSlices.isEmpty) None // the delete matched no rows
-          else {
-            val newBuckets = newSlices.map(sliceBucket).toSet
-            val oldTouched = prevSet.toSeq.filter(s =>
-              newBuckets.contains(sliceBucket(s)))
-            val fresh = readDv(spark, newSlices).join(
-              readDv(spark, oldTouched), Seq("file", "row_index"),
-              "left_anti")
-            val rels = manifestFiles(fs, v).filter(rel =>
-              newBuckets.contains(pathBucket(rel).getOrElse(-1L)))
-            val schema = versionSchema(fs, v)
-            val paths = rels.map(rel => s"$path/$rel")
-            val base = schema
-              .map(sc => spark.read.schema(sc).parquet(paths: _*))
-              .getOrElse(spark.read.parquet(paths: _*))
-            val cols = base.columns.toSeq
-            Some(base
-              .withColumn("__dv_file", relFileCol)
-              .withColumn("__dv_row", col("_metadata.row_index"))
-              .join(fresh
-                  .withColumnRenamed("file", "__dv_file")
-                  .withColumnRenamed("row_index", "__dv_row"),
-                Seq("__dv_file", "__dv_row"), "left_semi")
-              .select(cols.map(col): _*)
-              .withColumn("_change_type", lit("delete"))
-              .withColumn("_commit_version", lit(v)))
-          }
+          // the positions fresh in this version's vector, read back
+          // and tagged delete
+          freshPositionRows(spark, fs, v, "delete", Set.empty)
+        else if (kind.contains("update")) {
+          // an UPDATE version = added files (the post-images) + fresh
+          // dead positions (the pre-images, by construction the same
+          // keys); preimages emit only when asked — the keyedDiff
+          // convention
+          val post = readFiles(spark, fs, added, versionSchema(fs, v),
+              Nil, renameOf(fs, v))
+            .withColumn("_change_type", lit("update_postimage"))
+            .withColumn("_commit_version", lit(v))
+          val pre = if (!emitPreimages) None
+            else freshPositionRows(spark, fs, v, "update_preimage",
+              added.toSet)
+          Some(pre.map(post.unionByName(_)).getOrElse(post))
         } else if (sets(v - 1).subsetOf(sets(v))) {
           if (added.isEmpty) None
           else Some(readFiles(spark, fs, added, versionSchema(fs, v),
@@ -1973,6 +2162,48 @@ object GraftSink {
           Some(keyedDiff(before, after, keyCols, v, emitPreimages))
         }
       }.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
+    }
+
+    /** The rows at positions FRESH in version v's deletion vector,
+      * tagged `tag` — the CDF leg of delete versions and the preimage
+      * leg of update versions. Slices are carried verbatim, so fresh
+      * positions live ONLY in the slices NEW in v (list-level diff),
+      * minus the previous content of those buckets' slices — and only
+      * THOSE buckets' data files are read back (row-address
+      * semi-join). `exclude` drops rels that cannot hold fresh
+      * positions (an update version's own added files). None = the
+      * version recorded no fresh positions. */
+    private def freshPositionRows(spark: org.apache.spark.sql.SparkSession,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  v: Long, tag: String,
+                                  exclude: Set[String])
+        : Option[DataFrame] = {
+      val prevSet = dvSlicesOf(fs, v - 1).toSet
+      val newSlices = dvSlicesOf(fs, v).filterNot(prevSet.contains)
+      if (newSlices.isEmpty) None
+      else {
+        val newBuckets = newSlices.map(sliceBucket).toSet
+        val oldTouched = prevSet.toSeq.filter(s =>
+          newBuckets.contains(sliceBucket(s)))
+        val fresh = readDv(spark, newSlices).join(
+          readDv(spark, oldTouched), Seq("file", "row_index"),
+          "left_anti")
+        val rels = manifestFiles(fs, v).filter(rel =>
+          !exclude.contains(rel) &&
+            newBuckets.contains(pathBucket(rel).getOrElse(-1L)))
+        val addr = readFilesAddr(spark, fs, rels, versionSchema(fs, v),
+          Nil, renameOf(fs, v))
+        val cols = addr.columns.toSeq
+          .filterNot(c => c == "__dv_file" || c == "__dv_row")
+        Some(addr
+          .join(fresh
+              .withColumnRenamed("file", "__dv_file")
+              .withColumnRenamed("row_index", "__dv_row"),
+            Seq("__dv_file", "__dv_row"), "left_semi")
+          .select(cols.map(col): _*)
+          .withColumn("_change_type", lit(tag))
+          .withColumn("_commit_version", lit(v)))
+      }
     }
 
     /** Full-outer keyed diff of two relations, tagged insert /

@@ -1867,6 +1867,146 @@ object Cdc {
         .orderBy("_commit_version", "user_id")
     }),
 
+    // A66 merge-on-read UPDATE (Delta's UPDATE without the file
+    // rewrite): the matching rows are DV-killed at their positions
+    // and re-appended transformed, in ONE #kind=update commit — no
+    // standing file rewritten (files_carried witness: every v1 file
+    // is still listed). Oracle: the snapshot with the SET applied as
+    // a CASE.
+    "cdc_table_update" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tableupdate")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val table = GraftSink.VersionedTable(path)
+      table.mergeBucketed(log, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16)
+      val before = table.read(s).inputFiles
+        .filter(_.contains("/_data/")).toSet
+      val (_, nUpd) = table.updateWhere(s,
+        pmod(col("key"), lit(5L)) === 0,
+        Map("value" -> (col("value") * 2),
+          "event_type" -> lit("adjusted")))
+      require(nUpd > 0, "the update predicate must match rows at every SF")
+      val after = table.read(s).inputFiles
+        .filter(_.contains("/_data/")).toSet
+      val witness = before.subsetOf(after)
+      table.read(s)
+        .select(col("key").as("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"),
+          col("commit_ts_us").as("last_ts_us"))
+        .withColumn("files_carried", lit(witness))
+        .orderBy("user_id")
+    }),
+
+    // A66 UPDATE × CDF: the update version's change set = the added
+    // files (post-images) + the fresh dead positions (pre-images) —
+    // Delta's full CDF shape for an UPDATE, file-pruned on both legs.
+    // Oracle: each matched snapshot row twice, before and after.
+    "cdc_table_update_cdf" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tableupdatecdf")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val table = GraftSink.VersionedTable(path)
+      table.mergeBucketed(log, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16)
+      table.updateWhere(s, pmod(col("key"), lit(5L)) === 0,
+        Map("value" -> (col("value") * 2),
+          "event_type" -> lit("adjusted")))
+      table.changes(s, 1L, 2L, Nil, emitPreimages = true)
+        .select(col("key").as("user_id"), col("event_type"),
+          col("value"), col("commit_ts_us"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("user_id", "_change_type")
+    }),
+
+    // A73 STREAMING CDF over an UPDATE version — the stream serves
+    // the same two legs (post-images from added files, pre-images
+    // from fresh slices), one partition each. Oracle: the v1 insert
+    // snapshot plus the update's before/after pairs.
+    "cdc_stream_table_cdf_update" -> ((s, dir) => {
+      val path = roundtripPath(dir, "streamtablecdfupd")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val table = GraftSink.VersionedTable(path)
+      table.mergeBucketed(log, Seq("key"),
+        Seq("commit_ts_us", "seq"), numBuckets = 16)
+      table.updateWhere(s, pmod(col("key"), lit(5L)) === 0,
+        Map("value" -> (col("value") * 2),
+          "event_type" -> lit("adjusted")))
+      import org.apache.spark.sql.streaming.Trigger
+      val qn = "stream_table_cdf_upd_sink"
+      val q = graft.sources.TableCdfSource
+        .stream(s, path, table.read(s).schema,
+          maxVersionsPerTrigger = 1, preimages = true)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckptcdfu").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("key").as("user_id"), col("event_type"),
+          col("value"), col("commit_ts_us"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("user_id", "_change_type")
+    }),
+
+    // A66 CHECK CONSTRAINTS (Delta's ADD CONSTRAINT): the standing
+    // check validates existing content on ADD and every later commit
+    // validates its incoming rows BEFORE writing — a violating batch
+    // is refused whole (the refused witness) and leaves no orphan
+    // files. Oracle: the full-feed profile with both witnesses TRUE.
+    "cdc_table_constraints" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tableconstraints")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.where(col("commit_ts_us") <= t1))
+      table.addConstraint(s, "ts_positive", "commit_ts_us > 0")
+      // a violating batch is refused whole — nothing lands
+      val refused =
+        try { table.commit(log.where(col("commit_ts_us") > t1)
+          .withColumn("commit_ts_us", lit(-1L))); false }
+        catch { case _: IllegalArgumentException => true }
+      val unchanged = table.currentVersion(s) == 2L
+      table.commit(log.where(col("commit_ts_us") > t1)) // passes
+      table.read(s)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sumCents("value").as("sum_value_e2"),
+          max(col("commit_ts_us")).as("max_ts_us"))
+        .withColumn("violation_refused", lit(refused && unchanged))
+        .orderBy("event_type")
+    }),
+
+    // A66 DESCRIBE HISTORY: the table's commit log as a relation —
+    // one row per retained version with its kind and DV state, from
+    // manifest headers alone (driver metadata, no data reads).
+    // Oracle: the literal expected history of the five-step script.
+    "cdc_table_history" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablehistory")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.where(col("commit_ts_us") <= t1))
+      table.commit(log.where(col("commit_ts_us") > t1))
+      table.deleteWhere(s, pmod(col("key"), lit(7L)) === 0)
+      table.optimize(s, 1000000L)
+      table.restore(s, 2L)
+      table.history(s)
+        .select(col("version"), col("kind"),
+          (col("n_dv_slices") > 0).as("has_dv"), col("restored_from"))
+        .orderBy("version")
+    }),
+
     // A40 × A66 CROSS-TABLE SYNCPOINT: a two-table transaction (even
     // keys → table A, odd → table B) commits each table individually,
     // then pins both versions in ONE coordinator syncpoint — readers
@@ -4632,6 +4772,88 @@ object Cdc {
     // Racing disjoint merges must converge to the serial answer —
     // the full-feed snapshot.
     "cdc_table_merge_racing" -> snapshotOracle,
+
+    // Merge-on-read UPDATE: the snapshot with the SET applied as a
+    // CASE; files_carried TRUE = every pre-update file still listed.
+    "cdc_table_update" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT key AS user_id,
+        |       CASE WHEN key % 5 = 0 THEN 'adjusted'
+        |            ELSE event_type END AS last_event_type,
+        |       CASE WHEN key % 5 = 0 THEN value * 2
+        |            ELSE value END AS last_value,
+        |       commit_ts_us AS last_ts_us,
+        |       TRUE AS files_carried
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin),
+
+    // UPDATE × CDF: each matched snapshot row twice — pre-image with
+    // the original values, post-image with the SET applied.
+    "cdc_table_update_cdf" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log),
+        |snap AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'
+        |                               AND key % 5 = 0)
+        |SELECT * FROM (
+        |  SELECT key AS user_id, event_type, value, commit_ts_us,
+        |         'update_preimage' AS _change_type,
+        |         CAST(2 AS BIGINT) AS _commit_version FROM snap
+        |  UNION ALL
+        |  SELECT key, 'adjusted', value * 2, commit_ts_us,
+        |         'update_postimage', CAST(2 AS BIGINT) FROM snap)
+        |ORDER BY user_id, _change_type""".stripMargin),
+
+    // Streaming update-CDF: the v1 insert snapshot plus the update's
+    // before/after pairs.
+    "cdc_stream_table_cdf_update" -> (logCte +
+      """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY commit_ts_us DESC, seq DESC) AS rn
+        |  FROM log),
+        |snap AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+        |SELECT * FROM (
+        |  SELECT key AS user_id, event_type, value, commit_ts_us,
+        |         'insert' AS _change_type,
+        |         CAST(1 AS BIGINT) AS _commit_version FROM snap
+        |  UNION ALL
+        |  SELECT key, event_type, value, commit_ts_us,
+        |         'update_preimage', CAST(2 AS BIGINT)
+        |  FROM snap WHERE key % 5 = 0
+        |  UNION ALL
+        |  SELECT key, 'adjusted', value * 2, commit_ts_us,
+        |         'update_postimage', CAST(2 AS BIGINT)
+        |  FROM snap WHERE key % 5 = 0)
+        |ORDER BY user_id, _change_type""".stripMargin),
+
+    // CHECK constraints: the violating batch was refused whole, so
+    // the table holds exactly the full valid feed.
+    "cdc_table_constraints" -> (logCte +
+      s"""
+        |SELECT event_type, count(*) AS n_events,
+        |       $sumCentsSql AS sum_value_e2,
+        |       max(commit_ts_us) AS max_ts_us,
+        |       TRUE AS violation_refused
+        |FROM log GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // DESCRIBE HISTORY: the literal expected commit log of the
+    // five-step script (append, append, delete, optimize, restore).
+    "cdc_table_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'append',   FALSE, CAST(NULL AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'append',   FALSE, CAST(NULL AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'delete',   TRUE,  CAST(NULL AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'optimize', FALSE, CAST(NULL AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'restore',  FALSE, CAST(2 AS BIGINT))
+        |) t(version, kind, has_dv, restored_from)
+        |ORDER BY version""".stripMargin,
 
     // Cross-table syncpoint: the consistent pair = transactions 1-2
     // (slices ≤ t2); the torn third transaction is invisible.

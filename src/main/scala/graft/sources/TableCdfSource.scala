@@ -88,7 +88,8 @@ object TableCdfSource {
   def stream(spark: SparkSession, path: String, dataSchema: StructType,
              maxVersionsPerTrigger: Long = Long.MaxValue,
              keyCols: Seq[String] = Nil,
-             preimages: Boolean = false): DataFrame = {
+             preimages: Boolean = false,
+             startingVersion: Long = 1L): DataFrame = {
     val schema = StructType(dataSchema.fields.toSeq :+
       StructField(ChangeTypeCol, StringType, nullable = false) :+
       StructField(VersionCol, LongType, nullable = false))
@@ -98,6 +99,8 @@ object TableCdfSource {
       r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger)
     if (keyCols.nonEmpty) r = r.option("keyCols", keyCols.mkString(","))
     if (preimages) r = r.option("preimages", "true")
+    if (startingVersion != 1L)
+      r = r.option("startingVersion", startingVersion)
     r.load()
   }
 }
@@ -118,13 +121,15 @@ private[sources] class CdfTable(schema0: StructType,
         .map(_.toLong).getOrElse(Long.MaxValue),
       Option(opts.get("keyCols")).toSeq
         .flatMap(_.split(',')).filter(_.nonEmpty),
-      Option(opts.get("preimages")).exists(_.toBoolean))
+      Option(opts.get("preimages")).exists(_.toBoolean),
+      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L))
 }
 
 private[sources] class CdfScanBuilder(schema: StructType, path: String,
                                       maxVersionsPerTrigger: Long,
                                       keyCols: Seq[String],
-                                      preimages: Boolean)
+                                      preimages: Boolean,
+                                      startingVersion: Long)
     extends ScanBuilder with Scan {
   override def build(): Scan = this
   override def readSchema(): StructType = schema
@@ -132,18 +137,20 @@ private[sources] class CdfScanBuilder(schema: StructType, path: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new CdfMicroBatchStream(schema, path, maxVersionsPerTrigger,
-      keyCols, preimages)
+      keyCols, preimages, startingVersion)
 }
 
 private[graft] case class CdfOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-/** One ADDED file of one append version (`rename` = the version's
-  * logical → physical column map: files store physical names). */
+/** One ADDED file of one append (or update — tag
+  * `update_postimage`) version (`rename` = the version's logical →
+  * physical column map: files store physical names). */
 private[graft] case class CdfInputPartition(
     file: String, version: Long,
-    rename: Map[String, String] = Map.empty) extends InputPartition
+    rename: Map[String, String] = Map.empty,
+    tag: String = "insert") extends InputPartition
 
 /** One touched BUCKET of one merge version: the file-pruned keyed
   * diff's inputs — removed/added files (manifest-relative) plus each
@@ -158,12 +165,14 @@ private[graft] case class CdfMergePartition(
 private[graft] case class CdfDeletePartition(
     root: String, freshSlices: Seq[String], oldSlices: Seq[String],
     version: Long,
-    rename: Map[String, String] = Map.empty) extends InputPartition
+    rename: Map[String, String] = Map.empty,
+    tag: String = "delete") extends InputPartition
 
 private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
                                          maxVersionsPerTrigger: Long,
                                          keyCols: Seq[String] = Nil,
-                                         preimages: Boolean = false)
+                                         preimages: Boolean = false,
+                                         startingVersion: Long = 1L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -263,7 +272,10 @@ private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
     "__dvb=(-?\\d+)".r.findFirstMatchIn(slice)
       .map(_.group(1).toLong).getOrElse(-1L)
 
-  override def initialOffset(): Offset = CdfOffset(0L)
+  /** Consumption begins at `startingVersion` (Delta's
+    * startingVersion option) — the offset below it is the initial
+    * checkpoint state. */
+  override def initialOffset(): Offset = CdfOffset(startingVersion - 1)
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxVersionsPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
@@ -272,7 +284,11 @@ private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdfOffset].version
     val end = math.max(fixedEnd.getOrElse(currentVersion()), s)
-    CdfOffset(math.min(end, s + maxVersionsPerTrigger))
+    // guard the cap addition: an unbounded trigger (Long.MaxValue)
+    // must not overflow past end
+    val cap = if (maxVersionsPerTrigger > end - s) end
+              else s + maxVersionsPerTrigger
+    CdfOffset(cap)
   }
 
   override def reportLatestOffset(): Offset = CdfOffset(lastSeen)
@@ -313,6 +329,27 @@ private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
           s"$path: version $v is a restore commit — it reverts content " +
             "without row-level lineage; use VersionedTable.changes for " +
             "ranges crossing it")
+      else if (k.contains("update")) {
+        // an UPDATE version: added files are the post-images; the
+        // fresh DV slices are the pre-images (emitted only with the
+        // preimages option — the CDF convention)
+        val rn = renameOf(v)
+        val posts = (cur -- prev).toSeq.sorted.map { line =>
+          CdfInputPartition(s"$path/${stripStats(line)}", v, rn,
+            "update_postimage"): InputPartition
+        }
+        val pres = if (!preimages) Nil else {
+          val prevDv = dvOf(v - 1)
+          val prevSet = prevDv.toSet
+          dvOf(v).filterNot(prevSet.contains).map { sl =>
+            val b = sliceBucket(sl)
+            CdfDeletePartition(path, Seq(sl),
+              prevDv.filter(o => sliceBucket(o) == b), v, rn,
+              "update_preimage"): InputPartition
+          }
+        }
+        posts ++ pres
+      }
       else if (prev.subsetOf(cur)) {
         (cur -- prev).toSeq.sorted.map { line =>
           CdfInputPartition(s"$path/${stripStats(line)}", v,
@@ -472,7 +509,7 @@ private[sources] class CdfPartitionReader(part: CdfInputPartition,
     InternalRow.fromSeq(schema.fields.toSeq.map { f =>
       if (f.name == TableCdfSource.VersionCol) part.version
       else if (f.name == TableCdfSource.ChangeTypeCol)
-        UTF8String.fromString("insert")
+        UTF8String.fromString(part.tag)
       else GroupDecode.value(g,
         part.rename.getOrElse(f.name, f.name), f.dataType)
     })
@@ -584,7 +621,7 @@ private[sources] class CdfDeleteReader(p: CdfDeletePartition,
     for ((rel, set) <- fresh.toSeq.sortBy(_._1) if set.nonEmpty) {
       GroupDecode.foreach(new Path(p.root, rel), conf) { (g, i) =>
         if (set.contains(i))
-          emit(GroupDecode.row(g, dataFields, p.rename), "delete")
+          emit(GroupDecode.row(g, dataFields, p.rename), p.tag)
       }
     }
   }

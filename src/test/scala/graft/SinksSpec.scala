@@ -1386,6 +1386,132 @@ class SinksSpec extends SparkSpec {
       Set("base", "w1", "w2", "w3"))
   }
 
+  test("VersionedTable.updateWhere: merge-on-read UPDATE — old files " +
+    "carried verbatim, positions killed + transformed rows appended in " +
+    "one commit; time travel intact; CDF and the stream serve " +
+    "pre/post-image legs; types preserved; no-match is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("vtable-update")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit((0L until 100L).map(k => (k, s"p$k", k * 10L))
+      .toDF("key", "tag", "qty").repartition(4))
+    val before = vt.read(spark).inputFiles.toSet
+    val (v2, n) = vt.updateWhere(spark, col("key") < 10L,
+      Map("qty" -> (col("qty") + 1L), "tag" -> lit("upd")))
+    assert(v2 === 2L && n === 10L)
+    // every pre-update file still listed; new files appended
+    val after = vt.read(spark).inputFiles.toSet
+    assert(before.subsetOf(after) && after.size > before.size)
+    // content: 10 rows transformed, 90 untouched, count stable
+    assert(vt.read(spark).count() === 100L)
+    assert(vt.read(spark).where(col("tag") === "upd")
+      .agg(sum("qty")).head().getLong(0) === (0L until 10L)
+      .map(_ * 10 + 1).sum)
+    // schema/type preserved (the SET is cast to the column's type)
+    assert(vt.read(spark).schema("qty").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // time travel: v1 unchanged
+    assert(vt.readVersion(spark, 1L).where(col("tag") === "upd")
+      .count() === 0L)
+    // batch CDF: post-images always, pre-images on demand
+    val post = vt.changes(spark, 1L, 2L)
+    assert(post.where(col("_change_type") === "update_postimage")
+      .count() === 10L && post.count() === 10L)
+    val both = vt.changes(spark, 1L, 2L, Nil, emitPreimages = true)
+    assert(both.where(col("_change_type") === "update_preimage")
+      .count() === 10L && both.count() === 20L)
+    // updating already-updated rows composes (DV-filtered scan)
+    val (v3, n2) = vt.updateWhere(spark, col("tag") === "upd",
+      Map("qty" -> (col("qty") + 100L)))
+    assert(v3 === 3L && n2 === 10L)
+    assert(vt.read(spark).where(col("key") === 0L)
+      .select("qty").as[Long].head() === 101L)
+    // no-match update is a no-op version
+    assert(vt.updateWhere(spark, col("key") === -1L,
+      Map("qty" -> lit(0L)))._2 === 0L)
+    // the STREAM serves the update legs (startingVersion skips v1)
+    val dataSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty",
+        org.apache.spark.sql.types.LongType)))
+    val q = graft.sources.TableCdfSource
+      .stream(spark, path, dataSchema, preimages = true,
+        startingVersion = 2L)
+      .writeStream.format("memory").queryName("cdf_upd_src_test")
+      .option("checkpointLocation", tmp("ckpt-cdfupd"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cdf_upd_src_test")
+      .groupBy("_commit_version", "_change_type").count()
+      .as[(Long, String, Long)].collect().toSet
+    // v1 skipped (startingVersion=2); v2/v3 = 10 pre + 10 post each;
+    // v4 (no-match) emits nothing
+    assert(got === Set(
+      (2L, "update_preimage", 10L), (2L, "update_postimage", 10L),
+      (3L, "update_preimage", 10L), (3L, "update_postimage", 10L)))
+  }
+
+  test("VersionedTable CHECK constraints: ADD validates standing " +
+    "content; appends, merges, and updates validate BEFORE writing " +
+    "(no orphan files); constraints carry across delete/rename/restore " +
+    "and reset on overwrite") {
+    import spark.implicits._
+    val path = tmp("vtable-checks")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit(Seq((1L, 10L), (2L, 20L)).toDF("key", "qty"))
+    // ADD over violating content is refused
+    val e0 = intercept[IllegalArgumentException](
+      vt.addConstraint(spark, "qty_big", "qty >= 15"))
+    assert(e0.getMessage.contains("existing rows violate"))
+    assert(vt.addConstraint(spark, "qty_pos", "qty > 0") === 2L)
+    // a violating append is refused whole, and leaves NO orphan data
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFileCount: Int = {
+      def walk(p: org.apache.hadoop.fs.Path): Int =
+        fs.listStatus(p).map(s =>
+          if (s.isDirectory) walk(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) 1 else 0).sum
+      walk(new org.apache.hadoop.fs.Path(path, "_data"))
+    }
+    val filesBefore = dataFileCount
+    val e1 = intercept[IllegalArgumentException](
+      vt.commit(Seq((3L, -5L)).toDF("key", "qty")))
+    assert(e1.getMessage.contains("qty_pos"))
+    assert(dataFileCount === filesBefore) // nothing written
+    assert(vt.currentVersion(spark) === 2L)
+    // a valid append passes and CARRIES the check
+    vt.commit(Seq((3L, 30L)).toDF("key", "qty"))
+    assert(vt.manifestMeta(spark, 3L)("checks").contains("qty_pos"))
+    // merges validate their batch
+    val e2 = intercept[IllegalArgumentException](
+      vt.mergeBucketed(Seq((4L, 1L, "I", -1L))
+        .toDF("key", "seq", "op", "qty"), Seq("key"), Seq("seq"),
+        numBuckets = 4))
+    assert(e2.getMessage.contains("qty_pos"))
+    // updates validate the transformed rows
+    val e3 = intercept[IllegalArgumentException](
+      vt.updateWhere(spark, col("key") === 1L,
+        Map("qty" -> lit(-1L))))
+    assert(e3.getMessage.contains("qty_pos"))
+    // checks survive a delete and a restore
+    vt.deleteWhere(spark, col("key") === 2L) // v4
+    assert(vt.manifestMeta(spark, 4L)("checks").contains("qty_pos"))
+    vt.restore(spark, 3L) // v5
+    assert(vt.manifestMeta(spark, 5L)("checks").contains("qty_pos"))
+    // an overwrite resets table metadata, checks included
+    vt.commit(Seq((9L, -9L)).toDF("key", "qty"), overwrite = true)
+    assert(!vt.manifestMeta(spark, 6L).contains("checks"))
+    // history reads the whole story from headers alone
+    assert(vt.history(spark).select("kind").as[String].collect()
+      .toSeq === Seq("append", "constraint", "append", "delete",
+        "restore", "overwrite"))
+  }
+
   test("Syncpoint: a reader INSIDE the cross-table commit window " +
     "still resolves the previous consistent pair; the pin moves only " +
     "when the syncpoint publishes; racing publishes converge on max") {
