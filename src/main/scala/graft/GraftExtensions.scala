@@ -20,13 +20,19 @@ import graft.operators.MinHash
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // GraftCatalog read substitution: SQL relations over versioned
+    // tables become the native readVersion plan (vectorized scan +
+    // DV anti-join + column map) — see GraftTableResolveRule
+    ext.injectPostHocResolutionRule(spark =>
+      graft.sources.GraftTableResolveRule(spark))
+  }
 }
 
 object GraftExtensions {

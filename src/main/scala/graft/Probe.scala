@@ -288,6 +288,25 @@ object Probe {
             .agg(count(lit(1))).first()
           10000L
         }
+        // (c2) STREAMING CDF drain of the same merge version through
+        // the chunked reader (the r17 flagship weak leg): key-hash
+        // chunks bound reader MEMORY at maxChunkRows whatever the
+        // bucket grows to; decode work is O(|touched bucket|) rows —
+        // inherent (the diff of a bucket IS the bucket), the law to
+        // watch is bucket-linear time with flat memory, never an OOM
+        time(s"cdf_stream_merge standing=$n") {
+          val qn = s"probe_cdf_stream_$n"
+          val q = graft.sources.TableCdfSource.stream(spark, dir,
+            vt.read(spark).schema, keyCols = Seq("key"),
+            startingVersion = vMerge)
+            .writeStream.format("memory").queryName(qn)
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("ckptprobe").toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          spark.table(qn).count()
+        }
         // (d) OPTIMIZE bin-packs WITHIN buckets (O(|table|) rewrite,
         // inherent), and the merge AFTER it must still be on the flat
         // curve — the r15 finding was optimize destroying the layout
@@ -322,6 +341,28 @@ object Probe {
         }
         time(s"full_merge standing=$n batch=10k") {
           vt.merge(batch, Seq("key"), Seq("seq")); 10000L
+        }
+        // (h) STATS-PRUNED predicate erasure on a RANGE-CLUSTERED
+        // table (r17 ask 2): the position scan plans only the files
+        // whose footer range can hold a match — the census stays
+        // ~1/64 of the table at every size, so the erasure prices at
+        // O(candidate files), not O(n) (the un-pruned r17 scan read
+        // every file)
+        val rcDir = s"/tmp/graft_probe_rc_$n"
+        val rcRoot = new org.apache.hadoop.fs.Path(rcDir)
+        rcRoot.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(rcRoot, true)
+        val rc = GraftSink.VersionedTable(rcDir)
+        rc.commit(spark.range(n).toDF("key")
+          .withColumn("qty", col("key") * 2)
+          .repartitionByRange(64, col("key")))
+        time(s"dv_predicate_prune standing=$n") {
+          val (_, killed) = rc.deleteWhere(spark,
+            col("key") >= lit(n - 1000L))
+          val census =
+            GraftSink.VersionedTable.lastPredicateScanFiles.get()
+          println(s"          dv_predicate_prune census=$census files")
+          killed
         }
       }
       spark.stop()

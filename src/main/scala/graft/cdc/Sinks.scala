@@ -663,7 +663,8 @@ object GraftSink {
       * BACKWARD gate (A72's vocabulary): adds and drops evolve,
       * type clashes corrupt old-file reads and are refused. */
     def commit(df: DataFrame, overwrite: Boolean = false,
-               meta: Map[String, String] = Map.empty): Long = {
+               meta: Map[String, String] = Map.empty,
+               beforePublish: () => Unit = () => ()): Long = {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(
         df.sparkSession.sessionState.newHadoopConf())
@@ -677,9 +678,12 @@ object GraftSink {
       // suspected rename, held physical name) or a violated CHECK
       // must not leave orphan data files — the schema gate below
       // re-checks per publish attempt
+      val allowDropAdd = meta.get("allowDropAdd").exists(_.toBoolean)
+      val validatedChecks =
+        if (overwrite) Map.empty[String, String] else checksOf(fs, v - 1)
       if (!overwrite) {
-        schemaGate(fs, v - 1, df.schema)
-        checksOf(fs, v - 1).foreach { case (n, sqlTxt) =>
+        schemaGate(fs, v - 1, df.schema, allowDropAdd = allowDropAdd)
+        validatedChecks.foreach { case (n, sqlTxt) =>
           require(df.where(!expr(sqlTxt)).limit(1).count() == 0,
             s"$path: CHECK constraint '$n' ($sqlTxt) violated by this " +
               "commit's rows — nothing was written")
@@ -696,11 +700,13 @@ object GraftSink {
         .map(f => s"$dataRel/${f.getPath.getName}"))
       val kind = meta.getOrElse("kind",
         if (overwrite) "overwrite" else "append")
+      beforePublish() // test seam: deterministic concurrent-commit injection
       var committed = false
       while (!committed) {
         // the gate re-checks per attempt: a lost race means a NEW
         // previous version, whose schema is the one that matters
-        schemaGate(fs, v - 1, df.schema, carried = !overwrite)
+        schemaGate(fs, v - 1, df.schema, carried = !overwrite,
+          allowDropAdd = allowDropAdd)
         if (!overwrite) require(renameOf(fs, v - 1) == renameMap,
           s"$path: a concurrent RENAME landed while this commit was " +
             "writing — its files were translated under the old column " +
@@ -715,7 +721,19 @@ object GraftSink {
           if (overwrite) None else dvMetaOf(fs, v - 1)
         val checksCarry =
           if (overwrite) Map.empty[String, String] else checksOf(fs, v - 1)
-        val header = headerLines(meta + ("kind" -> kind) +
+        // the checks guard mirrors the rename guard: the batch was
+        // validated against `validatedChecks` BEFORE writing — a
+        // concurrently-added constraint must not ride into the new
+        // manifest claiming it holds over rows it never saw
+        // (ADVICE r17); the loud failure tells the caller to re-run
+        // (which re-validates) rather than silently re-checking here
+        // and masking the race
+        if (!overwrite) require(checksCarry == validatedChecks,
+          s"$path: a concurrent ADD CONSTRAINT landed while this " +
+            "commit was writing — its rows were never validated " +
+            "against the new constraint; re-run against the new " +
+            "current version")
+        val header = headerLines(meta - "allowDropAdd" + ("kind" -> kind) +
           ("schema" -> df.schema.json) ++ dvCarry.map("dv" -> _) ++
           (if (renameMap.nonEmpty)
             Some("rename" -> encodeRename(renameMap)) else None) ++
@@ -897,7 +915,8 @@ object GraftSink {
       * Unstamped/vacuumed versions skip — nothing to compare against. */
     private def schemaGate(fs: org.apache.hadoop.fs.FileSystem, prevV: Long,
                            next: org.apache.spark.sql.types.StructType,
-                           carried: Boolean = true)
+                           carried: Boolean = true,
+                           allowDropAdd: Boolean = false)
         : Unit = {
       if (prevV < 1) return
       val m = new org.apache.hadoop.fs.Path(path,
@@ -935,16 +954,22 @@ object GraftSink {
         // column and adding one of the IDENTICAL type in the same
         // commit is almost always a rename — drop+add would orphan
         // the old files' data (they'd read null); renameColumn keeps
-        // it readable through the column map
+        // it readable through the column map. A LEGITIMATE
+        // drop-tmp/add-note evolution opts out via the commit-call
+        // meta flag `allowDropAdd=true` (ADVICE r17: the hard refusal
+        // had no override, forcing two commits); the held-physical-
+        // name guard above stays binding either way — it protects
+        // file bytes, not intent
         val dropped = prev.fields.toSeq.filterNot(f =>
           next.fieldNames.contains(f.name))
-        if (dropped.size == 1 && newCols.size == 1 &&
+        if (!allowDropAdd && dropped.size == 1 && newCols.size == 1 &&
           asNullable(dropped.head.dataType) ==
             asNullable(newCols.head.dataType))
           throw new IllegalArgumentException(s"$path: suspected RENAME " +
             s"— this commit drops '${dropped.head.name}' and adds " +
             s"'${newCols.head.name}' of the identical type; use " +
-            "renameColumn (drop+add orphans the old files' values)")
+            "renameColumn (drop+add orphans the old files' values), " +
+            "or pass meta allowDropAdd=true for a genuine drop+add")
       }
     }
 
@@ -1117,6 +1142,115 @@ object GraftSink {
       if (i < 0) None
       else "\"rows\":(\\d+)".r.findFirstMatchIn(line.substring(i + 1))
         .map(_.group(1).toLong)
+    }
+
+    /** Conservative per-column numeric bounds implied by `cond`
+      * (logical column → (lo, hi), open side = None): only TOP-LEVEL
+      * CONJUNCTS that compare a bare column against a numeric literal
+      * contribute — anything else (OR, functions, non-numeric)
+      * contributes nothing, so pruning by these bounds is always
+      * SOUND (a file excluded by them provably holds no matching
+      * row). Strict inequalities widen to closed bounds — pruning is
+      * an optimization, the residual row filter always applies. */
+    private def predicateBounds(cond: Column)
+        : Map[String, (Option[BigDecimal], Option[BigDecimal])] = {
+      import org.apache.spark.sql.catalyst.expressions._
+      def name(e: Expression): Option[String] = e match {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          Some(a.name)
+        case a: AttributeReference => Some(a.name)
+        case Cast(c, _, _, _) => name(c) // cond may cast the column
+        case _ => None
+      }
+      def num(e: Expression): Option[BigDecimal] = e match {
+        case Literal(v, _: org.apache.spark.sql.types.NumericType)
+            if v != null =>
+          scala.util.Try(BigDecimal(v.toString)).toOption
+        case _ => None
+      }
+      val out = scala.collection.mutable.Map
+        .empty[String, (Option[BigDecimal], Option[BigDecimal])]
+      def tighten(c: String, lo: Option[BigDecimal],
+                  hi: Option[BigDecimal]): Unit = {
+        val (plo, phi) = out.getOrElse(c, (None, None))
+        out(c) = (Seq(plo, lo).flatten.reduceOption(_ max _),
+          Seq(phi, hi).flatten.reduceOption(_ min _))
+      }
+      def eq(a: Expression, b: Expression): Unit =
+        (name(a), num(b)) match {
+          case (Some(c), Some(x)) => tighten(c, Some(x), Some(x))
+          case _ => (num(a), name(b)) match {
+            case (Some(x), Some(c)) => tighten(c, Some(x), Some(x))
+            case _ => ()
+          }
+        }
+      // Column-built predicates convert to catalyst
+      // UnresolvedFunction("and"/">="/…) nodes (resolution names the
+      // operators only at analysis); expr("…")-parsed ones arrive as
+      // the resolved operator classes — both shapes walk
+      def walk(e: Expression): Unit = e match {
+        case And(l, r) => walk(l); walk(r)
+        case GreaterThan(a, b) => cmp(a, b, loSide = true)
+        case GreaterThanOrEqual(a, b) => cmp(a, b, loSide = true)
+        case LessThan(a, b) => cmp(a, b, loSide = false)
+        case LessThanOrEqual(a, b) => cmp(a, b, loSide = false)
+        case EqualTo(a, b) => eq(a, b)
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.arguments.size == 2 =>
+          val (a, b) = (f.arguments(0), f.arguments(1))
+          f.nameParts.last.toLowerCase(java.util.Locale.ROOT) match {
+            case "and" => walk(a); walk(b)
+            case ">" | ">=" => cmp(a, b, loSide = true)
+            case "<" | "<=" => cmp(a, b, loSide = false)
+            case "=" | "==" => eq(a, b)
+            case _ => ()
+          }
+        case _ => ()
+      }
+      // `col >cmp lit` bounds the lo side; `lit >cmp col` the hi side
+      def cmp(a: Expression, b: Expression, loSide: Boolean): Unit =
+        (name(a), num(b)) match {
+          case (Some(c), Some(x)) =>
+            if (loSide) tighten(c, Some(x), None)
+            else tighten(c, None, Some(x))
+          case _ => (num(a), name(b)) match {
+            case (Some(x), Some(c)) =>
+              if (loSide) tighten(c, None, Some(x))
+              else tighten(c, Some(x), None)
+            case _ => ()
+          }
+        }
+      walk(org.apache.spark.sql.GraftSqlBridge.catalystExpression(cond))
+      out.toMap
+    }
+
+    /** Version `v`'s file list pruned by `cond`'s implied bounds
+      * against the manifest footer stats — the [[readRange]] pruning
+      * routed under an arbitrary predicate (VERDICT r17: the
+      * deleteWhere/updateWhere position scans read EVERY file; a
+      * range-expressible predicate on a stats-carried column prunes
+      * exactly like a range read). Stats-less lines and unbounded
+      * predicates keep everything — soundness first. The surviving
+      * census lands in [[VersionedTable.lastPredicateScanFiles]]
+      * (test seam — SinksSpec pins that a clustered predicate delete
+      * touches only its candidate files). */
+    private def pruneByPredicate(fs: org.apache.hadoop.fs.FileSystem,
+                                 v: Long, cond: Column): Seq[String] = {
+      val bounds = predicateBounds(cond)
+      val rename = renameOf(fs, v)
+      val out =
+        if (bounds.isEmpty) manifestFiles(fs, v)
+        else manifestRawLines(fs, v).filter { l =>
+          bounds.forall { case (c, (lo, hi)) =>
+            statsRange(l, rename.getOrElse(c, c)) match {
+              case Some((mn, mx)) =>
+                lo.forall(mx >= _) && hi.forall(mn <= _)
+              case None => true
+            }
+          }
+        }.map(stripStats)
+      VersionedTable.lastPredicateScanFiles.set(out.size.toLong)
+      out
     }
 
     /** DATA-SKIPPING read (Delta's file-stats pruning): the latest
@@ -1391,16 +1525,38 @@ object GraftSink {
       * derived from the version this delete read). Returns
       * (newVersion, rowsDeleted). */
     def deleteWhere(spark: org.apache.spark.sql.SparkSession,
-                    cond: Column): (Long, Long) = {
+                    cond: Column,
+                    beforePublish: () => Unit = () => ()): (Long, Long) = {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      val v = currentVersion(fs)
-      require(v > 0, s"$path: no committed versions")
-      val alive = readFilesAddr(spark, fs, manifestFiles(fs, v),
-        versionSchema(fs, v), dvSlicesOf(fs, v), renameOf(fs, v))
-      val newDead = alive.where(cond)
-        .select(col("__dv_file").as("file"), col("__dv_row").as("row_index"))
-      publishDelete(spark, fs, v, newDead)
+      // OCC retry: a lost publish race RE-DERIVES the positions
+      // against the new current version (serial-equivalent for any
+      // winner — the delete simply ran after it); metadata-only
+      // winners rebase inside publishDelete without a re-scan
+      var attempts = 0
+      while (attempts < 5) {
+        attempts += 1
+        val v = currentVersion(fs)
+        require(v > 0, s"$path: no committed versions")
+        // the position scan plans only files whose stats can hold a
+        // match — on a range-clustered table a predicate erasure reads
+        // its candidate files, not the table (VERDICT r17 ask 2)
+        val candidates = pruneByPredicate(fs, v, cond)
+        if (candidates.isEmpty) return (v, 0L) // stats exclude every file
+        val alive = readFilesAddr(spark, fs, candidates,
+          versionSchema(fs, v), dvSlicesOf(fs, v), renameOf(fs, v))
+        val newDead = alive.where(cond)
+          .select(col("__dv_file").as("file"),
+            col("__dv_row").as("row_index"))
+        if (attempts == 1) beforePublish()
+        publishDelete(spark, fs, v, newDead) match {
+          case Some(r) => return r
+          case None => () // content winner — loop re-derives
+        }
+      }
+      throw new IllegalStateException(s"$path: deleteWhere lost the " +
+        "publish race 5 times — a writer is committing continuously; " +
+        "re-run when the table quiesces")
     }
 
     /** The DV slice bucket of a dead position — its file's `__bucket=`
@@ -1410,33 +1566,77 @@ object GraftSink {
       coalesce(when(b =!= "", b.cast("long")), lit(-1L))
     }
 
+    /** Publish a position-kill commit (`kind` delete|update) on top of
+      * version `base`, with OCC REBASE over METADATA-ONLY winners
+      * (VERDICT r17 ask 3): a `constraint`/`rename` winner republishes
+      * the SAME file lines and the SAME deletion vector, so positions
+      * derived against `base` are provably still exact — the commit
+      * re-publishes on top of the winner carrying ITS headers, zero
+      * work repeated. Any CONTENT winner (append/merge/overwrite/
+      * delete/update/…) returns None: the caller re-derives positions
+      * against the new current version and retries — a full re-scan,
+      * but SERIALIZABLE by construction for every winner kind (no
+      * disjointness analysis to get wrong). `allowConstraintWinner` is
+      * false on the update path: updated rows were validated against
+      * `base`'s checks, so a concurrently-added constraint must force
+      * the re-derive (which re-validates) — a delete can never violate
+      * a row constraint, so it rebases over constraints freely. */
+    private def tryPublishPositions(fs: org.apache.hadoop.fs.FileSystem,
+                                    base0: Long, kind: String,
+                                    dvList: Seq[String],
+                                    extraFileLines: Seq[String],
+                                    allowConstraintWinner: Boolean)
+        : Option[Long] = {
+      var base = base0
+      var attempts = 0
+      while (attempts <= 8) {
+        attempts += 1
+        val meta = manifestMeta(fs, base)
+        val header = headerLines(Map(
+          "kind" -> kind, "dv" -> dvList.mkString(",")) ++
+          meta.get("schema").map("schema" -> _) ++
+          meta.get("rename").map("rename" -> _) ++
+          meta.get("checks").map("checks" -> _))
+        if (tryPublish(fs, base + 1,
+          header ++ manifestRawLines(fs, base) ++ extraFileLines))
+          return Some(base + 1)
+        val wv = base + 1
+        val wMeta = manifestMeta(fs, wv)
+        val rebasable = wMeta.get("kind").exists(k =>
+          k == "rename" || (allowConstraintWinner && k == "constraint")) &&
+          manifestRawLines(fs, wv) == manifestRawLines(fs, base) &&
+          dvMetaOf(fs, wv) == dvMetaOf(fs, base)
+        if (!rebasable) return None
+        base = wv
+      }
+      None
+    }
+
     /** Slice-wise deletion-vector publish shared by [[deleteWhere]] /
       * [[deleteKeys]]: `newDead` is the freshly dead (file, row_index)
       * set, file paths manifest-relative. Only the TOUCHED buckets'
       * slices are rewritten (merged with their previous content);
       * untouched slices carry verbatim. Row accounting comes from
       * parquet footers — zero counting jobs (r16 nit: the old path
-      * paid two count() scans just to report rowsDeleted). */
+      * paid two count() scans just to report rowsDeleted). None = a
+      * content commit won the publish race (slices cleaned up) — the
+      * caller re-derives against the new current version. */
     private def publishDelete(spark: org.apache.spark.sql.SparkSession,
                               fs: org.apache.hadoop.fs.FileSystem,
-                              v: Long, newDead: DataFrame): (Long, Long) = {
-      val newV = v + 1
-      val dvOut = s"_dv/v$newV-${java.util.UUID.randomUUID}"
+                              v: Long, newDead: DataFrame)
+        : Option[(Long, Long)] = {
+      val dvOut = s"_dv/v${v + 1}-${java.util.UUID.randomUUID}"
       val (dvList, newSlices, prevTouched) =
         writeDvSlices(spark, fs, v, newDead, dvOut)
-      val header = headerLines(Map(
-        "kind" -> "delete", "dv" -> dvList.mkString(",")) ++
-        manifestMeta(fs, v).get("schema").map("schema" -> _) ++
-        manifestMeta(fs, v).get("rename").map("rename" -> _) ++
-        manifestMeta(fs, v).get("checks").map("checks" -> _))
-      if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v))) {
-        fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
-        throw new IllegalStateException(s"$path: concurrent commit took " +
-          s"v$newV while this delete was scanning — its row positions " +
-          "are stale; re-run against the new current version")
+      tryPublishPositions(fs, v, "delete", dvList, Nil,
+        allowConstraintWinner = true) match {
+        case Some(newV) =>
+          Some((newV, sliceRecordCount(fs, newSlices) -
+            sliceRecordCount(fs, prevTouched)))
+        case None =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
+          None
       }
-      (newV, sliceRecordCount(fs, newSlices) -
-        sliceRecordCount(fs, prevTouched))
     }
 
     /** Write the new deletion-vector slices for `newDead` (merging the
@@ -1496,31 +1696,43 @@ object GraftSink {
       require(keys.nonEmpty, "deleteKeys needs at least one key")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      val v = currentVersion(fs)
-      require(v > 0, s"$path: no committed versions")
-      bucketSpec(fs).foreach(b => require(b == numBuckets,
-        s"$path: table is bucketed into $b buckets (manifest #buckets); " +
-          s"deleteKeys with $numBuckets would prune the wrong buckets " +
-          "and silently miss rows — pass the table's spec"))
-      val schema = versionSchema(fs, v)
-      val keyDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          keys.map(org.apache.spark.sql.Row.fromSeq), 1),
-        org.apache.spark.sql.types.StructType(keyCols.map(c =>
-          read(spark).schema(c))))
-      val wanted = keyDf.select(bucketOf(keyCols, numBuckets).as("__b"))
-        .distinct().collect().map(_.getLong(0)).toSet
-      val rels = manifestRawLines(fs, v).map(stripStats).filter(rel =>
-        pathBucket(rel).forall(wanted.contains))
-      if (rels.isEmpty) return (v, 0L) // keys hash to empty buckets
-      // readFilesAddr prunes the DV slices to the wanted buckets too —
-      // the erasure loads 1/numBuckets of the vector, not all of it
-      val alive = readFilesAddr(spark, fs, rels, schema,
-        dvSlicesOf(fs, v), renameOf(fs, v))
-      val newDead = alive.join(broadcast(keyDf), keyCols, "left_semi")
-        .select(col("__dv_file").as("file"),
-          col("__dv_row").as("row_index"))
-      publishDelete(spark, fs, v, newDead)
+      // same OCC retry as deleteWhere: content winners re-derive
+      var attempts = 0
+      while (attempts < 5) {
+        attempts += 1
+        val v = currentVersion(fs)
+        require(v > 0, s"$path: no committed versions")
+        bucketSpec(fs).foreach(b => require(b == numBuckets,
+          s"$path: table is bucketed into $b buckets (manifest " +
+            s"#buckets); deleteKeys with $numBuckets would prune the " +
+            "wrong buckets and silently miss rows — pass the table's " +
+            "spec"))
+        val schema = versionSchema(fs, v)
+        val keyDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            keys.map(org.apache.spark.sql.Row.fromSeq), 1),
+          org.apache.spark.sql.types.StructType(keyCols.map(c =>
+            read(spark).schema(c))))
+        val wanted = keyDf.select(bucketOf(keyCols, numBuckets).as("__b"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val rels = manifestRawLines(fs, v).map(stripStats).filter(rel =>
+          pathBucket(rel).forall(wanted.contains))
+        if (rels.isEmpty) return (v, 0L) // keys hash to empty buckets
+        // readFilesAddr prunes the DV slices to the wanted buckets too
+        // — the erasure loads 1/numBuckets of the vector, not all of it
+        val alive = readFilesAddr(spark, fs, rels, schema,
+          dvSlicesOf(fs, v), renameOf(fs, v))
+        val newDead = alive.join(broadcast(keyDf), keyCols, "left_semi")
+          .select(col("__dv_file").as("file"),
+            col("__dv_row").as("row_index"))
+        publishDelete(spark, fs, v, newDead) match {
+          case Some(r) => return r
+          case None => () // content winner — loop re-derives
+        }
+      }
+      throw new IllegalStateException(s"$path: deleteKeys lost the " +
+        "publish race 5 times — a writer is committing continuously; " +
+        "re-run when the table quiesces")
     }
 
     /** UPDATE … WHERE … SET (merge-on-read — Delta's UPDATE without
@@ -1540,60 +1752,70 @@ object GraftSink {
       * positions) when preimages are requested. Losing the publish
       * race fails loudly. Returns (newVersion, rowsUpdated). */
     def updateWhere(spark: org.apache.spark.sql.SparkSession,
-                    cond: Column, set: Map[String, Column]): (Long, Long) = {
+                    cond: Column, set: Map[String, Column],
+                    beforePublish: () => Unit = () => ()): (Long, Long) = {
       require(set.nonEmpty, "updateWhere needs at least one SET column")
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val v = currentVersion(fs)
-      require(v > 0, s"$path: no committed versions")
-      val schema = versionSchema(fs, v)
-      val rename = renameOf(fs, v)
-      val alive = readFilesAddr(spark, fs, manifestFiles(fs, v),
-        schema, dvSlicesOf(fs, v), rename)
-      val dataCols = alive.columns.toSeq
-        .filterNot(c => c == "__dv_file" || c == "__dv_row")
-      set.keys.foreach(k => require(dataCols.contains(k),
-        s"$path: SET names unknown column '$k'"))
-      val matching = alive.where(cond).persist()
-      try {
-        val pre = matching.select(dataCols.map(col): _*)
-        val updated = pre.select(dataCols.map(c =>
-          set.get(c).map(_.cast(pre.schema(c).dataType).as(c))
-            .getOrElse(col(c))): _*)
-        checksOf(fs, v).foreach { case (n, sqlTxt) =>
-          require(updated.where(!expr(sqlTxt)).limit(1).count() == 0,
-            s"$path: CHECK constraint '$n' ($sqlTxt) violated by the " +
-              "updated rows")
-        }
-        val newV = v + 1
-        val dataRel = s"_data/commit-$newV-${java.util.UUID.randomUUID}"
-        val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
-        toPhysical(updated, rename).write
-          .mode(SaveMode.Overwrite).parquet(dataDir.toString)
-        val newFiles = statsLines(fs, fs.listStatus(dataDir).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"$dataRel/${f.getPath.getName}"))
-        val dvOut = s"_dv/v$newV-${java.util.UUID.randomUUID}"
-        val newDead = matching.select(col("__dv_file").as("file"),
-          col("__dv_row").as("row_index"))
-        val (dvList, newSlices, prevTouched) =
-          writeDvSlices(spark, fs, v, newDead, dvOut)
-        val header = headerLines(Map(
-          "kind" -> "update", "dv" -> dvList.mkString(",")) ++
-          manifestMeta(fs, v).get("schema").map("schema" -> _) ++
-          manifestMeta(fs, v).get("rename").map("rename" -> _) ++
-          manifestMeta(fs, v).get("checks").map("checks" -> _))
-        if (!tryPublish(fs, newV,
-          header ++ manifestRawLines(fs, v) ++ newFiles)) {
-          fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
-          fs.delete(dataDir, true)
-          throw new IllegalStateException(s"$path: concurrent commit " +
-            s"took v$newV while this update was scanning — its row " +
-            "positions are stale; re-run against the new current version")
-        }
-        (newV, sliceRecordCount(fs, newSlices) -
-          sliceRecordCount(fs, prevTouched))
-      } finally matching.unpersist()
+      // same OCC retry as deleteWhere — a content winner re-derives
+      // the matches against the new current version (which also
+      // re-validates against its checks: allowConstraintWinner=false
+      // below, so a concurrently-added constraint forces this path)
+      var attempts = 0
+      while (attempts < 5) {
+        attempts += 1
+        val v = currentVersion(fs)
+        require(v > 0, s"$path: no committed versions")
+        val schema = versionSchema(fs, v)
+        val rename = renameOf(fs, v)
+        // stats-pruned match scan, same as deleteWhere: files whose
+        // footer range excludes the predicate are never read
+        val candidates = pruneByPredicate(fs, v, cond)
+        if (candidates.isEmpty) return (v, 0L) // stats exclude every file
+        val alive = readFilesAddr(spark, fs, candidates,
+          schema, dvSlicesOf(fs, v), rename)
+        val dataCols = alive.columns.toSeq
+          .filterNot(c => c == "__dv_file" || c == "__dv_row")
+        set.keys.foreach(k => require(dataCols.contains(k),
+          s"$path: SET names unknown column '$k'"))
+        val matching = alive.where(cond).persist()
+        try {
+          val pre = matching.select(dataCols.map(col): _*)
+          val updated = pre.select(dataCols.map(c =>
+            set.get(c).map(_.cast(pre.schema(c).dataType).as(c))
+              .getOrElse(col(c))): _*)
+          checksOf(fs, v).foreach { case (n, sqlTxt) =>
+            require(updated.where(!expr(sqlTxt)).limit(1).count() == 0,
+              s"$path: CHECK constraint '$n' ($sqlTxt) violated by the " +
+                "updated rows")
+          }
+          val dataRel = s"_data/commit-${v + 1}-${java.util.UUID.randomUUID}"
+          val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
+          toPhysical(updated, rename).write
+            .mode(SaveMode.Overwrite).parquet(dataDir.toString)
+          val newFiles = statsLines(fs, fs.listStatus(dataDir).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => s"$dataRel/${f.getPath.getName}"))
+          val dvOut = s"_dv/v${v + 1}-${java.util.UUID.randomUUID}"
+          val newDead = matching.select(col("__dv_file").as("file"),
+            col("__dv_row").as("row_index"))
+          val (dvList, newSlices, prevTouched) =
+            writeDvSlices(spark, fs, v, newDead, dvOut)
+          if (attempts == 1) beforePublish()
+          tryPublishPositions(fs, v, "update", dvList, newFiles,
+            allowConstraintWinner = false) match {
+            case Some(newV) =>
+              return (newV, sliceRecordCount(fs, newSlices) -
+                sliceRecordCount(fs, prevTouched))
+            case None =>
+              fs.delete(new org.apache.hadoop.fs.Path(path, dvOut), true)
+              fs.delete(dataDir, true) // content winner — re-derive
+          }
+        } finally matching.unpersist()
+      }
+      throw new IllegalStateException(s"$path: updateWhere lost the " +
+        "publish race 5 times — a writer is committing continuously; " +
+        "re-run when the table quiesces")
     }
 
     /** CHECK constraints of version `v` (`#checks=`, carried by every
@@ -1630,30 +1852,42 @@ object GraftSink {
       * violation leaves no orphan files). Overwrites reset constraints
       * with the rest of the table metadata. */
     def addConstraint(spark: org.apache.spark.sql.SparkSession,
-                      name: String, conditionSql: String): Long = {
+                      name: String, conditionSql: String,
+                      beforePublish: () => Unit = () => ()): Long = {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      val v = currentVersion(fs)
-      require(v > 0, s"$path: no committed versions")
-      val prev = checksOf(fs, v)
-      require(!prev.contains(name),
-        s"$path: constraint '$name' already exists")
-      require(read(spark).where(!expr(conditionSql)).limit(1).count() == 0,
-        s"$path: existing rows violate CHECK '$name' ($conditionSql) — " +
-          "a constraint must hold over the standing content")
-      val meta = manifestMeta(fs, v)
-      val header = headerLines(Map(
-        "kind" -> "constraint",
-        "checks" -> encodeChecks(prev + (name -> conditionSql))) ++
-        meta.get("schema").map("schema" -> _) ++
-        meta.get("dv").map("dv" -> _) ++
-        meta.get("rename").map("rename" -> _))
-      val newV = v + 1
-      if (!tryPublish(fs, newV, header ++ manifestRawLines(fs, v)))
-        throw new IllegalStateException(s"$path: concurrent commit took " +
-          s"v$newV while this constraint was publishing — re-run " +
-          "against the new current version")
-      newV
+      // OCC retry (VERDICT r17 ask 3): a lost race re-reads the new
+      // current version and RE-VALIDATES the standing content against
+      // the constraint — the winner may have added rows this
+      // constraint never saw (the exact hazard commit()'s checks
+      // guard fails loudly on, closed from this side by re-running
+      // the scan rather than publishing a stale validation)
+      var attempts = 0
+      while (attempts < 5) {
+        attempts += 1
+        val v = currentVersion(fs)
+        require(v > 0, s"$path: no committed versions")
+        val prev = checksOf(fs, v)
+        require(!prev.contains(name),
+          s"$path: constraint '$name' already exists")
+        require(readVersion(spark, v)
+          .where(!expr(conditionSql)).limit(1).count() == 0,
+          s"$path: existing rows violate CHECK '$name' ($conditionSql) " +
+            "— a constraint must hold over the standing content")
+        val meta = manifestMeta(fs, v)
+        val header = headerLines(Map(
+          "kind" -> "constraint",
+          "checks" -> encodeChecks(prev + (name -> conditionSql))) ++
+          meta.get("schema").map("schema" -> _) ++
+          meta.get("dv").map("dv" -> _) ++
+          meta.get("rename").map("rename" -> _))
+        if (attempts == 1) beforePublish()
+        if (tryPublish(fs, v + 1, header ++ manifestRawLines(fs, v)))
+          return v + 1
+      }
+      throw new IllegalStateException(s"$path: addConstraint lost the " +
+        "publish race 5 times — a writer is committing continuously; " +
+        "re-run when the table quiesces")
     }
 
     /** DESCRIBE HISTORY: one row per retained version — (version,
@@ -1999,6 +2233,18 @@ object GraftSink {
           s"$path: no version has watermark <= $tsUs")))
     }
 
+    /** Public form of the event-time AS OF resolution — the version a
+      * `TIMESTAMP AS OF` read serves ([[graft.sources.GraftCatalog]]
+      * routes SQL time travel through this). */
+    def versionAsOfTs(spark: org.apache.spark.sql.SparkSession,
+                      tsUs: Long): Long = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      resolveAsOfTs(fs, tsUs).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: no version has watermark <= $tsUs"))
+    }
+
     /** Highest version whose `#max_ts` watermark ≤ `tsUs` (None when
       * no watermarked version qualifies). |versions| header reads. */
     private def resolveAsOfTs(fs: org.apache.hadoop.fs.FileSystem,
@@ -2103,11 +2349,30 @@ object GraftSink {
                         else manifestRawLines(fs, v).toSet)).toMap
       def kindOf(v: Long): Option[String] =
         if (v == 0) None else manifestMeta(fs, v).get("kind")
+      // every per-version frame is built under ITS version's logical
+      // names; a range crossing a renameColumn version must still
+      // union — physical names are stable, so each frame projects to
+      // the END version's logical names through the rename maps'
+      // composition (Delta column mapping serves the whole range
+      // under one set of names; ADVICE r17 — the raw unionByName
+      // threw AnalysisException across a rename boundary)
+      val endInv = renameOf(fs, toV).map(_.swap) // physical -> logical
+      def toEndNames(df: DataFrame, v: Long): DataFrame = {
+        val rn = renameOf(fs, v)
+        if (rn.map(_.swap) == endInv) df
+        else df.select(df.columns.toSeq.map { c =>
+          if (c == "_change_type" || c == "_commit_version") col(c)
+          else {
+            val phys = rn.getOrElse(c, c)
+            col(c).as(endInv.getOrElse(phys, phys))
+          }
+        }: _*)
+      }
       (fromV + 1 to toV).flatMap { v =>
         val added = (sets(v) -- sets(v - 1)).toSeq.sorted.map(stripStats)
         val removed = (sets(v - 1) -- sets(v)).toSeq.sorted.map(stripStats)
         val kind = kindOf(v)
-        if (kind.contains("optimize")) None // content-identical republish
+        (if (kind.contains("optimize")) None // content-identical republish
         else if (kind.contains("restore")) {
           // a restore can share (or superset) its parent's file lines
           // while REVERTING content (dv included) — never file-level;
@@ -2160,7 +2425,7 @@ object GraftSink {
                   dvSlicesOf(fs, v), renameOf(fs, v)))
             else (readVersion(spark, v - 1), readVersion(spark, v))
           Some(keyedDiff(before, after, keyCols, v, emitPreimages))
-        }
+        }).map(toEndNames(_, v))
       }.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
     }
 
@@ -2487,12 +2752,31 @@ object GraftSink {
       * rename) are reclaimed too. Driver work is manifest-sized.
       * Returns (dataFilesDeleted, manifestsDeleted). */
     def vacuum(spark: org.apache.spark.sql.SparkSession,
-               retainLast: Int): (Int, Int) = {
+               retainLast: Int): (Int, Int) =
+      vacuum(spark, retainLast, None)
+
+    /** [[vacuum]] that REFUSES to cross a syncpoint pin (VERDICT r17
+      * ask 5): `syncpoint` = (coordinator path, this table's name in
+      * it). The horizon clamps to the LATEST syncpoint's pinned
+      * version — the one `Syncpoint.readAt` resolves — so a
+      * consistent cross-table reader can never find its pinned
+      * manifest vacuumed out from under it. Older syncpoints are
+      * superseded (readers resolve only the latest), so they do not
+      * bind; a coordinator with no syncpoint yet, or one not pinning
+      * this table, leaves the retention horizon as given. */
+    def vacuum(spark: org.apache.spark.sql.SparkSession,
+               retainLast: Int,
+               syncpoint: Option[(String, String)]): (Int, Int) = {
       require(retainLast >= 1, "must retain at least the latest version")
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val v = currentVersion(fs)
-      val horizon = math.max(1L, v - retainLast + 1)
+      val pinFloor = syncpoint.flatMap { case (sp, name) =>
+        if (Syncpoint.current(spark, sp) == 0L) None
+        else Syncpoint.resolve(spark, sp)._2.get(name)
+      }
+      val horizon = math.max(1L, math.min(v - retainLast + 1,
+        pinFloor.getOrElse(Long.MaxValue)))
       val keep = (horizon to v)
         .flatMap(kv => manifestFiles(fs, kv)).toSet
       // every file under _data/ not referenced by a retained manifest
@@ -2560,6 +2844,13 @@ object GraftSink {
       * the hint alone (zero listings), the object-store scaling law. */
     private[graft] val fallbackLists =
       new java.util.concurrent.atomic.AtomicLong(0L)
+
+    /** File census of the last predicate position scan (deleteWhere /
+      * updateWhere after stats pruning) — a test seam: SinksSpec pins
+      * that a range predicate on a clustered table plans only its
+      * candidate files, the 100 TB erasure law. −1 = no scan yet. */
+    private[graft] val lastPredicateScanFiles =
+      new java.util.concurrent.atomic.AtomicLong(-1L)
   }
 
   /** CROSS-TABLE SYNCPOINT (A40's consistent snapshot composed onto
@@ -2602,14 +2893,28 @@ object GraftSink {
         .foldLeft(0L)(math.max)
     }
 
-    /** Publish `pins` (table name → version) as the next syncpoint. */
+    /** Publish `pins` (table name → version) as the next syncpoint.
+      * Pins MERGE with the currently resolved pin map before EVERY
+      * attempt (per-table max; tables absent from `pins` carry
+      * forward): a transaction over a SUBSET of the coordinated
+      * tables must not publish a latest syncpoint that drops the
+      * non-participating tables' pins — readAt for those would throw
+      * even though nothing tore (ADVICE r17; the lost-race path
+      * already unioned keysets, a clean first publish did not). */
     def publish(spark: org.apache.spark.sql.SparkSession,
                 path: String, pins: Map[String, Long]): Long = {
       require(pins.nonEmpty, "a syncpoint must pin at least one table")
       val fs = fsOf(spark, path)
       val dir = new org.apache.hadoop.fs.Path(path)
       fs.mkdirs(dir)
-      var merged = pins
+      var merged =
+        if (current(spark, path) == 0L) pins
+        else {
+          val standing = resolve(spark, path)._2
+          (pins.keySet ++ standing.keySet).map(k =>
+            k -> math.max(pins.getOrElse(k, 0L),
+              standing.getOrElse(k, 0L))).toMap
+        }
       var n = current(spark, path) + 1
       while (true) {
         val tmp = new org.apache.hadoop.fs.Path(dir,

@@ -12,6 +12,14 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The EAGERLY-converted catalyst expression of a Column:
+    * [[expression]] returns a lazy ColumnNodeExpression wrapper whose
+    * children are column NODES, not catalyst nodes — code that walks
+    * the tree (e.g. manifest-stats predicate pruning) needs the real
+    * And/comparison shapes the classic converter produces. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a temp function on an EXISTING session (the extensions
     * path below only applies at session construction). */
   def registerFunction(spark: SparkSession, name: String,

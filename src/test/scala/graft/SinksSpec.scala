@@ -1624,6 +1624,393 @@ class SinksSpec extends SparkSpec {
     sink.deleteBatches(Array(0L)) // must not throw: Append will create it
   }
 
+  // ---- round 18: OCC re-derive, stats-pruned position scans, ----
+  // ---- chunked merge-CDF, restore CDF, pin-aware vacuum        ----
+
+  test("VersionedTable.deleteWhere OCC: a concurrent APPEND landing in " +
+    "the publish window re-derives the positions — the delete runs " +
+    "serially AFTER the winner and kills its matching rows too") {
+    import spark.implicits._
+    val path = tmp("vtable-occ-delete")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit((0L until 64L).map(k => (k, s"v$k")).toDF("key", "tag"))
+    val (v, n) = vt.deleteWhere(spark, col("key") < 8L,
+      beforePublish = () => {
+        vt.commit(Seq((100L, "late"), (5L, "late5")).toDF("key", "tag"))
+        ()
+      })
+    assert(v === 3L) // winner took v2; the delete re-derived onto it
+    assert(n === 9L) // 8 original keys < 8 + the appended key-5 row
+    val out = vt.read(spark)
+    assert(out.where(col("key") < 8L).count() === 0L)
+    assert(out.count() === 57L)
+  }
+
+  test("VersionedTable.deleteWhere OCC: a METADATA-ONLY winner " +
+    "(addConstraint) rebases without re-deriving — the delete lands " +
+    "on top carrying the winner's checks, and they bind") {
+    import spark.implicits._
+    val path = tmp("vtable-occ-delete-meta")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit((1L to 20L).map(k => (k, k * 10)).toDF("key", "qty"))
+    val (v, n) = vt.deleteWhere(spark, col("key") <= 3L,
+      beforePublish = () => {
+        vt.addConstraint(spark, "qty_pos", "qty > 0"); ()
+      })
+    assert(v === 3L && n === 3L)
+    assert(vt.manifestMeta(spark, 3L).get("checks")
+      .exists(_.contains("qty_pos")))
+    val e = intercept[IllegalArgumentException](
+      vt.commit(Seq((99L, -1L)).toDF("key", "qty")))
+    assert(e.getMessage.contains("qty_pos"))
+  }
+
+  test("VersionedTable.updateWhere OCC: a concurrently-added " +
+    "constraint forces the re-derive which re-validates; a content " +
+    "winner re-derives serially after it") {
+    import spark.implicits._
+    val path = tmp("vtable-occ-update")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit((1L to 10L).map(k => (k, k * 10)).toDF("key", "qty"))
+    // constraint winner: SET qty = -5 is now a violation — refused
+    val e = intercept[IllegalArgumentException](
+      vt.updateWhere(spark, col("key") === 1L,
+        Map("qty" -> lit(-5L)),
+        beforePublish = () => {
+          vt.addConstraint(spark, "qty_pos", "qty > 0"); ()
+        }))
+    assert(e.getMessage.contains("qty_pos"))
+    // content winner: the update re-derives and also rewrites the
+    // appended matching row (serial order winner-then-update)
+    val (v2, n2) = vt.updateWhere(spark, col("qty") === 100L,
+      Map("qty" -> lit(1000L)),
+      beforePublish = () => {
+        vt.commit(Seq((11L, 100L)).toDF("key", "qty")); ()
+      })
+    assert(v2 === 4L && n2 === 2L)
+    assert(vt.read(spark).where(col("qty") === 1000L).count() === 2L)
+  }
+
+  test("VersionedTable.commit CHECK guard: a constraint added while " +
+    "the commit is writing fails the publish loudly instead of riding " +
+    "into a manifest that claims it holds") {
+    import spark.implicits._
+    val path = tmp("vtable-commit-check-race")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit((1L to 5L).map(k => (k, k * 10)).toDF("key", "qty"))
+    val e = intercept[IllegalArgumentException](
+      vt.commit(Seq((6L, -60L)).toDF("key", "qty"),
+        beforePublish = () => {
+          vt.addConstraint(spark, "qty_pos", "qty > 0"); ()
+        }))
+    assert(e.getMessage.contains("ADD CONSTRAINT"))
+    assert(vt.currentVersion(spark) === 2L) // nothing published
+  }
+
+  test("VersionedTable.addConstraint OCC: re-validates against the " +
+    "winner's content — a racing violating append refuses the " +
+    "constraint; a clean one lands it at the next version") {
+    import spark.implicits._
+    val path = tmp("vtable-occ-constraint")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit((1L to 5L).map(k => (k, k * 10)).toDF("key", "qty"))
+    val e = intercept[IllegalArgumentException](
+      vt.addConstraint(spark, "qty_pos", "qty > 0",
+        beforePublish = () => {
+          vt.commit(Seq((9L, -1L)).toDF("key", "qty")); ()
+        }))
+    assert(e.getMessage.contains("violate"))
+    val v = vt.addConstraint(spark, "qty_cap", "qty <= 1000",
+      beforePublish = () => {
+        vt.commit(Seq((10L, 500L)).toDF("key", "qty")); ()
+      })
+    assert(v === 4L)
+    assert(vt.manifestMeta(spark, 4L).get("checks")
+      .exists(_.contains("qty_cap")))
+  }
+
+  test("VersionedTable commit allowDropAdd: the suspected-RENAME gate " +
+    "opts out for a genuine drop+add of the same type; the flag never " +
+    "persists in the manifest header") {
+    import spark.implicits._
+    val path = tmp("vtable-dropadd")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit(Seq((1L, "x")).toDF("key", "tmp"))
+    val e = intercept[IllegalArgumentException](
+      vt.commit(Seq((2L, "y")).toDF("key", "note")))
+    assert(e.getMessage.contains("suspected RENAME"))
+    val v = vt.commit(Seq((2L, "y")).toDF("key", "note"),
+      meta = Map("allowDropAdd" -> "true"))
+    assert(v === 2L)
+    assert(!vt.manifestMeta(spark, 2L).contains("allowDropAdd"))
+    val out = vt.read(spark).orderBy("key")
+      .select("key", "note").as[(Long, Option[String])].collect().toSeq
+    assert(out === Seq((1L, None), (2L, Some("y"))))
+  }
+
+  test("Syncpoint.publish carries forward non-participating tables' " +
+    "pins: a subset transaction never unpins the others") {
+    import spark.implicits._
+    val base = tmp("vtable-syncpoint-carry")
+    val ta = GraftSink.VersionedTable(s"$base/a")
+    val tb = GraftSink.VersionedTable(s"$base/b")
+    val coord = s"$base/_sp"
+    val va1 = ta.commit(Seq((1L, "a1")).toDF("key", "tag"))
+    val vb1 = tb.commit(Seq((2L, "b1")).toDF("key", "tag"))
+    GraftSink.Syncpoint.publish(spark, coord, Map("a" -> va1, "b" -> vb1))
+    val va2 = ta.commit(Seq((3L, "a2")).toDF("key", "tag"))
+    GraftSink.Syncpoint.publish(spark, coord, Map("a" -> va2))
+    assert(GraftSink.Syncpoint.resolve(spark, coord)._2 ===
+      Map("a" -> va2, "b" -> vb1))
+    assert(GraftSink.Syncpoint.readAt(spark, coord, "b", tb)
+      .count() === 1L)
+  }
+
+  test("VersionedTable.vacuum honors a syncpoint pin: the pinned " +
+    "version survives an aggressive vacuum and readAt stays green") {
+    import spark.implicits._
+    val base = tmp("vtable-vacuum-pin")
+    val vt = GraftSink.VersionedTable(s"$base/t")
+    (1L to 5L).foreach(i =>
+      vt.commit(Seq((i, s"v$i")).toDF("key", "tag")))
+    val coord = s"$base/_sp"
+    GraftSink.Syncpoint.publish(spark, coord, Map("t" -> 2L))
+    vt.vacuum(spark, retainLast = 1, Some((coord, "t")))
+    assert(GraftSink.Syncpoint.readAt(spark, coord, "t", vt)
+      .count() === 2L)
+    val e = intercept[IllegalArgumentException](
+      vt.readVersion(spark, 1L))
+    assert(e.getMessage.contains("vacuumed"))
+    // without the pin the same vacuum reclaims below the latest
+    vt.vacuum(spark, retainLast = 1)
+    val e2 = intercept[IllegalArgumentException](
+      vt.readVersion(spark, 2L))
+    assert(e2.getMessage.contains("vacuumed"))
+  }
+
+  test("VersionedTable.changes crosses a renameColumn version: every " +
+    "frame serves under the END version's logical names") {
+    import spark.implicits._
+    val path = tmp("vtable-cdf-rename")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit(Seq((1L, 10L)).toDF("key", "qty")) // v1
+    vt.renameColumn(spark, "qty", "amount") // v2
+    vt.commit(Seq((2L, 20L)).toDF("key", "amount")) // v3
+    val ch = vt.changes(spark, 0L, 3L)
+    assert(ch.columns.toSeq.take(2) === Seq("key", "amount"))
+    val rows = ch.orderBy("key")
+      .select("key", "amount", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(rows === Seq((1L, 10L, "insert", 1L),
+      (2L, 20L, "insert", 3L)))
+  }
+
+  test("VersionedTable predicate position scans prune by manifest " +
+    "stats: a range delete/update on a clustered table plans only its " +
+    "candidate files; non-range predicates keep everything, correct") {
+    import spark.implicits._
+    val path = tmp("vtable-prune-delete")
+    val vt = GraftSink.VersionedTable(path)
+    // four range-clustered commits, one file each
+    (0L until 4L).foreach { b =>
+      vt.commit((b * 10 until (b + 1) * 10).map(k => (k, k * 2))
+        .toDF("key", "qty").repartition(1))
+    }
+    val seam = GraftSink.VersionedTable.lastPredicateScanFiles
+    val (_, n) = vt.deleteWhere(spark,
+      col("key") >= 12L && col("key") < 15L)
+    assert(n === 3L)
+    assert(seam.get() === 1L) // only the [10,20) file was scanned
+    val (_, n2) = vt.updateWhere(spark, col("key") === 35L,
+      Map("qty" -> lit(0L)))
+    assert(n2 === 1L)
+    assert(seam.get() === 1L)
+    // a predicate stats cannot express scans everything — correctly
+    val (_, n3) = vt.deleteWhere(spark, pmod(col("key"), lit(17L)) === 1L)
+    assert(seam.get() === 5L) // 4 originals + the update's new file
+    assert(n3 === 3L) // keys 1, 18, 35
+    assert(vt.read(spark).count() === 34L)
+    assert(vt.read(spark)
+      .where(col("key").isin(1L, 12L, 35L)).count() === 0L)
+  }
+
+  private def cdfSchemaOf(t: GraftSink.VersionedTable) = {
+    val s = t.read(spark).schema
+    org.apache.spark.sql.types.StructType(s.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  test("TableCdfSource chunk law: merge-CDF partitions sub-split by " +
+    "key hash — partitions scale with rows/maxChunkRows (bounded " +
+    "reader state) and the chunked drain equals the batch diff") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("vtable-cdf-chunks")
+    val vt = GraftSink.VersionedTable(path)
+    def batch(tag: String) = (0L until 400L)
+      .map(k => (k, if (tag == "a") k else k + 1000L, "U", s"$tag$k"))
+      .toDF("key", "seq", "op", "payload")
+    vt.mergeBucketed(batch("a"), Seq("key"), Seq("seq"), numBuckets = 4)
+    vt.mergeBucketed(batch("b"), Seq("key"), Seq("seq"), numBuckets = 4)
+    val schema = cdfSchemaOf(vt)
+    def planFor(chunkRows: Long) = new graft.sources.CdfMicroBatchStream(
+      schema, path, Long.MaxValue, Seq("key"), false, 1L, chunkRows)
+      .planInputPartitions(graft.sources.CdfOffset(1),
+        graft.sources.CdfOffset(2))
+    val coarse = planFor(1000000L).length
+    val fine = planFor(25L).length
+    assert(coarse === 4) // one partition per touched bucket
+    // ~100 rows/bucket/side → ~4 chunks per bucket
+    assert(fine >= 12 && fine <= 32, s"fine=$fine")
+    val qn = "cdf_chunk_sink"
+    val q = graft.sources.TableCdfSource
+      .stream(spark, path, vt.read(spark).schema,
+        keyCols = Seq("key"), maxChunkRows = 25L)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("ckpt-chunks"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val oracle = vt.changes(spark, 1L, 2L, Seq("key"))
+    val streamed = spark.table(qn)
+      .where(col("_commit_version") === 2L)
+      .select(oracle.columns.map(col).toSeq: _*)
+    assertSameRows(streamed, oracle)
+  }
+
+  test("TableCdfSource: an UNBUCKETED merge serves as a key-hash-" +
+    "chunked whole-version diff — parallel and memory-bounded, never " +
+    "one giant partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("vtable-cdf-unbucketed")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit((0L until 300L).map(k => (k, k, s"a$k"))
+      .toDF("key", "seq", "payload")) // v1: plain, unbucketed
+    vt.mergeBucketed((0L until 300L)
+      .map(k => (k, k + 1000L, "U", s"b$k"))
+      .toDF("key", "seq", "op", "payload"),
+      Seq("key"), Seq("seq"), numBuckets = 4) // v2: rewrites everything
+    val parts = new graft.sources.CdfMicroBatchStream(
+      cdfSchemaOf(vt), path, Long.MaxValue, Seq("key"), false, 1L, 50L)
+      .planInputPartitions(graft.sources.CdfOffset(1),
+        graft.sources.CdfOffset(2))
+    assert(parts.length >= 6, s"parts=${parts.length}") // ceil(300/50)
+    val qn = "cdf_unbucketed_sink"
+    val q = graft.sources.TableCdfSource
+      .stream(spark, path, vt.read(spark).schema,
+        keyCols = Seq("key"), maxChunkRows = 50L)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("ckpt-unb"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val oracle = vt.changes(spark, 1L, 2L, Seq("key"))
+    val streamed = spark.table(qn)
+      .where(col("_commit_version") === 2L)
+      .select(oracle.columns.map(col).toSeq: _*)
+    assertSameRows(streamed, oracle)
+  }
+
+  test("TableCdfSource serves RESTORE versions as the keyed diff, " +
+    "planning ONLY the buckets the rollback actually moved") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("vtable-cdf-restore")
+    val vt = GraftSink.VersionedTable(path)
+    vt.mergeBucketed((0L until 100L).map(k => (k, k, "I", s"v$k"))
+      .toDF("key", "seq", "op", "payload"),
+      Seq("key"), Seq("seq"), numBuckets = 16) // v1
+    vt.deleteWhere(spark, col("key") < 10L) // v2: DV delete
+    vt.restore(spark, 1L) // v3: un-deletes keys 0..9
+    val parts = new graft.sources.CdfMicroBatchStream(
+      cdfSchemaOf(vt), path, Long.MaxValue, Seq("key"), false, 1L)
+      .planInputPartitions(graft.sources.CdfOffset(2),
+        graft.sources.CdfOffset(3))
+    // changeless buckets are never planned: only buckets holding
+    // keys 0..9 (≤ 10 of 16) carry a vector diff
+    assert(parts.length < 16, s"parts=${parts.length}")
+    val qn = "cdf_restore_sink"
+    val q = graft.sources.TableCdfSource
+      .stream(spark, path, vt.read(spark).schema,
+        keyCols = Seq("key"), startingVersion = 3L)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("ckpt-restore"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val oracle = vt.changes(spark, 2L, 3L, Seq("key"))
+    val streamed = spark.table(qn)
+      .select(oracle.columns.map(col).toSeq: _*)
+    assertSameRows(streamed, oracle)
+    // the content really is the un-deleted rows
+    assert(streamed.where(col("_change_type") === "insert")
+      .count() === 10L)
+  }
+
+  test("GraftCatalog: SQL SELECT / INSERT / VERSION AS OF round-trip " +
+    "the versioned table — reads run the native readVersion plan " +
+    "(deletion vector anti-joined), writes are atomic commits") {
+    import spark.implicits._
+    val base = tmp("vtable-catalog")
+    val vt = GraftSink.VersionedTable(s"$base/t")
+    vt.commit((1L to 10L).map(k => (k, k * 10)).toDF("key", "qty")) // v1
+    spark.conf.set("spark.sql.catalog.gtest", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.root", base)
+    assert(spark.sql("SELECT count(*) FROM gtest.t")
+      .head().getLong(0) === 10L)
+    spark.sql("INSERT INTO gtest.t VALUES (11, 110)")
+    assert(vt.currentVersion(spark) === 2L)
+    assert(spark.sql("SELECT count(*) FROM gtest.t")
+      .head().getLong(0) === 11L)
+    // time travel through SQL
+    assert(spark.sql("SELECT count(*) FROM gtest.t VERSION AS OF 1")
+      .head().getLong(0) === 10L)
+    // the read plan honors deletion vectors (not a raw parquet scan)
+    vt.deleteWhere(spark, col("key") === 5L) // v3
+    assert(spark.sql("SELECT count(*) FROM gtest.t")
+      .head().getLong(0) === 10L)
+    assert(spark.sql("SELECT sum(qty) FROM gtest.t WHERE key <= 3")
+      .head().getLong(0) === 60L)
+    // CREATE TABLE stamps the schema at v1; INSERTs append from there
+    spark.sql("CREATE TABLE gtest.fresh (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gtest.fresh VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM gtest.fresh")
+      .head().getLong(0) === 2L)
+    // INSERT OVERWRITE = one overwrite commit
+    spark.sql("INSERT OVERWRITE gtest.fresh VALUES (9, 'z')")
+    assert(spark.table("gtest.fresh").as[(Long, String)]
+      .collect().toSeq === Seq((9L, "z")))
+    assert(spark.sql("SHOW TABLES IN gtest").count() === 2L)
+  }
+
+  test("TableCdfSource maxBytesPerTrigger: admission caps a batch by " +
+    "the bytes its versions read — always at least one version") {
+    import spark.implicits._
+    val path = tmp("vtable-cdf-bytes")
+    val vt = GraftSink.VersionedTable(path)
+    (1L to 3L).foreach(i =>
+      vt.commit(Seq((i, s"v$i")).toDF("key", "tag")))
+    val schema = cdfSchemaOf(vt)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val tiny = new graft.sources.CdfMicroBatchStream(
+      schema, path, Long.MaxValue, Nil, false, 1L,
+      graft.sources.TableCdfSource.DefaultMaxChunkRows, 1L)
+    // one version per batch: each version's file exceeds the 1-byte cap
+    assert(tiny.latestOffset(graft.sources.CdfOffset(0),
+      ReadLimit.allAvailable())
+      === graft.sources.CdfOffset(1))
+    assert(tiny.latestOffset(graft.sources.CdfOffset(1),
+      ReadLimit.allAvailable())
+      === graft.sources.CdfOffset(2))
+    val wide = new graft.sources.CdfMicroBatchStream(
+      schema, path, Long.MaxValue, Nil, false, 1L,
+      graft.sources.TableCdfSource.DefaultMaxChunkRows, Long.MaxValue)
+    assert(wide.latestOffset(graft.sources.CdfOffset(0),
+      ReadLimit.allAvailable())
+      === graft.sources.CdfOffset(3))
+  }
+
   test("runTo delivers the plugin-chain output to the sink") {
     val path = tmp("sink-chain")
     Changefeed(Seq(
