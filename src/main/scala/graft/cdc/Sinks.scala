@@ -2357,16 +2357,36 @@ object GraftSink {
       // under one set of names; ADVICE r17 — the raw unionByName
       // threw AnalysisException across a rename boundary)
       val endInv = renameOf(fs, toV).map(_.swap) // physical -> logical
+      val endSchema = versionSchema(fs, toV)
       def toEndNames(df: DataFrame, v: Long): DataFrame = {
         val rn = renameOf(fs, v)
-        if (rn.map(_.swap) == endInv) df
-        else df.select(df.columns.toSeq.map { c =>
-          if (c == "_change_type" || c == "_commit_version") col(c)
-          else {
-            val phys = rn.getOrElse(c, c)
-            col(c).as(endInv.getOrElse(phys, phys))
-          }
-        }: _*)
+        val renamed =
+          if (rn.map(_.swap) == endInv) df
+          else df.select(df.columns.toSeq.map { c =>
+            if (c == "_change_type" || c == "_commit_version") col(c)
+            else {
+              val phys = rn.getOrElse(c, c)
+              col(c).as(endInv.getOrElse(phys, phys))
+            }
+          }: _*)
+        // ... and to the END version's SCHEMA: a range crossing an
+        // add-column version null-fills the early frames' new column,
+        // one crossing a drop stops projecting it — the whole feed
+        // serves under one schema (Delta CDF's contract), instead of
+        // a unionByName AnalysisException at the evolution boundary
+        endSchema match {
+          case None => renamed
+          case Some(es) =>
+            val have = renamed.columns.toSet
+            val dataCols = renamed.columns.toSeq.filterNot(c =>
+              c == "_change_type" || c == "_commit_version")
+            if (es.fields.forall(f => have.contains(f.name)) &&
+              dataCols.forall(es.fieldNames.contains)) renamed
+            else renamed.select(es.fields.toSeq.map(f =>
+              if (have.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)) ++
+              Seq(col("_change_type"), col("_commit_version")): _*)
+        }
       }
       (fromV + 1 to toV).flatMap { v =>
         val added = (sets(v) -- sets(v - 1)).toSeq.sorted.map(stripStats)

@@ -2662,6 +2662,76 @@ object Cdc {
         .orderBy("user_id")
     }),
 
+    // A78 STREAMING CDF over an OVERWRITE version: batch changes()
+    // has always served overwrites as the keyed full diff — the
+    // stream failing loudly on them was an r17 inconsistency, closed
+    // by the same chunked keyed-diff machinery restore uses (memory
+    // ≤ maxChunkRows per reader; rows identical on both sides are
+    // provably changeless and emit nothing). v1 = slice 1; v2
+    // OVERWRITES with the cumulative ≤t2 content — the stream serves
+    // v2 as exactly the slice-2 inserts (keyed by the unique event
+    // seq), never re-emitting the carried rows.
+    "cdc_stream_table_cdf_overwrite" -> ((s, dir) => {
+      val path = roundtripPath(dir, "streamtablecdfoverwrite")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir)
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.where(col("commit_ts_us") <= t1)) // v1
+      table.commit(log.where(col("commit_ts_us") <= t2),
+        overwrite = true) // v2: rewritten cumulative content
+      import org.apache.spark.sql.streaming.Trigger
+      val qn = "stream_table_cdf_overwrite_sink"
+      val q = graft.sources.TableCdfSource
+        .stream(s, path, table.read(s).schema,
+          keyCols = Seq("seq"), startingVersion = 2L)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckptcdfo").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("key").as("user_id"), col("seq"), col("event_type"),
+          col("value"), col("commit_ts_us"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("seq")
+    }),
+
+    // A66 CDF ACROSS SCHEMA EVOLUTION — the feed serves one schema
+    // (Delta CDF's contract): v2 ADDS region, v3 DROPS event_type;
+    // changes(0,3) serves every frame under the END version's schema
+    // — early frames null-fill region, event_type stops projecting —
+    // instead of a unionByName AnalysisException at each boundary.
+    // The region census per version proves which rows really carried
+    // the column (nulls elsewhere are fills, not data).
+    "cdc_table_cdf_evolution" -> ((s, dir) => {
+      val path = roundtripPath(dir, "tablecdfevolution")
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val log = changelog(s, dir).select(col("key"), col("commit_ts_us"),
+        col("seq"), col("event_type"), col("value"))
+      val t1 = 1704844800000000L
+      val t2 = 1705708800000000L
+      val table = GraftSink.VersionedTable(path)
+      table.commit(log.where(col("commit_ts_us") <= t1)) // v1
+      table.commit(log.where(
+          col("commit_ts_us") > t1 && col("commit_ts_us") <= t2)
+        .withColumn("region", lit("eu"))) // v2: + region
+      table.commit(log.where(col("commit_ts_us") > t2)
+        .withColumn("region", lit("apac"))
+        .drop("event_type")) // v3: − event_type
+      table.changes(s, 0L, 3L)
+        .groupBy(col("_commit_version").as("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("region")).as("n_region"),
+          sumCents("value").as("sum_value_e2"),
+          min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
+        .orderBy("version")
+    }),
+
     // A76 × A74 STATS-PRUNED predicate erasure (VERDICT r17 ask 2):
     // three ts-clustered commits land, then deleteWhere(ts > t2)
     // routes its position scan through the manifest footer stats —
@@ -4925,6 +4995,33 @@ object Cdc {
         |       CAST(3 AS BIGINT) AS _commit_version
         |FROM ranked WHERE rn = 1 AND op <> 'D' AND key % 7 = 0
         |ORDER BY user_id""".stripMargin),
+
+    // Streaming overwrite-CDF: the keyed diff of the cumulative
+    // overwrite vs slice 1 is exactly the slice-2 rows, as inserts.
+    "cdc_stream_table_cdf_overwrite" -> (logCte +
+      """
+        |SELECT key AS user_id, seq, event_type, value, commit_ts_us,
+        |       'insert' AS _change_type,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM log WHERE commit_ts_us > 1704844800000000
+        |  AND commit_ts_us <= 1705708800000000
+        |ORDER BY seq""".stripMargin),
+
+    // CDF across schema evolution: per-version censuses re-derived
+    // from slice arithmetic — region exists only for slice-2/3 rows.
+    "cdc_table_cdf_evolution" -> (logCte +
+      s""",
+        |b AS (
+        |  SELECT CASE WHEN commit_ts_us <= 1704844800000000 THEN 1
+        |              WHEN commit_ts_us <= 1705708800000000 THEN 2
+        |              ELSE 3 END AS sl, seq, value
+        |  FROM log)
+        |SELECT CAST(sl AS BIGINT) AS version, count(*) AS n_rows,
+        |       CAST(CASE WHEN sl = 1 THEN 0 ELSE count(*) END
+        |            AS BIGINT) AS n_region,
+        |       $sumCentsSql AS sum_value_e2,
+        |       min(seq) AS min_seq, max(seq) AS max_seq
+        |FROM b GROUP BY sl ORDER BY version""".stripMargin),
 
     // Stats-pruned predicate erasure: the rows below the cutoff; the
     // witness pins the pruned position scan.

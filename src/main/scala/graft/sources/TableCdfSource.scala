@@ -328,8 +328,19 @@ private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
                                   addedRaw: Seq[String],
                                   beforeDv: Seq[String],
                                   afterDv: Seq[String],
-                                  v: Long, rn: Map[String, String])
+                                  v: Long, rn: Map[String, String],
+                                  kindStr: String)
       : Seq[InputPartition] = {
+    // nothing removed and no vectors: the diff is pure inserts — the
+    // per-file append partitions, no keying needed (a first-commit
+    // overwrite / restore-from-empty)
+    if (removedRaw.isEmpty && beforeDv.isEmpty && afterDv.isEmpty)
+      return addedRaw.sorted.map(l => CdfInputPartition(
+        s"$path/${stripStats(l)}", v, rn): InputPartition)
+    require(keyCols.nonEmpty,
+      s"$path: version $v is a $kindStr commit — serving its keyed " +
+        "diff needs the keyCols option (TableCdfSource.stream(..., " +
+        "keyCols = ...))")
     def rowsOf(lines: Seq[String]): Long =
       lines.map(l => statsRows(l).getOrElse(maxChunkRows)).sum
     def chunksFor(rem: Seq[String], add: Seq[String]): Int = {
@@ -467,19 +478,17 @@ private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
             renameOf(v)): InputPartition
         }
       }
-      else if (k.contains("restore")) {
-        // a restore is a merge-shaped keyed diff between the
-        // pre-restore and restored content (both sides under their
-        // own vectors) — exactly the machinery merge versions use;
-        // buckets whose files AND slices carried verbatim are
-        // provably changeless and never planned, so a restore that
-        // reverts one delete reads one bucket, not the table
-        require(keyCols.nonEmpty,
-          s"$path: version $v is a restore commit — serving its keyed " +
-            "diff needs the keyCols option (TableCdfSource.stream(..., " +
-            "keyCols = ...))")
+      else if (k.contains("restore") || k.contains("overwrite")) {
+        // a restore — and an overwrite (the batch changes() already
+        // serves it this way; the stream failing loudly on it was an
+        // r17 inconsistency) — is a merge-shaped keyed diff between
+        // the previous and new content (each side under its own
+        // vector), exactly the machinery merge versions use; buckets
+        // whose files AND slices carried verbatim are provably
+        // changeless and never planned, so a restore that reverts one
+        // delete reads one bucket, not the table
         keyedDiffPartitions(prev.toSeq.sorted, cur.toSeq.sorted,
-          dvOf(v - 1), dvOf(v), v, renameOf(v))
+          dvOf(v - 1), dvOf(v), v, renameOf(v), k.get)
       }
       else if (k.contains("update")) {
         // an UPDATE version: added files are the post-images; the
@@ -521,7 +530,7 @@ private[graft] class CdfMicroBatchStream(schema: StructType, path: String,
         // fallback collapsed it into one unbounded partition)
         keyedDiffPartitions((prev -- cur).toSeq.sorted,
           (cur -- prev).toSeq.sorted, dvOf(v - 1), dvOf(v), v,
-          renameOf(v))
+          renameOf(v), "merge")
       }
       else throw new IllegalArgumentException(
         s"$path: version $v is not an append (kind=${k.getOrElse("?")}) " +

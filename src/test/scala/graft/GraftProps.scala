@@ -16,6 +16,9 @@ object GraftProps extends Properties("graft") {
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // same extensions as SparkSpec: whichever suite creates the
+    // one-per-JVM session must register the catalog resolution rule
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

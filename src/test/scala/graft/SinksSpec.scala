@@ -1948,6 +1948,53 @@ class SinksSpec extends SparkSpec {
       .count() === 10L)
   }
 
+  test("TableCdfSource serves OVERWRITE versions as the keyed diff " +
+    "(batch changes() parity) — carried-identical rows emit nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("vtable-cdf-overwrite")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit((0L until 50L).map(k => (k, s"v$k"))
+      .toDF("key", "tag")) // v1
+    vt.commit(((0L until 50L) ++ (100L until 120L))
+      .map(k => (k, if (k == 7L) "CHANGED" else s"v$k"))
+      .toDF("key", "tag"), overwrite = true) // v2
+    val qn = "cdf_overwrite_sink"
+    val q = graft.sources.TableCdfSource
+      .stream(spark, path, vt.read(spark).schema,
+        keyCols = Seq("key"), startingVersion = 2L)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("ckpt-ovw"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val oracle = vt.changes(spark, 1L, 2L, Seq("key"))
+    val streamed = spark.table(qn)
+      .select(oracle.columns.map(col).toSeq: _*)
+    assertSameRows(streamed, oracle)
+    // 20 inserts + 1 update, nothing for the 49 carried rows
+    assert(streamed.count() === 21L)
+  }
+
+  test("VersionedTable.changes across ADD/DROP schema evolution " +
+    "serves every frame under the END version's schema") {
+    import spark.implicits._
+    val path = tmp("vtable-cdf-evolution")
+    val vt = GraftSink.VersionedTable(path)
+    vt.commit(Seq((1L, "a", 10L)).toDF("key", "etype", "qty")) // v1
+    vt.commit(Seq((2L, "b", 20L, "eu"))
+      .toDF("key", "etype", "qty", "region")) // v2: + region
+    vt.commit(Seq((3L, 30L, "apac"))
+      .toDF("key", "qty", "region")) // v3: − etype
+    val ch = vt.changes(spark, 0L, 3L)
+    assert(ch.columns.toSeq ===
+      Seq("key", "qty", "region", "_change_type", "_commit_version"))
+    val rows = ch.orderBy("key")
+      .select("key", "qty", "region", "_commit_version")
+      .as[(Long, Long, Option[String], Long)].collect().toSeq
+    assert(rows === Seq((1L, 10L, None, 1L),
+      (2L, 20L, Some("eu"), 2L), (3L, 30L, Some("apac"), 3L)))
+  }
+
   test("GraftCatalog: SQL SELECT / INSERT / VERSION AS OF round-trip " +
     "the versioned table — reads run the native readVersion plan " +
     "(deletion vector anti-joined), writes are atomic commits") {
@@ -1982,6 +2029,13 @@ class SinksSpec extends SparkSpec {
     assert(spark.table("gtest.fresh").as[(Long, String)]
       .collect().toSeq === Seq((9L, "z")))
     assert(spark.sql("SHOW TABLES IN gtest").count() === 2L)
+    // TIMESTAMP AS OF resolves by the event-time watermark rule
+    val wt = GraftSink.VersionedTable(s"$base/wt")
+    wt.commitWithWatermark(Seq((1L, 100L)).toDF("key", "ts_us"), "ts_us")
+    wt.commitWithWatermark(Seq((2L, 200L)).toDF("key", "ts_us"), "ts_us")
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.wt TIMESTAMP AS OF timestamp_micros(150)")
+      .head().getLong(0) === 1L)
   }
 
   test("TableCdfSource maxBytesPerTrigger: admission caps a batch by " +
