@@ -331,9 +331,18 @@ object GraftSink {
       require(strategy == Route.KeyMod,
         "transactionalLog plants markers by key = partition id, which " +
           "routes correctly under KeyMod only")
+      // Materialize the produced batch ONCE before anything derives
+      // from it: the ts-max marker anchor below is a broadcast
+      // subquery, and without this it re-executes the caller's whole
+      // multi-leg producer union a second time (guide §2.4 — remove
+      // recomputed subtrees first). Executor-local, linear in the
+      // batch, spills; the broker persists a producer's send buffer,
+      // so deriving marker arrival from the STORED rows is the honest
+      // shape, not a shortcut.
       val dataC = data.withColumn("__control", lit(null).cast("string"))
+        .localCheckpoint()
       val spark = data.sparkSession
-      val tsMax = data.agg(max(col("commit_ts_us")).as("__ts_max"))
+      val tsMax = dataC.agg(max(col("commit_ts_us")).as("__ts_max"))
       val specDf = {
         import spark.implicits._
         markers.map(m => (m.producer, m.epoch, m.txnId, m.outcome, m.slot))
@@ -382,7 +391,17 @@ object GraftSink {
       * broadcast; LSO is one grouped min; everything else is
       * scan-local CASE arithmetic on the topic scan. */
     def readCommittedFromLog(assigned: DataFrame): (DataFrame, DataFrame) = {
-      val fates = assigned.where(col("__control").isNotNull)
+      // The topic log IS storage: every consumer-side derivation below
+      // (fates, LSO, visible, report) reads the stored log, never a
+      // re-run of the produce plan. Materialize it once — without this
+      // the two broadcast subqueries (fates, lso) and BOTH returned
+      // frames each re-execute the full produce (multi-leg union +
+      // marker planting + fence/offset windows), ~4-8 full recomputes
+      // per consumer of (visible, report) (guide §2.4/§5; the
+      // cdc_topic_mirror plan re-derived the produce ~8×).
+      // Executor-local, linear in the topic, spills to disk.
+      val log = assigned.localCheckpoint()
+      val fates = log.where(col("__control").isNotNull)
         .groupBy(col("__partition").as("__fp"), col("txn_id").as("__ft"))
         // at most one marker survives fencing per (p, txn); min_by
         // keeps the EARLIEST if a malformed produce planted two
@@ -393,7 +412,7 @@ object GraftSink {
           when(col("__marker") === "commit", "committed")
             .otherwise("aborted"))
         .drop("__marker")
-      val joined = assigned.join(broadcast(fates),
+      val joined = log.join(broadcast(fates),
           col("__partition") === col("__fp") &&
             col("txn_id") <=> col("__ft"), "left")
         .withColumn("__status",

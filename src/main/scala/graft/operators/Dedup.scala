@@ -149,9 +149,14 @@ object Dedup {
                maxIters: Int = 64): DataFrame = {
     // materialize the edge list once: it re-enters every iteration's
     // join, and deriving it repeatedly would re-run the whole upstream
-    // pair pipeline (e.g. MinHash) per pass — measured 7.3 s → ~1 s
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .unionAll(pairs.select(col(idB).as("a"), col(idA).as("b")))
+    // pair pipeline (e.g. MinHash) per pass — measured 7.3 s → ~1 s.
+    // The pair pipeline itself is materialized FIRST: the symmetric
+    // union below references `pairs` twice, so building edges straight
+    // off the pipeline ran MinHash twice even for the single edge
+    // materialization (guide §2.4 — the recomputed subtree again).
+    val p = pairs.select(col(idA), col(idB)).localCheckpoint()
+    val edges = p.select(col(idA).as("a"), col(idB).as("b"))
+      .unionAll(p.select(col(idB).as("a"), col(idA).as("b")))
       .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))

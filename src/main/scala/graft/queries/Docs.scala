@@ -1880,7 +1880,11 @@ object Docs {
       val docs = Tables.documents(s, dir)
       val crawl = docs.unionAll(
         docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      // Pairs feed two report branches (cluster fixpoint + pair count);
+      // materialize the MinHash pipeline once instead of once per
+      // branch (guide §2.4). Pair set is collision-bounded, tiny.
       val pairs = MinHash.neardupPairs(docs, "doc_id", "text", 0.5)
+        .localCheckpoint()
       def metric(name: String, v: DataFrame): DataFrame =
         v.select(lit(name).as("metric"), col("value"))
       metric("crawl_docs",
