@@ -2053,9 +2053,16 @@ object GraftSink {
           "mis-prune carried files — pass the table's spec"))
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(orderCols.map(c => col(c).desc): _*)
+      // Materialize the batch's latest-per-key ONCE: it is consumed by
+      // the touched-bucket census, every CHECK-constraint probe, the
+      // anti-join's build side AND the union leg — without this each
+      // consumer re-scanned the batch and re-ran the window (~4 full
+      // recomputes per commit; guide §2.4). Bounded by the merge
+      // batch (micro-batch-sized at deployment), never by the table.
       val latest = batch
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
+        .localCheckpoint()
       val touched = latest
         .select(bucketOf(keyCols, numBuckets).as("__b")).distinct()
         .collect().map(_.getLong(0)).toSet // ≤ numBuckets rows
@@ -2088,7 +2095,18 @@ object GraftSink {
       var newV = v + 1
       val dataRel = s"_data/commit-$newV-${java.util.UUID.randomUUID}"
       val dataDir = new org.apache.hadoop.fs.Path(root, dataRel)
-      toPhysical(merged, renameMap).write.mode(SaveMode.Overwrite)
+      // Cluster the rewrite by bucket before writing: the anti-join
+      // leaves `merged` hash-partitioned on keyCols (Spark's Murmur3),
+      // which is UNCORRELATED with bucketOf's xxhash64 — so a
+      // partitionBy write from that layout emits up to tasks×buckets
+      // splinter files per commit (~512 at 32 shuffle partitions × 16
+      // buckets; guide §6 — small files hurt twice: manifest/stat
+      // lines AND per-file open cost on every later read). One
+      // explicit exchange on __bucket lands exactly one file per
+      // touched bucket — the bucketed-table layout the manifest
+      // pruning is designed around (Delta's optimized-write shape).
+      toPhysical(merged.repartition(numBuckets, col("__bucket")), renameMap)
+        .write.mode(SaveMode.Overwrite)
         .partitionBy("__bucket").parquet(dataDir.toString)
       val newFiles = statsLines(fs, for {
         d <- fs.listStatus(dataDir).toSeq if d.isDirectory

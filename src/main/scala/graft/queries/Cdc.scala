@@ -1003,7 +1003,7 @@ object Cdc {
           Seq("event_type", "value", "props"), beforeCol = Some("before"))
         .select(Envelope.EnvelopeCol)
         .write.mode(SaveMode.Overwrite).parquet(wirePath)
-      Envelope.decode(s.read.parquet(wirePath), envelopePayload,
+      Envelope.decode(fanOut(s.read.parquet(wirePath)), envelopePayload,
           "graft", "events", includeBefore = true)
         .select(col("seq"), col("key").as("user_id"), col("op"),
           col("before").getField("value").as("before_value"),
@@ -1025,7 +1025,8 @@ object Cdc {
     "cdc_envelope_quarantine" -> ((s, dir) => {
       val wirePath = roundtripPath(dir, "envquarantine")
       val e = col(Envelope.EnvelopeCol)
-      Envelope.encode(changelog(s, dir), "graft", "events",
+      // fanOut: codec + five regex poison classes, all scan-local
+      Envelope.encode(fanOut(changelog(s, dir)), "graft", "events",
           Seq("event_type", "value", "props"))
         .withColumn(Envelope.EnvelopeCol,
           when(col("seq") % 7 === 0, expr(
@@ -1042,7 +1043,7 @@ object Cdc {
             .otherwise(e))
         .select(Envelope.EnvelopeCol)
         .write.mode(SaveMode.Overwrite).parquet(wirePath)
-      Envelope.decodeAll(s.read.parquet(wirePath), envelopePayload,
+      Envelope.decodeAll(fanOut(s.read.parquet(wirePath)), envelopePayload,
           "graft", "events")
         .groupBy(coalesce(col("__envelope_error"), lit("clean"))
           .as("reason"))
@@ -1068,7 +1069,8 @@ object Cdc {
     "cdc_dlq_replay" -> ((s, dir) => {
       val wirePath = roundtripPath(dir, "dlqreplay")
       val e = col(Envelope.EnvelopeCol)
-      Envelope.encode(changelog(s, dir), "graft", "events",
+      // fanOut: codec + three regex poison classes, all scan-local
+      Envelope.encode(fanOut(changelog(s, dir)), "graft", "events",
           Seq("event_type", "value", "props"))
         .withColumn(Envelope.EnvelopeCol,
           when(col("seq") % 7 === 1, regexp_replace(e,
@@ -1085,7 +1087,7 @@ object Cdc {
       // the replay's residual re-attach — without materialization each
       // branch re-reads the wire and re-runs the from_json classifier
       // (~4 full decode passes; guide §2.4). Executor-local, linear.
-      val dec = Envelope.decodeAll(s.read.parquet(wirePath),
+      val dec = Envelope.decodeAll(fanOut(s.read.parquet(wirePath)),
         envelopePayload, "graft", "events").localCheckpoint()
       val delivered = dec.where(col("__envelope_error").isNull)
         .drop(Envelope.EnvelopeCol, "__envelope_error")
@@ -1164,11 +1166,13 @@ object Cdc {
     "cdc_envelope_roundtrip" -> ((s, dir) => {
       val log = changelog(s, dir)
       val wirePath = roundtripPath(dir, "envwire")
-      Envelope.encode(log, "graft", "events",
+      // fanOut both codec legs: to_json/from_json are scan-local and
+      // the single-split scan ran them serially (guide §2.5)
+      Envelope.encode(fanOut(log), "graft", "events",
           Seq("event_type", "value", "props"))
         .select(Envelope.EnvelopeCol)
         .write.mode(SaveMode.Overwrite).parquet(wirePath)
-      Envelope.decode(s.read.parquet(wirePath),
+      Envelope.decode(fanOut(s.read.parquet(wirePath)),
           envelopePayload, "graft", "events")
         .select(col("key").as("user_id"), col("commit_ts_us"), col("seq"),
           col("op"), col("event_type"), col("value"), col("props"))
@@ -3162,8 +3166,10 @@ object Cdc {
           m => "\"event_type\":\"" + m.group(1).toUpperCase + "\""))
       } { endpoint =>
         val path = roundtripPath(dir, "httpplugin")
+        // fanOut: the single-split scan fed ONE task's worth of
+        // sequential HTTP round-trips; the service is concurrent
         HttpTransform.transform(endpoint, schema, batchSize = 4096)(
-            changelog(s, dir))
+            fanOut(changelog(s, dir)))
           .write.mode(SaveMode.Overwrite).parquet(path)
         path
       }
@@ -3540,6 +3546,21 @@ object Cdc {
     * stays exercised (~3 triggers at every larger SF). */
   private def offsetsPerTrigger(totalRows: Long, floor: Long): Long =
     math.max(floor, (totalRows + 2) / 3)
+
+  /** Fan a scan-local, expression-heavy pipeline out over the
+    * session's cores when the upstream scan planned fewer splits: the
+    * harness SFs are single small parquet files, so Spark's split math
+    * plans ONE task and a JSON-codec projection runs serially on an
+    * N-core box (guide §2.5 — "input skew: one huge unsplittable
+    * file … repartition immediately after the read"). GATED on the
+    * planned split count: a source that already carries ≥cores splits
+    * (any deployment-scale wire) passes through untouched — the
+    * exchange exists exactly when the input is smaller than one split
+    * per core, so nothing is added at 100 TB. */
+  private[queries] def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
 
   private[queries] def withStreamPartitions[T](s: SparkSession, n: Int = 8)
                                               (body: => T): T = {

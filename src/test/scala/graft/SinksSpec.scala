@@ -600,7 +600,8 @@ class SinksSpec extends SparkSpec {
   }
 
   test("VersionedTable.optimize preserves the bucket layout: content " +
-    "identical, fewer files, lookup still prunes, a post-optimize " +
+    "identical, no file growth (merge already packs one file per " +
+    "touched bucket), lookup still prunes, a post-optimize " +
     "merge rewrites only touched buckets, and CDF crosses optimize as " +
     "zero changes") {
     import spark.implicits._
@@ -615,7 +616,12 @@ class SinksSpec extends SparkSpec {
     val contentBefore = vt.read(spark).orderBy("key").collect()
     val (optV, nBefore, nAfter) = vt.optimize(spark, 10000L)
     assert(optV === 3L)
-    assert(nAfter < nBefore) // merge writes task×bucket files; packed
+    // mergeBucketed clusters its rewrite by bucket before writing
+    // (r18 optimization), so the standing layout is ALREADY at most
+    // one file per bucket — pin that invariant, and that optimize
+    // never grows the file count on an already-packed table
+    assert(nBefore <= 8) // merge packs: ≤ one file per touched bucket
+    assert(nAfter <= nBefore)
     assert(nAfter <= 8) // at most one file per bucket at this size
     assert(vt.read(spark).orderBy("key").collect() === contentBefore)
     val fs = new org.apache.hadoop.fs.Path(path)
