@@ -868,8 +868,11 @@ object Docs {
     // the quadratic theta join — parity proves blocked ≡ exact while the
     // engine never materializes n² comparisons.
     "doc_fuzzy_match" -> ((s, dir) => {
+      // fanOut: both deletion-neighborhood explodes ran as ONE task on
+      // the single-split customer scan (guide §2.5); gated no-op at
+      // deployment scale
       Fuzzy.editDistance1Pairs(
-          Tables.customer(s, dir).select("c_custkey", "c_name"),
+          CdcQ.fanOut(Tables.customer(s, dir).select("c_custkey", "c_name")),
           "c_custkey", "c_name")
         .orderBy("a_id", "b_id")
     }),

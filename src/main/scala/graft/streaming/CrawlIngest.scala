@@ -99,7 +99,14 @@ object CrawlIngest {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("content_hash")).orderBy(col(idCol))))
         .where(col("__rn") === 1).drop("__rn", "content_hash")
+      // Band the flush ONCE: the candidate join below and the
+      // survivor ledger append both need the flush's band rows, and
+      // re-deriving them re-ran the whole shingle→minhash signature a
+      // second time per flush (guide §2.4). Signatures are a pure
+      // per-doc function, so the survivor append can reuse these rows
+      // via an id semi-join — row-identical to re-banding survivors.
       val bands = MinHash.bandRows(MinHash.signature(inBatch, idCol, textCol))
+        .localCheckpoint()
       val nearDupIds = existingLedger(spark, bandsDir) match {
         case Some(l) =>
           val inter = graft.functions.SetOps
@@ -118,7 +125,8 @@ object CrawlIngest {
       val survivors = inBatch
         .join(nearDupIds, Seq(idCol), "left_anti")
         .localCheckpoint()
-      MinHash.bandRows(MinHash.signature(survivors, idCol, textCol))
+      bands.join(survivors.select(col(idCol).as("doc_id")),
+          Seq("doc_id"), "left_semi")
         .select(col("band"), col("bkey"), col("hv"))
         .write.mode(SaveMode.Append).parquet(bandsDir)
       survivors.write.mode(SaveMode.Append).parquet(corpusDir)
