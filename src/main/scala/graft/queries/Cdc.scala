@@ -3263,10 +3263,16 @@ object Cdc {
       import org.apache.spark.sql.streaming.Trigger
       val ev = Tables.events(s, dir)
       val inDir = streamSliceDir(s, ev, dir, slices = 3)
-      def feed() = CdcStream.fromParquetDir(s, inDir, ev.schema)
+      // ONE file-stream source serves BOTH join sides (a streaming
+      // self-join): previously each side ran its own FileStreamSource
+      // over the same dir — per trigger, two directory listings, two
+      // seen-files indexes, two offset-log entries. The side split is
+      // a filter above the shared source, so each flush is tracked
+      // once; rows on each side are identical (guide §2.4).
+      val feed = CdcStream.fromParquetDir(s, inDir, ev.schema)
       val joined = CdcStream.attributionJoin(
-        purchases = feed().where(col("event_type") === "purchase"),
-        clicks = feed().where(col("event_type") === "click"),
+        purchases = feed.where(col("event_type") === "purchase"),
+        clicks = feed.where(col("event_type") === "click"),
         delay = "1 hour", window = "1 hour")
       val qn = "ssj_par_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
@@ -3330,7 +3336,8 @@ object Cdc {
       }
       appendFlush(100, maxTs + 4L * 3600000000L)
       appendFlush(101, maxTs + 8L * 3600000000L)
-      def feed() = CdcStream.fromParquetDir(s, inDir, ev.schema)
+      // ONE shared source for both sides (see cdc_stream_interval_join).
+      val feed = CdcStream.fromParquetDir(s, inDir, ev.schema)
       // NO sentinel filter inside the streaming plan: a user_id
       // predicate doesn't reference the watermark column, so Catalyst
       // pushes it BELOW the EventTimeWatermark node — the sentinels
@@ -3338,8 +3345,8 @@ object Cdc {
       // (observed: the tail purchases stay buffered forever). They are
       // excluded after the sink instead.
       val joined = CdcStream.attributionJoinOuter(
-        purchases = feed().where(col("event_type") === "purchase"),
-        clicks = feed().where(col("event_type") === "click"),
+        purchases = feed.where(col("event_type") === "purchase"),
+        clicks = feed.where(col("event_type") === "click"),
         delay = "1 hour", window = "1 hour")
       val qn = "ssjo_par_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
