@@ -127,6 +127,19 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$sentinelField,"sf":"$sfDir"}"""
     println(line)
+    // The full line above is ~20 KB at 350 queries and the driver keeps
+    // only a ~2000-char tail, which HEAD-truncates it (parsed:null in
+    // PERF_r16..r18 — VERDICT r18 ask #2). Emit a second, SHORT summary
+    // line (no per-query map) LAST so the captured tail always ends
+    // with one complete, parseable JSON object. The full per-query map
+    // still prints above and persists to BENCH_FULL.json.
+    val errList = errs.mkString("[\"", "\",\"", "\"]")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.length},""" +
+      s""""errors":${if (errs.isEmpty) "[]" else errList},""" +
+      s""""sentinel_s":${sentinels.mkString("[", ",", "]")},""" +
+      s""""stream_sentinel_s":${streamSentinels.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(summary)
     // The driver's captured tail truncates ~108 of 174 queries away
     // (VERDICT r7/r8); persist the complete per-query map so any bench
     // regression can be root-caused from artifacts.
