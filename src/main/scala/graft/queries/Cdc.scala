@@ -921,7 +921,7 @@ object Cdc {
       val q = Envelope.decode(
           graft.sources.TopicSource.stream(s, path, wireSchema,
             maxOffsetsPerTrigger =
-              offsetsPerTrigger(Tables.events(s, dir).count(), 32768L))
+              offsetsPerTrigger(eventsRowCount(s, dir), 32768L))
             .select(Envelope.EnvelopeCol),
           envelopePayload, "graft", "events")
         .writeStream.format("memory").queryName(qn)
@@ -977,7 +977,7 @@ object Cdc {
       val q = CdcStream.deliverEvolvingWire(
         graft.sources.TopicSource.stream(s, path, wireSchema,
             maxOffsetsPerTrigger =
-              offsetsPerTrigger(Tables.events(s, dir).count(), 32768L))
+              offsetsPerTrigger(eventsRowCount(s, dir), 32768L))
           .select(Envelope.EnvelopeCol),
         envelopePayload, "graft", "events", sinkDir, dlqDir,
         java.nio.file.Files.createTempDirectory("ckpt").toString)
@@ -1254,7 +1254,7 @@ object Cdc {
       val q = graft.sources.TopicSource.stream(s, path,
           graft.sources.TopicSource.changelogTopicSchema,
           maxOffsetsPerTrigger =
-            offsetsPerTrigger(Tables.events(s, dir).count(), 8192L))
+            offsetsPerTrigger(eventsRowCount(s, dir), 8192L))
         .writeStream.format("memory").queryName(qn)
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("ckpt").toString)
@@ -1604,7 +1604,7 @@ object Cdc {
       val consumed = graft.sources.TopicSource.stream(s, path,
           graft.sources.TopicSource.changelogTopicSchema,
           maxOffsetsPerTrigger =
-            offsetsPerTrigger(Tables.events(s, dir).count(), 8192L))
+            offsetsPerTrigger(eventsRowCount(s, dir), 8192L))
         .drop("__partition", "__offset")
       val chained = EventTypeFilter(
         Set("signup", "click", "purchase", "error"))(consumed)
@@ -1653,7 +1653,7 @@ object Cdc {
       // the box idle through every drain's tail. Start all, then
       // await all — per-member state machines are key-disjoint, so
       // the result is identical.
-      val perTrigger = offsetsPerTrigger(Tables.events(s, dir).count(), 8192L)
+      val perTrigger = offsetsPerTrigger(eventsRowCount(s, dir), 8192L)
       val started = assigned.toSeq.sortBy(_._1).map { case (m, pids) =>
         val consumed = graft.sources.TopicSource.stream(s, path,
             graft.sources.TopicSource.changelogTopicSchema,
@@ -3263,17 +3263,17 @@ object Cdc {
       import org.apache.spark.sql.streaming.Trigger
       val ev = Tables.events(s, dir)
       val inDir = streamSliceDir(s, ev, dir, slices = 3)
-      // ONE file-stream source serves BOTH join sides (a streaming
-      // self-join): previously each side ran its own FileStreamSource
-      // over the same dir — per trigger, two directory listings, two
-      // seen-files indexes, two offset-log entries. The side split is
-      // a filter above the shared source, so each flush is tracked
-      // once; rows on each side are identical (guide §2.4).
+      // ONE file-stream source AND one state machine serve BOTH join
+      // sides (r18 shared the source; r19 unifies the join): the
+      // dual-sided plan scanned each micro-batch twice, shuffled
+      // twice, and committed four state stores per partition per
+      // trigger. The tagged-union form scans/shuffles once and
+      // commits ONE store — equivalence proof and state bound in
+      // CdcStream.intervalJoinTagged's doc + CdcStreamSpec; output
+      // parity is this query's batch-SQL oracle.
       val feed = CdcStream.fromParquetDir(s, inDir, ev.schema)
-      val joined = CdcStream.attributionJoin(
-        purchases = feed.where(col("event_type") === "purchase"),
-        clicks = feed.where(col("event_type") === "click"),
-        delay = "1 hour", window = "1 hour")
+      val joined = CdcStream.intervalJoinTagged(
+        feed, delay = "1 hour", window = "1 hour", emitUnmatched = false)
       val qn = "ssj_par_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
       val q = joined.writeStream
@@ -3323,6 +3323,7 @@ object Cdc {
       // final data flush stay buffered without it)
       def appendFlush(idx: Int, ts: Long): Unit = {
         import java.nio.file.{Files, Paths, StandardCopyOption}
+        import java.nio.file.attribute.FileTime
         val staging = Files.createTempDirectory(s"sentinel-$idx")
         sentinelPair(idx, ts).coalesce(1)
           .write.mode("overwrite").parquet(staging.toString)
@@ -3330,24 +3331,37 @@ object Cdc {
         val part = try listing
           .filter(_.toString.endsWith(".parquet")).findFirst().get()
         finally listing.close()
-        Files.move(part, Paths.get(inDir, f"flush-$idx%03d.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
-        Thread.sleep(5)
+        val dst = Paths.get(inDir, f"flush-$idx%03d.parquet")
+        Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+        // arrival order is mtime order: place this flush strictly
+        // after everything already in the dir (streamSliceDir pins
+        // slice mtimes explicitly, so "now" is not necessarily last)
+        val dirList = Files.list(Paths.get(inDir))
+        val maxExisting = try dirList
+          .filter(p => p != dst && p.toString.endsWith(".parquet"))
+          .mapToLong(p => Files.getLastModifiedTime(p).toMillis)
+          .max.orElse(0L)
+        finally dirList.close()
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(
+          math.max(System.currentTimeMillis(), maxExisting + 1000L)))
       }
       appendFlush(100, maxTs + 4L * 3600000000L)
       appendFlush(101, maxTs + 8L * 3600000000L)
-      // ONE shared source for both sides (see cdc_stream_interval_join).
-      val feed = CdcStream.fromParquetDir(s, inDir, ev.schema)
+      // ONE shared source and one tagged-union state machine for both
+      // sides (see cdc_stream_interval_join): unmatched purchases emit
+      // their null-click row at eviction, driven by the event-time
+      // timeout — the same watermark-passes-the-horizon condition as
+      // the dual-sided join's timeout emission, so the sentinel-drain
+      // mechanics below are unchanged.
       // NO sentinel filter inside the streaming plan: a user_id
       // predicate doesn't reference the watermark column, so Catalyst
       // pushes it BELOW the EventTimeWatermark node — the sentinels
       // would be dropped at the scan and never advance the watermark
       // (observed: the tail purchases stay buffered forever). They are
       // excluded after the sink instead.
-      val joined = CdcStream.attributionJoinOuter(
-        purchases = feed.where(col("event_type") === "purchase"),
-        clicks = feed.where(col("event_type") === "click"),
-        delay = "1 hour", window = "1 hour")
+      val feed = CdcStream.fromParquetDir(s, inDir, ev.schema)
+      val joined = CdcStream.intervalJoinTagged(
+        feed, delay = "1 hour", window = "1 hour", emitUnmatched = true)
       val qn = "ssjo_par_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
       val q = joined.writeStream
@@ -3554,6 +3568,30 @@ object Cdc {
   private def offsetsPerTrigger(totalRows: Long, floor: Long): Long =
     math.max(floor, (totalRows + 2) / 3)
 
+  /** Row count of the events feed from parquet FOOTER metadata — the
+    * "end offsets" a deployment sizes admission from (VERDICT r18 ask
+    * #6): `Tables.events(s, dir).count()` is a scan-shaped Spark job
+    * (one per query start; at 100 TB a pass over the feed's row-group
+    * metadata across the cluster), while the footer record count is a
+    * driver-side metadata read of the same number — identical to
+    * count() by construction (no filter, footer row counts are exact). */
+  private def eventsRowCount(s: SparkSession, dir: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(p))
+    files.map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Fan a scan-local, expression-heavy pipeline out over the
     * session's cores when the upstream scan planned fewer splits: the
     * harness SFs are single small parquet files, so Spark's split math
@@ -3632,24 +3670,46 @@ object Cdc {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.SaveMode
     val out = freshScratch(dir, tag)
-    // One global sort, materialized once — each flush below is then a
-    // cheap filter instead of re-running the window per slice.
+    // One global sort, materialized once — the slice write below then
+    // reads it instead of re-running the window per slice.
     val ranked = ev.withColumn("__rn", row_number().over(
       Window.orderBy(orderCols: _*))).localCheckpoint()
     val total = ranked.count()
+    // ONE write job for ALL slices (previously one filter+coalesce job
+    // per slice — `slices` extra scheduler round-trips per streaming
+    // query, pure micro-batch-prep fixed cost; guide §1.2 "don't
+    // compute things you throw away" / §2.6): tag each row with its
+    // slice id (same integer rank-thirds boundaries as before, so
+    // oracle SQL that re-derives the assignment is untouched), cluster
+    // by slice, write hive-partitioned — every __slice dir gets
+    // exactly one file because all of a slice's rows hash to one
+    // shuffle partition. Arrival order is then pinned EXPLICITLY with
+    // per-flush mtimes instead of sleeps between sequential writes.
+    val his = (0 until slices).map(i => (i + 1) * total / slices)
+    val sliceCol = (0 until slices - 1).foldRight(lit(slices - 1): Column) {
+      case (i, acc) => when(col("__rn") <= his(i), lit(i)).otherwise(acc)
+    }
+    val staging = Files.createTempDirectory("slices")
+    ranked.withColumn("__slice", sliceCol).drop("__rn")
+      .repartition(slices, col("__slice"))
+      .write.partitionBy("__slice").mode(SaveMode.Overwrite)
+      .parquet(staging.toString)
+    val base = System.currentTimeMillis()
     for (i <- 0 until slices) {
-      val lo = i * total / slices + 1
-      val hi = (i + 1) * total / slices
-      val staging = Files.createTempDirectory(s"slice-$i")
-      ranked.where(col("__rn").between(lo, hi)).drop("__rn")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val listing = Files.list(staging)
+      val d = staging.resolve(s"__slice=$i")
+      if (!Files.exists(d)) // degenerate total < slices: 0-row flush
+        ranked.limit(0).drop("__rn")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(d.toString)
+      val listing = Files.list(d)
       val part = try listing
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
       finally listing.close()
-      Files.move(part, Paths.get(out, f"flush-$i%03d.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
-      Thread.sleep(5)
+      val dst = Paths.get(out, f"flush-$i%03d.parquet")
+      Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+      // strictly increasing mtimes: file-stream arrival order ==
+      // event-time order, regardless of write timing
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
     }
     out
   }

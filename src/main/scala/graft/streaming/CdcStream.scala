@@ -455,6 +455,138 @@ object CdcStream {
                            delay: String, window: String): DataFrame =
     attributionJoinWith(purchases, clicks, delay, window, "left_outer")
 
+  /** One buffered event of the unified interval join: a purchase
+    * carries its matched flag (outer emission), a click its id. */
+  private[streaming] case class IvP(ts: Long, id: Long, matched: Boolean)
+  private[streaming] case class IvC(ts: Long, id: Long)
+  private[streaming] case class IvState(ps: List[IvP], cs: List[IvC])
+  // `ts` (the watermarked TimestampType attribute) must stay in the
+  // Dataset: the streaming checker resolves "has a watermark" from the
+  // event-time tag on a column of the state function's INPUT.
+  private[streaming] case class IvTagged(user_id: Long,
+                                         ts: java.sql.Timestamp,
+                                         ts_us: Long, event_id: Long,
+                                         isP: Boolean)
+  private[streaming] case class IvOut(user_id: Long, purchase_ts_us: Long,
+                                      purchase_seq: Long,
+                                      click_ts_us: Option[Long],
+                                      click_seq: Option[Long])
+
+  /** The UNIFIED form of [[attributionJoin]]/[[attributionJoinOuter]]
+    * for a SELF-join feed (purchases and clicks are event types of ONE
+    * stream): tag each row instead of splitting the stream, and run
+    * the symmetric interval join as a single keyed state machine.
+    *
+    * Why (guide §2.4/§2.1, VERDICT r18 ask #1): the two-sided
+    * `p.join(c)` plan scans the micro-batch TWICE (one subtree per
+    * side), shuffles twice, and commits FOUR state stores per
+    * partition per trigger (keyToNumValues + keyWithIndexToValue,
+    * each side). The tagged union scans once, shuffles once
+    * (groupByKey on user_id), and commits ONE state store per
+    * partition per trigger — the per-trigger fixed cost the two
+    * interval-join queries actually pay at harness SFs.
+    *
+    * Equivalence to the dual-watermark join (the proof the swap
+    * rests on, pinned by CdcStreamSpec + the batch oracle):
+    *  - PAIRS: a (p, c) pair with c_ts ∈ [p_ts − window, p_ts] emits
+    *    exactly once — when the later of the two is processed, the
+    *    earlier is still buffered, because eviction mirrors Spark's
+    *    derived state watermarks exactly: a purchase leaves state only
+    *    when wm > p_ts (any later click has c_ts ≥ wm > p_ts, out of
+    *    window), a click only when wm > c_ts + window (any later
+    *    purchase has p_ts ≥ wm > c_ts + window).
+    *  - LATE ROWS: rows below the batch's start watermark are dropped,
+    *    as the symmetric join drops them.
+    *  - OUTER: an unmatched purchase emits its null-click row exactly
+    *    once, at eviction (wm > p_ts) — Spark's left-outer timeout
+    *    emission condition — driven here by the event-time timeout so
+    *    a batch with no data for the key (the sentinel drain pattern)
+    *    still evicts.
+    *  - WATERMARK: ONE watermark over the tagged union (max ts of
+    *    both types − delay) instead of min(side watermarks). For an
+    *    event-time-ordered feed the two coincide batch-for-batch in
+    *    every decision above (a flush's rows are never below either);
+    *    the self-join deployment reads one feed, so the single
+    *    watermark is the natural resolved-ts. State stays O(interval)
+    *    per key, pinned by the progress-metric bound in the spec. */
+  def intervalJoinTagged(feed: DataFrame, delay: String, window: String,
+                         emitUnmatched: Boolean): Dataset[IvOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = feed.sparkSession
+    import spark.implicits._
+    val windowUs = intervalMicros(window)
+    val tagged = feed
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        (col("event_type") === "purchase").as("isP"))
+      .withWatermark("ts", delay)
+      .as[IvTagged]
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, events: Iterator[IvTagged], state: GroupState[IvState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(IvState(Nil, Nil))
+          var ps = st.ps
+          var cs = st.cs
+          val out = scala.collection.mutable.ListBuffer.empty[IvOut]
+          events.foreach { e =>
+            if (e.ts_us >= wmUs) { // drop late rows, as the join does
+              if (e.isP) {
+                var matched = false
+                cs.foreach { c =>
+                  if (c.ts <= e.ts_us && c.ts >= e.ts_us - windowUs) {
+                    matched = true
+                    out += IvOut(key, e.ts_us, e.event_id,
+                      Some(c.ts), Some(c.id))
+                  }
+                }
+                ps = IvP(e.ts_us, e.event_id, matched) :: ps
+              } else {
+                ps = ps.map { p =>
+                  if (e.ts_us <= p.ts && e.ts_us >= p.ts - windowUs) {
+                    out += IvOut(key, p.ts, p.id,
+                      Some(e.ts_us), Some(e.event_id))
+                    p.copy(matched = true)
+                  } else p
+                }
+                cs = IvC(e.ts_us, e.event_id) :: cs
+              }
+            }
+          }
+          // Eviction under the batch's watermark — Spark's derived
+          // state watermarks verbatim (see the scaladoc proof).
+          val (deadP, liveP) = ps.partition(_.ts < wmUs)
+          if (emitUnmatched) deadP.foreach { p =>
+            if (!p.matched) out += IvOut(key, p.ts, p.id, None, None)
+          }
+          val liveC = cs.filter(_.ts + windowUs >= wmUs)
+          if (liveP.isEmpty && liveC.isEmpty) state.remove()
+          else {
+            state.update(IvState(liveP, liveC))
+            // wake this key when the earliest buffered row becomes
+            // evictable, even if it never sees data again (ms floor is
+            // exact: wmMs > floor(tsUs/1000) ⟺ wmMs·1000 > tsUs)
+            val expiryUs = (liveP.map(_.ts) ++
+              liveC.map(_.ts + windowUs)).min
+            state.setTimeoutTimestamp(math.max(expiryUs / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** Microseconds of a day-time interval literal like "1 hour". */
+  private def intervalMicros(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(s))
+    require(iv.months == 0, s"month intervals are not fixed-length: $s")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
   private def attributionJoinWith(purchases: DataFrame, clicks: DataFrame,
                                   delay: String, window: String,
                                   joinType: String): DataFrame = {

@@ -35,6 +35,16 @@ object CrawlIngest {
   def start(stream: DataFrame, idCol: String, textCol: String,
             corpusDir: String, ledgerDir: String,
             checkpointDir: String): StreamingQuery = {
+    // Ledger view carried ACROSS this drain's micro-batches (VERDICT
+    // r18 ask #4): flush N's ledger is exactly flush N-1's ledger plus
+    // flush N-1's survivor digests, so instead of re-listing and
+    // re-scanning the growing parquet dir every flush, the first batch
+    // reads disk once and later batches extend the view in memory with
+    // the survivor frame that is ALREADY materialized for the write.
+    // The closure dies with the query: a restarted drain re-reads disk
+    // (recovery unchanged), and the disk write order (ledger before
+    // corpus) is untouched, so the crash contract holds verbatim.
+    var ledgerView: Option[Option[DataFrame]] = None
     val fn: (Dataset[Row], Long) => Unit = (batch, _) => {
       val spark = batch.sparkSession
       val frame = batch.toDF().localCheckpoint()
@@ -46,17 +56,25 @@ object CrawlIngest {
             .partitionBy(col("content_hash")).orderBy(col(idCol))))
         .where(col("__rn") === 1).drop("__rn")
       // 2. drop content the ledger already holds
-      val ledger = existingLedger(spark, ledgerDir)
+      val ledger = ledgerView.getOrElse {
+        val fromDisk = existingLedger(spark, ledgerDir)
+        ledgerView = Some(fromDisk)
+        fromDisk
+      }
       val survivors = (ledger match {
         case Some(l) => inBatch.join(l, Seq("content_hash"), "left_anti")
         case None => inBatch
       }).localCheckpoint() // both writes below reuse it; and the ledger
       // append must not re-read the ledger it is writing to
       // 3. ledger first (crash ⇒ drop, never duplicate), then corpus
-      survivors.select(col("content_hash"))
-        .write.mode(SaveMode.Append).parquet(ledgerDir)
+      val digests = survivors.select(col("content_hash"))
+      digests.write.mode(SaveMode.Append).parquet(ledgerDir)
       survivors.drop("content_hash")
         .write.mode(SaveMode.Append).parquet(corpusDir)
+      ledgerView = Some(Some(ledger match {
+        case Some(l) => l.unionByName(digests)
+        case None => digests
+      }))
     }
     stream.writeStream
       .foreachBatch(fn)
@@ -90,6 +108,11 @@ object CrawlIngest {
                    threshold: Double, corpusDir: String, bandsDir: String,
                    checkpointDir: String): StreamingQuery = {
     import graft.operators.MinHash
+    // Band-ledger view across the drain — same scheme as [[start]]'s
+    // digest ledger: disk is read at most once (first batch), each
+    // batch extends the view with the survivor band rows it just
+    // appended, and a restarted drain falls back to the disk read.
+    var ledgerView: Option[Option[DataFrame]] = None
     val fn: (Dataset[Row], Long) => Unit = (batch, _) => {
       val spark = batch.sparkSession
       val frame = batch.toDF().localCheckpoint()
@@ -107,7 +130,12 @@ object CrawlIngest {
       // via an id semi-join — row-identical to re-banding survivors.
       val bands = MinHash.bandRows(MinHash.signature(inBatch, idCol, textCol))
         .localCheckpoint()
-      val nearDupIds = existingLedger(spark, bandsDir) match {
+      val ledger = ledgerView.getOrElse {
+        val fromDisk = existingLedger(spark, bandsDir)
+        ledgerView = Some(fromDisk)
+        fromDisk
+      }
+      val nearDupIds = ledger match {
         case Some(l) =>
           val inter = graft.functions.SetOps
             .sortedIntersectCount(col("ha"), col("hb")).cast("double")
@@ -125,11 +153,17 @@ object CrawlIngest {
       val survivors = inBatch
         .join(nearDupIds, Seq(idCol), "left_anti")
         .localCheckpoint()
-      bands.join(survivors.select(col(idCol).as("doc_id")),
+      val survivorBands = bands
+        .join(survivors.select(col(idCol).as("doc_id")),
           Seq("doc_id"), "left_semi")
         .select(col("band"), col("bkey"), col("hv"))
-        .write.mode(SaveMode.Append).parquet(bandsDir)
+        .localCheckpoint() // consumed twice: the append AND the view
+      survivorBands.write.mode(SaveMode.Append).parquet(bandsDir)
       survivors.write.mode(SaveMode.Append).parquet(corpusDir)
+      ledgerView = Some(Some(ledger match {
+        case Some(l) => l.unionByName(survivorBands)
+        case None => survivorBands
+      }))
     }
     stream.writeStream
       .foreachBatch(fn)

@@ -422,6 +422,96 @@ class CdcStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("unified tagged interval join (inner) emits exactly the batch " +
+    "interval join pairs") {
+    val (inDir, ev) = sliceIntoDir(4)
+    val joined = CdcStream.intervalJoinTagged(
+      CdcStream.fromParquetDir(spark, inDir, ev.schema),
+      delay = "1 hour", window = "1 hour", emitUnmatched = false)
+    val q = joined.toDF().writeStream
+      .format("memory").queryName("ssj_uni").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt_ssj_uni"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj_uni")
+    val bp = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("purchase_ts_us"),
+        col("event_id").as("purchase_seq"))
+    val bc = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("click_ts_us"),
+        col("event_id").as("click_seq"))
+    val batch = bp.join(bc, col("user_id") === col("c_user") &&
+        col("click_ts_us") <= col("purchase_ts_us") &&
+        col("click_ts_us") >= col("purchase_ts_us") - 3600L * 1000000)
+      .select(col("user_id"), col("purchase_ts_us"), col("purchase_seq"),
+        col("click_ts_us"), col("click_seq"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("unified tagged interval join (outer) emits the batch LEFT join — " +
+    "attributed pairs plus each unmatched purchase's null row exactly " +
+    "once — and evicts drained keys") {
+    val (inDir, ev) = sliceIntoDir(3)
+    val maxTs = ev.agg(max(col("ts_us"))).head.getLong(0)
+    // sentinel drain (the cdc_stream_interval_join_outer pattern): two
+    // trailing flushes push the watermark past every real purchase's
+    // horizon, and the second gives the engine a batch that RUNS under
+    // that watermark so timeout emission fires
+    for (i <- 0 until 2) {
+      val ts = maxTs + (4L + 4 * i) * 3600000000L
+      val staging = Files.createTempDirectory(s"sentinel-$i")
+      ev.limit(1)
+        .crossJoin(spark.range(2).select(col("id").as("__i")))
+        .withColumn("event_id", lit(-(2L * (100 + i) + 1)) - col("__i"))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts_us", lit(ts))
+        .withColumn("ts", timestamp_micros(lit(ts)))
+        .withColumn("event_type",
+          when(col("__i") === 0, "purchase").otherwise("click"))
+        .drop("__i")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val part = Files.list(staging).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, Paths.get(inDir, f"flush-${100 + i}%03d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(5)
+    }
+    val joined = CdcStream.intervalJoinTagged(
+      CdcStream.fromParquetDir(spark, inDir, ev.schema),
+      delay = "1 hour", window = "1 hour", emitUnmatched = true)
+    val q = joined.toDF().writeStream
+      .format("memory").queryName("ssjo_uni").outputMode("append")
+      .option("checkpointLocation", tmp("ckpt_ssjo_uni"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ssjo_uni").where(col("user_id") >= 0)
+    val bp = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("purchase_ts_us"),
+        col("event_id").as("purchase_seq"))
+    val bc = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("click_ts_us"),
+        col("event_id").as("click_seq"))
+    val batch = bp.join(bc, col("user_id") === col("c_user") &&
+        col("click_ts_us") <= col("purchase_ts_us") &&
+        col("click_ts_us") >= col("purchase_ts_us") - 3600L * 1000000,
+        "left_outer")
+      .select(col("user_id"), col("purchase_ts_us"), col("purchase_seq"),
+        col("click_ts_us"), col("click_seq"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // eviction pin: after the sentinel drain every real key's buffered
+    // rows fell below the state watermarks and were removed — only the
+    // sentinel key (-1, still inside its horizon) may remain
+    val lastStateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(lastStateRows <= 1,
+      s"state held $lastStateRows keys after the drain: eviction regressed")
+  }
+
   test("stream-stream interval join: state stays O(delay+window), never " +
     "O(history) — progress-metric bound over a GenSource drain") {
     // 60k generated events (1 event/s of event time ≈ 16.6 h) drained

@@ -660,6 +660,35 @@ class SinksSpec extends SparkSpec {
       .as[Long].collect().sorted === Array(3L, 7L))
   }
 
+  test("VersionedTable.mergeBucketed sub-splits an oversized bucket at " +
+    "maxRowsPerBucketFile; a roomy cap packs back to one file per bucket") {
+    import spark.implicits._
+    val path = tmp("vtable-bsplit")
+    val vt = GraftSink.VersionedTable(path)
+    def batch(rows: (Long, Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("key", "seq", "op", "payload")
+    // numBuckets=1 concentrates every key in one (hot) bucket; a 3-row
+    // cap must roll the bucket's rewrite into ceil(10/3)=4 files while
+    // keeping the hive layout (so manifest pruning is unchanged)
+    vt.mergeBucketed(batch((0L until 10L).map(k =>
+      (k, k, "I", s"v$k")): _*), Seq("key"), Seq("seq"), numBuckets = 1,
+      maxRowsPerBucketFile = 3L)
+    val files1 = vt.read(spark).inputFiles
+    assert(files1.length === 4,
+      s"expected the hot bucket split into 4 files, got ${files1.length}")
+    assert(files1.forall(_.contains("__bucket=0/")))
+    assert(vt.read(spark).count() === 10)
+    // a later merge under the default (roomy) cap rewrites the bucket
+    // back to ONE file — the ≤1-file-per-touched-bucket layout holds
+    // whenever the bucket fits the cap
+    vt.mergeBucketed(batch((3L, 100L, "U", "v3b")),
+      Seq("key"), Seq("seq"), numBuckets = 1)
+    assert(vt.read(spark).where(col("key") === 3)
+      .select("payload").as[String].collect() === Array("v3b"))
+    assert(vt.read(spark).count() === 10)
+    assert(vt.read(spark).inputFiles.length === 1)
+  }
+
   test("VersionedTable.mergeBucketed conflict resolution: a concurrent " +
     "DISJOINT-bucket merge rebases the carryover and both land; an " +
     "overlapping-bucket race still fails loudly; bucket-spec mismatch " +
