@@ -25,11 +25,24 @@ object Graph {
     * participation via `triangleCounts`. Input: undirected edge list
     * with columns (a, b), a < b, no duplicates. */
   def triangles(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("a").as("v"))
-      .unionAll(edges.select(col("b").as("v")))
+    // Materialize the edge list ONCE (guide §2.4 — the Dedup.clusters
+    // discipline): this plan consumes `edges` seven times (degree
+    // census twice, orientation join, wedge closure, edge/node
+    // counts), and each consumption re-inlined the caller's whole
+    // edge-derivation pipeline — doc_dup_triangles re-ran the full
+    // MinHash shingle→band→Jaccard subtree ~28× (1748-line plan, 56
+    // document scans). Edge lists here are collision-bounded pair
+    // sets, orders of magnitude smaller than the corpus, so the
+    // materialization is the same bounded-intermediate call as the
+    // cluster fixpoint's. Executor loss ⇒ job fails and the re-run
+    // recomputes — acceptable for a bounded derived frame.
+    val ed = edges.localCheckpoint()
+    val deg = ed.select(col("a").as("v"))
+      .unionAll(ed.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // three consumers: two orientation joins + count
     // orient each edge from lower (degree, id) to higher
-    val e = edges
+    val e = ed
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
       .select(
@@ -45,10 +58,10 @@ object Graph {
         && col("e1.dst") < col("e2.dst"))
       .select(least(col("e1.dst"), col("e2.dst")).as("wa"),
         greatest(col("e1.dst"), col("e2.dst")).as("wb"))
-    w.join(edges, col("wa") === col("a") && col("wb") === col("b"))
+    w.join(ed, col("wa") === col("a") && col("wb") === col("b"))
       .agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(
-        edges.agg(count(lit(1)).as("n_edges"))))
+        ed.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
